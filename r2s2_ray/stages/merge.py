@@ -1,0 +1,276 @@
+"""Table merging: narrow per-predicate tables -> wide entity tables.
+
+Parity target: TableMergingConcurence.java:46-268 (T7/J1/J2/A5/O2):
+
+* gate A5   — only subject-unique tables merge (no subject repeats);
+* gate      — same subject kind, DISJOINT predicate sets;
+* probe J1  — positive subject overlap with the merge target;
+* order O2  — ``type_*`` tables first, then ascending row count, tie-break by name
+  ("merge into small tables to generate denser columns");
+* semantics — the newer reference variant UPDATE-joins matching rows into the target
+  and DELETEs only matched rows from the source: unmatched source rows STAY in the
+  source table (SURVEY.md §7.5.3). Reproduced here as a subject-keyed outer merge
+  that splits each group into a merged row (target subject present) or per-source
+  leftover rows.
+
+Shuffle design: all gates/probes are computed in ONE pass — union the candidate
+tables' (subj, table) pairs, hash-bucket by subject, and fold each bucket vectorized
+(same bucketed-groupby pattern as stages/fold.py; subject hashing spreads hot
+subjects). The merge itself is a second bucketed groupby over the cohort's rows.
+Post-merge re-optimization (ReOptimizeForR2RML.java:24-25) is a no-op for our
+decision set: pre-merge virtual/datatype/LCS decisions are value-distribution facts
+that an outer join cannot change (it only adds NULLs, which every decision rule
+already tolerates or ignores), so decisions carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import polars as pl
+import pyarrow as pa
+import ray.data
+
+from ..state.manifest import TableSpec
+
+_LEFTOVER_SUFFIX = "__leftover"
+
+
+def _lean_path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, "lean", f"table_key={name}")
+
+
+def _merge_order(tables: list[TableSpec]) -> list[TableSpec]:
+    """O2 heuristic (TableMergingConcurence.java:40-44,81-100)."""
+    return sorted(
+        tables,
+        key=lambda t: (0 if t.name.startswith("type_") else 1, t.row_count, t.name),
+    )
+
+
+def _subject_census(out_dir: str, tables: list[TableSpec], num_buckets: int = 16):
+    """One bucketed pass over candidate tables' subjects. Returns
+    (uniqueness: {table: bool}, overlap: {(a, b): count}).
+
+    Reads the lean root ONCE (hive ``table_key`` partition column) instead of
+    unioning per-table read plans — at N tables a union is N read stages of fixed
+    overhead each; one filtered scan is one."""
+    if not tables:
+        return {}, {}
+    import pyarrow.compute as pc
+
+    names = pa.array([t.name for t in tables], pa.string())
+
+    def project(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["table_key"], value_set=names))
+        return pa.table({"subj": b["subj"], "tbl": pc.cast(b["table_key"], pa.string())})
+
+    u = ray.data.read_parquet(
+        os.path.join(out_dir, "lean"), columns=["subj", "table_key"]
+    ).map_batches(project, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return b.append_column(
+            "bucket",
+            df.select(pl.col("subj").hash(seed=7).mod(num_buckets).cast(pl.Int32).alias("x"))["x"].to_arrow(),
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        # per (subj, tbl) multiplicity + per-subj table set
+        per = df.group_by(["subj", "tbl"]).agg(pl.len().alias("n"))
+        dup = per.group_by("tbl").agg((pl.col("n") > 1).any().alias("has_dup"))
+        sets = per.group_by("subj").agg(pl.col("tbl").sort().alias("tbls"))
+        pairs = (
+            sets.filter(pl.col("tbls").list.len() > 1)
+            .with_columns(pl.col("tbls").list.eval(pl.element()).alias("tbls"))
+            .explode("tbls")
+            .rename({"tbls": "a"})
+            .join(sets.explode("tbls").rename({"tbls": "b"}), on="subj")
+            .filter(pl.col("a") < pl.col("b"))
+            .group_by(["a", "b"])
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+        )
+        out = pl.concat(
+            [
+                dup.select(pl.col("tbl").alias("a"), pl.lit("").alias("b"), pl.col("has_dup").cast(pl.Int64).alias("cnt")),
+                pairs.select("a", "b", "cnt"),
+            ]
+        )
+        return out.to_arrow()
+
+    rows = (
+        u.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .take_all()
+    )
+    has_dup: dict[str, bool] = defaultdict(bool)
+    overlap: dict[tuple[str, str], int] = defaultdict(int)
+    for r in rows:
+        if r["b"] == "":
+            has_dup[r["a"]] |= bool(r["cnt"])
+        else:
+            overlap[(r["a"], r["b"])] += r["cnt"]
+    uniqueness = {t.name: not has_dup[t.name] for t in tables}
+    return uniqueness, dict(overlap)
+
+
+def plan_cohorts(tables: list[TableSpec], uniqueness: dict, overlap: dict) -> list[list[TableSpec]]:
+    ordered = _merge_order(tables)
+    taken: set[str] = set()
+    cohorts: list[list[TableSpec]] = []
+    for target in ordered:
+        if target.name in taken or not uniqueness.get(target.name, False):
+            continue
+        members = [target]
+        preds = {pm.predicate for pm in target.predicates}
+        for cand in ordered:
+            if cand.name in taken or cand.name == target.name:
+                continue
+            if not uniqueness.get(cand.name, False) or cand.subj_kind != target.subj_kind:
+                continue
+            cpreds = {pm.predicate for pm in cand.predicates}
+            if cpreds & preds:
+                continue  # disjoint predicate sets required
+            key = (min(target.name, cand.name), max(target.name, cand.name))
+            if overlap.get(key, 0) <= 0:
+                continue  # J1 probe: no shared subjects -> no merge
+            members.append(cand)
+            preds |= cpreds
+        if len(members) > 1:
+            cohorts.append(members)
+            taken.update(m.name for m in members)
+    return cohorts
+
+
+def _build_merged_lean(out_dir: str, members: list[TableSpec], num_buckets: int = 16) -> dict[str, int]:
+    """Outer-merge cohort members on subject; writes merged lean + per-source
+    leftover lean. Returns {output_name: row_count}."""
+    target = members[0]
+    merged_dir = os.path.join(out_dir, "lean_merged", target.name)
+    import pyarrow.compute as pc
+
+    names = pa.array([m.name for m in members], pa.string())
+
+    def project(b: pa.Table) -> pa.Table:
+        src = pc.cast(pc.index_in(b["table_key"], value_set=names), pa.int32())
+        b = b.append_column("src", src)
+        b = b.filter(pc.is_valid(b["src"]))
+        return b.select(["subj", "s_kind", "obj", "graphs", "src"])
+
+    u = ray.data.read_parquet(
+        os.path.join(out_dir, "lean"),
+        columns=["subj", "s_kind", "obj", "graphs", "table_key"],
+    ).map_batches(project, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return b.append_column(
+            "bucket",
+            df.select(pl.col("subj").hash(seed=9).mod(num_buckets).cast(pl.Int32).alias("x"))["x"].to_arrow(),
+        )
+
+    k = len(members)
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        aggs = [pl.col("s_kind").first().alias("s_kind"), (pl.col("src") == 0).any().alias("__has_target__")]
+        for i in range(k):
+            aggs.append(pl.col("obj").filter(pl.col("src") == i).first().alias(f"obj__{i}"))
+            aggs.append(pl.col("graphs").filter(pl.col("src") == i).first().alias(f"graphs__{i}"))
+        return df.group_by("subj").agg(aggs).sort("subj").to_arrow()
+
+    wide = (
+        u.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+    ).materialize()
+
+    # one vectorized pass for every count (merged rows + per-member leftovers)
+    import pyarrow.compute as pc
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        ht = b["__has_target__"]
+        row = {"merged": [pc.sum(pc.cast(ht, pa.int64())).as_py() or 0]}
+        inv = pc.invert(ht)
+        for i in range(1, k):
+            mask = pc.and_(inv, pc.is_valid(b[f"obj__{i}"]))
+            row[f"left__{i}"] = [pc.sum(pc.cast(mask, pa.int64())).as_py() or 0]
+        return pa.table(row)
+
+    parts_counts = wide.map_batches(count_batch, batch_format="pyarrow").take_all()
+    counts: dict[str, int] = {target.name: sum(r["merged"] for r in parts_counts)}
+    for i, m in enumerate(members[1:], start=1):
+        counts[m.name + _LEFTOVER_SUFFIX] = sum(r[f"left__{i}"] for r in parts_counts)
+
+    def merged_batch(b: pa.Table) -> pa.Table:
+        return b.filter(b["__has_target__"]).drop_columns(["__has_target__"])
+
+    wide.map_batches(merged_batch, batch_format="pyarrow").write_parquet(merged_dir)
+    for i, m in enumerate(members[1:], start=1):
+        if not counts[m.name + _LEFTOVER_SUFFIX]:
+            continue
+
+        def narrow(b: pa.Table, _i=i) -> pa.Table:
+            mask = pc.and_(pc.invert(b["__has_target__"]), pc.is_valid(b[f"obj__{_i}"]))
+            b = b.filter(mask)
+            return pa.table(
+                {
+                    "subj": b["subj"],
+                    "s_kind": b["s_kind"],
+                    "obj": b[f"obj__{_i}"],
+                    "graphs": b[f"graphs__{_i}"],
+                }
+            )
+
+        wide.map_batches(narrow, batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX)
+        )
+    return counts
+
+
+def run_merge(out_dir: str, tables: list[TableSpec]) -> list[TableSpec]:
+    """Plan + execute merging; returns the post-merge table list (manifest state)."""
+    by_kind: dict[int, list[TableSpec]] = defaultdict(list)
+    for t in tables:
+        by_kind[t.subj_kind].append(t)
+    out: list[TableSpec] = []
+    merged_names: set[str] = set()
+    for kind_tables in by_kind.values():
+        uniqueness, overlap = _subject_census(out_dir, kind_tables)
+        cohorts = plan_cohorts(kind_tables, uniqueness, overlap)
+        for members in cohorts:
+            target = members[0]
+            counts = _build_merged_lean(out_dir, members)
+            merged = TableSpec(
+                name=target.name,
+                subj_kind=target.subj_kind,
+                subject_columns=target.subject_columns,
+                predicates=[pm for m in members for pm in m.predicates],
+                class_iri=target.class_iri,
+                row_count=counts[target.name],
+                path=os.path.join(out_dir, "lean_merged", target.name),
+            )
+            out.append(merged)
+            merged_names.update(m.name for m in members)
+            for m in members[1:]:
+                n_left = counts.get(m.name + _LEFTOVER_SUFFIX, 0)
+                if n_left:
+                    # unmatched rows stay behind under the original table name
+                    leftover = TableSpec(
+                        name=m.name,
+                        subj_kind=m.subj_kind,
+                        subject_columns=m.subject_columns,
+                        predicates=m.predicates,
+                        class_iri=m.class_iri,
+                        row_count=n_left,
+                        path=os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX),
+                    )
+                    out.append(leftover)
+    for t in tables:
+        if t.name not in merged_names:
+            out.append(t)
+    return out

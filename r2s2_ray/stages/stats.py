@@ -1,0 +1,291 @@
+"""Distributed column-stats pass + optimizer decisions.
+
+One streaming pass per table over its lean partition computes, per decomposed
+physical column, an associative partial-stat row per block; the driver folds the
+tiny residue and decides:
+
+* virtual single-value columns  — IntroduceVirtualColumns.java:21-76 (T2):
+  <=1 distinct value (nulls count as a value, mirroring SQL DISTINCT) -> column
+  dropped, constant recorded. The "last column" edge (all-virtual table,
+  IntroduceVirtualColumns.java:66-74) is represented as a table with row_count>0
+  and zero physical columns.
+* datatype narrowing            — OptimizeForDatatype.java:27-147 (T3/T4): literal
+  columns promoted per their DECLARED xsd datatype when every value parses
+  round-trip-safely; IRI ``port`` always INTEGER; ``path``/``query``/``fragment``
+  INTEGER only when every value round-trips without leading zeros
+  (OptimizeForDatatype.java:65-93). Deviation: we require round-trip-safe lexicals
+  (no leading zeros) even for declared ints, so reconstruction is lossless — the
+  reference's SQL CAST would accept "007" and emit "7".
+* longest-common-prefix         — OptimizeForLongestCommonSubstring.java:23-100 (T5):
+  per-block fold of (min, max) -> global LCP (LCP of a set = LCP(min,max), an O(1)
+  merge); nulls skipped, any zero-length value or empty LCP aborts
+  (OptimizeForLongestCommonSubstring.java:70-81 parity).
+* graph-list flattening         — ReintroduceRdfSetSemantics.java:111-141 (A6): if no
+  (s,o) pair lives in >1 graph, the graphs list collapses to a scalar id column.
+
+The per-block stat row is tiny (a few hundred bytes x columns x blocks), so the
+driver fold is metadata-scale even at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..state.manifest import ColumnSpec, TableSpec
+from ..terms import (
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_FLOAT,
+    XSD_GYEAR,
+    XSD_INT,
+    XSD_INTEGER,
+    XSD_LONG,
+    XSD_STRING,
+)
+
+#: declared xsd datatype -> (logical SQL datatype, all-values predicate kind)
+_DT_RULES: dict[str, tuple[str, str]] = {
+    XSD_INT: ("INTEGER", "int"),
+    XSD_INTEGER: ("BIGINT", "int"),
+    XSD_LONG: ("BIGINT", "int"),
+    XSD_DECIMAL: ("DOUBLE", "float"),
+    XSD_DOUBLE: ("DOUBLE", "float"),
+    XSD_FLOAT: ("FLOAT", "float"),
+    XSD_BOOLEAN: ("BOOLEAN", "bool"),
+    XSD_DATE: ("DATE", "date"),
+    XSD_DATETIME: ("TIMESTAMP", "datetime"),
+    XSD_GYEAR: ("GYEAR", "gyear"),
+}
+
+_INT_RE = r"^(0|-?[1-9][0-9]*)$"
+_FLOAT_RE = r"^-?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][-+]?[0-9]+)?$"
+_DATE_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+_DATETIME_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}$"
+_GYEAR_RE = r"^-?[0-9]{4}$"
+_BOOL_RE = r"^(true|false)$"
+
+_PRED_RE = {
+    "int": _INT_RE,
+    "float": _FLOAT_RE,
+    "bool": _BOOL_RE,
+    "date": _DATE_RE,
+    "datetime": _DATETIME_RE,
+    "gyear": _GYEAR_RE,
+}
+
+
+@dataclass
+class ColStats:
+    """Associative partial stats for one column (mergeable across blocks)."""
+
+    n: int = 0
+    nulls: int = 0
+    distinct: set = field(default_factory=set)  # capped at 3 (we only need <=1 / ==2)
+    minv: str | None = None
+    maxv: str | None = None
+    has_empty: bool = False
+    pred_ok: dict[str, bool] = field(default_factory=dict)  # predicate kind -> all-match
+
+    def merge(self, o: "ColStats") -> "ColStats":
+        self.n += o.n
+        self.nulls += o.nulls
+        self.distinct |= o.distinct
+        while len(self.distinct) > 3:
+            self.distinct.pop()
+        self.minv = min(x for x in (self.minv, o.minv) if x is not None) if (self.minv or o.minv) else None
+        self.maxv = max(x for x in (self.maxv, o.maxv) if x is not None) if (self.maxv or o.maxv) else None
+        self.has_empty |= o.has_empty
+        for k, v in o.pred_ok.items():
+            self.pred_ok[k] = self.pred_ok.get(k, True) and v
+        return self
+
+
+def block_col_stats(col: pa.Array, preds: list[str]) -> ColStats:
+    s = ColStats(n=len(col), nulls=col.null_count)
+    nn = pc.drop_null(col)
+    if not pa.types.is_string(nn.type) and not pa.types.is_large_string(nn.type):
+        nn = pc.cast(nn, pa.string())
+    u = pc.unique(nn)
+    cap = u.slice(0, 3).to_pylist()
+    s.distinct = set(cap)
+    if col.null_count:
+        s.distinct.add(None)
+    if len(nn):
+        s.minv = pc.min(nn).as_py()
+        s.maxv = pc.max(nn).as_py()
+        s.has_empty = bool(pc.any(pc.equal(nn, "")).as_py())
+        for p in preds:
+            s.pred_ok[p] = bool(pc.all(pc.match_substring_regex(nn, _PRED_RE[p])).as_py())
+    return s
+
+
+def _common_prefix(a: str, b: str) -> str:
+    i = 0
+    m = min(len(a), len(b))
+    while i < m and a[i] == b[i]:
+        i += 1
+    return a[:i]
+
+
+def decide_columns(spec: TableSpec, stats: dict[str, ColStats], graph_stats: dict) -> None:
+    """Mutates ``spec`` in place with virtual / datatype / LCS decisions.
+
+    Optimizer order matches OptimizeForR2RML.java:26-28: virtual -> datatype -> LCS
+    (set-semantics dedup already ran in the fold stage)."""
+    dt_cols: dict[str, tuple[str, str]] = {}
+    for pm in spec.predicates:
+        if pm.datatype in _DT_RULES:
+            logical, predkind = _DT_RULES[pm.datatype]
+            for c in pm.object_columns:
+                if c.name.endswith("_litvalue"):
+                    dt_cols[c.name] = (logical, predkind)
+    for c in spec.all_columns():
+        st = stats.get(c.name)
+        if st is None:
+            continue
+        # T2 virtual: 0 or 1 distinct value (None = all-null column)
+        vals = st.distinct
+        if len(vals) <= 1:
+            c.physical = False
+            c.virtual_value = next(iter(vals), None)
+            continue
+        # T3: declared-datatype narrowing on litvalue columns
+        if c.name in dt_cols:
+            logical, predkind = dt_cols[c.name]
+            if st.nulls == 0 and st.pred_ok.get(predkind, False):
+                c.datatype = logical
+                continue
+        # T4: IRI part narrowing
+        if c.name.endswith("_port"):
+            c.datatype = "INTEGER"
+            continue
+        if c.name.rsplit("_", 1)[-1] in ("path", "query", "fragment") and st.pred_ok.get("int", False) and st.nulls < st.n:
+            c.datatype = "BIGINT"
+            continue
+        # T5 LCS on remaining TEXT columns
+        if c.datatype == "TEXT" and st.minv is not None and not st.has_empty:
+            lcp = _common_prefix(st.minv, st.maxv)
+            if lcp:
+                c.lcs_prefix = lcp
+    # graph-list flattening per predicate map
+    for pm in spec.predicates:
+        g = graph_stats.get(pm.graph_column or "", {})
+        pm.graph_is_list = bool(g.get("max_len", 1) > 1)
+
+
+def _emit_stats_rows(cols: dict, graphs_cols: dict, prefix: str, rows: dict) -> None:
+    import pickle
+
+    for name, arr in cols.items():
+        preds = ["int"]
+        base = name.rsplit("_", 1)[-1]
+        if name.endswith("_litvalue"):
+            preds = list(_PRED_RE)
+        elif base not in ("path", "query", "fragment", "port", "id"):
+            preds = []
+        st = block_col_stats(arr, preds)
+        rows["table"].append(prefix)
+        rows["column"].append(name)
+        rows["blob"].append(pickle.dumps(st))
+    for gname, glist in graphs_cols.items():
+        max_len = pc.max(pc.list_value_length(glist)).as_py() or 0
+        rows["table"].append(prefix)
+        rows["column"].append("\x00graph\x00" + gname)
+        rows["blob"].append(pickle.dumps({"max_len": max_len}))
+
+
+def run_stats_all(lean_root: str, specs: dict[str, TableSpec], decompose_factory):
+    """ONE streaming pass over the whole lean store computing every table's column
+    stats at once (the hive ``table_key`` column routes each batch slice to its
+    spec). Returns {table: (col_stats, graph_stats)} folded on the driver."""
+    import pickle
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows: dict = {"table": [], "column": [], "blob": []}
+        keys = pc.drop_null(pc.unique(batch["table_key"])).to_pylist()
+        for k in keys:
+            sub = batch.filter(pc.equal(batch["table_key"], k)) if len(keys) > 1 else batch
+            spec = specs[k]
+            cols, gcols = decompose_factory(spec)(sub)
+            _emit_stats_rows(cols, gcols, k, rows)
+        return pa.table(
+            {
+                "table": pa.array(rows["table"]),
+                "column": pa.array(rows["column"]),
+                "blob": pa.array(rows["blob"], pa.binary()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(lean_root)
+        .map_batches(fn, batch_format="pyarrow")
+        .take_all()
+    )
+    out: dict[str, tuple[dict, dict]] = {k: ({}, {}) for k in specs}
+    for r in parts:
+        col_stats, graph_stats = out[r["table"]]
+        name, blob = r["column"], pickle.loads(r["blob"])
+        if name.startswith("\x00graph\x00"):
+            g = graph_stats.setdefault(name.split("\x00")[2], {"max_len": 0})
+            g["max_len"] = max(g["max_len"], blob["max_len"])
+        elif name in col_stats:
+            col_stats[name].merge(blob)
+        else:
+            col_stats[name] = blob
+    return out
+
+
+class _StatsFn:
+    """map_batches callable: lean batch -> one partial-stats row per column."""
+
+    def __init__(self, spec: TableSpec, decompose_fn):
+        self.spec = spec
+        self.decompose = decompose_fn
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pickle
+
+        cols, graphs_cols = self.decompose(batch)
+        rows = {"column": [], "blob": []}
+        for name, arr in cols.items():
+            preds = ["int"]
+            base = name.rsplit("_", 1)[-1]
+            if name.endswith("_litvalue"):
+                preds = list(_PRED_RE)
+            elif base not in ("path", "query", "fragment", "port", "id"):
+                preds = []
+            st = block_col_stats(arr, preds)
+            rows["column"].append(name)
+            rows["blob"].append(pickle.dumps(st))
+        for gname, glist in graphs_cols.items():
+            max_len = pc.max(pc.list_value_length(glist)).as_py() or 0
+            rows["column"].append("\x00graph\x00" + gname)
+            rows["blob"].append(pickle.dumps({"max_len": max_len}))
+        return pa.table({"column": pa.array(rows["column"]), "blob": pa.array(rows["blob"], pa.binary())})
+
+
+def run_stats(lean_ds: ray.data.Dataset, spec: TableSpec, decompose_fn) -> tuple[dict, dict]:
+    """Returns (col_stats, graph_stats) folded on the driver (metadata-scale)."""
+    import pickle
+
+    parts = lean_ds.map_batches(_StatsFn(spec, decompose_fn), batch_format="pyarrow").take_all()
+    col_stats: dict[str, ColStats] = {}
+    graph_stats: dict[str, dict] = {}
+    for r in parts:
+        name, blob = r["column"], pickle.loads(r["blob"])
+        if name.startswith("\x00graph\x00"):
+            g = graph_stats.setdefault(name.split("\x00")[2], {"max_len": 0})
+            g["max_len"] = max(g["max_len"], blob["max_len"])
+        elif name in col_stats:
+            col_stats[name].merge(blob)
+        else:
+            col_stats[name] = blob
+    return col_stats, graph_stats

@@ -82,7 +82,7 @@ def split_iri(iri: str) -> tuple[str | None, ...]:
         if fragment is not None:
             rest = rest[: len(rest) - len(fragment) - 1]
         return (scheme, rest or None, None, None, None, None, None, None, fragment)
-    userinfo = u.username if u.username is not None else None
+    userinfo = u.username if u.username else None  # empty userinfo treated as absent
     if userinfo is not None and u.password is not None:
         userinfo = f"{u.username}:{u.password}"
     port = str(u.port) if u.port is not None else None

@@ -1,0 +1,112 @@
+"""End-to-end KG pipeline tests: round-trip P/R (FIXTURES.md §D), table-state
+assertions (analog of the reference's LoadingTest information_schema checks), and
+checkpoint/resume."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from r2s2_ray import vocab
+from r2s2_ray.decompose import bnode_ids
+from r2s2_ray.extract.oracle import extract_all
+from r2s2_ray.pipelines.kg import run_pipeline
+from r2s2_ray.pipelines.serve import reassemble_triples
+from r2s2_ray.transcripts import documents_to_transcripts
+
+
+@pytest.fixture(scope="module")
+def kg_out(sf_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kgout"))
+    m = run_pipeline(sf_small, out)
+    return out, m
+
+
+def _oracle_triples(sf_dir):
+    """Oracle triple set with entity linking applied and bnode labels skolemized
+    to the engine's content-derived ids (comparison is term-string based,
+    SURVEY.md §7.5.2)."""
+    tx = documents_to_transcripts(pq.read_table(f"{sf_dir}/documents.parquet"))
+
+    def skol(term, kind):
+        if kind == 0:
+            return f"_:{bnode_ids(pa.array([term]))[0].as_py()}"
+        if kind == 1 and term.startswith(vocab.ENT):
+            return vocab.entity_iri(vocab.canonical_entity(term[len(vocab.ENT):]))
+        return term
+
+    out = set()
+    for s, sk, p, o, ok, ol, od, g in extract_all(tx.to_pylist()):
+        out.add((skol(s, sk), p, skol(o, ok), ol, od, g))
+    return out
+
+
+def test_roundtrip_exact(kg_out, sf_small):
+    out, _ = kg_out
+    t = reassemble_triples(out)
+    got = set(
+        zip(
+            t["subj"].to_pylist(),
+            t["pred"].to_pylist(),
+            t["obj"].to_pylist(),
+            t["o_lang"].to_pylist(),
+            t["o_dt"].to_pylist(),
+            t["graph"].to_pylist(),
+        )
+    )
+    want = _oracle_triples(sf_small)
+    tp = len(got & want)
+    precision, recall = tp / len(got), tp / len(want)
+    # BASELINE.md target is >=0.95; on deterministic fixtures we expect exact
+    assert precision == 1.0 and recall == 1.0, (len(got), len(want), tp)
+
+
+def test_table_state(kg_out):
+    """Schema-level assertions in the spirit of LoadingTest.java:86-125,154-175."""
+    _, m = kg_out
+    names = {t.name for t in m.tables}
+    # class cracking: one table per rdf:type class
+    assert {"type_ex_turn", "type_ex_conversation", "type_ex_document", "type_ex_entity"} <= names
+    # non-subject-unique predicates kept separate
+    assert "ex_hasturn_sI_oI" in names and "ex_mentions_sI_oI" in names
+    # merging widened the turn table with functional predicates
+    turn = m.table("type_ex_turn")
+    preds = {pm.predicate for pm in turn.predicates}
+    assert vocab.P_TURN_INDEX in preds and vocab.P_ROLE in preds and vocab.P_TS in preds
+    assert len(turn.predicates) >= 5
+    # virtual columns: rdf:type object columns are constant -> dropped
+    type_pm = next(pm for pm in turn.predicates if pm.obj_kind == 1)
+    assert all(not c.physical for c in type_pm.object_columns)
+    # datatype narrowing: turnIndex litvalue promoted, ts promoted to TIMESTAMP
+    idx_pm = next(pm for pm in turn.predicates if pm.predicate == vocab.P_TURN_INDEX)
+    assert any(c.datatype == "BIGINT" and c.physical for c in idx_pm.object_columns)
+    ts_pm = next(pm for pm in turn.predicates if pm.predicate == vocab.P_TS)
+    assert any(c.datatype == "TIMESTAMP" and c.physical for c in ts_pm.object_columns)
+    # LCS: subject path column of the turn table shares the /conv/ prefix
+    subj_path = next(c for c in turn.subject_columns if c.name.endswith("_path"))
+    assert subj_path.lcs_prefix and subj_path.lcs_prefix.startswith("/conv")
+    # bnode-subject table exists with a BIGINT id column
+    toolname = next(t for t in m.tables if t.subj_kind == 0)
+    assert toolname.subject_columns[0].datatype == "BIGINT"
+
+
+def test_artifacts_exist(kg_out):
+    out, m = kg_out
+    assert os.path.exists(os.path.join(out, "views.sql"))
+    assert os.path.exists(os.path.join(out, "r2rml.ttl"))
+    with open(os.path.join(out, "r2rml.ttl")) as f:
+        ttl = f.read()
+    assert "rr:TriplesMap" in ttl and "rr:template" in ttl
+    for t in m.tables:
+        assert os.path.exists(os.path.join(out, "tables", t.name, "_SUCCESS"))
+
+
+def test_resume_noop(kg_out, sf_small):
+    """Second run over the same out_dir must be a manifest-only no-op."""
+    out, _ = kg_out
+    import time
+
+    t0 = time.time()
+    run_pipeline(sf_small, out)
+    assert time.time() - t0 < 2.0
