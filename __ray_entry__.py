@@ -1,44 +1,467 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes every implemented operator/pipeline from SURVEY.md §2 as a
+callable over an sf_dir; ``oracle_sql()`` holds the DuckDB-equivalent SQL for every
+SQL-expressible one (same column names both sides). Ray is initialised by the
+driver BEFORE this module is imported — nothing here calls ray.init/shutdown.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from r2s2_ray import oracles, relational, vocab
+from r2s2_ray.extract.batch import extract_triples
+from r2s2_ray.linking import canonicalize
+from r2s2_ray.terms import RDF_TYPE
+from r2s2_ray.transcripts import read_transcripts
+
+_KIND32 = {"s_kind": pa.int32(), "o_kind": pa.int32()}
+
+
+def _kinds32(b: pa.Table) -> pa.Table:
+    for col, typ in _KIND32.items():
+        i = b.schema.get_field_index(col)
+        b = b.set_column(i, col, pc.cast(b[col], typ))
+    return b
+
+
+def _triples(sf_dir: str, linked: bool):
+    ds = extract_triples(read_transcripts(sf_dir))
+    if linked:
+        ds = canonicalize(ds)
+    return ds.map_batches(_kinds32, batch_format="pyarrow")
+
+
+def _pipeline_out(sf_dir: str) -> str:
+    """Run (or resume) the full KG pipeline into a per-sf cache dir."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/r2s2_entry/{tag}"
+    from r2s2_ray.pipelines.kg import run_pipeline
+
+    run_pipeline(sf_dir, out)
+    return out
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full KG construction on sf0.001; returns the deduped, linked,
+    graph-folded triple set reassembled from the materialized store."""
+    out = _pipeline_out("/root/testdata/sf0.001")
+    from r2s2_ray.pipelines.serve import reassemble_triples
+
+    return reassemble_triples(out)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def _kg_transcripts(sf_dir: str):
+    ds = read_transcripts(sf_dir)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        ts_s = pc.strftime(pc.cast(b["ts"], pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S")
+        return b.drop_columns(["ts"]).append_column("ts_s", ts_s)
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
+
+
+def _kg_triples_dedup(sf_dir: str):
+    from r2s2_ray.pipelines.kg import triples_dataset
+    from r2s2_ray.stages.dicts import distinct_small
+    from r2s2_ray.stages.fold import combo_string, fold, route
+
+    tri = triples_dataset(sf_dir)
+    combos = sorted(
+        set(
+            tri.map_batches(
+                lambda t: pa.table({"combo": pc.drop_null(pc.unique(combo_string(t)))}),
+                batch_format="pyarrow",
+            ).unique("combo")
+        )
+    )
+    graphs = distinct_small(tri, "graph")
+    folded = fold(route(triples_dataset(sf_dir), combos, graphs))
+    graph_arr = pa.array(graphs, pa.string())
+
+    def fmt(b: pa.Table) -> pa.Table:
+        # rebuild the list with IRI values, then join to a comma string
+        g = b["graphs"].combine_chunks()
+        joined = []
+        offs = g.offsets.to_pylist()
+        vals = pc.take(graph_arr, g.values).to_pylist()
+        for i in range(len(g)):
+            joined.append(",".join(vals[offs[i] : offs[i + 1]]))
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "o_lang": b["o_lang"],
+                "o_dt": b["o_dt"],
+                "graphs_s": pa.array(joined, pa.string()),
+                "n_graphs": pc.cast(pc.list_value_length(b["graphs"]), pa.int64()),
+            }
+        )
+
+    return folded.map_batches(fmt, batch_format="pyarrow")
+
+
+def _kg_pred_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _triples(sf_dir, linked=True).groupby("pred").aggregate(Count(alias_name="n"))
+
+
+def _kg_class_census(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _triples(sf_dir, linked=True).map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], RDF_TYPE)), batch_format="pyarrow"
+    )
+    out = ds.groupby("obj").aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({"class_iri": b["obj"], "n": b["n"]}), batch_format="pyarrow"
+    )
+
+
+def _kg_mentions(sf_dir: str):
+    ds = _triples(sf_dir, linked=True).map_batches(
+        lambda b: pa.table(
+            {
+                "turn": b.filter(pc.equal(b["pred"], vocab.P_MENTIONS))["subj"],
+                "entity": b.filter(pc.equal(b["pred"], vocab.P_MENTIONS))["obj"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby(["turn", "entity"]).count().drop_columns(["count()"])
+
+
+def _kg_term_dict(sf_dir: str):
+    from r2s2_ray.stages.dicts import distinct_large
+
+    terms = distinct_large(
+        _triples(sf_dir, linked=True).map_batches(
+            lambda b: pa.table(
+                {
+                    "term": pa.concat_arrays(
+                        [b["subj"].combine_chunks(), b["obj"].combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "term",
+    )
+    # content-ordered ids: the dictionary is small relative to the corpus, so id
+    # assignment happens on the (sorted) driver copy
+    t = pa.Table.from_pylist(terms.take_all())
+    return t.append_column("id", pa.array(range(t.num_rows), pa.int64()))
+
+
+def _kg_subject_functional(sf_dir: str):
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    tri = _triples(sf_dir, linked=True)
+    n_rows = tri.groupby("pred").aggregate(Count(alias_name="n_rows")).to_pandas()
+    d = (
+        tri.map_batches(
+            lambda b: pa.table({"pred": b["pred"], "subj": b["subj"]}), batch_format="pyarrow"
+        )
+        .groupby(["pred", "subj"])
+        .count()
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_subjects"))
+        .to_pandas()
+    )
+    out = n_rows.merge(d, on="pred")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_subjects"] = out["n_subjects"].astype("int64")
+    return out
+
+
+def _kg_lcs_bounds(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+
+    return (
+        _triples(sf_dir, linked=True)
+        .groupby("pred")
+        .aggregate(Min("subj", alias_name="min_subj"), Max("subj", alias_name="max_subj"))
+    )
+
+
+def _kg_roundtrip(sf_dir: str):
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.serve import reassemble_triples
+
+    t = reassemble_triples(out)
+    mask = pc.and_(
+        pc.invert(pc.starts_with(t["subj"], "_:")),
+        pc.invert(pc.starts_with(t["obj"], "_:")),
+    )
+    return t.filter(mask)
+
+
+# ---- training-data ops ------------------------------------------------------
+
+
+def _dd_exact_docs(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.dedup import exact_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs, ["text"], "doc_id")
+
+
+def _txt_token_stats(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.textstats import token_stats
+
+    return token_stats(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
+def _txt_quality(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.textstats import quality_score
+
+    return quality_score(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
+def _mm_binary_stats(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import binary_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_binary(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": b["doc_id"], "payload": pc.cast(b["text"], pa.binary())}
+        )
+
+    media = docs.map_batches(to_binary, batch_format="pyarrow")
+    return binary_stats(media, "doc_id", "payload")
+
+
+def _queries_matrix(sf_dir: str, n: int = 8) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, n)
+    return np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+
+
+def _sim_ann_bruteforce(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.similarity import brute_force_topk
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = brute_force_topk(ds, q, "vec_id", "embedding", k=5)
+    return pa.table(
+        {
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sim_ann_lsh(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.similarity import lsh_topk
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = lsh_topk(ds, q, "vec_id", "embedding", k=5)
+    return pa.table(
+        {
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _dd_minhash(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.dedup import minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+def _dd_simhash(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.dedup import simhash
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash(docs, "doc_id", "text")
+
+
+def _dd_embedding(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, "vec_id", "embedding", threshold=0.9)
+
+
+def _txt_langid(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.textstats import lang_id
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(docs, "doc_id", "text")
+
+
+def _txt_fingerprint(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.textstats import fingerprint
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprint(docs, "doc_id", "text")
+
+
+def _mm_image_features(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import image_features
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pc.cast(b["text"], pa.binary())}
+        )
+
+    return image_features(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
+def _kg_connected_components(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.linking import alias_pairs, connected_components
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in alias_pairs()]),
+                "dst": pa.array([c for _, c in alias_pairs()]),
+            }
+        )
+    )
+    return connected_components(edges)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (SURVEY.md §2 operators)
+        "kg_transcripts": _kg_transcripts,
+        "kg_triples_raw": lambda sf: _triples(sf, linked=False),
+        "kg_triples_linked": lambda sf: _triples(sf, linked=True),
+        "kg_triples_dedup": _kg_triples_dedup,
+        "kg_pred_counts": _kg_pred_counts,
+        "kg_class_census": _kg_class_census,
+        "kg_mentions": _kg_mentions,
+        "kg_term_dict": _kg_term_dict,
+        "kg_subject_functional": _kg_subject_functional,
+        "kg_lcs_bounds": _kg_lcs_bounds,
+        "kg_roundtrip": _kg_roundtrip,
+        "kg_connected_components": _kg_connected_components,
+        # relational operators (joins/aggregates/sorts/windows/sessions)
+        "q_lineitem_agg": relational.q_lineitem_agg,
+        "q_join_revenue": relational.q_join_revenue,
+        "q_topk_orders": relational.q_topk_orders,
+        "q_filter_agg": relational.q_filter_agg,
+        "q_distinct_events": relational.q_distinct_events,
+        "q_user_cumsum": relational.q_user_cumsum,
+        "q_sessions": relational.q_sessions,
+        "q_hourly_window": relational.q_hourly_window,
+        # training-data ops
+        "dd_exact_docs": _dd_exact_docs,
+        "dd_minhash_pairs": _dd_minhash,
+        "dd_simhash": _dd_simhash,
+        "dd_embedding_neardup": _dd_embedding,
+        "sim_ann_bruteforce": _sim_ann_bruteforce,
+        "sim_ann_lsh": _sim_ann_lsh,
+        "txt_token_stats": _txt_token_stats,
+        "txt_quality": _txt_quality,
+        "txt_langid": _txt_langid,
+        "txt_fingerprint": _txt_fingerprint,
+        "mm_binary_stats": _mm_binary_stats,
+        "mm_image_features": _mm_image_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_transcripts": oracles.transcripts_oracle(),
+        "kg_triples_raw": oracles.raw_triples_sql(linked=False),
+        "kg_triples_linked": oracles.raw_triples_sql(linked=True),
+        "kg_triples_dedup": oracles.dedup_triples_oracle(),
+        "kg_pred_counts": oracles.pred_counts_oracle(),
+        "kg_class_census": oracles.class_census_oracle(),
+        "kg_mentions": oracles.mentions_oracle(),
+        "kg_term_dict": oracles.term_dict_oracle(),
+        "kg_subject_functional": oracles.subject_functional_oracle(),
+        "kg_lcs_bounds": oracles.lcs_bounds_oracle(),
+        "kg_roundtrip": oracles.roundtrip_oracle(),
+        **relational.ORACLES,
+        "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "txt_token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_distinct_tokens,
+                   CAST(list_max(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> len(x))) AS BIGINT) AS max_token_len
+            FROM documents""",
+        "txt_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+                   CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_spaces
+            FROM documents""",
+        "mm_binary_stats": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents""",
+        "sim_ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+                 s AS (SELECT q.qid, e.vec_id,
+                              list_cosine_similarity(q.embedding, e.embedding) AS cos
+                       FROM q CROSS JOIN embeddings e)
+            SELECT qid, vec_id
+            FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+            WHERE rn <= 5""",
+        # rows-only (non-SQL-expressible, weaker check by design):
+        # dd_minhash_pairs, dd_simhash, dd_embedding_neardup, sim_ann_lsh,
+        # txt_langid, txt_fingerprint, mm_image_features, kg_connected_components
+    }

@@ -1,0 +1,117 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`brute_force_topk` — exact cosine top-k: the query matrix is broadcast via
+  ``ray.put`` ONCE; every batch does one numpy matmul and emits only its local
+  top-k per query; a tiny driver-side merge finishes. Shuffle-free; scales linearly
+  with corpus size.
+* :func:`lsh_topk` — the scale path: random-hyperplane bucketing first, exact
+  cosine only against candidates whose bucket matches the query's (probing nearby
+  buckets by Hamming distance), trading recall for a ~2^planes candidate reduction.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+class _TopKScorer:
+    """Actor-pool stage: per-batch exact cosine vs the broadcast query matrix,
+    emitting per-(query, batch) local top-k rows."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        q = np.asarray(ray.get(queries_ref), dtype=np.float64)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        self.q = q / qn  # normalized once per actor
+        self.id_col, self.vec_col, self.k = id_col, vec_col, k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(b[self.id_col].to_pylist(), dtype=np.int64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ self.q.T  # (n, nq)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
+        qidx, out_id, out_sim = [], [], []
+        for qi in range(self.q.shape[0]):
+            rows = top[:, qi]
+            qidx.extend([qi] * len(rows))
+            out_id.extend(ids[rows])
+            out_sim.extend(sims[rows, qi])
+        return pa.table(
+            {
+                "qid": pa.array(qidx, pa.int32()),
+                self.id_col: pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    concurrency=(1, 8),
+) -> list[dict]:
+    """Exact top-k rows [{qid, id, cosine, rank}] — result size k x nq (tiny), so the
+    final merge happens on the driver."""
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    local = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_args=(ref, id_col, vec_col, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).take_all()
+    heaps: dict[int, list] = {}
+    for r in local:
+        # tie-break by ascending id (matches ORDER BY cos DESC, id ASC)
+        heaps.setdefault(r["qid"], []).append((-r["cosine"], r[id_col]))
+    out = []
+    for qid, rows in sorted(heaps.items()):
+        best = heapq.nsmallest(k, rows)
+        for rank, (negsim, vid) in enumerate(best):
+            out.append({"qid": qid, id_col: vid, "cosine": -negsim, "rank": rank})
+    return out
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_planes: int = 8,
+    hamming_probe: int = 1,
+) -> list[dict]:
+    """Approximate top-k: score only vectors whose hyperplane sign-bucket is within
+    ``hamming_probe`` bits of the query's bucket. Same output shape as
+    :func:`brute_force_topk`; recall < 1 by design (scale path)."""
+    q = np.asarray(queries, dtype=np.float64)
+    planes = np.random.default_rng(42).standard_normal((q.shape[1], num_planes))
+    qsig = ((q @ planes) > 0).astype(np.int64) @ (1 << np.arange(num_planes))
+    allowed: set[int] = set()
+    for s in qsig:
+        allowed.add(int(s))
+        if hamming_probe >= 1:
+            for bit in range(num_planes):
+                allowed.add(int(s) ^ (1 << bit))
+    allowed_arr = pa.array(sorted(allowed), pa.int64())
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        sig = ((vecs @ planes) > 0).astype(np.int64) @ (1 << np.arange(num_planes))
+        mask = pc.is_in(pa.array(sig, pa.int64()), value_set=allowed_arr)
+        return b.filter(mask)
+
+    cand = ds.map_batches(prefilter, batch_format="pyarrow")
+    return brute_force_topk(cand, q, id_col, vec_col, k)

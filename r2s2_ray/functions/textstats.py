@@ -1,0 +1,125 @@
+"""Text-analysis operators: token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All vectorized per batch (pyarrow/polars/numpy); the
+language profiles are actor-pool state (loaded once per actor)."""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+#: tiny per-language stopword profiles for the n-gram/stopword langid heuristic
+LANG_PROFILES: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une"},
+    "es": {"el", "la", "los", "y", "es", "un", "una"},
+    "zh": set(),  # zh detected by CJK-codepoint ratio instead
+}
+
+
+def token_stats(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
+    """(id, n_tokens, n_distinct_tokens, max_token_len) — whitespace+alnum tokens."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        toks = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("tok")
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        out = toks.group_by(id_col).agg(
+            pl.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("tok").n_unique().cast(pl.Int64).alias("n_distinct_tokens"),
+            pl.col("tok").str.len_chars().max().cast(pl.Int64).alias("max_token_len"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
+    """Integer quality signals (SQL-mirrorable): (id, n_chars, n_tokens, n_alpha,
+    n_spaces). Ratios are left to the consumer to avoid float-hash instability."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        stats = df.select(
+            pl.col(id_col),
+            pl.col(text_col).str.len_chars().cast(pl.Int64).alias("n_chars"),
+            pl.col(text_col).str.count_matches(r"[a-z0-9]+").cast(pl.Int64).alias("n_tokens"),
+            pl.col(text_col).str.count_matches(r"[A-Za-z]").cast(pl.Int64).alias("n_alpha"),
+            pl.col(text_col).str.count_matches(r" ").cast(pl.Int64).alias("n_spaces"),
+        )
+        return stats.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LangId:
+    """Actor-pool language-ID: stopword-profile voting + CJK codepoint ratio.
+    Profiles built once per actor (stateful-stage pattern)."""
+
+    def __init__(self, id_col: str, text_col: str):
+        self.id_col, self.text_col = id_col, text_col
+        self.profiles = {k: pa.array(sorted(v), pa.string()) for k, v in LANG_PROFILES.items() if v}
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([self.id_col, self.text_col]))
+        toks = (
+            df.with_columns(pl.col(self.text_col).str.to_lowercase().str.extract_all(r"\w+").alias("tok"))
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        scores = toks.group_by(self.id_col).agg(
+            *[
+                pl.col("tok").is_in(sorted(LANG_PROFILES[lang])).sum().cast(pl.Int64).alias(lang)
+                for lang in LANG_PROFILES
+                if LANG_PROFILES[lang]
+            ]
+        )
+        cjk = df.select(
+            pl.col(self.id_col),
+            (pl.col(self.text_col).str.count_matches(r"[一-鿿]") * 4).cast(pl.Int64).alias("zh"),
+        )
+        joined = scores.join(cjk, on=self.id_col, how="full", coalesce=True).fill_null(0)
+        langs = [c for c in joined.columns if c != self.id_col]
+        arr = joined.select(langs).to_numpy()
+        best = np.asarray(langs)[arr.argmax(axis=1)]
+        best = np.where(arr.max(axis=1) == 0, "unknown", best)
+        return pa.table(
+            {
+                self.id_col: joined[self.id_col].to_arrow(),
+                "lang_pred": pa.array(best.tolist(), pa.string()),
+            }
+        )
+
+
+def lang_id(ds: ray.data.Dataset, id_col: str, text_col: str, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        LangId, fn_constructor_args=(id_col, text_col), batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+def fingerprint(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
+    """64-bit polynomial rolling-hash document fingerprint (content-identity key for
+    incremental dedup): fp = sum(byte_i * P^i) mod 2^64, numpy-vectorized per row."""
+    P = np.uint64(1099511628211)
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            if len(data):
+                powers = np.cumprod(np.full(len(data), P, dtype=np.uint64)) // P
+                out[i] = np.sum(data * powers, dtype=np.uint64)
+        return pa.table(
+            {id_col: b[id_col], "fingerprint": pa.array(out.astype(np.int64), pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,162 @@
+"""DuckDB oracle-SQL builders mirroring the KG extraction spec (oracle.py R1-R11)
+and derived pipeline stages — generated from :mod:`r2s2_ray.vocab` so the SQL and
+the engine can never drift apart. Used by ``__ray_entry__.oracle_sql()``."""
+
+from __future__ import annotations
+
+from . import vocab
+from .terms import RDF_TYPE, XSD_DATETIME, XSD_INTEGER, XSD_STRING
+from .transcripts import TRANSCRIPTS_SQL
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_BASE = f"""
+tx AS ({TRANSCRIPTS_SQL}),
+base AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+         'https://ex.org/conv/' || conv_id AS C,
+         'https://ex.org/conv/' || conv_id || '/turn/' || turn_idx AS T,
+         'https://graphs.example.org/g' || (CAST(substr(conv_id, 6) AS BIGINT) % {vocab.N_GRAPHS}) AS G
+  FROM tx
+)
+"""
+
+
+def _gaz_list() -> str:
+    return ", ".join(_q(g) for g in vocab.GAZETTEER)
+
+
+def _canon_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {_q(a)} THEN {_q(c)}" for a, c in sorted(vocab.ALIAS_TO_CANONICAL.items())
+    )
+    return f"CASE {col} {whens} ELSE {col} END"
+
+
+def raw_triples_sql(linked: bool = False) -> str:
+    """The full extraction as SQL: one SELECT per rule, UNION ALL — same multiset
+    as the vectorized extractor. ``linked=True`` applies alias->canonical entity
+    linking (the Canonicalizer stage)."""
+    tok = _canon_case("tok") if linked else "tok"
+    selects = [
+        # R1 rdf:type Turn
+        f"SELECT T AS subj, 1 AS s_kind, {_q(RDF_TYPE)} AS pred, {_q(vocab.C_TURN)} AS obj, 1 AS o_kind, CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_dt, G AS graph FROM base",
+        # R2 hasTurn
+        f"SELECT C, 1, {_q(vocab.P_HAS_TURN)}, T, 1, NULL, NULL, G FROM base",
+        # R3 turnIndex
+        f"SELECT T, 1, {_q(vocab.P_TURN_INDEX)}, CAST(turn_idx AS VARCHAR), 2, NULL, {_q(XSD_INTEGER)}, G FROM base",
+        # R4 role
+        f"SELECT T, 1, {_q(vocab.P_ROLE)}, role, 2, NULL, {_q(XSD_STRING)}, G FROM base",
+        # R6 ts
+        f"SELECT T, 1, {_q(vocab.P_TS)}, strftime(ts, '%Y-%m-%dT%H:%M:%S'), 2, NULL, {_q(XSD_DATETIME)}, G FROM base",
+        # R5 text (lang-tagged when prefixed, else xsd:string)
+        f"""SELECT T, 1, {_q(vocab.P_TEXT)},
+               CASE WHEN regexp_matches(text, '^\\[[a-z]{{2}}\\] ') THEN substr(text, 6) ELSE text END,
+               2,
+               CASE WHEN regexp_matches(text, '^\\[[a-z]{{2}}\\] ') THEN substr(text, 2, 2) ELSE NULL END,
+               CASE WHEN regexp_matches(text, '^\\[[a-z]{{2}}\\] ') THEN NULL ELSE {_q(XSD_STRING)} END,
+               G FROM base""",
+        # R7 tool turns
+        f"SELECT T, 1, {_q(vocab.P_TOOL)}, tool, 2, NULL, {_q(XSD_STRING)}, G FROM base WHERE tool IS NOT NULL",
+        f"SELECT T, 1, {_q(vocab.P_INVOCATION)}, '_:inv_' || conv_id || '_' || turn_idx, 0, NULL, NULL, G FROM base WHERE tool IS NOT NULL",
+        f"SELECT '_:inv_' || conv_id || '_' || turn_idx, 0, {_q(vocab.P_TOOL_NAME)}, tool, 2, NULL, {_q(XSD_STRING)}, G FROM base WHERE tool IS NOT NULL",
+        # R8 about-pattern
+        f"""SELECT C, 1, {_q(RDF_TYPE)}, {_q(vocab.C_CONVERSATION)}, 1, NULL, NULL, G FROM base
+            WHERE regexp_matches(text, '^Tell me about document [0-9]+ from [A-Za-z0-9]+\\.$')""",
+        f"""SELECT C, 1, {_q(vocab.P_ABOUT)}, {_q(vocab.DOC)} || regexp_extract(text, 'document ([0-9]+)', 1), 1, NULL, NULL, G FROM base
+            WHERE regexp_matches(text, '^Tell me about document [0-9]+ from [A-Za-z0-9]+\\.$')""",
+        f"""SELECT {_q(vocab.DOC)} || regexp_extract(text, 'document ([0-9]+)', 1), 1, {_q(RDF_TYPE)}, {_q(vocab.C_DOCUMENT)}, 1, NULL, NULL, G FROM base
+            WHERE regexp_matches(text, '^Tell me about document [0-9]+ from [A-Za-z0-9]+\\.$')""",
+        f"""SELECT {_q(vocab.DOC)} || regexp_extract(text, 'document ([0-9]+)', 1), 1, {_q(vocab.P_SOURCE)}, {_q(vocab.SRC)} || regexp_extract(text, 'from ([A-Za-z0-9]+)\\.$', 1), 1, NULL, NULL, G FROM base
+            WHERE regexp_matches(text, '^Tell me about document [0-9]+ from [A-Za-z0-9]+\\.$')""",
+        # R9 written-pattern
+        f"""SELECT {_q(vocab.DOC)} || regexp_extract(text, '^Document ([0-9]+)', 1), 1, {_q(vocab.P_LANGUAGE)}, regexp_extract(text, 'written in ([a-z]+)', 1), 2, NULL, {_q(XSD_STRING)}, G FROM base
+            WHERE regexp_matches(text, '^Document [0-9]+ is written in [a-z]+ and has [0-9]+ characters\\.')""",
+        f"""SELECT {_q(vocab.DOC)} || regexp_extract(text, '^Document ([0-9]+)', 1), 1, {_q(vocab.P_CHAR_COUNT)}, regexp_extract(text, 'has ([0-9]+) characters', 1), 2, NULL, {_q(XSD_INTEGER)}, G FROM base
+            WHERE regexp_matches(text, '^Document [0-9]+ is written in [a-z]+ and has [0-9]+ characters\\.')""",
+        # R10 URL references
+        f"""SELECT T, 1, {_q(vocab.P_REFERENCES)}, rtrim(regexp_extract(tok, 'https://.*$'), '.,'), 1, NULL, NULL, G
+            FROM (SELECT T, G, unnest(string_split_regex(text, '\\s+')) AS tok FROM base)
+            WHERE contains(tok, 'https://')""",
+        # R11 mentions + entity typing (distinct per turn)
+        f"""SELECT T, 1, {_q(vocab.P_MENTIONS)}, {_q(vocab.ENT)} || {tok}, 1, NULL, NULL, G
+            FROM (SELECT DISTINCT T, G, tok FROM
+                  (SELECT T, G, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM base)
+                  WHERE tok IN ({_gaz_list()}))""",
+        f"""SELECT {_q(vocab.ENT)} || {tok}, 1, {_q(RDF_TYPE)}, {_q(vocab.C_ENTITY)}, 1, NULL, NULL, G
+            FROM (SELECT DISTINCT T, G, tok FROM
+                  (SELECT T, G, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok FROM base)
+                  WHERE tok IN ({_gaz_list()}))""",
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {_BASE} {body}"
+
+
+def transcripts_oracle() -> str:
+    return f"SELECT conv_id, turn_idx, role, text, tool, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_s FROM ({TRANSCRIPTS_SQL})"
+
+
+def dedup_triples_oracle() -> str:
+    """Set-semantics dedup + graph fold, graphs as a comma-joined sorted string."""
+    return (
+        f"SELECT subj, pred, obj, o_lang, o_dt, "
+        f"array_to_string(list_sort(list(DISTINCT graph)), ',') AS graphs_s, "
+        f"CAST(count(DISTINCT graph) AS BIGINT) AS n_graphs "
+        f"FROM ({raw_triples_sql(linked=True)}) "
+        f"GROUP BY subj, pred, obj, o_lang, o_dt"
+    )
+
+
+def pred_counts_oracle() -> str:
+    return f"SELECT pred, CAST(count(*) AS BIGINT) AS n FROM ({raw_triples_sql(linked=True)}) GROUP BY pred"
+
+
+def class_census_oracle() -> str:
+    return (
+        f"SELECT obj AS class_iri, CAST(count(*) AS BIGINT) AS n "
+        f"FROM ({raw_triples_sql(linked=True)}) WHERE pred = {_q(RDF_TYPE)} GROUP BY obj"
+    )
+
+
+def mentions_oracle() -> str:
+    return (
+        f"SELECT DISTINCT subj AS turn, obj AS entity FROM ({raw_triples_sql(linked=True)}) "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)}"
+    )
+
+
+def term_dict_oracle() -> str:
+    return (
+        f"SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS id FROM ("
+        f"  SELECT DISTINCT subj AS term FROM ({raw_triples_sql(linked=True)})"
+        f"  UNION SELECT DISTINCT obj FROM ({raw_triples_sql(linked=True)})"
+        f") ORDER BY term"
+    )
+
+
+def subject_functional_oracle() -> str:
+    return (
+        f"SELECT pred, CAST(count(*) AS BIGINT) AS n_rows, "
+        f"CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects "
+        f"FROM ({raw_triples_sql(linked=True)}) GROUP BY pred"
+    )
+
+
+def lcs_bounds_oracle() -> str:
+    return (
+        f"SELECT pred, min(subj) AS min_subj, max(subj) AS max_subj "
+        f"FROM ({raw_triples_sql(linked=True)}) GROUP BY pred"
+    )
+
+
+def roundtrip_oracle() -> str:
+    """Deduped linked triples, bnode-involving predicates excluded (bnode ids are
+    content-hashed on the engine side; hashing is pytest-verified instead)."""
+    return (
+        f"SELECT subj, pred, obj, o_lang, o_dt, graph FROM ({raw_triples_sql(linked=True)}) "
+        f"WHERE s_kind != 0 AND o_kind != 0 "
+        f"GROUP BY subj, pred, obj, o_lang, o_dt, graph"
+    )

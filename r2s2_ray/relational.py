@@ -1,0 +1,214 @@
+"""General relational operators exercised over the driver's TPC-H-ish tables —
+aggregation with pre-combining, broadcast joins, top-k, distinct, windowed /
+sessionized event processing. Each function has a DuckDB oracle in ORACLES.
+
+Determinism discipline for the oracle value-hash: money columns are summed as
+integer cents (double addition is order-dependent across blocks; integer addition
+is associative), and every ordered computation carries an explicit tie-break key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def q_lineitem_agg(sf_dir: str):
+    """Q1-style grouped aggregate; revenue in exact integer 1e-4 units."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = _cents(b["l_extendedprice"])
+        disc_c = _cents(b["l_discount"])
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "l_quantity": b["l_quantity"],
+                "price_cents": price_c,
+                "revenue_e4": rev,
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_price_cents"),
+            Sum("revenue_e4", alias_name="sum_revenue_e4"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+def q_join_revenue(sf_dir: str):
+    """orders x customer x nation via BROADCAST join: the two small sides travel
+    through the object store once (ray.put), each batch does two dictionary takes —
+    no shuffle (SURVEY.md guide: broadcast small sides)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    cust_ref = ray.put(cust)
+    nat_ref = ray.put(nat)
+
+    class Joiner:
+        def __init__(self):
+            c = ray.get(cust_ref)
+            n = ray.get(nat_ref)
+            self.custkeys = c["c_custkey"].combine_chunks()
+            nk = c["c_nationkey"].to_numpy()
+            names = n["n_name"].to_pylist()
+            order = {k: i for i, k in enumerate(n["n_nationkey"].to_pylist())}
+            self.cust_nation_name = pa.array([names[order[k]] for k in nk], pa.string())
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b["o_custkey"], value_set=self.custkeys)
+            return pa.table(
+                {
+                    "n_name": pc.take(self.cust_nation_name, idx),
+                    "price_cents": _cents(b["o_totalprice"]),
+                }
+            )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+    )
+
+
+def q_topk_orders(sf_dir: str):
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_filter_agg(sf_dir: str):
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate", "l_discount"])
+    cutoff = pa.scalar(pd.Timestamp("1995-09-01"), pa.timestamp("us"))
+
+    def filt(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(b["l_shipdate"], cutoff),
+            pc.greater_equal(b["l_discount"], 0.02),
+        )
+        return b.filter(mask)
+
+    return (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_rows"))
+    )
+
+
+def q_distinct_events(sf_dir: str):
+    vals = sorted(_read(sf_dir, "events", ["event_type"]).unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def q_user_cumsum(sf_dir: str):
+    """Per-user running total ordered by (ts, event_id) — the ordered-log pattern:
+    partition by key, sort inside the group, sequential scan is per-group local."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cents = (g["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "cum_value_cents": cents.cumsum(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_sessions(sf_dir: str, gap_minutes: int = 30):
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new = (g["ts"].diff() > gap).sum() + 1
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new)]})
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_hourly_window(sf_dir: str):
+    """Tumbling 1h window per user: vectorized bucket column + grouped aggregate
+    (no per-row state; windows = keys)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table(
+            {"user_id": b["user_id"], "hour": hour, "value_cents": _cents(b["value"])}
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_revenue_e4,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_join_revenue": """
+        SELECT n_name,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""",
+    "q_topk_orders": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q_filter_agg": """
+        SELECT l_returnflag, sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-09-01' AND l_discount >= 0.02
+        GROUP BY l_returnflag""",
+    "q_distinct_events": "SELECT DISTINCT event_type FROM events",
+    "q_user_cumsum": """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_value_cents
+        FROM events""",
+    "q_sessions": """
+        SELECT user_id,
+               CAST(count(*) - sum(CASE WHEN prev_ts IS NOT NULL AND ts - prev_ts <= INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)
+        GROUP BY user_id""",
+    "q_hourly_window": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+}
