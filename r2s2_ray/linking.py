@@ -64,9 +64,19 @@ class Canonicalizer:
 
 
 def canonicalize(
-    triples: ray.data.Dataset, extra_pairs: list[tuple[str, str]] | None = None
+    triples: ray.data.Dataset,
+    extra_pairs: list[tuple[str, str]] | None = None,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
+    """Default is stateless tasks (the static alias map is tiny — cheaper than an
+    actor pool's spin-up). ``use_actors=True`` switches to the broadcast-ref actor
+    pool, the right shape once the canonical map is alias-discovery-sized."""
     pairs = alias_pairs() + (extra_pairs or [])
+    if not use_actors:
+        fn = Canonicalizer.__new__(Canonicalizer)
+        fn.src = pa.array([p[0] for p in pairs], pa.string())
+        fn.dst = pa.array([p[1] for p in pairs], pa.string())
+        return triples.map_batches(fn, batch_format="pyarrow")
     ref = ray.put(pairs)
     return triples.map_batches(
         Canonicalizer,

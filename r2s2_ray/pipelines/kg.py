@@ -54,9 +54,11 @@ from ..stages.stats import decide_columns, run_stats
 from ..stages.materialize import decompose_lean
 
 
-def triples_dataset(sf_dir: str, concurrency=None) -> ray.data.Dataset:
+def triples_dataset(sf_dir: str, concurrency=None, replicate: int = 1) -> ray.data.Dataset:
     """transcripts -> extracted -> entity-linked lean triples (streaming)."""
-    return canonicalize(extract_triples(read_transcripts(sf_dir), concurrency=concurrency))
+    return canonicalize(
+        extract_triples(read_transcripts(sf_dir, replicate=replicate), concurrency=concurrency)
+    )
 
 
 def _load_or_none(out_dir: str, step: int, stage: str, resume: bool):
@@ -74,6 +76,7 @@ def run_pipeline(
     resume: bool = True,
     with_terms_dict: bool = True,
     with_merge: bool = True,
+    replicate: int = 1,
 ) -> Manifest:
     os.makedirs(out_dir, exist_ok=True)
     metrics: dict = {}
@@ -82,7 +85,7 @@ def run_pipeline(
     m0 = _load_or_none(out_dir, 0, "dicts", resume)
     if m0 is None:
         with StageTimer(metrics, "step0_s"):
-            tri = triples_dataset(sf_dir)
+            tri = triples_dataset(sf_dir, replicate=replicate)
 
             def _census(t: pa.Table) -> pa.Table:
                 """ONE pass emitting every small census as (cat, val) rows — the
@@ -131,7 +134,7 @@ def run_pipeline(
             }
             if with_terms_dict:
                 tpath = os.path.join(out_dir, "dict", "terms")
-                n_terms = build_term_dictionary(triples_dataset(sf_dir), tpath)
+                n_terms = build_term_dictionary(triples_dataset(sf_dir, replicate=replicate), tpath)
                 dicts["terms"] = tpath
                 metrics["n_terms"] = n_terms
             m0 = Manifest(
@@ -151,7 +154,7 @@ def run_pipeline(
     m1 = _load_or_none(out_dir, 1, "fold", resume)
     if m1 is None:
         with StageTimer(metrics, "step1_s"):
-            tri = triples_dataset(sf_dir)
+            tri = triples_dataset(sf_dir, replicate=replicate)
             routed = route(tri, combos, graphs)
             folded = fold(routed, num_buckets=num_buckets)
             write_lean(folded, os.path.join(out_dir, "lean"))
@@ -225,7 +228,7 @@ def run_pipeline(
                 materialize_table(out_dir, spec, m3.enums, lean_path=spec.path)
                 spec.path = os.path.join(out_dir, "tables", spec.name)
 
-            with ThreadPoolExecutor(max_workers=4) as pool:
+            with ThreadPoolExecutor(max_workers=8) as pool:
                 list(pool.map(_mat, m3.tables))
             m4 = Manifest(
                 stage="materialize",

@@ -59,22 +59,28 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str) -> int:
 
     The id of a term is its row position in the sorted output — deterministic,
     reproducible at any parallelism (vs TemporaryIriIdMap's arrival order).
+    ONE pass over the triples (both term positions emitted per batch), one
+    groupby shuffle; the count comes from file metadata, not a plan re-execution.
     """
-    subs = triples.select_columns(["subj"]).map_batches(
-        lambda t: pa.table({"term": pc.drop_null(pc.unique(t["subj"]))}), batch_format="pyarrow"
-    )
-    objs = triples.select_columns(["obj"]).map_batches(
-        lambda t: pa.table({"term": pc.drop_null(pc.unique(t["obj"]))}), batch_format="pyarrow"
-    )
+
+    def both(t: pa.Table) -> pa.Table:
+        s = pc.drop_null(pc.unique(t["subj"]))
+        o = pc.drop_null(pc.unique(t["obj"]))
+        return pa.table({"term": pa.concat_arrays([s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s,
+                                                   o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o])})
+
     terms = (
-        subs.union(objs)
+        triples.select_columns(["subj", "obj"])
+        .map_batches(both, batch_format="pyarrow")
         .groupby("term")
         .count()
         .drop_columns(["count()"])
         .sort("term")
     )
     terms.write_parquet(out_path)
-    return terms.count()
+    import pyarrow.dataset as pads
+
+    return pads.dataset(out_path).count_rows()
 
 
 def write_small_dict(values: list[str], path: str, col: str = "iri") -> None:

@@ -100,7 +100,15 @@ def route(
     combos: list[str],
     graphs: list[str],
     namespaces=None,
+    use_actors: bool = False,
 ) -> ray.data.Dataset:
+    """Stateless tasks by default: the combo/graph lookup arrays are dictionary
+    -sized, so shipping the prepared encoder per task beats actor-pool spin-up.
+    Use the actor pool when the graph dictionary is large enough to matter."""
+    if not use_actors:
+        return triples.map_batches(
+            RouteEncoder(combos, graphs, namespaces), batch_format="pyarrow"
+        )
     return triples.map_batches(
         RouteEncoder,
         fn_constructor_args=(combos, graphs, namespaces),

@@ -154,8 +154,17 @@ def table_data_path(out_dir: str, name: str) -> str:
 
 
 def materialize_table(
-    out_dir: str, spec: TableSpec, enums: dict[str, list[str]], lean_path: str | None = None
+    out_dir: str,
+    spec: TableSpec,
+    enums: dict[str, list[str]],
+    lean_path: str | None = None,
+    global_sort: bool = False,
 ) -> None:
+    """``global_sort=False`` (default) relies on the fold/merge stages' per-bucket
+    (subj, obj) sort: every written file is internally subject-sorted, which is
+    what Parquet row-group pruning and compression actually consume. Set True for
+    the reference's whole-table ORDER BY (an extra all-to-all per table —
+    ReintroduceRdfSetSemantics.java:88,105)."""
     dest = table_data_path(out_dir, spec.name)
     success = os.path.join(dest, "_SUCCESS")
     if os.path.exists(success):
@@ -164,7 +173,8 @@ def materialize_table(
         # Dataset creation races on a lazy fsspec import when called from several
         # threads; creation is cheap, execution (below) still overlaps.
         lean = ray.data.read_parquet(lean_path or table_lean_path(out_dir, spec.name))
-    lean = lean.sort(["subj", "obj"] if "obj" in lean.schema().names else ["subj"])
+    if global_sort:
+        lean = lean.sort(["subj", "obj"] if "obj" in lean.schema().names else ["subj"])
     lean.map_batches(MaterializeFn(spec, enums), batch_format="pyarrow").write_parquet(dest)
     spec.path = dest
     with open(success, "w") as f:

@@ -146,130 +146,176 @@ def plan_cohorts(tables: list[TableSpec], uniqueness: dict, overlap: dict) -> li
     return cohorts
 
 
-def _build_merged_lean(out_dir: str, members: list[TableSpec], num_buckets: int = 16) -> dict[str, int]:
-    """Outer-merge cohort members on subject; writes merged lean + per-source
-    leftover lean. Returns {output_name: row_count}."""
-    target = members[0]
-    merged_dir = os.path.join(out_dir, "lean_merged", target.name)
+def _build_all_merged(
+    out_dir: str, cohorts: list[list[TableSpec]], num_buckets: int = 16
+) -> dict[str, int]:
+    """Outer-merge EVERY cohort in one shuffle: rows are tagged
+    (cohort, member_idx), bucketed by subject hash, folded per (cohort, bucket)
+    with columns padded to the widest cohort, then split per cohort at write.
+    Returns {output_name: row_count}."""
     import pyarrow.compute as pc
 
-    names = pa.array([m.name for m in members], pa.string())
+    kmax = max(len(c) for c in cohorts)
+    name_list, cohort_ids, member_ids = [], [], []
+    for ci, members in enumerate(cohorts):
+        for mi, m in enumerate(members):
+            name_list.append(m.name)
+            cohort_ids.append(ci)
+            member_ids.append(mi)
+    names = pa.array(name_list, pa.string())
+    cohort_arr = pa.array(cohort_ids, pa.int32())
+    member_arr = pa.array(member_ids, pa.int32())
 
     def project(b: pa.Table) -> pa.Table:
-        src = pc.cast(pc.index_in(b["table_key"], value_set=names), pa.int32())
-        b = b.append_column("src", src)
+        idx = pc.index_in(b["table_key"], value_set=names)
+        b = b.append_column("cohort", pc.take(cohort_arr, idx))
+        b = b.append_column("src", pc.take(member_arr, idx))
         b = b.filter(pc.is_valid(b["src"]))
-        return b.select(["subj", "s_kind", "obj", "graphs", "src"])
+        df = pl.from_arrow(b.select(["subj", "s_kind", "obj", "graphs", "cohort", "src"]))
+        return df.with_columns(
+            pl.col("subj").hash(seed=9).mod(num_buckets).cast(pl.Int32).alias("bucket")
+        ).to_arrow()
 
     u = ray.data.read_parquet(
         os.path.join(out_dir, "lean"),
         columns=["subj", "s_kind", "obj", "graphs", "table_key"],
     ).map_batches(project, batch_format="pyarrow")
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b)
-        return b.append_column(
-            "bucket",
-            df.select(pl.col("subj").hash(seed=9).mod(num_buckets).cast(pl.Int32).alias("x"))["x"].to_arrow(),
-        )
-
-    k = len(members)
-
     def fold(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
-        aggs = [pl.col("s_kind").first().alias("s_kind"), (pl.col("src") == 0).any().alias("__has_target__")]
-        for i in range(k):
+        aggs = [
+            pl.col("s_kind").first().alias("s_kind"),
+            pl.col("cohort").first().alias("cohort"),
+            (pl.col("src") == 0).any().alias("__has_target__"),
+        ]
+        for i in range(kmax):
             aggs.append(pl.col("obj").filter(pl.col("src") == i).first().alias(f"obj__{i}"))
             aggs.append(pl.col("graphs").filter(pl.col("src") == i).first().alias(f"graphs__{i}"))
         return df.group_by("subj").agg(aggs).sort("subj").to_arrow()
 
     wide = (
-        u.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(fold, batch_format="pyarrow")
+        u.groupby(["cohort", "bucket"]).map_groups(fold, batch_format="pyarrow")
     ).materialize()
 
-    # one vectorized pass for every count (merged rows + per-member leftovers)
-    import pyarrow.compute as pc
-
+    # one vectorized pass for all counts (per-cohort merged + per-member leftovers)
     def count_batch(b: pa.Table) -> pa.Table:
-        ht = b["__has_target__"]
-        row = {"merged": [pc.sum(pc.cast(ht, pa.int64())).as_py() or 0]}
-        inv = pc.invert(ht)
-        for i in range(1, k):
-            mask = pc.and_(inv, pc.is_valid(b[f"obj__{i}"]))
-            row[f"left__{i}"] = [pc.sum(pc.cast(mask, pa.int64())).as_py() or 0]
-        return pa.table(row)
-
-    parts_counts = wide.map_batches(count_batch, batch_format="pyarrow").take_all()
-    counts: dict[str, int] = {target.name: sum(r["merged"] for r in parts_counts)}
-    for i, m in enumerate(members[1:], start=1):
-        counts[m.name + _LEFTOVER_SUFFIX] = sum(r[f"left__{i}"] for r in parts_counts)
-
-    def merged_batch(b: pa.Table) -> pa.Table:
-        return b.filter(b["__has_target__"]).drop_columns(["__has_target__"])
-
-    wide.map_batches(merged_batch, batch_format="pyarrow").write_parquet(merged_dir)
-    for i, m in enumerate(members[1:], start=1):
-        if not counts[m.name + _LEFTOVER_SUFFIX]:
-            continue
-
-        def narrow(b: pa.Table, _i=i) -> pa.Table:
-            mask = pc.and_(pc.invert(b["__has_target__"]), pc.is_valid(b[f"obj__{_i}"]))
-            b = b.filter(mask)
-            return pa.table(
-                {
-                    "subj": b["subj"],
-                    "s_kind": b["s_kind"],
-                    "obj": b[f"obj__{_i}"],
-                    "graphs": b[f"graphs__{_i}"],
-                }
-            )
-
-        wide.map_batches(narrow, batch_format="pyarrow").write_parquet(
-            os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX)
+        rows = {"cohort": [], "kind": [], "n": []}
+        for ci in range(len(cohorts)):
+            sub = b.filter(pc.equal(b["cohort"], ci))
+            ht = sub["__has_target__"]
+            rows["cohort"].append(ci)
+            rows["kind"].append(0)
+            rows["n"].append(pc.sum(pc.cast(ht, pa.int64())).as_py() or 0)
+            inv = pc.invert(ht)
+            for i in range(1, len(cohorts[ci])):
+                mask = pc.and_(inv, pc.is_valid(sub[f"obj__{i}"]))
+                rows["cohort"].append(ci)
+                rows["kind"].append(i)
+                rows["n"].append(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "cohort": pa.array(rows["cohort"], pa.int32()),
+                "kind": pa.array(rows["kind"], pa.int32()),
+                "n": pa.array(rows["n"], pa.int64()),
+            }
         )
+
+    agg: dict[tuple[int, int], int] = defaultdict(int)
+    for r in wide.map_batches(count_batch, batch_format="pyarrow").take_all():
+        agg[(r["cohort"], r["kind"])] += r["n"]
+    counts: dict[str, int] = {}
+    for ci, members in enumerate(cohorts):
+        counts[members[0].name] = agg.get((ci, 0), 0)
+        for i, m in enumerate(members[1:], start=1):
+            counts[m.name + _LEFTOVER_SUFFIX] = agg.get((ci, i), 0)
+
+    for ci, members in enumerate(cohorts):
+        target = members[0]
+        k = len(members)
+        keep = (
+            ["subj", "s_kind"]
+            + [f"obj__{i}" for i in range(k)]
+            + [f"graphs__{i}" for i in range(k)]
+        )
+
+        def merged_batch(b: pa.Table, _ci=ci, _keep=keep) -> pa.Table:
+            b = b.filter(pc.and_(pc.equal(b["cohort"], _ci), b["__has_target__"]))
+            return b.select(_keep)
+
+        wide.map_batches(merged_batch, batch_format="pyarrow").write_parquet(
+            os.path.join(out_dir, "lean_merged", target.name)
+        )
+        for i, m in enumerate(members[1:], start=1):
+            if not counts[m.name + _LEFTOVER_SUFFIX]:
+                continue
+
+            def narrow(b: pa.Table, _ci=ci, _i=i) -> pa.Table:
+                mask = pc.and_(
+                    pc.equal(b["cohort"], _ci),
+                    pc.and_(pc.invert(b["__has_target__"]), pc.is_valid(b[f"obj__{_i}"])),
+                )
+                b = b.filter(mask)
+                return pa.table(
+                    {
+                        "subj": b["subj"],
+                        "s_kind": b["s_kind"],
+                        "obj": b[f"obj__{_i}"],
+                        "graphs": b[f"graphs__{_i}"],
+                    }
+                )
+
+            wide.map_batches(narrow, batch_format="pyarrow").write_parquet(
+                os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX)
+            )
     return counts
 
 
 def run_merge(out_dir: str, tables: list[TableSpec]) -> list[TableSpec]:
-    """Plan + execute merging; returns the post-merge table list (manifest state)."""
+    """Plan + execute merging; returns the post-merge table list (manifest state).
+
+    One subject census over ALL candidate tables (bnode labels and IRIs cannot
+    collide, so a single keyspace is safe), cohorts planned per subject kind,
+    then one combined merge shuffle for every cohort."""
+    uniqueness, overlap = _subject_census(out_dir, tables)
     by_kind: dict[int, list[TableSpec]] = defaultdict(list)
     for t in tables:
         by_kind[t.subj_kind].append(t)
+    cohorts: list[list[TableSpec]] = []
+    for kind_tables in by_kind.values():
+        cohorts.extend(plan_cohorts(kind_tables, uniqueness, overlap))
     out: list[TableSpec] = []
     merged_names: set[str] = set()
-    for kind_tables in by_kind.values():
-        uniqueness, overlap = _subject_census(out_dir, kind_tables)
-        cohorts = plan_cohorts(kind_tables, uniqueness, overlap)
+    if cohorts:
+        counts = _build_all_merged(out_dir, cohorts)
         for members in cohorts:
             target = members[0]
-            counts = _build_merged_lean(out_dir, members)
-            merged = TableSpec(
-                name=target.name,
-                subj_kind=target.subj_kind,
-                subject_columns=target.subject_columns,
-                predicates=[pm for m in members for pm in m.predicates],
-                class_iri=target.class_iri,
-                row_count=counts[target.name],
-                path=os.path.join(out_dir, "lean_merged", target.name),
+            out.append(
+                TableSpec(
+                    name=target.name,
+                    subj_kind=target.subj_kind,
+                    subject_columns=target.subject_columns,
+                    predicates=[pm for m in members for pm in m.predicates],
+                    class_iri=target.class_iri,
+                    row_count=counts[target.name],
+                    path=os.path.join(out_dir, "lean_merged", target.name),
+                )
             )
-            out.append(merged)
             merged_names.update(m.name for m in members)
             for m in members[1:]:
                 n_left = counts.get(m.name + _LEFTOVER_SUFFIX, 0)
                 if n_left:
                     # unmatched rows stay behind under the original table name
-                    leftover = TableSpec(
-                        name=m.name,
-                        subj_kind=m.subj_kind,
-                        subject_columns=m.subject_columns,
-                        predicates=m.predicates,
-                        class_iri=m.class_iri,
-                        row_count=n_left,
-                        path=os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX),
+                    out.append(
+                        TableSpec(
+                            name=m.name,
+                            subj_kind=m.subj_kind,
+                            subject_columns=m.subject_columns,
+                            predicates=m.predicates,
+                            class_iri=m.class_iri,
+                            row_count=n_left,
+                            path=os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX),
+                        )
                     )
-                    out.append(leftover)
     for t in tables:
         if t.name not in merged_names:
             out.append(t)

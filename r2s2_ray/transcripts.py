@@ -113,12 +113,36 @@ def documents_to_transcripts(batch: pa.Table) -> pa.Table:
     return tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
-def read_transcripts(sf_dir: str, *, columns: list[str] | None = None) -> ray.data.Dataset:
+def _replicate_docs(r: int):
+    """Deterministic corpus scaling for benchmarks: each document appears r times
+    with disjoint doc_id ranges (offset 1e6 per replica), so conversations stay
+    unique and every pipeline stage does r x the real work — used to make the
+    two-parallelism scaling measurement compute-bound rather than
+    fixed-overhead-bound."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        outs = []
+        for i in range(r):
+            t = b
+            if i:
+                off = pc.add(t["doc_id"], pa.scalar(i * 1_000_000, pa.int64()))
+                t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", off)
+            outs.append(t)
+        return pa.concat_tables(outs)
+
+    return fn
+
+
+def read_transcripts(
+    sf_dir: str, *, columns: list[str] | None = None, replicate: int = 1
+) -> ray.data.Dataset:
     """documents.parquet -> streaming transcript Dataset (no shuffle, no materialize)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     )
+    if replicate > 1:
+        ds = ds.map_batches(_replicate_docs(replicate), batch_format="pyarrow")
     ds = ds.map_batches(documents_to_transcripts, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)

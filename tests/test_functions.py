@@ -1,0 +1,145 @@
+"""Training-data operator tests: dedup family, similarity search, text stats,
+multimodal plumbing, connected components."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _docs():
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup of 0
+        {"doc_id": 2, "text": base.replace("dog", "cat")},  # near dup
+        {"doc_id": 3, "text": "completely different content about databases and queries here now"},
+        {"doc_id": 4, "text": "another unrelated text mentioning vectors tables and columns often"},
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_exact_dedup():
+    from r2s2_ray.functions.dedup import exact_dedup
+
+    out = exact_dedup(_docs(), ["text"], "doc_id").to_pandas()
+    assert len(out) == 4  # doc 1 collapsed into 0
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])
+
+
+def test_minhash_finds_near_dups():
+    from r2s2_ray.functions.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs(), "doc_id", "text").to_pandas()
+    got = {tuple(p) for p in pairs[["a", "b"]].itertuples(index=False)}
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    verified = jaccard_pairs(_docs(), [(0, 1), (0, 2), (0, 3)], "doc_id", "text")
+    j = {(a, b): v for a, b, v in verified}
+    assert j[(0, 1)] == 1.0
+    assert 0.3 < j[(0, 2)] < 1.0
+    assert j[(0, 3)] < 0.1
+
+
+def test_simhash_close_for_near_dups():
+    from r2s2_ray.functions.dedup import simhash
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(_docs(), "doc_id", "text").take_all()}
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(sigs[0], sigs[1]) == 0
+    assert ham(sigs[0], sigs[2]) < ham(sigs[0], sigs[3])
+
+
+def test_embedding_neardup_and_ann():
+    from r2s2_ray.functions.dedup import embedding_neardup_pairs
+    from r2s2_ray.functions.similarity import brute_force_topk, lsh_topk
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + 0.01 * rng.standard_normal(16)).tolist()},
+        {"vec_id": 2, "embedding": (-base).tolist()},
+        {"vec_id": 3, "embedding": rng.standard_normal(16).tolist()},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = embedding_neardup_pairs(ds, "vec_id", "embedding", threshold=0.95).to_pandas()
+    assert {(0, 1)} == {tuple(p) for p in pairs[["a", "b"]].itertuples(index=False)}
+
+    top = brute_force_topk(ds, np.array([base]), "vec_id", "embedding", k=2)
+    assert [r["vec_id"] for r in top] == [0, 1]
+    approx = lsh_topk(ds, np.array([base]), "vec_id", "embedding", k=2, num_planes=4)
+    assert approx[0]["vec_id"] == 0  # the exact vector always survives bucketing
+
+
+def test_token_stats_and_quality():
+    from r2s2_ray.functions.textstats import quality_score, token_stats
+
+    t = token_stats(_docs(), "doc_id", "text").to_pandas().set_index("doc_id")
+    assert t.loc[0, "n_tokens"] == 14
+    assert t.loc[0, "n_distinct_tokens"] == 13  # "the" twice
+    q = quality_score(_docs(), "doc_id", "text").to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_spaces"] == 13
+
+
+def test_langid():
+    from r2s2_ray.functions.textstats import lang_id
+
+    rows = [
+        {"doc_id": 0, "text": "the cat and the dog of a house"},
+        {"doc_id": 1, "text": "der hund und die katze ist ein tier"},
+        {"doc_id": 2, "text": "le chat et la maison est une idee"},
+        {"doc_id": 3, "text": "这 是 一个 中文 文本 杭州市"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(ds, "doc_id", "text").take_all()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "fr" and out[3] == "zh"
+
+
+def test_fingerprint_deterministic():
+    from r2s2_ray.functions.textstats import fingerprint
+
+    a = {r["doc_id"]: r["fingerprint"] for r in fingerprint(_docs(), "doc_id", "text").take_all()}
+    b = {r["doc_id"]: r["fingerprint"] for r in fingerprint(_docs(), "doc_id", "text").take_all()}
+    assert a == b
+    assert a[0] == a[1] and a[0] != a[3]
+
+
+def test_multimodal_plumbing():
+    from r2s2_ray.functions.multimodal import (
+        ImageDecode,
+        binary_stats,
+        image_features,
+        sample_frames,
+    )
+
+    rows = [
+        {"media_id": i, "media_type": "video", "payload": bytes([i] * 32), "meta": '{"n_frames": 25}'}
+        for i in range(4)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    stats = binary_stats(ds, "media_id", "payload").to_pandas()
+    assert (stats["n_bytes"] == 32).all()
+    feats = image_features(ds).to_pandas()
+    assert len(feats.loc[0, "feature"]) == 64
+    frames = sample_frames(ds, stride=10).to_pandas()
+    assert sorted(frames[frames.media_id == 0]["frame_idx"]) == [0, 10, 20]
+    with pytest.raises(NotImplementedError):
+        ImageDecode(fake=False)(pa.Table.from_pylist(rows))
+
+
+def test_connected_components():
+    from r2s2_ray.linking import connected_components
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["a", "b", "x", "y"]),
+                "dst": pa.array(["b", "c", "y", "z"]),
+            }
+        )
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(edges).take_all()}
+    assert labels["a"] == labels["b"] == labels["c"] == "a"
+    assert labels["x"] == labels["y"] == labels["z"] == "x"
