@@ -325,10 +325,30 @@ def _dd_simhash(sf_dir: str):
 def _dd_embedding(sf_dir: str):
     import ray.data
 
+    from r2s2_ray.functions.dedup import embedding_cosine_pairs_exact
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_cosine_pairs_exact(ds, "vec_id", "embedding", threshold=0.4)
+
+
+def _dd_embedding_lsh(sf_dir: str):
+    import ray.data
+
     from r2s2_ray.functions.dedup import embedding_neardup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, "vec_id", "embedding", threshold=0.9)
+    return embedding_neardup_pairs(
+        ds, "vec_id", "embedding", threshold=0.4, num_planes=4, num_tables=8
+    )
+
+
+def _dd_ngram(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.dedup import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8)
 
 
 def _txt_langid(sf_dir: str):
@@ -409,6 +429,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash_pairs": _dd_minhash,
         "dd_simhash": _dd_simhash,
         "dd_embedding_neardup": _dd_embedding,
+        "dd_embedding_lsh": _dd_embedding_lsh,
+        "dd_ngram_jaccard": _dd_ngram,
         "sim_ann_bruteforce": _sim_ann_bruteforce,
         "sim_ann_lsh": _sim_ann_lsh,
         "txt_token_stats": _txt_token_stats,
@@ -461,7 +483,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, vec_id
             FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
             WHERE rn <= 5""",
+        "dd_embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        "dd_ngram_jaccard": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                FROM (SELECT doc_id,
+                             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+                      FROM documents)
+              )
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+            FROM common JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
+            WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8""",
         # rows-only (non-SQL-expressible, weaker check by design):
-        # dd_minhash_pairs, dd_simhash, dd_embedding_neardup, sim_ann_lsh,
+        # dd_minhash_pairs, dd_simhash, dd_embedding_lsh, sim_ann_lsh,
         # txt_langid, txt_fingerprint, mm_image_features, kg_connected_components
     }

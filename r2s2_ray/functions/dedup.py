@@ -38,6 +38,26 @@ def exact_dedup(
     )
 
 
+def _shingle_rows(df: pl.DataFrame, id_col: str, text_col: str, k: int) -> pl.DataFrame:
+    """Unique (id, sh) word-k-shingle rows, fully vectorized (explode + shifted
+    concat within each document — no per-row Python)."""
+    toks = (
+        df.with_columns(pl.col(text_col).str.to_lowercase().str.split(" ").alias("tok"))
+        .select([id_col, "tok"])
+        .explode("tok")
+        .filter(pl.col("tok").str.len_chars() > 0)
+    )
+    parts = [pl.col("tok")]
+    for i in range(1, k):
+        parts.append(pl.col("tok").shift(-i).over(id_col))
+    return (
+        toks.with_columns(pl.concat_str(parts, separator=" ", ignore_nulls=False).alias("sh"))
+        .drop_nulls("sh")
+        .select([id_col, "sh"])
+        .unique()
+    )
+
+
 def _token_table(b: pa.Table, id_col: str, text_col: str) -> pl.DataFrame:
     """(id, token) exploded table, lowercase alphanumeric tokens."""
     df = pl.from_arrow(b.select([id_col, text_col]))
@@ -65,24 +85,7 @@ class MinHasher:
 
     def __call__(self, b: pa.Table) -> pa.Table:
         ic, tc, k = self.id_col, self.text_col, self.shingle_k
-        df = pl.from_arrow(b.select([ic, tc]))
-        toks = (
-            df.with_columns(pl.col(tc).str.to_lowercase().str.split(" ").alias("tok"))
-            .select([ic, "tok"])
-            .explode("tok")
-            .filter(pl.col("tok").str.len_chars() > 0)
-        )
-        # word k-shingles: join each token with the (k-1) following tokens of the
-        # same document via shifted columns — vectorized, no per-row Python
-        parts = [pl.col("tok")]
-        for i in range(1, k):
-            parts.append(pl.col("tok").shift(-i).over(ic))
-        sh = (
-            toks.with_columns(pl.concat_str(parts, separator=" ", ignore_nulls=False).alias("sh"))
-            .drop_nulls("sh")
-            .select([ic, "sh"])
-            .unique()
-        )
+        sh = _shingle_rows(pl.from_arrow(b.select([ic, tc])), ic, tc, k)
         # num_perm permutations = num_perm seeded 64-bit hashes, min per doc
         aggs = [
             pl.col("sh").hash(seed=1000 + i).min().alias(f"h{i}")
@@ -182,6 +185,92 @@ def jaccard_pairs(
     return out
 
 
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT n-gram (word k-shingle) Jaccard near-duplicate pairs via a
+    distributed inverted index — one shuffle, no all-pairs scan:
+
+      explode unique (doc, shingle, n_doc) -> groupby(shingle) -> pairs within
+      each posting list -> groupby(a, b) sums common shingles -> jaccard.
+
+    The per-doc shingle count ``n_doc`` is computed in the explode batch (a doc
+    is row-complete within its batch) and carried along, so no second pass or
+    join is needed. Posting lists are quadratic in list length: ``max_bucket``
+    drops hotter-than-cap shingles (recall loss, logged in the column contract);
+    leave ``None`` for exact semantics — stopword-like shingles are rare at k>=3.
+
+    Output: (a, b, jaccard) with jaccard >= threshold, a < b, distinct.
+    Reference parity: exact-dedup family analog of ReintroduceRdfSetSemantics
+    (set semantics), extended to near-dup per the training-data charter."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        sh = _shingle_rows(pl.from_arrow(b.select([id_col, text_col])), id_col, text_col, shingle_k)
+        return (
+            sh.with_columns(pl.col("sh").count().over(id_col).alias("n_doc"))
+            .rename({id_col: "doc"})
+            .to_arrow()
+        )
+
+    def posting_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
+            }
+        )
+        n = group.num_rows
+        if n < 2 or (max_bucket is not None and n > max_bucket):
+            return empty
+        order = pc.sort_indices(group["doc"])
+        docs = np.asarray(group["doc"].take(order).to_pylist(), dtype=np.int64)
+        cnts = np.asarray(group["n_doc"].take(order).to_pylist(), dtype=np.int64)
+        iu, ju = np.triu_indices(n, k=1)
+        return pa.table(
+            {
+                "a": pa.array(docs[iu], pa.int64()),
+                "b": pa.array(docs[ju], pa.int64()),
+                "na": pa.array(cnts[iu], pa.int64()),
+                "nb": pa.array(cnts[ju], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    pairs = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("sh")
+        .map_groups(posting_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="c"), Min("na", alias_name="na"), Min("nb", alias_name="nb"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = np.asarray(b["c"].to_pylist(), dtype=np.float64)
+        na = np.asarray(b["na"].to_pylist(), dtype=np.float64)
+        nb = np.asarray(b["nb"].to_pylist(), dtype=np.float64)
+        j = c / (na + nb - c)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pc.array_filter(b["a"], pa.array(keep)),
+                "b": pc.array_filter(b["b"], pa.array(keep)),
+                "jaccard": pa.array(np.round(j[keep], 6), pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
 class SimHasher:
     """64-bit SimHash per document — numpy-vectorized bit accumulation."""
 
@@ -225,23 +314,34 @@ def embedding_neardup_pairs(
     *,
     threshold: float = 0.95,
     num_planes: int = 12,
+    num_tables: int = 1,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicates via random-hyperplane LSH: vectors land in
     sign-pattern buckets; exact cosine verification only within buckets.
-    Output: (a, b, cosine) with cosine >= threshold, a < b, distinct."""
+    ``num_tables`` independent hash tables are OR-ed (a pair is a candidate if it
+    collides in ANY table) — raise it / lower ``num_planes`` to trade compute for
+    recall at lower thresholds. Output: (a, b, cosine), cosine >= threshold,
+    a < b, distinct. This is the 100TB scale path; the exact oracle-checked
+    baseline is :func:`embedding_cosine_pairs_exact`."""
 
     def bucketize(b: pa.Table) -> pa.Table:
         vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
-        planes = np.random.default_rng(42).standard_normal((vecs.shape[1], num_planes))
-        signs = (vecs @ planes > 0).astype(np.int64)
-        key = (signs << np.arange(num_planes)).sum(axis=1)
-        return pa.table(
-            {
-                id_col: b[id_col],
-                "bucket": pa.array(key, pa.int64()),
-                vec_col: b[vec_col],
-            }
-        )
+        out = []
+        for t in range(num_tables):
+            planes = np.random.default_rng(42 + t).standard_normal((vecs.shape[1], num_planes))
+            signs = (vecs @ planes > 0).astype(np.int64)
+            key = (signs << np.arange(num_planes)).sum(axis=1)
+            out.append(
+                pa.table(
+                    {
+                        id_col: b[id_col],
+                        "table": pa.array(np.full(len(key), t), pa.int32()),
+                        "bucket": pa.array(key, pa.int64()),
+                        vec_col: b[vec_col],
+                    }
+                )
+            )
+        return pa.concat_tables(out)
 
     def verify(group: pa.Table) -> pa.Table:
         vecs = np.asarray(group[vec_col].to_pylist(), dtype=np.float64)
@@ -264,5 +364,65 @@ def embedding_neardup_pairs(
             }
         )
 
+    from ray.data.aggregate import Min
+
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    pairs = bucketed.groupby(["table", "bucket"]).map_groups(verify, batch_format="pyarrow")
+    # a pair can collide in several tables -> distinct (cosine identical everywhere)
+    return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
+
+
+class _ExactPairScorer:
+    """Actor-pool stage: per-batch exact cosine of the batch's rows against the
+    FULL broadcast matrix (``ray.put`` once, read per actor), emitting only
+    above-threshold (a, b) pairs with a < b. Distributed compute, broadcast
+    memory O(n x d) — the small-side-broadcast baseline; use
+    :func:`embedding_neardup_pairs` when the corpus no longer fits an actor."""
+
+    def __init__(self, mat_ref, ids_ref, id_col, vec_col, threshold):
+        m = np.asarray(ray.get(mat_ref), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.all_nv = m / norms
+        self.all_ids = np.asarray(ray.get(ids_ref), dtype=np.int64)
+        self.id_col, self.vec_col, self.threshold = id_col, vec_col, threshold
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(b[self.id_col].to_pylist(), dtype=np.int64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sim = (vecs / norms) @ self.all_nv.T  # (batch, n_all)
+        ii, jj = np.nonzero((sim >= self.threshold) & (ids[:, None] < self.all_ids[None, :]))
+        return pa.table(
+            {
+                "a": pa.array(ids[ii], pa.int64()),
+                "b": pa.array(self.all_ids[jj], pa.int64()),
+                "cosine": pa.array(np.round(sim[ii, jj], 6), pa.float64()),
+            }
+        )
+
+
+def embedding_cosine_pairs_exact(
+    ds: ray.data.Dataset,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    concurrency: int | tuple = (1, 8),
+) -> ray.data.Dataset:
+    """EXACT embedding-cosine pairs >= threshold (a < b, distinct): the corpus
+    matrix is broadcast once via ``ray.put``; every batch does one numpy matmul
+    against it. O(n^2) comparisons but fully distributed and shuffle-free."""
+    import ray as _ray
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    mat_ref, ids_ref = _ray.put(mat), _ray.put(ids)
+    return ds.map_batches(
+        _ExactPairScorer,
+        fn_constructor_args=(mat_ref, ids_ref, id_col, vec_col, threshold),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -41,6 +41,56 @@ def test_minhash_finds_near_dups():
     assert j[(0, 3)] < 0.1
 
 
+def test_ngram_jaccard_exact_vs_duckdb():
+    import duckdb
+
+    from r2s2_ray.functions.dedup import ngram_jaccard_pairs
+
+    got = (
+        ngram_jaccard_pairs(_docs(), "doc_id", "text", threshold=0.3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", _docs().to_pandas())
+    want = con.sql("""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+            FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+                  FROM documents))),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                   FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2)
+        SELECT a, b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+        FROM common JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
+        WHERE c * 1.0 / (na.n + nb.n - c) >= 0.3 ORDER BY a, b
+    """).df()
+    assert got[["a", "b"]].values.tolist() == want[["a", "b"]].values.tolist()
+    assert np.allclose(got["jaccard"], want["jaccard"])
+    assert (1, 0.0) not in got  # sanity: exact dup pair present at j=1
+    assert got.set_index(["a", "b"]).loc[(0, 1), "jaccard"] == 1.0
+
+
+def test_embedding_cosine_pairs_exact():
+    from r2s2_ray.functions.dedup import embedding_cosine_pairs_exact
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + 0.01 * rng.standard_normal(16)).tolist()},
+        {"vec_id": 2, "embedding": (-base).tolist()},
+        {"vec_id": 3, "embedding": rng.standard_normal(16).tolist()},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = embedding_cosine_pairs_exact(ds, "vec_id", "embedding", threshold=0.95).to_pandas()
+    assert {(0, 1)} == {tuple(p) for p in out[["a", "b"]].itertuples(index=False)}
+    assert out["cosine"].iloc[0] > 0.99
+
+
 def test_simhash_close_for_near_dups():
     from r2s2_ray.functions.dedup import simhash
 
