@@ -132,11 +132,6 @@ def run_pipeline(
                 "graphs": os.path.join(out_dir, "dict", "graphs.parquet"),
                 "classes": os.path.join(out_dir, "dict", "classes.parquet"),
             }
-            if with_terms_dict:
-                tpath = os.path.join(out_dir, "dict", "terms")
-                n_terms = build_term_dictionary(triples_dataset(sf_dir, replicate=replicate), tpath)
-                dicts["terms"] = tpath
-                metrics["n_terms"] = n_terms
             m0 = Manifest(
                 stage="dicts",
                 step=0,
@@ -154,20 +149,34 @@ def run_pipeline(
     m1 = _load_or_none(out_dir, 1, "fold", resume)
     if m1 is None:
         with StageTimer(metrics, "step1_s"):
-            tri = triples_dataset(sf_dir, replicate=replicate)
-            routed = route(tri, combos, graphs)
-            folded = fold(routed, num_buckets=num_buckets)
-            write_lean(folded, os.path.join(out_dir, "lean"))
+            with StageTimer(metrics, "step1_fold_s"):
+                tri = triples_dataset(sf_dir, replicate=replicate)
+                routed = route(tri, combos, graphs)
+                folded = fold(routed, num_buckets=num_buckets)
+                write_lean(folded, os.path.join(out_dir, "lean"))
             tables = [spec_from_combo(c) for c in combos]
             import pyarrow.dataset as pads
 
-            for t in tables:
-                t.row_count = pads.dataset(table_lean_path(out_dir, t.name)).count_rows()
+            with StageTimer(metrics, "step1_counts_s"):
+                for t in tables:
+                    t.row_count = pads.dataset(table_lean_path(out_dir, t.name)).count_rows()
+            dicts1 = dict(m0.dictionaries)
+            if with_terms_dict:
+                # the global term dictionary is the distinct union of subj/obj —
+                # dedup preserves the term set, so build it from the just-written
+                # lean store instead of a second extraction pass over the input
+                with StageTimer(metrics, "step1_terms_s"):
+                    tpath = os.path.join(out_dir, "dict", "terms")
+                    lean = ray.data.read_parquet(
+                        os.path.join(out_dir, "lean"), columns=["subj", "obj"]
+                    )
+                    metrics["n_terms"] = build_term_dictionary(lean, tpath)
+                    dicts1["terms"] = tpath
             m1 = Manifest(
                 stage="fold",
                 step=1,
                 tables=tables,
-                dictionaries=m0.dictionaries,
+                dictionaries=dicts1,
                 enums=m0.enums,
                 lineage={"sf_dir": sf_dir, "num_buckets": num_buckets},
                 metrics=dict(metrics),
@@ -228,7 +237,7 @@ def run_pipeline(
                 materialize_table(out_dir, spec, m3.enums, lean_path=spec.path)
                 spec.path = os.path.join(out_dir, "tables", spec.name)
 
-            with ThreadPoolExecutor(max_workers=8) as pool:
+            with ThreadPoolExecutor(max_workers=min(16, max(1, len(m3.tables)))) as pool:
                 list(pool.map(_mat, m3.tables))
             m4 = Manifest(
                 stage="materialize",

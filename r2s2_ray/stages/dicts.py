@@ -69,13 +69,17 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str) -> int:
         return pa.table({"term": pa.concat_arrays([s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s,
                                                    o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o])})
 
+    def block_unique(t: pa.Table) -> pa.Table:
+        return pa.table({"term": pc.unique(t["term"])})
+
+    # ONE all-to-all: after the range-partitioned sort every duplicate of a value
+    # lands in the same block, so a per-block unique IS the global distinct
+    # (vs groupby().count().sort() = two shuffles)
     terms = (
         triples.select_columns(["subj", "obj"])
         .map_batches(both, batch_format="pyarrow")
-        .groupby("term")
-        .count()
-        .drop_columns(["count()"])
         .sort("term")
+        .map_batches(block_unique, batch_format="pyarrow")
     )
     terms.write_parquet(out_path)
     import pyarrow.dataset as pads

@@ -159,23 +159,42 @@ def materialize_table(
     enums: dict[str, list[str]],
     lean_path: str | None = None,
     global_sort: bool = False,
+    small_table_rows: int = 1_000_000,
 ) -> None:
     """``global_sort=False`` (default) relies on the fold/merge stages' per-bucket
     (subj, obj) sort: every written file is internally subject-sorted, which is
     what Parquet row-group pruning and compression actually consume. Set True for
     the reference's whole-table ORDER BY (an extra all-to-all per table —
-    ReintroduceRdfSetSemantics.java:88,105)."""
+    ReintroduceRdfSetSemantics.java:88,105).
+
+    Tables whose known row count is <= ``small_table_rows`` skip Ray entirely:
+    one pyarrow read + transform + write on the calling thread. The per-table
+    Ray-job latency (~1s each over hundreds of per-predicate tables) otherwise
+    dominates this stage; at 100 TB the long tail of tables is still tiny while
+    the handful of big ones take the streaming path."""
     dest = table_data_path(out_dir, spec.name)
     success = os.path.join(dest, "_SUCCESS")
     if os.path.exists(success):
         return  # per-partition resume
-    with _READ_LOCK:
-        # Dataset creation races on a lazy fsspec import when called from several
-        # threads; creation is cheap, execution (below) still overlaps.
-        lean = ray.data.read_parquet(lean_path or table_lean_path(out_dir, spec.name))
-    if global_sort:
-        lean = lean.sort(["subj", "obj"] if "obj" in lean.schema().names else ["subj"])
-    lean.map_batches(MaterializeFn(spec, enums), batch_format="pyarrow").write_parquet(dest)
+    src = lean_path or table_lean_path(out_dir, spec.name)
+    if spec.row_count is not None and spec.row_count <= small_table_rows:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        t = pads.dataset(src).to_table()
+        sort_keys = [("subj", "ascending")] + ([("obj", "ascending")] if "obj" in t.column_names else [])
+        t = t.sort_by(sort_keys)  # whole-table ORDER BY, free at this size
+        out = MaterializeFn(spec, enums)(t)
+        os.makedirs(dest, exist_ok=True)
+        pq.write_table(out, os.path.join(dest, "part-0.parquet"))
+    else:
+        with _READ_LOCK:
+            # Dataset creation races on a lazy fsspec import when called from several
+            # threads; creation is cheap, execution (below) still overlaps.
+            lean = ray.data.read_parquet(src)
+        if global_sort:
+            lean = lean.sort(["subj", "obj"] if "obj" in lean.schema().names else ["subj"])
+        lean.map_batches(MaterializeFn(spec, enums), batch_format="pyarrow").write_parquet(dest)
     spec.path = dest
     with open(success, "w") as f:
         f.write("ok")

@@ -110,3 +110,28 @@ def test_resume_noop(kg_out, sf_small):
     t0 = time.time()
     run_pipeline(sf_small, out)
     assert time.time() - t0 < 2.0
+
+
+def test_resume_after_partial_failure(kg_out, sf_small):
+    """Kill-and-resume: wipe the checkpoints of steps >=3 (as if the run died
+    mid-merge) and re-run. Steps 0-2 must be skipped (their manifests survive),
+    later stages rebuilt, and the final triple set unchanged — the per-partition
+    checkpoint contract (north rule; Loader.java:171-183 parity)."""
+    import shutil
+
+    from r2s2_ray.state.manifest import manifest_path
+
+    out, _ = kg_out
+    before = reassemble_triples(out)
+    key = lambda t: set(
+        zip(t["subj"].to_pylist(), t["pred"].to_pylist(), t["obj"].to_pylist(),
+            t["o_lang"].to_pylist(), t["o_dt"].to_pylist(), t["graph"].to_pylist())
+    )
+    for step, stage in ((3, "merge"), (4, "materialize"), (5, "serve")):
+        os.remove(manifest_path(out, step, stage))
+    shutil.rmtree(os.path.join(out, "tables"))
+    m = run_pipeline(sf_small, out)
+    assert m.stage == "serve"
+    for t in m.tables:
+        assert os.path.exists(os.path.join(out, "tables", t.name, "_SUCCESS"))
+    assert key(reassemble_triples(out)) == key(before)
