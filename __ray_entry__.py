@@ -76,28 +76,16 @@ def _kg_transcripts(sf_dir: str):
 
 def _kg_triples_dedup(sf_dir: str):
     from r2s2_ray.pipelines.kg import triples_dataset
-    from r2s2_ray.stages.dicts import distinct_small
-    from r2s2_ray.stages.fold import combo_string, fold, route
+    from r2s2_ray.stages.fold import fold, route
 
-    tri = triples_dataset(sf_dir)
-    combos = sorted(
-        set(
-            tri.map_batches(
-                lambda t: pa.table({"combo": pc.drop_null(pc.unique(combo_string(t)))}),
-                batch_format="pyarrow",
-            ).unique("combo")
-        )
-    )
-    graphs = distinct_small(tri, "graph")
-    folded = fold(route(triples_dataset(sf_dir), combos, graphs))
-    graph_arr = pa.array(graphs, pa.string())
+    folded = fold(route(triples_dataset(sf_dir)))
 
     def fmt(b: pa.Table) -> pa.Table:
-        # rebuild the list with IRI values, then join to a comma string
+        # graphs are IRI strings already (sorted in the fold agg): join to a string
         g = b["graphs"].combine_chunks()
         joined = []
         offs = g.offsets.to_pylist()
-        vals = pc.take(graph_arr, g.values).to_pylist()
+        vals = g.values.to_pylist()
         for i in range(len(g)):
             joined.append(",".join(vals[offs[i] : offs[i + 1]]))
         return pa.table(

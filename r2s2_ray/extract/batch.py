@@ -108,6 +108,10 @@ class TripleExtractor:
         G = _flat(_cc(
             f"{vocab.GRAPHS}g", pa.array((conv_num % vocab.N_GRAPHS).astype("U"), pa.string())
         ))
+        if "graph" in batch.column_names:
+            # M1 graph defaulting (ParseIntoSOGTables.java:354-357): an explicit
+            # per-file graph wins; a null falls back to the derived graph
+            G = _flat(pc.coalesce(batch["graph"], G))
 
         out = [
             # R1 / R2 / R3 / R4 / R6
@@ -209,8 +213,14 @@ class TripleExtractor:
 
 
 def extract_triples(transcripts, **map_kwargs):
-    """transcripts Dataset -> lean triple Dataset (streaming, no shuffle)."""
-    kwargs = dict(batch_format="pyarrow", batch_size=8192, concurrency=None)
+    """transcripts Dataset -> lean triple Dataset (streaming, no shuffle).
+
+    ``batch_size=None`` on purpose: a positive batch_size makes Ray BUNDLE input
+    blocks until a task holds that many input rows — on a small corpus that
+    collapses the whole fused extract chain into one task (zero parallelism).
+    Task granularity belongs to upstream block sizing (util.fan_out /
+    target_max_block_size), not to a row quota here."""
+    kwargs = dict(batch_format="pyarrow", batch_size=None, concurrency=None)
     kwargs.update(map_kwargs)
     if kwargs.get("concurrency") is None:
         kwargs.pop("concurrency")

@@ -4,25 +4,25 @@
 Step map (each writes a manifest checkpoint; resume skips completed steps — parity
 with the description-file contract, Loader.java:207-213):
 
-  0 dicts        — predicate/graph/class/scheme/host censuses + the global sorted
-                   term dictionary (replaces ParseIntoSOGTables step 0's
-                   TemporaryIriIdMap side outputs + IntroduceGraphEnum/Scheme/Host
-                   censuses, with content-ordered ids)
-  1 fold         — extract -> link -> route (class cracking at route time) -> exact
-                   dedup + graph fold -> ONE partitioned Parquet write keyed by
-                   table_key (replaces ParseIntoSOGTables tables + RdfTypeSplitting +
-                   ReintroduceRdfSetSemantics)
-  2 stats        — distributed column censuses -> virtual/datatype/LCS/graph-list
-                   decisions into the manifest (IntroduceVirtualColumns,
-                   OptimizeForDatatype, OptimizeForLongestCommonSubstring)
-  3 merge        — wide entity tables via subject-keyed outer merge
+  0 fold         — extract -> link -> route (table-key computed per batch, class
+                   cracking at route time; no census pass needed) -> exact dedup +
+                   graph fold -> ONE partitioned Parquet write keyed by table_key
+                   (replaces ParseIntoSOGTables tables + RdfTypeSplitting +
+                   ReintroduceRdfSetSemantics). Afterwards the combo/graph
+                   dictionaries, predicate/class dicts and the global sorted term
+                   dictionary are derived from the LEAN STORE with column-pruned
+                   bundled scans — the input transcripts are read exactly ONCE in
+                   the whole pipeline (vs the reference re-reading tables once per
+                   optimizer).
+  1 stats        — distributed column censuses -> virtual/datatype/LCS/graph-list
+                   decisions + the scheme/host enum domains into the manifest
+                   (IntroduceVirtualColumns, OptimizeForDatatype,
+                   OptimizeForLongestCommonSubstring, IntroduceIriSchemeEnum/
+                   IntroduceHostEnums censuses — all in the same pass)
+  2 merge        — wide entity tables via subject-keyed outer merge
                    (TableMergingConcurence) [see stages/merge.py]
-  4 materialize  — decompose + optimize + sort + write per table
-  5 serve        — R2RML Turtle + DuckDB view DDL over the Parquet layout
-
-Input scans: steps 0 and 1 each stream the transcripts once (extraction is an
-embarrassingly parallel map; re-running it is cheaper at scale than persisting the
-raw pre-dedup triple stream, which is ~40x the transcript bytes).
+  3 materialize  — decompose + optimize + sort + write per table
+  4 serve        — R2RML Turtle + DuckDB view DDL over the Parquet layout
 """
 
 from __future__ import annotations
@@ -81,141 +81,125 @@ def run_pipeline(
     os.makedirs(out_dir, exist_ok=True)
     metrics: dict = {}
 
-    # ---- step 0: censuses + dictionaries -------------------------------------
-    m0 = _load_or_none(out_dir, 0, "dicts", resume)
-    if m0 is None:
-        with StageTimer(metrics, "step0_s"):
-            tri = triples_dataset(sf_dir, replicate=replicate)
-
-            def _census(t: pa.Table) -> pa.Table:
-                """ONE pass emitting every small census as (cat, val) rows — the
-                per-block pc.unique combiner is the anti-skew pre-aggregation."""
-                from ..decompose import split_iri_arrays
-
-                cats, vals = [], []
-
-                def emit(cat: str, arr):
-                    u = pc.drop_null(pc.unique(arr)).to_pylist()
-                    cats.extend([cat] * len(u))
-                    vals.extend(u)
-
-                emit("combo", combo_string(t))
-                emit("graph", t["graph"])
-                objs = t.filter(pc.equal(t["o_kind"], KIND_IRI))["obj"]
-                objs = objs.combine_chunks() if isinstance(objs, pa.ChunkedArray) else objs
-                parts = split_iri_arrays(objs)
-                emit("scheme", parts["scheme"])
-                emit("host", parts["host"])
-                return pa.table({"cat": pa.array(cats), "val": pa.array(vals, pa.string())})
-
-            rows = (
-                tri.map_batches(_census, batch_format="pyarrow")
-                .groupby(["cat", "val"])
-                .count()
-                .take_all()
-            )
-            by_cat: dict[str, list[str]] = {}
-            for r in rows:
-                by_cat.setdefault(r["cat"], []).append(r["val"])
-            combos = sorted(by_cat.get("combo", []))
-            graphs = sorted(by_cat.get("graph", []))
-            schemes = sorted(by_cat.get("scheme", []))
-            hosts = sorted(by_cat.get("host", []))
-            preds = sorted({c.split("\x1f")[0] for c in combos})
-            classes = sorted({c.split("\x1f")[5] for c in combos if c.split("\x1f")[5]})
-            dicts = {}
-            write_small_dict(preds, os.path.join(out_dir, "dict", "predicates.parquet"))
-            write_small_dict(graphs, os.path.join(out_dir, "dict", "graphs.parquet"))
-            write_small_dict(classes, os.path.join(out_dir, "dict", "classes.parquet"))
-            dicts = {
-                "predicates": os.path.join(out_dir, "dict", "predicates.parquet"),
-                "graphs": os.path.join(out_dir, "dict", "graphs.parquet"),
-                "classes": os.path.join(out_dir, "dict", "classes.parquet"),
-            }
-            m0 = Manifest(
-                stage="dicts",
-                step=0,
-                dictionaries=dicts,
-                enums={"scheme": schemes, "host": hosts, "graph": graphs},
-                lineage={"sf_dir": sf_dir, "combos": combos},
-                metrics=dict(metrics),
-            )
-            save_manifest(out_dir, m0)
-
-    combos = m0.lineage["combos"]
-    graphs = m0.enums["graph"]
-
-    # ---- step 1: route + dedup/fold + partitioned write ----------------------
-    m1 = _load_or_none(out_dir, 1, "fold", resume)
+    # ---- step 0: route + dedup/fold + partitioned write + dictionaries -------
+    m1 = _load_or_none(out_dir, 0, "fold", resume)
     if m1 is None:
-        with StageTimer(metrics, "step1_s"):
-            with StageTimer(metrics, "step1_fold_s"):
+        with StageTimer(metrics, "step0_s"):
+            with StageTimer(metrics, "step0_fold_s"):
                 tri = triples_dataset(sf_dir, replicate=replicate)
-                routed = route(tri, combos, graphs)
+                routed = route(tri)
                 folded = fold(routed, num_buckets=num_buckets)
                 write_lean(folded, os.path.join(out_dir, "lean"))
+
+            # combo + graph censuses from the lean store. combo is CONSTANT per
+            # table partition, so one first-row read per partition directory is
+            # the whole combo census (metadata-scale, no Ray job). The graph
+            # census is a per-block unique whose residue is (blocks x #graphs)
+            # rows — small enough to take_all and dedup on the driver, skipping
+            # a whole groupby shuffle.
+            with StageTimer(metrics, "step0_census_s"):
+                import glob as _glob
+
+                import pyarrow.parquet as pq
+
+                combos = []
+                for d in sorted(_glob.glob(os.path.join(out_dir, "lean", "table_key=*"))):
+                    f = sorted(_glob.glob(os.path.join(d, "*.parquet")))[0]
+                    combos.append(pq.read_table(f, columns=["combo"])["combo"][0].as_py())
+                combos = sorted(combos)
+
+                def _graph_census(t: pa.Table) -> pa.Table:
+                    u = pc.drop_null(pc.unique(pc.list_flatten(t["graphs"])))
+                    return pa.table({"graph": u})
+
+                graph_rows = (
+                    ray.data.read_parquet(os.path.join(out_dir, "lean"), columns=["graphs"])
+                    .map_batches(_graph_census, batch_format="pyarrow", batch_size=64_000)
+                    .take_all()
+                )
+                graphs = sorted({r["graph"] for r in graph_rows})
+                preds = sorted({c.split("\x1f")[0] for c in combos})
+                classes = sorted({c.split("\x1f")[5] for c in combos if c.split("\x1f")[5]})
+                write_small_dict(preds, os.path.join(out_dir, "dict", "predicates.parquet"))
+                write_small_dict(graphs, os.path.join(out_dir, "dict", "graphs.parquet"))
+                write_small_dict(classes, os.path.join(out_dir, "dict", "classes.parquet"))
+                dicts = {
+                    "predicates": os.path.join(out_dir, "dict", "predicates.parquet"),
+                    "graphs": os.path.join(out_dir, "dict", "graphs.parquet"),
+                    "classes": os.path.join(out_dir, "dict", "classes.parquet"),
+                }
+
             tables = [spec_from_combo(c) for c in combos]
             import pyarrow.dataset as pads
 
-            with StageTimer(metrics, "step1_counts_s"):
+            with StageTimer(metrics, "step0_counts_s"):
                 for t in tables:
                     t.row_count = pads.dataset(table_lean_path(out_dir, t.name)).count_rows()
-            dicts1 = dict(m0.dictionaries)
             if with_terms_dict:
                 # the global term dictionary is the distinct union of subj/obj —
                 # dedup preserves the term set, so build it from the just-written
                 # lean store instead of a second extraction pass over the input
-                with StageTimer(metrics, "step1_terms_s"):
+                with StageTimer(metrics, "step0_terms_s"):
                     tpath = os.path.join(out_dir, "dict", "terms")
                     lean = ray.data.read_parquet(
                         os.path.join(out_dir, "lean"), columns=["subj", "obj"]
                     )
                     metrics["n_terms"] = build_term_dictionary(lean, tpath)
-                    dicts1["terms"] = tpath
+                    dicts["terms"] = tpath
             m1 = Manifest(
                 stage="fold",
-                step=1,
+                step=0,
                 tables=tables,
-                dictionaries=dicts1,
-                enums=m0.enums,
-                lineage={"sf_dir": sf_dir, "num_buckets": num_buckets},
+                dictionaries=dicts,
+                enums={"graph": graphs},
+                lineage={"sf_dir": sf_dir, "num_buckets": num_buckets, "combos": combos},
                 metrics=dict(metrics),
             )
             save_manifest(out_dir, m1)
 
-    # ---- step 2: stats + optimizer decisions ---------------------------------
-    m2 = _load_or_none(out_dir, 2, "stats", resume)
+    # ---- step 1: stats + optimizer decisions + scheme/host enum domains ------
+    m2 = _load_or_none(out_dir, 1, "stats", resume)
     if m2 is None:
-        with StageTimer(metrics, "step2_s"):
+        with StageTimer(metrics, "step1_s"):
             from ..stages.stats import run_stats_all
 
             specs = {t.name: t for t in m1.tables}
             all_stats = run_stats_all(os.path.join(out_dir, "lean"), specs, decompose_lean)
+            schemes: set[str] = set()
+            hosts: set[str] = set()
             for spec in m1.tables:
                 col_stats, graph_stats = all_stats[spec.name]
                 decide_columns(spec, col_stats, graph_stats)
+                for name, st in col_stats.items():
+                    dom = getattr(st, "domain", None)
+                    if dom is None or not name.startswith("object_"):
+                        continue  # subject-side columns stay TEXT (reference parity)
+                    if name.endswith("_scheme"):
+                        schemes |= {v for v in dom if v is not None}
+                    elif name.endswith("_host"):
+                        hosts |= {v for v in dom if v is not None}
             m2 = Manifest(
                 stage="stats",
-                step=2,
+                step=1,
                 tables=m1.tables,
                 dictionaries=m1.dictionaries,
-                enums=m1.enums,
+                enums={**m1.enums, "scheme": sorted(schemes), "host": sorted(hosts)},
                 lineage=m1.lineage,
                 metrics=dict(metrics),
             )
             save_manifest(out_dir, m2)
 
-    # ---- step 3: table merging ------------------------------------------------
-    m3 = _load_or_none(out_dir, 3, "merge", resume)
+    # ---- step 2: table merging ------------------------------------------------
+    m3 = _load_or_none(out_dir, 2, "merge", resume)
     if m3 is None:
-        with StageTimer(metrics, "step3_s"):
+        with StageTimer(metrics, "step2_s"):
             if with_merge:
                 tables = merge_stage.run_merge(out_dir, m2.tables)
             else:
                 tables = m2.tables
             m3 = Manifest(
                 stage="merge",
-                step=3,
+                step=2,
                 tables=tables,
                 dictionaries=m2.dictionaries,
                 enums=m2.enums,
@@ -224,10 +208,10 @@ def run_pipeline(
             )
             save_manifest(out_dir, m3)
 
-    # ---- step 4: materialize ---------------------------------------------------
-    m4 = _load_or_none(out_dir, 4, "materialize", resume)
+    # ---- step 3: materialize ---------------------------------------------------
+    m4 = _load_or_none(out_dir, 3, "materialize", resume)
     if m4 is None:
-        with StageTimer(metrics, "step4_s"):
+        with StageTimer(metrics, "step3_s"):
             # per-table pipelines are independent; submit a few concurrently so
             # driver-side latency doesn't serialize (the cluster still arbitrates
             # CPU via the shared scheduler)
@@ -241,7 +225,7 @@ def run_pipeline(
                 list(pool.map(_mat, m3.tables))
             m4 = Manifest(
                 stage="materialize",
-                step=4,
+                step=3,
                 tables=m3.tables,
                 dictionaries=m3.dictionaries,
                 enums=m3.enums,
@@ -250,17 +234,17 @@ def run_pipeline(
             )
             save_manifest(out_dir, m4)
 
-    # ---- step 5: serving artifacts (R2RML + DuckDB views) ---------------------
-    m5 = _load_or_none(out_dir, 5, "serve", resume)
+    # ---- step 4: serving artifacts (R2RML + DuckDB views) ---------------------
+    m5 = _load_or_none(out_dir, 4, "serve", resume)
     if m5 is None:
-        with StageTimer(metrics, "step5_s"):
+        with StageTimer(metrics, "step4_s"):
             from . import serve
 
             serve.write_views_sql(out_dir, m4)
             serve.write_r2rml(out_dir, m4)
             m5 = Manifest(
                 stage="serve",
-                step=5,
+                step=4,
                 tables=m4.tables,
                 dictionaries=m4.dictionaries,
                 enums=m4.enums,

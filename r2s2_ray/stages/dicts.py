@@ -74,12 +74,17 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str) -> int:
 
     # ONE all-to-all: after the range-partitioned sort every duplicate of a value
     # lands in the same block, so a per-block unique IS the global distinct
-    # (vs groupby().count().sort() = two shuffles)
+    # (vs groupby().count().sort() = two shuffles). Feeding from the lean store
+    # keeps input duplication low (a term repeats only once per table it appears
+    # in), so a pre-dedup shuffle does not pay for itself.
+    # batch_size=64k bundles small input files into few map/sort tasks; the
+    # post-sort map uses batch_size=None (whole blocks) because a term straddling
+    # two batches would survive dedup twice.
     terms = (
         triples.select_columns(["subj", "obj"])
-        .map_batches(both, batch_format="pyarrow")
+        .map_batches(both, batch_format="pyarrow", batch_size=64_000)
         .sort("term")
-        .map_batches(block_unique, batch_format="pyarrow")
+        .map_batches(block_unique, batch_format="pyarrow", batch_size=None)
     )
     terms.write_parquet(out_path)
     import pyarrow.dataset as pads

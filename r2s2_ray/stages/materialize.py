@@ -93,6 +93,27 @@ def decompose_lean(spec: TableSpec):
     return fn
 
 
+def _encode_graph_list(g, genum: pa.Array) -> pa.Array:
+    """list<string> graph IRIs -> list<int32> indices into the sorted graph enum,
+    preserving the null mask (merged tables have null lists for absent
+    predicates). Works on the raw child values + offsets, so null slots whose
+    offsets still span child values stay consistent."""
+    import numpy as np
+
+    g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+    if pa.types.is_list(g.type) and pa.types.is_int32(g.type.value_type):
+        return g  # already encoded
+    idx = pc.cast(pc.index_in(g.values, value_set=genum), pa.int32())
+    if g.null_count:
+        offs = g.offsets.to_numpy(zero_copy_only=False)
+        validity = np.asarray(g.is_valid().to_pylist(), dtype=bool)
+        mask = np.concatenate([~validity, [False]])
+        offsets_arr = pa.array(offs, pa.int32(), mask=mask)
+    else:
+        offsets_arr = g.offsets
+    return pa.ListArray.from_arrays(offsets_arr, idx)
+
+
 class MaterializeFn:
     """map_batches callable applying the decided optimizations while decomposing."""
 
@@ -132,7 +153,9 @@ class MaterializeFn:
         for pm in self.spec.predicates:
             if not pm.graph_column:
                 continue
-            g = pc.cast(graphs[pm.graph_column], pa.list_(pa.int32()))
+            # graph IRIs -> content-ordered enum ids (IntroduceGraphEnum.java:25-73;
+            # the lean store carries strings so no id dictionary is needed upstream)
+            g = _encode_graph_list(graphs[pm.graph_column], self.enum_arrays["graph"])
             if not pm.graph_is_list:
                 # every non-null list has length 1 (A6 census); list_element keeps
                 # nulls aligned (merged tables have null graphs for absent predicates)
@@ -159,7 +182,7 @@ def materialize_table(
     enums: dict[str, list[str]],
     lean_path: str | None = None,
     global_sort: bool = False,
-    small_table_rows: int = 1_000_000,
+    small_table_rows: int = 100_000,
 ) -> None:
     """``global_sort=False`` (default) relies on the fold/merge stages' per-bucket
     (subj, obj) sort: every written file is internally subject-sorted, which is

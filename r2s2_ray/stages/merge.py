@@ -66,9 +66,11 @@ def _subject_census(out_dir: str, tables: list[TableSpec], num_buckets: int = 16
         b = b.filter(pc.is_in(b["table_key"], value_set=names))
         return pa.table({"subj": b["subj"], "tbl": pc.cast(b["table_key"], pa.string())})
 
+    # batch_size bundles the lean store's many small files into few map tasks
+    # (and thus few sort-map tasks downstream)
     u = ray.data.read_parquet(
         os.path.join(out_dir, "lean"), columns=["subj", "table_key"]
-    ).map_batches(project, batch_format="pyarrow")
+    ).map_batches(project, batch_format="pyarrow", batch_size=64_000)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
@@ -101,10 +103,13 @@ def _subject_census(out_dir: str, tables: list[TableSpec], num_buckets: int = 16
         )
         return out.to_arrow()
 
+    # sort(bucket) + per-block map instead of map_groups: fold() partitions by
+    # (subj, tbl) itself, and bucket-complete blocks are guaranteed by the
+    # range-partitioned sort (see stages/fold.py fold() note on why)
     rows = (
         u.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(fold, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(fold, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
     has_dup: dict[str, bool] = defaultdict(bool)
@@ -179,39 +184,75 @@ def _build_all_merged(
     u = ray.data.read_parquet(
         os.path.join(out_dir, "lean"),
         columns=["subj", "s_kind", "obj", "graphs", "table_key"],
-    ).map_batches(project, batch_format="pyarrow")
+    ).map_batches(project, batch_format="pyarrow", batch_size=64_000)
 
     def fold(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
         aggs = [
             pl.col("s_kind").first().alias("s_kind"),
-            pl.col("cohort").first().alias("cohort"),
             (pl.col("src") == 0).any().alias("__has_target__"),
         ]
         for i in range(kmax):
             aggs.append(pl.col("obj").filter(pl.col("src") == i).first().alias(f"obj__{i}"))
             aggs.append(pl.col("graphs").filter(pl.col("src") == i).first().alias(f"graphs__{i}"))
-        return df.group_by("subj").agg(aggs).sort("subj").to_arrow()
+        return df.group_by(["cohort", "subj"]).agg(aggs).sort("subj").to_arrow()
 
-    wide = (
-        u.groupby(["cohort", "bucket"]).map_groups(fold, batch_format="pyarrow")
-    ).materialize()
+    # ONE consuming pass: every task splits its folded batch into the per-cohort
+    # merged slice + per-member leftover slices, writes each slice straight to its
+    # destination directory, and returns only (cohort, kind, n) count rows. This
+    # replaces materialize() + a count pass + O(cohorts x members) filtered write
+    # jobs — at bench scale those fixed job costs dominated the whole merge stage,
+    # and at 100 TB the wide intermediate never needs to sit in the object store.
+    dests: dict[tuple[int, int], str] = {}
+    for ci, members in enumerate(cohorts):
+        dests[(ci, 0)] = os.path.join(out_dir, "lean_merged", members[0].name)
+        for i, m in enumerate(members[1:], start=1):
+            dests[(ci, i)] = os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX)
+    for d in dests.values():
+        os.makedirs(d, exist_ok=True)
+    cohort_sizes = [len(c) for c in cohorts]
 
-    # one vectorized pass for all counts (per-cohort merged + per-member leftovers)
-    def count_batch(b: pa.Table) -> pa.Table:
+    def split_write(b: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        tag = uuid.uuid4().hex[:12]
         rows = {"cohort": [], "kind": [], "n": []}
-        for ci in range(len(cohorts)):
+        for ci, k in enumerate(cohort_sizes):
             sub = b.filter(pc.equal(b["cohort"], ci))
+            if sub.num_rows == 0:
+                continue
             ht = sub["__has_target__"]
+            merged = sub.filter(ht)
+            if merged.num_rows:
+                keep = (
+                    ["subj", "s_kind"]
+                    + [f"obj__{i}" for i in range(k)]
+                    + [f"graphs__{i}" for i in range(k)]
+                )
+                pq.write_table(
+                    merged.select(keep), os.path.join(dests[(ci, 0)], f"part-{tag}.parquet")
+                )
             rows["cohort"].append(ci)
             rows["kind"].append(0)
-            rows["n"].append(pc.sum(pc.cast(ht, pa.int64())).as_py() or 0)
-            inv = pc.invert(ht)
-            for i in range(1, len(cohorts[ci])):
-                mask = pc.and_(inv, pc.is_valid(sub[f"obj__{i}"]))
+            rows["n"].append(merged.num_rows)
+            left = sub.filter(pc.invert(ht))
+            for i in range(1, k):
+                li = left.filter(pc.is_valid(left[f"obj__{i}"]))
+                if li.num_rows:
+                    out = pa.table(
+                        {
+                            "subj": li["subj"],
+                            "s_kind": li["s_kind"],
+                            "obj": li[f"obj__{i}"],
+                            "graphs": li[f"graphs__{i}"],
+                        }
+                    )
+                    pq.write_table(out, os.path.join(dests[(ci, i)], f"part-{tag}.parquet"))
                 rows["cohort"].append(ci)
                 rows["kind"].append(i)
-                rows["n"].append(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+                rows["n"].append(li.num_rows)
         return pa.table(
             {
                 "cohort": pa.array(rows["cohort"], pa.int32()),
@@ -220,53 +261,17 @@ def _build_all_merged(
             }
         )
 
+    # sort + per-block map, not map_groups (see stages/fold.py fold() note);
+    # fold() groups by (cohort, subj) itself, and a subject's rows share a bucket
+    wide = u.sort("bucket").map_batches(fold, batch_format="pyarrow", batch_size=None)
     agg: dict[tuple[int, int], int] = defaultdict(int)
-    for r in wide.map_batches(count_batch, batch_format="pyarrow").take_all():
+    for r in wide.map_batches(split_write, batch_format="pyarrow").take_all():
         agg[(r["cohort"], r["kind"])] += r["n"]
     counts: dict[str, int] = {}
     for ci, members in enumerate(cohorts):
         counts[members[0].name] = agg.get((ci, 0), 0)
         for i, m in enumerate(members[1:], start=1):
             counts[m.name + _LEFTOVER_SUFFIX] = agg.get((ci, i), 0)
-
-    for ci, members in enumerate(cohorts):
-        target = members[0]
-        k = len(members)
-        keep = (
-            ["subj", "s_kind"]
-            + [f"obj__{i}" for i in range(k)]
-            + [f"graphs__{i}" for i in range(k)]
-        )
-
-        def merged_batch(b: pa.Table, _ci=ci, _keep=keep) -> pa.Table:
-            b = b.filter(pc.and_(pc.equal(b["cohort"], _ci), b["__has_target__"]))
-            return b.select(_keep)
-
-        wide.map_batches(merged_batch, batch_format="pyarrow").write_parquet(
-            os.path.join(out_dir, "lean_merged", target.name)
-        )
-        for i, m in enumerate(members[1:], start=1):
-            if not counts[m.name + _LEFTOVER_SUFFIX]:
-                continue
-
-            def narrow(b: pa.Table, _ci=ci, _i=i) -> pa.Table:
-                mask = pc.and_(
-                    pc.equal(b["cohort"], _ci),
-                    pc.and_(pc.invert(b["__has_target__"]), pc.is_valid(b[f"obj__{_i}"])),
-                )
-                b = b.filter(mask)
-                return pa.table(
-                    {
-                        "subj": b["subj"],
-                        "s_kind": b["s_kind"],
-                        "obj": b[f"obj__{_i}"],
-                        "graphs": b[f"graphs__{_i}"],
-                    }
-                )
-
-            wide.map_batches(narrow, batch_format="pyarrow").write_parquet(
-                os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX)
-            )
     return counts
 
 

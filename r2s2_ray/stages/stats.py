@@ -93,6 +93,9 @@ class ColStats:
     maxv: str | None = None
     has_empty: bool = False
     pred_ok: dict[str, bool] = field(default_factory=dict)  # predicate kind -> all-match
+    #: FULL distinct set — only collected for bounded-domain enum columns
+    #: (scheme/host; IntroduceIriSchemeEnum/IntroduceHostEnums censuses, A3)
+    domain: set | None = None
 
     def merge(self, o: "ColStats") -> "ColStats":
         self.n += o.n
@@ -100,6 +103,8 @@ class ColStats:
         self.distinct |= o.distinct
         while len(self.distinct) > 3:
             self.distinct.pop()
+        if self.domain is not None or o.domain is not None:
+            self.domain = (self.domain or set()) | (o.domain or set())
         self.minv = min(x for x in (self.minv, o.minv) if x is not None) if (self.minv or o.minv) else None
         self.maxv = max(x for x in (self.maxv, o.maxv) if x is not None) if (self.maxv or o.maxv) else None
         self.has_empty |= o.has_empty
@@ -108,12 +113,14 @@ class ColStats:
         return self
 
 
-def block_col_stats(col: pa.Array, preds: list[str]) -> ColStats:
+def block_col_stats(col: pa.Array, preds: list[str], collect_domain: bool = False) -> ColStats:
     s = ColStats(n=len(col), nulls=col.null_count)
     nn = pc.drop_null(col)
     if not pa.types.is_string(nn.type) and not pa.types.is_large_string(nn.type):
         nn = pc.cast(nn, pa.string())
     u = pc.unique(nn)
+    if collect_domain:
+        s.domain = set(u.to_pylist())
     cap = u.slice(0, 3).to_pylist()
     s.distinct = set(cap)
     if col.null_count:
@@ -191,7 +198,9 @@ def _emit_stats_rows(cols: dict, graphs_cols: dict, prefix: str, rows: dict) -> 
             preds = list(_PRED_RE)
         elif base not in ("path", "query", "fragment", "port", "id"):
             preds = []
-        st = block_col_stats(arr, preds)
+        # enum censuses (A3) ride the same pass: object-side scheme/host domains
+        collect = name.startswith("object_") and base in ("scheme", "host")
+        st = block_col_stats(arr, preds, collect_domain=collect)
         rows["table"].append(prefix)
         rows["column"].append(name)
         rows["blob"].append(pickle.dumps(st))
@@ -224,9 +233,12 @@ def run_stats_all(lean_root: str, specs: dict[str, TableSpec], decompose_factory
             }
         )
 
+    # batch_size here BUNDLES the lean store's many small partition files
+    # (buckets x table_keys) into few tasks — without it this stage runs one
+    # micro-task per file and scheduling overhead swamps the actual stats work
     parts = (
         ray.data.read_parquet(lean_root)
-        .map_batches(fn, batch_format="pyarrow")
+        .map_batches(fn, batch_format="pyarrow", batch_size=64_000)
         .take_all()
     )
     out: dict[str, tuple[dict, dict]] = {k: ({}, {}) for k in specs}

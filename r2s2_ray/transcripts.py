@@ -137,10 +137,15 @@ def read_transcripts(
     sf_dir: str, *, columns: list[str] | None = None, replicate: int = 1
 ) -> ray.data.Dataset:
     """documents.parquet -> streaming transcript Dataset (no shuffle, no materialize)."""
+    from .util import fan_out
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "source", "n_chars"],
     )
+    # fan out BEFORE the 4x (x replicate) row expansion: repartition moves the
+    # small raw documents, and every downstream stage gets full parallelism
+    ds = fan_out(ds)
     if replicate > 1:
         ds = ds.map_batches(_replicate_docs(replicate), batch_format="pyarrow")
     ds = ds.map_batches(documents_to_transcripts, batch_format="pyarrow")

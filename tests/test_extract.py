@@ -75,3 +75,48 @@ def test_ray_extract_pipeline(sf_small):
     n = ds.count()
     tx = _transcripts_table(sf_small)
     assert n == len(extract_all(tx.to_pylist()))
+
+
+def test_file_list_source_graph_defaulting(sf_small, tmp_path):
+    """S1 + M1 parity: the work-list source attaches each file's graph IRI; a
+    file listed without a graph falls back to the engine-derived graph."""
+    import pytest
+
+    from r2s2_ray.sources.filelist import (
+        MalformedFileListError,
+        parse_file_list,
+        read_transcript_files,
+    )
+
+    tx = _transcripts_table(sf_small)
+    import pyarrow.parquet as pq
+
+    a, b = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    half = tx.num_rows // 2
+    pq.write_table(tx.slice(0, half), a)
+    pq.write_table(tx.slice(half), b)
+    tsv = tmp_path / "toload.tsv"
+    tsv.write_text(f"{a}\thttps://ex.org/graphs/fileA\n{b}\n")
+
+    assert parse_file_list(str(tsv)) == [(a, "https://ex.org/graphs/fileA"), (b, None)]
+    out = extract_triples(read_transcript_files(str(tsv))).to_pandas()
+
+    convs_a = set(tx.slice(0, half)["conv_id"].to_pylist())
+    from r2s2_ray import vocab
+
+    subj_conv = out["subj"].str.extract(r"conv-(\d{8})", expand=False)
+    in_a = subj_conv.notna() & subj_conv.apply(lambda d: d is not None and f"conv-{d}" in convs_a)
+    # every triple whose subject belongs to file A carries file A's graph
+    assert (out.loc[in_a, "graph"] == "https://ex.org/graphs/fileA").all()
+    # file B rows keep the derived graph (M1 default)
+    assert out.loc[~in_a, "graph"].str.startswith(vocab.GRAPHS).any()
+    # triple set ignoring graphs matches the default single-file pipeline
+    base = extract_triples(read_transcripts(sf_small)).to_pandas()
+    cols = ["subj", "pred", "obj", "o_lang", "o_dt"]
+    key = lambda df: set(map(tuple, df[cols].fillna("").values.tolist()))
+    assert key(out) == key(base)
+
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("a.parquet\tg\textra\n")
+    with pytest.raises(MalformedFileListError):
+        parse_file_list(str(bad))

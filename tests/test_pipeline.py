@@ -127,7 +127,7 @@ def test_resume_after_partial_failure(kg_out, sf_small):
         zip(t["subj"].to_pylist(), t["pred"].to_pylist(), t["obj"].to_pylist(),
             t["o_lang"].to_pylist(), t["o_dt"].to_pylist(), t["graph"].to_pylist())
     )
-    for step, stage in ((3, "merge"), (4, "materialize"), (5, "serve")):
+    for step, stage in ((2, "merge"), (3, "materialize"), (4, "serve")):
         os.remove(manifest_path(out, step, stage))
     shutil.rmtree(os.path.join(out, "tables"))
     m = run_pipeline(sf_small, out)
