@@ -18,6 +18,42 @@ from ray.data.aggregate import Min
 _TOKEN_RE = "[^a-z0-9]+"
 
 
+def _run_bounds(*key_arrays) -> "np.ndarray":
+    """Group boundaries [0, b1, ..., n] of rows sorted by the given key arrays —
+    the vectorized replacement for per-group ``map_groups`` slicing (which hits a
+    pathological slow path on large sorted blocks and a Python call per group)."""
+    n = len(key_arrays[0])
+    if n == 0:
+        return np.array([0], dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for arr in key_arrays:
+        a = arr if isinstance(arr, np.ndarray) else np.asarray(arr)
+        change |= a[1:] != a[:-1]
+    return np.concatenate([[0], np.flatnonzero(change) + 1, [n]]).astype(np.int64)
+
+
+def _group_pair_indices(bounds: "np.ndarray"):
+    """Row-index pairs (i < j) of every unordered pair within each [bounds] run,
+    vectorized: size==2 runs (the overwhelmingly common LSH collision) are pure
+    numpy; only runs of size >= 3 loop, and their count is tiny by construction.
+    Rows must be sorted by (group_key, id) so j > i implies id_j > id_i."""
+    sizes = np.diff(bounds)
+    starts = bounds[:-1]
+    i_parts, j_parts = [], []
+    two = starts[sizes == 2]
+    if len(two):
+        i_parts.append(two)
+        j_parts.append(two + 1)
+    for s, e in zip(starts[sizes > 2], starts[sizes > 2] + sizes[sizes > 2]):
+        iu, ju = np.triu_indices(e - s, k=1)
+        i_parts.append(iu + s)
+        j_parts.append(ju + s)
+    if not i_parts:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(i_parts), np.concatenate(j_parts)
+
+
 def exact_dedup(
     ds: ray.data.Dataset, key_cols: list[str], id_col: str
 ) -> ray.data.Dataset:
@@ -141,19 +177,19 @@ def minhash_lsh_pairs(
 
     band_rows = sigs.map_batches(to_band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        df = pl.from_arrow(group).sort("doc")
-        docs = df["doc"].to_list()
-        if len(docs) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        a, b = [], []
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                a.append(docs[i])
-                b.append(docs[j])
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    def block_pairs(t: pa.Table) -> pa.Table:
+        band = np.asarray(t["band"].to_numpy(zero_copy_only=False))
+        bh = np.asarray(t["bh"].to_numpy(zero_copy_only=False))
+        docs = np.asarray(t["doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ia, jb = _group_pair_indices(_run_bounds(band, bh))
+        return pa.table({"a": pa.array(docs[ia], pa.int64()), "b": pa.array(docs[jb], pa.int64())})
 
-    pairs = band_rows.groupby(["band", "bh"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    # sort + whole-block vectorized pair generation (no per-bucket Python calls;
+    # the range-partitioned sort keeps every bucket inside one block, and the
+    # trailing doc key makes within-run ids ascending so a < b by construction)
+    pairs = band_rows.sort(["band", "bh", "doc"]).map_batches(
+        block_pairs, batch_format="pyarrow", batch_size=None
+    )
     # distinct pairs (a doc pair can collide in several bands)
     return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
 
@@ -218,7 +254,10 @@ def ngram_jaccard_pairs(
             .to_arrow()
         )
 
-    def posting_pairs(group: pa.Table) -> pa.Table:
+    def block_posting_pairs(t: pa.Table) -> pa.Table:
+        """Sorted by (sh, doc): vectorized pair generation over every posting
+        list in the block at once (see _group_pair_indices)."""
+        n = t.num_rows
         empty = pa.table(
             {
                 "a": pa.array([], pa.int64()),
@@ -227,19 +266,35 @@ def ngram_jaccard_pairs(
                 "nb": pa.array([], pa.int64()),
             }
         )
-        n = group.num_rows
-        if n < 2 or (max_bucket is not None and n > max_bucket):
+        if n < 2:
             return empty
-        order = pc.sort_indices(group["doc"])
-        docs = np.asarray(group["doc"].take(order).to_pylist(), dtype=np.int64)
-        cnts = np.asarray(group["n_doc"].take(order).to_pylist(), dtype=np.int64)
-        iu, ju = np.triu_indices(n, k=1)
+        sh = t["sh"].combine_chunks() if isinstance(t["sh"], pa.ChunkedArray) else t["sh"]
+        neq = pc.not_equal(sh.slice(1), sh.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        bounds = np.concatenate([[0], np.flatnonzero(neq) + 1, [n]]).astype(np.int64)
+        if max_bucket is not None:
+            sizes = np.diff(bounds)
+            keep = sizes <= max_bucket
+            # rebuild bounds covering only kept runs (dropped hot shingles)
+            runs = [(s, e) for s, e, k in zip(bounds[:-1], bounds[1:], keep) if k]
+            docs = np.asarray(t["doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            cnts = np.asarray(t["n_doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            ia_l, jb_l = [], []
+            for s, e in runs:
+                ii, jj = _group_pair_indices(np.array([s, e], dtype=np.int64))
+                ia_l.append(ii)
+                jb_l.append(jj)
+            ia = np.concatenate(ia_l) if ia_l else np.array([], dtype=np.int64)
+            jb = np.concatenate(jb_l) if jb_l else np.array([], dtype=np.int64)
+        else:
+            docs = np.asarray(t["doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            cnts = np.asarray(t["n_doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+            ia, jb = _group_pair_indices(bounds)
         return pa.table(
             {
-                "a": pa.array(docs[iu], pa.int64()),
-                "b": pa.array(docs[ju], pa.int64()),
-                "na": pa.array(cnts[iu], pa.int64()),
-                "nb": pa.array(cnts[ju], pa.int64()),
+                "a": pa.array(docs[ia], pa.int64()),
+                "b": pa.array(docs[jb], pa.int64()),
+                "na": pa.array(cnts[ia], pa.int64()),
+                "nb": pa.array(cnts[jb], pa.int64()),
             }
         )
 
@@ -248,8 +303,8 @@ def ngram_jaccard_pairs(
     pairs = (
         ds.select_columns([id_col, text_col])
         .map_batches(explode, batch_format="pyarrow")
-        .groupby("sh")
-        .map_groups(posting_pairs, batch_format="pyarrow")
+        .sort(["sh", "doc"])
+        .map_batches(block_posting_pairs, batch_format="pyarrow", batch_size=None)
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="c"), Min("na", alias_name="na"), Min("nb", alias_name="nb"))
     )
@@ -343,31 +398,49 @@ def embedding_neardup_pairs(
             )
         return pa.concat_tables(out)
 
-    def verify(group: pa.Table) -> pa.Table:
-        vecs = np.asarray(group[vec_col].to_pylist(), dtype=np.float64)
-        ids = np.asarray(group[id_col].to_pylist())
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+    def verify_block(t: pa.Table) -> pa.Table:
+        """Sorted by (table, bucket): exact cosine within each bucket run."""
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+        if t.num_rows < 2:
+            return empty
+        tbl = np.asarray(t["table"].to_numpy(zero_copy_only=False))
+        bkt = np.asarray(t["bucket"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         nv = vecs / norms
-        sim = nv @ nv.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sim[iu, ju] >= threshold
-        a, bb = ids[iu[mask]], ids[ju[mask]]
-        lo, hi = np.minimum(a, bb), np.maximum(a, bb)
+        bounds = _run_bounds(tbl, bkt)
+        a_l, b_l, c_l = [], [], []
+        sizes = np.diff(bounds)
+        for s, e in zip(bounds[:-1][sizes >= 2], bounds[:-1][sizes >= 2] + sizes[sizes >= 2]):
+            sim = nv[s:e] @ nv[s:e].T
+            iu, ju = np.triu_indices(e - s, k=1)
+            mask = sim[iu, ju] >= threshold
+            if not mask.any():
+                continue
+            x, y = ids[s:e][iu[mask]], ids[s:e][ju[mask]]
+            a_l.append(np.minimum(x, y))
+            b_l.append(np.maximum(x, y))
+            c_l.append(np.round(sim[iu, ju][mask], 6))
+        if not a_l:
+            return empty
         return pa.table(
             {
-                "a": pa.array(lo, pa.int64()),
-                "b": pa.array(hi, pa.int64()),
-                "cosine": pa.array(np.round(sim[iu, ju][mask], 6), pa.float64()),
+                "a": pa.array(np.concatenate(a_l), pa.int64()),
+                "b": pa.array(np.concatenate(b_l), pa.int64()),
+                "cosine": pa.array(np.concatenate(c_l), pa.float64()),
             }
         )
 
     from ray.data.aggregate import Min
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    pairs = bucketed.groupby(["table", "bucket"]).map_groups(verify, batch_format="pyarrow")
+    pairs = bucketed.sort(["table", "bucket"]).map_batches(
+        verify_block, batch_format="pyarrow", batch_size=None
+    )
     # a pair can collide in several tables -> distinct (cosine identical everywhere)
     return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
 

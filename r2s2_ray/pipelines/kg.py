@@ -242,14 +242,15 @@ def run_pipeline(
 
             serve.write_views_sql(out_dir, m4)
             serve.write_r2rml(out_dir, m4)
-            m5 = Manifest(
-                stage="serve",
-                step=4,
-                tables=m4.tables,
-                dictionaries=m4.dictionaries,
-                enums=m4.enums,
-                lineage=m4.lineage,
-                metrics=dict(metrics),
-            )
-            save_manifest(out_dir, m5)
+        # manifest built AFTER the timer exits so its own duration is recorded
+        m5 = Manifest(
+            stage="serve",
+            step=4,
+            tables=m4.tables,
+            dictionaries=m4.dictionaries,
+            enums=m4.enums,
+            lineage=m4.lineage,
+            metrics=dict(metrics),
+        )
+        save_manifest(out_dir, m5)
     return m5
