@@ -1,0 +1,183 @@
+"""Generic large-scale graph operators.
+
+:func:`connected_components_distributed` is the scale path for alias-merge /
+``owl:sameAs`` closure (north-star entity canonicalization): min-label
+propagation where BOTH the edge list and the label table stay distributed —
+no driver-side node map (contrast :func:`r2s2_ray.linking.connected_components`,
+which broadcasts the label table and is the right choice only while the node
+set is entity-surface-form sized).
+
+Each round is three narrow groupby shuffles (attach labels to edge endpoints;
+min per edge; min per node). Labels only move toward the component minimum, so
+the algorithm converges in O(log(diameter)) rounds; convergence is detected with
+a content hash of the label table (cheap distributed aggregate, no join against
+the previous round).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+_HASH_SEED = 0x9E3779B97F4A7C15
+
+
+def _label_fingerprint(labels: ray.data.Dataset) -> int:
+    """Order-independent fingerprint of the (node, label) table: sum of 64-bit
+    row hashes. Min-label propagation changes at least one row per non-converged
+    round, and a changed row flips the sum except with ~2^-64 collision odds."""
+
+    def h(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        v = df.select(
+            pl.concat_str([pl.col("node"), pl.col("label")], separator="\x1f")
+            .hash(seed=7)
+            .reinterpret(signed=True)
+            .alias("h")
+        )
+        return pa.table({"h": v["h"].to_arrow()})
+
+    rows = labels.map_batches(h, batch_format="pyarrow").aggregate(Sum("h", alias_name="s"))
+    return int(rows["s"] or 0)
+
+
+def connected_components_distributed(
+    edges: ray.data.Dataset, max_rounds: int = 25
+) -> ray.data.Dataset:
+    """Connected components over an undirected edge list (string columns
+    ``src``, ``dst``). Returns (node, label) with label = the component's
+    lexicographic-min node id. Fully distributed: per-round state is the
+    (node, label) Dataset, shuffled by node / edge id — nothing is pulled to
+    the driver except a per-round 8-byte fingerprint."""
+
+    def init(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+        )
+        label = pa.concat_arrays(
+            [pc.min_element_wise(t["src"].combine_chunks(), t["dst"].combine_chunks())] * 2
+        )
+        return pa.table({"node": node, "label": label})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        """Each edge becomes two (node, eid) rows; eid = content hash of the
+        edge (stable across rounds, no global counter)."""
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        eid = df.select(
+            pl.concat_str([pl.col("src"), pl.col("dst")], separator="\x1f")
+            .hash(seed=13)
+            .reinterpret(signed=True)
+            .alias("eid")
+        )["eid"].to_arrow()
+        eid = eid.combine_chunks() if isinstance(eid, pa.ChunkedArray) else eid
+        return pa.table(
+            {
+                "node": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()]),
+                "eid": pa.concat_arrays([eid, eid]),
+            }
+        )
+
+    endpoint_rows = edges.map_batches(edge_rows, batch_format="pyarrow")
+    labels = (
+        edges.map_batches(init, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+    fp = _label_fingerprint(labels)
+
+    for _ in range(max_rounds):
+        # 1) attach each node's current label to its incident edge endpoints:
+        #    union (node, eid) rows with (node, label) rows, sort by node, and
+        #    broadcast the node's label to its eid rows per block
+        def attach(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(t)
+            out = (
+                df.with_columns(pl.col("label").max().over("node").alias("lab"))
+                .filter(pl.col("eid").is_not_null())
+                .select([pl.col("eid"), pl.col("lab")])
+            )
+            return out.to_arrow()
+
+        lab_rows = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "eid": pa.nulls(t.num_rows, pa.int64()),
+                    "label": t["label"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ep = endpoint_rows.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "eid": t["eid"],
+                    "label": pa.nulls(t.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        attached = (
+            lab_rows.union(ep)
+            .sort("node")
+            .map_batches(attach, batch_format="pyarrow", batch_size=None)
+        )
+        # 2+3 fused: one shuffle by eid — attached (eid, lab) rows union the
+        # endpoint (eid, node) rows; per eid-run the min label is broadcast to
+        # the endpoint rows, emitting (node, candidate-label) directly
+        def back(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            df = pl.from_arrow(t)
+            out = (
+                df.with_columns(pl.col("lab").min().over("eid").alias("mm"))
+                .filter(pl.col("node").is_not_null())
+                .select([pl.col("node"), pl.col("mm").alias("label")])
+            )
+            return out.to_arrow()
+
+        em_rows = attached.map_batches(
+            lambda t: pa.table(
+                {
+                    "eid": t["eid"],
+                    "node": pa.nulls(t.num_rows, pa.string()),
+                    "lab": t["lab"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ep2 = endpoint_rows.map_batches(
+            lambda t: pa.table(
+                {
+                    "eid": t["eid"],
+                    "node": t["node"],
+                    "lab": pa.nulls(t.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        candidates = (
+            em_rows.union(ep2)
+            .sort("eid")
+            .map_batches(back, batch_format="pyarrow", batch_size=None)
+        )
+        labels = (
+            candidates.union(labels)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()
+        new_fp = _label_fingerprint(labels)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    return labels

@@ -193,3 +193,31 @@ def test_connected_components():
     labels = {r["node"]: r["label"] for r in connected_components(edges).take_all()}
     assert labels["a"] == labels["b"] == labels["c"] == "a"
     assert labels["x"] == labels["y"] == labels["z"] == "x"
+
+
+def test_connected_components_distributed_matches_broadcast():
+    import random
+
+    from r2s2_ray.functions.graph import connected_components_distributed
+    from r2s2_ray.linking import connected_components
+
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(30)]
+    edges = []
+    # chains + a ring (small diameter: per-round shuffle cost dominates in CI)
+    for c in range(6):
+        members = nodes[c * 5 : (c + 1) * 5]
+        rng.shuffle(members)
+        edges += list(zip(members, members[1:]))
+        if c % 3 == 0:
+            edges.append((members[-1], members[0]))  # ring
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges]),
+            "dst": pa.array([b for _, b in edges]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    want = {r["node"]: r["label"] for r in connected_components(ds).take_all()}
+    got = {r["node"]: r["label"] for r in connected_components_distributed(ds).take_all()}
+    assert got == want
