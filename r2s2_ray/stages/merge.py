@@ -15,8 +15,10 @@ Parity target: TableMergingConcurence.java:46-268 (T7/J1/J2/A5/O2):
 
 Shuffle design: all gates/probes are computed in ONE pass — union the candidate
 tables' (subj, table) pairs, hash-bucket by subject, and fold each bucket vectorized
-(same bucketed-groupby pattern as stages/fold.py; subject hashing spreads hot
-subjects). The merge itself is a second bucketed groupby over the cohort's rows.
+(same sort-by-bucket + whole-block map pattern as stages/fold.py; subject hashing
+spreads hot subjects). The merge itself is a second bucketed exchange over the
+cohort's rows whose reduce tasks write their output slices directly (no
+materialized wide intermediate).
 Post-merge re-optimization (ReOptimizeForR2RML.java:24-25) is a no-op for our
 decision set: pre-merge virtual/datatype/LCS decisions are value-distribution facts
 that an outer join cannot change (it only adds NULLs, which every decision rule
@@ -70,7 +72,7 @@ def _subject_census(out_dir: str, tables: list[TableSpec], num_buckets: int = 16
     # (and thus few sort-map tasks downstream)
     u = ray.data.read_parquet(
         os.path.join(out_dir, "lean"), columns=["subj", "table_key"]
-    ).map_batches(project, batch_format="pyarrow", batch_size=64_000)
+    ).map_batches(project, batch_format="pyarrow", batch_size=256_000)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
@@ -184,7 +186,7 @@ def _build_all_merged(
     u = ray.data.read_parquet(
         os.path.join(out_dir, "lean"),
         columns=["subj", "s_kind", "obj", "graphs", "table_key"],
-    ).map_batches(project, batch_format="pyarrow", batch_size=64_000)
+    ).map_batches(project, batch_format="pyarrow", batch_size=256_000)
 
     def fold(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)

@@ -238,7 +238,7 @@ def run_stats_all(lean_root: str, specs: dict[str, TableSpec], decompose_factory
     # micro-task per file and scheduling overhead swamps the actual stats work
     parts = (
         ray.data.read_parquet(lean_root)
-        .map_batches(fn, batch_format="pyarrow", batch_size=64_000)
+        .map_batches(fn, batch_format="pyarrow", batch_size=256_000)
         .take_all()
     )
     out: dict[str, tuple[dict, dict]] = {k: ({}, {}) for k in specs}
