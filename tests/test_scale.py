@@ -1,0 +1,68 @@
+"""Scale-behavior evidence tests: skew handling and per-partition resume.
+
+The north rule requires "partitioning / shuffle / skew handled explicitly" and
+"resumable from per-partition checkpoints" — these tests pin both behaviors at
+small scale so regressions surface in CI rather than at 100 TB.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def test_hot_predicate_buckets_stay_balanced():
+    """A pathological corpus where EVERY triple shares one predicate (the
+    rdf:type-style hot key) must still spread ~uniformly over fold buckets:
+    the bucket key hashes full triple content, not the predicate — the skew
+    story the reference lacked (its per-predicate writer lock)."""
+    from r2s2_ray.stages.fold import _add_bucket
+
+    n, buckets = 50_000, 32
+    t = pa.table(
+        {
+            "subj": pa.array([f"https://ex.org/e/{i}" for i in range(n)]),
+            "s_kind": pa.array([1] * n, pa.int8()),
+            "pred": pa.array(["https://ex.org/onto/hot"] * n),
+            "obj": pa.array([f"https://ex.org/v/{i % 97}" for i in range(n)]),
+            "o_kind": pa.array([1] * n, pa.int8()),
+            "o_lang": pa.nulls(n, pa.string()),
+            "o_dt": pa.nulls(n, pa.string()),
+            "graph": pa.array(["https://ex.org/graphs/g0"] * n),
+            "table_key": pa.array(["hot_sI_oI"] * n),
+            "combo": pa.array(["combo"] * n),
+        }
+    )
+    out = _add_bucket(buckets)(t)
+    counts = np.bincount(
+        np.asarray(out["bucket"].to_numpy(zero_copy_only=False)), minlength=buckets
+    )
+    assert counts.min() > 0
+    # uniform hashing: no bucket more than 25% off the mean at 50k rows
+    mean = n / buckets
+    assert counts.max() < mean * 1.25 and counts.min() > mean * 0.75, counts
+
+
+def test_materialize_per_partition_resume(sf_small, tmp_path):
+    """Deleting ONE materialized table re-runs only that table: untouched
+    tables keep their output files (mtime unchanged) — the per-partition
+    _SUCCESS checkpoint contract."""
+    from r2s2_ray.pipelines.kg import run_pipeline
+    from r2s2_ray.state.manifest import manifest_path
+
+    out = str(tmp_path / "kg")
+    m = run_pipeline(sf_small, out)
+    names = sorted(t.name for t in m.tables)
+    victim, survivor = names[0], names[-1]
+    surv_dir = os.path.join(out, "tables", survivor)
+    mtime_before = {f: os.path.getmtime(os.path.join(surv_dir, f)) for f in os.listdir(surv_dir)}
+    shutil.rmtree(os.path.join(out, "tables", victim))
+    os.remove(manifest_path(out, 3, "materialize"))
+    os.remove(manifest_path(out, 4, "serve"))
+    m2 = run_pipeline(sf_small, out)
+    assert os.path.exists(os.path.join(out, "tables", victim, "_SUCCESS"))
+    mtime_after = {f: os.path.getmtime(os.path.join(surv_dir, f)) for f in os.listdir(surv_dir)}
+    assert mtime_after == mtime_before  # survivor untouched
+    assert sorted(t.name for t in m2.tables) == names
