@@ -178,16 +178,20 @@ def minhash_lsh_pairs(
     band_rows = sigs.map_batches(to_band_rows, batch_format="pyarrow")
 
     def block_pairs(t: pa.Table) -> pa.Table:
+        # re-sort the block by (band, bh, doc) locally: the DISTRIBUTED sort key
+        # must be exactly the group key (a composite (group, doc) key would let
+        # the range partitioner split one bucket across partitions), but within
+        # the block we still want doc-ascending runs so a < b by construction
+        t = t.sort_by([("band", "ascending"), ("bh", "ascending"), ("doc", "ascending")])
         band = np.asarray(t["band"].to_numpy(zero_copy_only=False))
         bh = np.asarray(t["bh"].to_numpy(zero_copy_only=False))
         docs = np.asarray(t["doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
         ia, jb = _group_pair_indices(_run_bounds(band, bh))
         return pa.table({"a": pa.array(docs[ia], pa.int64()), "b": pa.array(docs[jb], pa.int64())})
 
-    # sort + whole-block vectorized pair generation (no per-bucket Python calls;
-    # the range-partitioned sort keeps every bucket inside one block, and the
-    # trailing doc key makes within-run ids ascending so a < b by construction)
-    pairs = band_rows.sort(["band", "bh", "doc"]).map_batches(
+    # sort ON THE GROUP KEY ONLY + whole-block vectorized pair generation (no
+    # per-bucket Python calls; equal keys always land in one sort partition)
+    pairs = band_rows.sort(["band", "bh"]).map_batches(
         block_pairs, batch_format="pyarrow", batch_size=None
     )
     # distinct pairs (a doc pair can collide in several bands)
@@ -268,6 +272,9 @@ def ngram_jaccard_pairs(
         )
         if n < 2:
             return empty
+        # local re-sort by (sh, doc): the distributed sort keys on sh ALONE so a
+        # shingle's posting list can never straddle a range partition
+        t = t.sort_by([("sh", "ascending"), ("doc", "ascending")])
         sh = t["sh"].combine_chunks() if isinstance(t["sh"], pa.ChunkedArray) else t["sh"]
         neq = pc.not_equal(sh.slice(1), sh.slice(0, n - 1)).to_numpy(zero_copy_only=False)
         bounds = np.concatenate([[0], np.flatnonzero(neq) + 1, [n]]).astype(np.int64)
@@ -303,7 +310,7 @@ def ngram_jaccard_pairs(
     pairs = (
         ds.select_columns([id_col, text_col])
         .map_batches(explode, batch_format="pyarrow")
-        .sort(["sh", "doc"])
+        .sort("sh")
         .map_batches(block_posting_pairs, batch_format="pyarrow", batch_size=None)
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="c"), Min("na", alias_name="na"), Min("nb", alias_name="nb"))

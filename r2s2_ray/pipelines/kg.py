@@ -194,7 +194,7 @@ def run_pipeline(
     if m3 is None:
         with StageTimer(metrics, "step2_s"):
             if with_merge:
-                tables = merge_stage.run_merge(out_dir, m2.tables)
+                tables = merge_stage.run_merge(out_dir, m2.tables, graph_enum=m2.enums.get("graph"))
             else:
                 tables = m2.tables
             m3 = Manifest(

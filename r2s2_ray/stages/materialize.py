@@ -101,8 +101,10 @@ def _encode_graph_list(g, genum: pa.Array) -> pa.Array:
     import numpy as np
 
     g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
-    if pa.types.is_list(g.type) and pa.types.is_int32(g.type.value_type):
-        return g  # already encoded
+    if pa.types.is_integer(g.type.value_type):
+        # already encoded upstream (merge encodes before its exchange); polars
+        # round-trips may have widened list -> large_list, normalize back
+        return pc.cast(g, pa.list_(pa.int32()))
     idx = pc.cast(pc.index_in(g.values, value_set=genum), pa.int32())
     if g.null_count:
         offs = g.offsets.to_numpy(zero_copy_only=False)

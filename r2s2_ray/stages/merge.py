@@ -154,7 +154,10 @@ def plan_cohorts(tables: list[TableSpec], uniqueness: dict, overlap: dict) -> li
 
 
 def _build_all_merged(
-    out_dir: str, cohorts: list[list[TableSpec]], num_buckets: int = 16
+    out_dir: str,
+    cohorts: list[list[TableSpec]],
+    num_buckets: int = 16,
+    graph_enum: list[str] | None = None,
 ) -> dict[str, int]:
     """Outer-merge EVERY cohort in one shuffle: rows are tagged
     (cohort, member_idx), bucketed by subject hash, folded per (cohort, bucket)
@@ -173,11 +176,21 @@ def _build_all_merged(
     cohort_arr = pa.array(cohort_ids, pa.int32())
     member_arr = pa.array(member_ids, pa.int32())
 
+    genum = pa.array(graph_enum, pa.string()) if graph_enum else None
+
     def project(b: pa.Table) -> pa.Table:
         idx = pc.index_in(b["table_key"], value_set=names)
         b = b.append_column("cohort", pc.take(cohort_arr, idx))
         b = b.append_column("src", pc.take(member_arr, idx))
         b = b.filter(pc.is_valid(b["src"]))
+        if genum is not None:
+            # graph IRIs -> enum ids BEFORE the exchange: the fat list<string>
+            # column becomes list<int32> (materialize passes pre-encoded lists
+            # through untouched, so nothing downstream decodes)
+            from .materialize import _encode_graph_list
+
+            gi = b.schema.get_field_index("graphs")
+            b = b.set_column(gi, "graphs", _encode_graph_list(b["graphs"], genum))
         df = pl.from_arrow(b.select(["subj", "s_kind", "obj", "graphs", "cohort", "src"]))
         return df.with_columns(
             pl.col("subj").hash(seed=9).mod(num_buckets).cast(pl.Int32).alias("bucket")
@@ -277,7 +290,9 @@ def _build_all_merged(
     return counts
 
 
-def run_merge(out_dir: str, tables: list[TableSpec]) -> list[TableSpec]:
+def run_merge(
+    out_dir: str, tables: list[TableSpec], graph_enum: list[str] | None = None
+) -> list[TableSpec]:
     """Plan + execute merging; returns the post-merge table list (manifest state).
 
     One subject census over ALL candidate tables (bnode labels and IRIs cannot
@@ -293,7 +308,7 @@ def run_merge(out_dir: str, tables: list[TableSpec]) -> list[TableSpec]:
     out: list[TableSpec] = []
     merged_names: set[str] = set()
     if cohorts:
-        counts = _build_all_merged(out_dir, cohorts)
+        counts = _build_all_merged(out_dir, cohorts, graph_enum=graph_enum)
         for members in cohorts:
             target = members[0]
             out.append(
