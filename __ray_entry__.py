@@ -372,6 +372,26 @@ def _mm_image_features(sf_dir: str):
     return image_features(docs.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _mm_audio_frames(sf_dir: str):
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import audio_frames
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "media_id": b["doc_id"],
+                "payload": pc.cast(b["text"], pa.binary()),
+                "meta": pa.array(['{"n_samples": 1600}'] * n, pa.string()),
+            }
+        )
+
+    return audio_frames(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _kg_connected_components(sf_dir: str):
     import ray.data
 
@@ -429,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_fingerprint": _txt_fingerprint,
         "mm_binary_stats": _mm_binary_stats,
         "mm_image_features": _mm_image_features,
+        "mm_audio_frames": _mm_audio_frames,
     }
 
 
@@ -501,6 +522,6 @@ def oracle_sql() -> dict[str, str]:
             FROM common JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
             WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8""",
         # rows-only (non-SQL-expressible, weaker check by design):
-        # dd_minhash_pairs, dd_simhash, dd_embedding_lsh, sim_ann_lsh,
-        # txt_langid, txt_fingerprint, mm_image_features, kg_connected_components
+        # dd_minhash_pairs, dd_simhash, dd_embedding_lsh, sim_ann_lsh, txt_langid,
+        # txt_fingerprint, mm_image_features, mm_audio_frames, kg_connected_components
     }

@@ -98,6 +98,56 @@ class FrameSampler:
         )
 
 
+class AudioFrames:
+    """Audio decode -> windowed frame features, stubbed like ImageDecode: with
+    ``fake=True`` the "decoded waveform" is a deterministic payload-derived byte
+    stream framed at (win, hop) from the declared sample rate in ``meta`` JSON —
+    the windowing/row-expansion plumbing is real; a real build would swap the
+    stub for soundfile/librosa in ``__init__`` (actor-pool, loaded once)."""
+
+    def __init__(self, win: int = 400, hop: int = 160, fake: bool = True):
+        self.win, self.hop, self.fake = win, hop, fake
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decoding requires soundfile/librosa, not available here; "
+                "run with fake=True for the deterministic stand-in"
+            )
+        import json
+
+        ids, idxs, energies = [], [], []
+        for mid, p, meta in zip(
+            b["media_id"].to_pylist(), b["payload"].to_pylist(), b["meta"].to_pylist()
+        ):
+            n_samples = int(json.loads(meta or "{}").get("n_samples", len(p)))
+            wave = np.frombuffer(
+                hashlib.blake2b(p, digest_size=32).digest() * (n_samples // 32 + 1), dtype=np.uint8
+            )[:n_samples].astype(np.float32)
+            for fi, start in enumerate(range(0, max(1, n_samples - self.win + 1), self.hop)):
+                seg = wave[start : start + self.win]
+                ids.append(mid)
+                idxs.append(fi)
+                energies.append(float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "rms": pa.array(energies, pa.float32()),
+            }
+        )
+
+
+def audio_frames(ds: ray.data.Dataset, *, win: int = 400, hop: int = 160, batch_size: int = 64, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        AudioFrames,
+        fn_constructor_args=(win, hop),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def binary_stats(ds: ray.data.Dataset, id_col: str, payload_col: str, *, batch_size: int = 256, concurrency=(1, 8)) -> ray.data.Dataset:
     return ds.map_batches(
         BinaryStats,

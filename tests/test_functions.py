@@ -221,3 +221,24 @@ def test_connected_components_distributed_matches_broadcast():
     want = {r["node"]: r["label"] for r in connected_components(ds).take_all()}
     got = {r["node"]: r["label"] for r in connected_components_distributed(ds).take_all()}
     assert got == want
+
+
+def test_audio_frames_windowing():
+    from r2s2_ray.functions.multimodal import AudioFrames, audio_frames
+
+    rows = [
+        {"media_id": i, "media_type": "audio", "payload": bytes([i] * 64), "meta": '{"n_samples": 880}'}
+        for i in range(3)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    out = audio_frames(ds, win=400, hop=160).to_pandas()
+    # 880 samples, win 400 hop 160 -> starts at 0,160,320,480 -> 4 frames/doc
+    assert sorted(out[out.media_id == 0]["frame_idx"]) == [0, 1, 2, 3]
+    assert (out["rms"] > 0).all()
+    # deterministic across runs
+    out2 = audio_frames(ds, win=400, hop=160).to_pandas()
+    assert out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True).equals(
+        out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    )
+    with pytest.raises(NotImplementedError):
+        AudioFrames(fake=False)(pa.Table.from_pylist(rows))
