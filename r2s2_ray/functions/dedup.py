@@ -109,37 +109,46 @@ def _token_table(b: pa.Table, id_col: str, text_col: str) -> pl.DataFrame:
 
 class MinHasher:
     """Actor-pool stage: text -> MinHash signature (num_perm x 64-bit mins) +
-    LSH band keys, fully vectorized with polars hash kernels.
+    LSH band keys, fully vectorized (numpy over the exploded shingle table).
 
-    Stateful setup (band layout, seeds) happens once per actor."""
+    The hash family is the SQL-expressible one from functions/hashing.py
+    (polynomial byte hash + affine permutations + polynomial band combiner), so
+    the DuckDB oracle reproduces every band key bit-for-bit. Stateful setup
+    (permutation constants, band layout) happens once per actor."""
 
     def __init__(self, id_col: str, text_col: str, num_perm: int = 64, bands: int = 16, shingle_k: int = 3):
         assert num_perm % bands == 0
+        from .hashing import perm_constants
+
         self.id_col, self.text_col = id_col, text_col
         self.num_perm, self.bands, self.rows = num_perm, bands, num_perm // bands
         self.shingle_k = shingle_k
+        ab = [perm_constants(i) for i in range(num_perm)]
+        self.a = np.array([x[0] for x in ab], dtype=np.uint64)[:, None]
+        self.b = np.array([x[1] for x in ab], dtype=np.uint64)[:, None]
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        from .hashing import band_key, poly_hash_arr
+
         ic, tc, k = self.id_col, self.text_col, self.shingle_k
-        sh = _shingle_rows(pl.from_arrow(b.select([ic, tc])), ic, tc, k)
-        # num_perm permutations = num_perm seeded 64-bit hashes, min per doc
-        aggs = [
-            pl.col("sh").hash(seed=1000 + i).min().alias(f"h{i}")
-            for i in range(self.num_perm)
-        ]
-        sig = sh.group_by(ic).agg(aggs)
-        # band keys: hash of the concatenated row-slice of the signature
-        band_cols = []
-        for bI in range(self.bands):
-            cols = [pl.col(f"h{bI * self.rows + j}") for j in range(self.rows)]
-            band_cols.append(
-                pl.concat_str([c.cast(pl.Utf8) for c in cols], separator=":")
-                .hash(seed=77)
-                .reinterpret(signed=True)
-                .alias(f"band{bI}")
+        sh = _shingle_rows(pl.from_arrow(b.select([ic, tc])), ic, tc, k).sort(ic)
+        base = poly_hash_arr(sh["sh"].to_arrow())  # (n_shingles,) uint64
+        ids = sh[ic].to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {ic: pa.array([], pa.int64())}
+                | {f"band{bi}": pa.array([], pa.int64()) for bi in range(self.bands)}
             )
-        out = sig.with_columns(band_cols).select([ic] + [f"band{bI}" for bI in range(self.bands)])
-        return out.to_arrow()
+        starts = _run_bounds(ids)[:-1]
+        # all permutations at once: (num_perm, n_shingles) wrap-mul, then a
+        # segmented min per doc — no per-perm or per-doc Python
+        perms = base[None, :] * self.a + self.b
+        mins = np.minimum.reduceat(perms, starts, axis=1)  # (num_perm, n_docs)
+        out = {ic: pa.array(ids[starts], pa.int64())}
+        for bi in range(self.bands):
+            cols = [mins[bi * self.rows + j] for j in range(self.rows)]
+            out[f"band{bi}"] = pa.array(band_key(cols).astype(np.int64), pa.int64())
+        return pa.table(out)
 
 
 def minhash_lsh_pairs(
@@ -340,15 +349,18 @@ class SimHasher:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, b: pa.Table) -> pa.Table:
+        from .hashing import poly_hash_arr
+
         df = pl.from_arrow(b.select([self.id_col, self.text_col]))
         toks = (
             df.with_columns(pl.col(self.text_col).str.to_lowercase().str.split(" ").alias("tok"))
             .explode("tok")
             .filter(pl.col("tok").str.len_chars() > 0)
-            .with_columns(pl.col("tok").hash(seed=5).alias("h"))
         )
         ids = toks[self.id_col].to_numpy()
-        hs = toks["h"].to_numpy().astype(np.uint64)
+        # SQL-expressible token hash (functions/hashing.py) so the DuckDB
+        # oracle reproduces the exact signature
+        hs = poly_hash_arr(toks["tok"].to_arrow())
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
         contrib = bits * 2 - 1  # +1 / -1 per bit
         uniq, inv = np.unique(ids, return_inverse=True)
@@ -386,12 +398,20 @@ def embedding_neardup_pairs(
     a < b, distinct. This is the 100TB scale path; the exact oracle-checked
     baseline is :func:`embedding_cosine_pairs_exact`."""
 
+    from .hashing import plane_matrix
+
+    planes_by_table: dict[int, np.ndarray] = {}  # built once per dim, in closure
+
     def bucketize(b: pa.Table) -> pa.Table:
         vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        if not planes_by_table:
+            # deterministic Rademacher (+-1) hyperplanes: built ONCE (closure
+            # memo, not per batch) and SQL-expressible for the DuckDB oracle
+            for t in range(num_tables):
+                planes_by_table[t] = plane_matrix(t, num_planes, vecs.shape[1])
         out = []
         for t in range(num_tables):
-            planes = np.random.default_rng(42 + t).standard_normal((vecs.shape[1], num_planes))
-            signs = (vecs @ planes > 0).astype(np.int64)
+            signs = (vecs @ planes_by_table[t] > 0).astype(np.int64)
             key = (signs << np.arange(num_planes)).sum(axis=1)
             out.append(
                 pa.table(

@@ -37,10 +37,12 @@ class _TopKScorer:
         norms[norms == 0] = 1.0
         sims = (vecs / norms) @ self.q.T  # (n, nq)
         k = min(self.k, len(ids))
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)
         qidx, out_id, out_sim = [], [], []
         for qi in range(self.q.shape[0]):
-            rows = top[:, qi]
+            # deterministic local top-k: (cos DESC, id ASC) — ties at the k
+            # boundary must survive to the driver merge exactly as the oracle's
+            # ORDER BY would keep them
+            rows = np.lexsort((ids, -sims[:, qi]))[:k]
             qidx.extend([qi] * len(rows))
             out_id.extend(ids[rows])
             out_sim.extend(sims[rows, qi])
@@ -94,8 +96,11 @@ def lsh_topk(
     """Approximate top-k: score only vectors whose hyperplane sign-bucket is within
     ``hamming_probe`` bits of the query's bucket. Same output shape as
     :func:`brute_force_topk`; recall < 1 by design (scale path)."""
+    from .hashing import plane_matrix
+
     q = np.asarray(queries, dtype=np.float64)
-    planes = np.random.default_rng(42).standard_normal((q.shape[1], num_planes))
+    # deterministic Rademacher planes (SQL-expressible; see functions/hashing.py)
+    planes = plane_matrix(0, num_planes, q.shape[1])
     qsig = ((q @ planes) > 0).astype(np.int64) @ (1 << np.arange(num_planes))
     allowed: set[int] = set()
     for s in qsig:

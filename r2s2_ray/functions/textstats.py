@@ -21,7 +21,12 @@ LANG_PROFILES: dict[str, set[str]] = {
 
 
 def token_stats(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
-    """(id, n_tokens, n_distinct_tokens, max_token_len) — whitespace+alnum tokens."""
+    """(id, n_tokens, n_distinct_tokens, max_token_len) — whitespace+alnum tokens.
+
+    Token-less documents are KEPT (n_tokens=0, max_token_len=null), matching the
+    SQL oracle's one-row-per-document contract: the aggregated stats are
+    left-joined back onto the batch's id column so explode+group_by cannot drop
+    rows."""
 
     def fn(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b.select([id_col, text_col]))
@@ -32,10 +37,18 @@ def token_stats(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Da
             .explode("tok")
             .drop_nulls("tok")
         )
-        out = toks.group_by(id_col).agg(
+        agg = toks.group_by(id_col).agg(
             pl.len().cast(pl.Int64).alias("n_tokens"),
             pl.col("tok").n_unique().cast(pl.Int64).alias("n_distinct_tokens"),
             pl.col("tok").str.len_chars().max().cast(pl.Int64).alias("max_token_len"),
+        )
+        out = (
+            df.select(pl.col(id_col))
+            .join(agg, on=id_col, how="left")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("n_distinct_tokens").fill_null(0),
+            )
         )
         return out.to_arrow()
 
@@ -106,18 +119,17 @@ def lang_id(ds: ray.data.Dataset, id_col: str, text_col: str, concurrency=(1, 8)
 
 
 def fingerprint(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
-    """64-bit polynomial rolling-hash document fingerprint (content-identity key for
-    incremental dedup): fp = sum(byte_i * P^i) mod 2^64, numpy-vectorized per row."""
-    P = np.uint64(1099511628211)
+    """64-bit polynomial rolling-hash document fingerprint (content-identity key
+    for incremental dedup): fp = sum(byte_i * P^i) mod 2^64. Fully vectorized
+    across the batch (one pass over the concatenated byte buffer — see
+    functions/hashing.py) and SQL-expressible: the DuckDB oracle computes the
+    same value as a Horner ``list_reduce`` over the reversed byte list."""
+    from .hashing import poly_hash_arr
 
     def fn(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            if len(data):
-                powers = np.cumprod(np.full(len(data), P, dtype=np.uint64)) // P
-                out[i] = np.sum(data * powers, dtype=np.uint64)
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        out = poly_hash_arr(col)
         return pa.table(
             {id_col: b[id_col], "fingerprint": pa.array(out.astype(np.int64), pa.int64())}
         )

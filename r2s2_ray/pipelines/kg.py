@@ -48,7 +48,7 @@ from ..transcripts import read_transcripts
 from ..stages import merge as merge_stage
 from ..stages.dicts import build_term_dictionary, distinct_small, write_small_dict
 from ..stages.fold import combo_string, fold, route, write_lean
-from ..stages.materialize import materialize_table, table_lean_path
+from ..stages.materialize import table_lean_path
 from ..stages.specs import spec_from_combo
 from ..stages.stats import decide_columns, run_stats
 from ..stages.materialize import decompose_lean
@@ -212,17 +212,14 @@ def run_pipeline(
     m4 = _load_or_none(out_dir, 3, "materialize", resume)
     if m4 is None:
         with StageTimer(metrics, "step3_s"):
-            # per-table pipelines are independent; submit a few concurrently so
-            # driver-side latency doesn't serialize (the cluster still arbitrates
-            # CPU via the shared scheduler)
-            from concurrent.futures import ThreadPoolExecutor
+            # ONE Ray job over bin-packed per-file chunks of every table (the
+            # per-table-job ThreadPool variant anti-scaled: N concurrent
+            # streaming executors contend on the driver GIL). Doubles as the
+            # final compaction pass (T11): output file count is bounded by
+            # ceil(rows / target_rows) per table.
+            from ..stages.materialize import materialize_all
 
-            def _mat(spec):
-                materialize_table(out_dir, spec, m3.enums, lean_path=spec.path)
-                spec.path = os.path.join(out_dir, "tables", spec.name)
-
-            with ThreadPoolExecutor(max_workers=min(16, max(1, len(m3.tables)))) as pool:
-                list(pool.map(_mat, m3.tables))
+            materialize_all(out_dir, m3.tables, m3.enums)
             m4 = Manifest(
                 stage="materialize",
                 step=3,

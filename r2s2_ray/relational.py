@@ -125,35 +125,80 @@ def q_distinct_events(sf_dir: str):
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
 
-def q_user_cumsum(sf_dir: str):
-    """Per-user running total ordered by (ts, event_id) — the ordered-log pattern:
-    partition by key, sort inside the group, sequential scan is per-group local."""
+def _bucket_by(col: str, num_buckets: int, seed: int = 17):
+    """Append a ``bucket = hash(col) % B`` column (the fold.py shuffle pattern:
+    the distributed sort keys on bucket ALONE, so equal keys can never straddle a
+    range partition, and hot keys spread over B buckets)."""
+    import polars as pl
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        bk = df.select(
+            pl.col(col).hash(seed=seed).mod(num_buckets).cast(pl.Int32).alias("bucket")
+        )["bucket"]
+        return b.append_column("bucket", bk.to_arrow())
+
+    return fn
+
+
+def q_user_cumsum(sf_dir: str, num_buckets: int = 32):
+    """Per-user running total ordered by (ts, event_id) — the ordered-log pattern.
+
+    sort(bucket) + whole-block polars ``cum_sum().over()`` instead of
+    ``groupby.map_groups`` (one Python+pandas call PER USER is the measured ~10x
+    slow path; see stages/fold.py fold() note)."""
+    import polars as pl
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        cents = (g["value"] * 100).round().astype("int64")
-        return pd.DataFrame(
-            {
-                "event_id": g["event_id"],
-                "user_id": g["user_id"],
-                "cum_value_cents": cents.cumsum(),
-            }
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["user_id", "ts", "event_id"])
+        out = df.with_columns(
+            (pl.col("value") * 100)
+            .round(0)
+            .cast(pl.Int64)
+            .cum_sum()
+            .over("user_id")
+            .alias("cum_value_cents")
         )
+        return out.select(["event_id", "user_id", "cum_value_cents"]).to_arrow()
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
 
 
-def q_sessions(sf_dir: str, gap_minutes: int = 30):
+def q_sessions(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 32):
+    """Sessionization (30-min gap): same sort(bucket) + whole-block pattern —
+    per-user gap detection is a vectorized diff-over-partition, one call per
+    BLOCK, not per user."""
+    import polars as pl
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new = (g["ts"].diff() > gap).sum() + 1
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new)]})
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["user_id", "ts", "event_id"])
+        out = (
+            df.with_columns(
+                (
+                    pl.col("ts").diff().over("user_id")
+                    > pl.duration(minutes=gap_minutes)
+                )
+                .fill_null(False)
+                .alias("brk")
+            )
+            .group_by("user_id")
+            .agg((pl.col("brk").sum() + 1).cast(pl.Int64).alias("n_sessions"))
+        )
+        return out.to_arrow()
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def q_hourly_window(sf_dir: str):

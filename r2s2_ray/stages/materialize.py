@@ -178,6 +178,87 @@ def table_data_path(out_dir: str, name: str) -> str:
     return os.path.join(out_dir, "tables", name)
 
 
+def materialize_all(
+    out_dir: str,
+    specs: list[TableSpec],
+    enums: dict[str, list[str]],
+    target_rows: int = 1_000_000,
+) -> None:
+    """Materialize EVERY pending table in ONE Ray job.
+
+    Without a global sort (the fold/merge exchanges already subject-sort each
+    bucket), materialization is a pure per-file map — so instead of one driver
+    -side Ray job per table (N concurrent streaming executors contending on the
+    driver GIL: measured ANTI-scaling, 14.4s @ 8 cpus -> 18.2s @ 32 cpus at x64),
+    the lean files of all tables are bin-packed into ~``target_rows`` chunks and
+    a single ``from_items -> map_batches`` pipeline processes every chunk.
+
+    This doubles as the final-compaction stage (PoorMansVacuum.java:22-87
+    analog): the lean store's buckets-x-tables small files come out as
+    ceil(rows/target_rows) files per table, and as the idempotency fix for
+    stage re-runs: output names are deterministic (``part-<chunk_idx>``), so a
+    Ray task retry or a killed-and-resumed run OVERWRITES instead of appending.
+    Per-table ``_SUCCESS`` stamps (written only after the whole job) keep the
+    per-partition resume contract."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    specs_by_name = {s.name: s for s in specs}
+    items: list[dict] = []
+    pending: list[TableSpec] = []
+    for spec in specs:
+        dest = table_data_path(out_dir, spec.name)
+        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+            spec.path = dest
+            continue  # per-partition resume
+        pending.append(spec)
+        src = spec.path or table_lean_path(out_dir, spec.name)
+        files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        os.makedirs(dest, exist_ok=True)
+        chunk: list[str] = []
+        rows = 0
+        part = 0
+        for f in files:
+            n = pq.ParquetFile(f).metadata.num_rows
+            if chunk and rows + n > target_rows:
+                items.append({"table": spec.name, "files": "\x1f".join(chunk), "part": part})
+                chunk, rows = [], 0
+                part += 1
+            chunk.append(f)
+            rows += n
+        if chunk:
+            items.append({"table": spec.name, "files": "\x1f".join(chunk), "part": part})
+    if items:
+        fns = {name: MaterializeFn(specs_by_name[name], enums) for name in {i["table"] for i in items}}
+
+        def work(batch: dict) -> dict:
+            done = []
+            for name, files, part in zip(batch["table"], batch["files"], batch["part"]):
+                t = pa.concat_tables(
+                    [pq.read_table(f) for f in str(files).split("\x1f")],
+                    promote_options="default",
+                )
+                keys = [("subj", "ascending")]
+                if "obj" in t.column_names:
+                    keys.append(("obj", "ascending"))
+                t = t.sort_by(keys)  # chunk-local: inputs are bucket-sorted already
+                out = fns[str(name)](t)
+                pq.write_table(
+                    out,
+                    os.path.join(table_data_path(out_dir, str(name)), f"part-{part:05d}.parquet"),
+                )
+                done.append(out.num_rows)
+            return {"n": done}
+
+        ray.data.from_items(items).map_batches(work, batch_size=1).materialize()
+    for spec in pending:
+        dest = table_data_path(out_dir, spec.name)
+        spec.path = dest
+        with open(os.path.join(dest, "_SUCCESS"), "w") as f:
+            f.write("ok")
+
+
 def materialize_table(
     out_dir: str,
     spec: TableSpec,
