@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from r2s2_ray import oracles, relational, vocab
+from r2s2_ray import oracles, oracles_td, relational, vocab
 from r2s2_ray.extract.batch import extract_triples
 from r2s2_ray.linking import canonicalize
 from r2s2_ray.terms import RDF_TYPE
@@ -393,19 +393,12 @@ def _mm_audio_frames(sf_dir: str):
 
 
 def _kg_connected_components(sf_dir: str):
-    import ray.data
+    from r2s2_ray.functions.graph import cc_demo_edges, connected_components_distributed
 
-    from r2s2_ray.linking import alias_pairs, connected_components
-
-    edges = ray.data.from_arrow(
-        pa.table(
-            {
-                "src": pa.array([a for a, _ in alias_pairs()]),
-                "dst": pa.array([c for _, c in alias_pairs()]),
-            }
-        )
-    )
-    return connected_components(edges)
+    # the SCALE path (fully distributed min-label propagation, no driver-side
+    # node map) over a multi-10k-node synthetic edge list spanning >1 block;
+    # oracle: DuckDB recursive CTE over the same construction
+    return connected_components_distributed(cc_demo_edges(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -521,7 +514,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
             FROM common JOIN cnt na ON na.doc_id = a JOIN cnt nb ON nb.doc_id = b
             WHERE c * 1.0 / (na.n + nb.n - c) >= 0.8""",
-        # rows-only (non-SQL-expressible, weaker check by design):
-        # dd_minhash_pairs, dd_simhash, dd_embedding_lsh, sim_ann_lsh, txt_langid,
-        # txt_fingerprint, mm_image_features, mm_audio_frames, kg_connected_components
+        # training-data family oracles: bit-exact SQL replicas of the hash-based
+        # operators (possible because the operators use the SQL-expressible hash
+        # family in r2s2_ray/functions/hashing.py)
+        "txt_fingerprint": oracles_td.fingerprint_oracle(),
+        "txt_langid": oracles_td.langid_oracle(),
+        "dd_simhash": oracles_td.simhash_oracle(),
+        "dd_minhash_pairs": oracles_td.minhash_pairs_oracle(),
+        "dd_embedding_lsh": oracles_td.embedding_lsh_oracle(),
+        "sim_ann_lsh": oracles_td.ann_lsh_oracle(),
+        "mm_image_features": oracles_td.image_features_oracle(),
+        "mm_audio_frames": oracles_td.audio_frames_oracle(),
+        "kg_connected_components": oracles_td.connected_components_oracle(),
     }

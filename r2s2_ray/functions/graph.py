@@ -20,9 +20,45 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Min, Sum
+from ray.data.aggregate import Min
 
 _HASH_SEED = 0x9E3779B97F4A7C15
+
+
+def cc_demo_edges(sf_dir: str, per_doc: int = 20, groups: int = 50) -> ray.data.Dataset:
+    """Deterministic multi-10k-node edge list derived from the documents table
+    (drives the driver-contract CC query at >1 block): every document spawns a
+    ``per_doc``-node star, and star centers link to a modular group-anchor node
+    (``g<k>``), giving ``groups`` components whose lexicographic-min label is the
+    anchor. Mirrored exactly by oracles_td.connected_components_oracle."""
+    import polars as pl
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def gen(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        base = d * per_doc
+        star_src = (base[:, None] + np.arange(1, per_doc, dtype=np.int64)).ravel()
+        star_dst = np.repeat(base, per_doc - 1)
+        df = pl.DataFrame(
+            {
+                "s": np.concatenate([star_src, base]),
+                "kind": np.concatenate(
+                    [np.zeros(len(star_src), np.int8), np.ones(len(base), np.int8)]
+                ),
+                "t": np.concatenate([star_dst, d % groups]),
+            }
+        )
+        out = df.select(
+            ("n" + pl.col("s").cast(pl.Utf8).str.zfill(8)).alias("src"),
+            pl.when(pl.col("kind") == 0)
+            .then("n" + pl.col("t").cast(pl.Utf8).str.zfill(8))
+            .otherwise("g" + pl.col("t").cast(pl.Utf8).str.zfill(8))
+            .alias("dst"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(gen, batch_format="pyarrow").repartition(8)
 
 
 def _label_fingerprint(labels: ray.data.Dataset) -> int:
@@ -37,13 +73,19 @@ def _label_fingerprint(labels: ray.data.Dataset) -> int:
         v = df.select(
             pl.concat_str([pl.col("node"), pl.col("label")], separator="\x1f")
             .hash(seed=7)
-            .reinterpret(signed=True)
             .alias("h")
         )
-        return pa.table({"h": v["h"].to_arrow()})
+        # per-block partial sum WRAPPED to uint64 (a plain int64 Sum aggregate
+        # overflows into Python bigints and kills the reduce task)
+        part = np.uint64(v["h"].to_numpy().astype(np.uint64, copy=False).sum())
+        return pa.table({"h": pa.array([np.int64(part.astype(np.int64))], pa.int64())})
 
-    rows = labels.map_batches(h, batch_format="pyarrow").aggregate(Sum("h", alias_name="s"))
-    return int(rows["s"] or 0)
+    rows = labels.map_batches(h, batch_format="pyarrow").take_all()
+    # cross-block combine on the driver: one 8-byte row per block (metadata-scale)
+    acc = np.uint64(0)
+    for r in rows:
+        acc = acc + np.uint64(np.int64(r["h"]).astype(np.uint64))
+    return int(acc)
 
 
 def connected_components_distributed(
@@ -84,7 +126,9 @@ def connected_components_distributed(
             }
         )
 
-    endpoint_rows = edges.map_batches(edge_rows, batch_format="pyarrow")
+    # materialize ONCE: every round reads endpoint_rows twice, and a lazy
+    # dataset would re-execute the whole upstream edge pipeline each time
+    endpoint_rows = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
     labels = (
         edges.map_batches(init, batch_format="pyarrow")
         .groupby("node")

@@ -47,11 +47,25 @@ class BinaryStats:
         )
 
 
+def _sha_stream(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic n-byte pseudo-stream from a payload: sha256 digests chained
+    over HEX STRINGS (d1 = sha256(payload), d_{k+1} = sha256(hex(d_k))) so the
+    DuckDB oracle — whose sha256() only accepts VARCHAR — can reproduce it."""
+    hexes = [hashlib.sha256(payload).hexdigest()]
+    while 32 * len(hexes) < n:
+        hexes.append(hashlib.sha256(hexes[-1].encode()).hexdigest())
+    raw = bytes.fromhex("".join(hexes))
+    reps = -(-n // len(raw))
+    return np.frombuffer(raw * reps, dtype=np.uint8)[:n]
+
+
 class ImageDecode:
     """Actor-pool image decode -> fixed-size float feature. The decode kernel is a
     STUB: with ``fake=True`` it emits a deterministic payload-derived vector (so
-    the distributed plumbing is testable); with ``fake=False`` it raises
-    NotImplementedError because no image library ships in this container."""
+    the distributed plumbing is testable — and SQL-checkable: sha256-chain bytes
+    scaled by the exact dyadic 1/256, see oracles_td.image_features_oracle);
+    with ``fake=False`` it raises NotImplementedError because no image library
+    ships in this container."""
 
     def __init__(self, size: tuple[int, int] = (8, 8), fake: bool = True):
         self.size = size
@@ -66,8 +80,10 @@ class ImageDecode:
         h, w = self.size
         feats = []
         for p in b["payload"].to_pylist():
-            d = hashlib.blake2b(p, digest_size=h * w).digest()
-            feats.append((np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0).tolist())
+            d = _sha_stream(p, h * w)
+            # /256 (a power of two) is exact in float32 — bit-identical to the
+            # oracle's CAST(b/256.0 AS FLOAT)
+            feats.append((d.astype(np.float32) / 256.0).tolist())
         return pa.table(
             {
                 "media_id": b["media_id"],
@@ -101,9 +117,12 @@ class FrameSampler:
 class AudioFrames:
     """Audio decode -> windowed frame features, stubbed like ImageDecode: with
     ``fake=True`` the "decoded waveform" is a deterministic payload-derived byte
-    stream framed at (win, hop) from the declared sample rate in ``meta`` JSON —
-    the windowing/row-expansion plumbing is real; a real build would swap the
-    stub for soundfile/librosa in ``__init__`` (actor-pool, loaded once)."""
+    stream (sha256 of the payload, cycled) framed at (win, hop) from the declared
+    sample count in ``meta`` JSON — the windowing/row-expansion plumbing is real;
+    a real build would swap the stub for soundfile/librosa in ``__init__``
+    (actor-pool, loaded once). The per-frame feature is the INTEGER energy
+    (sum of squared byte samples) so the DuckDB oracle matches exactly — no
+    float-summation-order hazard."""
 
     def __init__(self, win: int = 400, hop: int = 160, fake: bool = True):
         self.win, self.hop, self.fake = win, hop, fake
@@ -121,19 +140,21 @@ class AudioFrames:
             b["media_id"].to_pylist(), b["payload"].to_pylist(), b["meta"].to_pylist()
         ):
             n_samples = int(json.loads(meta or "{}").get("n_samples", len(p)))
+            digest = hashlib.sha256(p).digest()
             wave = np.frombuffer(
-                hashlib.blake2b(p, digest_size=32).digest() * (n_samples // 32 + 1), dtype=np.uint8
-            )[:n_samples].astype(np.float32)
+                digest * (n_samples // 32 + 1), dtype=np.uint8
+            )[:n_samples].astype(np.int64)
+            sq = wave * wave
             for fi, start in enumerate(range(0, max(1, n_samples - self.win + 1), self.hop)):
-                seg = wave[start : start + self.win]
+                seg = sq[start : start + self.win]
                 ids.append(mid)
                 idxs.append(fi)
-                energies.append(float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0)
+                energies.append(int(seg.sum()))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(idxs, pa.int32()),
-                "rms": pa.array(energies, pa.float32()),
+                "energy": pa.array(energies, pa.int64()),
             }
         )
 

@@ -120,18 +120,26 @@ def connected_components(
 
     for _ in range(max_rounds):
         # propagate: each edge forwards min(label(src), label(dst)) to both ends
-        lab = {r["node"]: r["label"] for r in labels.take_all()}
+        rows = labels.take_all()
         # NOTE on scale: the label table is as big as the node set; take_all here is
         # only valid because alias-merge node sets are small (entity surface forms).
         # The fully distributed variant joins labels<->edges via a bucketed groupby;
         # see functions/graph.py for the generic large-scale implementation.
-        ref = ray.put(lab)
+        lab = {r["node"]: r["label"] for r in rows}
+        keys = pa.array([r["node"] for r in rows], pa.string())
+        vals = pa.array([r["label"] for r in rows], pa.string())
+        ref = ray.put((keys, vals))
 
         def relabel(t: pa.Table, _ref=ref) -> pa.Table:
-            m = ray.get(_ref)
-            src_l = pa.array([m[v] for v in t["src"].to_pylist()], pa.string())
-            dst_l = pa.array([m[v] for v in t["dst"].to_pylist()], pa.string())
-            lo = pc.min_element_wise(src_l, dst_l)
+            k, v = ray.get(_ref)
+
+            def _arr(x):
+                return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+            # vectorized dictionary lookup (pc.index_in/take), not a per-row loop
+            src_l = pc.take(v, pc.index_in(_arr(t["src"]), value_set=k))
+            dst_l = pc.take(v, pc.index_in(_arr(t["dst"]), value_set=k))
+            lo = _arr(pc.min_element_wise(src_l, dst_l))
             return pa.table(
                 {
                     "node": pa.concat_arrays(

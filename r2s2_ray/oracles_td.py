@@ -1,0 +1,330 @@
+"""DuckDB oracle-SQL builders for the training-data operator family.
+
+Each builder mirrors, bit for bit, the corresponding Ray operator in
+``functions/`` — possible because those operators use the SQL-expressible hash
+family from :mod:`r2s2_ray.functions.hashing` (polynomial byte hash, affine
+MinHash permutations, polynomial band combiner, Rademacher hyperplanes). The
+constants are IMPORTED from that module so the two sides cannot drift.
+
+All 64-bit modular arithmetic is done in HUGEINT with explicit ``% 2^64``;
+values cross into the signed BIGINT world via the two's-complement CASE. DuckDB
+``list_reduce`` coerces its accumulator to the list element type, so the Horner
+fold keeps the accumulator signed-64 at every step.
+"""
+
+from __future__ import annotations
+
+from .functions import hashing as H
+
+U64 = "18446744073709551616"  # 2^64
+I63 = "9223372036854775808"  # 2^63
+P = int(H.P)
+Q = int(H.Q)
+K_A = H.K_A
+
+
+def _signed(u: str) -> str:
+    """HUGEINT in [0, 2^64) -> signed BIGINT (two's complement)."""
+    return (
+        f"CAST(CASE WHEN {u} >= CAST('{I63}' AS HUGEINT) "
+        f"THEN {u} - CAST('{U64}' AS HUGEINT) ELSE {u} END AS BIGINT)"
+    )
+
+
+def _unsigned(s: str) -> str:
+    """signed BIGINT -> HUGEINT in [0, 2^64)."""
+    return (
+        f"(CASE WHEN {s} < 0 THEN CAST({s} AS HUGEINT) + CAST('{U64}' AS HUGEINT) "
+        f"ELSE CAST({s} AS HUGEINT) END)"
+    )
+
+
+def _mulmod(u: str, a: str, a_lo: str | None = None) -> str:
+    """(u * a) mod 2^64 without overflowing HUGEINT: split u into 32-bit halves.
+    ``a_lo`` is a mod 2^32 (precomputed for constant a, expression otherwise)."""
+    if a_lo is None:
+        a_lo = f"({a} % 4294967296)"
+    lo = f"({u} % 4294967296)"
+    hi = f"({u} // 4294967296)"
+    return (
+        f"((({lo} * {a}) + ((({hi} * {a_lo}) % 4294967296) * 4294967296)) "
+        f"% CAST('{U64}' AS HUGEINT))"
+    )
+
+
+#: byte list of an UPPERCASE hex string hx ('0' maps via strpos miss -> 0)
+def _bytes_of_hex(hx: str, alphabet: str = "123456789ABCDEF") -> str:
+    return (
+        f"list_transform(range(0, length({hx}) // 2), "
+        f"i -> strpos('{alphabet}', substr({hx}, 2*i + 1, 1)) * 16 "
+        f"   + strpos('{alphabet}', substr({hx}, 2*i + 2, 1)))"
+    )
+
+
+#: Horner fold step for the polynomial hash, accumulator kept signed-64
+def _horner_lam() -> str:
+    step = f"({_mulmod(_unsigned('acc'), str(P), str(P % 2**32))} + x) % CAST('{U64}' AS HUGEINT)"
+    # poly base P < 2^41 so acc*P + x < 2^105: the mulmod split keeps it exact
+    return f"(acc, x) -> {_signed(step)}"
+
+
+def _poly_hash(hx: str) -> str:
+    """Signed-BIGINT polynomial hash of the string whose UPPERCASE hex is hx."""
+    return (
+        f"CASE WHEN length({hx}) = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE list_reduce(list_reverse({_bytes_of_hex(hx)}), {_horner_lam()}) END"
+    )
+
+
+def fingerprint_oracle() -> str:
+    return f"""
+        WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents)
+        SELECT doc_id, {_poly_hash('h')} AS fingerprint FROM hx"""
+
+
+def langid_oracle() -> str:
+    from .functions.textstats import LANG_PROFILES
+
+    langs = [l for l in LANG_PROFILES if LANG_PROFILES[l]]  # en, de, fr, es
+    counts = ", ".join(
+        "count(*) FILTER (tok IN ({})) AS c_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[l])), l
+        )
+        for l in langs
+    )
+    order = langs + ["zh"]  # numpy argmax: first max wins, in column order
+    whens = []
+    for i, l in enumerate(order[:-1]):
+        conds = " AND ".join(f"c_{l} >= c_{m}" for m in order[i + 1 :])
+        whens.append(f"WHEN {conds} THEN '{l}'")
+    case = (
+        "CASE WHEN " + " AND ".join(f"c_{l} = 0" for l in order) + " THEN 'unknown' "
+        + " ".join(whens)
+        + f" ELSE '{order[-1]}' END"
+    )
+    coal = ", ".join(f"coalesce(s.c_{l}, 0) AS c_{l}" for l in langs)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+          FROM documents),
+        scores AS (SELECT doc_id, {counts} FROM toks GROUP BY doc_id),
+        cjk AS (SELECT doc_id,
+                       4 * len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) AS c_zh
+                FROM documents),
+        j AS (SELECT c.doc_id, {coal}, c.c_zh AS c_zh
+              FROM cjk c LEFT JOIN scores s ON s.doc_id = c.doc_id)
+        SELECT doc_id, {case} AS lang_pred FROM j"""
+
+
+#: (k, 2^k as BIGINT) rows for simhash bit extraction / reassembly (k < 63)
+def _pow2_values() -> str:
+    rows = ", ".join(f"({k}, {1 << k})" for k in range(63))
+    return f"(VALUES {rows}, (63, 0)) pw(k, p)"
+
+
+def simhash_oracle() -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS tok
+          FROM documents),
+        hx AS (SELECT doc_id, hex(encode(tok)) AS h FROM toks),
+        th AS (SELECT doc_id, {_poly_hash('h')} AS hs FROM hx),
+        bits AS (
+          SELECT doc_id, pw.k, pw.p,
+                 sum(CASE WHEN ((hs >> pw.k) & 1) = 1 THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN {_pow2_values()}
+          GROUP BY doc_id, pw.k, pw.p)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN
+                   CASE WHEN k = 63 THEN -{I63} ELSE p END ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bits GROUP BY doc_id"""
+
+
+def _shingles_cte(shingle_k: int = 3) -> str:
+    """DISTINCT (doc_id, s) word-k-shingles — mirrors dedup._shingle_rows."""
+    concat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(shingle_k))
+    return f"""
+        d AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+              FROM documents),
+        sh AS (SELECT DISTINCT doc_id, s FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(toks) - {shingle_k - 2}),
+                               i -> {concat})) AS s
+                 FROM d))"""
+
+
+def minhash_pairs_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3) -> str:
+    rows = num_perm // bands
+    perm_rows = ", ".join(
+        "({}, CAST('{}' AS HUGEINT), CAST('{}' AS HUGEINT), {})".format(
+            i, H.perm_constants(i)[0], H.perm_constants(i)[1], H.perm_constants(i)[0] % 2**32
+        )
+        for i in range(num_perm)
+    )
+    q_rows = ", ".join(
+        "({}, CAST('{}' AS HUGEINT), {})".format(
+            r, pow(Q, r, 2**64), pow(Q, r, 2**64) % 2**32
+        )
+        for r in range(rows)
+    )
+    affine = f"({_mulmod(_unsigned('bh'), 'p.a', 'p.alo')} + p.b) % CAST('{U64}' AS HUGEINT)"
+    combined = _mulmod("sig.h", "q.qr", "q.qlo")
+    return f"""
+        WITH {_shingles_cte(shingle_k)},
+        shx AS (SELECT doc_id, hex(encode(s)) AS h FROM sh),
+        base AS (SELECT doc_id, {_poly_hash('h')} AS bh FROM shx),
+        perms AS (SELECT * FROM (VALUES {perm_rows}) p(i, a, b, alo)),
+        sig AS (SELECT base.doc_id, p.i, min({affine}) AS h
+                FROM base CROSS JOIN perms p GROUP BY base.doc_id, p.i),
+        qs AS (SELECT * FROM (VALUES {q_rows}) q(r, qr, qlo)),
+        bandkeys AS (
+          SELECT sig.doc_id, sig.i // {rows} AS band,
+                 {_signed(f"(sum({combined}) % CAST('{U64}' AS HUGEINT))")} AS bh
+          FROM sig JOIN qs q ON sig.i % {rows} = q.r
+          GROUP BY sig.doc_id, sig.i // {rows})
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bandkeys x JOIN bandkeys y
+          ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id"""
+
+
+def _planes_cte(num_tables: int, num_planes: int, dim: int) -> str:
+    """Rademacher plane entries s(t, p, d) — mirrors hashing.plane_matrix."""
+    ka_lo = K_A % 2**32
+    x = "(t.t * 1000003 + p.p * 1009 + d.d + 1)"
+    h = _mulmod(f"CAST({x} AS HUGEINT)", str(K_A), str(ka_lo))
+    return f"""
+        planes AS (
+          SELECT t.t, p.p, d.d,
+                 CASE WHEN {h} >= CAST('{I63}' AS HUGEINT) THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range({num_tables})) AS t) t
+          CROSS JOIN (SELECT unnest(range({num_planes})) AS p) p
+          CROSS JOIN (SELECT unnest(range({dim})) AS d) d)"""
+
+
+def embedding_lsh_oracle(
+    threshold: float = 0.4, num_planes: int = 4, num_tables: int = 8, dim: int = 64
+) -> str:
+    return f"""
+        WITH {_planes_cte(num_tables, num_planes, dim)},
+        dots AS (
+          SELECT e.vec_id, pl.t, pl.p,
+                 sum(CAST(e.embedding[pl.d + 1] AS DOUBLE) * pl.s) AS dot
+          FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
+          GROUP BY e.vec_id, pl.t, pl.p),
+        buckets AS (
+          SELECT vec_id, t,
+                 sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS bucket
+          FROM dots GROUP BY vec_id, t),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+          FROM buckets x JOIN buckets y
+            ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        SELECT a, b,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+        FROM cand JOIN embeddings ea ON ea.vec_id = a
+                  JOIN embeddings eb ON eb.vec_id = b
+        WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])) >= {threshold}"""
+
+
+def ann_lsh_oracle(
+    k: int = 5, num_planes: int = 8, hamming_probe: int = 1, n_queries: int = 8, dim: int = 64
+) -> str:
+    assert hamming_probe == 1
+    return f"""
+        WITH {_planes_cte(1, num_planes, dim)},
+        dots AS (
+          SELECT e.vec_id, pl.p,
+                 sum(CAST(e.embedding[pl.d + 1] AS DOUBLE) * pl.s) AS dot
+          FROM embeddings e JOIN planes pl ON pl.d < len(e.embedding)
+          GROUP BY e.vec_id, pl.p),
+        sigs AS (
+          SELECT vec_id, sum(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS sig
+          FROM dots GROUP BY vec_id),
+        allowed AS (
+          SELECT DISTINCT sig AS bucket FROM sigs WHERE vec_id < {n_queries}
+          UNION
+          SELECT DISTINCT xor(sig, 1 << b.b) AS bucket
+          FROM sigs CROSS JOIN (SELECT unnest(range({num_planes})) AS b) b
+          WHERE vec_id < {n_queries}),
+        cand AS (
+          SELECT s.vec_id FROM sigs s JOIN allowed a ON s.sig = a.bucket),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id,
+                 list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                        CAST(ec.embedding AS DOUBLE[])) AS cos
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id < {n_queries}) q
+          JOIN embeddings eq ON eq.vec_id = q.vec_id
+          CROSS JOIN cand c
+          JOIN embeddings ec ON ec.vec_id = c.vec_id)
+        SELECT qid, vec_id
+        FROM (SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= {k}"""
+
+
+def image_features_oracle(n_bytes: int = 64) -> str:
+    """sha256-chain feature: d1 = sha256(text), d2 = sha256(d1-hex), bytes =
+    unhex-concat truncated to n_bytes, each scaled by exact dyadic 1/256."""
+    n_digests = -(-n_bytes // 32)
+    chain = ["sha256(text)"]
+    for _ in range(n_digests - 1):
+        chain.append(f"sha256({chain[-1]})")
+    hx = f"upper({' || '.join(chain)})"
+    return f"""
+        WITH hx AS (SELECT doc_id AS media_id, substr({hx}, 1, {2 * n_bytes}) AS h
+                    FROM documents)
+        SELECT media_id,
+               list_transform({_bytes_of_hex('h')},
+                              b -> CAST(b / 256.0 AS FLOAT)) AS feature
+        FROM hx"""
+
+
+def audio_frames_oracle(n_samples: int = 1600, win: int = 400, hop: int = 160) -> str:
+    n_frames = len(range(0, max(1, n_samples - win + 1), hop))
+    return f"""
+        WITH hx AS (SELECT doc_id AS media_id, upper(sha256(text)) AS h FROM documents),
+        bytes AS (
+          SELECT media_id, j.j,
+                 strpos('123456789ABCDEF', substr(h, 2*j.j + 1, 1)) * 16
+               + strpos('123456789ABCDEF', substr(h, 2*j.j + 2, 1)) AS bv
+          FROM hx CROSS JOIN (SELECT unnest(range(32)) AS j) j),
+        pos AS (
+          SELECT f.fi, f.fi * {hop} + w.w AS sample
+          FROM (SELECT unnest(range({n_frames})) AS fi) f
+          CROSS JOIN (SELECT unnest(range({win})) AS w) w
+          WHERE f.fi * {hop} + w.w < {n_samples})
+        SELECT b.media_id, CAST(p.fi AS INTEGER) AS frame_idx,
+               CAST(sum(b.bv * b.bv) AS BIGINT) AS energy
+        FROM bytes b JOIN pos p ON b.j = p.sample % 32
+        GROUP BY b.media_id, p.fi"""
+
+
+def connected_components_oracle(per_doc: int = 20, groups: int = 50) -> str:
+    """Recursive-CTE min-label propagation over the same synthetic edge list as
+    functions.graph.cc_demo_edges: per-document stars + modular group anchors.
+    The ``label < dst`` prune is safe (the component minimum is < every other
+    node) and keeps the fixpoint near-linear."""
+    return f"""
+        WITH RECURSIVE e0 AS (
+          SELECT 'n' || lpad(CAST(doc_id * {per_doc} + j.j AS VARCHAR), 8, '0') AS src,
+                 'n' || lpad(CAST(doc_id * {per_doc} AS VARCHAR), 8, '0') AS dst
+          FROM documents CROSS JOIN (SELECT unnest(range(1, {per_doc})) AS j) j
+          UNION ALL
+          SELECT 'n' || lpad(CAST(doc_id * {per_doc} AS VARCHAR), 8, '0') AS src,
+                 'g' || lpad(CAST(doc_id % {groups} AS VARCHAR), 8, '0') AS dst
+          FROM documents),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        cc AS (
+          SELECT node, node AS label FROM nodes
+          UNION
+          SELECT e.dst AS node, cc.label
+          FROM cc JOIN e ON cc.node = e.src
+          WHERE cc.label < e.dst)
+        SELECT node, min(label) AS label FROM cc GROUP BY node"""

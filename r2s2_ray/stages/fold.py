@@ -221,5 +221,13 @@ def fold(
 
 def write_lean(folded: ray.data.Dataset, out_dir: str) -> None:
     """Partitioned write keyed by table_key — ONE write for every logical table
-    (avoids O(tables) driver-side pipelines; SURVEY.md §4 consequence 2)."""
+    (avoids O(tables) driver-side pipelines; SURVEY.md §4 consequence 2).
+
+    Idempotency: a crashed prior ATTEMPT leaves partial files with a different
+    execution UUID, so the destination is cleared first (the step is only ever
+    re-entered when its manifest is absent). Within one execution, Ray's write
+    tasks use stable per-task filenames, so task retries overwrite."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     folded.write_parquet(out_dir, partition_cols=["table_key"])

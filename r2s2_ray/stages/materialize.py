@@ -216,6 +216,10 @@ def materialize_all(
         src = spec.path or table_lean_path(out_dir, spec.name)
         files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
         os.makedirs(dest, exist_ok=True)
+        # un-stamped table: clear any partial files from a crashed prior attempt
+        # (chunk boundaries may differ between attempts)
+        for stale in _glob.glob(os.path.join(dest, "*.parquet")):
+            os.remove(stale)
         chunk: list[str] = []
         rows = 0
         part = 0

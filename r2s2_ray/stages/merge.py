@@ -218,6 +218,12 @@ def _build_all_merged(
     # replaces materialize() + a count pass + O(cohorts x members) filtered write
     # jobs — at bench scale those fixed job costs dominated the whole merge stage,
     # and at 100 TB the wide intermediate never needs to sit in the object store.
+    import shutil
+
+    # clear any partial output of a crashed prior attempt (the step re-enters
+    # only when its manifest is absent), then rely on content-derived filenames
+    # below for within-execution task-retry idempotency
+    shutil.rmtree(os.path.join(out_dir, "lean_merged"), ignore_errors=True)
     dests: dict[tuple[int, int], str] = {}
     for ci, members in enumerate(cohorts):
         dests[(ci, 0)] = os.path.join(out_dir, "lean_merged", members[0].name)
@@ -228,11 +234,18 @@ def _build_all_merged(
     cohort_sizes = [len(c) for c in cohorts]
 
     def split_write(b: pa.Table) -> pa.Table:
-        import uuid
+        import hashlib
 
         import pyarrow.parquet as pq
 
-        tag = uuid.uuid4().hex[:12]
+        # deterministic per-block tag: a retried task re-processes the same
+        # block and OVERWRITES its own files instead of appending duplicates
+        subj = b["subj"]
+        probe = [str(b.num_rows)] + [
+            str(subj[i]) for i in (0, b.num_rows // 3, 2 * b.num_rows // 3, b.num_rows - 1)
+            if b.num_rows
+        ]
+        tag = hashlib.blake2b("\x1f".join(probe).encode(), digest_size=8).hexdigest()
         rows = {"cohort": [], "kind": [], "n": []}
         for ci, k in enumerate(cohort_sizes):
             sub = b.filter(pc.equal(b["cohort"], ci))

@@ -234,7 +234,7 @@ def test_audio_frames_windowing():
     out = audio_frames(ds, win=400, hop=160).to_pandas()
     # 880 samples, win 400 hop 160 -> starts at 0,160,320,480 -> 4 frames/doc
     assert sorted(out[out.media_id == 0]["frame_idx"]) == [0, 1, 2, 3]
-    assert (out["rms"] > 0).all()
+    assert (out["energy"] > 0).all()
     # deterministic across runs
     out2 = audio_frames(ds, win=400, hop=160).to_pandas()
     assert out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True).equals(
