@@ -91,33 +91,60 @@ def run_pipeline(
                 folded = fold(routed, num_buckets=num_buckets)
                 write_lean(folded, os.path.join(out_dir, "lean"))
 
-            # combo + graph censuses from the lean store. combo is CONSTANT per
-            # table partition, so one first-row read per partition directory is
-            # the whole combo census (metadata-scale, no Ray job). The graph
-            # census is a per-block unique whose residue is (blocks x #graphs)
-            # rows — small enough to take_all and dedup on the driver, skipping
-            # a whole groupby shuffle.
+            # combo + graph censuses: ONE distributed pass over the lean store
+            # emitting per-block distinct (table_key, combo) pairs and distinct
+            # graph IRIs; the residue is (blocks x small domains) rows, folded
+            # on the driver. Verifying ALL combos per table_key (not just the
+            # first row's) catches sql-name collisions, where two distinct
+            # combos mangle to one table_key — silent mis-decomposition
+            # otherwise (iri_to_sql_name_part lower-cases/collapses chars).
             with StageTimer(metrics, "step0_census_s"):
-                import glob as _glob
 
-                import pyarrow.parquet as pq
+                def _census(t: pa.Table) -> pa.Table:
+                    import polars as pl
 
-                combos = []
-                for d in sorted(_glob.glob(os.path.join(out_dir, "lean", "table_key=*"))):
-                    f = sorted(_glob.glob(os.path.join(d, "*.parquet")))[0]
-                    combos.append(pq.read_table(f, columns=["combo"])["combo"][0].as_py())
-                combos = sorted(combos)
+                    u = pl.from_arrow(t.select(["table_key", "combo"])).unique()
+                    tk = pc.cast(u["table_key"].to_arrow(), pa.string())
+                    cb = pc.cast(u["combo"].to_arrow(), pa.string())
+                    g = pc.cast(pc.drop_null(pc.unique(pc.list_flatten(t["graphs"]))), pa.string())
+                    g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+                    n = len(g)
+                    return pa.table(
+                        {
+                            "table_key": pa.concat_arrays(
+                                [tk.combine_chunks() if isinstance(tk, pa.ChunkedArray) else tk,
+                                 pa.nulls(n, pa.string())]
+                            ),
+                            "combo": pa.concat_arrays(
+                                [cb.combine_chunks() if isinstance(cb, pa.ChunkedArray) else cb,
+                                 pa.nulls(n, pa.string())]
+                            ),
+                            "graph": pa.concat_arrays([pa.nulls(len(u), pa.string()), g]),
+                        }
+                    )
 
-                def _graph_census(t: pa.Table) -> pa.Table:
-                    u = pc.drop_null(pc.unique(pc.list_flatten(t["graphs"])))
-                    return pa.table({"graph": u})
-
-                graph_rows = (
-                    ray.data.read_parquet(os.path.join(out_dir, "lean"), columns=["graphs"])
-                    .map_batches(_graph_census, batch_format="pyarrow", batch_size=64_000)
+                census_rows = (
+                    ray.data.read_parquet(
+                        os.path.join(out_dir, "lean"), columns=["table_key", "combo", "graphs"]
+                    )
+                    .map_batches(_census, batch_format="pyarrow", batch_size=256_000)
                     .take_all()
                 )
-                graphs = sorted({r["graph"] for r in graph_rows})
+                graphs = sorted({r["graph"] for r in census_rows if r["graph"] is not None})
+                by_key: dict[str, set] = {}
+                for r in census_rows:
+                    if r["table_key"] is not None:
+                        by_key.setdefault(r["table_key"], set()).add(r["combo"])
+                clashes = {k: v for k, v in by_key.items() if len(v) > 1}
+                if clashes:
+                    # fail loudly: distinct predicate/datatype/class IRIs whose
+                    # mangled sql names collide would silently decompose under
+                    # the wrong predicate map
+                    raise ValueError(
+                        "table-key collision: multiple routing combos share a "
+                        f"mangled sql name: {sorted(clashes)[:5]}"
+                    )
+                combos = sorted(next(iter(v)) for v in by_key.values())
                 preds = sorted({c.split("\x1f")[0] for c in combos})
                 classes = sorted({c.split("\x1f")[5] for c in combos if c.split("\x1f")[5]})
                 write_small_dict(preds, os.path.join(out_dir, "dict", "predicates.parquet"))
@@ -144,7 +171,7 @@ def run_pipeline(
                     lean = ray.data.read_parquet(
                         os.path.join(out_dir, "lean"), columns=["subj", "obj"]
                     )
-                    metrics["n_terms"] = build_term_dictionary(lean, tpath)
+                    metrics["n_terms"] = build_term_dictionary(lean, tpath, num_buckets=num_buckets)
                     dicts["terms"] = tpath
             m1 = Manifest(
                 stage="fold",
@@ -194,7 +221,12 @@ def run_pipeline(
     if m3 is None:
         with StageTimer(metrics, "step2_s"):
             if with_merge:
-                tables = merge_stage.run_merge(out_dir, m2.tables, graph_enum=m2.enums.get("graph"))
+                tables = merge_stage.run_merge(
+                    out_dir,
+                    m2.tables,
+                    graph_enum=m2.enums.get("graph"),
+                    num_buckets=num_buckets,
+                )
             else:
                 tables = m2.tables
             m3 = Manifest(

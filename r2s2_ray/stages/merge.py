@@ -304,14 +304,19 @@ def _build_all_merged(
 
 
 def run_merge(
-    out_dir: str, tables: list[TableSpec], graph_enum: list[str] | None = None
+    out_dir: str,
+    tables: list[TableSpec],
+    graph_enum: list[str] | None = None,
+    num_buckets: int = 64,
 ) -> list[TableSpec]:
     """Plan + execute merging; returns the post-merge table list (manifest state).
 
     One subject census over ALL candidate tables (bnode labels and IRIs cannot
     collide, so a single keyspace is safe), cohorts planned per subject kind,
-    then one combined merge shuffle for every cohort."""
-    uniqueness, overlap = _subject_census(out_dir, tables)
+    then one combined merge shuffle for every cohort. ``num_buckets`` must be
+    >= cluster parallelism: the post-sort fold runs one task per bucket RANGE,
+    so a low bucket count caps the exchange's reduce width."""
+    uniqueness, overlap = _subject_census(out_dir, tables, num_buckets=num_buckets)
     by_kind: dict[int, list[TableSpec]] = defaultdict(list)
     for t in tables:
         by_kind[t.subj_kind].append(t)
@@ -321,7 +326,7 @@ def run_merge(
     out: list[TableSpec] = []
     merged_names: set[str] = set()
     if cohorts:
-        counts = _build_all_merged(out_dir, cohorts, graph_enum=graph_enum)
+        counts = _build_all_merged(out_dir, cohorts, num_buckets=num_buckets, graph_enum=graph_enum)
         for members in cohorts:
             target = members[0]
             out.append(
