@@ -120,79 +120,158 @@ def write_views_sql(out_dir: str, m: Manifest) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _template(cols: list[ColumnSpec], hostful_hint: bool = True) -> str:
-    """rr:template string with virtual constants + LCS prefixes inlined
-    (R2RMLFromTables.java:139-217 equivalent)."""
+#: optional IRI parts per branch: (part, separator-before, separator-after)
+_HOSTFUL_OPT = [("user_info", "", "@"), ("port", ":", ""), ("path", "", ""), ("query", "?", ""), ("fragment", "#", "")]
+_OPAQUE_OPT = [("scheme_specific_part", "", ""), ("fragment", "#", "")]
+
+
+def _piece(c: ColumnSpec) -> str:
+    if not c.physical:
+        return c.virtual_value or ""
+    return (c.lcs_prefix or "") + "{" + c.name + "}"
+
+
+def iri_variants(cols: list[ColumnSpec]) -> list[tuple[str, list[str]]]:
+    """All (template, SQL-null-conditions) variants of an IRI column group.
+
+    R2RML templates generate NO term when a referenced column is NULL (spec
+    §11.1), but the store's optional IRI parts (query, fragment, port, ...) are
+    nullable WITHIN one table — a single template cannot express "append
+    '#'||fragment only when present". So each null-pattern over the nullable
+    optional parts becomes its own template + rr:sqlQuery WHERE conditions
+    (R2RMLFromTables.java:139-217 is the reference's single-template
+    equivalent, which its Ontop round-trip only exercises on null-free parts).
+    """
     p = dict(zip(IRI_PARTS, cols))
-
-    def piece(c: ColumnSpec, wrap: str = "{{{name}}}") -> str:
-        if not c.physical:
-            return c.virtual_value or ""
-        ref = wrap.format(name=c.name)
-        return (c.lcs_prefix or "") + ref
-
     host = p["host"]
-    host_present = host.physical or host.virtual_value is not None
-    if host_present and hostful_hint:
-        out = piece(p["scheme"]) + "://"
-        ui = p["user_info"]
-        if ui.physical or ui.virtual_value:
-            out += piece(ui) + "@"
-        out += piece(host)
-        port = p["port"]
-        if port.physical or port.virtual_value:
-            out += ":" + piece(port)
-        out += piece(p["path"])
-        q = p["query"]
-        if q.physical or q.virtual_value is not None:
-            out += "?" + piece(q)
-        f = p["fragment"]
-        if f.physical or f.virtual_value is not None:
-            out += "#" + piece(f)
-        return out
-    out = piece(p["scheme"]) + ":" + piece(p["scheme_specific_part"])
-    f = p["fragment"]
-    if f.physical or f.virtual_value is not None:
-        out += "#" + piece(f)
+    if host.physical:
+        host_states = [True, False] if host.nullable else [True]
+    else:
+        host_states = [host.virtual_value is not None]
+    out: list[tuple[str, list[str]]] = []
+    for hostful in host_states:
+        conds: list[str] = []
+        if host.physical:
+            conds.append(f"{host.name} IS {'NOT ' if hostful else ''}NULL")
+        opt = _HOSTFUL_OPT if hostful else _OPAQUE_OPT
+        enum = [(x, pre, post) for x, pre, post in opt if p[x].physical and p[x].nullable]
+        fixed = {x for x, _, _ in opt if (p[x].physical and not p[x].nullable) or (not p[x].physical and p[x].virtual_value is not None)}
+        for mask in range(1 << len(enum)):
+            present = set(fixed)
+            vconds = list(conds)
+            for bit, (x, _, _) in enumerate(enum):
+                if mask >> bit & 1:
+                    present.add(x)
+                    vconds.append(f"{p[x].name} IS NOT NULL")
+                else:
+                    vconds.append(f"{p[x].name} IS NULL")
+            if hostful:
+                t = _piece(p["scheme"]) + "://"
+                for x, pre, post in _HOSTFUL_OPT[:1]:  # user_info
+                    if x in present:
+                        t += pre + _piece(p[x]) + post
+                t += _piece(host) if host.physical else (host.virtual_value or "")
+                for x, pre, post in _HOSTFUL_OPT[1:]:
+                    if x in present:
+                        t += pre + _piece(p[x]) + post
+            else:
+                t = _piece(p["scheme"]) + ":"
+                if "scheme_specific_part" in present:
+                    t += _piece(p["scheme_specific_part"])
+                if "fragment" in present:
+                    t += "#" + _piece(p["fragment"])
+            out.append((t, vconds))
     return out
 
 
+def _template(cols: list[ColumnSpec]) -> str:
+    """Single most-complete template (all parts present) — kept for callers
+    that only need the canonical shape; the emitter uses :func:`iri_variants`."""
+    return iri_variants(cols)[0][0]
+
+
+def _object_map_variants(pm: PredicateMapSpec) -> list[tuple[str, list[str]]]:
+    """(objectMap turtle, extra SQL null-conditions) variants for one
+    predicate map. Empty list => the map can never generate a triple."""
+    if pm.obj_kind == KIND_IRI:
+        return [
+            (f'rr:objectMap [ rr:template "{tpl}" ]', conds)
+            for tpl, conds in iri_variants(pm.object_columns)
+        ]
+    if pm.obj_kind == KIND_BNODE:
+        c = pm.object_columns[0]
+        return [(f'rr:objectMap [ rr:column "{c.name}" ; rr:termType rr:BlankNode ]', [])]
+    val = pm.object_columns[1]
+    tag = f'rr:language "{pm.lang}"' if pm.lang is not None else f"rr:datatype <{pm.datatype}>"
+    if not val.physical:
+        # VIRTUAL value column: a column reference would name a nonexistent
+        # physical column — emit rr:constant (all-null virtual: no triples)
+        if val.virtual_value is None:
+            return []
+        lit = val.virtual_value.replace("\\", "\\\\").replace('"', '\\"')
+        suffix = f'"@{pm.lang}' if pm.lang is not None else f'"^^<{pm.datatype}>'
+        return [(f'rr:objectMap [ rr:constant "{lit}{suffix} ]', [])]
+    if val.lcs_prefix:
+        # LCS-factored literal: a bare rr:column would drop the stripped
+        # prefix — use a literal-typed template
+        return [
+            (
+                f'rr:objectMap [ rr:template "{val.lcs_prefix}{{{val.name}}}" ; '
+                f"rr:termType rr:Literal ; {tag} ]",
+                [],
+            )
+        ]
+    return [(f'rr:objectMap [ rr:column "{val.name}" ; {tag} ]', [])]
+
+
 def r2rml_ttl(m: Manifest) -> str:
+    """One TriplesMap per (table, predicate map, subject/object null-pattern).
+
+    Two store facts force this shape on any CONFORMANT R2RML processor:
+    * a wide (merged) table marks "this row has predicate P" via P's graph
+      column — rows lacking P must not produce P-triples, so each predicate
+      map's logical table is ``rr:sqlQuery .. WHERE <graph col> IS NOT NULL``
+      (a plain per-table map with an rr:constant object would over-generate);
+    * optional IRI parts (query/fragment/port/...) are nullable within a table
+      — see :func:`iri_variants`.
+    """
     lines = [
         "@prefix rr: <http://www.w3.org/ns/r2rml#> .",
         "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .",
         "",
     ]
     for t in m.tables:
-        lines.append(f"<#map_{t.name}> a rr:TriplesMap ;")
-        lines.append(f'  rr:logicalTable [ rr:tableName "{t.name}" ] ;')
         if t.subj_kind == KIND_IRI:
-            lines.append(f'  rr:subjectMap [ rr:template "{_template(t.subject_columns)}" ] ;')
+            subj_variants = [
+                (f'rr:subjectMap [ rr:template "{tpl}" ]', conds)
+                for tpl, conds in iri_variants(t.subject_columns)
+            ]
         else:
-            lines.append(
-                f'  rr:subjectMap [ rr:column "{t.subject_columns[0].name}" ; rr:termType rr:BlankNode ] ;'
-            )
-        for pm in t.predicates:
-            if pm.obj_kind == KIND_IRI:
-                om = f'rr:objectMap [ rr:template "{_template(pm.object_columns)}" ]'
-            elif pm.obj_kind == KIND_BNODE:
-                om = f'rr:objectMap [ rr:column "{pm.object_columns[0].name}" ; rr:termType rr:BlankNode ]'
-            elif pm.lang is not None:
-                om = (
-                    f'rr:objectMap [ rr:column "{pm.object_columns[1].name}" ; '
-                    f'rr:language "{pm.lang}" ]'
+            subj_variants = [
+                (
+                    f'rr:subjectMap [ rr:column "{t.subject_columns[0].name}" ; rr:termType rr:BlankNode ]',
+                    [],
                 )
-            else:
-                om = (
-                    f'rr:objectMap [ rr:column "{pm.object_columns[1].name}" ; '
-                    f"rr:datatype <{pm.datatype}> ]"
-                )
-            lines.append(
-                f"  rr:predicateObjectMap [ rr:predicate <{pm.predicate}> ; {om} ] ;"
-            )
-        if lines[-1].endswith(";"):
-            lines[-1] = lines[-1][:-1] + "."
-        lines.append("")
+            ]
+        for i, pm in enumerate(t.predicates):
+            base = [f"{pm.graph_column} IS NOT NULL"] if pm.graph_column else []
+            for si, (smap, sconds) in enumerate(subj_variants):
+                for oi, (omap, oconds) in enumerate(_object_map_variants(pm)):
+                    conds = base + sconds + oconds
+                    if conds:
+                        lt = (
+                            "rr:logicalTable [ rr:sqlQuery "
+                            f'"SELECT * FROM {t.name} WHERE {" AND ".join(conds)}" ]'
+                        )
+                    else:
+                        lt = f'rr:logicalTable [ rr:tableName "{t.name}" ]'
+                    lines.append(f"<#map_{t.name}_{i}_{si}_{oi}> a rr:TriplesMap ;")
+                    lines.append(f"  {lt} ;")
+                    lines.append(f"  {smap} ;")
+                    lines.append(
+                        f"  rr:predicateObjectMap [ rr:predicate <{pm.predicate}> ; {omap} ] ."
+                    )
+                    lines.append("")
     return "\n".join(lines)
 
 

@@ -158,6 +158,7 @@ def decide_columns(spec: TableSpec, stats: dict[str, ColStats], graph_stats: dic
         st = stats.get(c.name)
         if st is None:
             continue
+        c.nullable = st.nulls > 0
         # T2 virtual: 0 or 1 distinct value (None = all-null column)
         vals = st.distinct
         if len(vals) <= 1:

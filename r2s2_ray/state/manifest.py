@@ -30,6 +30,11 @@ class ColumnSpec:
     physical: bool = True
     virtual_value: str | None = None
     lcs_prefix: str | None = None
+    #: True when the stats census saw >=1 NULL — drives the R2RML emitter's
+    #: null-pattern TriplesMap variants (a template referencing a NULL column
+    #: generates no term under R2RML semantics, so optional IRI parts need
+    #: per-pattern maps)
+    nullable: bool = False
 
 
 @dataclass
