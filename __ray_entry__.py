@@ -135,9 +135,11 @@ def _kg_mentions(sf_dir: str):
 
 
 def _kg_term_dict(sf_dir: str):
-    from r2s2_ray.stages.dicts import distinct_large
+    from r2s2_ray.stages.dicts import distinct_with_ids
 
-    terms = distinct_large(
+    # fully distributed content-ordered id assignment (no driver materialization
+    # of the term universe; only per-block row counts visit the driver)
+    return distinct_with_ids(
         _triples(sf_dir, linked=True).map_batches(
             lambda b: pa.table(
                 {
@@ -150,10 +152,6 @@ def _kg_term_dict(sf_dir: str):
         ),
         "term",
     )
-    # content-ordered ids: the dictionary is small relative to the corpus, so id
-    # assignment happens on the (sorted) driver copy
-    t = pa.Table.from_pylist(terms.take_all())
-    return t.append_column("id", pa.array(range(t.num_rows), pa.int64()))
 
 
 def _kg_subject_functional(sf_dir: str):

@@ -44,6 +44,37 @@ def _sanitize(s: str) -> str:
     return _SANITIZE.sub("_", s.lower())
 
 
+def discover_namespaces(
+    iris: list[str], existing: dict[str, str] | None = None
+) -> dict[str, str]:
+    """M7 namespace accumulation (ParseIntoSOGTables.java:349-351 analog): derive
+    prefix -> namespace entries from observed vocabulary IRIs not covered by the
+    existing map, so unseen vocabularies get readable table names instead of
+    Base64 fallbacks. The namespace of an IRI is everything up to the last
+    '#' or '/'; the prefix name comes from the last meaningful path segment,
+    uniquified with a numeric suffix on clashes. Deterministic given the same
+    IRI set (sorted iteration)."""
+    ns = dict(existing or DEFAULT_NAMESPACES)
+    taken = set(ns)
+    out = dict(ns)
+    for iri in sorted(set(iris)):
+        if any(iri.startswith(v) for v in out.values()):
+            continue
+        cut = max(iri.rfind("#"), iri.rfind("/"))
+        if cut <= len("https://"):
+            continue  # no meaningful namespace component
+        namespace = iri[: cut + 1]
+        seg = re.split(r"[/#:.]+", namespace.rstrip("/#").split("//")[-1])
+        base = _sanitize(seg[-1] if seg and seg[-1] else "ns") or "ns"
+        name, k = base, 1
+        while name in taken:
+            k += 1
+            name = f"{base}{k}"
+        taken.add(name)
+        out[name] = namespace
+    return out
+
+
 def iri_to_sql_name_part(iri: str, namespaces: dict[str, str] | None = None) -> str:
     """IRI -> SQL identifier part (see module docstring for rule order)."""
     ns = namespaces if namespaces is not None else DEFAULT_NAMESPACES

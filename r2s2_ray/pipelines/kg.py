@@ -77,9 +77,12 @@ def run_pipeline(
     with_terms_dict: bool = True,
     with_merge: bool = True,
     replicate: int = 1,
+    stop_after: int | None = None,
 ) -> Manifest:
     os.makedirs(out_dir, exist_ok=True)
     metrics: dict = {}
+    if stop_after is not None and stop_after < 0:
+        raise ValueError("stop_after must be >= 0")
 
     # ---- step 0: route + dedup/fold + partitioned write + dictionaries -------
     m1 = _load_or_none(out_dir, 0, "fold", resume)
@@ -146,14 +149,33 @@ def run_pipeline(
                     )
                 combos = sorted(next(iter(v)) for v in by_key.values())
                 preds = sorted({c.split("\x1f")[0] for c in combos})
+                # M7 namespace accumulation: discovered from the censused
+                # vocabulary (predicates + classes + graphs) and persisted as a
+                # dictionary table like the reference's namespaces table
+                # (ParseIntoSOGTables.java:349-351, 455-470)
+                from ..naming import DEFAULT_NAMESPACES, discover_namespaces
+
                 classes = sorted({c.split("\x1f")[5] for c in combos if c.split("\x1f")[5]})
+                namespaces = discover_namespaces(preds + classes + graphs, DEFAULT_NAMESPACES)
                 write_small_dict(preds, os.path.join(out_dir, "dict", "predicates.parquet"))
                 write_small_dict(graphs, os.path.join(out_dir, "dict", "graphs.parquet"))
                 write_small_dict(classes, os.path.join(out_dir, "dict", "classes.parquet"))
+                import pyarrow.parquet as _pq
+
+                _pq.write_table(
+                    pa.table(
+                        {
+                            "prefix": pa.array(sorted(namespaces), pa.string()),
+                            "namespace": pa.array([namespaces[k] for k in sorted(namespaces)], pa.string()),
+                        }
+                    ),
+                    os.path.join(out_dir, "dict", "namespaces.parquet"),
+                )
                 dicts = {
                     "predicates": os.path.join(out_dir, "dict", "predicates.parquet"),
                     "graphs": os.path.join(out_dir, "dict", "graphs.parquet"),
                     "classes": os.path.join(out_dir, "dict", "classes.parquet"),
+                    "namespaces": os.path.join(out_dir, "dict", "namespaces.parquet"),
                 }
 
             tables = [spec_from_combo(c) for c in combos]
@@ -179,11 +201,18 @@ def run_pipeline(
                 tables=tables,
                 dictionaries=dicts,
                 enums={"graph": graphs},
-                lineage={"sf_dir": sf_dir, "num_buckets": num_buckets, "combos": combos},
+                lineage={
+                    "sf_dir": sf_dir,
+                    "num_buckets": num_buckets,
+                    "combos": combos,
+                    "namespaces": namespaces,
+                },
                 metrics=dict(metrics),
             )
             save_manifest(out_dir, m1)
 
+    if stop_after == 0:
+        return m1
     # ---- step 1: stats + optimizer decisions + scheme/host enum domains ------
     m2 = _load_or_none(out_dir, 1, "stats", resume)
     if m2 is None:
@@ -216,6 +245,8 @@ def run_pipeline(
             )
             save_manifest(out_dir, m2)
 
+    if stop_after == 1:
+        return m2
     # ---- step 2: table merging ------------------------------------------------
     m3 = _load_or_none(out_dir, 2, "merge", resume)
     if m3 is None:
@@ -240,6 +271,8 @@ def run_pipeline(
             )
             save_manifest(out_dir, m3)
 
+    if stop_after == 2:
+        return m3
     # ---- step 3: materialize ---------------------------------------------------
     m4 = _load_or_none(out_dir, 3, "materialize", resume)
     if m4 is None:
@@ -263,6 +296,8 @@ def run_pipeline(
             )
             save_manifest(out_dir, m4)
 
+    if stop_after == 3:
+        return m4
     # ---- step 4: serving artifacts (R2RML + DuckDB views) ---------------------
     m5 = _load_or_none(out_dir, 4, "serve", resume)
     if m5 is None:
@@ -283,3 +318,52 @@ def run_pipeline(
         )
         save_manifest(out_dir, m5)
     return m5
+
+
+_STAGE_NAMES = {0: "fold", 1: "stats", 2: "merge", 3: "materialize", 4: "serve"}
+
+
+def run_step(sf_dir: str, out_dir: str, step: int, **kw) -> Manifest:
+    """Re-run exactly ONE step (parity: the reference CLI's step argument,
+    Loader.java:106-121): earlier steps are loaded from their manifests (they
+    must exist), this step's manifest is cleared so it re-executes, and the run
+    stops before the next step. Later steps' manifests are also cleared — their
+    inputs just changed, so keeping them would serve stale state on resume."""
+    for s in range(step, 5):
+        p = manifest_path(out_dir, s, _STAGE_NAMES[s])
+        if os.path.exists(p):
+            os.remove(p)
+    return run_pipeline(sf_dir, out_dir, resume=True, stop_after=step, **kw)
+
+
+def _main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="KG-construction pipeline (steps: 0 fold, 1 stats, 2 merge, "
+        "3 materialize, 4 serve)"
+    )
+    ap.add_argument("sf_dir")
+    ap.add_argument("out_dir")
+    ap.add_argument("--step", type=int, default=None, help="re-run exactly this step")
+    ap.add_argument("--num-buckets", type=int, default=32)
+    ap.add_argument("--fresh", action="store_true", help="ignore existing manifests")
+    args = ap.parse_args()
+    import ray
+
+    if not ray.is_initialized():  # the driver contract owns the session otherwise
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        if args.step is not None:
+            m = run_step(args.sf_dir, args.out_dir, args.step, num_buckets=args.num_buckets)
+        else:
+            m = run_pipeline(
+                args.sf_dir, args.out_dir, num_buckets=args.num_buckets, resume=not args.fresh
+            )
+        print({t.name: t.row_count for t in m.tables})
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()

@@ -238,8 +238,13 @@ def r2rml_ttl(m: Manifest) -> str:
     lines = [
         "@prefix rr: <http://www.w3.org/ns/r2rml#> .",
         "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .",
-        "",
     ]
+    # accumulated namespaces (M7): declared for downstream consumers even
+    # though term maps below use absolute IRIs
+    for pfx, ns in sorted((m.lineage.get("namespaces") or {}).items()):
+        if pfx not in ("rr", "xsd"):
+            lines.append(f"@prefix {pfx}: <{ns}> .")
+    lines.append("")
     for t in m.tables:
         if t.subj_kind == KIND_IRI:
             subj_variants = [

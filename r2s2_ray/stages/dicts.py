@@ -53,6 +53,38 @@ def distinct_large(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     return pre.groupby(col).count().drop_columns(["count()"]).sort(col)
 
 
+import ray
+
+
+@ray.remote
+def _block_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote
+def _attach_ids(t: pa.Table, offset: int) -> pa.Table:
+    return t.append_column(
+        "id", pa.array(range(offset, offset + t.num_rows), pa.int64())
+    )
+
+
+def distinct_with_ids(ds: ray.data.Dataset, col: str = "term") -> ray.data.Dataset:
+    """Sorted distinct values with contiguous content-ordered int64 ids, fully
+    distributed: after the range-partitioned sort the blocks are globally
+    ordered, so only per-block ROW COUNTS visit the driver (metadata-scale);
+    the prefix-summed offsets ship back to per-block tasks that append the id
+    column in place. Raw Ray tasks are justified here — the Dataset API has no
+    notion of a block's global row offset."""
+    sorted_ds = distinct_large(ds, col)
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_block_rows.remote(r) for r in refs])
+    offsets = [0]
+    for c in counts[:-1]:
+        offsets.append(offsets[-1] + c)
+    out_refs = [_attach_ids.remote(r, o) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def build_term_dictionary(triples: ray.data.Dataset, out_path: str, num_buckets: int = 64) -> int:
     """Global IRI/literal term dictionary (north-star requirement): distinct
     union of subject and object lexical forms, written as bucketed sorted

@@ -126,31 +126,46 @@ def route(
 #: on a busy node the dominant cost of a shuffle is KERNEL time faulting shared
 #: -memory pages (measured: 0.5s user vs 9s sys per reduce task before encoding,
 #: 10x wall-time improvement after), and that cost is proportional to bytes.
-_DICT_COLS = ("table_key", "combo", "pred", "o_dt", "o_lang", "graph")
+_DICT_COLS = ("combo", "graph")
 
 
 def _add_bucket(num_buckets: int):
+    """Pre-exchange combiner + payload minimization:
+
+    * LOCAL quad dedup (combo, subj, obj, graph): repeats of a triple inside
+      one extract block (the common case — re-mentions within a conversation)
+      collapse BEFORE they ship;
+    * only 5 columns cross the exchange — ``combo`` functionally determines
+      table_key / pred / kinds / lang / dt, which ``_fold_bucket``
+      reconstructs per unique combo after the shuffle (a per-block map over a
+      tiny domain), saving four dict-encoded columns of payload;
+    * combo + graph dictionary-encoded, bucket = int32 content hash.
+    """
+
     def fn(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t)
+        df = pl.from_arrow(t.select(["combo", "subj", "obj", "graph"])).unique()
         b = (
             df.select(
-                pl.concat_str(
-                    [pl.col(c) for c in GROUP_KEY],
-                    separator=_SEP,
-                )
+                pl.concat_str([pl.col(c) for c in GROUP_KEY], separator=_SEP)
                 .hash(seed=42)
                 .mod(num_buckets)
                 .cast(pl.Int32)
                 .alias("bucket")
             )
         )["bucket"]
-        t = t.append_column("bucket", b.to_arrow())
-        for c in _DICT_COLS:
-            i = t.schema.get_field_index(c)
+        t = df.to_arrow().append_column("bucket", b.to_arrow())
+        cols = {}
+        for c in t.column_names:
             col = t[c]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            t = t.set_column(i, c, pc.dictionary_encode(col))
-        return t
+            if c in _DICT_COLS:
+                col = pc.dictionary_encode(
+                    pc.cast(col, pa.string()) if not pa.types.is_string(col.type) else col
+                )
+            elif c in ("subj", "obj"):
+                col = pc.cast(col, pa.string()) if not pa.types.is_string(col.type) else col
+            cols[c] = col
+        return pa.table(cols)
 
     return fn
 
@@ -171,7 +186,10 @@ def _fold_bucket(t: pa.Table) -> pa.Table:
     (ReintroduceRdfSetSemantics.java:71-109 — DISTINCT + LIST(DISTINCT graph) with
     ORDER BY on the non-graph columns.) Graphs are kept as IRI strings here;
     lexicographic sort order == content-ordered graph-id order, so the list is
-    already in enum order when materialize encodes it."""
+    already in enum order when materialize encodes it. The combo-derived
+    columns (table_key, pred, kinds, lang, dt) were dropped for the exchange
+    and are reconstructed here by a join against the block's tiny unique-combo
+    set."""
     t = _decode_dicts(t)
     df = pl.from_arrow(t)
     # factorize graph IRIs to batch-local ints in LEXICOGRAPHIC order so the
@@ -183,9 +201,23 @@ def _fold_bucket(t: pa.Table) -> pa.Table:
         .replace_strict(old=gdom, new=pl.int_range(0, len(gdom), eager=True), return_dtype=pl.Int32)
         .alias("gid")
     )
+    out = df.group_by(GROUP_KEY).agg(pl.col("gid").unique().sort().alias("gids"))
+    combos = out["combo"].unique().to_list()
+    parts = [c.split(_SEP) for c in combos]
+    lookup = pl.DataFrame(
+        {
+            "combo": pl.Series(combos, dtype=pl.Utf8),
+            "table_key": pl.Series([combo_to_table_key(c)[0] for c in combos], dtype=pl.Utf8),
+            "pred": pl.Series([p[0] for p in parts], dtype=pl.Utf8),
+            "s_kind": pl.Series([int(p[1]) for p in parts], dtype=pl.Int8),
+            "o_kind": pl.Series([int(p[2]) for p in parts], dtype=pl.Int8),
+            "o_lang": pl.Series([p[3] or None for p in parts], dtype=pl.Utf8),
+            "o_dt": pl.Series([p[4] or None for p in parts], dtype=pl.Utf8),
+        }
+    )
     out = (
-        df.group_by(DEDUP_KEY + ["combo"])
-        .agg(pl.col("gid").unique().sort().alias("gids"))
+        out.join(lookup, on="combo", how="left")
+        .select(DEDUP_KEY + ["combo", "gids"])
         .sort(["subj", "obj"])
     )
     arrow = out.drop("gids").to_arrow()

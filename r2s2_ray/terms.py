@@ -87,7 +87,11 @@ def split_iri(iri: str) -> tuple[str | None, ...]:
         userinfo = f"{u.username}:{u.password}"
     port = str(u.port) if u.port is not None else None
     path = u.path or None
-    query = u.query if "?" in iri else None
+    # query present only when the first '?' precedes any '#': a '?' occurring
+    # inside the fragment is NOT a query separator (mirrors the vectorized
+    # split_iri_arrays; a bare "?" in iri would misread e.g. https://h/p#a?b)
+    qpos, fpos = iri.find("?"), iri.find("#")
+    query = u.query if qpos != -1 and (fpos == -1 or qpos < fpos) else None
     return (scheme, None, None, userinfo, host, port, path, query, fragment)
 
 
