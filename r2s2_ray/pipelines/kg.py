@@ -47,8 +47,7 @@ from ..terms import KIND_IRI
 from ..transcripts import read_transcripts
 from ..stages import merge as merge_stage
 from ..stages.dicts import build_term_dictionary, distinct_small, write_small_dict
-from ..stages.fold import combo_string, fold, route, write_lean
-from ..stages.materialize import table_lean_path
+from ..stages.fold import fold, route, write_lean
 from ..stages.specs import spec_from_combo
 from ..stages.stats import decide_columns, run_stats
 from ..stages.materialize import decompose_lean
@@ -62,8 +61,10 @@ def triples_dataset(sf_dir: str, concurrency=None, replicate: int = 1) -> ray.da
 
 
 def _load_or_none(out_dir: str, step: int, stage: str, resume: bool):
+    from ..util import fs_exists
+
     p = manifest_path(out_dir, step, stage)
-    if resume and os.path.exists(p):
+    if resume and fs_exists(p):
         return load_manifest(p)
     return None
 
@@ -79,7 +80,9 @@ def run_pipeline(
     replicate: int = 1,
     stop_after: int | None = None,
 ) -> Manifest:
-    os.makedirs(out_dir, exist_ok=True)
+    from ..util import fs_makedirs
+
+    fs_makedirs(out_dir)
     metrics: dict = {}
     if stop_after is not None and stop_after < 0:
         raise ValueError("stop_after must be >= 0")
@@ -94,96 +97,7 @@ def run_pipeline(
                 folded = fold(routed, num_buckets=num_buckets)
                 write_lean(folded, os.path.join(out_dir, "lean"))
 
-            # combo + graph censuses: ONE distributed pass over the lean store
-            # emitting per-block distinct (table_key, combo) pairs and distinct
-            # graph IRIs; the residue is (blocks x small domains) rows, folded
-            # on the driver. Verifying ALL combos per table_key (not just the
-            # first row's) catches sql-name collisions, where two distinct
-            # combos mangle to one table_key — silent mis-decomposition
-            # otherwise (iri_to_sql_name_part lower-cases/collapses chars).
-            with StageTimer(metrics, "step0_census_s"):
-
-                def _census(t: pa.Table) -> pa.Table:
-                    import polars as pl
-
-                    u = pl.from_arrow(t.select(["table_key", "combo"])).unique()
-                    tk = pc.cast(u["table_key"].to_arrow(), pa.string())
-                    cb = pc.cast(u["combo"].to_arrow(), pa.string())
-                    g = pc.cast(pc.drop_null(pc.unique(pc.list_flatten(t["graphs"]))), pa.string())
-                    g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
-                    n = len(g)
-                    return pa.table(
-                        {
-                            "table_key": pa.concat_arrays(
-                                [tk.combine_chunks() if isinstance(tk, pa.ChunkedArray) else tk,
-                                 pa.nulls(n, pa.string())]
-                            ),
-                            "combo": pa.concat_arrays(
-                                [cb.combine_chunks() if isinstance(cb, pa.ChunkedArray) else cb,
-                                 pa.nulls(n, pa.string())]
-                            ),
-                            "graph": pa.concat_arrays([pa.nulls(len(u), pa.string()), g]),
-                        }
-                    )
-
-                census_rows = (
-                    ray.data.read_parquet(
-                        os.path.join(out_dir, "lean"), columns=["table_key", "combo", "graphs"]
-                    )
-                    .map_batches(_census, batch_format="pyarrow", batch_size=256_000)
-                    .take_all()
-                )
-                graphs = sorted({r["graph"] for r in census_rows if r["graph"] is not None})
-                by_key: dict[str, set] = {}
-                for r in census_rows:
-                    if r["table_key"] is not None:
-                        by_key.setdefault(r["table_key"], set()).add(r["combo"])
-                clashes = {k: v for k, v in by_key.items() if len(v) > 1}
-                if clashes:
-                    # fail loudly: distinct predicate/datatype/class IRIs whose
-                    # mangled sql names collide would silently decompose under
-                    # the wrong predicate map
-                    raise ValueError(
-                        "table-key collision: multiple routing combos share a "
-                        f"mangled sql name: {sorted(clashes)[:5]}"
-                    )
-                combos = sorted(next(iter(v)) for v in by_key.values())
-                preds = sorted({c.split("\x1f")[0] for c in combos})
-                # M7 namespace accumulation: discovered from the censused
-                # vocabulary (predicates + classes + graphs) and persisted as a
-                # dictionary table like the reference's namespaces table
-                # (ParseIntoSOGTables.java:349-351, 455-470)
-                from ..naming import DEFAULT_NAMESPACES, discover_namespaces
-
-                classes = sorted({c.split("\x1f")[5] for c in combos if c.split("\x1f")[5]})
-                namespaces = discover_namespaces(preds + classes + graphs, DEFAULT_NAMESPACES)
-                write_small_dict(preds, os.path.join(out_dir, "dict", "predicates.parquet"))
-                write_small_dict(graphs, os.path.join(out_dir, "dict", "graphs.parquet"))
-                write_small_dict(classes, os.path.join(out_dir, "dict", "classes.parquet"))
-                import pyarrow.parquet as _pq
-
-                _pq.write_table(
-                    pa.table(
-                        {
-                            "prefix": pa.array(sorted(namespaces), pa.string()),
-                            "namespace": pa.array([namespaces[k] for k in sorted(namespaces)], pa.string()),
-                        }
-                    ),
-                    os.path.join(out_dir, "dict", "namespaces.parquet"),
-                )
-                dicts = {
-                    "predicates": os.path.join(out_dir, "dict", "predicates.parquet"),
-                    "graphs": os.path.join(out_dir, "dict", "graphs.parquet"),
-                    "classes": os.path.join(out_dir, "dict", "classes.parquet"),
-                    "namespaces": os.path.join(out_dir, "dict", "namespaces.parquet"),
-                }
-
-            tables = [spec_from_combo(c) for c in combos]
-            import pyarrow.dataset as pads
-
-            with StageTimer(metrics, "step0_counts_s"):
-                for t in tables:
-                    t.row_count = pads.dataset(table_lean_path(out_dir, t.name)).count_rows()
+            dicts: dict = {}
             if with_terms_dict:
                 # the global term dictionary is the distinct union of subj/obj —
                 # dedup preserves the term set, so build it from the just-written
@@ -198,32 +112,73 @@ def run_pipeline(
             m1 = Manifest(
                 stage="fold",
                 step=0,
-                tables=tables,
+                tables=[],  # table specs are censused in step 1's fused scan
                 dictionaries=dicts,
-                enums={"graph": graphs},
-                lineage={
-                    "sf_dir": sf_dir,
-                    "num_buckets": num_buckets,
-                    "combos": combos,
-                    "namespaces": namespaces,
-                },
+                enums={},
+                lineage={"sf_dir": sf_dir, "num_buckets": num_buckets},
                 metrics=dict(metrics),
             )
             save_manifest(out_dir, m1)
 
     if stop_after == 0:
         return m1
-    # ---- step 1: stats + optimizer decisions + scheme/host enum domains ------
+    # ---- step 1: fused census + stats + optimizer decisions -------------------
+    # ONE scan of the lean store yields the (table_key, combo) census (with the
+    # sql-name-collision check: distinct predicate/datatype/class IRIs whose
+    # mangled names collide would silently decompose under the wrong predicate
+    # map), per-table row counts, the graph domain, AND every column census —
+    # each of these as a separate job would cost a full data pass plus fixed
+    # Ray-job overhead.
     m2 = _load_or_none(out_dir, 1, "stats", resume)
     if m2 is None:
         with StageTimer(metrics, "step1_s"):
-            from ..stages.stats import run_stats_all
+            from ..naming import DEFAULT_NAMESPACES, discover_namespaces
+            from ..stages.stats import run_stats_census
 
-            specs = {t.name: t for t in m1.tables}
-            all_stats = run_stats_all(os.path.join(out_dir, "lean"), specs, decompose_lean)
+            all_stats, by_key, graphs, counts = run_stats_census(
+                os.path.join(out_dir, "lean"), spec_from_combo, decompose_lean
+            )
+            clashes = {k: v for k, v in by_key.items() if len(v) > 1}
+            if clashes:
+                raise ValueError(
+                    "table-key collision: multiple routing combos share a "
+                    f"mangled sql name: {sorted(clashes)[:5]}"
+                )
+            combos = sorted(next(iter(v)) for v in by_key.values())
+            preds = sorted({c.split("\x1f")[0] for c in combos})
+            classes = sorted({c.split("\x1f")[5] for c in combos if c.split("\x1f")[5]})
+            # M7 namespace accumulation: discovered from the censused vocabulary
+            # and persisted like the reference's namespaces table
+            # (ParseIntoSOGTables.java:349-351, 455-470)
+            namespaces = discover_namespaces(preds + classes + graphs, DEFAULT_NAMESPACES)
+            write_small_dict(preds, os.path.join(out_dir, "dict", "predicates.parquet"))
+            write_small_dict(graphs, os.path.join(out_dir, "dict", "graphs.parquet"))
+            write_small_dict(classes, os.path.join(out_dir, "dict", "classes.parquet"))
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.table(
+                    {
+                        "prefix": pa.array(sorted(namespaces), pa.string()),
+                        "namespace": pa.array(
+                            [namespaces[k] for k in sorted(namespaces)], pa.string()
+                        ),
+                    }
+                ),
+                os.path.join(out_dir, "dict", "namespaces.parquet"),
+            )
+            dicts = {
+                **m1.dictionaries,
+                "predicates": os.path.join(out_dir, "dict", "predicates.parquet"),
+                "graphs": os.path.join(out_dir, "dict", "graphs.parquet"),
+                "classes": os.path.join(out_dir, "dict", "classes.parquet"),
+                "namespaces": os.path.join(out_dir, "dict", "namespaces.parquet"),
+            }
+            tables = [spec_from_combo(c) for c in combos]
             schemes: set[str] = set()
             hosts: set[str] = set()
-            for spec in m1.tables:
+            for spec in tables:
+                spec.row_count = counts.get(spec.name, 0)
                 col_stats, graph_stats = all_stats[spec.name]
                 decide_columns(spec, col_stats, graph_stats)
                 for name, st in col_stats.items():
@@ -237,10 +192,10 @@ def run_pipeline(
             m2 = Manifest(
                 stage="stats",
                 step=1,
-                tables=m1.tables,
-                dictionaries=m1.dictionaries,
-                enums={**m1.enums, "scheme": sorted(schemes), "host": sorted(hosts)},
-                lineage=m1.lineage,
+                tables=tables,
+                dictionaries=dicts,
+                enums={"graph": graphs, "scheme": sorted(schemes), "host": sorted(hosts)},
+                lineage={**m1.lineage, "combos": combos, "namespaces": namespaces},
                 metrics=dict(metrics),
             )
             save_manifest(out_dir, m2)
@@ -329,10 +284,12 @@ def run_step(sf_dir: str, out_dir: str, step: int, **kw) -> Manifest:
     must exist), this step's manifest is cleared so it re-executes, and the run
     stops before the next step. Later steps' manifests are also cleared — their
     inputs just changed, so keeping them would serve stale state on resume."""
+    from ..util import fs_exists, fs_remove
+
     for s in range(step, 5):
         p = manifest_path(out_dir, s, _STAGE_NAMES[s])
-        if os.path.exists(p):
-            os.remove(p)
+        if fs_exists(p):
+            fs_remove(p)
     return run_pipeline(sf_dir, out_dir, resume=True, stop_after=step, **kw)
 
 

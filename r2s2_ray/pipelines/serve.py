@@ -79,7 +79,9 @@ def _graph_case(graphs: list[str]) -> str:
 
 
 def pm_view_sql(t: TableSpec, i: int, pm: PredicateMapSpec, graphs: list[str]) -> str:
-    src = f"read_parquet('{t.path}/*.parquet')"
+    from ..util import duckdb_path
+
+    src = f"read_parquet('{duckdb_path(t.path)}/*.parquet')"
     subj = _subject_expr(t)
     obj, o_lang, o_dt = _object_exprs(pm)
     g = f'"{pm.graph_column}"'
@@ -109,9 +111,10 @@ def views_sql(m: Manifest) -> str:
 
 
 def write_views_sql(out_dir: str, m: Manifest) -> str:
+    from ..util import fs_write_text
+
     p = os.path.join(out_dir, "views.sql")
-    with open(p, "w") as f:
-        f.write(views_sql(m))
+    fs_write_text(p, views_sql(m))
     return p
 
 
@@ -281,9 +284,10 @@ def r2rml_ttl(m: Manifest) -> str:
 
 
 def write_r2rml(out_dir: str, m: Manifest) -> str:
+    from ..util import fs_write_text
+
     p = os.path.join(out_dir, "r2rml.ttl")
-    with open(p, "w") as f:
-        f.write(r2rml_ttl(m))
+    fs_write_text(p, r2rml_ttl(m))
     return p
 
 
@@ -292,9 +296,10 @@ def reassemble_triples(out_dir: str):
     (the P/R harness input, FIXTURES.md §D). Returns a pyarrow Table."""
     import duckdb
 
+    from ..util import fs_read_text
+
     con = duckdb.connect()
-    with open(os.path.join(out_dir, "views.sql")) as f:
-        for stmt in f.read().split(";\n"):
-            if stmt.strip():
-                con.execute(stmt)
+    for stmt in fs_read_text(os.path.join(out_dir, "views.sql")).split(";\n"):
+        if stmt.strip():
+            con.execute(stmt)
     return con.execute("SELECT * FROM all_triples").arrow()

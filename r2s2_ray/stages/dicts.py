@@ -102,13 +102,13 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str, num_buckets:
     (idempotent under task retries, per-partition resumable).
     """
     import os
-    import shutil
 
     import polars as pl
-    import pyarrow.parquet as pq
 
-    shutil.rmtree(out_path, ignore_errors=True)
-    os.makedirs(out_path, exist_ok=True)
+    from ..util import fs_makedirs, fs_rmtree, fs_write_table
+
+    fs_rmtree(out_path)
+    fs_makedirs(out_path)
 
     def both(t: pa.Table) -> pa.Table:
         s = pc.drop_null(pc.unique(t["subj"]))
@@ -132,7 +132,7 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str, num_buckets:
         for key, g in pl.from_arrow(t).partition_by("bucket", as_dict=True).items():
             terms = g["term"].unique().sort()
             bk = int(key[0])
-            pq.write_table(
+            fs_write_table(
                 pa.table({"term": terms.to_arrow()}),
                 os.path.join(out_path, f"bucket-{bk:05d}.parquet"),
             )
@@ -158,10 +158,10 @@ def write_small_dict(values: list[str], path: str, col: str = "iri") -> None:
     (parity: ``predicates``/``graphs`` tables, ParseIntoSOGTables.java:455-470)."""
     import os
 
-    import pyarrow.parquet as pq
+    from ..util import fs_makedirs, fs_write_table
 
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(
+    fs_makedirs(os.path.dirname(path))
+    fs_write_table(
         pa.table({"id": pa.array(range(len(values)), pa.int32()), col: pa.array(values)}),
         path,
     )

@@ -259,7 +259,7 @@ def write_lean(folded: ray.data.Dataset, out_dir: str) -> None:
     execution UUID, so the destination is cleared first (the step is only ever
     re-entered when its manifest is absent). Within one execution, Ray's write
     tasks use stable per-task filenames, so task retries overwrite."""
-    import shutil
+    from ..util import fs_rmtree
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    fs_rmtree(out_dir)
     folded.write_parquet(out_dir, partition_cols=["table_key"])

@@ -200,31 +200,38 @@ def materialize_all(
     Ray task retry or a killed-and-resumed run OVERWRITES instead of appending.
     Per-table ``_SUCCESS`` stamps (written only after the whole job) keep the
     per-partition resume contract."""
-    import glob as _glob
-
-    import pyarrow.parquet as pq
+    from ..util import (
+        fs_exists,
+        fs_list_parquet,
+        fs_makedirs,
+        fs_parquet_rows,
+        fs_read_table,
+        fs_remove,
+        fs_write_table,
+        fs_write_text,
+    )
 
     specs_by_name = {s.name: s for s in specs}
     items: list[dict] = []
     pending: list[TableSpec] = []
     for spec in specs:
         dest = table_data_path(out_dir, spec.name)
-        if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        if fs_exists(os.path.join(dest, "_SUCCESS")):
             spec.path = dest
             continue  # per-partition resume
         pending.append(spec)
         src = spec.path or table_lean_path(out_dir, spec.name)
-        files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
-        os.makedirs(dest, exist_ok=True)
+        files = fs_list_parquet(src)
+        fs_makedirs(dest)
         # un-stamped table: clear any partial files from a crashed prior attempt
         # (chunk boundaries may differ between attempts)
-        for stale in _glob.glob(os.path.join(dest, "*.parquet")):
-            os.remove(stale)
+        for stale in fs_list_parquet(dest):
+            fs_remove(stale)
         chunk: list[str] = []
         rows = 0
         part = 0
         for f in files:
-            n = pq.ParquetFile(f).metadata.num_rows
+            n = fs_parquet_rows(f)
             if chunk and rows + n > target_rows:
                 items.append({"table": spec.name, "files": "\x1f".join(chunk), "part": part})
                 chunk, rows = [], 0
@@ -240,7 +247,7 @@ def materialize_all(
             done = []
             for name, files, part in zip(batch["table"], batch["files"], batch["part"]):
                 t = pa.concat_tables(
-                    [pq.read_table(f) for f in str(files).split("\x1f")],
+                    [fs_read_table(f) for f in str(files).split("\x1f")],
                     promote_options="default",
                 )
                 keys = [("subj", "ascending")]
@@ -248,7 +255,7 @@ def materialize_all(
                     keys.append(("obj", "ascending"))
                 t = t.sort_by(keys)  # chunk-local: inputs are bucket-sorted already
                 out = fns[str(name)](t)
-                pq.write_table(
+                fs_write_table(
                     out,
                     os.path.join(table_data_path(out_dir, str(name)), f"part-{part:05d}.parquet"),
                 )
@@ -259,8 +266,7 @@ def materialize_all(
     for spec in pending:
         dest = table_data_path(out_dir, spec.name)
         spec.path = dest
-        with open(os.path.join(dest, "_SUCCESS"), "w") as f:
-            f.write("ok")
+        fs_write_text(os.path.join(dest, "_SUCCESS"), "ok")
 
 
 def materialize_table(

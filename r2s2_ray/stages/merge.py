@@ -218,25 +218,23 @@ def _build_all_merged(
     # replaces materialize() + a count pass + O(cohorts x members) filtered write
     # jobs — at bench scale those fixed job costs dominated the whole merge stage,
     # and at 100 TB the wide intermediate never needs to sit in the object store.
-    import shutil
+    from ..util import fs_makedirs, fs_rmtree, fs_write_table
 
     # clear any partial output of a crashed prior attempt (the step re-enters
     # only when its manifest is absent), then rely on content-derived filenames
     # below for within-execution task-retry idempotency
-    shutil.rmtree(os.path.join(out_dir, "lean_merged"), ignore_errors=True)
+    fs_rmtree(os.path.join(out_dir, "lean_merged"))
     dests: dict[tuple[int, int], str] = {}
     for ci, members in enumerate(cohorts):
         dests[(ci, 0)] = os.path.join(out_dir, "lean_merged", members[0].name)
         for i, m in enumerate(members[1:], start=1):
             dests[(ci, i)] = os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX)
     for d in dests.values():
-        os.makedirs(d, exist_ok=True)
+        fs_makedirs(d)
     cohort_sizes = [len(c) for c in cohorts]
 
     def split_write(b: pa.Table) -> pa.Table:
         import hashlib
-
-        import pyarrow.parquet as pq
 
         # deterministic per-block tag: a retried task re-processes the same
         # block and OVERWRITES its own files instead of appending duplicates
@@ -259,7 +257,7 @@ def _build_all_merged(
                     + [f"obj__{i}" for i in range(k)]
                     + [f"graphs__{i}" for i in range(k)]
                 )
-                pq.write_table(
+                fs_write_table(
                     merged.select(keep), os.path.join(dests[(ci, 0)], f"part-{tag}.parquet")
                 )
             rows["cohort"].append(ci)
@@ -277,7 +275,7 @@ def _build_all_merged(
                             "graphs": li[f"graphs__{i}"],
                         }
                     )
-                    pq.write_table(out, os.path.join(dests[(ci, i)], f"part-{tag}.parquet"))
+                    fs_write_table(out, os.path.join(dests[(ci, i)], f"part-{tag}.parquet"))
                 rows["cohort"].append(ci)
                 rows["kind"].append(i)
                 rows["n"].append(li.num_rows)

@@ -212,6 +212,89 @@ def _emit_stats_rows(cols: dict, graphs_cols: dict, prefix: str, rows: dict) -> 
         rows["blob"].append(pickle.dumps({"max_len": max_len}))
 
 
+def run_stats_census(lean_root: str, spec_factory, decompose_factory):
+    """ONE streaming pass over the lean store computing EVERYTHING step 1 needs:
+    per-table column stats, the (table_key, combo) census (with the
+    sql-name-collision check input), the graph-IRI domain, and per-table row
+    counts — fused so the full data is scanned ONCE (each separate job costs a
+    full scan plus fixed Ray-job overhead, which dominates small runs and is a
+    wasted data pass at 100 TB).
+
+    A batch's spec is derived on the worker from its own ``combo`` column via
+    ``spec_factory`` (memoized per process) — no driver round-trip needed
+    before the scan. Returns (stats: {table: (col_stats, graph_stats)},
+    combos_by_key, graphs, row_counts)."""
+    import pickle
+
+    memo: dict[str, TableSpec] = {}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows: dict = {"kind": [], "table": [], "column": [], "blob": []}
+
+        def emit(kind: int, table: str, column: str, blob: bytes) -> None:
+            rows["kind"].append(kind)
+            rows["table"].append(table)
+            rows["column"].append(column)
+            rows["blob"].append(blob)
+
+        keys = pc.drop_null(pc.unique(batch["table_key"])).to_pylist()
+        for k in keys:
+            k = str(k)
+            sub = batch.filter(pc.equal(batch["table_key"], k)) if len(keys) > 1 else batch
+            combos = [str(c) for c in pc.unique(sub["combo"]).to_pylist()]
+            for cb in combos:
+                emit(1, k, cb, b"")
+            emit(3, k, "", pickle.dumps(sub.num_rows))
+            spec = memo.get(combos[0])
+            if spec is None:
+                spec = memo[combos[0]] = spec_factory(combos[0])
+            cols, gcols = decompose_factory(spec)(sub)
+            srows: dict = {"table": [], "column": [], "blob": []}
+            _emit_stats_rows(cols, gcols, k, srows)
+            for t, c, b in zip(srows["table"], srows["column"], srows["blob"]):
+                emit(0, t, c, b)
+        g = pc.drop_null(pc.unique(pc.list_flatten(batch["graphs"])))
+        for gv in g.to_pylist():
+            emit(2, "", str(gv), b"")
+        return pa.table(
+            {
+                "kind": pa.array(rows["kind"], pa.int8()),
+                "table": pa.array(rows["table"], pa.string()),
+                "column": pa.array(rows["column"], pa.string()),
+                "blob": pa.array(rows["blob"], pa.binary()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(lean_root)
+        .map_batches(fn, batch_format="pyarrow", batch_size=256_000)
+        .take_all()
+    )
+    stats: dict[str, tuple[dict, dict]] = {}
+    combos_by_key: dict[str, set] = {}
+    graphs: set[str] = set()
+    counts: dict[str, int] = {}
+    for r in parts:
+        kind = r["kind"]
+        if kind == 1:
+            combos_by_key.setdefault(r["table"], set()).add(r["column"])
+        elif kind == 2:
+            graphs.add(r["column"])
+        elif kind == 3:
+            counts[r["table"]] = counts.get(r["table"], 0) + pickle.loads(r["blob"])
+        else:
+            col_stats, graph_stats = stats.setdefault(r["table"], ({}, {}))
+            name, blob = r["column"], pickle.loads(r["blob"])
+            if name.startswith("\x00graph\x00"):
+                g = graph_stats.setdefault(name.split("\x00")[2], {"max_len": 0})
+                g["max_len"] = max(g["max_len"], blob["max_len"])
+            elif name in col_stats:
+                col_stats[name].merge(blob)
+            else:
+                col_stats[name] = blob
+    return stats, combos_by_key, sorted(graphs), counts
+
+
 def run_stats_all(lean_root: str, specs: dict[str, TableSpec], decompose_factory):
     """ONE streaming pass over the whole lean store computing every table's column
     stats at once (the hive ``table_key`` column routes each batch slice to its

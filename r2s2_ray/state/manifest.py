@@ -101,18 +101,22 @@ def manifest_path(out_dir: str, step: int, stage: str) -> str:
 
 
 def save_manifest(out_dir: str, m: Manifest) -> str:
-    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    from ..util import fs_for, fs_makedirs, fs_write_text
+
+    fs_makedirs(_manifest_dir(out_dir))
     p = manifest_path(out_dir, m.step, m.stage)
     tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(asdict(m), f, indent=1)
-    os.replace(tmp, p)  # atomic checkpoint write
+    fs_write_text(tmp, json.dumps(asdict(m), indent=1))
+    f, pp = fs_for(p)
+    _, tmp_local = fs_for(tmp)
+    f.move(tmp_local, pp)  # atomic on the local FS; single PUT on object stores
     return p
 
 
 def load_manifest(path: str) -> Manifest:
-    with open(path) as f:
-        d = json.load(f)
+    from ..util import fs_read_text
+
+    d = json.loads(fs_read_text(path))
     tables = [
         TableSpec(
             name=t["name"],

@@ -1,9 +1,104 @@
-"""Shared Ray Data helpers."""
+"""Shared Ray Data helpers + filesystem-portable path operations.
+
+Every side-effecting file operation in the pipeline (partition writes from
+workers, _SUCCESS stamps, manifest files, dictionary files) routes through the
+``fs_*`` helpers below, which resolve plain paths to the local filesystem and
+``scheme://`` URIs through ``pyarrow.fs`` — so the single-node POSIX layout and
+an object-store layout (s3://bucket/prefix) use the same code path. DuckDB
+consumers (views.sql) get :func:`duckdb_path`, which strips the ``file://``
+scheme DuckDB does not parse.
+"""
 
 from __future__ import annotations
 
 import ray
 import ray.data
+
+
+def fs_for(path: str):
+    """(pyarrow FileSystem, fs-local path) for a plain path or URI."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def duckdb_path(path: str) -> str:
+    """Path form DuckDB's read_parquet understands (no file:// scheme)."""
+    return path[len("file://") :] if path.startswith("file://") else path
+
+
+def fs_makedirs(path: str) -> None:
+    f, p = fs_for(path)
+    f.create_dir(p, recursive=True)
+
+
+def fs_rmtree(path: str) -> None:
+    f, p = fs_for(path)
+    try:
+        f.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+
+
+def fs_exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    f, p = fs_for(path)
+    return f.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def fs_write_text(path: str, text: str) -> None:
+    f, p = fs_for(path)
+    with f.open_output_stream(p) as out:
+        out.write(text.encode())
+
+
+def fs_read_text(path: str) -> str:
+    f, p = fs_for(path)
+    with f.open_input_stream(p) as inp:
+        return inp.read().decode()
+
+
+def fs_list_parquet(dir_path: str) -> list[str]:
+    """Sorted .parquet member paths of a directory (original scheme preserved)."""
+    from pyarrow import fs as pafs
+
+    f, p = fs_for(dir_path)
+    try:
+        infos = f.get_file_info(pafs.FileSelector(p))
+    except FileNotFoundError:
+        return []
+    scheme = dir_path[: len(dir_path) - len(p)] if "://" in dir_path else ""
+    return sorted(scheme + i.path for i in infos if i.path.endswith(".parquet"))
+
+
+def fs_write_table(table, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    f, p = fs_for(path)
+    pq.write_table(table, p, filesystem=f)
+
+
+def fs_read_table(path: str, columns=None):
+    import pyarrow.parquet as pq
+
+    f, p = fs_for(path)
+    return pq.read_table(p, columns=columns, filesystem=f)
+
+
+def fs_parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata only."""
+    import pyarrow.parquet as pq
+
+    f, p = fs_for(path)
+    return pq.ParquetFile(p, filesystem=f).metadata.num_rows
+
+
+def fs_remove(path: str) -> None:
+    f, p = fs_for(path)
+    f.delete_file(p)
 
 #: inputs smaller than this may be repartitioned for parallelism — the shuffle is
 #: cheaper than leaving (cpus - blocks) cores idle. Larger inputs are left alone:

@@ -45,6 +45,22 @@ def test_hot_predicate_buckets_stay_balanced():
     assert counts.max() < mean * 1.25 and counts.min() > mean * 0.75, counts
 
 
+def test_pipeline_runs_on_fs_uri(sf_small, tmp_path):
+    """Filesystem portability: the whole pipeline runs with a pyarrow-fs URI
+    out_dir (file://... here; the same code path serves object-store URIs) and
+    produces the same triple set as the plain-path run — no raw os.* writes
+    from workers."""
+    from r2s2_ray.pipelines.kg import run_pipeline
+    from r2s2_ray.pipelines.serve import reassemble_triples
+
+    out = f"file://{tmp_path}/kg_uri"
+    m = run_pipeline(sf_small, out)
+    assert m.stage == "serve"
+    t = reassemble_triples(out)
+    assert t.num_rows > 20_000
+    assert os.path.exists(f"{tmp_path}/kg_uri/r2rml.ttl")
+
+
 def test_materialize_per_partition_resume(sf_small, tmp_path):
     """Deleting ONE materialized table re-runs only that table: untouched
     tables keep their output files (mtime unchanged) — the per-partition
