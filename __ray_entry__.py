@@ -399,6 +399,12 @@ def _kg_connected_components(sf_dir: str):
     return connected_components_distributed(cc_demo_edges(sf_dir))
 
 
+def _td_prepare(sf_dir: str):
+    from r2s2_ray.pipelines.training_data import prepare_corpus
+
+    return prepare_corpus(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (SURVEY.md §2 operators)
@@ -427,6 +433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_brand_stats": relational.q_part_brand_stats,
         # training-data ops
         "dd_exact_docs": _dd_exact_docs,
+        "td_prepare": _td_prepare,
         "dd_minhash_pairs": _dd_minhash,
         "dd_simhash": _dd_simhash,
         "dd_embedding_neardup": _dd_embedding,
@@ -515,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         # training-data family oracles: bit-exact SQL replicas of the hash-based
         # operators (possible because the operators use the SQL-expressible hash
         # family in r2s2_ray/functions/hashing.py)
+        "td_prepare": oracles_td.td_prepare_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
         "txt_langid": oracles_td.langid_oracle(),
         "dd_simhash": oracles_td.simhash_oracle(),

@@ -164,14 +164,25 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # best-of-2 per parallelism level: the sandbox host is multi-tenant and
-    # run-to-run noise is +-20%, which would swamp the efficiency ratio; the
-    # minimum is the least-contended (most representative) run of each config
-    runs_lo = [one(lo) for _ in range(2)]
-    runs_hi = [one(hi) for _ in range(2)]
+    # best-of-N per parallelism level, ALTERNATING configs: the sandbox host is
+    # multi-tenant with ~2x run-to-run noise (verified with a fixed matmul),
+    # which would swamp the efficiency ratio; the minimum is the
+    # least-contended (most representative) run of each config, and
+    # interleaving gives both configs the same shot at quiet windows
+    n = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+    runs_lo, runs_hi = [], []
+    for _ in range(n):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    stage_eff = {}
+    for k in r_lo["queries"]:
+        if k.startswith("kg_step") and k.endswith("_s") is False and k in r_hi["queries"]:
+            t8, t32 = r_lo["queries"][k], r_hi["queries"][k]
+            if t32 > 0.2:  # below that it's pure scheduling latency
+                stage_eff[k] = round((t8 / t32) / (hi / lo), 3)
     return {
         "metric": "kg_pipeline_scaling",
         "unit": "efficiency",
@@ -181,6 +192,9 @@ def run_scaling() -> dict:
         "sec_32_runs": [r["value"] for r in runs_hi],
         "tps_8": r_lo["triples_per_sec"],
         "tps_32": r_hi["triples_per_sec"],
+        "stages_8": {k: v for k, v in r_lo["queries"].items() if k.startswith("kg_step")},
+        "stages_32": {k: v for k, v in r_hi["queries"].items() if k.startswith("kg_step")},
+        "stage_efficiency": stage_eff,
         "scaling_efficiency": round(eff, 3),
         "sf": r_lo["sf"],
         "value": round(eff, 3),

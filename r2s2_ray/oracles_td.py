@@ -142,13 +142,13 @@ def simhash_oracle() -> str:
         FROM bits GROUP BY doc_id"""
 
 
-def _shingles_cte(shingle_k: int = 3) -> str:
+def _shingles_cte(shingle_k: int = 3, source: str = "documents") -> str:
     """DISTINCT (doc_id, s) word-k-shingles — mirrors dedup._shingle_rows."""
     concat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(shingle_k))
     return f"""
         d AS (SELECT doc_id,
                      list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
-              FROM documents),
+              FROM {source}),
         sh AS (SELECT DISTINCT doc_id, s FROM (
                  SELECT doc_id,
                         unnest(list_transform(range(1, len(toks) - {shingle_k - 2}),
@@ -156,7 +156,9 @@ def _shingles_cte(shingle_k: int = 3) -> str:
                  FROM d))"""
 
 
-def minhash_pairs_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3) -> str:
+def _minhash_ctes(num_perm: int = 64, bands: int = 16, shingle_k: int = 3, source: str = "documents") -> str:
+    """CTE chain ending in ``bandkeys(doc_id, band, bh)`` — composable into
+    larger oracles (td_prepare)."""
     rows = num_perm // bands
     perm_rows = ", ".join(
         "({}, CAST('{}' AS HUGEINT), CAST('{}' AS HUGEINT), {})".format(
@@ -173,7 +175,7 @@ def minhash_pairs_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3
     affine = f"({_mulmod(_unsigned('bh'), 'p.a', 'p.alo')} + p.b) % CAST('{U64}' AS HUGEINT)"
     combined = _mulmod("sig.h", "q.qr", "q.qlo")
     return f"""
-        WITH {_shingles_cte(shingle_k)},
+        {_shingles_cte(shingle_k, source)},
         shx AS (SELECT doc_id, hex(encode(s)) AS h FROM sh),
         base AS (SELECT doc_id, {_poly_hash('h')} AS bh FROM shx),
         perms AS (SELECT * FROM (VALUES {perm_rows}) p(i, a, b, alo)),
@@ -184,10 +186,36 @@ def minhash_pairs_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3
           SELECT sig.doc_id, sig.i // {rows} AS band,
                  {_signed(f"(sum({combined}) % CAST('{U64}' AS HUGEINT))")} AS bh
           FROM sig JOIN qs q ON sig.i % {rows} = q.r
-          GROUP BY sig.doc_id, sig.i // {rows})
+          GROUP BY sig.doc_id, sig.i // {rows})"""
+
+
+def minhash_pairs_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3) -> str:
+    return f"""
+        WITH {_minhash_ctes(num_perm, bands, shingle_k)}
         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bandkeys x JOIN bandkeys y
           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id"""
+
+
+def td_prepare_oracle(
+    min_tokens: int = 5, max_chars: int = 20_000, num_perm: int = 64, bands: int = 16
+) -> str:
+    """Composite corpus-preparation oracle: quality gate -> exact dedup (keep
+    min doc_id per text) -> MinHash-LSH near-dedup (drop the larger id of every
+    candidate pair). Mirrors pipelines/training_data.prepare_corpus."""
+    return f"""
+        WITH qf AS (
+          SELECT doc_id, text FROM documents
+          WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= {min_tokens}
+            AND length(text) <= {max_chars}
+            AND len(regexp_extract_all(text, '[A-Za-z]')) >= 1),
+        e AS (SELECT min(doc_id) AS doc_id, text FROM qf GROUP BY text),
+        {_minhash_ctes(num_perm, bands, 3, "e")},
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bandkeys x JOIN bandkeys y
+            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+        SELECT doc_id FROM e WHERE doc_id NOT IN (SELECT b FROM pairs)"""
 
 
 def _planes_cte(num_tables: int, num_planes: int, dim: int) -> str:

@@ -94,11 +94,21 @@ def q_join_revenue(sf_dir: str):
     )
 
 
-def q_topk_orders(sf_dir: str):
+def q_topk_orders(sf_dir: str, k: int = 10):
+    """Top-k by (price DESC, key ASC): per-block partial top-k first, then the
+    global sort runs over only blocks x k rows — a full distributed sort of the
+    whole table to keep 10 rows is the all-to-all-for-nothing anti-pattern."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        return b.sort_by(
+            [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+        ).slice(0, k)
+
     return (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        ds.map_batches(local_topk, batch_format="pyarrow")
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
-        .limit(10)
+        .limit(k)
     )
 
 

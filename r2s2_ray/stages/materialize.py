@@ -37,6 +37,19 @@ from ..terms import IRI_PARTS, KIND_BNODE, KIND_IRI
 
 _READ_LOCK = threading.Lock()
 
+#: fixed gYear ENUM domain (OptimizeForDatatype.java:27-50 pre-creates
+#: -5999..2999); built once at import, ~9k strings
+_GYEAR_DOMAIN = None
+
+
+def _gyear_domain() -> "pa.Array":
+    global _GYEAR_DOMAIN
+    if _GYEAR_DOMAIN is None:
+        vals = [f"-{y:04d}" for y in range(5999, 0, -1)] + [f"{y:04d}" for y in range(0, 3000)]
+        _GYEAR_DOMAIN = pa.array(vals, pa.string())
+    return _GYEAR_DOMAIN
+
+
 _CAST = {
     "INTEGER": pa.int32(),
     "BIGINT": pa.int64(),
@@ -146,7 +159,20 @@ class MaterializeFn:
             elif c.datatype == "BOOLEAN":
                 a = pc.equal(a, "true")
             elif c.datatype == "GYEAR":
-                a = pc.dictionary_encode(a)
+                # parity OptimizeForDatatype.java:27-50: the reference
+                # pre-creates an ENUM over the full year domain -5999..2999 so
+                # every partition shares one dictionary; indices into the fixed
+                # domain are stable across files/nodes (observed-value
+                # dictionaries would disagree between partitions)
+                dom = _gyear_domain()
+                a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                idx = pc.cast(pc.index_in(a, value_set=dom), pa.int32())
+                if pc.any(pc.and_(pc.is_valid(a), pc.is_null(idx))).as_py():
+                    # year outside the reference's fixed domain: keep the
+                    # observed-value dictionary rather than nulling data
+                    a = pc.dictionary_encode(a)
+                else:
+                    a = pa.DictionaryArray.from_arrays(idx, dom)
             if c.name in self.enum_cols:
                 enum = self.enum_arrays[self.enum_cols[c.name]]
                 idx = pc.cast(pc.index_in(a, value_set=enum), pa.int32())

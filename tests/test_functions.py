@@ -179,6 +179,30 @@ def test_multimodal_plumbing():
         ImageDecode(fake=False)(pa.Table.from_pylist(rows))
 
 
+def test_td_prepare_composition(tmp_path):
+    """Composite corpus prep: kept set passes the quality gate, contains no
+    exact-duplicate texts, and drops the larger id of every near-dup pair."""
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.pipelines.training_data import prepare_corpus
+
+    base = "word " * 60
+    rows = [
+        {"doc_id": 0, "text": base + "alpha beta gamma"},
+        {"doc_id": 1, "text": base + "alpha beta gamma"},  # exact dup of 0
+        {"doc_id": 2, "text": base + "alpha beta delta"},  # near dup of 0
+        {"doc_id": 3, "text": "completely different content about ships and stars " * 5},
+        {"doc_id": 4, "text": "x"},  # fails min_tokens
+        {"doc_id": 5, "text": "123 456 789 000 111"},  # no alpha
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet"))
+    kept = sorted(r["doc_id"] for r in prepare_corpus(str(tmp_path)).take_all())
+    assert 0 in kept and 3 in kept
+    assert 1 not in kept  # exact dup dropped
+    assert 2 not in kept  # near dup dropped
+    assert 4 not in kept and 5 not in kept  # quality gate
+
+
 def test_connected_components():
     from r2s2_ray.linking import connected_components
 
