@@ -46,10 +46,10 @@ from ..state.manifest import (
 from ..terms import KIND_IRI
 from ..transcripts import read_transcripts
 from ..stages import merge as merge_stage
-from ..stages.dicts import build_term_dictionary, distinct_small, write_small_dict
+from ..stages.dicts import build_term_dictionary, write_small_dict
 from ..stages.fold import fold, route, write_lean
 from ..stages.specs import spec_from_combo
-from ..stages.stats import decide_columns, run_stats
+from ..stages.stats import decide_columns
 from ..stages.materialize import decompose_lean
 
 

@@ -34,18 +34,6 @@ def _per_block_unique(col: str):
     return fn
 
 
-def distinct_small(ds: ray.data.Dataset, col: str) -> list[str]:
-    """Distinct values of one column, returned sorted to the driver.
-
-    Use ONLY for provably small domains (predicates, graphs, classes, langs,
-    datatypes, schemes, hosts): the per-block combiner bounds the shuffle to
-    (#blocks x #distinct) rows.
-    """
-    pre = ds.select_columns([col]).map_batches(_per_block_unique(col), batch_format="pyarrow")
-    vals = pre.unique(col)
-    return sorted(v for v in vals if v is not None)
-
-
 def distinct_large(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     """Distinct values of a potentially huge column as a sorted Dataset (stays
     distributed; groupby shuffle with per-block combiner)."""

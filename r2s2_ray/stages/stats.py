@@ -293,95 +293,3 @@ def run_stats_census(lean_root: str, spec_factory, decompose_factory):
             else:
                 col_stats[name] = blob
     return stats, combos_by_key, sorted(graphs), counts
-
-
-def run_stats_all(lean_root: str, specs: dict[str, TableSpec], decompose_factory):
-    """ONE streaming pass over the whole lean store computing every table's column
-    stats at once (the hive ``table_key`` column routes each batch slice to its
-    spec). Returns {table: (col_stats, graph_stats)} folded on the driver."""
-    import pickle
-
-    def fn(batch: pa.Table) -> pa.Table:
-        rows: dict = {"table": [], "column": [], "blob": []}
-        keys = pc.drop_null(pc.unique(batch["table_key"])).to_pylist()
-        for k in keys:
-            sub = batch.filter(pc.equal(batch["table_key"], k)) if len(keys) > 1 else batch
-            spec = specs[k]
-            cols, gcols = decompose_factory(spec)(sub)
-            _emit_stats_rows(cols, gcols, k, rows)
-        return pa.table(
-            {
-                "table": pa.array(rows["table"]),
-                "column": pa.array(rows["column"]),
-                "blob": pa.array(rows["blob"], pa.binary()),
-            }
-        )
-
-    # batch_size here BUNDLES the lean store's many small partition files
-    # (buckets x table_keys) into few tasks — without it this stage runs one
-    # micro-task per file and scheduling overhead swamps the actual stats work
-    parts = (
-        ray.data.read_parquet(lean_root)
-        .map_batches(fn, batch_format="pyarrow", batch_size=256_000)
-        .take_all()
-    )
-    out: dict[str, tuple[dict, dict]] = {k: ({}, {}) for k in specs}
-    for r in parts:
-        col_stats, graph_stats = out[r["table"]]
-        name, blob = r["column"], pickle.loads(r["blob"])
-        if name.startswith("\x00graph\x00"):
-            g = graph_stats.setdefault(name.split("\x00")[2], {"max_len": 0})
-            g["max_len"] = max(g["max_len"], blob["max_len"])
-        elif name in col_stats:
-            col_stats[name].merge(blob)
-        else:
-            col_stats[name] = blob
-    return out
-
-
-class _StatsFn:
-    """map_batches callable: lean batch -> one partial-stats row per column."""
-
-    def __init__(self, spec: TableSpec, decompose_fn):
-        self.spec = spec
-        self.decompose = decompose_fn
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import pickle
-
-        cols, graphs_cols = self.decompose(batch)
-        rows = {"column": [], "blob": []}
-        for name, arr in cols.items():
-            preds = ["int"]
-            base = name.rsplit("_", 1)[-1]
-            if name.endswith("_litvalue"):
-                preds = list(_PRED_RE)
-            elif base not in ("path", "query", "fragment", "port", "id"):
-                preds = []
-            st = block_col_stats(arr, preds)
-            rows["column"].append(name)
-            rows["blob"].append(pickle.dumps(st))
-        for gname, glist in graphs_cols.items():
-            max_len = pc.max(pc.list_value_length(glist)).as_py() or 0
-            rows["column"].append("\x00graph\x00" + gname)
-            rows["blob"].append(pickle.dumps({"max_len": max_len}))
-        return pa.table({"column": pa.array(rows["column"]), "blob": pa.array(rows["blob"], pa.binary())})
-
-
-def run_stats(lean_ds: ray.data.Dataset, spec: TableSpec, decompose_fn) -> tuple[dict, dict]:
-    """Returns (col_stats, graph_stats) folded on the driver (metadata-scale)."""
-    import pickle
-
-    parts = lean_ds.map_batches(_StatsFn(spec, decompose_fn), batch_format="pyarrow").take_all()
-    col_stats: dict[str, ColStats] = {}
-    graph_stats: dict[str, dict] = {}
-    for r in parts:
-        name, blob = r["column"], pickle.loads(r["blob"])
-        if name.startswith("\x00graph\x00"):
-            g = graph_stats.setdefault(name.split("\x00")[2], {"max_len": 0})
-            g["max_len"] = max(g["max_len"], blob["max_len"])
-        elif name in col_stats:
-            col_stats[name].merge(blob)
-        else:
-            col_stats[name] = blob
-    return col_stats, graph_stats
