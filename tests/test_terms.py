@@ -83,6 +83,32 @@ def test_naming_rules():
     assert frag and all(c.isalnum() or c == "_" for c in frag)
 
 
+def test_namespace_accumulation():
+    """M7: unseen vocabularies get readable discovered prefixes (no Base64
+    fallback), deterministically, without clobbering existing prefixes."""
+    from r2s2_ray.naming import DEFAULT_NAMESPACES, discover_namespaces
+
+    iris = [
+        "https://new.example.com/onto/hasPart",
+        "https://new.example.com/onto/partOf",
+        "http://purl.obolibrary.org/obo/GO_0005634",
+        "https://ex.org/vocab/mentions",  # covered by defaults already
+    ]
+    ns = discover_namespaces(iris)
+    added = {k: v for k, v in ns.items() if k not in DEFAULT_NAMESPACES}
+    assert added == {
+        "obo": "http://purl.obolibrary.org/obo/",
+        "onto": "https://new.example.com/onto/",
+    }
+    assert iri_to_sql_name_part("https://new.example.com/onto/hasPart", ns) == "onto_haspart"
+    # deterministic under reordering
+    assert discover_namespaces(list(reversed(iris))) == ns
+    # prefix-name clash gets a numeric suffix, not a silent overwrite
+    ns2 = discover_namespaces(iris + ["https://other.example.net/onto/x"])
+    assert ns2["onto"] == "https://new.example.com/onto/"
+    assert ns2["onto2"] == "https://other.example.net/onto/"
+
+
 def test_table_key_and_columns():
     tk = TableKey("https://ex.org/vocab/text", KIND_IRI, KIND_LITERAL, lang="en")
     assert tk.key_string() == "ex_text_sI_oL_lang_en"
