@@ -153,8 +153,17 @@ def run_scaling() -> dict:
         # that, fixed per-stage scheduling latency dominates and the efficiency
         # number measures Ray overhead rather than the pipeline
         env.setdefault("GRAFT_BENCH_REPLICATE", "64")
+        cmd = [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")]
+        # CPU-affinity-pin each leg to exactly ncpu physical cores: ray.init
+        # (num_cpus=8) only limits TASK SLOTS — worker-internal thread pools
+        # (polars rayon) and kernel work still spread over all 32 host cores,
+        # silently granting the small-cluster leg ~40% extra compute (measured:
+        # 86s unpinned vs 122s pinned at 8 cpus) and corrupting the N-vs-4N
+        # cluster stand-in. An 8-core cluster cannot borrow 24 extra cores.
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench.py")],
+            cmd,
             env=env,
             capture_output=True,
             text=True,

@@ -245,7 +245,13 @@ def fold(
     sorted blocks hit a pathological (~10x) slow path in the polars/arrow
     kernels. ``batch_size=None`` keeps batches == whole blocks (a group must
     never straddle a batch)."""
-    with_bucket = routed.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
+    # 256k bundles on the pre-exchange combiner: Ray's sort emits one output
+    # partition per input block and write_lean emits one file per (block x
+    # table), so small upstream blocks multiply into thousands of lean files
+    # whose listing/footer costs become a fixed serial tax on every later scan
+    with_bucket = routed.map_batches(
+        _add_bucket(num_buckets), batch_format="pyarrow", batch_size=256_000
+    )
     return with_bucket.sort("bucket").map_batches(
         _fold_bucket, batch_format="pyarrow", batch_size=None
     )

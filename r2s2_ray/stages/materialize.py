@@ -208,7 +208,7 @@ def materialize_all(
     out_dir: str,
     specs: list[TableSpec],
     enums: dict[str, list[str]],
-    target_rows: int = 1_000_000,
+    target_bytes: int = 16 << 20,
 ) -> None:
     """Materialize EVERY pending table in ONE Ray job.
 
@@ -229,8 +229,8 @@ def materialize_all(
     from ..util import (
         fs_exists,
         fs_list_parquet,
+        fs_list_parquet_sizes,
         fs_makedirs,
-        fs_parquet_rows,
         fs_read_table,
         fs_remove,
         fs_write_table,
@@ -247,23 +247,25 @@ def materialize_all(
             continue  # per-partition resume
         pending.append(spec)
         src = spec.path or table_lean_path(out_dir, spec.name)
-        files = fs_list_parquet(src)
+        # size-based bin-packing: byte sizes come free with the directory
+        # listing, vs one serial footer read per file (2s of driver time per
+        # thousand files), and bytes track per-chunk work better than rows
+        files = fs_list_parquet_sizes(src)
         fs_makedirs(dest)
         # un-stamped table: clear any partial files from a crashed prior attempt
         # (chunk boundaries may differ between attempts)
         for stale in fs_list_parquet(dest):
             fs_remove(stale)
         chunk: list[str] = []
-        rows = 0
+        size = 0
         part = 0
-        for f in files:
-            n = fs_parquet_rows(f)
-            if chunk and rows + n > target_rows:
+        for f, n in files:
+            if chunk and size + n > target_bytes:
                 items.append({"table": spec.name, "files": "\x1f".join(chunk), "part": part})
-                chunk, rows = [], 0
+                chunk, size = [], 0
                 part += 1
             chunk.append(f)
-            rows += n
+            size += n
         if chunk:
             items.append({"table": spec.name, "files": "\x1f".join(chunk), "part": part})
     if items:

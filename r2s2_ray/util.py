@@ -63,6 +63,12 @@ def fs_read_text(path: str) -> str:
 
 def fs_list_parquet(dir_path: str) -> list[str]:
     """Sorted .parquet member paths of a directory (original scheme preserved)."""
+    return [p for p, _ in fs_list_parquet_sizes(dir_path)]
+
+
+def fs_list_parquet_sizes(dir_path: str) -> list[tuple[str, int]]:
+    """Sorted (path, size_bytes) of a directory's .parquet members — sizes come
+    free with the directory listing (no per-file footer reads)."""
     from pyarrow import fs as pafs
 
     f, p = fs_for(dir_path)
@@ -71,7 +77,9 @@ def fs_list_parquet(dir_path: str) -> list[str]:
     except FileNotFoundError:
         return []
     scheme = dir_path[: len(dir_path) - len(p)] if "://" in dir_path else ""
-    return sorted(scheme + i.path for i in infos if i.path.endswith(".parquet"))
+    return sorted(
+        (scheme + i.path, i.size) for i in infos if i.path.endswith(".parquet")
+    )
 
 
 def fs_write_table(table, path: str) -> None:

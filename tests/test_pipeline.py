@@ -167,8 +167,26 @@ def test_resume_after_partial_failure(kg_out, sf_small):
     for step, stage in ((2, "merge"), (3, "materialize"), (4, "serve")):
         os.remove(manifest_path(out, step, stage))
     shutil.rmtree(os.path.join(out, "tables"))
+    # simulate a crashed mid-merge attempt: a stray partial file left behind in
+    # a destination dir must NOT leak duplicate rows into the rerun (the stage
+    # clears its outputs on re-entry; split_write names files by block content)
+    merged_root = os.path.join(out, "lean_merged")
+    if os.path.isdir(merged_root):
+        for d in sorted(os.listdir(merged_root)):
+            parts = sorted(
+                f for f in os.listdir(os.path.join(merged_root, d)) if f.endswith(".parquet")
+            )
+            if parts:
+                shutil.copy(
+                    os.path.join(merged_root, d, parts[0]),
+                    os.path.join(merged_root, d, "part-deadbeef.parquet"),
+                )
+                break
     m = run_pipeline(sf_small, out)
     assert m.stage == "serve"
     for t in m.tables:
         assert os.path.exists(os.path.join(out, "tables", t.name, "_SUCCESS"))
-    assert key(reassemble_triples(out)) == key(before)
+    after = reassemble_triples(out)
+    assert key(after) == key(before)
+    # set-compare can mask duplicated rows: row COUNT must match too
+    assert after.num_rows == before.num_rows
