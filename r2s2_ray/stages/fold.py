@@ -245,13 +245,12 @@ def fold(
     sorted blocks hit a pathological (~10x) slow path in the polars/arrow
     kernels. ``batch_size=None`` keeps batches == whole blocks (a group must
     never straddle a batch)."""
-    # 256k bundles on the pre-exchange combiner: Ray's sort emits one output
-    # partition per input block and write_lean emits one file per (block x
-    # table), so small upstream blocks multiply into thousands of lean files
-    # whose listing/footer costs become a fixed serial tax on every later scan
-    with_bucket = routed.map_batches(
-        _add_bucket(num_buckets), batch_format="pyarrow", batch_size=256_000
-    )
+    # NO batch_size here: the combiner fuses with the read->extract chain, so a
+    # row quota would count TRANSCRIPT rows (one transcript -> ~15 triples) and
+    # bundle the whole corpus into a handful of serial tasks (measured: the
+    # fold stage collapsed 9s -> 57s at 32 cpus under a 256k quota). Task
+    # granularity belongs to upstream block sizing.
+    with_bucket = routed.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
     return with_bucket.sort("bucket").map_batches(
         _fold_bucket, batch_format="pyarrow", batch_size=None
     )
