@@ -104,7 +104,9 @@ def run_pipeline(
                 # lean store instead of a second extraction pass over the input
                 with StageTimer(metrics, "step0_terms_s"):
                     tpath = os.path.join(out_dir, "dict", "terms")
-                    lean = ray.data.read_parquet(
+                    from ..util import read_parquet_dir
+
+                    lean = read_parquet_dir(
                         os.path.join(out_dir, "lean"), columns=["subj", "obj"]
                     )
                     metrics["n_terms"] = build_term_dictionary(lean, tpath, num_buckets=num_buckets)

@@ -68,9 +68,11 @@ def _subject_census(out_dir: str, tables: list[TableSpec], num_buckets: int = 16
         b = b.filter(pc.is_in(b["table_key"], value_set=names))
         return pa.table({"subj": b["subj"], "tbl": pc.cast(b["table_key"], pa.string())})
 
+    from ..util import read_parquet_dir
+
     # batch_size bundles the lean store's many small files into few map tasks
     # (and thus few sort-map tasks downstream)
-    u = ray.data.read_parquet(
+    u = read_parquet_dir(
         os.path.join(out_dir, "lean"), columns=["subj", "table_key"]
     ).map_batches(project, batch_format="pyarrow", batch_size=256_000)
 
@@ -196,7 +198,9 @@ def _build_all_merged(
             pl.col("subj").hash(seed=9).mod(num_buckets).cast(pl.Int32).alias("bucket")
         ).to_arrow()
 
-    u = ray.data.read_parquet(
+    from ..util import read_parquet_dir
+
+    u = read_parquet_dir(
         os.path.join(out_dir, "lean"),
         columns=["subj", "s_kind", "obj", "graphs", "table_key"],
     ).map_batches(project, batch_format="pyarrow", batch_size=256_000)

@@ -268,8 +268,10 @@ def run_stats_census(lean_root: str, spec_factory, decompose_factory):
     # 128k bundles: small enough that task count comfortably exceeds cluster
     # width (straggler waves: 34 tasks on 32 cpus ran at 1.06 waves), big
     # enough that per-task overhead stays amortized
+    from ..util import read_parquet_dir
+
     parts = (
-        ray.data.read_parquet(lean_root)
+        read_parquet_dir(lean_root)
         .map_batches(fn, batch_format="pyarrow", batch_size=128_000)
         .take_all()
     )

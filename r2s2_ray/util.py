@@ -96,6 +96,22 @@ def fs_read_table(path: str, columns=None):
     return pq.read_table(p, columns=columns, filesystem=f)
 
 
+def read_parquet_dir(root: str, columns=None, **kw) -> "ray.data.Dataset":
+    """``read_parquet`` over an explicitly LISTED file set: handing Ray a
+    directory makes its datasource resolve partitions and sample footers
+    serially on the driver (~4s per 1400 local files, worse on object stores,
+    and paid by EVERY stage that re-reads the store); one recursive listing is
+    metadata-scale and hive partition columns still resolve from the paths."""
+    from pyarrow import fs as pafs
+
+    f, p = fs_for(root)
+    sel = pafs.FileSelector(p, recursive=True)
+    files = sorted(i.path for i in f.get_file_info(sel) if i.path.endswith(".parquet"))
+    # fs-local paths + explicit filesystem: the reader rejects scheme URIs in
+    # per-file entries
+    return ray.data.read_parquet(files, filesystem=f, columns=columns, **kw)
+
+
 def fs_parquet_rows(path: str) -> int:
     """Row count from parquet footer metadata only."""
     import pyarrow.parquet as pq
