@@ -45,6 +45,33 @@ def test_hot_predicate_buckets_stay_balanced():
     assert counts.max() < mean * 1.25 and counts.min() > mean * 0.75, counts
 
 
+def test_materialized_file_counts_bounded(sf_small, tmp_path):
+    """T11 final-compaction analog: however many small files the lean store's
+    buckets x tables produce, each materialized table compacts to at most
+    ceil(table_bytes / target_bytes) + 1 output files — downstream scans never
+    see the small-files problem."""
+    from r2s2_ray.pipelines.kg import run_pipeline
+    from r2s2_ray.stages.materialize import table_data_path
+
+    import inspect
+
+    from r2s2_ray.stages.materialize import materialize_all
+
+    target = inspect.signature(materialize_all).parameters["target_bytes"].default
+    out = str(tmp_path / "kg")
+    m = run_pipeline(sf_small, out)
+    assert any(
+        len(os.listdir(os.path.join(out, "lean", d))) > 3
+        for d in os.listdir(os.path.join(out, "lean"))
+    )  # the lean store IS many small files per table — compaction has work to do
+    for t in m.tables:
+        d = table_data_path(out, t.name)
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        bound = max(1, -(-total // target)) + 1
+        assert len(files) <= bound, (t.name, len(files), total)
+
+
 def test_pipeline_runs_on_fs_uri(sf_small, tmp_path):
     """Filesystem portability: the whole pipeline runs with a pyarrow-fs URI
     out_dir (file://... here; the same code path serves object-store URIs) and
