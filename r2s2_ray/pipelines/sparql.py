@@ -1,0 +1,182 @@
+"""Minimal SPARQL serving over the materialized store — the last mile of the
+reference's end state (SparqlOnLoadedTest.java:104-127 hands DuckDB + the R2RML
+mapping to Ontop and runs SPARQL; here a small BGP-subset translator compiles
+SPARQL directly against the ``all_triples`` reassembly view, so the store IS
+queryable as SPARQL without a JVM).
+
+Supported subset (documented, tested): PREFIX declarations, SELECT with
+explicit variables or ``*``, basic graph patterns (joins via shared variables),
+IRI/prefixed-name/literal constants (plain, ``@lang``, ``^^<datatype>``),
+``FILTER(?v = ...)`` equality, DISTINCT, ORDER BY, LIMIT. Terms bind to their
+lexical forms; IRIs and blank-node labels as stored (bnodes are ``_:...``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass
+class Term:
+    kind: str  # "var" | "iri" | "lit"
+    value: str
+    lang: str | None = None
+    datatype: str | None = None
+
+
+_PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]+)>", re.I)
+_SELECT_RE = re.compile(r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE", re.I | re.S)
+_WHERE_RE = re.compile(r"WHERE\s*\{(.*)\}", re.I | re.S)
+_LIMIT_RE = re.compile(r"LIMIT\s+(\d+)\s*$", re.I)
+_ORDER_RE = re.compile(r"ORDER\s+BY\s+(.+?)(?:LIMIT|$)", re.I | re.S)
+_FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*=\s*(.+?)\s*\)", re.I)
+_TERM_RE = re.compile(
+    r"""\?(?P<var>\w+)
+      | <(?P<iri>[^>]+)>
+      | (?P<pn>\w*:\w[\w.-]*)
+      | "(?P<lit>(?:[^"\\]|\\.)*)"(?:@(?P<lang>[A-Za-z-]+)|\^\^<(?P<dt>[^>]+)>|\^\^(?P<dtpn>\w*:\w[\w.-]*))?
+      | (?P<a>\ba\b)
+    """,
+    re.X,
+)
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _parse_term(tok: str, prefixes: dict[str, str]) -> Term:
+    m = _TERM_RE.fullmatch(tok.strip())
+    if not m:
+        raise ValueError(f"unsupported SPARQL term: {tok!r}")
+    if m.group("var"):
+        return Term("var", m.group("var"))
+    if m.group("iri"):
+        return Term("iri", m.group("iri"))
+    if m.group("a"):
+        return Term("iri", _RDF_TYPE)
+    if m.group("pn"):
+        pfx, local = m.group("pn").split(":", 1)
+        local = local.rstrip(".")  # "ex:Turn." — trailing pattern dot glued on
+        if pfx not in prefixes:
+            raise ValueError(f"undeclared prefix: {pfx}")
+        return Term("iri", prefixes[pfx] + local)
+    lit = m.group("lit").replace('\\"', '"').replace("\\\\", "\\")
+    dt = m.group("dt")
+    if m.group("dtpn"):
+        pfx, local = m.group("dtpn").split(":", 1)
+        if pfx not in prefixes:
+            raise ValueError(f"undeclared prefix: {pfx}")
+        dt = prefixes[pfx] + local.rstrip(".")
+    return Term("lit", lit, lang=m.group("lang"), datatype=dt)
+
+
+@dataclass
+class Query:
+    select: list[str]  # variable names, or [] for *
+    distinct: bool
+    patterns: list[tuple[Term, Term, Term]]
+    filters: list[tuple[str, Term]]
+    order_by: list[str]
+    limit: int | None
+
+
+def parse_sparql(q: str) -> Query:
+    prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
+    sel = _SELECT_RE.search(q)
+    if not sel:
+        raise ValueError("only SELECT queries are supported")
+    distinct = bool(sel.group(1))
+    sel_vars = [] if sel.group(2).strip() == "*" else re.findall(r"\?(\w+)", sel.group(2))
+    body = _WHERE_RE.search(q)
+    if not body:
+        raise ValueError("missing WHERE clause")
+    inner = body.group(1)
+    filters = [
+        (m.group(1)[1:], _parse_term(m.group(2), prefixes)) for m in _FILTER_RE.finditer(inner)
+    ]
+    inner = _FILTER_RE.sub("", inner)
+    # patterns cannot be split on "." (IRIs and prefixed names contain dots):
+    # tokenize the whole body in order and group into (s, p, o) triples — the
+    # "." separators are never term tokens
+    toks = [m.group(0) for m in _TERM_RE.finditer(inner)]
+    if not toks or len(toks) % 3:
+        raise ValueError(f"unsupported WHERE body (need s p o triples): {inner!r}")
+    patterns = [
+        tuple(_parse_term(t, prefixes) for t in toks[i : i + 3])
+        for i in range(0, len(toks), 3)
+    ]
+    tail = q[q.rindex("}") + 1 :]
+    lim = _LIMIT_RE.search(tail.strip())
+    order = _ORDER_RE.search(tail)
+    order_by = re.findall(r"\?(\w+)", order.group(1)) if order else []
+    return Query(sel_vars, distinct, patterns, filters, order_by, int(lim.group(1)) if lim else None)
+
+
+def _q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def to_sql(query: Query, triples_view: str = "all_triples") -> str:
+    """BGP -> self-join SQL over the (subj, pred, obj, o_lang, o_dt, graph)
+    triples view. Shared variables become join equalities; constants become
+    per-alias predicates. Variables bind to lexical forms."""
+    binds: dict[str, str] = {}  # var -> first bound column
+    conds: list[str] = []
+    aliases: list[str] = []
+    for i, (s, p, o) in enumerate(query.patterns):
+        a = f"t{i}"
+        aliases.append(f"{triples_view} {a}")
+        for term, col in ((s, "subj"), (p, "pred")):
+            if term.kind == "var":
+                if term.value in binds:
+                    conds.append(f"{a}.{col} = {binds[term.value]}")
+                else:
+                    binds[term.value] = f"{a}.{col}"
+            else:
+                conds.append(f"{a}.{col} = {_q(term.value)}")
+        if o.kind == "var":
+            if o.value in binds:
+                conds.append(f"{a}.obj = {binds[o.value]}")
+            else:
+                binds[o.value] = f"{a}.obj"
+        else:
+            conds.append(f"{a}.obj = {_q(o.value)}")
+            if o.kind == "lit":
+                if o.lang is not None:
+                    conds.append(f"{a}.o_lang = {_q(o.lang)}")
+                elif o.datatype is not None:
+                    conds.append(f"{a}.o_dt = {_q(o.datatype)}")
+    for var, term in query.filters:
+        if var not in binds:
+            raise ValueError(f"FILTER on unbound variable ?{var}")
+        conds.append(f"{binds[var]} = {_q(term.value)}")
+    out_vars = query.select or sorted(binds)
+    missing = [v for v in out_vars if v not in binds]
+    if missing:
+        raise ValueError(f"SELECT variables never bound: {missing}")
+    proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars)
+    sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
+    if conds:
+        sql += " WHERE " + " AND ".join(conds)
+    if query.order_by:
+        sql += " ORDER BY " + ", ".join(query.order_by)
+    if query.limit is not None:
+        sql += f" LIMIT {query.limit}"
+    return sql
+
+
+def run_sparql(out_dir: str, sparql: str):
+    """Execute a SPARQL query against a materialized store: loads the serving
+    views (views.sql) into DuckDB and runs the translated SQL. Returns a
+    pyarrow Table of variable bindings (lexical forms)."""
+    import os
+
+    import duckdb
+
+    from ..util import fs_read_text
+
+    con = duckdb.connect()
+    for stmt in fs_read_text(os.path.join(out_dir, "views.sql")).split(";\n"):
+        if stmt.strip():
+            con.execute(stmt)
+    return con.execute(to_sql(parse_sparql(sparql))).arrow()
