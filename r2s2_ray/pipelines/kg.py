@@ -97,25 +97,11 @@ def run_pipeline(
                 folded = fold(routed, num_buckets=num_buckets)
                 write_lean(folded, os.path.join(out_dir, "lean"))
 
-            dicts: dict = {}
-            if with_terms_dict:
-                # the global term dictionary is the distinct union of subj/obj —
-                # dedup preserves the term set, so build it from the just-written
-                # lean store instead of a second extraction pass over the input
-                with StageTimer(metrics, "step0_terms_s"):
-                    tpath = os.path.join(out_dir, "dict", "terms")
-                    from ..util import read_parquet_dir
-
-                    lean = read_parquet_dir(
-                        os.path.join(out_dir, "lean"), columns=["subj", "obj"]
-                    )
-                    metrics["n_terms"] = build_term_dictionary(lean, tpath, num_buckets=num_buckets)
-                    dicts["terms"] = tpath
             m1 = Manifest(
                 stage="fold",
                 step=0,
                 tables=[],  # table specs are censused in step 1's fused scan
-                dictionaries=dicts,
+                dictionaries={},
                 enums={},
                 lineage={"sf_dir": sf_dir, "num_buckets": num_buckets},
                 metrics=dict(metrics),
@@ -134,9 +120,25 @@ def run_pipeline(
     m2 = _load_or_none(out_dir, 1, "stats", resume)
     if m2 is None:
         with StageTimer(metrics, "step1_s"):
+            from concurrent.futures import ThreadPoolExecutor
+
             from ..naming import DEFAULT_NAMESPACES, discover_namespaces
             from ..stages.stats import run_stats_census
+            from ..util import read_parquet_dir
 
+            # the term dictionary and the census/stats scan both read ONLY the
+            # lean store and are independent — run them as two CONCURRENT Ray
+            # jobs: neither alone saturates a wide cluster, so overlapping
+            # hides the smaller job's wall time entirely (at low cpu counts
+            # they serialize on task slots anyway — no harm)
+            terms_future = None
+            pool = ThreadPoolExecutor(max_workers=1)
+            if with_terms_dict:
+                tpath = os.path.join(out_dir, "dict", "terms")
+                lean = read_parquet_dir(os.path.join(out_dir, "lean"), columns=["subj", "obj"])
+                terms_future = pool.submit(
+                    build_term_dictionary, lean, tpath, num_buckets=num_buckets
+                )
             all_stats, by_key, graphs, counts = run_stats_census(
                 os.path.join(out_dir, "lean"), spec_from_combo, decompose_lean
             )
@@ -176,6 +178,10 @@ def run_pipeline(
                 "classes": os.path.join(out_dir, "dict", "classes.parquet"),
                 "namespaces": os.path.join(out_dir, "dict", "namespaces.parquet"),
             }
+            if terms_future is not None:
+                metrics["n_terms"] = terms_future.result()
+                dicts["terms"] = os.path.join(out_dir, "dict", "terms")
+            pool.shutdown()
             tables = [spec_from_combo(c) for c in combos]
             schemes: set[str] = set()
             hosts: set[str] = set()
