@@ -208,7 +208,7 @@ def materialize_all(
     out_dir: str,
     specs: list[TableSpec],
     enums: dict[str, list[str]],
-    target_bytes: int = 16 << 20,
+    target_bytes: int = 4 << 20,
 ) -> None:
     """Materialize EVERY pending table in ONE Ray job.
 
@@ -249,7 +249,11 @@ def materialize_all(
         src = spec.path or table_lean_path(out_dir, spec.name)
         # size-based bin-packing: byte sizes come free with the directory
         # listing, vs one serial footer read per file (2s of driver time per
-        # thousand files), and bytes track per-chunk work better than rows
+        # thousand files), and bytes track per-chunk work better than rows.
+        # 4 MiB on-disk ~= 200k lean rows (dictionary-compressed ~20 B/row,
+        # several-x larger decoded): small enough for chunk-count >> cluster
+        # width (a 16 MiB target starved a 32-cpu cluster at bench scale,
+        # 2.9s -> 10s), large enough that output files stay healthy
         files = fs_list_parquet_sizes(src)
         fs_makedirs(dest)
         # un-stamped table: clear any partial files from a crashed prior attempt
