@@ -28,10 +28,10 @@ with the description-file contract, Loader.java:207-213):
 from __future__ import annotations
 
 import os
-import time
+
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
 import ray.data
 
 from ..extract.batch import extract_triples
@@ -43,7 +43,7 @@ from ..state.manifest import (
     manifest_path,
     save_manifest,
 )
-from ..terms import KIND_IRI
+
 from ..transcripts import read_transcripts
 from ..stages import merge as merge_stage
 from ..stages.dicts import build_term_dictionary, write_small_dict

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..naming import iri_to_sql_name_part
-from ..terms import KIND_CODE, KIND_LITERAL, RDF_TYPE, TableKey
+from ..terms import RDF_TYPE, TableKey
 
 _SEP = "\x1f"
 

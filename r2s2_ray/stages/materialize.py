@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..decompose import bnode_ids, split_iri_arrays
-from ..state.manifest import Manifest, TableSpec
+from ..state.manifest import TableSpec
 from ..terms import IRI_PARTS, KIND_BNODE, KIND_IRI
 
 _READ_LOCK = threading.Lock()
