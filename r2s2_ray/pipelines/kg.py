@@ -120,25 +120,21 @@ def run_pipeline(
     m2 = _load_or_none(out_dir, 1, "stats", resume)
     if m2 is None:
         with StageTimer(metrics, "step1_s"):
-            from concurrent.futures import ThreadPoolExecutor
 
             from ..naming import DEFAULT_NAMESPACES, discover_namespaces
             from ..stages.stats import run_stats_census
             from ..util import read_parquet_dir
 
-            # the term dictionary and the census/stats scan both read ONLY the
-            # lean store and are independent — run them as two CONCURRENT Ray
-            # jobs: neither alone saturates a wide cluster, so overlapping
-            # hides the smaller job's wall time entirely (at low cpu counts
-            # they serialize on task slots anyway — no harm)
-            terms_future = None
-            pool = ThreadPoolExecutor(max_workers=1)
+            # the term dictionary and the census/stats scan both read only the
+            # lean store and are independent, but run SEQUENTIALLY: a same-input
+            # A/B showed two concurrent streaming executors interfere at high
+            # cpu counts (combined 11.0s -> 14.2s at 32 cpus) — each job alone
+            # already saturates the cluster
+            n_terms = None
             if with_terms_dict:
                 tpath = os.path.join(out_dir, "dict", "terms")
                 lean = read_parquet_dir(os.path.join(out_dir, "lean"), columns=["subj", "obj"])
-                terms_future = pool.submit(
-                    build_term_dictionary, lean, tpath, num_buckets=num_buckets
-                )
+                n_terms = build_term_dictionary(lean, tpath, num_buckets=num_buckets)
             all_stats, by_key, graphs, counts = run_stats_census(
                 os.path.join(out_dir, "lean"), spec_from_combo, decompose_lean
             )
@@ -178,10 +174,9 @@ def run_pipeline(
                 "classes": os.path.join(out_dir, "dict", "classes.parquet"),
                 "namespaces": os.path.join(out_dir, "dict", "namespaces.parquet"),
             }
-            if terms_future is not None:
-                metrics["n_terms"] = terms_future.result()
+            if n_terms is not None:
+                metrics["n_terms"] = n_terms
                 dicts["terms"] = os.path.join(out_dir, "dict", "terms")
-            pool.shutdown()
             tables = [spec_from_combo(c) for c in combos]
             schemes: set[str] = set()
             hosts: set[str] = set()
