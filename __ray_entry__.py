@@ -82,12 +82,6 @@ def _kg_triples_dedup(sf_dir: str):
 
     def fmt(b: pa.Table) -> pa.Table:
         # graphs are IRI strings already (sorted in the fold agg): join to a string
-        g = b["graphs"].combine_chunks()
-        joined = []
-        offs = g.offsets.to_pylist()
-        vals = g.values.to_pylist()
-        for i in range(len(g)):
-            joined.append(",".join(vals[offs[i] : offs[i + 1]]))
         return pa.table(
             {
                 "subj": b["subj"],
@@ -95,7 +89,7 @@ def _kg_triples_dedup(sf_dir: str):
                 "obj": b["obj"],
                 "o_lang": b["o_lang"],
                 "o_dt": b["o_dt"],
-                "graphs_s": pa.array(joined, pa.string()),
+                "graphs_s": pc.binary_join(b["graphs"], pa.scalar(",", pa.large_string())),
                 "n_graphs": pc.cast(pc.list_value_length(b["graphs"]), pa.int64()),
             }
         )

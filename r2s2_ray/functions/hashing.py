@@ -73,15 +73,19 @@ def poly_hash_arr(arr: pa.Array) -> np.ndarray:
     pw = np.cumprod(base)
     weighted = seg * pw
     rel = starts - lo
+    # pad one zero so a trailing empty string's start offset (== total) is a
+    # valid reduceat index unclamped; clamping with min(rel, total-1) truncated
+    # the PREVIOUS string's last byte(s) when the batch ended in empty strings
+    weighted = np.concatenate([weighted, np.zeros(1, np.uint64)])
     # reduceat gives sum over [rel[i], rel[i+1]); equal bounds (empty string)
     # wrongly return weighted[rel[i]] — masked out below
     with np.errstate(over="ignore"):
-        sums = np.add.reduceat(weighted, np.minimum(rel, total - 1))
+        sums = np.add.reduceat(weighted, rel)
     # rebase: fp_i = sums_i * P^{-start_i}
-    ibase = np.full(total, P_INV, dtype=np.uint64)
+    ibase = np.full(total + 1, P_INV, dtype=np.uint64)
     ibase[0] = 1
     ipw = np.cumprod(ibase)
-    out = sums * ipw[np.minimum(rel, total - 1)]
+    out = sums * ipw[rel]
     out[lengths == 0] = 0
     return out
 

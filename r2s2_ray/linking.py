@@ -118,6 +118,7 @@ def connected_components(
         .aggregate(Min("label", alias_name="label"))
     )
 
+    prev: dict | None = None
     for _ in range(max_rounds):
         # propagate: each edge forwards min(label(src), label(dst)) to both ends
         rows = labels.take_all()
@@ -126,6 +127,11 @@ def connected_components(
         # The fully distributed variant joins labels<->edges via a bucketed groupby;
         # see functions/graph.py for the generic large-scale implementation.
         lab = {r["node"]: r["label"] for r in rows}
+        # convergence: compare this round's broadcast snapshot against the
+        # previous round's — ONE take_all per round, no second materialization
+        if lab == prev:
+            break
+        prev = lab
         keys = pa.array([r["node"] for r in rows], pa.string())
         vals = pa.array([r["label"] for r in rows], pa.string())
         ref = ray.put((keys, vals))
@@ -149,13 +155,9 @@ def connected_components(
                 }
             )
 
-        new_labels = (
+        labels = (
             edges.map_batches(relabel, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
         )
-        new = {r["node"]: r["label"] for r in new_labels.take_all()}
-        if new == lab:
-            break
-        labels = new_labels
     return labels

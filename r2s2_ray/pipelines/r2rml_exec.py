@@ -23,6 +23,8 @@ import os
 import re
 from dataclasses import dataclass, field
 
+import pyarrow as pa
+
 
 @dataclass
 class TermMap:
@@ -203,5 +205,10 @@ def materialize_triples(out_dir: str, maps: list[TriplesMap] | None = None):
                 f"{o_expr} AS obj, {o_lang} AS o_lang, {o_dt} AS o_dt "
                 f"FROM {src} WHERE ({s_guard}) AND ({o_guard}){row_filter}"
             )
+    if not selects:
+        # no parsed maps / no parquet files: empty store -> empty triple table
+        return pa.table(
+            {c: pa.array([], pa.string()) for c in ("subj", "pred", "obj", "o_lang", "o_dt")}
+        )
     sql = "SELECT DISTINCT * FROM (" + " UNION ALL ".join(selects) + ")"
     return con.execute(sql).arrow()

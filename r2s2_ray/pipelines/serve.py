@@ -13,10 +13,15 @@ Parity targets:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from ..state.manifest import ColumnSpec, Manifest, PredicateMapSpec, TableSpec
 from ..terms import IRI_PARTS, KIND_BNODE, KIND_IRI, KIND_LITERAL
+
+#: cap on TriplesMaps emitted per (table, predicate map): the subject x object
+#: null-pattern cross product is 2^(nullable IRI parts) on each side
+MAX_MAPS_PER_PREDICATE = 512
 
 
 def _q(s: str) -> str:
@@ -263,8 +268,26 @@ def r2rml_ttl(m: Manifest) -> str:
             ]
         for i, pm in enumerate(t.predicates):
             base = [f"{pm.graph_column} IS NOT NULL"] if pm.graph_column else []
+            obj_variants = _object_map_variants(pm)
+            n_maps = len(subj_variants) * len(obj_variants)
+            if n_maps > MAX_MAPS_PER_PREDICATE:
+                # 2^(nullable parts) x 2^(nullable parts) blowup guard: emit the
+                # first MAX_MAPS_PER_PREDICATE null-patterns (enumeration order is
+                # deterministic) and warn — rarer patterns past the cap are dropped
+                # from the mapping rather than letting a pathological table emit
+                # thousands of TriplesMaps (and r2rml_exec run one SELECT each)
+                logging.getLogger(__name__).warning(
+                    "r2rml_ttl: %s predicate %s has %d template variants; capping at %d",
+                    t.name, pm.predicate, n_maps, MAX_MAPS_PER_PREDICATE,
+                )
+            emitted = 0
             for si, (smap, sconds) in enumerate(subj_variants):
-                for oi, (omap, oconds) in enumerate(_object_map_variants(pm)):
+                if emitted >= MAX_MAPS_PER_PREDICATE:
+                    break
+                for oi, (omap, oconds) in enumerate(obj_variants):
+                    if emitted >= MAX_MAPS_PER_PREDICATE:
+                        break
+                    emitted += 1
                     conds = base + sconds + oconds
                     if conds:
                         lt = (

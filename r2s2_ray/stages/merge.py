@@ -241,13 +241,16 @@ def _build_all_merged(
         import hashlib
 
         # deterministic per-block tag: a retried task re-processes the same
-        # block and OVERWRITES its own files instead of appending duplicates
-        subj = b["subj"]
-        probe = [str(b.num_rows)] + [
-            str(subj[i]) for i in (0, b.num_rows // 3, 2 * b.num_rows // 3, b.num_rows - 1)
-            if b.num_rows
-        ]
-        tag = hashlib.blake2b("\x1f".join(probe).encode(), digest_size=8).hexdigest()
+        # block and OVERWRITES its own files instead of appending duplicates.
+        # Hash the FULL subj column (offsets+data buffers, zero-copy) so
+        # distinct blocks can't collide — no reliance on the shuffle keeping
+        # cross-block subjects disjoint
+        subj = b["subj"].combine_chunks()
+        h = hashlib.blake2b(str(b.num_rows).encode(), digest_size=8)
+        for buf in subj.buffers():
+            if buf is not None:
+                h.update(buf)
+        tag = h.hexdigest()
         rows = {"cohort": [], "kind": [], "n": []}
         for ci, k in enumerate(cohort_sizes):
             sub = b.filter(pc.equal(b["cohort"], ci))

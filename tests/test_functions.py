@@ -266,3 +266,21 @@ def test_audio_frames_windowing():
     )
     with pytest.raises(NotImplementedError):
         AudioFrames(fake=False)(pa.Table.from_pylist(rows))
+
+
+def test_poly_hash_arr_matches_scalar_reference():
+    from r2s2_ray.functions.hashing import poly_hash_arr, poly_hash_one
+
+    cases = [
+        ["ab", ""],                      # trailing empty after non-empty (ADVICE r2 bug)
+        ["", "ab"],
+        ["ab", "", ""],
+        ["", "", ""],
+        ["a", "bc", "", "def", ""],
+        ["héllo", "世界", ""],           # multibyte UTF-8
+        [],
+    ]
+    for strings in cases:
+        got = poly_hash_arr(pa.array(strings, type=pa.string()))
+        want = np.array([poly_hash_one(s) for s in strings], dtype=np.uint64)
+        assert got.tolist() == want.tolist(), strings
