@@ -65,17 +65,42 @@ def run_bench() -> dict:
     # GRAFT_BENCH_REPLICATE deterministically scales the corpus (disjoint doc_id
     # replicas) so the scaling measurement is compute-bound, not overhead-bound.
     replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "1"))
-    out_dir = f"/tmp/r2s2_bench/{num_cpus}"
-    shutil.rmtree(out_dir, ignore_errors=True)
     from r2s2_ray.pipelines.kg import run_pipeline, triples_dataset
 
-    t0 = time.perf_counter()
-    # buckets scale with DATA (each bucket-block must fit a worker's heap), with
-    # a floor of the CPU count so no stage is capped below cluster parallelism
-    manifest = run_pipeline(
-        sf_dir, out_dir, num_buckets=max(16, num_cpus, 2 * replicate), replicate=replicate
-    )
-    kg_sec = time.perf_counter() - t0
+    # best-of-N headline runs: the sandbox host is multi-tenant with measured
+    # 2-3x run-to-run noise (BASELINE.md "Measurement protocol notes"); a
+    # single-shot wall time records co-tenant load, not code. The minimum is
+    # the least-contended run; per-attempt /proc/loadavg is recorded so a
+    # contended record is self-documenting. Scaling mode (GRAFT_BENCH_ONLY=
+    # headline) keeps its legs single-shot — run_scaling() interleaves its own
+    # best-of-N across both parallelism levels.
+    if os.environ.get("GRAFT_BENCH_ONLY") == "headline":
+        attempts = 1
+    else:
+        attempts = int(os.environ.get("GRAFT_BENCH_BESTOF", "3"))
+    runs: list[float] = []
+    loadavgs: list[float] = []
+    manifest = None
+    kg_sec = None
+    for i in range(attempts):
+        out_dir = f"/tmp/r2s2_bench/{num_cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            with open("/proc/loadavg") as f:
+                loadavgs.append(float(f.read().split()[0]))
+        except OSError:
+            loadavgs.append(-1.0)
+        t0 = time.perf_counter()
+        # buckets scale with DATA (each bucket-block must fit a worker's heap), with
+        # a floor of the CPU count so no stage is capped below cluster parallelism
+        m = run_pipeline(
+            sf_dir, out_dir, num_buckets=max(16, num_cpus, 2 * replicate), replicate=replicate
+        )
+        sec = time.perf_counter() - t0
+        runs.append(round(sec, 3))
+        if kg_sec is None or sec < kg_sec:
+            kg_sec = sec
+            manifest = m
     queries["kg_pipeline"] = round(kg_sec, 3)
     for k, v in manifest.metrics.items():
         if k.endswith("_s"):
@@ -100,6 +125,8 @@ def run_bench() -> dict:
             "triples_raw": int(n_raw),
             "triples_dedup": int(n_dedup),
             "triples_per_sec": round(n_raw / kg_sec, 1),
+            "headline_runs": runs,
+            "loadavg1_per_run": loadavgs,
         }
         ray.shutdown()
         return result
@@ -141,6 +168,8 @@ def run_bench() -> dict:
         "triples_raw": int(n_raw),
         "triples_dedup": int(n_dedup),
         "triples_per_sec": round(n_raw / kg_sec, 1),
+        "headline_runs": runs,
+        "loadavg1_per_run": loadavgs,
     }
     ray.shutdown()
     return result
