@@ -47,10 +47,9 @@ from ..state.manifest import (
 from ..transcripts import read_transcripts
 from ..stages import merge as merge_stage
 from ..stages.dicts import build_term_dictionary, write_small_dict
-from ..stages.fold import fold, route, write_lean
+from ..stages.fold import fold_write_census, route
 from ..stages.specs import spec_from_combo
 from ..stages.stats import decide_columns
-from ..stages.materialize import decompose_lean
 
 
 def triples_dataset(sf_dir: str, concurrency=None, replicate: int = 1) -> ray.data.Dataset:
@@ -58,6 +57,34 @@ def triples_dataset(sf_dir: str, concurrency=None, replicate: int = 1) -> ray.da
     return canonicalize(
         extract_triples(read_transcripts(sf_dir, replicate=replicate), concurrency=concurrency)
     )
+
+
+def _census_path(out_dir: str) -> str:
+    # lives OUTSIDE the lean dir so lean-store scans never pick it up as data
+    return os.path.join(out_dir, "_manifest", "census.parquet")
+
+
+def _write_census(rows: list[dict], path: str) -> None:
+    from ..util import fs_makedirs, fs_write_table
+
+    fs_makedirs(os.path.dirname(path))
+    fs_write_table(
+        pa.table(
+            {
+                "kind": pa.array([r["kind"] for r in rows], pa.int8()),
+                "table": pa.array([r["table"] for r in rows], pa.string()),
+                "column": pa.array([r["column"] for r in rows], pa.string()),
+                "blob": pa.array([r["blob"] for r in rows], pa.binary()),
+            }
+        ),
+        path,
+    )
+
+
+def _read_census(path: str) -> list[dict]:
+    from ..util import fs_read_table
+
+    return fs_read_table(path).to_pylist()
 
 
 def _load_or_none(out_dir: str, step: int, stage: str, resume: bool):
@@ -94,8 +121,14 @@ def run_pipeline(
             with StageTimer(metrics, "step0_fold_s"):
                 tri = triples_dataset(sf_dir, replicate=replicate)
                 routed = route(tri)
-                folded = fold(routed, num_buckets=num_buckets)
-                write_lean(folded, os.path.join(out_dir, "lean"))
+                # fold exchange + partitioned lean write + the FULL step-1
+                # census in ONE job: the reducers direct-write each table's
+                # slice and return only metadata-scale census rows (no second
+                # scan of the data, no separate census job launch)
+                census = fold_write_census(
+                    routed, os.path.join(out_dir, "lean"), num_buckets=num_buckets
+                )
+                _write_census(census, _census_path(out_dir))
 
             m1 = Manifest(
                 stage="fold",
@@ -110,33 +143,27 @@ def run_pipeline(
 
     if stop_after == 0:
         return m1
-    # ---- step 1: fused census + stats + optimizer decisions -------------------
-    # ONE scan of the lean store yields the (table_key, combo) census (with the
-    # sql-name-collision check: distinct predicate/datatype/class IRIs whose
-    # mangled names collide would silently decompose under the wrong predicate
-    # map), per-table row counts, the graph domain, AND every column census —
-    # each of these as a separate job would cost a full data pass plus fixed
-    # Ray-job overhead.
+    # ---- step 1: term dictionary + optimizer decisions ------------------------
+    # The census itself (table/combo census with the sql-name-collision check,
+    # per-table row counts, graph domain, column stats, A5 subject uniqueness)
+    # was computed INSIDE step 0's fold reducers and persisted as metadata-scale
+    # rows — this step is the term-dictionary exchange plus driver-side
+    # decisions over those rows; no data scan.
     m2 = _load_or_none(out_dir, 1, "stats", resume)
     if m2 is None:
         with StageTimer(metrics, "step1_s"):
 
             from ..naming import DEFAULT_NAMESPACES, discover_namespaces
-            from ..stages.stats import run_stats_census
+            from ..stages.stats import parse_census_rows
             from ..util import read_parquet_dir
 
-            # the term dictionary and the census/stats scan both read only the
-            # lean store and are independent, but run SEQUENTIALLY: a same-input
-            # A/B showed two concurrent streaming executors interfere at high
-            # cpu counts (combined 11.0s -> 14.2s at 32 cpus) — each job alone
-            # already saturates the cluster
             n_terms = None
             if with_terms_dict:
                 tpath = os.path.join(out_dir, "dict", "terms")
                 lean = read_parquet_dir(os.path.join(out_dir, "lean"), columns=["subj", "obj"])
                 n_terms = build_term_dictionary(lean, tpath, num_buckets=num_buckets)
-            all_stats, by_key, graphs, counts = run_stats_census(
-                os.path.join(out_dir, "lean"), spec_from_combo, decompose_lean
+            all_stats, by_key, graphs, counts, subj_unique = parse_census_rows(
+                _read_census(_census_path(out_dir))
             )
             clashes = {k: v for k, v in by_key.items() if len(v) > 1}
             if clashes:
@@ -182,6 +209,9 @@ def run_pipeline(
             hosts: set[str] = set()
             for spec in tables:
                 spec.row_count = counts.get(spec.name, 0)
+                # A5 gate input for merge + T10 unique-index manifest record
+                # (IntroduceIndexes.java:22-46 semantics)
+                spec.subject_unique = subj_unique.get(spec.name)
                 col_stats, graph_stats = all_stats[spec.name]
                 decide_columns(spec, col_stats, graph_stats)
                 for name, st in col_stats.items():

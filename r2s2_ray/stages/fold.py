@@ -129,6 +129,12 @@ def route(
 _DICT_COLS = ("combo", "graph")
 
 
+#: combo-major partition count for the fold bucket. Majors spread distinct
+#: TABLES over the keyspace so sorted blocks are table-contiguous (compact
+#: per-table direct writes); collisions merely co-locate two tables in a block.
+_TABLE_MAJORS = 1024
+
+
 def _add_bucket(num_buckets: int):
     """Pre-exchange combiner + payload minimization:
 
@@ -139,16 +145,28 @@ def _add_bucket(num_buckets: int):
       table_key / pred / kinds / lang / dt, which ``_fold_bucket``
       reconstructs per unique combo after the shuffle (a per-block map over a
       tiny domain), saving four dict-encoded columns of payload;
-    * combo + graph dictionary-encoded, bucket = int32 content hash.
+    * combo + graph dictionary-encoded; bucket = int32 composite
+      ``(hash(combo) % MAJORS) * B + hash(subj) % B``. Identical triples share
+      combo AND subj, so dedup groups still co-locate; a hot PREDICATE still
+      spreads over all B minor buckets via its subjects (the skew story the
+      reference lacked); and two properties fall out of the composite that a
+      pure content hash cannot give: (a) sorted blocks are TABLE-contiguous,
+      so the fused reducer writes ~1 compact file per (block, table) instead
+      of fragmenting every table across every block, and (b) all rows of a
+      (table, subject) pair share a block, making the A5 subject-uniqueness
+      census exact per block. The residual exposure — a single subject with
+      millions of objects under ONE predicate concentrates in one block — is
+      the same one the merge exchange's subject bucketing already carries.
     """
 
     def fn(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.select(["combo", "subj", "obj", "graph"])).unique()
         b = (
             df.select(
-                pl.concat_str([pl.col(c) for c in GROUP_KEY], separator=_SEP)
-                .hash(seed=42)
-                .mod(num_buckets)
+                (
+                    pl.col("combo").hash(seed=43).mod(_TABLE_MAJORS) * num_buckets
+                    + pl.col("subj").hash(seed=42).mod(num_buckets)
+                )
                 .cast(pl.Int32)
                 .alias("bucket")
             )
@@ -256,15 +274,68 @@ def fold(
     )
 
 
-def write_lean(folded: ray.data.Dataset, out_dir: str) -> None:
-    """Partitioned write keyed by table_key — ONE write for every logical table
-    (avoids O(tables) driver-side pipelines; SURVEY.md §4 consequence 2).
+def _write_census_fn(lean_dir: str):
+    """Final fold reducer body: fold the block, DIRECT-WRITE each table's slice
+    to ``lean/table_key=<name>/`` (hive layout, same as a partitioned write),
+    and return only the tiny census rows — the write and the step-1 census ride
+    the fold exchange instead of costing a second full scan + Ray job each.
 
-    Idempotency: a crashed prior ATTEMPT leaves partial files with a different
-    execution UUID, so the destination is cleared first (the step is only ever
-    re-entered when its manifest is absent). Within one execution, Ray's write
-    tasks use stable per-task filenames, so task retries overwrite."""
+    Idempotency: the part tag hashes the block's full subj column + row count
+    (zero-copy over the Arrow buffers), so a retried task overwrites its own
+    files and distinct blocks cannot collide (same contract as
+    merge.split_write). A crashed prior ATTEMPT is cleared by the caller
+    (the step only re-enters when its manifest is absent)."""
+    from .materialize import decompose_lean
+    from .specs import spec_from_combo
+    from .stats import census_block_rows
+    from ..util import fs_makedirs, fs_write_table
+
+    memo: dict = {}
+
+    def fn(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        folded = _fold_bucket(t)
+        subj = folded["subj"].combine_chunks() if isinstance(folded["subj"], pa.ChunkedArray) else folded["subj"]
+        h = hashlib.blake2b(str(folded.num_rows).encode(), digest_size=8)
+        for buf in subj.buffers():
+            if buf is not None:
+                h.update(buf)
+        tag = h.hexdigest()
+        keys = pc.unique(folded["table_key"]).to_pylist()
+        for k in keys:
+            sub = (
+                folded.filter(pc.equal(folded["table_key"], k))
+                if len(keys) > 1
+                else folded
+            )
+            d = f"{lean_dir}/table_key={k}"
+            fs_makedirs(d)
+            fs_write_table(sub.drop(["table_key"]), f"{d}/part-{tag}.parquet")
+        return census_block_rows(folded, spec_from_combo, decompose_lean, memo)
+
+    return fn
+
+
+def fold_write_census(
+    routed: ray.data.Dataset, lean_dir: str, num_buckets: int = 64
+) -> list[dict]:
+    """ONE job = the fold exchange + the partitioned lean write + the full
+    step-1 census (column stats, combos, row counts, graph domain, A5
+    subject uniqueness). Returns the census rows (metadata-scale).
+
+    This replaces write_parquet(partition_cols) + a separate census scan: the
+    partitioned write fragmented every table across every reduce task (~700
+    files at bench scale, re-read by every downstream job) and the census cost
+    a second full pass + job launch. The composite bucket (see ``_add_bucket``)
+    makes sorted blocks table-contiguous, so the direct write emits ~1 file per
+    (block, table)."""
     from ..util import fs_rmtree
 
-    fs_rmtree(out_dir)
-    folded.write_parquet(out_dir, partition_cols=["table_key"])
+    fs_rmtree(lean_dir)
+    with_bucket = routed.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
+    return (
+        with_bucket.sort("bucket")
+        .map_batches(_write_census_fn(lean_dir), batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )

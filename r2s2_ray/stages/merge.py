@@ -51,15 +51,27 @@ def _merge_order(tables: list[TableSpec]) -> list[TableSpec]:
     )
 
 
-def _subject_census(out_dir: str, tables: list[TableSpec], num_buckets: int = 16):
+def _subject_census(
+    out_dir: str,
+    tables: list[TableSpec],
+    num_buckets: int = 16,
+    uniqueness: dict[str, bool] | None = None,
+):
     """One bucketed pass over candidate tables' subjects. Returns
     (uniqueness: {table: bool}, overlap: {(a, b): count}).
+
+    When ``uniqueness`` is already known (the fold stage's fused census computes
+    A5 exactly — see stats.census_block_rows), only the J1 overlap probe runs,
+    and only over the tables that passed the gate: non-unique tables can never
+    merge, so their rows need not leave disk at all.
 
     Reads the lean root ONCE (hive ``table_key`` partition column) instead of
     unioning per-table read plans — at N tables a union is N read stages of fixed
     overhead each; one filtered scan is one."""
+    if uniqueness is not None:
+        tables = [t for t in tables if uniqueness.get(t.name)]
     if not tables:
-        return {}, {}
+        return dict(uniqueness or {}), {}
     import pyarrow.compute as pc
 
     names = pa.array([t.name for t in tables], pa.string())
@@ -123,8 +135,9 @@ def _subject_census(out_dir: str, tables: list[TableSpec], num_buckets: int = 16
             has_dup[r["a"]] |= bool(r["cnt"])
         else:
             overlap[(r["a"], r["b"])] += r["cnt"]
-    uniqueness = {t.name: not has_dup[t.name] for t in tables}
-    return uniqueness, dict(overlap)
+    if uniqueness is not None:
+        return dict(uniqueness), dict(overlap)
+    return {t.name: not has_dup[t.name] for t in tables}, dict(overlap)
 
 
 def plan_cohorts(tables: list[TableSpec], uniqueness: dict, overlap: dict) -> list[list[TableSpec]]:
@@ -320,8 +333,18 @@ def run_merge(
     collide, so a single keyspace is safe), cohorts planned per subject kind,
     then one combined merge shuffle for every cohort. ``num_buckets`` must be
     >= cluster parallelism: the post-sort fold runs one task per bucket RANGE,
-    so a low bucket count caps the exchange's reduce width."""
-    uniqueness, overlap = _subject_census(out_dir, tables, num_buckets=num_buckets)
+    so a low bucket count caps the exchange's reduce width.
+
+    A5 uniqueness comes from the specs' ``subject_unique`` (censused exactly in
+    the fold stage) when every spec carries it; direct callers with bare specs
+    fall back to computing it here."""
+    known = {t.name: t.subject_unique for t in tables if t.subject_unique is not None}
+    uniqueness, overlap = _subject_census(
+        out_dir,
+        tables,
+        num_buckets=num_buckets,
+        uniqueness=known if len(known) == len(tables) else None,
+    )
     by_kind: dict[int, list[TableSpec]] = defaultdict(list)
     for t in tables:
         by_kind[t.subj_kind].append(t)
@@ -343,6 +366,8 @@ def run_merge(
                     class_iri=target.class_iri,
                     row_count=counts[target.name],
                     path=os.path.join(out_dir, "lean_merged", target.name),
+                    # unique by construction: the merge folds per subject
+                    subject_unique=True,
                 )
             )
             merged_names.update(m.name for m in members)
@@ -359,6 +384,8 @@ def run_merge(
                             class_iri=m.class_iri,
                             row_count=n_left,
                             path=os.path.join(out_dir, "lean_merged", m.name + _LEFTOVER_SUFFIX),
+                            # subset of a gate-passing (unique-subject) table
+                            subject_unique=True,
                         )
                     )
     for t in tables:

@@ -212,73 +212,77 @@ def _emit_stats_rows(cols: dict, graphs_cols: dict, prefix: str, rows: dict) -> 
         rows["blob"].append(pickle.dumps({"max_len": max_len}))
 
 
-def run_stats_census(lean_root: str, spec_factory, decompose_factory):
-    """ONE streaming pass over the lean store computing EVERYTHING step 1 needs:
-    per-table column stats, the (table_key, combo) census (with the
-    sql-name-collision check input), the graph-IRI domain, and per-table row
-    counts — fused so the full data is scanned ONCE (each separate job costs a
-    full scan plus fixed Ray-job overhead, which dominates small runs and is a
-    wasted data pass at 100 TB).
+def census_block_rows(batch: pa.Table, spec_factory, decompose_factory, memo: dict) -> pa.Table:
+    """Per-BLOCK census emitter computing EVERYTHING step 1 needs from one folded
+    block: per-table column stats (kind 0), the (table_key, combo) census with
+    the sql-name-collision check input (kind 1), the graph-IRI domain (kind 2),
+    per-table row counts (kind 3), and the A5 subject-uniqueness partial
+    (kind 4) — fused into the fold stage's reducer so the data is scanned ONCE
+    in the whole pipeline (a separate census job costs a full re-read of the
+    lean store plus fixed Ray-job overhead; at 100 TB that is a wasted pass).
+
+    The uniqueness partial is EXACT, not sampled: the fold exchange buckets by
+    (combo-major, subject-minor) hash, so every row of a given (table, subject)
+    pair lands in this one block — a per-block duplicate check ORs into the
+    global answer (TableMergingConcurence.java:46-268 gate A5).
 
     A batch's spec is derived on the worker from its own ``combo`` column via
-    ``spec_factory`` (memoized per process) — no driver round-trip needed
-    before the scan. Returns (stats: {table: (col_stats, graph_stats)},
-    combos_by_key, graphs, row_counts)."""
+    ``spec_factory`` (memoized per process in ``memo``) — no driver round-trip
+    needed before the scan."""
     import pickle
 
-    memo: dict[str, TableSpec] = {}
+    rows: dict = {"kind": [], "table": [], "column": [], "blob": []}
 
-    def fn(batch: pa.Table) -> pa.Table:
-        rows: dict = {"kind": [], "table": [], "column": [], "blob": []}
+    def emit(kind: int, table: str, column: str, blob: bytes) -> None:
+        rows["kind"].append(kind)
+        rows["table"].append(table)
+        rows["column"].append(column)
+        rows["blob"].append(blob)
 
-        def emit(kind: int, table: str, column: str, blob: bytes) -> None:
-            rows["kind"].append(kind)
-            rows["table"].append(table)
-            rows["column"].append(column)
-            rows["blob"].append(blob)
-
-        keys = pc.drop_null(pc.unique(batch["table_key"])).to_pylist()
-        for k in keys:
-            k = str(k)
-            sub = batch.filter(pc.equal(batch["table_key"], k)) if len(keys) > 1 else batch
-            combos = [str(c) for c in pc.unique(sub["combo"]).to_pylist()]
-            for cb in combos:
-                emit(1, k, cb, b"")
-            emit(3, k, "", pickle.dumps(sub.num_rows))
-            spec = memo.get(combos[0])
-            if spec is None:
-                spec = memo[combos[0]] = spec_factory(combos[0])
-            cols, gcols = decompose_factory(spec)(sub)
-            srows: dict = {"table": [], "column": [], "blob": []}
-            _emit_stats_rows(cols, gcols, k, srows)
-            for t, c, b in zip(srows["table"], srows["column"], srows["blob"]):
-                emit(0, t, c, b)
-        g = pc.drop_null(pc.unique(pc.list_flatten(batch["graphs"])))
-        for gv in g.to_pylist():
-            emit(2, "", str(gv), b"")
-        return pa.table(
-            {
-                "kind": pa.array(rows["kind"], pa.int8()),
-                "table": pa.array(rows["table"], pa.string()),
-                "column": pa.array(rows["column"], pa.string()),
-                "blob": pa.array(rows["blob"], pa.binary()),
-            }
-        )
-
-    # 128k bundles: small enough that task count comfortably exceeds cluster
-    # width (straggler waves: 34 tasks on 32 cpus ran at 1.06 waves), big
-    # enough that per-task overhead stays amortized
-    from ..util import read_parquet_dir
-
-    parts = (
-        read_parquet_dir(lean_root)
-        .map_batches(fn, batch_format="pyarrow", batch_size=128_000)
-        .take_all()
+    keys = pc.drop_null(pc.unique(batch["table_key"])).to_pylist()
+    for k in keys:
+        k = str(k)
+        sub = batch.filter(pc.equal(batch["table_key"], k)) if len(keys) > 1 else batch
+        combos = [str(c) for c in pc.unique(sub["combo"]).to_pylist()]
+        for cb in combos:
+            emit(1, k, cb, b"")
+        emit(3, k, "", pickle.dumps(sub.num_rows))
+        # A5 partial: folded rows are unique on (combo, subj, obj), so a
+        # repeated subject here means >1 object row for it in this table
+        has_dup = pc.count_distinct(sub["subj"]).as_py() < sub.num_rows
+        emit(4, k, "", pickle.dumps(bool(has_dup)))
+        spec = memo.get(combos[0])
+        if spec is None:
+            spec = memo[combos[0]] = spec_factory(combos[0])
+        cols, gcols = decompose_factory(spec)(sub)
+        srows: dict = {"table": [], "column": [], "blob": []}
+        _emit_stats_rows(cols, gcols, k, srows)
+        for t, c, b in zip(srows["table"], srows["column"], srows["blob"]):
+            emit(0, t, c, b)
+    g = pc.drop_null(pc.unique(pc.list_flatten(batch["graphs"])))
+    for gv in g.to_pylist():
+        emit(2, "", str(gv), b"")
+    return pa.table(
+        {
+            "kind": pa.array(rows["kind"], pa.int8()),
+            "table": pa.array(rows["table"], pa.string()),
+            "column": pa.array(rows["column"], pa.string()),
+            "blob": pa.array(rows["blob"], pa.binary()),
+        }
     )
+
+
+def parse_census_rows(parts):
+    """Driver-side fold of the tiny per-block census rows. Returns
+    (stats: {table: (col_stats, graph_stats)}, combos_by_key, graphs,
+    row_counts, subject_unique: {table: bool})."""
+    import pickle
+
     stats: dict[str, tuple[dict, dict]] = {}
     combos_by_key: dict[str, set] = {}
     graphs: set[str] = set()
     counts: dict[str, int] = {}
+    has_dup: dict[str, bool] = {}
     for r in parts:
         kind = r["kind"]
         if kind == 1:
@@ -287,6 +291,8 @@ def run_stats_census(lean_root: str, spec_factory, decompose_factory):
             graphs.add(r["column"])
         elif kind == 3:
             counts[r["table"]] = counts.get(r["table"], 0) + pickle.loads(r["blob"])
+        elif kind == 4:
+            has_dup[r["table"]] = has_dup.get(r["table"], False) or pickle.loads(r["blob"])
         else:
             col_stats, graph_stats = stats.setdefault(r["table"], ({}, {}))
             name, blob = r["column"], pickle.loads(r["blob"])
@@ -297,4 +303,5 @@ def run_stats_census(lean_root: str, spec_factory, decompose_factory):
                 col_stats[name].merge(blob)
             else:
                 col_stats[name] = blob
-    return stats, combos_by_key, sorted(graphs), counts
+    unique = {t: not d for t, d in has_dup.items()}
+    return stats, combos_by_key, sorted(graphs), counts, unique

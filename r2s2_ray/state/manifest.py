@@ -62,6 +62,11 @@ class TableSpec:
     class_iri: str | None = None  # set for rdf:type-split tables (RdfTypeSplitting)
     row_count: int = -1
     path: str | None = None  # parquet directory of this table's data
+    #: T10/A5 record (IntroduceIndexes.java:22-46 semantics): True when the
+    #: fold census proved no subject repeats — the table could carry a unique
+    #: subject index; False = the duplicate-subject fallback (plain sort only).
+    #: None when censused state is unavailable (specs built outside the pipeline).
+    subject_unique: bool | None = None
 
     def all_columns(self) -> list[ColumnSpec]:
         out = list(self.subject_columns)
@@ -137,6 +142,7 @@ def load_manifest(path: str) -> Manifest:
             class_iri=t["class_iri"],
             row_count=t["row_count"],
             path=t["path"],
+            subject_unique=t.get("subject_unique"),
         )
         for t in d["tables"]
     ]
