@@ -503,6 +503,12 @@ class _ExactPairScorer:
         )
 
 
+#: corpora above this row count never take the exact all-pairs path: the
+#: driver-side take_all + full-matrix broadcast stops being metadata-scale.
+#: 200k rows x 64 dims float64 ~= 100 MB broadcast — the upper end of sane.
+EXACT_COSINE_MAX_ROWS = 200_000
+
+
 def embedding_cosine_pairs_exact(
     ds: ray.data.Dataset,
     id_col: str,
@@ -510,12 +516,23 @@ def embedding_cosine_pairs_exact(
     *,
     threshold: float = 0.95,
     concurrency: int | tuple = (1, 8),
+    max_rows: int = EXACT_COSINE_MAX_ROWS,
 ) -> ray.data.Dataset:
     """EXACT embedding-cosine pairs >= threshold (a < b, distinct): the corpus
     matrix is broadcast once via ``ray.put``; every batch does one numpy matmul
-    against it. O(n^2) comparisons but fully distributed and shuffle-free."""
+    against it. O(n^2) comparisons but fully distributed and shuffle-free.
+
+    Size-guarded: beyond ``max_rows`` the corpus is no longer broadcast-sized,
+    so the call DELEGATES to the bucketed LSH path
+    (:func:`embedding_neardup_pairs`, exact cosine verification within buckets,
+    4 OR-ed tables for recall) instead of pulling the matrix to the driver.
+    Below the guard this function stays the oracle-exact baseline."""
     import ray as _ray
 
+    if ds.count() > max_rows:
+        return embedding_neardup_pairs(
+            ds, id_col, vec_col, threshold=threshold, num_tables=4
+        )
     rows = ds.select_columns([id_col, vec_col]).take_all()
     ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)

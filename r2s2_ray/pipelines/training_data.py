@@ -5,13 +5,17 @@ near-dedup, each stage the operator already certified by its own DuckDB oracle
 oracle-checked too (td_prepare in __ray_entry__).
 
 Scale shape: the quality filter and exact dedup are map + hash-partitioned
-groupby (no all-pairs anywhere); the near-dup pair list is bounded by the
-duplicate mass, so the keep-list subtraction is a small-side broadcast filter
-(ray.put once, is_in per batch) — never a shuffle join.
+groupby (no all-pairs anywhere). The near-dup keep-list subtraction is
+size-guarded: when the candidate-pair count is driver-small the drop set is a
+broadcast filter (ray.put once, is_in per batch); past the guard it becomes a
+DISTRIBUTED bucketed anti-join (union doc ids + drop ids, hash-bucket by id,
+per-block set subtraction) — at web scale 30-50% of a corpus can be near-dup,
+so the pair list is NOT driver-sized even though it is duplicate-mass-bounded.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -23,6 +27,60 @@ from ..functions.dedup import exact_dedup, minhash_lsh_pairs
 #: quality gate defaults (mirrored verbatim in the SQL oracle)
 MIN_TOKENS = 5
 MAX_CHARS = 20_000
+
+#: pair counts up to this take the broadcast path (one Arrow array shipped via
+#: ray.put); beyond it the anti-join runs distributed. ~2M int64 pairs = 16 MB
+#: broadcast — comfortably below worker-heap concerns.
+NEAR_DUP_BROADCAST_MAX = 2_000_000
+
+
+def _anti_join_ids(
+    deduped: ray.data.Dataset, pairs: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """doc_ids of ``deduped`` minus ``pairs.b`` — bucketed anti-join, no
+    driver-side pair materialization. Same sort-by-bucket + whole-block-map
+    pattern as the fold/merge exchanges (hash bucketing spreads any hot id)."""
+
+    def tag(src: int, col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = pc.cast(b[col], pa.int64())
+            return pa.table(
+                {"id": ids, "src": pa.array(np.full(len(ids), src, np.int8))}
+            )
+
+        return fn
+
+    u = deduped.map_batches(tag(0, "doc_id"), batch_format="pyarrow").union(
+        pairs.map_batches(tag(1, "b"), batch_format="pyarrow")
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return b.append_column(
+            "bucket",
+            df.select(pl.col("id").hash(seed=11).mod(num_buckets).cast(pl.Int32).alias("x"))[
+                "x"
+            ].to_arrow(),
+        )
+
+    def subtract(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        keep = (
+            df.group_by("id")
+            .agg(
+                (pl.col("src") == 0).any().alias("present"),
+                (pl.col("src") == 1).any().alias("dropped"),
+            )
+            .filter(pl.col("present") & ~pl.col("dropped"))
+            .select(pl.col("id").alias("doc_id"))
+        )
+        return keep.to_arrow()
+
+    return (
+        u.map_batches(add_bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(subtract, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def quality_filter(
@@ -52,6 +110,7 @@ def prepare_corpus(
     *,
     min_tokens: int = MIN_TOKENS,
     max_chars: int = MAX_CHARS,
+    broadcast_max: int = NEAR_DUP_BROADCAST_MAX,
 ) -> ray.data.Dataset:
     """documents.parquet -> surviving doc_ids after quality gate, exact dedup
     (keep min id per identical text) and MinHash-LSH near-dedup (drop the
@@ -59,8 +118,13 @@ def prepare_corpus(
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     kept = quality_filter(docs, min_tokens=min_tokens, max_chars=max_chars)
     deduped = exact_dedup(kept, ["text"], "doc_id")  # (text, doc_id=min)
-    pairs = minhash_lsh_pairs(deduped, "doc_id", "text")
-    # near-dup keep-list: pair count is duplicate-mass-bounded -> broadcast set
+    # materialized so the size probe and the consuming path share one execution
+    # (pair-scale data sits in the distributed object store, never the driver)
+    pairs = minhash_lsh_pairs(deduped, "doc_id", "text").materialize()
+    if pairs.count() > broadcast_max:
+        # web-scale duplicate mass: distributed anti-join, no driver traffic
+        return _anti_join_ids(deduped, pairs)
+    # small pair list: one broadcast drop set, filtered per batch
     drop = {r["b"] for r in pairs.take_all()}
     drop_arr = pa.array(sorted(drop), pa.int64())
     drop_ref = ray.put(drop_arr)
