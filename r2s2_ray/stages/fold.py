@@ -311,7 +311,14 @@ def _write_census_fn(lean_dir: str):
             )
             d = f"{lean_dir}/table_key={k}"
             fs_makedirs(d)
-            fs_write_table(sub.drop(["table_key"]), f"{d}/part-{tag}.parquet")
+            # row count in the FILENAME (materialize bin-packs by rows — byte
+            # sizes mislead by up to 6x under dictionary compression) and 128k
+            # row groups so oversized slices stay splittable without a rewrite
+            fs_write_table(
+                sub.drop(["table_key"]),
+                f"{d}/part-{tag}-r{sub.num_rows}.parquet",
+                row_group_size=131072,
+            )
         return census_block_rows(folded, spec_from_combo, decompose_lean, memo)
 
     return fn

@@ -204,11 +204,42 @@ def table_data_path(out_dir: str, name: str) -> str:
     return os.path.join(out_dir, "tables", name)
 
 
+_ROWS_RE = None  # compiled lazily
+
+
+def _file_rows(path: str) -> int:
+    """Row count of a lean/merged part file. The writers encode it in the
+    FILENAME (``part-<tag>-r<rows>.parquet``) so bin-packing needs no footer
+    reads (one serial metadata fetch per file is driver-side O(files) — a real
+    cost at 100 TB file counts); stray files fall back to one footer read."""
+    global _ROWS_RE
+    import re
+
+    if _ROWS_RE is None:
+        _ROWS_RE = re.compile(r"-r(\d+)\.parquet$")
+    m = _ROWS_RE.search(path)
+    if m:
+        return int(m.group(1))
+    from ..util import fs_parquet_rows
+
+    return fs_parquet_rows(path)
+
+
+def chunk_target_rows(total_rows: int) -> int:
+    """Adaptive chunk size: ~4 chunks per CPU slot for wave smoothing, floored
+    so per-task overhead stays amortized at small scale."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(150_000, -(-total_rows // (4 * cpus)))
+
+
 def materialize_all(
     out_dir: str,
     specs: list[TableSpec],
     enums: dict[str, list[str]],
-    target_bytes: int = 4 << 20,
+    target_rows: int | None = None,
 ) -> None:
     """Materialize EVERY pending table in ONE Ray job.
 
@@ -219,18 +250,26 @@ def materialize_all(
     the lean files of all tables are bin-packed into ~``target_rows`` chunks and
     a single ``from_items -> map_batches`` pipeline processes every chunk.
 
+    Chunks are packed by ROW COUNT, not bytes: dictionary compression skews
+    bytes-per-row up to 6x between files of one table (measured: a 4 MiB
+    byte-packed chunk held 3.2M rows and ran 17s while its peers held 500k —
+    the whole stage waited on that straggler). Row counts ride in the part
+    filenames (no footer reads), and a single file larger than ~1.5x the
+    target is SPLIT at row-group boundaries (the writers emit 128k-row
+    groups), so no input block shape can produce a straggler chunk.
+
     This doubles as the final-compaction stage (PoorMansVacuum.java:22-87
-    analog): the lean store's buckets-x-tables small files come out as
-    ceil(rows/target_rows) files per table, and as the idempotency fix for
-    stage re-runs: output names are deterministic (``part-<chunk_idx>``), so a
-    Ray task retry or a killed-and-resumed run OVERWRITES instead of appending.
-    Per-table ``_SUCCESS`` stamps (written only after the whole job) keep the
-    per-partition resume contract."""
+    analog): each table comes out as ~ceil(rows/target_rows) files, and as the
+    idempotency fix for stage re-runs: output names are deterministic
+    (``part-<chunk_idx>``), so a Ray task retry or a killed-and-resumed run
+    OVERWRITES instead of appending. Per-table ``_SUCCESS`` stamps (written
+    only after the whole job) keep the per-partition resume contract."""
     from ..util import (
         fs_exists,
         fs_list_parquet,
-        fs_list_parquet_sizes,
         fs_makedirs,
+        fs_parquet_row_group_rows,
+        fs_read_row_groups,
         fs_read_table,
         fs_remove,
         fs_write_table,
@@ -238,6 +277,8 @@ def materialize_all(
     )
 
     specs_by_name = {s.name: s for s in specs}
+    if target_rows is None:
+        target_rows = chunk_target_rows(sum(max(s.row_count, 0) for s in specs))
     items: list[dict] = []
     pending: list[TableSpec] = []
     for spec in specs:
@@ -247,39 +288,64 @@ def materialize_all(
             continue  # per-partition resume
         pending.append(spec)
         src = spec.path or table_lean_path(out_dir, spec.name)
-        # size-based bin-packing: byte sizes come free with the directory
-        # listing, vs one serial footer read per file (2s of driver time per
-        # thousand files), and bytes track per-chunk work better than rows.
-        # 4 MiB on-disk ~= 200k lean rows (dictionary-compressed ~20 B/row,
-        # several-x larger decoded): small enough for chunk-count >> cluster
-        # width (a 16 MiB target starved a 32-cpu cluster at bench scale,
-        # 2.9s -> 10s), large enough that output files stay healthy
-        files = fs_list_parquet_sizes(src)
+        files = fs_list_parquet(src)
         fs_makedirs(dest)
         # un-stamped table: clear any partial files from a crashed prior attempt
         # (chunk boundaries may differ between attempts)
         for stale in fs_list_parquet(dest):
             fs_remove(stale)
         chunk: list[str] = []
-        size = 0
+        rows = 0
         part = 0
-        for f, n in files:
-            if chunk and size + n > target_bytes:
+
+        def close() -> None:
+            nonlocal chunk, rows, part
+            if chunk:
                 items.append({"table": spec.name, "files": "\x1f".join(chunk), "part": part})
-                chunk, size = [], 0
+                chunk, rows = [], 0
                 part += 1
+
+        for f in files:
+            n = _file_rows(f)
+            if n > target_rows * 3 // 2:
+                # oversized slice: split at row-group boundaries (one footer
+                # read, only for the rare big file)
+                close()
+                rg = fs_parquet_row_group_rows(f)
+                lo, acc = 0, 0
+                for i, g in enumerate(rg):
+                    acc += g
+                    if acc >= target_rows and i + 1 < len(rg):
+                        items.append(
+                            {"table": spec.name, "files": f"{f}\x1e{lo}\x1e{i + 1}", "part": part}
+                        )
+                        part += 1
+                        lo, acc = i + 1, 0
+                if lo < len(rg):
+                    items.append(
+                        {"table": spec.name, "files": f"{f}\x1e{lo}\x1e{len(rg)}", "part": part}
+                    )
+                    part += 1
+                continue
+            if chunk and rows + n > target_rows:
+                close()
             chunk.append(f)
-            size += n
-        if chunk:
-            items.append({"table": spec.name, "files": "\x1f".join(chunk), "part": part})
+            rows += n
+        close()
     if items:
         fns = {name: MaterializeFn(specs_by_name[name], enums) for name in {i["table"] for i in items}}
+
+        def read_tok(tok: str) -> pa.Table:
+            if "\x1e" in tok:
+                p, lo, hi = tok.split("\x1e")
+                return fs_read_row_groups(p, int(lo), int(hi))
+            return fs_read_table(tok)
 
         def work(batch: dict) -> dict:
             done = []
             for name, files, part in zip(batch["table"], batch["files"], batch["part"]):
                 t = pa.concat_tables(
-                    [fs_read_table(f) for f in str(files).split("\x1f")],
+                    [read_tok(f) for f in str(files).split("\x1f")],
                     promote_options="default",
                 )
                 keys = [("subj", "ascending")]
@@ -294,7 +360,13 @@ def materialize_all(
                 done.append(out.num_rows)
             return {"n": done}
 
-        ray.data.from_items(items).map_batches(work, batch_size=1).materialize()
+        # ONE BLOCK PER CHUNK: from_items' auto block sizing packs a small item
+        # list into a single block, and the fused map then runs every chunk
+        # SERIALLY in one task. Each item is a full task's worth of IO+compute,
+        # so block count must equal item count.
+        ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+            work, batch_size=1
+        ).materialize()
     for spec in pending:
         dest = table_data_path(out_dir, spec.name)
         spec.path = dest

@@ -277,8 +277,12 @@ def _build_all_merged(
                     + [f"obj__{i}" for i in range(k)]
                     + [f"graphs__{i}" for i in range(k)]
                 )
+                # row count in the filename + 128k row groups: see fold.py
+                # _write_census_fn (materialize packs chunks by rows)
                 fs_write_table(
-                    merged.select(keep), os.path.join(dests[(ci, 0)], f"part-{tag}.parquet")
+                    merged.select(keep),
+                    os.path.join(dests[(ci, 0)], f"part-{tag}-r{merged.num_rows}.parquet"),
+                    row_group_size=131072,
                 )
             rows["cohort"].append(ci)
             rows["kind"].append(0)
@@ -295,7 +299,11 @@ def _build_all_merged(
                             "graphs": li[f"graphs__{i}"],
                         }
                     )
-                    fs_write_table(out, os.path.join(dests[(ci, i)], f"part-{tag}.parquet"))
+                    fs_write_table(
+                        out,
+                        os.path.join(dests[(ci, i)], f"part-{tag}-r{li.num_rows}.parquet"),
+                        row_group_size=131072,
+                    )
                 rows["cohort"].append(ci)
                 rows["kind"].append(i)
                 rows["n"].append(li.num_rows)

@@ -82,11 +82,11 @@ def fs_list_parquet_sizes(dir_path: str) -> list[tuple[str, int]]:
     )
 
 
-def fs_write_table(table, path: str) -> None:
+def fs_write_table(table, path: str, row_group_size: int | None = None) -> None:
     import pyarrow.parquet as pq
 
     f, p = fs_for(path)
-    pq.write_table(table, p, filesystem=f)
+    pq.write_table(table, p, filesystem=f, row_group_size=row_group_size)
 
 
 def fs_read_table(path: str, columns=None):
@@ -118,6 +118,25 @@ def fs_parquet_rows(path: str) -> int:
 
     f, p = fs_for(path)
     return pq.ParquetFile(p, filesystem=f).metadata.num_rows
+
+
+def fs_parquet_row_group_rows(path: str) -> list[int]:
+    """Per-row-group row counts from the footer (ONE metadata read)."""
+    import pyarrow.parquet as pq
+
+    f, p = fs_for(path)
+    md = pq.ParquetFile(p, filesystem=f).metadata
+    return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+
+def fs_read_row_groups(path: str, lo: int, hi: int, columns=None):
+    """Read row groups [lo, hi) of one parquet file."""
+    import pyarrow.parquet as pq
+
+    f, p = fs_for(path)
+    return pq.ParquetFile(p, filesystem=f).read_row_groups(
+        list(range(lo, hi)), columns=columns
+    )
 
 
 def fs_remove(path: str) -> None:

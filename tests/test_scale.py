@@ -48,29 +48,24 @@ def test_hot_predicate_buckets_stay_balanced():
 
 def test_materialized_file_counts_bounded(sf_small, tmp_path):
     """T11 final-compaction analog: however many small files the lean store's
-    buckets x tables produce, each materialized table compacts to at most
-    ceil(table_bytes / target_bytes) + 1 output files — downstream scans never
+    blocks x tables produce, each materialized table compacts to at most
+    ceil(table_rows / target_rows) + 1 output files — downstream scans never
     see the small-files problem."""
     from r2s2_ray.pipelines.kg import run_pipeline
-    from r2s2_ray.stages.materialize import table_data_path
+    from r2s2_ray.stages.materialize import chunk_target_rows, table_data_path
 
-    import inspect
-
-    from r2s2_ray.stages.materialize import materialize_all
-
-    target = inspect.signature(materialize_all).parameters["target_bytes"].default
     out = str(tmp_path / "kg")
     m = run_pipeline(sf_small, out)
     assert any(
         len(os.listdir(os.path.join(out, "lean", d))) > 3
         for d in os.listdir(os.path.join(out, "lean"))
     )  # the lean store IS many small files per table — compaction has work to do
+    target = chunk_target_rows(sum(max(t.row_count, 0) for t in m.tables))
     for t in m.tables:
         d = table_data_path(out, t.name)
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
-        bound = max(1, -(-total // target)) + 1
-        assert len(files) <= bound, (t.name, len(files), total)
+        bound = max(1, -(-max(t.row_count, 1) // target)) + 1
+        assert len(files) <= bound, (t.name, len(files), t.row_count)
 
 
 def test_pipeline_runs_on_fs_uri(sf_small, tmp_path):
