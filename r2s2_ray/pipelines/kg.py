@@ -157,14 +157,22 @@ def run_pipeline(
             from ..stages.stats import parse_census_rows
             from ..util import read_parquet_dir
 
-            n_terms = None
-            if with_terms_dict:
-                tpath = os.path.join(out_dir, "dict", "terms")
-                lean = read_parquet_dir(os.path.join(out_dir, "lean"), columns=["subj", "obj"])
-                n_terms = build_term_dictionary(lean, tpath, num_buckets=num_buckets)
             all_stats, by_key, graphs, counts, subj_unique = parse_census_rows(
                 _read_census(_census_path(out_dir))
             )
+            # J1 probe candidates: A5-passing tables (exact census, step 0) —
+            # the overlap probe rides the term-dictionary exchange below, so
+            # the merge step needs no probe job of its own
+            candidates = sorted(name for name, u in subj_unique.items() if u)
+            n_terms = None
+            overlap = None
+            if with_terms_dict:
+                tpath = os.path.join(out_dir, "dict", "terms")
+                cols = ["subj", "obj"] + (["table_key"] if candidates else [])
+                lean = read_parquet_dir(os.path.join(out_dir, "lean"), columns=cols)
+                n_terms, overlap = build_term_dictionary(
+                    lean, tpath, num_buckets=num_buckets, probe_tables=candidates or None
+                )
             clashes = {k: v for k, v in by_key.items() if len(v) > 1}
             if clashes:
                 raise ValueError(
@@ -222,13 +230,20 @@ def run_pipeline(
                         schemes |= {v for v in dom if v is not None}
                     elif name.endswith("_host"):
                         hosts |= {v for v in dom if v is not None}
+            lineage = {**m1.lineage, "combos": combos, "namespaces": namespaces}
+            if overlap is not None:
+                # J1 probe result (computed on the terms exchange) for step 2;
+                # JSON-safe key encoding
+                lineage["subject_overlap"] = {
+                    "\x1f".join(k): v for k, v in overlap.items()
+                }
             m2 = Manifest(
                 stage="stats",
                 step=1,
                 tables=tables,
                 dictionaries=dicts,
                 enums={"graph": graphs, "scheme": sorted(schemes), "host": sorted(hosts)},
-                lineage={**m1.lineage, "combos": combos, "namespaces": namespaces},
+                lineage=lineage,
                 metrics=dict(metrics),
             )
             save_manifest(out_dir, m2)
@@ -240,11 +255,18 @@ def run_pipeline(
     if m3 is None:
         with StageTimer(metrics, "step2_s"):
             if with_merge:
+                raw_ov = m2.lineage.get("subject_overlap")
+                overlap = (
+                    {tuple(k.split("\x1f")): v for k, v in raw_ov.items()}
+                    if raw_ov is not None
+                    else None
+                )
                 tables = merge_stage.run_merge(
                     out_dir,
                     m2.tables,
                     graph_enum=m2.enums.get("graph"),
                     num_buckets=num_buckets,
+                    overlap=overlap,
                 )
             else:
                 tables = m2.tables

@@ -5,10 +5,16 @@ SPARQL directly against the ``all_triples`` reassembly view, so the store IS
 queryable as SPARQL without a JVM).
 
 Supported subset (documented, tested): PREFIX declarations, SELECT with
-explicit variables or ``*``, basic graph patterns (joins via shared variables),
+explicit variables or ``*``, ``FROM <graph>`` dataset clauses (restrict every
+pattern to the listed graphs), basic graph patterns (joins via shared
+variables), anonymous blank nodes ``[]`` (each a fresh never-projected
+variable; bracketed property lists are NOT supported) and labelled query
+bnodes ``_:x`` (scoped variables, standard SPARQL semantics),
 IRI/prefixed-name/literal constants (plain, ``@lang``, ``^^<datatype>``),
 ``FILTER(?v = ...)`` equality, DISTINCT, ORDER BY, LIMIT. Terms bind to their
 lexical forms; IRIs and blank-node labels as stored (bnodes are ``_:...``).
+The reference's own round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE
+{[] a ?type}`` (SparqlOnLoadedTest.java:111-127) — runs verbatim.
 """
 
 from __future__ import annotations
@@ -78,6 +84,12 @@ class Query:
     filters: list[tuple[str, Term]]
     order_by: list[str]
     limit: int | None
+    from_graphs: list[str] | None = None  # FROM <g> dataset restriction
+
+
+_FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
+_ANON_RE = re.compile(r"\[\s*\]")
+_BNODE_RE = re.compile(r"_:(\w+)")
 
 
 def parse_sparql(q: str) -> Query:
@@ -86,11 +98,35 @@ def parse_sparql(q: str) -> Query:
     if not sel:
         raise ValueError("only SELECT queries are supported")
     distinct = bool(sel.group(1))
-    sel_vars = [] if sel.group(2).strip() == "*" else re.findall(r"\?(\w+)", sel.group(2))
+    # FROM dataset clauses live between the projection and WHERE; strip them
+    # from the projection text so they don't read as variables
+    sel_text = _FROM_RE.sub("", sel.group(2))
+    from_graphs: list[str] = []
+    for m in _FROM_RE.finditer(q[: q.find("{") if "{" in q else len(q)]):
+        if m.group(1):
+            raise ValueError("FROM NAMED is not supported (no GRAPH patterns)")
+        if m.group(3):
+            from_graphs.append(m.group(3))
+        else:
+            t = _parse_term(m.group(2), prefixes)
+            from_graphs.append(t.value)
+    sel_vars = [] if sel_text.strip() == "*" else re.findall(r"\?(\w+)", sel_text)
     body = _WHERE_RE.search(q)
     if not body:
         raise ValueError("missing WHERE clause")
     inner = body.group(1)
+    # anonymous bnodes: each [] is a FRESH never-projected variable; labelled
+    # query bnodes _:x are scoped variables (standard SPARQL semantics — a
+    # bnode label in a query does NOT match the stored label, it joins)
+    anon_n = 0
+
+    def _fresh(_m) -> str:
+        nonlocal anon_n
+        anon_n += 1
+        return f" ?__anon{anon_n} "
+
+    inner = _ANON_RE.sub(_fresh, inner)
+    inner = _BNODE_RE.sub(lambda m: f" ?__bn_{m.group(1)} ", inner)
     filters = [
         (m.group(1)[1:], _parse_term(m.group(2), prefixes)) for m in _FILTER_RE.finditer(inner)
     ]
@@ -109,7 +145,15 @@ def parse_sparql(q: str) -> Query:
     lim = _LIMIT_RE.search(tail.strip())
     order = _ORDER_RE.search(tail)
     order_by = re.findall(r"\?(\w+)", order.group(1)) if order else []
-    return Query(sel_vars, distinct, patterns, filters, order_by, int(lim.group(1)) if lim else None)
+    return Query(
+        sel_vars,
+        distinct,
+        patterns,
+        filters,
+        order_by,
+        int(lim.group(1)) if lim else None,
+        from_graphs=from_graphs or None,
+    )
 
 
 def _q(s: str) -> str:
@@ -126,6 +170,10 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     for i, (s, p, o) in enumerate(query.patterns):
         a = f"t{i}"
         aliases.append(f"{triples_view} {a}")
+        if query.from_graphs:
+            # FROM <g>: every pattern matches within the listed graphs only
+            gs = ", ".join(_q(g) for g in query.from_graphs)
+            conds.append(f"{a}.graph IN ({gs})")
         for term, col in ((s, "subj"), (p, "pred")):
             if term.kind == "var":
                 if term.value in binds:

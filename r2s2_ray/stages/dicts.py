@@ -73,10 +73,16 @@ def distinct_with_ids(ds: ray.data.Dataset, col: str = "term") -> ray.data.Datas
     return ray.data.from_arrow_refs(out_refs)
 
 
-def build_term_dictionary(triples: ray.data.Dataset, out_path: str, num_buckets: int = 64) -> int:
+def build_term_dictionary(
+    triples: ray.data.Dataset,
+    out_path: str,
+    num_buckets: int = 64,
+    probe_tables: list[str] | None = None,
+) -> tuple[int, dict[tuple[str, str], int] | None]:
     """Global IRI/literal term dictionary (north-star requirement): distinct
     union of subject and object lexical forms, written as bucketed sorted
-    Parquet. Returns count.
+    Parquet. Returns (count, overlap) where overlap is the J1 subject-overlap
+    probe result (or None when ``probe_tables`` is not given).
 
     Id contract: id(term) = prefix-sum of earlier buckets' row counts (file
     metadata) + the term's rank inside its bucket's sorted file — deterministic
@@ -88,7 +94,15 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str, num_buckets:
     bucket (cheap sampling/comparisons, same payload), buckets sort locally in
     parallel, and each bucket lands in ONE deterministically-named file
     (idempotent under task retries, per-partition resumable).
-    """
+
+    J1 fusion: the merge planner's subject-overlap probe
+    (TableMergingConcurence.java:46-268; ``probe_tables`` = the A5-passing
+    candidates) needs subjects co-located by VALUE across tables — exactly what
+    this exchange already does for every term. Subject terms of candidate
+    tables carry an int32 table id through the shuffle (+4 bytes on rows that
+    ship anyway); the bucket reducers fold per-term table sets into pair
+    counts. This deletes the separate probe job and its full (subj, table)
+    scan+exchange of the lean store."""
     import os
 
     import polars as pl
@@ -97,9 +111,27 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str, num_buckets:
 
     fs_rmtree(out_path)
     fs_makedirs(out_path)
+    probe = list(probe_tables or [])
+    probe_arr = pa.array(probe, pa.string())
 
     def both(t: pa.Table) -> pa.Table:
-        s = pc.drop_null(pc.unique(t["subj"]))
+        if probe:
+            # candidate-table subj rows ship TAGGED (they double as dictionary
+            # rows, so plain subj only ships for non-candidate tables)
+            tidx = pc.index_in(t["table_key"], value_set=probe_arr)
+            is_cand = pc.is_valid(tidx)
+            tagged = pl.from_arrow(
+                pa.table(
+                    {
+                        "term": t["subj"].filter(is_cand),
+                        "tbl": pc.cast(tidx, pa.int32()).filter(is_cand),
+                    }
+                )
+            ).unique()
+            s = pc.drop_null(pc.unique(t["subj"].filter(pc.invert(is_cand))))
+        else:
+            tagged = None
+            s = pc.drop_null(pc.unique(t["subj"]))
         o = pc.drop_null(pc.unique(t["obj"]))
         term = pa.concat_arrays(
             [
@@ -107,16 +139,29 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str, num_buckets:
                 o.combine_chunks() if isinstance(o, pa.ChunkedArray) else o,
             ]
         )
+        df = pl.from_arrow(pa.table({"term": term})).with_columns(
+            pl.lit(-1, dtype=pl.Int32).alias("tbl")
+        )
+        if tagged is not None and len(tagged):
+            df = pl.concat([tagged.select("term", "tbl"), df])
         # bucket assigned in the same pass (one fewer map stage)
-        b = pl.from_arrow(pa.table({"term": term})).select(
-            pl.col("term").hash(seed=3).mod(num_buckets).cast(pl.Int32).alias("b")
-        )["b"]
-        return pa.table({"term": term, "bucket": b.to_arrow()})
+        return df.with_columns(
+            pl.col("term").hash(seed=3).mod(num_buckets).cast(pl.Int32).alias("bucket")
+        ).to_arrow()
 
     def finish(t: pa.Table) -> pa.Table:
         # the int-keyed range sort lands every bucket wholly in one block; each
         # bucket becomes one sorted, deduped, deterministically-named file
-        out = {"bucket": [], "n": []}
+        out = {"kind": [], "bucket": [], "n": [], "a": [], "b": [], "cnt": []}
+
+        def emit(kind, bucket, n, a, b, cnt):
+            out["kind"].append(kind)
+            out["bucket"].append(bucket)
+            out["n"].append(n)
+            out["a"].append(a)
+            out["b"].append(b)
+            out["cnt"].append(cnt)
+
         for key, g in pl.from_arrow(t).partition_by("bucket", as_dict=True).items():
             terms = g["term"].unique().sort()
             bk = int(key[0])
@@ -124,21 +169,63 @@ def build_term_dictionary(triples: ray.data.Dataset, out_path: str, num_buckets:
                 pa.table({"term": terms.to_arrow()}),
                 os.path.join(out_path, f"bucket-{bk:05d}.parquet"),
             )
-            out["bucket"].append(bk)
-            out["n"].append(len(terms))
-        return pa.table({"bucket": pa.array(out["bucket"], pa.int32()), "n": pa.array(out["n"], pa.int64())})
+            emit(0, bk, len(terms), -1, -1, 0)
+            tagged = g.filter(pl.col("tbl") >= 0)
+            if len(tagged):
+                # J1: per-term candidate-table sets -> distinct-subject pair
+                # counts (a term lives in exactly one bucket, so per-bucket
+                # counts sum globally without double-counting)
+                sets = tagged.unique(["term", "tbl"]).group_by("term").agg(
+                    pl.col("tbl").sort().alias("tbls")
+                )
+                pairs = (
+                    sets.filter(pl.col("tbls").list.len() > 1)
+                    .explode("tbls")
+                    .rename({"tbls": "a"})
+                    .join(
+                        sets.filter(pl.col("tbls").list.len() > 1)
+                        .explode("tbls")
+                        .rename({"tbls": "b"}),
+                        on="term",
+                    )
+                    .filter(pl.col("a") < pl.col("b"))
+                    .group_by(["a", "b"])
+                    .agg(pl.len().cast(pl.Int64).alias("cnt"))
+                )
+                for a, b, cnt in pairs.iter_rows():
+                    emit(1, bk, 0, a, b, cnt)
+        return pa.table(
+            {
+                "kind": pa.array(out["kind"], pa.int8()),
+                "bucket": pa.array(out["bucket"], pa.int32()),
+                "n": pa.array(out["n"], pa.int64()),
+                "a": pa.array(out["a"], pa.int32()),
+                "b": pa.array(out["b"], pa.int32()),
+                "cnt": pa.array(out["cnt"], pa.int64()),
+            }
+        )
 
+    cols = ["subj", "obj"] + (["table_key"] if probe else [])
     # large bundles (512k rows) double as the pre-sort combiner: the per-block
     # unique removes most duplicate terms before they ship (measured 13.6s ->
     # 8.7s on the old sort at 20M triples / 32 cpus vs 64k bundles)
-    counts = (
-        triples.select_columns(["subj", "obj"])
+    rows = (
+        triples.select_columns(cols)
         .map_batches(both, batch_format="pyarrow", batch_size=512_000)
         .sort("bucket")
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
-    return int(sum(r["n"] for r in counts))
+    n_terms = int(sum(r["n"] for r in rows if r["kind"] == 0))
+    if not probe:
+        return n_terms, None
+    overlap: dict[tuple[str, str], int] = {}
+    for r in rows:
+        if r["kind"] == 1:
+            key = (probe[r["a"]], probe[r["b"]])
+            key = (min(key), max(key))
+            overlap[key] = overlap.get(key, 0) + r["cnt"]
+    return n_terms, overlap
 
 
 def write_small_dict(values: list[str], path: str, col: str = "iri") -> None:

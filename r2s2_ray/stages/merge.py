@@ -334,6 +334,7 @@ def run_merge(
     tables: list[TableSpec],
     graph_enum: list[str] | None = None,
     num_buckets: int = 64,
+    overlap: dict[tuple[str, str], int] | None = None,
 ) -> list[TableSpec]:
     """Plan + execute merging; returns the post-merge table list (manifest state).
 
@@ -344,15 +345,20 @@ def run_merge(
     so a low bucket count caps the exchange's reduce width.
 
     A5 uniqueness comes from the specs' ``subject_unique`` (censused exactly in
-    the fold stage) when every spec carries it; direct callers with bare specs
-    fall back to computing it here."""
+    the fold stage) when every spec carries it, and the J1 ``overlap`` probe
+    result can be passed in precomputed (the pipeline folds it into the term
+    -dictionary exchange — stages/dicts.py); direct callers with bare specs
+    fall back to computing both here."""
     known = {t.name: t.subject_unique for t in tables if t.subject_unique is not None}
-    uniqueness, overlap = _subject_census(
-        out_dir,
-        tables,
-        num_buckets=num_buckets,
-        uniqueness=known if len(known) == len(tables) else None,
-    )
+    if overlap is not None and len(known) == len(tables):
+        uniqueness = known
+    else:
+        uniqueness, overlap = _subject_census(
+            out_dir,
+            tables,
+            num_buckets=num_buckets,
+            uniqueness=known if len(known) == len(tables) else None,
+        )
     by_kind: dict[int, list[TableSpec]] = defaultdict(list)
     for t in tables:
         by_kind[t.subj_kind].append(t)

@@ -188,6 +188,36 @@ def test_sparql_serving(kg_out):
     assert ents.num_rows == hand
 
 
+def test_sparql_reference_roundtrip_query(kg_out):
+    """The reference's OWN round-trip SPARQL (SparqlOnLoadedTest.java:111-127)
+    runs VERBATIM: FROM <graph> restricts to one named graph, [] is an
+    anonymous bnode pattern, and the bindings equal the distinct rdf:type
+    objects within that graph."""
+    import duckdb
+    import os as _os
+
+    from r2s2_ray.pipelines.sparql import run_sparql
+    from r2s2_ray.util import fs_read_text
+
+    out, m = kg_out
+    graph = m.enums["graph"][0]
+    q = f"SELECT DISTINCT ?type FROM <{graph}> WHERE {{[] a ?type}}"
+    got = sorted(run_sparql(out, q)["type"].to_pylist())
+    con = duckdb.connect()
+    for stmt in fs_read_text(_os.path.join(out, "views.sql")).split(";\n"):
+        if stmt.strip():
+            con.execute(stmt)
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT obj FROM all_triples WHERE graph = ? AND "
+            "pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'",
+            [graph],
+        ).fetchall()
+    )
+    assert got == want and len(got) >= 2
+
+
 def test_resume_noop(kg_out, sf_small):
     """Second run over the same out_dir must be a manifest-only no-op."""
     out, _ = kg_out
