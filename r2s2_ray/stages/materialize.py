@@ -226,13 +226,16 @@ def _file_rows(path: str) -> int:
 
 
 def chunk_target_rows(total_rows: int) -> int:
-    """Adaptive chunk size: ~4 chunks per CPU slot for wave smoothing, floored
-    so per-task overhead stays amortized at small scale."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(150_000, -(-total_rows // (4 * cpus)))
+    """Chunk size as a function of the DATA only — never of the cluster width.
+
+    A cpu-derived target (4 chunks per slot, the previous rule) gives a 4x
+    wider cluster 4x smaller chunks and proportionally more per-task overhead,
+    which silently taxes exactly the leg the N-vs-4N scaling comparison is
+    supposed to showcase. Instead: at most ~256 chunks (ample wave-smoothing
+    for any single job's width), floored at 150k rows so tiny stores stay
+    cheap, capped at 4M rows so chunk count grows linearly with data beyond
+    ~1G rows (at 100 TB the task count is data-bound, as it should be)."""
+    return max(150_000, min(4_000_000, -(-total_rows // 256)))
 
 
 def materialize_all(

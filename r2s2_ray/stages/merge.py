@@ -211,10 +211,29 @@ def _build_all_merged(
             pl.col("subj").hash(seed=9).mod(num_buckets).cast(pl.Int32).alias("bucket")
         ).to_arrow()
 
-    from ..util import read_parquet_dir
+    # list ONLY the cohort members' hive directories: non-cohort tables' bytes
+    # never leave disk (the previous whole-store scan decoded every table's
+    # subj/obj/graphs columns only for project() to drop the rows). Paths are
+    # fs-local (explicit filesystem=) — the reader rejects scheme URIs in
+    # per-file entries.
+    from pyarrow import fs as pafs
 
-    u = read_parquet_dir(
-        os.path.join(out_dir, "lean"),
+    from ..util import fs_for
+
+    fs, _ = fs_for(out_dir)
+    member_files: list[str] = []
+    for members in cohorts:
+        for m in members:
+            _, mp = fs_for(_lean_path(out_dir, m.name))
+            member_files += [
+                i.path
+                for i in fs.get_file_info(pafs.FileSelector(mp))
+                if i.path.endswith(".parquet")
+            ]
+    member_files.sort()
+    u = ray.data.read_parquet(
+        member_files,
+        filesystem=fs,
         columns=["subj", "s_kind", "obj", "graphs", "table_key"],
     ).map_batches(project, batch_format="pyarrow", batch_size=256_000)
 
