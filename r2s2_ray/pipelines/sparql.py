@@ -7,14 +7,18 @@ queryable as SPARQL without a JVM).
 Supported subset (documented, tested): PREFIX declarations, SELECT with
 explicit variables or ``*``, ``FROM <graph>`` dataset clauses (restrict every
 pattern to the listed graphs), basic graph patterns (joins via shared
-variables), anonymous blank nodes ``[]`` (each a fresh never-projected
-variable; bracketed property lists are NOT supported) and labelled query
-bnodes ``_:x`` (scoped variables, standard SPARQL semantics),
-IRI/prefixed-name/literal constants (plain, ``@lang``, ``^^<datatype>``),
-``FILTER(?v = ...)`` equality, DISTINCT, ORDER BY, LIMIT. Terms bind to their
-lexical forms; IRIs and blank-node labels as stored (bnodes are ``_:...``).
-The reference's own round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE
-{[] a ?type}`` (SparqlOnLoadedTest.java:111-127) — runs verbatim.
+variables), non-nested ``OPTIONAL { ... }`` groups (compiled to LEFT JOINs;
+optional-only variables project as NULL when unmatched — SPARQL unbound),
+anonymous blank nodes ``[]`` (each a fresh never-projected variable;
+bracketed property lists are NOT supported) and labelled query bnodes
+``_:x`` (scoped variables, standard SPARQL semantics), IRI/prefixed-name/
+literal constants (plain, ``@lang``, ``^^<datatype>``, bare numerics),
+``FILTER(?v <op> term)`` for ``= != < <= > >=`` (numeric comparison when the
+constant is numeric, else lexical; FILTERs live in the required part),
+DISTINCT, ORDER BY, LIMIT. Terms bind to their lexical forms; IRIs and
+blank-node labels as stored (bnodes are ``_:...``). The reference's own
+round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE {[] a ?type}``
+(SparqlOnLoadedTest.java:111-127) — runs verbatim.
 """
 
 from __future__ import annotations
@@ -36,13 +40,14 @@ _SELECT_RE = re.compile(r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE", re.I | re.S)
 _WHERE_RE = re.compile(r"WHERE\s*\{(.*)\}", re.I | re.S)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)\s*$", re.I)
 _ORDER_RE = re.compile(r"ORDER\s+BY\s+(.+?)(?:LIMIT|$)", re.I | re.S)
-_FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*=\s*(.+?)\s*\)", re.I)
+_FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*\)", re.I)
 _TERM_RE = re.compile(
     r"""\?(?P<var>\w+)
       | <(?P<iri>[^>]+)>
       | (?P<pn>\w*:\w[\w.-]*)
       | "(?P<lit>(?:[^"\\]|\\.)*)"(?:@(?P<lang>[A-Za-z-]+)|\^\^<(?P<dt>[^>]+)>|\^\^(?P<dtpn>\w*:\w[\w.-]*))?
       | (?P<a>\ba\b)
+      | (?P<num>[+-]?\d+(?:\.\d\d*)?)
     """,
     re.X,
 )
@@ -66,6 +71,10 @@ def _parse_term(tok: str, prefixes: dict[str, str]) -> Term:
         if pfx not in prefixes:
             raise ValueError(f"undeclared prefix: {pfx}")
         return Term("iri", prefixes[pfx] + local)
+    if m.group("num") is not None:
+        n = m.group("num")
+        xsd = "http://www.w3.org/2001/XMLSchema#"
+        return Term("lit", n, datatype=xsd + ("decimal" if "." in n else "integer"))
     lit = m.group("lit").replace('\\"', '"').replace("\\\\", "\\")
     dt = m.group("dt")
     if m.group("dtpn"):
@@ -81,15 +90,31 @@ class Query:
     select: list[str]  # variable names, or [] for *
     distinct: bool
     patterns: list[tuple[Term, Term, Term]]
-    filters: list[tuple[str, Term]]
+    filters: list[tuple[str, str, Term]]  # (var, op, constant)
     order_by: list[str]
     limit: int | None
     from_graphs: list[str] | None = None  # FROM <g> dataset restriction
+    optionals: list[list[tuple[Term, Term, Term]]] | None = None
 
 
 _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
+_OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.I)
+
+
+def _triples(inner: str, prefixes: dict[str, str]) -> list[tuple[Term, Term, Term]]:
+    """Tokenize a (brace-free) group body into (s, p, o) triples. Patterns
+    cannot be split on "." (IRIs and prefixed names contain dots): tokenize
+    the whole body in order and group by threes — the "." separators are
+    never term tokens."""
+    toks = [m.group(0) for m in _TERM_RE.finditer(inner)]
+    if not toks or len(toks) % 3:
+        raise ValueError(f"unsupported WHERE body (need s p o triples): {inner!r}")
+    return [
+        tuple(_parse_term(t, prefixes) for t in toks[i : i + 3])
+        for i in range(0, len(toks), 3)
+    ]
 
 
 def parse_sparql(q: str) -> Query:
@@ -127,20 +152,21 @@ def parse_sparql(q: str) -> Query:
 
     inner = _ANON_RE.sub(_fresh, inner)
     inner = _BNODE_RE.sub(lambda m: f" ?__bn_{m.group(1)} ", inner)
+    # OPTIONAL groups come out first (non-nested only); FILTERs stay in the
+    # required part — a FILTER inside an OPTIONAL group has different SPARQL
+    # semantics (conditional on the match) that this subset does not model
+    optionals: list[list[tuple[Term, Term, Term]]] = []
+    for m in _OPTIONAL_RE.finditer(inner):
+        if _FILTER_RE.search(m.group(1)):
+            raise ValueError("FILTER inside OPTIONAL is not supported")
+        optionals.append(_triples(m.group(1), prefixes))
+    inner = _OPTIONAL_RE.sub(" ", inner)
     filters = [
-        (m.group(1)[1:], _parse_term(m.group(2), prefixes)) for m in _FILTER_RE.finditer(inner)
+        (m.group(1)[1:], m.group(2), _parse_term(m.group(3), prefixes))
+        for m in _FILTER_RE.finditer(inner)
     ]
     inner = _FILTER_RE.sub("", inner)
-    # patterns cannot be split on "." (IRIs and prefixed names contain dots):
-    # tokenize the whole body in order and group into (s, p, o) triples — the
-    # "." separators are never term tokens
-    toks = [m.group(0) for m in _TERM_RE.finditer(inner)]
-    if not toks or len(toks) % 3:
-        raise ValueError(f"unsupported WHERE body (need s p o triples): {inner!r}")
-    patterns = [
-        tuple(_parse_term(t, prefixes) for t in toks[i : i + 3])
-        for i in range(0, len(toks), 3)
-    ]
+    patterns = _triples(inner, prefixes)
     tail = q[q.rindex("}") + 1 :]
     lim = _LIMIT_RE.search(tail.strip())
     order = _ORDER_RE.search(tail)
@@ -153,6 +179,7 @@ def parse_sparql(q: str) -> Query:
         order_by,
         int(lim.group(1)) if lim else None,
         from_graphs=from_graphs or None,
+        optionals=optionals or None,
     )
 
 
@@ -160,19 +187,30 @@ def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def to_sql(query: Query, triples_view: str = "all_triples") -> str:
-    """BGP -> self-join SQL over the (subj, pred, obj, o_lang, o_dt, graph)
-    triples view. Shared variables become join equalities; constants become
+_XSD_NUMERIC = {
+    "http://www.w3.org/2001/XMLSchema#" + t
+    for t in ("integer", "decimal", "double", "float", "int", "long")
+}
+
+
+def _compile_bgp(
+    patterns: list[tuple[Term, Term, Term]],
+    from_graphs: list[str] | None,
+    triples_view: str,
+    alias_prefix: str,
+) -> tuple[list[str], dict[str, str], list[str]]:
+    """One basic graph pattern -> (FROM aliases, var->column binds, WHERE
+    conds). Shared variables become join equalities; constants become
     per-alias predicates. Variables bind to lexical forms."""
     binds: dict[str, str] = {}  # var -> first bound column
     conds: list[str] = []
     aliases: list[str] = []
-    for i, (s, p, o) in enumerate(query.patterns):
-        a = f"t{i}"
+    for i, (s, p, o) in enumerate(patterns):
+        a = f"{alias_prefix}{i}"
         aliases.append(f"{triples_view} {a}")
-        if query.from_graphs:
+        if from_graphs:
             # FROM <g>: every pattern matches within the listed graphs only
-            gs = ", ".join(_q(g) for g in query.from_graphs)
+            gs = ", ".join(_q(g) for g in from_graphs)
             conds.append(f"{a}.graph IN ({gs})")
         for term, col in ((s, "subj"), (p, "pred")):
             if term.kind == "var":
@@ -194,18 +232,75 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                     conds.append(f"{a}.o_lang = {_q(o.lang)}")
                 elif o.datatype is not None:
                     conds.append(f"{a}.o_dt = {_q(o.datatype)}")
-    for var, term in query.filters:
+    return aliases, binds, conds
+
+
+def to_sql(query: Query, triples_view: str = "all_triples") -> str:
+    """BGP -> self-join SQL over the (subj, pred, obj, o_lang, o_dt, graph)
+    triples view. OPTIONAL groups compile to LEFT JOINs of per-group
+    subqueries onto the required part (optional-only variables are NULL —
+    SPARQL unbound — when the group does not match)."""
+    aliases, binds, conds = _compile_bgp(
+        query.patterns, query.from_graphs, triples_view, "t"
+    )
+    for var, op, term in query.filters:
         if var not in binds:
             raise ValueError(f"FILTER on unbound variable ?{var}")
-        conds.append(f"{binds[var]} = {_q(term.value)}")
-    out_vars = query.select or sorted(binds)
-    missing = [v for v in out_vars if v not in binds]
-    if missing:
-        raise ValueError(f"SELECT variables never bound: {missing}")
-    proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars)
-    sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
-    if conds:
-        sql += " WHERE " + " AND ".join(conds)
+        sql_op = "<>" if op == "!=" else op
+        if term.datatype in _XSD_NUMERIC:
+            # numeric comparison: cast the lexical form; non-numeric lexical
+            # forms become NULL and fail the predicate (SPARQL type error)
+            conds.append(
+                f"TRY_CAST({binds[var]} AS DOUBLE) {sql_op} {float(term.value)}"
+            )
+        else:
+            conds.append(f"{binds[var]} {sql_op} {_q(term.value)}")
+    if not query.optionals:
+        out_vars = query.select or sorted(v for v in binds if not v.startswith("__"))
+        missing = [v for v in out_vars if v not in binds]
+        if missing:
+            raise ValueError(f"SELECT variables never bound: {missing}")
+        proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars)
+        sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+    else:
+        # comma-join FROM and LEFT JOIN do not mix: wrap the required part in
+        # a subquery projecting every bound variable, then LEFT JOIN one
+        # subquery per OPTIONAL group on its shared variables
+        req = f"SELECT {', '.join(f'{c} AS {v}' for v, c in binds.items())} FROM {', '.join(aliases)}"
+        if conds:
+            req += " WHERE " + " AND ".join(conds)
+        outer: dict[str, str] = {v: f"r.{v}" for v in binds}
+        joins: list[str] = []
+        for k, group in enumerate(query.optionals):
+            g_aliases, g_binds, g_conds = _compile_bgp(
+                group, query.from_graphs, triples_view, f"o{k}_"
+            )
+            shared = [v for v in g_binds if v in outer and not outer[v].startswith("g")]
+            for v in g_binds:
+                if v in outer and outer[v].startswith("g"):
+                    raise ValueError(
+                        f"?{v} bound in two OPTIONAL groups is not supported"
+                    )
+            sub_proj = ", ".join(f"{g_binds[v]} AS {v}" for v in g_binds)
+            sub = f"SELECT {sub_proj} FROM {', '.join(g_aliases)}"
+            if g_conds:
+                sub += " WHERE " + " AND ".join(g_conds)
+            on = " AND ".join(f"g{k}.{v} = {outer[v]}" for v in shared) or "TRUE"
+            joins.append(f"LEFT JOIN ({sub}) g{k} ON {on}")
+            for v in g_binds:
+                if v not in outer:
+                    outer[v] = f"g{k}.{v}"
+        out_vars = query.select or sorted(v for v in outer if not v.startswith("__"))
+        missing = [v for v in out_vars if v not in outer]
+        if missing:
+            raise ValueError(f"SELECT variables never bound: {missing}")
+        proj = ", ".join(f"{outer[v]} AS {v}" for v in out_vars)
+        sql = (
+            f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
+            f"FROM ({req}) r {' '.join(joins)}"
+        )
     if query.order_by:
         sql += " ORDER BY " + ", ".join(query.order_by)
     if query.limit is not None:

@@ -188,6 +188,53 @@ def test_sparql_serving(kg_out):
     assert ents.num_rows == hand
 
 
+def test_sparql_optional_and_filters():
+    """OPTIONAL groups compile to LEFT JOINs (unmatched rows keep NULL —
+    SPARQL unbound), FILTER supports the six comparison operators (numeric
+    when the constant is numeric, lexical otherwise), and bare numeric
+    literals are typed xsd:integer/decimal constants."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE all_triples AS SELECT * FROM (VALUES "
+        "('e:s1','e:name','alice', NULL, NULL, 'g1'),"
+        "('e:s1','e:age','30', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g1'),"
+        "('e:s2','e:name','bob', NULL, NULL, 'g1'),"
+        "('e:s3','e:name','carol', NULL, NULL, 'g2'),"
+        "('e:s3','e:age','25', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g2')"
+        ") t(subj, pred, obj, o_lang, o_dt, graph)"
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    got = run(
+        "SELECT ?s ?n ?a WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a } } ORDER BY ?s"
+    )
+    assert got == [
+        ("e:s1", "alice", "30"),
+        ("e:s2", "bob", None),
+        ("e:s3", "carol", "25"),
+    ]
+    # numeric FILTER comparisons on the lexical form
+    assert run("SELECT ?s WHERE { ?s <e:age> ?a . FILTER(?a > 26) }") == [("e:s1",)]
+    assert run("SELECT ?s WHERE { ?s <e:age> ?a . FILTER(?a <= 25) }") == [("e:s3",)]
+    # lexical != on strings
+    assert run(
+        'SELECT ?s WHERE { ?s <e:name> ?n . FILTER(?n != "bob") } ORDER BY ?s'
+    ) == [("e:s1",), ("e:s3",)]
+    # bare numeric literal as a typed pattern constant
+    assert run("SELECT ?s WHERE { ?s <e:age> 30 }") == [("e:s1",)]
+    # FROM <g> restriction applies inside OPTIONAL groups too
+    got = run(
+        "SELECT ?s ?a FROM <g1> WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a } } ORDER BY ?s"
+    )
+    assert got == [("e:s1", "30"), ("e:s2", None)]
+
+
 def test_sparql_reference_roundtrip_query(kg_out):
     """The reference's OWN round-trip SPARQL (SparqlOnLoadedTest.java:111-127)
     runs VERBATIM: FROM <graph> restricts to one named graph, [] is an
