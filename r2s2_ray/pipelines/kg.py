@@ -115,6 +115,7 @@ def run_pipeline(
         raise ValueError("stop_after must be >= 0")
 
     # ---- step 0: route + dedup/fold + partitioned write + dictionaries -------
+    terms_frag_dir = os.path.join(out_dir, "dict", "terms_frags")
     m1 = _load_or_none(out_dir, 0, "fold", resume)
     if m1 is None:
         with StageTimer(metrics, "step0_s"):
@@ -124,9 +125,16 @@ def run_pipeline(
                 # fold exchange + partitioned lean write + the FULL step-1
                 # census in ONE job: the reducers direct-write each table's
                 # slice and return only metadata-scale census rows (no second
-                # scan of the data, no separate census job launch)
+                # scan of the data, no separate census job launch). The term
+                # -dictionary map side rides the same reducers as per-bucket
+                # fragment spills — step 1 compacts them without re-reading
+                # the lean store or paying a second sort exchange.
                 census = fold_write_census(
-                    routed, os.path.join(out_dir, "lean"), num_buckets=num_buckets
+                    routed,
+                    os.path.join(out_dir, "lean"),
+                    num_buckets=num_buckets,
+                    terms_frag_dir=terms_frag_dir if with_terms_dict else None,
+                    num_term_buckets=num_buckets,
                 )
                 _write_census(census, _census_path(out_dir))
 
@@ -157,9 +165,10 @@ def run_pipeline(
             from ..stages.stats import parse_census_rows
             from ..util import read_parquet_dir
 
-            all_stats, by_key, graphs, counts, subj_unique = parse_census_rows(
-                _read_census(_census_path(out_dir))
-            )
+            with StageTimer(metrics, "step1_census_parse_s"):
+                all_stats, by_key, graphs, counts, subj_unique = parse_census_rows(
+                    _read_census(_census_path(out_dir))
+                )
             # J1 probe candidates: A5-passing tables (exact census, step 0) —
             # the overlap probe rides the term-dictionary exchange below, so
             # the merge step needs no probe job of its own
@@ -167,12 +176,34 @@ def run_pipeline(
             n_terms = None
             overlap = None
             if with_terms_dict:
-                tpath = os.path.join(out_dir, "dict", "terms")
-                cols = ["subj", "obj"] + (["table_key"] if candidates else [])
-                lean = read_parquet_dir(os.path.join(out_dir, "lean"), columns=cols)
-                n_terms, overlap = build_term_dictionary(
-                    lean, tpath, num_buckets=num_buckets, probe_tables=candidates or None
-                )
+                with StageTimer(metrics, "step1_terms_s"):
+                    from ..util import fs_exists
+
+                    tpath = os.path.join(out_dir, "dict", "terms")
+                    if fs_exists(terms_frag_dir):
+                        # normal path: compact the fragments step 0 spilled
+                        from ..stages.dicts import compact_term_fragments
+
+                        n_terms, overlap = compact_term_fragments(
+                            terms_frag_dir,
+                            tpath,
+                            num_buckets=num_buckets,
+                            probe_tables=candidates or None,
+                        )
+                    else:
+                        # resume from a store that predates the fused spill
+                        # (or whose fragments were already consumed): rebuild
+                        # from the lean store with the standalone exchange
+                        cols = ["subj", "obj"] + (["table_key"] if candidates else [])
+                        lean = read_parquet_dir(
+                            os.path.join(out_dir, "lean"), columns=cols
+                        )
+                        n_terms, overlap = build_term_dictionary(
+                            lean,
+                            tpath,
+                            num_buckets=num_buckets,
+                            probe_tables=candidates or None,
+                        )
             clashes = {k: v for k, v in by_key.items() if len(v) > 1}
             if clashes:
                 raise ValueError(

@@ -228,6 +228,124 @@ def build_term_dictionary(
     return n_terms, overlap
 
 
+def compact_term_fragments(
+    frag_dir: str,
+    out_path: str,
+    num_buckets: int,
+    probe_tables: list[str] | None = None,
+) -> tuple[int, dict[tuple[str, str], int] | None]:
+    """Reduce side of the fold-fused term-dictionary exchange: each task
+    compacts ONE term-hash bucket's fragment files (written by the fold
+    reducers, see fold._write_census_fn) into the bucket's sorted, deduped
+    dictionary file, and folds the J1 subject-overlap pair counts from the
+    fragments' table tags. Same outputs and id contract as
+    :func:`build_term_dictionary` — identical bucket hash, identical per-bucket
+    sort, identical file names — but the map side (a full subj/obj scan of the
+    lean store plus a sort exchange) never runs: this job is a flat
+    ``from_items`` over bucket ids with no all-to-all, so its launch floor is
+    width-independent and near-zero.
+
+    Fragments are deleted after a successful compaction (they duplicate the
+    dictionary's bytes; a step re-run regenerates them via step 0, and the
+    lean-store fallback path covers resumes from stores that predate
+    fragments)."""
+    import os
+
+    import polars as pl
+    from pyarrow import fs as pafs
+
+    from ..util import fs_for, fs_makedirs, fs_rmtree, fs_write_table
+
+    fs_rmtree(out_path)
+    fs_makedirs(out_path)
+    probe = set(probe_tables or [])
+
+    def one(batch: pa.Table) -> pa.Table:
+        out = {"kind": [], "n": [], "a": [], "b": [], "cnt": []}
+        for bk in batch["bucket"].to_pylist():
+            f, d = fs_for(os.path.join(frag_dir, f"bucket={bk:05d}"))
+            try:
+                files = sorted(
+                    i.path
+                    for i in f.get_file_info(pafs.FileSelector(d))
+                    if i.path.endswith(".parquet")
+                )
+            except FileNotFoundError:
+                files = []
+            if not files:
+                # a bucket no term hashed into still emits an EMPTY dictionary
+                # file so the id prefix-sum contract sees every bucket
+                fs_write_table(
+                    pa.table({"term": pa.array([], pa.string())}),
+                    os.path.join(out_path, f"bucket-{bk:05d}.parquet"),
+                )
+                out["kind"].append(0); out["n"].append(0)
+                out["a"].append(""); out["b"].append(""); out["cnt"].append(0)
+                continue
+            import pyarrow.parquet as pq
+
+            frags = pa.concat_tables(
+                pq.read_table(p, filesystem=f, columns=["term", "tbl"])
+                for p in files
+            )
+            df = pl.from_arrow(frags)
+            terms = df["term"].unique().sort()
+            fs_write_table(
+                pa.table({"term": terms.to_arrow()}),
+                os.path.join(out_path, f"bucket-{bk:05d}.parquet"),
+            )
+            out["kind"].append(0); out["n"].append(len(terms))
+            out["a"].append(""); out["b"].append(""); out["cnt"].append(0)
+            if probe:
+                tagged = df.filter(pl.col("tbl").is_in(sorted(probe)))
+                if len(tagged):
+                    sets = (
+                        tagged.unique(["term", "tbl"])
+                        .group_by("term")
+                        .agg(pl.col("tbl").sort().alias("tbls"))
+                        .filter(pl.col("tbls").list.len() > 1)
+                    )
+                    pairs = (
+                        sets.explode("tbls")
+                        .rename({"tbls": "a"})
+                        .join(sets.explode("tbls").rename({"tbls": "b"}), on="term")
+                        .filter(pl.col("a") < pl.col("b"))
+                        .group_by(["a", "b"])
+                        .agg(pl.len().cast(pl.Int64).alias("cnt"))
+                    )
+                    for a, b, cnt in pairs.iter_rows():
+                        out["kind"].append(1); out["n"].append(0)
+                        out["a"].append(a); out["b"].append(b); out["cnt"].append(cnt)
+        return pa.table(
+            {
+                "kind": pa.array(out["kind"], pa.int8()),
+                "n": pa.array(out["n"], pa.int64()),
+                "a": pa.array(out["a"], pa.string()),
+                "b": pa.array(out["b"], pa.string()),
+                "cnt": pa.array(out["cnt"], pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.from_items(
+            [{"bucket": b} for b in range(num_buckets)],
+            override_num_blocks=num_buckets,  # one task per bucket, never serial
+        )
+        .map_batches(one, batch_format="pyarrow")
+        .take_all()
+    )
+    n_terms = int(sum(r["n"] for r in rows if r["kind"] == 0))
+    overlap: dict[tuple[str, str], int] | None = None
+    if probe_tables is not None:
+        overlap = {}
+        for r in rows:
+            if r["kind"] == 1:
+                key = (min(r["a"], r["b"]), max(r["a"], r["b"]))
+                overlap[key] = overlap.get(key, 0) + r["cnt"]
+    fs_rmtree(frag_dir)
+    return n_terms, overlap
+
+
 def write_small_dict(values: list[str], path: str, col: str = "iri") -> None:
     """Persist a small content-ordered dictionary as one Parquet file
     (parity: ``predicates``/``graphs`` tables, ParseIntoSOGTables.java:455-470)."""

@@ -274,11 +274,27 @@ def fold(
     )
 
 
-def _write_census_fn(lean_dir: str):
+def _write_census_fn(
+    lean_dir: str,
+    terms_frag_dir: str | None = None,
+    num_term_buckets: int = 32,
+):
     """Final fold reducer body: fold the block, DIRECT-WRITE each table's slice
     to ``lean/table_key=<name>/`` (hive layout, same as a partitioned write),
     and return only the tiny census rows — the write and the step-1 census ride
     the fold exchange instead of costing a second full scan + Ray job each.
+
+    When ``terms_frag_dir`` is given, the reducer ALSO spills its block's
+    distinct terms as per-term-hash-bucket fragment files (subject terms tagged
+    with their table_key so the J1 overlap probe rides along; tags dict-encode
+    to ~nothing because fold blocks are table-contiguous). This is the map side
+    of the term-dictionary exchange run as a side output of the fold shuffle:
+    step 1 then only COMPACTS each bucket's fragments (dicts.
+    compact_term_fragments) instead of re-reading the lean store's subj/obj
+    columns and paying a second full sort job. A (term, table) pair lands in
+    exactly one fold block (bucket = combo-major + subj-minor and table <->
+    combo is 1:1), so fragments never double-count; the per-bucket compaction
+    re-uniques regardless.
 
     Idempotency: the part tag hashes the block's full subj column + row count
     (zero-copy over the Arrow buffers), so a retried task overwrites its own
@@ -319,13 +335,41 @@ def _write_census_fn(lean_dir: str):
                 f"{d}/part-{tag}-r{sub.num_rows}.parquet",
                 row_group_size=131072,
             )
+        if terms_frag_dir is not None:
+            df = pl.from_arrow(folded.select(["subj", "obj", "table_key"]))
+            terms = pl.concat(
+                [
+                    df.select(
+                        pl.col("subj").alias("term"), pl.col("table_key").alias("tbl")
+                    ).unique(),
+                    df.select(pl.col("obj").alias("term"))
+                    .unique()
+                    .with_columns(pl.lit(None, dtype=pl.Utf8).alias("tbl")),
+                ]
+            ).with_columns(
+                # SAME bucket function as dicts.build_term_dictionary so both
+                # paths produce byte-identical bucket-<b>.parquet dictionaries
+                pl.col("term")
+                .hash(seed=3)
+                .mod(num_term_buckets)
+                .cast(pl.Int32)
+                .alias("bucket")
+            )
+            for key, g in terms.partition_by("bucket", as_dict=True).items():
+                d = f"{terms_frag_dir}/bucket={int(key[0]):05d}"
+                fs_makedirs(d)
+                fs_write_table(g.drop("bucket").to_arrow(), f"{d}/part-{tag}.parquet")
         return census_block_rows(folded, spec_from_combo, decompose_lean, memo)
 
     return fn
 
 
 def fold_write_census(
-    routed: ray.data.Dataset, lean_dir: str, num_buckets: int = 64
+    routed: ray.data.Dataset,
+    lean_dir: str,
+    num_buckets: int = 64,
+    terms_frag_dir: str | None = None,
+    num_term_buckets: int = 32,
 ) -> list[dict]:
     """ONE job = the fold exchange + the partitioned lean write + the full
     step-1 census (column stats, combos, row counts, graph domain, A5
@@ -340,9 +384,15 @@ def fold_write_census(
     from ..util import fs_rmtree
 
     fs_rmtree(lean_dir)
+    if terms_frag_dir is not None:
+        fs_rmtree(terms_frag_dir)
     with_bucket = routed.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
     return (
         with_bucket.sort("bucket")
-        .map_batches(_write_census_fn(lean_dir), batch_format="pyarrow", batch_size=None)
+        .map_batches(
+            _write_census_fn(lean_dir, terms_frag_dir, num_term_buckets),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
         .take_all()
     )

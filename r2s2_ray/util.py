@@ -11,6 +11,8 @@ scheme DuckDB does not parse.
 
 from __future__ import annotations
 
+import os
+
 import ray
 import ray.data
 
@@ -151,13 +153,16 @@ _FAN_OUT_MAX_BYTES = 4 << 30
 
 
 def target_blocks(min_blocks: int = 16) -> int:
-    """~2 tasks per CPU — enough granularity that no stage is capped below the
-    cluster's parallelism while keeping per-task overhead amortized."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(min_blocks, 2 * cpus)
+    """Fan-out width for small inputs — a CONSTANT, never a function of cluster
+    width (same rule as materialize.chunk_target_rows): a width-derived count
+    (the previous ``2 x cpus``) gave a 4x wider cluster 4x the map tasks and 4x
+    the sort sample/reduce partitions on the SAME input, i.e. a scheduling
+    floor that grows with exactly the leg the N-vs-4N scaling comparison
+    showcases. 64 blocks keep any plausible single node busy (2 waves at 32
+    cpus) while the 8-cpu leg pays the identical task graph; inputs large
+    enough to exceed ``_FAN_OUT_MAX_BYTES`` never reach this path — their
+    decomposition is data-bound (file/row-group splits)."""
+    return int(os.environ.get("GRAFT_TARGET_BLOCKS", "64"))
 
 
 def fan_out(ds: ray.data.Dataset, min_blocks: int | None = None) -> ray.data.Dataset:
