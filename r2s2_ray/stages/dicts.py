@@ -262,6 +262,8 @@ def compact_term_fragments(
 
     def one(batch: pa.Table) -> pa.Table:
         out = {"kind": [], "n": [], "a": [], "b": [], "cnt": []}
+        import pyarrow.parquet as pq
+
         for bk in batch["bucket"].to_pylist():
             f, d = fs_for(os.path.join(frag_dir, f"bucket={bk:05d}"))
             try:
@@ -282,11 +284,10 @@ def compact_term_fragments(
                 out["kind"].append(0); out["n"].append(0)
                 out["a"].append(""); out["b"].append(""); out["cnt"].append(0)
                 continue
-            import pyarrow.parquet as pq
-
-            frags = pa.concat_tables(
-                pq.read_table(p, filesystem=f, columns=["term", "tbl"])
-                for p in files
+            # one multi-file read per bucket (pyarrow fans the fragment files
+            # out over its IO thread pool) instead of a serial per-file loop
+            frags = pq.ParquetDataset(files, filesystem=f).read(
+                columns=["term", "tbl"]
             )
             df = pl.from_arrow(frags)
             terms = df["term"].unique().sort()
