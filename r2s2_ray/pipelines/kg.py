@@ -96,6 +96,17 @@ def _load_or_none(out_dir: str, step: int, stage: str, resume: bool):
     return None
 
 
+#: term-dictionary bucket count — a DATA-layout constant, decoupled from the
+#: fold exchange's ``num_buckets`` (which scales with data/cluster): every fold
+#: reducer writes one fragment file per term bucket, so a width- or data-
+#: -derived count multiplies tiny-file writes across all reducers (measured:
+#: 128 buckets x 64 reducers = 8192 fragment writes added ~15s to the 8-cpu
+#: fold leg). 32 buckets bound the per-reducer spill fan-out while keeping the
+#: compaction one task per bucket; raise explicitly for term universes beyond
+#: ~10^9 where per-bucket sort memory becomes the binding constraint.
+TERM_BUCKETS = 32
+
+
 def run_pipeline(
     sf_dir: str,
     out_dir: str,
@@ -134,7 +145,7 @@ def run_pipeline(
                     os.path.join(out_dir, "lean"),
                     num_buckets=num_buckets,
                     terms_frag_dir=terms_frag_dir if with_terms_dict else None,
-                    num_term_buckets=num_buckets,
+                    num_term_buckets=TERM_BUCKETS,
                 )
                 _write_census(census, _census_path(out_dir))
 
@@ -187,7 +198,7 @@ def run_pipeline(
                         n_terms, overlap = compact_term_fragments(
                             terms_frag_dir,
                             tpath,
-                            num_buckets=num_buckets,
+                            num_buckets=TERM_BUCKETS,
                             probe_tables=candidates or None,
                         )
                     else:
@@ -201,7 +212,7 @@ def run_pipeline(
                         n_terms, overlap = build_term_dictionary(
                             lean,
                             tpath,
-                            num_buckets=num_buckets,
+                            num_buckets=TERM_BUCKETS,
                             probe_tables=candidates or None,
                         )
             clashes = {k: v for k, v in by_key.items() if len(v) > 1}
