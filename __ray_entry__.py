@@ -180,6 +180,25 @@ def _kg_lcs_bounds(sf_dir: str):
     )
 
 
+def _kg_sparql(sf_dir: str):
+    """SPARQL served end-to-end: full pipeline -> materialized store -> BGP
+    translator (join + OPTIONAL + FILTER + DISTINCT) over the serving views —
+    the reference's end state (Ontop over DuckDB, SparqlOnLoadedTest.java:104-127)."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?turn ?role ?e WHERE {\n"
+        "  ?turn a ex:Turn .\n"
+        "  ?turn ex:role ?role .\n"
+        "  OPTIONAL { ?turn ex:mentions ?e }\n"
+        '  FILTER(?role != "assistant")\n'
+        "}"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -413,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_subject_functional": _kg_subject_functional,
         "kg_lcs_bounds": _kg_lcs_bounds,
         "kg_roundtrip": _kg_roundtrip,
+        "kg_sparql": _kg_sparql,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -458,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_subject_functional": oracles.subject_functional_oracle(),
         "kg_lcs_bounds": oracles.lcs_bounds_oracle(),
         "kg_roundtrip": oracles.roundtrip_oracle(),
+        "kg_sparql": oracles.sparql_turns_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "txt_token_stats": """

@@ -152,6 +152,23 @@ def lcs_bounds_oracle() -> str:
     )
 
 
+def sparql_turns_oracle() -> str:
+    """Relational rendering of the SPARQL BGP in ``__ray_entry__._kg_sparql``:
+    { ?turn a ex:Turn . ?turn ex:role ?role . OPTIONAL { ?turn ex:mentions ?e }
+      FILTER(?role != "assistant") } with DISTINCT projection — required
+    patterns are inner joins on the shared subject, OPTIONAL is a LEFT JOIN
+    (unmatched -> NULL = SPARQL unbound)."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS ({t}) "
+        f"SELECT DISTINCT ty.subj AS turn, r.obj AS role, m.obj AS e "
+        f"FROM (SELECT DISTINCT subj FROM t WHERE pred = {_q(RDF_TYPE)} AND obj = {_q(vocab.C_TURN)}) ty "
+        f"JOIN (SELECT DISTINCT subj, obj FROM t WHERE pred = {_q(vocab.P_ROLE)}) r ON r.subj = ty.subj "
+        f"LEFT JOIN (SELECT DISTINCT subj, obj FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) m ON m.subj = ty.subj "
+        f"WHERE r.obj != 'assistant'"
+    )
+
+
 def roundtrip_oracle() -> str:
     """Deduped linked triples, bnode-involving predicates excluded (bnode ids are
     content-hashed on the engine side; hashing is pytest-verified instead)."""

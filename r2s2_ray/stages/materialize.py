@@ -345,35 +345,93 @@ def materialize_all(
             return fs_read_table(tok)
 
         def work(batch: dict) -> dict:
-            done = []
+            out_rows: dict[str, list] = {
+                "table": [], "part": [], "n": [], "unique": [], "first": [], "last": [], "src": [],
+            }
             for name, files, part in zip(batch["table"], batch["files"], batch["part"]):
+                toks = str(files).split("\x1f")
                 t = pa.concat_tables(
-                    [read_tok(f) for f in str(files).split("\x1f")],
-                    promote_options="default",
+                    [read_tok(f) for f in toks], promote_options="default"
                 )
                 keys = [("subj", "ascending")]
                 if "obj" in t.column_names:
                     keys.append(("obj", "ascending"))
                 t = t.sort_by(keys)  # chunk-local: inputs are bucket-sorted already
+                # T10 re-check (IntroduceIndexes.java:28-33 CREATE UNIQUE INDEX
+                # attempt, run on the FINAL data): adjacent-duplicate scan over
+                # the sorted chunk. Cross-chunk coverage: whole lean files hold
+                # disjoint subjects (same subject -> same hash bucket -> same
+                # reduce block -> same file), so only row-group SPLITS of one
+                # file can straddle a subject — the driver compares those
+                # chunks' boundary values via (src, part, first, last).
+                s = t["subj"]
+                s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+                uniq = True
+                if len(s) > 1:
+                    uniq = not pc.any(pc.equal(s.slice(1), s.slice(0, len(s) - 1))).as_py()
                 out = fns[str(name)](t)
                 fs_write_table(
                     out,
                     os.path.join(table_data_path(out_dir, str(name)), f"part-{part:05d}.parquet"),
                 )
-                done.append(out.num_rows)
-            return {"n": done}
+                out_rows["table"].append(str(name))
+                out_rows["part"].append(int(part))
+                out_rows["n"].append(out.num_rows)
+                out_rows["unique"].append(uniq)
+                out_rows["first"].append(s[0].as_py() if len(s) else "")
+                out_rows["last"].append(s[-1].as_py() if len(s) else "")
+                out_rows["src"].append(str(files).split("\x1e")[0] if "\x1e" in str(files) else "")
+            return out_rows
 
         # ONE BLOCK PER CHUNK: from_items' auto block sizing packs a small item
         # list into a single block, and the fused map then runs every chunk
         # SERIALLY in one task. Each item is a full task's worth of IO+compute,
         # so block count must equal item count.
-        ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
-            work, batch_size=1
-        ).materialize()
+        chunk_stats = (
+            ray.data.from_items(items, override_num_blocks=len(items))
+            .map_batches(work, batch_size=1)
+            .take_all()  # one tiny row per chunk (uniqueness evidence)
+        )
+        _apply_unique_recheck(specs_by_name, chunk_stats)
     for spec in pending:
         dest = table_data_path(out_dir, spec.name)
         spec.path = dest
         fs_write_text(os.path.join(dest, "_SUCCESS"), "ok")
+
+
+def _apply_unique_recheck(specs_by_name: dict[str, TableSpec], chunk_stats: list[dict]) -> None:
+    """T10 unique-index fallback (IntroduceIndexes.java:22-46): the reference
+    tries ``CREATE UNIQUE INDEX`` on the final table and, on a duplicate-key
+    SQLException, falls back to a plain index. Our analog verifies the census's
+    ``subject_unique`` claim against the data actually written: any chunk with
+    an internal adjacent duplicate, or a row-group-split pair whose boundary
+    subjects collide, downgrades the spec to non-unique (the manifest record a
+    query layer would consult instead of a DB index)."""
+    import logging
+
+    verified: dict[str, bool] = {}
+    splits: dict[tuple[str, str], list[tuple[int, str, str]]] = {}
+    for r in chunk_stats:
+        name = r["table"]
+        verified[name] = verified.get(name, True) and bool(r["unique"])
+        if r["src"] and r["n"] > 0:
+            splits.setdefault((name, r["src"]), []).append((r["part"], r["first"], r["last"]))
+    for (name, _src), parts in splits.items():
+        parts.sort()
+        for (_, _, last_a), (_, first_b, _) in zip(parts, parts[1:]):
+            if last_a == first_b:  # one subject straddles the row-group split
+                verified[name] = False
+    for name, ok in verified.items():
+        spec = specs_by_name[name]
+        if spec.subject_unique is None:
+            spec.subject_unique = ok
+        elif spec.subject_unique and not ok:
+            logging.getLogger(__name__).warning(
+                "table %s: censused unique-subject claim violated at materialize; "
+                "falling back to non-unique (IntroduceIndexes.java:35-42)",
+                name,
+            )
+            spec.subject_unique = False
 
 
 def materialize_table(
@@ -407,6 +465,12 @@ def materialize_table(
         t = pads.dataset(src).to_table()
         sort_keys = [("subj", "ascending")] + ([("obj", "ascending")] if "obj" in t.column_names else [])
         t = t.sort_by(sort_keys)  # whole-table ORDER BY, free at this size
+        s = t["subj"].combine_chunks()
+        uniq = len(s) < 2 or not pc.any(pc.equal(s.slice(1), s.slice(0, len(s) - 1))).as_py()
+        _apply_unique_recheck(
+            {spec.name: spec},
+            [{"table": spec.name, "part": 0, "n": t.num_rows, "unique": uniq, "first": "", "last": "", "src": ""}],
+        )
         out = MaterializeFn(spec, enums)(t)
         os.makedirs(dest, exist_ok=True)
         pq.write_table(out, os.path.join(dest, "part-0.parquet"))

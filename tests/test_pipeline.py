@@ -91,6 +91,40 @@ def test_table_state(kg_out):
     assert toolname.subject_columns[0].datatype == "BIGINT"
 
 
+def test_unique_index_recheck(kg_out):
+    """T10 (IntroduceIndexes.java:22-46): every materialized table carries a
+    verified subject_unique record — the census claim re-checked against the
+    data actually written (the reference's CREATE UNIQUE INDEX try/fallback).
+    ex_mentions has repeated subjects (a turn mentions several entities) ->
+    False; the merged per-class tables are one-row-per-subject -> True."""
+    _, m = kg_out
+    assert all(t.subject_unique is not None for t in m.tables), [
+        t.name for t in m.tables if t.subject_unique is None
+    ]
+    assert m.table("ex_mentions_sI_oI").subject_unique is False
+    assert m.table("type_ex_turn").subject_unique is True
+
+
+def test_unique_recheck_split_boundary():
+    """_apply_unique_recheck downgrades when a subject straddles a row-group
+    split (both chunks internally unique, boundary values equal)."""
+    from r2s2_ray.state.manifest import TableSpec
+    from r2s2_ray.stages.materialize import _apply_unique_recheck
+
+    def stats(first, last, part, src="f.parquet", unique=True):
+        return {
+            "table": "t", "part": part, "n": 5,
+            "unique": unique, "first": first, "last": last, "src": src,
+        }
+
+    spec = TableSpec(name="t", subj_kind=1, subject_unique=True)
+    _apply_unique_recheck({"t": spec}, [stats("a", "m", 0), stats("m", "z", 1)])
+    assert spec.subject_unique is False  # boundary straddle detected
+    spec2 = TableSpec(name="t", subj_kind=1, subject_unique=None)
+    _apply_unique_recheck({"t": spec2}, [stats("a", "m", 0), stats("n", "z", 1)])
+    assert spec2.subject_unique is True  # clean split, claim established
+
+
 def test_artifacts_exist(kg_out):
     out, m = kg_out
     assert os.path.exists(os.path.join(out, "views.sql"))
@@ -273,6 +307,35 @@ def test_resume_noop(kg_out, sf_small):
     t0 = time.time()
     run_pipeline(sf_small, out)
     assert time.time() - t0 < 2.0
+
+
+def test_step1_rerun_after_fragments_consumed(kg_out, sf_small):
+    """`--step 1` parity on the fused terms path: the fold job's term
+    fragments are deleted after compaction, so a forced step-1 re-run must
+    fall back to rebuilding the dictionary from the lean store — and produce
+    the identical n_terms, overlap, and bucket files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.pipelines.kg import run_step
+
+    out, m = kg_out
+    n_before = m.metrics.get("n_terms")
+    ov_before = m.lineage.get("subject_overlap")
+    files_before = {
+        os.path.basename(p): pq.read_table(p)
+        for p in glob.glob(os.path.join(out, "dict", "terms", "*.parquet"))
+    }
+    assert not os.path.isdir(os.path.join(out, "dict", "terms_frags"))
+    m2 = run_step(sf_small, out, 1)
+    assert m2.metrics.get("n_terms") == n_before
+    assert m2.lineage.get("subject_overlap") == ov_before
+    for p in glob.glob(os.path.join(out, "dict", "terms", "*.parquet")):
+        assert pq.read_table(p).equals(files_before[os.path.basename(p)])
+    # rebuild the cleared later-step manifests so sibling tests that reuse the
+    # session-scoped kg_out fixture still see a fully materialized store
+    run_pipeline(sf_small, out)
 
 
 def test_resume_after_partial_failure(kg_out, sf_small):
