@@ -406,7 +406,16 @@ def _main() -> None:
     import ray
 
     if not ray.is_initialized():  # the driver contract owns the session otherwise
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # under `ray job submit` RAY_ADDRESS points at the cluster; forcing
+        # "local" there would boot a fresh single-node Ray INSIDE the job and
+        # silently ignore the cluster. Sandbox presets RAY_ADDRESS=local.
+        import os as _os
+
+        ray.init(
+            address=_os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     try:
         if args.step is not None:
             m = run_step(args.sf_dir, args.out_dir, args.step, num_buckets=args.num_buckets)
