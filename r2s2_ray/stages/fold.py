@@ -274,6 +274,34 @@ def fold(
     )
 
 
+def block_tag(folded: pa.Table) -> str:
+    """Deterministic content tag naming a fold-reduce block's output files.
+
+    tag = hash(row count, subj bytes, table_key bytes). subj alone is NOT
+    unique across blocks: two single-table blocks of the same fold bucket
+    (e.g. ex_role and ex_ts — every turn has exactly one of each) carry
+    byte-identical subj columns, and their term-FRAGMENT files share one
+    bucket=NN/ dir, so a subj-only tag silently overwrote one block's
+    fragments (measured: J1 overlap undercounts on every ex_role pair).
+    (combo, subj) does identify a block — the exchange bucket function is
+    injective on it and blocks are bucket-complete; a retried task rebuilds
+    the identical block and overwrites its own files (idempotency)."""
+    import hashlib
+
+    h = hashlib.blake2b(str(folded.num_rows).encode(), digest_size=8)
+    for col in ("subj", "table_key"):
+        a = folded[col]
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        if pa.types.is_dictionary(a.type):
+            # .buffers() of a dictionary array exposes only the INDEX
+            # buffers — one-table blocks would all hash [0,0,...]
+            a = pc.cast(a, pa.string())
+        for buf in a.buffers():
+            if buf is not None:
+                h.update(buf)
+    return h.hexdigest()
+
+
 def _write_census_fn(
     lean_dir: str,
     terms_frag_dir: str | None = None,
@@ -309,29 +337,8 @@ def _write_census_fn(
     memo: dict = {}
 
     def fn(t: pa.Table) -> pa.Table:
-        import hashlib
-
         folded = _fold_bucket(t)
-        # tag = hash(row count, subj bytes, table_key bytes). subj alone is NOT
-        # unique across blocks: two single-table blocks of the same fold bucket
-        # (e.g. ex_role and ex_ts — every turn has exactly one of each) carry
-        # byte-identical subj columns, and their term-FRAGMENT files share one
-        # bucket=NN/ dir, so a subj-only tag silently overwrote one block's
-        # fragments (measured: J1 overlap undercounts on every ex_role pair).
-        # (combo, subj) does identify a block — the exchange bucket function is
-        # injective on it and blocks are bucket-complete.
-        h = hashlib.blake2b(str(folded.num_rows).encode(), digest_size=8)
-        for col in ("subj", "table_key"):
-            a = folded[col]
-            a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-            if pa.types.is_dictionary(a.type):
-                # .buffers() of a dictionary array exposes only the INDEX
-                # buffers — one-table blocks would all hash [0,0,...]
-                a = pc.cast(a, pa.string())
-            for buf in a.buffers():
-                if buf is not None:
-                    h.update(buf)
-        tag = h.hexdigest()
+        tag = block_tag(folded)
         keys = pc.unique(folded["table_key"]).to_pylist()
         for k in keys:
             sub = (

@@ -46,6 +46,23 @@ def test_hot_predicate_buckets_stay_balanced():
     assert counts.max() < mean * 1.25 and counts.min() > mean * 0.75, counts
 
 
+def test_block_tag_distinguishes_same_subject_blocks():
+    """Two fold-reduce blocks with byte-identical subj columns but different
+    tables (ex_role vs ex_ts: every turn has exactly one of each) MUST get
+    different tags — their term-fragment files share one bucket dir, and a
+    subj-only tag silently overwrote one block's fragments. Dictionary-encoded
+    table_key must hash VALUES, not just indices ([0,0,...] for any one-table
+    block)."""
+    from r2s2_ray.stages.fold import block_tag
+
+    subj = pa.array([f"https://ex.org/conv/c{i}/t0" for i in range(100)])
+    role = pa.table({"subj": subj, "table_key": pa.array(["ex_role"] * 100).dictionary_encode()})
+    ts = pa.table({"subj": subj, "table_key": pa.array(["ex_ts"] * 100).dictionary_encode()})
+    assert block_tag(role) != block_tag(ts)
+    # retry determinism: same block -> same tag
+    assert block_tag(role) == block_tag(role)
+
+
 def test_materialized_file_counts_bounded(sf_small, tmp_path):
     """T11 final-compaction analog: however many small files the lean store's
     blocks x tables produce, each materialized table compacts to at most
