@@ -59,6 +59,33 @@ def triples_dataset(sf_dir: str, concurrency=None, replicate: int = 1) -> ray.da
     )
 
 
+def _input_inventory(sf_dir: str) -> list[dict]:
+    """Per-partition lineage record: every input parquet file with size and
+    mtime (one fs listing, no footer reads — O(files) metadata only)."""
+    from pyarrow import fs as pafs
+
+    from ..util import fs_for
+
+    fs, path = fs_for(f"{sf_dir}/documents.parquet")
+    info = fs.get_file_info(path)
+    if info.type == pafs.FileType.Directory:
+        infos = [
+            i
+            for i in fs.get_file_info(pafs.FileSelector(path))
+            if i.path.endswith(".parquet")
+        ]
+    else:
+        infos = [info]
+    return [
+        {
+            "path": i.path,
+            "bytes": i.size,
+            "mtime": i.mtime.isoformat() if i.mtime else None,
+        }
+        for i in sorted(infos, key=lambda i: i.path)
+    ]
+
+
 def _census_path(out_dir: str) -> str:
     # lives OUTSIDE the lean dir so lean-store scans never pick it up as data
     return os.path.join(out_dir, "_manifest", "census.parquet")
@@ -155,7 +182,16 @@ def run_pipeline(
                 tables=[],  # table specs are censused in step 1's fused scan
                 dictionaries={},
                 enums={},
-                lineage={"sf_dir": sf_dir, "num_buckets": num_buckets},
+                lineage={
+                    "sf_dir": sf_dir,
+                    "num_buckets": num_buckets,
+                    "replicate": replicate,
+                    # per-partition input inventory (north rule: per-partition
+                    # lineage): exactly which input files, at which size/mtime,
+                    # produced this lean store — a resumed or audited run can
+                    # detect input drift before trusting the checkpoints
+                    "input_partitions": _input_inventory(sf_dir),
+                },
                 metrics=dict(metrics),
             )
             save_manifest(out_dir, m1)
