@@ -503,10 +503,92 @@ class _ExactPairScorer:
         )
 
 
-#: corpora above this row count never take the exact all-pairs path: the
+#: corpora above this row count never take the broadcast all-pairs path: the
 #: driver-side take_all + full-matrix broadcast stops being metadata-scale.
 #: 200k rows x 64 dims float64 ~= 100 MB broadcast — the upper end of sane.
 EXACT_COSINE_MAX_ROWS = 200_000
+
+#: chunk row count for the blocked exact path: a (chunk x chunk) pair task
+#: holds two chunk matrices (~8 MB each at 64 dims) and computes the cosine
+#: matrix in bounded row strips, never materializing chunk^2 floats at once.
+_EXACT_CHUNK_ROWS = 16_384
+_EXACT_STRIP_ROWS = 2_048
+
+
+def _exact_pair_table(ids_a, nv_a, ids_b, nv_b, threshold: float) -> pa.Table:
+    """Above-threshold cosine pairs between two unit-normalized chunks,
+    emitted as (a=min id, b=max id, cosine), strict a < b. Strip-wise matmul
+    bounds peak memory to STRIP x chunk floats."""
+    a_l, b_l, c_l = [], [], []
+    for s in range(0, len(ids_a), _EXACT_STRIP_ROWS):
+        e = min(s + _EXACT_STRIP_ROWS, len(ids_a))
+        sim = nv_a[s:e] @ nv_b.T
+        ii, jj = np.nonzero((sim >= threshold) & (ids_a[s:e, None] < ids_b[None, :]))
+        if len(ii):
+            a_l.append(ids_a[s:e][ii])
+            b_l.append(ids_b[jj])
+            c_l.append(np.round(sim[ii, jj], 6))
+    if not a_l:
+        return pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(a_l), pa.int64()),
+            "b": pa.array(np.concatenate(b_l), pa.int64()),
+            "cosine": pa.array(np.concatenate(c_l), pa.float64()),
+        }
+    )
+
+
+def _exact_pairs_blocked(
+    ds: ray.data.Dataset, id_col: str, vec_col: str, threshold: float
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine for corpora too large to broadcast: the
+    materialized corpus is re-chunked to bounded row counts, each unordered
+    chunk pair (i <= j) becomes one task that ray.gets exactly two chunks from
+    the object store and emits its above-threshold pairs. O(n^2 / chunk^2)
+    tasks — inherently quadratic (that is what EXACT means); the recall-traded
+    scale path is :func:`embedding_neardup_pairs`. Pair uniqueness: an
+    unordered id pair lives in exactly one unordered chunk pair, and the
+    a < b filter inside the task emits it once."""
+    import ray as _ray
+
+    n = ds.count()
+    num_chunks = max(1, -(-n // _EXACT_CHUNK_ROWS))
+    chunked = ds.repartition(num_chunks).materialize()
+    refs = chunked.to_arrow_refs()
+    refs_ref = _ray.put(refs)
+
+    def pair_fn(b: pa.Table) -> pa.Table:
+        all_refs = _ray.get(refs_ref)
+        out = []
+        for i, j in zip(b["i"].to_pylist(), b["j"].to_pylist()):
+            ti = _ray.get(all_refs[i])
+            tj = ti if j == i else _ray.get(all_refs[j])
+
+            def prep(t: pa.Table):
+                ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+                m = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                return ids, m / norms
+
+            ids_a, nv_a = prep(ti)
+            ids_b, nv_b = (ids_a, nv_a) if j == i else prep(tj)
+            out.append(_exact_pair_table(ids_a, nv_a, ids_b, nv_b, threshold))
+        return pa.concat_tables(out)
+
+    items = [
+        {"i": i, "j": j} for i in range(len(refs)) for j in range(i, len(refs))
+    ]
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        pair_fn, batch_format="pyarrow"
+    )
 
 
 def embedding_cosine_pairs_exact(
@@ -518,22 +600,22 @@ def embedding_cosine_pairs_exact(
     concurrency: int | tuple = (1, 8),
     max_rows: int = EXACT_COSINE_MAX_ROWS,
 ) -> ray.data.Dataset:
-    """EXACT embedding-cosine pairs >= threshold (a < b, distinct): the corpus
-    matrix is broadcast once via ``ray.put``; every batch does one numpy matmul
-    against it. O(n^2) comparisons but fully distributed and shuffle-free.
-
-    Size-guarded: beyond ``max_rows`` the corpus is no longer broadcast-sized,
-    so the call DELEGATES to the bucketed LSH path
-    (:func:`embedding_neardup_pairs`, exact cosine verification within buckets,
-    4 OR-ed tables for recall) instead of pulling the matrix to the driver.
-    Below the guard this function stays the oracle-exact baseline."""
+    """EXACT embedding-cosine pairs >= threshold (a < b, distinct). Below
+    ``max_rows`` the corpus matrix is broadcast once via ``ray.put`` and every
+    batch does one numpy matmul against it (shuffle-free). Beyond the guard the
+    corpus is no longer broadcast-sized, so the call switches to the blocked
+    chunk-pair path (:func:`_exact_pairs_blocked`) — still EXACT, O(n^2)
+    comparisons spread over O(n^2/chunk^2) two-chunk tasks with no driver
+    materialization. Callers who want sub-quadratic scaling must opt into the
+    recall-traded :func:`embedding_neardup_pairs` explicitly."""
     import ray as _ray
 
+    # materialized once: the size probe and the consuming path below would
+    # otherwise each execute the upstream pipeline from scratch
+    ds = ds.select_columns([id_col, vec_col]).materialize()
     if ds.count() > max_rows:
-        return embedding_neardup_pairs(
-            ds, id_col, vec_col, threshold=threshold, num_tables=4
-        )
-    rows = ds.select_columns([id_col, vec_col]).take_all()
+        return _exact_pairs_blocked(ds, id_col, vec_col, threshold)
+    rows = ds.take_all()
     ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     mat_ref, ids_ref = _ray.put(mat), _ray.put(ids)

@@ -155,6 +155,16 @@ def run_pipeline(
     # ---- step 0: route + dedup/fold + partitioned write + dictionaries -------
     terms_frag_dir = os.path.join(out_dir, "dict", "terms_frags")
     m1 = _load_or_none(out_dir, 0, "fold", resume)
+    if m1 is not None:
+        from ..util import fs_exists
+
+        if not fs_exists(_census_path(out_dir)):
+            # a store checkpointed before the fused-census change (or whose
+            # _manifest dir was pruned) has a step-0 manifest but no census
+            # rows; step 1 cannot rebuild them from metadata, so step 0 is
+            # INCOMPLETE by this version's contract — re-run it (the fold
+            # write clears and regenerates the lean dir idempotently)
+            m1 = None
     if m1 is None:
         with StageTimer(metrics, "step0_s"):
             with StageTimer(metrics, "step0_fold_s"):

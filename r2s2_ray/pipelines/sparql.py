@@ -101,6 +101,27 @@ _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.I)
+_QUOTED_RE = re.compile(r'"(?:[^"\\]|\\.)*"')
+
+
+def _mask_literals(text: str):
+    """Swap every quoted literal for an inert placeholder so the structural
+    rewrites (anonymous-bnode/[]/_:label substitution, OPTIONAL/FILTER group
+    regexes) can never match INSIDE literal constants — a literal "_:b1" or
+    "[]" or "}" is data, not syntax. Returns (masked, restore) where restore
+    puts the original literals back into any substring of the masked text."""
+    stash: list[str] = []
+
+    def grab(m: re.Match) -> str:
+        stash.append(m.group(0))
+        return f"\x00{len(stash) - 1}\x00"
+
+    masked = _QUOTED_RE.sub(grab, text)
+
+    def restore(s: str) -> str:
+        return re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], s)
+
+    return masked, restore
 
 
 def _triples(inner: str, prefixes: dict[str, str]) -> list[tuple[Term, Term, Term]]:
@@ -139,7 +160,10 @@ def parse_sparql(q: str) -> Query:
     body = _WHERE_RE.search(q)
     if not body:
         raise ValueError("missing WHERE clause")
-    inner = body.group(1)
+    # literals are masked during ALL structural rewrites below and restored
+    # per-fragment right before term parsing: "_:b1" / "[]" / "FILTER(...)"
+    # inside a quoted constant is data, not syntax
+    inner, restore = _mask_literals(body.group(1))
     # anonymous bnodes: each [] is a FRESH never-projected variable; labelled
     # query bnodes _:x are scoped variables (standard SPARQL semantics — a
     # bnode label in a query does NOT match the stored label, it joins)
@@ -159,14 +183,14 @@ def parse_sparql(q: str) -> Query:
     for m in _OPTIONAL_RE.finditer(inner):
         if _FILTER_RE.search(m.group(1)):
             raise ValueError("FILTER inside OPTIONAL is not supported")
-        optionals.append(_triples(m.group(1), prefixes))
+        optionals.append(_triples(restore(m.group(1)), prefixes))
     inner = _OPTIONAL_RE.sub(" ", inner)
     filters = [
-        (m.group(1)[1:], m.group(2), _parse_term(m.group(3), prefixes))
+        (m.group(1)[1:], m.group(2), _parse_term(restore(m.group(3)), prefixes))
         for m in _FILTER_RE.finditer(inner)
     ]
     inner = _FILTER_RE.sub("", inner)
-    patterns = _triples(inner, prefixes)
+    patterns = _triples(restore(inner), prefixes)
     tail = q[q.rindex("}") + 1 :]
     lim = _LIMIT_RE.search(tail.strip())
     order = _ORDER_RE.search(tail)
@@ -247,7 +271,13 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         if var not in binds:
             raise ValueError(f"FILTER on unbound variable ?{var}")
         sql_op = "<>" if op == "!=" else op
-        if term.datatype in _XSD_NUMERIC:
+        if term.kind == "var":
+            # var-to-var comparison: both sides must be bound columns —
+            # anything else would silently compare against the NAME string
+            if term.value not in binds:
+                raise ValueError(f"FILTER on unbound variable ?{term.value}")
+            conds.append(f"{binds[var]} {sql_op} {binds[term.value]}")
+        elif term.datatype in _XSD_NUMERIC:
             # numeric comparison: cast the lexical form; non-numeric lexical
             # forms become NULL and fail the predicate (SPARQL type error)
             conds.append(

@@ -26,6 +26,29 @@ import pyarrow.compute as pc
 import ray.data
 
 
+def _j1_pair_counts(tagged):
+    """J1 subject-overlap fold shared by both term-dictionary paths: a
+    (term, tbl) polars frame -> distinct-term overlap counts per unordered
+    table pair (a < b, column dtype = tbl's). A term lives in exactly one
+    bucket, so per-bucket counts sum globally without double-counting."""
+    import polars as pl
+
+    sets = (
+        tagged.unique(["term", "tbl"])
+        .group_by("term")
+        .agg(pl.col("tbl").sort().alias("tbls"))
+        .filter(pl.col("tbls").list.len() > 1)
+    )
+    ex = sets.explode("tbls")
+    return (
+        ex.rename({"tbls": "a"})
+        .join(ex.rename({"tbls": "b"}), on="term")
+        .filter(pl.col("a") < pl.col("b"))
+        .group_by(["a", "b"])
+        .agg(pl.len().cast(pl.Int64).alias("cnt"))
+    )
+
+
 def _per_block_unique(col: str):
     def fn(t: pa.Table) -> pa.Table:
         u = pc.unique(t[col])
@@ -172,27 +195,7 @@ def build_term_dictionary(
             emit(0, bk, len(terms), -1, -1, 0)
             tagged = g.filter(pl.col("tbl") >= 0)
             if len(tagged):
-                # J1: per-term candidate-table sets -> distinct-subject pair
-                # counts (a term lives in exactly one bucket, so per-bucket
-                # counts sum globally without double-counting)
-                sets = tagged.unique(["term", "tbl"]).group_by("term").agg(
-                    pl.col("tbl").sort().alias("tbls")
-                )
-                pairs = (
-                    sets.filter(pl.col("tbls").list.len() > 1)
-                    .explode("tbls")
-                    .rename({"tbls": "a"})
-                    .join(
-                        sets.filter(pl.col("tbls").list.len() > 1)
-                        .explode("tbls")
-                        .rename({"tbls": "b"}),
-                        on="term",
-                    )
-                    .filter(pl.col("a") < pl.col("b"))
-                    .group_by(["a", "b"])
-                    .agg(pl.len().cast(pl.Int64).alias("cnt"))
-                )
-                for a, b, cnt in pairs.iter_rows():
+                for a, b, cnt in _j1_pair_counts(tagged.select("term", "tbl")).iter_rows():
                     emit(1, bk, 0, a, b, cnt)
         return pa.table(
             {
@@ -300,21 +303,7 @@ def compact_term_fragments(
             if probe:
                 tagged = df.filter(pl.col("tbl").is_in(sorted(probe)))
                 if len(tagged):
-                    sets = (
-                        tagged.unique(["term", "tbl"])
-                        .group_by("term")
-                        .agg(pl.col("tbl").sort().alias("tbls"))
-                        .filter(pl.col("tbls").list.len() > 1)
-                    )
-                    pairs = (
-                        sets.explode("tbls")
-                        .rename({"tbls": "a"})
-                        .join(sets.explode("tbls").rename({"tbls": "b"}), on="term")
-                        .filter(pl.col("a") < pl.col("b"))
-                        .group_by(["a", "b"])
-                        .agg(pl.len().cast(pl.Int64).alias("cnt"))
-                    )
-                    for a, b, cnt in pairs.iter_rows():
+                    for a, b, cnt in _j1_pair_counts(tagged.select("term", "tbl")).iter_rows():
                         out["kind"].append(1); out["n"].append(0)
                         out["a"].append(a); out["b"].append(b); out["cnt"].append(cnt)
         return pa.table(

@@ -274,22 +274,24 @@ def fold(
     )
 
 
-def block_tag(folded: pa.Table) -> str:
-    """Deterministic content tag naming a fold-reduce block's output files.
+def block_tag(folded: pa.Table, cols: tuple[str, ...] = ("subj", "table_key")) -> str:
+    """Deterministic content tag naming a reduce block's output files — the
+    ONE shared implementation for every stage that direct-writes into a shared
+    directory (fold reducers, merge split_write).
 
-    tag = hash(row count, subj bytes, table_key bytes). subj alone is NOT
-    unique across blocks: two single-table blocks of the same fold bucket
-    (e.g. ex_role and ex_ts — every turn has exactly one of each) carry
-    byte-identical subj columns, and their term-FRAGMENT files share one
-    bucket=NN/ dir, so a subj-only tag silently overwrote one block's
-    fragments (measured: J1 overlap undercounts on every ex_role pair).
-    (combo, subj) does identify a block — the exchange bucket function is
-    injective on it and blocks are bucket-complete; a retried task rebuilds
-    the identical block and overwrites its own files (idempotency)."""
+    tag = hash(row count, then each named column's raw Arrow buffers). For the
+    fold stage subj alone is NOT unique across blocks: two single-table blocks
+    of the same fold bucket (e.g. ex_role and ex_ts — every turn has exactly
+    one of each) carry byte-identical subj columns, and their term-FRAGMENT
+    files share one bucket=NN/ dir, so a subj-only tag silently overwrote one
+    block's fragments (measured: J1 overlap undercounts on every ex_role
+    pair). (combo, subj) does identify a fold block — the exchange bucket
+    function is injective on it and blocks are bucket-complete; a retried task
+    rebuilds the identical block and overwrites its own files (idempotency)."""
     import hashlib
 
     h = hashlib.blake2b(str(folded.num_rows).encode(), digest_size=8)
-    for col in ("subj", "table_key"):
+    for col in cols:
         a = folded[col]
         a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
         if pa.types.is_dictionary(a.type):

@@ -270,19 +270,14 @@ def _build_all_merged(
     cohort_sizes = [len(c) for c in cohorts]
 
     def split_write(b: pa.Table) -> pa.Table:
-        import hashlib
-
         # deterministic per-block tag: a retried task re-processes the same
         # block and OVERWRITES its own files instead of appending duplicates.
-        # Hash the FULL subj column (offsets+data buffers, zero-copy) so
+        # Hashes the FULL subj + cohort columns (raw buffers, zero-copy) so
         # distinct blocks can't collide — no reliance on the shuffle keeping
-        # cross-block subjects disjoint
-        subj = b["subj"].combine_chunks()
-        h = hashlib.blake2b(str(b.num_rows).encode(), digest_size=8)
-        for buf in subj.buffers():
-            if buf is not None:
-                h.update(buf)
-        tag = h.hexdigest()
+        # cross-block subjects disjoint. Shared tested impl: fold.block_tag.
+        from .fold import block_tag
+
+        tag = block_tag(b, cols=("subj", "cohort"))
         rows = {"cohort": [], "kind": [], "n": []}
         for ci, k in enumerate(cohort_sizes):
             sub = b.filter(pc.equal(b["cohort"], ci))

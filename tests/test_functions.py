@@ -311,3 +311,37 @@ def test_poly_hash_arr_matches_scalar_reference():
         got = poly_hash_arr(pa.array(strings, type=pa.string()))
         want = np.array([poly_hash_one(s) for s in strings], dtype=np.uint64)
         assert got.tolist() == want.tolist(), strings
+
+
+def test_exact_cosine_blocked_matches_broadcast():
+    """Above the broadcast guard the exact path switches to blocked chunk-pair
+    tasks — still EXACT: identical pair set and cosines as the broadcast
+    matmul on the same corpus (no silent LSH recall loss)."""
+    from r2s2_ray.functions.dedup import embedding_cosine_pairs_exact
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((8, 12))
+    rows = [
+        {"vec_id": i, "embedding": (base[i % 8] + 0.02 * rng.standard_normal(12)).tolist()}
+        for i in range(90)
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    def norm(res):
+        df = res.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        return [(int(r.a), int(r.b), round(float(r.cosine), 6)) for r in df.itertuples()]
+
+    broadcast = norm(embedding_cosine_pairs_exact(ds, "vec_id", "embedding", threshold=0.9))
+    import r2s2_ray.functions.dedup as dd
+
+    old = dd._EXACT_CHUNK_ROWS
+    dd._EXACT_CHUNK_ROWS = 16  # force several chunks
+    try:
+        blocked = norm(
+            embedding_cosine_pairs_exact(
+                ds, "vec_id", "embedding", threshold=0.9, max_rows=10
+            )
+        )
+    finally:
+        dd._EXACT_CHUNK_ROWS = old
+    assert blocked == broadcast and len(blocked) > 50

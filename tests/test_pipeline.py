@@ -379,3 +379,70 @@ def test_resume_after_partial_failure(kg_out, sf_small):
     assert key(after) == key(before)
     # set-compare can mask duplicated rows: row COUNT must match too
     assert after.num_rows == before.num_rows
+
+
+def test_resume_rejects_store_without_census(kg_out, sf_small):
+    """A step-0 manifest with no _manifest/census.parquet (a store
+    checkpointed before the fused-census change, or a pruned _manifest dir)
+    must NOT be trusted: step 1 cannot rebuild the census from metadata, so
+    resume re-runs step 0 instead of crashing on the missing file."""
+    import shutil
+
+    from r2s2_ray.pipelines.kg import _census_path
+
+    out, _ = kg_out
+    census = _census_path(out)
+    saved = census + ".saved"
+    os.rename(census, saved)
+    try:
+        m = run_pipeline(sf_small, out)
+        assert m.stage == "serve"
+        assert os.path.exists(census)  # step 0 re-ran and rewrote it
+    finally:
+        if not os.path.exists(census):
+            os.rename(saved, census)
+        else:
+            os.remove(saved)
+        # the step-0 re-run respawns term fragments that step 1 (skipped via
+        # its surviving manifest) never consumed; sibling tests of the shared
+        # session store assert they are absent after a completed run
+        shutil.rmtree(os.path.join(out, "dict", "terms_frags"), ignore_errors=True)
+
+
+def test_sparql_literal_masking_and_var_filters():
+    """Structural rewrites must not fire inside quoted literals ("_:b1" / "[]"
+    are data), and FILTER with a variable right-hand side compares COLUMNS
+    (or raises when unbound) instead of matching the variable's name string."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE all_triples AS SELECT * FROM (VALUES "
+        "('e:s1','e:tag','_:b1', NULL, NULL, 'g1'),"
+        "('e:s2','e:tag','[]', NULL, NULL, 'g1'),"
+        "('e:s3','e:a','x', NULL, NULL, 'g1'),"
+        "('e:s3','e:b','x', NULL, NULL, 'g1'),"
+        "('e:s4','e:a','x', NULL, NULL, 'g1'),"
+        "('e:s4','e:b','y', NULL, NULL, 'g1')"
+        ") t(subj, pred, obj, o_lang, o_dt, graph)"
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    # literals containing bnode-ish syntax match the stored lexical form
+    assert run('SELECT ?s WHERE { ?s <e:tag> "_:b1" }') == [("e:s1",)]
+    assert run('SELECT ?s WHERE { ?s <e:tag> "[]" }') == [("e:s2",)]
+    # var-var FILTER compiles to a column comparison
+    assert run(
+        "SELECT ?s WHERE { ?s <e:a> ?x . ?s <e:b> ?y . FILTER(?x = ?y) }"
+    ) == [("e:s3",)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:a> ?x . ?s <e:b> ?y . FILTER(?x != ?y) }"
+    ) == [("e:s4",)]
+    # unbound rhs variable is an error, not a silent string literal
+    with pytest.raises(ValueError, match="unbound"):
+        run("SELECT ?s WHERE { ?s <e:a> ?x . FILTER(?x != ?nope) }")
