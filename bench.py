@@ -242,12 +242,27 @@ def run_scaling() -> dict:
     def gate() -> None:
         gate_load(threshold=4.0, max_wait_s=300.0, poll_s=10.0)
 
+    def load1() -> float:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
     runs_lo, runs_hi = [], []
+    loads_lo, loads_hi = [], []
     for _ in range(n):
         gate()
+        pre = load1()
         runs_lo.append(one(lo))
+        # pre/post loadavg per leg: post includes the bench's OWN load (~ncpu
+        # for a saturating leg), so the contamination signal is post >> ncpu —
+        # a burst landed MID-run and that leg's time shouldn't be trusted
+        loads_lo.append([pre, load1()])
         gate()
+        pre = load1()
         runs_hi.append(one(hi))
+        loads_hi.append([pre, load1()])
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
@@ -264,6 +279,8 @@ def run_scaling() -> dict:
         "sec_32": r_hi["value"],
         "sec_8_runs": [r["value"] for r in runs_lo],
         "sec_32_runs": [r["value"] for r in runs_hi],
+        "loadavg_8_pre_post": loads_lo,
+        "loadavg_32_pre_post": loads_hi,
         "tps_8": r_lo["triples_per_sec"],
         "tps_32": r_hi["triples_per_sec"],
         "stages_8": {k: v for k, v in r_lo["queries"].items() if k.startswith("kg_step")},
