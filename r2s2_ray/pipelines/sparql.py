@@ -9,12 +9,15 @@ explicit variables or ``*``, ``FROM <graph>`` dataset clauses (restrict every
 pattern to the listed graphs), basic graph patterns (joins via shared
 variables), non-nested ``OPTIONAL { ... }`` groups (compiled to LEFT JOINs;
 optional-only variables project as NULL when unmatched — SPARQL unbound),
+non-nested ``GRAPH <g>/?g { ... }`` groups (a constant restricts its patterns
+to that named graph; a variable binds the graph column and joins when shared),
 anonymous blank nodes ``[]`` (each a fresh never-projected variable;
 bracketed property lists are NOT supported) and labelled query bnodes
 ``_:x`` (scoped variables, standard SPARQL semantics), IRI/prefixed-name/
 literal constants (plain, ``@lang``, ``^^<datatype>``, bare numerics),
 ``FILTER(?v <op> term)`` for ``= != < <= > >=`` (numeric comparison when the
-constant is numeric, else lexical; FILTERs live in the required part),
+constant is numeric, lexical otherwise, column comparison when the right side
+is another bound variable; FILTERs live in the required part),
 DISTINCT, ORDER BY, LIMIT. Terms bind to their lexical forms; IRIs and
 blank-node labels as stored (bnodes are ``_:...``). The reference's own
 round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE {[] a ?type}``
@@ -89,18 +92,19 @@ def _parse_term(tok: str, prefixes: dict[str, str]) -> Term:
 class Query:
     select: list[str]  # variable names, or [] for *
     distinct: bool
-    patterns: list[tuple[Term, Term, Term]]
+    patterns: list[tuple[Term, Term, Term, Term | None]]  # (s, p, o, graph)
     filters: list[tuple[str, str, Term]]  # (var, op, constant)
     order_by: list[str]
     limit: int | None
     from_graphs: list[str] | None = None  # FROM <g> dataset restriction
-    optionals: list[list[tuple[Term, Term, Term]]] | None = None
+    optionals: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
 
 
 _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.I)
+_GRAPH_RE = re.compile(r"GRAPH\s+(\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*\{([^{}]*)\}", re.I)
 _QUOTED_RE = re.compile(r'"(?:[^"\\]|\\.)*"')
 
 
@@ -138,6 +142,14 @@ def _triples(inner: str, prefixes: dict[str, str]) -> list[tuple[Term, Term, Ter
     ]
 
 
+def _quads(
+    inner: str, prefixes: dict[str, str], g: Term | None
+) -> list[tuple[Term, Term, Term, Term | None]]:
+    """Group body -> (s, p, o, graph-term) quads. g=None means the pattern
+    ranges over the whole store (the serving views union all graphs)."""
+    return [(s, p, o, g) for s, p, o in _triples(inner, prefixes)]
+
+
 def parse_sparql(q: str) -> Query:
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
     sel = _SELECT_RE.search(q)
@@ -150,7 +162,9 @@ def parse_sparql(q: str) -> Query:
     from_graphs: list[str] = []
     for m in _FROM_RE.finditer(q[: q.find("{") if "{" in q else len(q)]):
         if m.group(1):
-            raise ValueError("FROM NAMED is not supported (no GRAPH patterns)")
+            raise ValueError(
+                "FROM NAMED is not supported (GRAPH groups range over ALL graphs)"
+            )
         if m.group(3):
             from_graphs.append(m.group(3))
         else:
@@ -176,21 +190,36 @@ def parse_sparql(q: str) -> Query:
 
     inner = _ANON_RE.sub(_fresh, inner)
     inner = _BNODE_RE.sub(lambda m: f" ?__bn_{m.group(1)} ", inner)
-    # OPTIONAL groups come out first (non-nested only); FILTERs stay in the
+    # GRAPH groups come out first (non-nested, plain triples inside): each
+    # group's patterns carry the graph term — a constant restricts to that
+    # named graph, a variable binds the graph column (joins when shared).
+    # Patterns OUTSIDE any GRAPH group range over the whole store (the views
+    # union all graphs), restricted by FROM when given.
+    graph_quads: list[tuple[Term, Term, Term, Term | None]] = []
+    for m in _GRAPH_RE.finditer(inner):
+        g = _parse_term(m.group(1), prefixes)
+        if g.kind == "lit":
+            raise ValueError("GRAPH must name an IRI or variable")
+        graph_quads += _quads(restore(m.group(2)), prefixes, g)
+    inner = _GRAPH_RE.sub(" ", inner)
+    # OPTIONAL groups next (non-nested only); FILTERs stay in the
     # required part — a FILTER inside an OPTIONAL group has different SPARQL
     # semantics (conditional on the match) that this subset does not model
-    optionals: list[list[tuple[Term, Term, Term]]] = []
+    optionals: list[list[tuple[Term, Term, Term, Term | None]]] = []
     for m in _OPTIONAL_RE.finditer(inner):
         if _FILTER_RE.search(m.group(1)):
             raise ValueError("FILTER inside OPTIONAL is not supported")
-        optionals.append(_triples(restore(m.group(1)), prefixes))
+        optionals.append(_quads(restore(m.group(1)), prefixes, None))
     inner = _OPTIONAL_RE.sub(" ", inner)
     filters = [
         (m.group(1)[1:], m.group(2), _parse_term(restore(m.group(3)), prefixes))
         for m in _FILTER_RE.finditer(inner)
     ]
     inner = _FILTER_RE.sub("", inner)
-    patterns = _triples(restore(inner), prefixes)
+    rest = restore(inner)
+    patterns = (_quads(rest, prefixes, None) if rest.strip() else []) + graph_quads
+    if not patterns:
+        raise ValueError("empty WHERE clause")
     tail = q[q.rindex("}") + 1 :]
     lim = _LIMIT_RE.search(tail.strip())
     order = _ORDER_RE.search(tail)
@@ -218,23 +247,32 @@ _XSD_NUMERIC = {
 
 
 def _compile_bgp(
-    patterns: list[tuple[Term, Term, Term]],
+    patterns: list[tuple[Term, Term, Term, Term | None]],
     from_graphs: list[str] | None,
     triples_view: str,
     alias_prefix: str,
 ) -> tuple[list[str], dict[str, str], list[str]]:
-    """One basic graph pattern -> (FROM aliases, var->column binds, WHERE
-    conds). Shared variables become join equalities; constants become
-    per-alias predicates. Variables bind to lexical forms."""
+    """One basic graph pattern (quads: each with an optional graph term) ->
+    (FROM aliases, var->column binds, WHERE conds). Shared variables become
+    join equalities; constants become per-alias predicates. Variables bind to
+    lexical forms; a GRAPH variable binds the graph column."""
     binds: dict[str, str] = {}  # var -> first bound column
     conds: list[str] = []
     aliases: list[str] = []
-    for i, (s, p, o) in enumerate(patterns):
+    for i, (s, p, o, g) in enumerate(patterns):
         a = f"{alias_prefix}{i}"
         aliases.append(f"{triples_view} {a}")
-        if from_graphs:
-            # FROM <g>: every pattern matches within the listed graphs only
-            gs = ", ".join(_q(g) for g in from_graphs)
+        if g is not None:
+            if g.kind == "var":
+                if g.value in binds:
+                    conds.append(f"{a}.graph = {binds[g.value]}")
+                else:
+                    binds[g.value] = f"{a}.graph"
+            else:
+                conds.append(f"{a}.graph = {_q(g.value)}")
+        elif from_graphs:
+            # FROM <g>: every non-GRAPH pattern matches the listed graphs only
+            gs = ", ".join(_q(g_) for g_ in from_graphs)
             conds.append(f"{a}.graph IN ({gs})")
         for term, col in ((s, "subj"), (p, "pred")):
             if term.kind == "var":

@@ -446,3 +446,44 @@ def test_sparql_literal_masking_and_var_filters():
     # unbound rhs variable is an error, not a silent string literal
     with pytest.raises(ValueError, match="unbound"):
         run("SELECT ?s WHERE { ?s <e:a> ?x . FILTER(?x != ?nope) }")
+
+
+def test_sparql_graph_patterns():
+    """GRAPH <g> restricts its group's patterns to the named graph; GRAPH ?g
+    binds the graph column (and joins when the variable is shared); patterns
+    outside GRAPH range over all graphs (restricted by FROM when given)."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE all_triples AS SELECT * FROM (VALUES "
+        "('e:s1','e:name','alice', NULL, NULL, 'g1'),"
+        "('e:s1','e:name','alias', NULL, NULL, 'g2'),"
+        "('e:s2','e:name','bob', NULL, NULL, 'g2'),"
+        "('e:s1','e:age','30', NULL, NULL, 'g1')"
+        ") t(subj, pred, obj, o_lang, o_dt, graph)"
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    # constant graph restriction
+    assert run("SELECT ?n WHERE { GRAPH <g2> { ?s <e:name> ?n } } ORDER BY ?n") == [
+        ("alias",),
+        ("bob",),
+    ]
+    # graph variable binds and projects
+    assert run(
+        'SELECT ?g WHERE { GRAPH ?g { ?s <e:name> "alice" } }'
+    ) == [("g1",)]
+    # shared graph variable joins two groups: name+age must co-occur in ONE graph
+    assert run(
+        "SELECT ?s ?g WHERE { GRAPH ?g { ?s <e:name> ?n } GRAPH ?g { ?s <e:age> ?a } }"
+    ) == [("e:s1", "g1")]
+    # patterns outside GRAPH see every graph; mixed with a GRAPH group
+    got = run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . GRAPH <g1> { ?s <e:age> ?a } } ORDER BY ?s"
+    )
+    assert got == [("e:s1",), ("e:s1",)]  # s1 has two names (g1, g2), both join
