@@ -199,6 +199,18 @@ def _kg_sparql(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_graph(sf_dir: str):
+    """GRAPH patterns served end-to-end: the graph VARIABLE binds the store's
+    graph column per pattern, so the query enumerates (graph, class) pairs —
+    named-graph awareness the reference serves via Ontop's quad mode."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    return run_sparql(
+        out, "SELECT DISTINCT ?g ?type WHERE { GRAPH ?g { [] a ?type } }"
+    )
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -433,6 +445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lcs_bounds": _kg_lcs_bounds,
         "kg_roundtrip": _kg_roundtrip,
         "kg_sparql": _kg_sparql,
+        "kg_sparql_graph": _kg_sparql_graph,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -479,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_lcs_bounds": oracles.lcs_bounds_oracle(),
         "kg_roundtrip": oracles.roundtrip_oracle(),
         "kg_sparql": oracles.sparql_turns_oracle(),
+        "kg_sparql_graph": oracles.sparql_graph_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "txt_token_stats": """

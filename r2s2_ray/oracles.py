@@ -169,6 +169,16 @@ def sparql_turns_oracle() -> str:
     )
 
 
+def sparql_graph_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_graph``:
+    { GRAPH ?g { [] a ?type } } = distinct (graph, class) pairs over every
+    subject (anonymous bnode = unconstrained, never projected)."""
+    return (
+        f"SELECT DISTINCT graph AS g, obj AS type "
+        f"FROM ({raw_triples_sql(linked=True)}) WHERE pred = {_q(RDF_TYPE)}"
+    )
+
+
 def roundtrip_oracle() -> str:
     """Deduped linked triples, bnode-involving predicates excluded (bnode ids are
     content-hashed on the engine side; hashing is pytest-verified instead)."""
