@@ -133,12 +133,31 @@ def _load_or_none(out_dir: str, step: int, stage: str, resume: bool):
 #: ~10^9 where per-bucket sort memory becomes the binding constraint.
 TERM_BUCKETS = 32
 
+#: input bytes of transcript parquet per fold bucket when the caller does not
+#: size the exchange: parquet transcripts expand ~10x into in-flight triple
+#: rows, so 32 MiB of input keeps a bucket's sorted block comfortably inside a
+#: worker heap (~0.5 GB) while leaving enough buckets for full reduce width.
+_INPUT_BYTES_PER_BUCKET = 32 << 20
+
+
+def default_num_buckets(sf_dir: str, replicate: int = 1, min_buckets: int = 16) -> int:
+    """DATA-derived fold bucket count: total input bytes / 32 MiB, floored.
+
+    A fixed constant is wrong in both directions at scale — too few buckets
+    overflow worker heaps (a bucket's rows form ONE sorted block) and cap
+    reduce width; too many fragment the lean store. Deriving from the input
+    volume keeps the per-bucket block size roughly constant from test fixtures
+    to 100 TB, and stays CLUSTER-WIDTH-independent so the N-vs-4N comparison
+    runs the identical plan (see BASELINE.md)."""
+    total = sum(i["bytes"] for i in _input_inventory(sf_dir)) * max(1, replicate)
+    return max(min_buckets, -(-total // _INPUT_BYTES_PER_BUCKET))
+
 
 def run_pipeline(
     sf_dir: str,
     out_dir: str,
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     resume: bool = True,
     with_terms_dict: bool = True,
     with_merge: bool = True,
@@ -151,6 +170,8 @@ def run_pipeline(
     metrics: dict = {}
     if stop_after is not None and stop_after < 0:
         raise ValueError("stop_after must be >= 0")
+    if num_buckets is None:
+        num_buckets = default_num_buckets(sf_dir, replicate)
 
     # ---- step 0: route + dedup/fold + partitioned write + dictionaries -------
     terms_frag_dir = os.path.join(out_dir, "dict", "terms_frags")
@@ -446,7 +467,12 @@ def _main() -> None:
     ap.add_argument("sf_dir")
     ap.add_argument("out_dir")
     ap.add_argument("--step", type=int, default=None, help="re-run exactly this step")
-    ap.add_argument("--num-buckets", type=int, default=32)
+    ap.add_argument(
+        "--num-buckets",
+        type=int,
+        default=None,
+        help="fold exchange bucket count (default: derived from input bytes)",
+    )
     ap.add_argument("--fresh", action="store_true", help="ignore existing manifests")
     args = ap.parse_args()
     import ray

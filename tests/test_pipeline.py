@@ -487,3 +487,21 @@ def test_sparql_graph_patterns():
         "SELECT ?s WHERE { ?s <e:name> ?n . GRAPH <g1> { ?s <e:age> ?a } } ORDER BY ?s"
     )
     assert got == [("e:s1",), ("e:s1",)]  # s1 has two names (g1, g2), both join
+
+
+def test_default_num_buckets_scales_with_data(sf_small):
+    """The fold bucket count derives from INPUT BYTES (not cluster width, not
+    a constant): floored for tiny fixtures, linear in replicate beyond the
+    floor — the per-bucket block size stays roughly constant at any scale."""
+    from r2s2_ray.pipelines.kg import _INPUT_BYTES_PER_BUCKET, default_num_buckets
+
+    assert default_num_buckets(sf_small) == 16  # tiny fixture hits the floor
+    big = default_num_buckets(sf_small, replicate=100_000)
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(sf_small, f))
+        for f in _os.listdir(sf_small)
+        if f == "documents.parquet"
+    )
+    assert big == -(-total * 100_000 // _INPUT_BYTES_PER_BUCKET) > 16
