@@ -415,6 +415,34 @@ def _mm_audio_frames(sf_dir: str):
     return audio_frames(docs.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _mm_video_frames(sf_dir: str):
+    """Video frame sampling (stride row-expansion) over synthetic media rows:
+    each document declares a DATA-DEPENDENT frame count (len(text) % 97 + 4)
+    in its meta JSON, the sampler emits one row per strided frame index."""
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import video_frames
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # pyarrow.compute has no mod kernel in this version — numpy on the
+        # combined length chunks stays vectorized
+        lens = pc.utf8_length(b["text"]).combine_chunks().to_numpy(zero_copy_only=False)
+        n_frames = pa.array(lens % 97 + 4, pa.int64())
+        meta = pc.binary_join_element_wise(
+            pa.scalar('{"n_frames": '),
+            pc.cast(n_frames, pa.string()),
+            pa.scalar("}"),
+            pa.scalar(""),
+        )
+        return pa.table({"media_id": b["doc_id"], "meta": meta})
+
+    return video_frames(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _kg_connected_components(sf_dir: str):
     from r2s2_ray.functions.graph import cc_demo_edges, connected_components_distributed
 
@@ -475,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_binary_stats": _mm_binary_stats,
         "mm_image_features": _mm_image_features,
         "mm_audio_frames": _mm_audio_frames,
+        "mm_video_frames": _mm_video_frames,
     }
 
 
@@ -560,5 +589,6 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh": oracles_td.ann_lsh_oracle(),
         "mm_image_features": oracles_td.image_features_oracle(),
         "mm_audio_frames": oracles_td.audio_frames_oracle(),
+        "mm_video_frames": oracles_td.video_frames_oracle(),
         "kg_connected_components": oracles_td.connected_components_oracle(),
     }

@@ -95,7 +95,9 @@ class ImageDecode:
 class FrameSampler:
     """Video frame-sampling stub: emits (media_id, frame_idx) rows at a fixed
     stride from the declared frame count in ``meta`` JSON — the row-expansion
-    plumbing (one input row -> many output rows) that a real sampler needs."""
+    plumbing (one input row -> many output rows) that a real sampler needs.
+    The expansion is vectorized (numpy repeat/arange over per-row counts);
+    only the tiny per-row JSON parse stays scalar."""
 
     def __init__(self, stride: int = 10):
         self.stride = stride
@@ -103,14 +105,26 @@ class FrameSampler:
     def __call__(self, b: pa.Table) -> pa.Table:
         import json
 
-        ids, frames = [], []
-        for mid, meta in zip(b["media_id"].to_pylist(), b["meta"].to_pylist()):
-            n = int(json.loads(meta or "{}").get("n_frames", 0))
-            for f in range(0, n, self.stride):
-                ids.append(mid)
-                frames.append(f)
+        mids = np.asarray(b["media_id"].to_pylist(), dtype=np.int64)
+        n = np.asarray(
+            [int(json.loads(m or "{}").get("n_frames", 0)) for m in b["meta"].to_pylist()],
+            dtype=np.int64,
+        )
+        k = -(-n // self.stride)  # frames emitted per row (ceil)
+        k[n <= 0] = 0
+        total = int(k.sum())
+        if total == 0:
+            return pa.table(
+                {"media_id": pa.array([], pa.int64()), "frame_idx": pa.array([], pa.int32())}
+            )
+        ids = np.repeat(mids, k)
+        starts = np.repeat(np.cumsum(k) - k, k)
+        frames = (np.arange(total) - starts) * self.stride
         return pa.table(
-            {"media_id": pa.array(ids, pa.int64()), "frame_idx": pa.array(frames, pa.int32())}
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frames.astype(np.int32), pa.int32()),
+            }
         )
 
 
@@ -163,6 +177,16 @@ def audio_frames(ds: ray.data.Dataset, *, win: int = 400, hop: int = 160, batch_
     return ds.map_batches(
         AudioFrames,
         fn_constructor_args=(win, hop),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def video_frames(ds: ray.data.Dataset, *, stride: int = 10, batch_size: int = 256, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_args=(stride,),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -313,6 +313,18 @@ def image_features_oracle(n_bytes: int = 64) -> str:
         FROM hx"""
 
 
+def video_frames_oracle(stride: int = 10) -> str:
+    """Strided frame sampling over the data-dependent frame count declared by
+    ``__ray_entry__._mm_video_frames`` (n_frames = len(text) % 97 + 4): one
+    (media_id, frame_idx) row per stride step below the count."""
+    max_steps = -(-(96 + 4) // stride)  # frame counts are <= 100
+    return f"""
+        SELECT d.doc_id AS media_id, CAST(f.fi * {stride} AS INTEGER) AS frame_idx
+        FROM documents d
+        CROSS JOIN (SELECT unnest(range({max_steps})) AS fi) f
+        WHERE f.fi * {stride} < length(d.text) % 97 + 4"""
+
+
 def audio_frames_oracle(n_samples: int = 1600, win: int = 400, hop: int = 160) -> str:
     n_frames = len(range(0, max(1, n_samples - win + 1), hop))
     return f"""

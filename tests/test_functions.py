@@ -345,3 +345,24 @@ def test_exact_cosine_blocked_matches_broadcast():
     finally:
         dd._EXACT_CHUNK_ROWS = old
     assert blocked == broadcast and len(blocked) > 50
+
+
+def test_frame_sampler_vectorized_expansion():
+    """FrameSampler's strided row-expansion: ceil(n/stride) rows per input,
+    zero-frame and null-meta rows emit nothing, indices are multiples of the
+    stride below the declared count."""
+    from r2s2_ray.functions.multimodal import FrameSampler
+
+    fs = FrameSampler(stride=10)
+    b = pa.table(
+        {
+            "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "meta": ['{"n_frames": 25}', '{"n_frames": 0}', None, '{"n_frames": 10}'],
+        }
+    )
+    t = fs(b)
+    assert list(zip(t["media_id"].to_pylist(), t["frame_idx"].to_pylist())) == [
+        (1, 0), (1, 10), (1, 20), (4, 0),
+    ]
+    empty = fs(pa.table({"media_id": pa.array([], pa.int64()), "meta": pa.array([], pa.string())}))
+    assert empty.num_rows == 0 and empty.column_names == ["media_id", "frame_idx"]
