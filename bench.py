@@ -248,7 +248,9 @@ def run_scaling() -> dict:
     # which would swamp the efficiency ratio; the minimum is the
     # least-contended (most representative) run of each config, and
     # interleaving gives both configs the same shot at quiet windows
-    n = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
+    # (2 runs/leg at the ×128 default bounds --scaling to ~25 min worst-case;
+    # the load-gated campaign evidence in bench_runs/ used the same setting)
+    n = int(os.environ.get("GRAFT_SCALING_RUNS", "2"))
 
     def gate() -> None:
         gate_load(threshold=4.0, max_wait_s=300.0, poll_s=10.0)
