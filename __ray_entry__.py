@@ -380,6 +380,51 @@ def _txt_fingerprint(sf_dir: str):
     return fingerprint(docs, "doc_id", "text")
 
 
+def _txt_pii_scrub(sf_dir: str):
+    """PII redaction over a deterministically PII-injected corpus (the
+    synthetic text has no digits/@, so the query plants emails/IPs/phones
+    derived from doc_id — same expression as oracles_td.PII_INJECT_SQL)."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.textstats import pii_scrub
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks() if isinstance(b["doc_id"], pa.ChunkedArray) else b["doc_id"]
+        idn = ids.to_numpy(zero_copy_only=False)
+        s = lambda a: pa.array(np.asarray(a).astype(str), pa.string())  # noqa: E731
+        text = pc.binary_join_element_wise(
+            b["text"],
+            pa.scalar(" contact doc"),
+            s(idn),
+            pa.scalar("@example.com from 10."),
+            s(idn % 200),
+            pa.scalar(".0."),
+            s(idn % 250),
+            pa.scalar(" tel +41"),
+            s(70000000 + idn),
+            pc.if_else(
+                pa.array(idn % 5 == 0), pa.scalar(" cc admin@example.org"), pa.scalar("")
+            ),
+            pa.scalar(""),
+        )
+        return pa.table({"doc_id": ids, "text": text})
+
+    return pii_scrub(docs.map_batches(inject, batch_format="pyarrow"), "doc_id", "text")
+
+
+def _txt_token_chunks(sf_dir: str):
+    """Fixed 32-token training-window chunking: one row per (doc, window)."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import token_chunks
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_chunks(docs, "doc_id", "text", chunk_size=32)
+
+
 def _mm_image_features(sf_dir: str):
     import ray.data
 
@@ -500,6 +545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
         "txt_fingerprint": _txt_fingerprint,
+        "txt_pii_scrub": _txt_pii_scrub,
+        "txt_token_chunks": _txt_token_chunks,
         "mm_binary_stats": _mm_binary_stats,
         "mm_image_features": _mm_image_features,
         "mm_audio_frames": _mm_audio_frames,
@@ -582,6 +629,8 @@ def oracle_sql() -> dict[str, str]:
         # family in r2s2_ray/functions/hashing.py)
         "td_prepare": oracles_td.td_prepare_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
+        "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
+        "txt_token_chunks": oracles_td.token_chunks_oracle(),
         "txt_langid": oracles_td.langid_oracle(),
         "dd_simhash": oracles_td.simhash_oracle(),
         "dd_minhash_pairs": oracles_td.minhash_pairs_oracle(),

@@ -118,6 +118,68 @@ def lang_id(ds: ray.data.Dataset, id_col: str, text_col: str, concurrency=(1, 8)
     )
 
 
+#: PII redaction patterns (RE2 — identical semantics in pyarrow and DuckDB).
+#: Order matters: email first (contains no '+'), then IPv4 (dotted digits),
+#: then international phone (leading '+') — the three never overlap.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\+\d{7,15}", "<PHONE>"),
+]
+
+
+def pii_scrub(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
+    """Redact emails / IPv4s / international phone numbers from a text column:
+    (id, clean_text, n_emails, n_ips, n_phones). Counts are taken on the
+    ORIGINAL text, then the patterns are replaced in order. Fully vectorized
+    (pyarrow RE2 kernels, no per-row Python); SQL-mirrorable because DuckDB's
+    regexp functions are RE2 too (see oracles_td.pii_scrub_oracle)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        text = b[text_col]
+        text = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        cols: dict = {id_col: b[id_col]}
+        clean = text
+        for name, pat, token in PII_PATTERNS:
+            cols[f"n_{name}"] = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            clean = pc.replace_substring_regex(clean, pat, token)
+        cols["clean_text"] = clean
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_chunks(
+    ds: ray.data.Dataset, id_col: str, text_col: str, *, chunk_size: int = 32
+) -> ray.data.Dataset:
+    """Fixed-size token-window chunking for LLM training-data prep: split each
+    document on single spaces and emit one row per ``chunk_size``-token window
+    — (id, chunk_idx, n_tokens, chunk_text). Row expansion is per-document
+    (explode + cum-count + group_by inside one polars pass), so it is safe in
+    ``map_batches`` regardless of batch boundaries; the last chunk of a
+    document may be short."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        ex = (
+            df.with_columns(pl.col(text_col).str.split(" ").alias("tok"))
+            .drop(text_col)
+            .explode("tok")
+            .with_columns(
+                ((pl.col("tok").cum_count().over(id_col) - 1) // chunk_size)
+                .cast(pl.Int32)
+                .alias("chunk_idx")
+            )
+        )
+        out = ex.group_by([id_col, "chunk_idx"], maintain_order=True).agg(
+            pl.len().cast(pl.Int64).alias("n_tokens"),
+            pl.col("tok").str.join(" ").alias("chunk_text"),
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def fingerprint(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
     """64-bit polynomial rolling-hash document fingerprint (content-identity key
     for incremental dedup): fp = sum(byte_i * P^i) mod 2^64. Fully vectorized

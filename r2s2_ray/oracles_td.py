@@ -82,6 +82,50 @@ def fingerprint_oracle() -> str:
         SELECT doc_id, {_poly_hash('h')} AS fingerprint FROM hx"""
 
 
+#: deterministic PII injection shared by __ray_entry__._txt_pii_scrub and the
+#: oracle below: the synthetic corpus contains no digits/@, so meaningful
+#: redaction needs planted PII, derived from doc_id on BOTH sides
+PII_INJECT_SQL = (
+    "text || ' contact doc' || doc_id || '@example.com from 10.' || (doc_id % 200)"
+    " || '.0.' || (doc_id % 250) || ' tel +41' || (70000000 + doc_id)"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' cc admin@example.org' ELSE '' END"
+)
+
+
+def pii_scrub_oracle() -> str:
+    """DuckDB mirror of functions.textstats.pii_scrub over the PII-injected
+    corpus: counts on the original text, then ordered regexp_replace. Both
+    engines run RE2, so the patterns behave identically."""
+    from .functions.textstats import PII_PATTERNS
+
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "t"
+    for _, pat, token in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    return f"""
+        WITH src AS (SELECT doc_id, {PII_INJECT_SQL} AS t FROM documents)
+        SELECT doc_id, {counts}, {clean} AS clean_text FROM src"""
+
+
+def token_chunks_oracle(chunk_size: int = 32) -> str:
+    """DuckDB mirror of functions.textstats.token_chunks: per-document
+    fixed-size token windows via per-row unnest(range(ceil(n/size))) +
+    1-based-inclusive list_slice."""
+    c = chunk_size
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             e AS (SELECT doc_id, toks,
+                          unnest(range((len(toks) + {c - 1}) // {c})) AS ci
+                   FROM t)
+        SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+               CAST(len(list_slice(toks, ci * {c} + 1, ci * {c} + {c})) AS BIGINT) AS n_tokens,
+               array_to_string(list_slice(toks, ci * {c} + 1, ci * {c} + {c}), ' ') AS chunk_text
+        FROM e"""
+
+
 def langid_oracle() -> str:
     from .functions.textstats import LANG_PROFILES
 

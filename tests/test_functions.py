@@ -366,3 +366,46 @@ def test_frame_sampler_vectorized_expansion():
     ]
     empty = fs(pa.table({"media_id": pa.array([], pa.int64()), "meta": pa.array([], pa.string())}))
     assert empty.num_rows == 0 and empty.column_names == ["media_id", "frame_idx"]
+
+
+def test_pii_scrub_counts_and_redaction():
+    """Counts taken on the original text; email -> ip -> phone replaced in
+    order; PII-free text passes through unchanged."""
+    from r2s2_ray.functions.textstats import pii_scrub
+
+    rows = [
+        {"doc_id": 0, "text": "mail a@b.co and c@d.org ip 10.0.0.1 tel +41791234567"},
+        {"doc_id": 1, "text": "nothing sensitive here"},
+    ]
+    out = (
+        pii_scrub(ray.data.from_arrow(pa.Table.from_pylist(rows)), "doc_id", "text")
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert list(out.loc[0, ["n_emails", "n_ips", "n_phones"]]) == [2, 1, 1]
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
+    assert list(out.loc[1, ["n_emails", "n_ips", "n_phones"]]) == [0, 0, 0]
+    assert out.loc[1, "clean_text"] == "nothing sensitive here"
+
+
+def test_token_chunks_window_boundaries():
+    """5 tokens at chunk_size=2 -> windows of 2/2/1; empty text -> one
+    single-empty-token chunk (string_split semantics, matches the oracle)."""
+    from r2s2_ray.functions.textstats import token_chunks
+
+    rows = [{"doc_id": 7, "text": "a b c d e"}, {"doc_id": 8, "text": ""}]
+    out = (
+        token_chunks(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), "doc_id", "text", chunk_size=2
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    got = list(out.itertuples(index=False, name=None))
+    assert got == [
+        (7, 0, 2, "a b"),
+        (7, 1, 2, "c d"),
+        (7, 2, 1, "e"),
+        (8, 0, 1, ""),
+    ]
