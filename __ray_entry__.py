@@ -380,6 +380,16 @@ def _txt_fingerprint(sf_dir: str):
     return fingerprint(docs, "doc_id", "text")
 
 
+def _td_split(sf_dir: str):
+    """Content-hash stratified train/val/test split (90/5/5 by default)."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import stratified_split
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return stratified_split(docs, "doc_id", "text")
+
+
 def _txt_pii_scrub(sf_dir: str):
     """PII redaction over a deterministically PII-injected corpus (the
     synthetic text has no digits/@, so the query plants emails/IPs/phones
@@ -529,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_cumsum": relational.q_user_cumsum,
         "q_sessions": relational.q_sessions,
         "q_hourly_window": relational.q_hourly_window,
+        "q_asof_clicks": relational.q_asof_clicks,
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_part_brand_stats": relational.q_part_brand_stats,
         # training-data ops
@@ -547,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_fingerprint": _txt_fingerprint,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
+        "td_split": _td_split,
         "mm_binary_stats": _mm_binary_stats,
         "mm_image_features": _mm_image_features,
         "mm_audio_frames": _mm_audio_frames,
@@ -631,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
         "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
         "txt_token_chunks": oracles_td.token_chunks_oracle(),
+        "td_split": oracles_td.stratified_split_oracle(),
         "txt_langid": oracles_td.langid_oracle(),
         "dd_simhash": oracles_td.simhash_oracle(),
         "dd_minhash_pairs": oracles_td.minhash_pairs_oracle(),

@@ -118,6 +118,36 @@ def lang_id(ds: ray.data.Dataset, id_col: str, text_col: str, concurrency=(1, 8)
     )
 
 
+def stratified_split(
+    ds: ray.data.Dataset, id_col: str, text_col: str, *, test_pct: int = 5, val_pct: int = 5
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment by CONTENT hash (not row id):
+    bucket = unsigned 64-bit polynomial fingerprint mod 100; test = buckets
+    [0, test_pct), val = [test_pct, test_pct+val_pct), train = the rest.
+    Content-based splitting keeps a document in the same split across
+    re-shards / re-ingests and sends exact duplicates to the same split
+    (no train/test leakage from dup pairs). Embarrassingly parallel — no
+    shuffle; SQL-mirrorable via the poly-hash oracle family."""
+    from .hashing import poly_hash_arr
+
+    def fn(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        bucket = poly_hash_arr(col) % np.uint64(100)
+        split = np.where(
+            bucket < test_pct, "test", np.where(bucket < test_pct + val_pct, "val", "train")
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 #: PII redaction patterns (RE2 — identical semantics in pyarrow and DuckDB).
 #: Order matters: email first (contains no '+'), then IPv4 (dotted digits),
 #: then international phone (leading '+') — the three never overlap.

@@ -82,6 +82,20 @@ def fingerprint_oracle() -> str:
         SELECT doc_id, {_poly_hash('h')} AS fingerprint FROM hx"""
 
 
+def stratified_split_oracle(test_pct: int = 5, val_pct: int = 5) -> str:
+    """DuckDB mirror of functions.textstats.stratified_split: unsigned
+    fingerprint mod 100 -> bucket, CASE thresholds -> split label."""
+    return f"""
+        WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+             fp AS (SELECT doc_id, {_poly_hash('h')} AS f FROM hx)
+        SELECT doc_id,
+               CAST({_unsigned('f')} % 100 AS BIGINT) AS bucket,
+               CASE WHEN {_unsigned('f')} % 100 < {test_pct} THEN 'test'
+                    WHEN {_unsigned('f')} % 100 < {test_pct + val_pct} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM fp"""
+
+
 #: deterministic PII injection shared by __ray_entry__._txt_pii_scrub and the
 #: oracle below: the synthetic corpus contains no digits/@, so meaningful
 #: redaction needs planted PII, derived from doc_id on BOTH sides

@@ -151,6 +151,83 @@ def _bucket_by(col: str, num_buckets: int, seed: int = 17):
     return fn
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distributed backward as-of join: for each left row, attach the LATEST
+    right row with ``right.on <= left.on`` within the same ``by`` group
+    (left rows with no earlier right row keep nulls).
+
+    Ray Data has no asof primitive, so this composes one: both sides are
+    hash-bucketed on ``by`` and UNIONED into one aligned schema with a side
+    tag, a single ``sort("bucket")`` co-locates each group's rows (range
+    partition assignment is a function of the key value, so equal buckets
+    never straddle output partitions), and one vectorized polars
+    ``join_asof`` runs per block — no per-group Python. One exchange total;
+    skew spreads over ``num_buckets`` via the hash.
+
+    ``right_cols`` are the right-side columns to attach; they and the right
+    ``on`` column are emitted as ``<name><suffix>``. Rows with null ``on`` /
+    ``by`` are not supported (synthetic event streams have none)."""
+    import polars as pl
+
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))  # ray.data.Schema, not pyarrow
+    rt = dict(zip(rs.names, rs.types))
+    left_names = list(ls.names)
+    out_right = [f"{c}{suffix}" for c in right_cols + [on]]
+    rtypes = {f"{c}{suffix}": rt[c] for c in right_cols + [on]}
+
+    # align both sides onto ONE schema (left cols + suffixed right cols +
+    # side tag), null-padding the columns the side doesn't have, so a plain
+    # Dataset.union works and the whole join needs a single exchange
+    def _widen(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols: dict = {}
+            for c in left_names:
+                if side == 0 or c in (on, by):
+                    cols[c] = b[c]
+                else:
+                    cols[c] = pa.nulls(n, ltypes[c])
+            for oc, t in rtypes.items():
+                cols[oc] = b[oc.removesuffix(suffix)] if side == 1 else pa.nulls(n, t)
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    unioned = left.map_batches(_widen(0), batch_format="pyarrow").union(
+        right.map_batches(_widen(1), batch_format="pyarrow")
+    )
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        lf = df.filter(pl.col("_side") == 0).drop(["_side", "bucket"] + out_right).sort(on)
+        rf = (
+            df.filter(pl.col("_side") == 1)
+            .select([by] + out_right)
+            .rename({f"{on}{suffix}": on})
+            .with_columns(pl.col(on).alias(f"{on}{suffix}"))
+            .sort(on)
+        )
+        out = lf.join_asof(rf, on=on, by=by, strategy="backward").drop(on + "_right", strict=False)
+        return out.to_arrow()
+
+    return (
+        unioned.map_batches(_bucket_by(by, num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def q_user_cumsum(sf_dir: str, num_buckets: int = 32):
     """Per-user running total ordered by (ts, event_id) — the ordered-log pattern.
 
@@ -281,6 +358,34 @@ def q_part_brand_stats(sf_dir: str):
     )
 
 
+def q_asof_clicks(sf_dir: str, num_buckets: int = 32):
+    """Stream-to-stream as-of join: each click event is joined to the SAME
+    user's most recent view event at or before it (nulls when none) — the
+    classic event-attribution pattern. Exercises the generic
+    :func:`asof_join` operator (one exchange, per-block vectorized
+    polars join_asof); the DuckDB oracle is a native ASOF LEFT JOIN."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def side(kind: str):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["event_type"], kind)
+            return b.filter(m).select(["event_id", "user_id", "ts"])
+
+        return fn
+
+    clicks = ds.map_batches(side("click"), batch_format="pyarrow")
+    views = ds.map_batches(side("view"), batch_format="pyarrow")
+    return asof_join(
+        clicks,
+        views,
+        on="ts",
+        by="user_id",
+        right_cols=["event_id"],
+        suffix="_view",
+        num_buckets=num_buckets,
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_supplier_by_region": """
         SELECT r_name,
@@ -331,4 +436,10 @@ ORACLES: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         FROM events GROUP BY user_id, date_trunc('hour', ts)""",
+    "q_asof_clicks": """
+        SELECT c.event_id, c.user_id, c.ts,
+               v.event_id AS event_id_view, v.ts AS ts_view
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        ON c.user_id = v.user_id AND c.ts >= v.ts""",
 }

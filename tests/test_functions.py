@@ -409,3 +409,63 @@ def test_token_chunks_window_boundaries():
         (7, 2, 1, "e"),
         (8, 0, 1, ""),
     ]
+
+
+def test_asof_join_backward_with_gaps():
+    """Left rows before any right row keep nulls; matches pick the LATEST
+    right row at-or-before the left timestamp, per group."""
+    from datetime import datetime as dt
+
+    from r2s2_ray.relational import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([10, 10, 10, 20], pa.int64()),
+                "ts": pa.array(
+                    [dt(2024, 1, 1, 0), dt(2024, 1, 1, 6), dt(2024, 1, 1, 12), dt(2024, 1, 1, 6)],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([100, 101], pa.int64()),
+                "user_id": pa.array([10, 10], pa.int64()),
+                "ts": pa.array([dt(2024, 1, 1, 5), dt(2024, 1, 1, 6)], pa.timestamp("us")),
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["event_id"], suffix="_view", num_buckets=4)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[1].isna()["event_id_view"]  # before any view
+    assert out.loc[2, "event_id_view"] == 101  # exact-time match wins (<=)
+    assert out.loc[3, "event_id_view"] == 101  # latest prior
+    assert out.loc[4].isna()["event_id_view"]  # user 20 has no views
+
+
+def test_stratified_split_deterministic_and_leak_free():
+    """Exact duplicate text lands in the same split; labels derive from the
+    content-hash bucket thresholds."""
+    from r2s2_ray.functions.textstats import stratified_split
+
+    rows = [{"doc_id": i, "text": f"document number {i % 7}"} for i in range(50)]
+    out = (
+        stratified_split(ray.data.from_arrow(pa.Table.from_pylist(rows)), "doc_id", "text")
+        .to_pandas()
+    )
+    # duplicates (same i%7 text) always share bucket+split
+    for _, grp in out.assign(key=[r["text"] for r in rows]).groupby("key"):
+        assert grp["split"].nunique() == 1 and grp["bucket"].nunique() == 1
+    assert ((out["bucket"] >= 0) & (out["bucket"] < 100)).all()
+    lab = out.apply(
+        lambda r: "test" if r["bucket"] < 5 else ("val" if r["bucket"] < 10 else "train"), axis=1
+    )
+    assert (lab == out["split"]).all()
