@@ -540,6 +540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessions": relational.q_sessions,
         "q_hourly_window": relational.q_hourly_window,
         "q_asof_clicks": relational.q_asof_clicks,
+        "q_range_join": relational.q_range_join,
+        "q_top_orders_per_cust": relational.q_top_orders_per_cust,
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_part_brand_stats": relational.q_part_brand_stats,
         # training-data ops

@@ -386,6 +386,86 @@ def q_asof_clicks(sf_dir: str, num_buckets: int = 32):
     )
 
 
+def q_range_join(sf_dir: str, window_minutes: int = 60, num_buckets: int = 32):
+    """Range (interval) join: for each click event, the count of the SAME
+    user's view events inside the sliding window ``(ts - 1h, ts]``.
+
+    A naive inequality join explodes quadratically on hot users; instead the
+    per-block kernel computes a cumulative view count per user and answers the
+    window with TWO vectorized as-of lookups — ``c(ts) - c(ts - 1h)`` — so the
+    whole operator is one hash-bucket exchange plus O(n log n) per block."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["event_type"], value_set=pa.array(["click", "view"]))
+        return b.filter(m)
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        views = (
+            df.filter(pl.col("event_type") == "view")
+            .sort("ts")
+            .with_columns(pl.col("ts").cum_count().over("user_id").cast(pl.Int64).alias("cnt"))
+            .select(["user_id", "ts", "cnt"])
+        )
+        clicks = df.filter(pl.col("event_type") == "click").select(["event_id", "user_id", "ts"]).sort("ts")
+        at_now = clicks.join_asof(views, on="ts", by="user_id", strategy="backward").rename(
+            {"cnt": "c_now"}
+        )
+        lo = (
+            clicks.with_columns((pl.col("ts") - pl.duration(minutes=window_minutes)).alias("ts"))
+            .sort("ts")
+            .join_asof(views, on="ts", by="user_id", strategy="backward")
+            .select(["event_id", pl.col("cnt").alias("c_lo")])
+        )
+        out = (
+            at_now.join(lo, on="event_id", how="left")
+            .with_columns(
+                (pl.col("c_now").fill_null(0) - pl.col("c_lo").fill_null(0)).alias("n_views_1h")
+            )
+            .select(["event_id", "user_id", "ts", "n_views_1h"])
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow")
+        .map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q_top_orders_per_cust(sf_dir: str, k: int = 3, num_buckets: int = 32):
+    """Per-group top-k (top 3 orders by price per customer, orderkey
+    tie-break): bucket-sort + whole-block vectorized rank — no per-group
+    Python, no global sort."""
+    import polars as pl
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(
+            ["o_custkey", "o_totalprice", "o_orderkey"], descending=[False, True, False]
+        )
+        out = (
+            df.with_columns(
+                pl.col("o_orderkey").cum_count().over("o_custkey").cast(pl.Int64).alias("rk")
+            )
+            .filter(pl.col("rk") <= k)
+            .with_columns((pl.col("o_totalprice") * 100).round(0).cast(pl.Int64).alias("price_cents"))
+            .select(["o_custkey", "rk", "o_orderkey", "price_cents"])
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(_bucket_by("o_custkey", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_supplier_by_region": """
         SELECT r_name,
@@ -442,4 +522,18 @@ ORACLES: dict[str, str] = {
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
         ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
         ON c.user_id = v.user_id AND c.ts >= v.ts""",
+    "q_range_join": """
+        SELECT c.event_id, c.user_id, c.ts, CAST(count(v.event_id) AS BIGINT) AS n_views_1h
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND v.ts > c.ts - INTERVAL 60 MINUTE AND v.ts <= c.ts
+        GROUP BY c.event_id, c.user_id, c.ts""",
+    "q_top_orders_per_cust": """
+        SELECT o_custkey, rk, o_orderkey, price_cents FROM (
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+            FROM orders)
+        WHERE rk <= 3""",
 }
