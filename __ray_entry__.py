@@ -211,6 +211,17 @@ def _kg_sparql_graph(sf_dir: str):
     )
 
 
+def _kg_sparql_agg(sf_dir: str):
+    """SPARQL aggregates served end-to-end: per-class instance counts via
+    (COUNT(?s) AS ?n) + GROUP BY over the loaded store."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    return run_sparql(
+        out, "SELECT ?type (COUNT(?s) AS ?n) WHERE { ?s a ?type } GROUP BY ?type"
+    )
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -529,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_roundtrip": _kg_roundtrip,
         "kg_sparql": _kg_sparql,
         "kg_sparql_graph": _kg_sparql_graph,
+        "kg_sparql_agg": _kg_sparql_agg,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -583,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip": oracles.roundtrip_oracle(),
         "kg_sparql": oracles.sparql_turns_oracle(),
         "kg_sparql_graph": oracles.sparql_graph_oracle(),
+        "kg_sparql_agg": oracles.sparql_agg_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "txt_token_stats": """

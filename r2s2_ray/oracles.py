@@ -179,6 +179,17 @@ def sparql_graph_oracle() -> str:
     )
 
 
+def sparql_agg_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_agg``: instance
+    counts per class — COUNT(?s) GROUP BY ?type over the type triples."""
+    return (
+        f"SELECT type, CAST(count(*) AS BIGINT) AS n FROM ("
+        f"  SELECT subj, obj AS type, graph FROM ({raw_triples_sql(linked=True)}) "
+        f"  WHERE pred = {_q(RDF_TYPE)} GROUP BY subj, obj, graph"
+        f") GROUP BY type"
+    )
+
+
 def roundtrip_oracle() -> str:
     """Deduped linked triples, bnode-involving predicates excluded (bnode ids are
     content-hashed on the engine side; hashing is pytest-verified instead)."""

@@ -18,6 +18,10 @@ literal constants (plain, ``@lang``, ``^^<datatype>``, bare numerics),
 ``FILTER(?v <op> term)`` for ``= != < <= > >=`` (numeric comparison when the
 constant is numeric, lexical otherwise, column comparison when the right side
 is another bound variable; FILTERs live in the required part),
+aggregate projections ``(COUNT|SUM|MIN|MAX|AVG(DISTINCT? ?v|*) AS ?alias)``
+with ``GROUP BY`` (plain projected variables must be grouping keys; COUNT
+works on lexical forms, the numeric aggregates cast to DOUBLE and skip
+non-numeric forms — SPARQL error-skipping),
 DISTINCT, ORDER BY, LIMIT. Terms bind to their lexical forms; IRIs and
 blank-node labels as stored (bnodes are ``_:...``). The reference's own
 round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE {[] a ?type}``
@@ -98,8 +102,16 @@ class Query:
     limit: int | None
     from_graphs: list[str] | None = None  # FROM <g> dataset restriction
     optionals: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
+    #: aggregate projections: (func, distinct, var-or-None-for-*, alias)
+    aggs: list[tuple[str, bool, str | None, str]] | None = None
+    group_by: list[str] | None = None
 
 
+_AGG_RE = re.compile(
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)\s+AS\s+\?(\w+)\s*\)",
+    re.I,
+)
+_GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.I)
 _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
@@ -159,6 +171,16 @@ def parse_sparql(q: str) -> Query:
     # FROM dataset clauses live between the projection and WHERE; strip them
     # from the projection text so they don't read as variables
     sel_text = _FROM_RE.sub("", sel.group(2))
+    # aggregate projections: (COUNT(?x) AS ?n) etc. — pulled out first so the
+    # remaining ?vars are the plain (grouping) projection
+    aggs: list[tuple[str, bool, str | None, str]] = []
+    for m in _AGG_RE.finditer(sel_text):
+        func = m.group(1).upper()
+        v = None if m.group(3) == "*" else m.group(3)[1:]
+        if v is None and func != "COUNT":
+            raise ValueError(f"{func}(*) is not valid SPARQL")
+        aggs.append((func, bool(m.group(2)), v, m.group(4)))
+    sel_text = _AGG_RE.sub(" ", sel_text)
     from_graphs: list[str] = []
     for m in _FROM_RE.finditer(q[: q.find("{") if "{" in q else len(q)]):
         if m.group(1):
@@ -224,6 +246,18 @@ def parse_sparql(q: str) -> Query:
     lim = _LIMIT_RE.search(tail.strip())
     order = _ORDER_RE.search(tail)
     order_by = re.findall(r"\?(\w+)", order.group(1)) if order else []
+    gb = _GROUPBY_RE.search(tail)
+    group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
+    if group_by and not aggs:
+        raise ValueError("GROUP BY without an aggregate projection")
+    if aggs:
+        # SPARQL: every plain projected variable must be a grouping key; an
+        # aggregate query without GROUP BY groups the whole solution set
+        keys = group_by or sel_vars
+        stray = [v for v in sel_vars if v not in keys]
+        if stray:
+            raise ValueError(f"non-grouped variables in aggregate SELECT: {stray}")
+        group_by = keys
     return Query(
         sel_vars,
         distinct,
@@ -233,6 +267,8 @@ def parse_sparql(q: str) -> Query:
         int(lim.group(1)) if lim else None,
         from_graphs=from_graphs or None,
         optionals=optionals or None,
+        aggs=aggs or None,
+        group_by=group_by or None,
     )
 
 
@@ -297,6 +333,30 @@ def _compile_bgp(
     return aliases, binds, conds
 
 
+def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
+    """Aggregate SELECT -> (projection SQL, GROUP BY clause). Grouping keys
+    are the plain projected variables (or the explicit GROUP BY); COUNT works
+    on lexical forms directly, SUM/AVG/MIN/MAX cast the lexical form to
+    DOUBLE (numeric-literal aggregation; non-numeric forms become NULL and
+    are ignored, the SPARQL error-skipping behavior)."""
+    keys = query.group_by or []
+    missing = [v for v in keys if v not in vmap]
+    if missing:
+        raise ValueError(f"GROUP BY variables never bound: {missing}")
+    parts = [f"{vmap[v]} AS {v}" for v in keys]
+    for func, distinct, var, alias in query.aggs:
+        if var is not None and var not in vmap:
+            raise ValueError(f"aggregate over unbound variable ?{var}")
+        d = "DISTINCT " if distinct else ""
+        if func == "COUNT":
+            arg = "*" if var is None else f"{d}{vmap[var]}"
+            parts.append(f"CAST(COUNT({arg}) AS BIGINT) AS {alias}")
+        else:
+            parts.append(f"{func}({d}TRY_CAST({vmap[var]} AS DOUBLE)) AS {alias}")
+    group = " GROUP BY " + ", ".join(vmap[v] for v in keys) if keys else ""
+    return ", ".join(parts), group
+
+
 def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     """BGP -> self-join SQL over the (subj, pred, obj, o_lang, o_dt, graph)
     triples view. OPTIONAL groups compile to LEFT JOINs of per-group
@@ -323,15 +383,20 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             )
         else:
             conds.append(f"{binds[var]} {sql_op} {_q(term.value)}")
+    group = ""
     if not query.optionals:
-        out_vars = query.select or sorted(v for v in binds if not v.startswith("__"))
-        missing = [v for v in out_vars if v not in binds]
-        if missing:
-            raise ValueError(f"SELECT variables never bound: {missing}")
-        proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars)
+        if query.aggs:
+            proj, group = _agg_projection(query, binds)
+        else:
+            out_vars = query.select or sorted(v for v in binds if not v.startswith("__"))
+            missing = [v for v in out_vars if v not in binds]
+            if missing:
+                raise ValueError(f"SELECT variables never bound: {missing}")
+            proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars)
         sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
         if conds:
             sql += " WHERE " + " AND ".join(conds)
+        sql += group
     else:
         # comma-join FROM and LEFT JOIN do not mix: wrap the required part in
         # a subquery projecting every bound variable, then LEFT JOIN one
@@ -341,9 +406,9 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             req += " WHERE " + " AND ".join(conds)
         outer: dict[str, str] = {v: f"r.{v}" for v in binds}
         joins: list[str] = []
-        for k, group in enumerate(query.optionals):
+        for k, opt_group in enumerate(query.optionals):
             g_aliases, g_binds, g_conds = _compile_bgp(
-                group, query.from_graphs, triples_view, f"o{k}_"
+                opt_group, query.from_graphs, triples_view, f"o{k}_"
             )
             shared = [v for v in g_binds if v in outer and not outer[v].startswith("g")]
             for v in g_binds:
@@ -360,14 +425,17 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             for v in g_binds:
                 if v not in outer:
                     outer[v] = f"g{k}.{v}"
-        out_vars = query.select or sorted(v for v in outer if not v.startswith("__"))
-        missing = [v for v in out_vars if v not in outer]
-        if missing:
-            raise ValueError(f"SELECT variables never bound: {missing}")
-        proj = ", ".join(f"{outer[v]} AS {v}" for v in out_vars)
+        if query.aggs:
+            proj, group = _agg_projection(query, outer)
+        else:
+            out_vars = query.select or sorted(v for v in outer if not v.startswith("__"))
+            missing = [v for v in out_vars if v not in outer]
+            if missing:
+                raise ValueError(f"SELECT variables never bound: {missing}")
+            proj = ", ".join(f"{outer[v]} AS {v}" for v in out_vars)
         sql = (
             f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
-            f"FROM ({req}) r {' '.join(joins)}"
+            f"FROM ({req}) r {' '.join(joins)}{group}"
         )
     if query.order_by:
         sql += " ORDER BY " + ", ".join(query.order_by)

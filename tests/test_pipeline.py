@@ -505,3 +505,53 @@ def test_default_num_buckets_scales_with_data(sf_small):
         if f == "documents.parquet"
     )
     assert big == -(-total * 100_000 // _INPUT_BYTES_PER_BUCKET) > 16
+
+
+def test_sparql_aggregates(kg_out):
+    """Aggregate projections + GROUP BY compile onto the views: per-class
+    counts, whole-set COUNT(*), COUNT(DISTINCT), and numeric SUM/MAX over
+    typed integer literals — each cross-checked against direct SQL."""
+    import os as _os
+
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, run_sparql
+    from r2s2_ray.util import fs_read_text
+
+    out, _ = kg_out
+    pfx = "PREFIX ex: <https://ex.org/vocab/>\n"
+    con = duckdb.connect()
+    for stmt in fs_read_text(_os.path.join(out, "views.sql")).split(";\n"):
+        if stmt.strip():
+            con.execute(stmt)
+
+    r = run_sparql(out, pfx + "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s a ?t } GROUP BY ?t ORDER BY ?t")
+    hand = con.execute(
+        "SELECT obj AS t, CAST(count(subj) AS BIGINT) AS n FROM all_triples "
+        f"WHERE pred = '{'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'}' "
+        "GROUP BY obj ORDER BY obj"
+    ).arrow()
+    assert r.equals(hand)
+
+    total = run_sparql(out, "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+    assert total["n"][0].as_py() == con.execute("SELECT count(*) FROM all_triples").fetchone()[0]
+
+    dis = run_sparql(out, pfx + "SELECT (COUNT(DISTINCT ?o) AS ?n) WHERE { ?s ex:mentions ?o }")
+    assert dis["n"][0].as_py() > 0
+
+    s = run_sparql(
+        out, pfx + "SELECT (SUM(?i) AS ?total) (MAX(?i) AS ?top) WHERE { ?t ex:turnIndex ?i }"
+    )
+    hand2 = con.execute(
+        "SELECT sum(CAST(obj AS DOUBLE)), max(CAST(obj AS DOUBLE)) FROM all_triples "
+        "WHERE pred = 'https://ex.org/vocab/turnIndex'"
+    ).fetchone()
+    assert (s["total"][0].as_py(), s["top"][0].as_py()) == hand2
+
+    with pytest.raises(ValueError, match="non-grouped"):
+        parse_sparql(pfx + "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p")
+    with pytest.raises(ValueError, match="GROUP BY without"):
+        parse_sparql(pfx + "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s")
+    with pytest.raises(ValueError, match="not valid SPARQL"):
+        parse_sparql("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }")
