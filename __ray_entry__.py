@@ -391,6 +391,17 @@ def _txt_fingerprint(sf_dir: str):
     return fingerprint(docs, "doc_id", "text")
 
 
+def _td_pack(sf_dir: str):
+    """Sequence packing: docs laid end-to-end in id order, assigned to fixed
+    256-token-budget packs via a distributed prefix sum."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import sequence_pack
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sequence_pack(docs, "doc_id", "text", budget=256)
+
+
 def _td_split(sf_dir: str):
     """Content-hash stratified train/val/test split (90/5/5 by default)."""
     import ray.data
@@ -554,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_clicks": relational.q_asof_clicks,
         "q_range_join": relational.q_range_join,
         "q_top_orders_per_cust": relational.q_top_orders_per_cust,
+        "q_user_value_quantiles": relational.q_user_value_quantiles,
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_part_brand_stats": relational.q_part_brand_stats,
         # training-data ops
@@ -573,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
         "td_split": _td_split,
+        "td_pack": _td_pack,
         "mm_binary_stats": _mm_binary_stats,
         "mm_image_features": _mm_image_features,
         "mm_audio_frames": _mm_audio_frames,
@@ -659,6 +672,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
         "txt_token_chunks": oracles_td.token_chunks_oracle(),
         "td_split": oracles_td.stratified_split_oracle(),
+        "td_pack": oracles_td.sequence_pack_oracle(),
         "txt_langid": oracles_td.langid_oracle(),
         "dd_simhash": oracles_td.simhash_oracle(),
         "dd_minhash_pairs": oracles_td.minhash_pairs_oracle(),

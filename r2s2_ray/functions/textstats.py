@@ -118,6 +118,72 @@ def lang_id(ds: ray.data.Dataset, id_col: str, text_col: str, concurrency=(1, 8)
     )
 
 
+def sequence_pack(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    budget: int = 256,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Sequence packing for LLM training: lay documents end-to-end in id
+    order and assign each to the fixed-token-budget pack where it STARTS —
+    (id, n_tokens, pack_id, pack_offset), where pack_id = prefix // budget
+    and pack_offset = prefix % budget over the global running token count.
+
+    The global prefix sum is distributed the same way the term dictionary
+    assigns ids (stages/dicts.py metadata prefix-sums): pass 1 aggregates one
+    token-count sum per id-range bucket (num_buckets values to the driver —
+    metadata scale, never row scale), the driver folds them into bucket
+    offsets, pass 2 re-buckets, sorts on the bucket key alone and computes
+    each block's within-bucket cumulative sum plus its bucket offset. Ids
+    must be non-negative and unique; bucket ranges derive from max(id)+1 so
+    the decomposition is cluster-width-independent."""
+    import polars as pl
+    from ray.data.aggregate import Max, Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = df.select(
+            pl.col(id_col),
+            pl.col(text_col).str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+        )
+        return out.to_arrow()
+
+    with_counts = ds.map_batches(counts, batch_format="pyarrow")
+    n_ids = int(with_counts.max(id_col)) + 1
+    span = -(-n_ids // num_buckets)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        bk = pc.cast(pc.divide(b[id_col], span), pa.int32())
+        return b.append_column("bucket", bk)
+
+    bucketed = with_counts.map_batches(bucket, batch_format="pyarrow")
+    # pass 1: one Int64 per bucket to the driver, folded into exclusive offsets
+    sums = {r["bucket"]: r["sum(n_tokens)"] for r in bucketed.groupby("bucket").aggregate(Sum("n_tokens")).take_all()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bk in range(num_buckets):
+        offsets[bk] = acc
+        acc += int(sums.get(bk, 0))
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["bucket", id_col])
+        off = pl.col("bucket").replace_strict(
+            list(offsets.keys()), list(offsets.values()), return_dtype=pl.Int64
+        )
+        prefix = pl.col("n_tokens").cum_sum().over("bucket") - pl.col("n_tokens") + off
+        out = df.select(
+            pl.col(id_col),
+            pl.col("n_tokens"),
+            (prefix // budget).cast(pl.Int64).alias("pack_id"),
+            (prefix % budget).cast(pl.Int64).alias("pack_offset"),
+        )
+        return out.to_arrow()
+
+    return bucketed.sort("bucket").map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
 def stratified_split(
     ds: ray.data.Dataset, id_col: str, text_col: str, *, test_pct: int = 5, val_pct: int = 5
 ) -> ray.data.Dataset:

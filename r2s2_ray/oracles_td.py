@@ -82,6 +82,24 @@ def fingerprint_oracle() -> str:
         SELECT doc_id, {_poly_hash('h')} AS fingerprint FROM hx"""
 
 
+def sequence_pack_oracle(budget: int = 256) -> str:
+    """DuckDB mirror of functions.textstats.sequence_pack: global running
+    token count in doc_id order, pack = prefix // budget."""
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+             c AS (SELECT doc_id, n_tokens,
+                          sum(n_tokens) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - n_tokens AS prefix
+                   FROM t)
+        SELECT doc_id, n_tokens,
+               CAST(prefix // {budget} AS BIGINT) AS pack_id,
+               CAST(prefix % {budget} AS BIGINT) AS pack_offset
+        FROM c"""
+
+
 def stratified_split_oracle(test_pct: int = 5, val_pct: int = 5) -> str:
     """DuckDB mirror of functions.textstats.stratified_split: unsigned
     fingerprint mod 100 -> bucket, CASE thresholds -> split label."""

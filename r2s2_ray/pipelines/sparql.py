@@ -18,6 +18,10 @@ literal constants (plain, ``@lang``, ``^^<datatype>``, bare numerics),
 ``FILTER(?v <op> term)`` for ``= != < <= > >=`` (numeric comparison when the
 constant is numeric, lexical otherwise, column comparison when the right side
 is another bound variable; FILTERs live in the required part),
+string-function FILTERs ``REGEX(?v, "pat")`` / ``STRSTARTS(?v, "s")`` /
+``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; no flags arg),
+whole-body ``{ BGP } UNION { BGP }`` (two or more pure-BGP branches,
+multiset semantics, branch-unbound variables project as NULL),
 aggregate projections ``(COUNT|SUM|MIN|MAX|AVG(DISTINCT? ?v|*) AS ?alias)``
 with ``GROUP BY`` (plain projected variables must be grouping keys; COUNT
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
@@ -48,6 +52,9 @@ _WHERE_RE = re.compile(r"WHERE\s*\{(.*)\}", re.I | re.S)
 _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)\s*$", re.I)
 _ORDER_RE = re.compile(r"ORDER\s+BY\s+(.+?)(?:LIMIT|$)", re.I | re.S)
 _FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*\)", re.I)
+_FFUNC_RE = re.compile(
+    r"FILTER\s*\(\s*(REGEX|STRSTARTS|CONTAINS)\s*\(\s*(\?\w+)\s*,\s*(\S+?)\s*\)\s*\)", re.I
+)
 _TERM_RE = re.compile(
     r"""\?(?P<var>\w+)
       | <(?P<iri>[^>]+)>
@@ -105,6 +112,9 @@ class Query:
     #: aggregate projections: (func, distinct, var-or-None-for-*, alias)
     aggs: list[tuple[str, bool, str | None, str]] | None = None
     group_by: list[str] | None = None
+    #: whole-body UNION: branches of pure BGPs (multiset union; a variable
+    #: unbound in a branch projects as NULL — SPARQL unbound)
+    union_groups: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
 
 
 _AGG_RE = re.compile(
@@ -212,6 +222,34 @@ def parse_sparql(q: str) -> Query:
 
     inner = _ANON_RE.sub(_fresh, inner)
     inner = _BNODE_RE.sub(lambda m: f" ?__bn_{m.group(1)} ", inner)
+    # whole-body UNION of pure BGP branches: { A } UNION { B } [UNION { C }…]
+    um = re.fullmatch(
+        r"\s*\{([^{}]*)\}(?:\s*UNION\s*\{([^{}]*)\})+\s*", inner, re.I
+    )
+    if um:
+        if aggs:
+            raise ValueError("aggregates over UNION are not supported")
+        branches = re.findall(r"\{([^{}]*)\}", inner)
+        union_groups = [_quads(restore(br), prefixes, None) for br in branches]
+        tail = q[q.rindex("}") + 1 :]
+        if _GROUPBY_RE.search(tail):
+            raise ValueError("GROUP BY over UNION is not supported")
+        lim = _LIMIT_RE.search(tail.strip())
+        order = _ORDER_RE.search(tail)
+        return Query(
+            sel_vars,
+            distinct,
+            [],
+            [],
+            re.findall(r"\?(\w+)", order.group(1)) if order else [],
+            int(lim.group(1)) if lim else None,
+            from_graphs=from_graphs or None,
+            union_groups=union_groups,
+        )
+    if re.search(r"\bUNION\b", inner, re.I):
+        raise ValueError(
+            "UNION is only supported as the whole WHERE body: { BGP } UNION { BGP }"
+        )
     # GRAPH groups come out first (non-nested, plain triples inside): each
     # group's patterns carry the graph term — a constant restricts to that
     # named graph, a variable binds the graph column (joins when shared).
@@ -233,7 +271,16 @@ def parse_sparql(q: str) -> Query:
             raise ValueError("FILTER inside OPTIONAL is not supported")
         optionals.append(_quads(restore(m.group(1)), prefixes, None))
     inner = _OPTIONAL_RE.sub(" ", inner)
-    filters = [
+    # string-function FILTERs first (their own regex would otherwise be
+    # half-eaten by the comparison form): REGEX/STRSTARTS/CONTAINS(?v, "lit")
+    filters = []
+    for m in _FFUNC_RE.finditer(inner):
+        arg = _parse_term(restore(m.group(3)), prefixes)
+        if arg.kind != "lit":
+            raise ValueError(f"{m.group(1).upper()} needs a literal argument")
+        filters.append((m.group(2)[1:], m.group(1).lower(), arg))
+    inner = _FFUNC_RE.sub("", inner)
+    filters += [
         (m.group(1)[1:], m.group(2), _parse_term(restore(m.group(3)), prefixes))
         for m in _FILTER_RE.finditer(inner)
     ]
@@ -362,12 +409,52 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     triples view. OPTIONAL groups compile to LEFT JOINs of per-group
     subqueries onto the required part (optional-only variables are NULL —
     SPARQL unbound — when the group does not match)."""
+    if query.union_groups:
+        # multiset union of independent BGP branches; the projection is the
+        # SELECT list (or the union of branch variables), NULL where a branch
+        # leaves a variable unbound
+        all_vars: list[str] = []
+        compiled = []
+        for k, branch in enumerate(query.union_groups):
+            b_aliases, b_binds, b_conds = _compile_bgp(
+                branch, query.from_graphs, triples_view, f"u{k}_"
+            )
+            compiled.append((b_aliases, b_binds, b_conds))
+            for v in b_binds:
+                if v not in all_vars and not v.startswith("__"):
+                    all_vars.append(v)
+        out_vars = query.select or sorted(all_vars)
+        never = [v for v in out_vars if all(v not in b for _, b, _ in compiled)]
+        if never:
+            raise ValueError(f"SELECT variables never bound: {never}")
+        parts = []
+        for b_aliases, b_binds, b_conds in compiled:
+            proj = ", ".join(
+                f"{b_binds[v]} AS {v}" if v in b_binds else f"NULL AS {v}"
+                for v in out_vars
+            )
+            part = f"SELECT {proj} FROM {', '.join(b_aliases)}"
+            if b_conds:
+                part += " WHERE " + " AND ".join(b_conds)
+            parts.append(part)
+        sql = " UNION ALL ".join(parts)
+        if query.distinct:
+            sql = f"SELECT DISTINCT * FROM ({sql})"
+        if query.order_by:
+            sql += " ORDER BY " + ", ".join(query.order_by)
+        if query.limit is not None:
+            sql += f" LIMIT {query.limit}"
+        return sql
     aliases, binds, conds = _compile_bgp(
         query.patterns, query.from_graphs, triples_view, "t"
     )
     for var, op, term in query.filters:
         if var not in binds:
             raise ValueError(f"FILTER on unbound variable ?{var}")
+        if op in ("regex", "strstarts", "contains"):
+            fn = {"regex": "regexp_matches", "strstarts": "starts_with", "contains": "contains"}[op]
+            conds.append(f"{fn}({binds[var]}, {_q(term.value)})")
+            continue
         sql_op = "<>" if op == "!=" else op
         if term.kind == "var":
             # var-to-var comparison: both sides must be bound columns —

@@ -466,6 +466,40 @@ def q_top_orders_per_cust(sf_dir: str, k: int = 3, num_buckets: int = 32):
     )
 
 
+def q_user_value_quantiles(sf_dir: str, num_buckets: int = 32):
+    """Per-group EXACT discrete quantiles (median + p90 of event value per
+    user): an operator Ray Data's aggregate API lacks. Bucket-sort +
+    whole-block grouped selection; the quantile index is computed in integer
+    arithmetic — sorted[ceil(p·n/100) − 1] — which is bit-for-bit DuckDB's
+    ``quantile_disc`` convention (float interpolation conventions differ
+    between engines; integer selection cannot)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "vc": _cents(b["value"])})
+
+    def qidx(p: int):
+        return ((p * pl.len() + 99) // 100 - 1).cast(pl.Int64)
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = df.group_by("user_id").agg(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("vc").sort().get(qidx(50)).alias("p50_cents"),
+            pl.col("vc").sort().get(qidx(90)).alias("p90_cents"),
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_supplier_by_region": """
         SELECT r_name,
@@ -536,4 +570,9 @@ ORACLES: dict[str, str] = {
                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
             FROM orders)
         WHERE rk <= 3""",
+    "q_user_value_quantiles": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,
+               quantile_disc(CAST(round(value * 100) AS BIGINT), 0.90) AS p90_cents
+        FROM events GROUP BY user_id""",
 }

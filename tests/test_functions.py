@@ -469,3 +469,28 @@ def test_stratified_split_deterministic_and_leak_free():
         lambda r: "test" if r["bucket"] < 5 else ("val" if r["bucket"] < 10 else "train"), axis=1
     )
     assert (lab == out["split"]).all()
+
+
+def test_sequence_pack_prefix_sum():
+    """Global prefix-sum packing: pack boundaries land where the running
+    token count crosses the budget, across bucket boundaries."""
+    from r2s2_ray.functions.textstats import sequence_pack
+
+    # 10 docs x 7 tokens, budget 16: prefixes 0,7,14,21,... -> packs 0,0,0,1,1,2,...
+    rows = [{"doc_id": i, "text": " ".join(["tok"] * 7)} for i in range(10)]
+    out = (
+        sequence_pack(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)),
+            "doc_id",
+            "text",
+            budget=16,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    prefix = [7 * i for i in range(10)]
+    assert out["n_tokens"].tolist() == [7] * 10
+    assert out["pack_id"].tolist() == [p // 16 for p in prefix]
+    assert out["pack_offset"].tolist() == [p % 16 for p in prefix]

@@ -555,3 +555,52 @@ def test_sparql_aggregates(kg_out):
         parse_sparql(pfx + "SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s")
     with pytest.raises(ValueError, match="not valid SPARQL"):
         parse_sparql("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }")
+
+
+def test_sparql_string_filters(kg_out):
+    """REGEX / STRSTARTS / CONTAINS FILTER functions compile to DuckDB
+    regexp_matches / starts_with / contains over the bound lexical forms."""
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    out, _ = kg_out
+    pfx = "PREFIX ex: <https://ex.org/vocab/>\n"
+    roles = run_sparql(out, pfx + "SELECT DISTINCT ?r WHERE { ?t ex:role ?r }")["r"].to_pylist()
+    assert "user" in roles
+    got = run_sparql(
+        out, pfx + 'SELECT DISTINCT ?r WHERE { ?t ex:role ?r . FILTER(STRSTARTS(?r, "us")) }'
+    )
+    assert got["r"].to_pylist() == ["user"]
+    got = run_sparql(
+        out, pfx + 'SELECT DISTINCT ?r WHERE { ?t ex:role ?r . FILTER(REGEX(?r, "^u.er$")) }'
+    )
+    assert got["r"].to_pylist() == ["user"]
+    got = run_sparql(
+        out, pfx + 'SELECT DISTINCT ?r WHERE { ?t ex:role ?r . FILTER(CONTAINS(?r, "ssis")) }'
+    )
+    assert got["r"].to_pylist() == ["assistant"]
+
+
+def test_sparql_union(kg_out):
+    """{ BGP } UNION { BGP }: multiset union, NULL for branch-unbound vars."""
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, run_sparql
+
+    out, _ = kg_out
+    pfx = "PREFIX ex: <https://ex.org/vocab/>\n"
+    convs = run_sparql(out, pfx + "SELECT ?s WHERE { ?s a ex:Conversation }").num_rows
+    ents = run_sparql(out, pfx + "SELECT ?s WHERE { ?s a ex:Entity }").num_rows
+    u = run_sparql(
+        out,
+        pfx + "SELECT ?s WHERE { { ?s a ex:Conversation } UNION { ?s a ex:Entity } }",
+    )
+    assert u.num_rows == convs + ents > 0
+    # branch-local variable projects NULL in the other branch
+    mixed = run_sparql(
+        out,
+        pfx + "SELECT ?s ?r WHERE { { ?s ex:role ?r } UNION { ?s a ex:Entity } }",
+    )
+    r = mixed["r"].to_pylist()
+    assert any(x is None for x in r) and any(x is not None for x in r)
+    with pytest.raises(ValueError, match="whole WHERE body"):
+        parse_sparql(pfx + "SELECT ?s WHERE { ?s a ex:Turn . { ?s a ex:A } UNION { ?s a ex:B } }")
