@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join": relational.q_range_join,
         "q_top_orders_per_cust": relational.q_top_orders_per_cust,
         "q_user_value_quantiles": relational.q_user_value_quantiles,
+        "q_hash_join_orders": relational.q_hash_join_orders,
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_part_brand_stats": relational.q_part_brand_stats,
         # training-data ops

@@ -140,7 +140,7 @@ def sequence_pack(
     must be non-negative and unique; bucket ranges derive from max(id)+1 so
     the decomposition is cluster-width-independent."""
     import polars as pl
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     def counts(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b.select([id_col, text_col]))
@@ -150,7 +150,10 @@ def sequence_pack(
         )
         return out.to_arrow()
 
-    with_counts = ds.map_batches(counts, batch_format="pyarrow")
+    # materialize the tiny (id, n_tokens) projection ONCE: three consumers
+    # follow (max, per-bucket sums, the bucketed sort) and each would
+    # otherwise re-read and re-tokenize the full corpus
+    with_counts = ds.map_batches(counts, batch_format="pyarrow").materialize()
     n_ids = int(with_counts.max(id_col)) + 1
     span = -(-n_ids // num_buckets)
 

@@ -53,7 +53,9 @@ _LIMIT_RE = re.compile(r"LIMIT\s+(\d+)\s*$", re.I)
 _ORDER_RE = re.compile(r"ORDER\s+BY\s+(.+?)(?:LIMIT|$)", re.I | re.S)
 _FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*\)", re.I)
 _FFUNC_RE = re.compile(
-    r"FILTER\s*\(\s*(REGEX|STRSTARTS|CONTAINS)\s*\(\s*(\?\w+)\s*,\s*(\S+?)\s*\)\s*\)", re.I
+    r"FILTER\s*\(\s*(REGEX|STRSTARTS|CONTAINS)\s*\(\s*(\?\w+)\s*,\s*(\S+?)\s*"
+    r"(?:,\s*(\S+?)\s*)?\)\s*\)",
+    re.I,
 )
 _TERM_RE = re.compile(
     r"""\?(?P<var>\w+)
@@ -189,6 +191,11 @@ def parse_sparql(q: str) -> Query:
         v = None if m.group(3) == "*" else m.group(3)[1:]
         if v is None and func != "COUNT":
             raise ValueError(f"{func}(*) is not valid SPARQL")
+        if v is None and m.group(2):
+            raise ValueError(
+                "COUNT(DISTINCT *) is not supported (distinct SOLUTIONS — "
+                "name the variables instead)"
+            )
         aggs.append((func, bool(m.group(2)), v, m.group(4)))
     sel_text = _AGG_RE.sub(" ", sel_text)
     from_graphs: list[str] = []
@@ -230,6 +237,9 @@ def parse_sparql(q: str) -> Query:
         if aggs:
             raise ValueError("aggregates over UNION are not supported")
         branches = re.findall(r"\{([^{}]*)\}", inner)
+        for br in branches:
+            if re.search(r"\bFILTER\b", br, re.I):
+                raise ValueError("FILTER inside UNION branches is not supported")
         union_groups = [_quads(restore(br), prefixes, None) for br in branches]
         tail = q[q.rindex("}") + 1 :]
         if _GROUPBY_RE.search(tail):
@@ -267,7 +277,7 @@ def parse_sparql(q: str) -> Query:
     # semantics (conditional on the match) that this subset does not model
     optionals: list[list[tuple[Term, Term, Term, Term | None]]] = []
     for m in _OPTIONAL_RE.finditer(inner):
-        if _FILTER_RE.search(m.group(1)):
+        if re.search(r"\bFILTER\b", m.group(1), re.I):
             raise ValueError("FILTER inside OPTIONAL is not supported")
         optionals.append(_quads(restore(m.group(1)), prefixes, None))
     inner = _OPTIONAL_RE.sub(" ", inner)
@@ -275,16 +285,31 @@ def parse_sparql(q: str) -> Query:
     # half-eaten by the comparison form): REGEX/STRSTARTS/CONTAINS(?v, "lit")
     filters = []
     for m in _FFUNC_RE.finditer(inner):
+        func = m.group(1).lower()
         arg = _parse_term(restore(m.group(3)), prefixes)
         if arg.kind != "lit":
             raise ValueError(f"{m.group(1).upper()} needs a literal argument")
-        filters.append((m.group(2)[1:], m.group(1).lower(), arg))
+        if m.group(4) is not None:
+            # third argument: only REGEX flags, folded into the stored term's
+            # lang slot (i/s/m/x pass straight through to DuckDB's RE2)
+            if func != "regex":
+                raise ValueError(f"{m.group(1).upper()} takes exactly two arguments")
+            flags = _parse_term(restore(m.group(4)), prefixes)
+            if flags.kind != "lit" or not re.fullmatch(r"[ismx]*", flags.value):
+                raise ValueError(f"unsupported REGEX flags: {flags.value!r}")
+            arg = Term("lit", arg.value, lang=flags.value)
+        filters.append((m.group(2)[1:], func, arg))
     inner = _FFUNC_RE.sub("", inner)
     filters += [
         (m.group(1)[1:], m.group(2), _parse_term(restore(m.group(3)), prefixes))
         for m in _FILTER_RE.finditer(inner)
     ]
     inner = _FILTER_RE.sub("", inner)
+    if re.search(r"\bFILTER\b", inner, re.I):
+        raise ValueError(
+            "unsupported FILTER form (supported: comparison ops, "
+            "REGEX/STRSTARTS/CONTAINS)"
+        )
     rest = restore(inner)
     patterns = (_quads(rest, prefixes, None) if rest.strip() else []) + graph_quads
     if not patterns:
@@ -390,7 +415,9 @@ def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
     missing = [v for v in keys if v not in vmap]
     if missing:
         raise ValueError(f"GROUP BY variables never bound: {missing}")
-    parts = [f"{vmap[v]} AS {v}" for v in keys]
+    # only SELECTed grouping keys are projected: SPARQL allows grouping by a
+    # variable without projecting it, and the result shape must honor SELECT
+    parts = [f"{vmap[v]} AS {v}" for v in keys if v in query.select]
     for func, distinct, var, alias in query.aggs:
         if var is not None and var not in vmap:
             raise ValueError(f"aggregate over unbound variable ?{var}")
@@ -453,7 +480,10 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             raise ValueError(f"FILTER on unbound variable ?{var}")
         if op in ("regex", "strstarts", "contains"):
             fn = {"regex": "regexp_matches", "strstarts": "starts_with", "contains": "contains"}[op]
-            conds.append(f"{fn}({binds[var]}, {_q(term.value)})")
+            if op == "regex" and term.lang:  # REGEX flags ride the lang slot
+                conds.append(f"{fn}({binds[var]}, {_q(term.value)}, {_q(term.lang)})")
+            else:
+                conds.append(f"{fn}({binds[var]}, {_q(term.value)})")
             continue
         sql_op = "<>" if op == "!=" else op
         if term.kind == "var":

@@ -216,7 +216,14 @@ def asof_join(
             .select([by] + out_right)
             .rename({f"{on}{suffix}": on})
             .with_columns(pl.col(on).alias(f"{on}{suffix}"))
-            .sort(on)
+            # tie-break on the value columns too: join_asof backward attaches
+            # the LAST right row at a duplicate (by, on) key, so sorting by
+            # the full column set makes the pick deterministic (max values
+            # win) rather than dependent on block row order. NOTE: an oracle
+            # comparison (e.g. DuckDB ASOF JOIN) is only well-defined when
+            # (by, on) pairs are unique on the right side — SQL picks its own
+            # arbitrary tie row.
+            .sort([on] + sorted(f"{c}{suffix}" for c in right_cols))
         )
         out = lf.join_asof(rf, on=on, by=by, strategy="backward").drop(on + "_right", strict=False)
         return out.to_arrow()
@@ -225,6 +232,107 @@ def asof_join(
         unioned.map_batches(_bucket_by(by, num_buckets), batch_format="pyarrow")
         .sort("bucket")
         .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_cols: list[str],
+    suffix: str = "",
+    num_buckets: int = 32,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Generic LARGE x LARGE equi-join (the broadcast join in q_join_revenue
+    only fits small sides): both sides are hash-bucketed on the key and
+    UNIONED onto one aligned schema with a side tag, a single
+    ``sort("bucket")`` co-locates each key's rows (equal buckets never
+    straddle output partitions), and one vectorized polars join runs per
+    block. One exchange total, no driver materialization. A pathologically
+    hot key still lands in one bucket — equi-join semantics require
+    co-location; salt upstream if one key carries a double-digit share.
+
+    ``right_cols`` are attached as ``<name><suffix>``; ``how`` is ``inner``
+    or ``left``. The right side must carry the join key under the same name."""
+    import polars as pl
+
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rt = dict(zip(rs.names, rs.types))
+    left_names = list(ls.names)
+    out_right = [f"{c}{suffix}" for c in right_cols]
+    clash = [c for c in out_right if c in left_names]
+    if clash:
+        raise ValueError(f"right columns collide with left: {clash} (set suffix)")
+    rtypes = {f"{c}{suffix}": rt[c] for c in right_cols}
+
+    def _widen(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols: dict = {}
+            for c in left_names:
+                if side == 0 or c == on:
+                    cols[c] = b[c]
+                else:
+                    cols[c] = pa.nulls(n, ltypes[c])
+            for oc, t in rtypes.items():
+                cols[oc] = b[oc.removesuffix(suffix)] if side == 1 else pa.nulls(n, t)
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    unioned = left.map_batches(_widen(0), batch_format="pyarrow").union(
+        right.map_batches(_widen(1), batch_format="pyarrow")
+    )
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        lf = df.filter(pl.col("_side") == 0).drop(["_side", "bucket"] + out_right)
+        rf = df.filter(pl.col("_side") == 1).select([on] + out_right)
+        out = lf.join(rf, on=on, how=how)
+        return out.to_arrow()
+
+    return (
+        unioned.map_batches(_bucket_by(on, num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q_hash_join_orders(sf_dir: str, num_buckets: int = 32):
+    """orders ⋈ customer as a LARGE x LARGE hash-bucket join (no broadcast):
+    every order row annotated with its customer's name and nation key."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "price_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["c_custkey"],
+                "c_name": b["c_name"],
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        )
+
+    return hash_join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        on="o_custkey",
+        right_cols=["c_name", "c_nationkey"],
+        num_buckets=num_buckets,
     )
 
 
@@ -570,6 +678,11 @@ ORACLES: dict[str, str] = {
                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
             FROM orders)
         WHERE rk <= 3""",
+    "q_hash_join_orders": """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+               c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        FROM orders JOIN customer ON o_custkey = c_custkey""",
     "q_user_value_quantiles": """
         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                quantile_disc(CAST(round(value * 100) AS BIGINT), 0.50) AS p50_cents,

@@ -604,3 +604,28 @@ def test_sparql_union(kg_out):
     assert any(x is None for x in r) and any(x is not None for x in r)
     with pytest.raises(ValueError, match="whole WHERE body"):
         parse_sparql(pfx + "SELECT ?s WHERE { ?s a ex:Turn . { ?s a ex:A } UNION { ?s a ex:B } }")
+
+
+def test_sparql_filter_edge_forms():
+    """Review-pass regressions: REGEX flags pass through to DuckDB, malformed
+    or unsupported FILTER forms raise clearly instead of misparsing into
+    bogus triple patterns, COUNT(DISTINCT *) is rejected, and non-projected
+    GROUP BY keys stay out of the result shape."""
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    sql = to_sql(parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(REGEX(?r, "^u", "i")) }'))
+    assert "regexp_matches(t0.obj, '^u', 'i')" in sql
+    with pytest.raises(ValueError, match="two arguments"):
+        parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(STRSTARTS(?r, "a", "b")) }')
+    with pytest.raises(ValueError, match="unsupported FILTER form"):
+        parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(BOUND(?r)) }')
+    with pytest.raises(ValueError, match=r"DISTINCT \*"):
+        parse_sparql("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
+    with pytest.raises(ValueError, match="UNION branches"):
+        parse_sparql("SELECT ?s WHERE { { ?s a <A> . FILTER(?s = <x>) } UNION { ?s a <B> } }")
+    with pytest.raises(ValueError, match="FILTER inside OPTIONAL"):
+        parse_sparql('SELECT ?s WHERE { ?s a <A> . OPTIONAL { ?s <p> ?v . FILTER(REGEX(?v, "x")) } }')
+    sql = to_sql(parse_sparql("SELECT (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"))
+    assert sql.startswith("SELECT CAST(COUNT(") and "AS p" not in sql
