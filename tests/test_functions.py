@@ -494,3 +494,28 @@ def test_sequence_pack_prefix_sum():
     assert out["n_tokens"].tolist() == [7] * 10
     assert out["pack_id"].tolist() == [p // 16 for p in prefix]
     assert out["pack_offset"].tolist() == [p % 16 for p in prefix]
+
+
+def test_hash_join_inner_left_and_collision_guard():
+    """hash_join: inner drops unmatched, left keeps them with nulls, right
+    column name collisions are rejected up front."""
+    import pytest
+
+    from r2s2_ray.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "lv": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 3], pa.int64()), "rv": pa.array([7, 8, 9], pa.int64())})
+    )
+    inner = (
+        hash_join(left, right, on="k", right_cols=["rv"], num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "rv"])
+    )
+    assert list(inner.itertuples(index=False, name=None)) == [(1, 10, 7), (1, 10, 8), (3, 30, 9)]
+    lj = hash_join(left, right, on="k", right_cols=["rv"], num_buckets=4, how="left").to_pandas()
+    assert len(lj) == 4 and lj.loc[lj["k"] == 2, "rv"].isna().all()
+    with pytest.raises(ValueError, match="collide"):
+        hash_join(left, right.map_batches(lambda b: b.rename_columns(["k", "lv"]), batch_format="pyarrow"), on="k", right_cols=["lv"])
