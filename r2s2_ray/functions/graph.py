@@ -8,10 +8,12 @@ which broadcasts the label table and is the right choice only while the node
 set is entity-surface-form sized).
 
 Each round is three narrow groupby shuffles (attach labels to edge endpoints;
-min per edge; min per node). Labels only move toward the component minimum, so
-the algorithm converges in O(log(diameter)) rounds; convergence is detected with
-a content hash of the label table (cheap distributed aggregate, no join against
-the previous round).
+min per edge; min per node). A label moves one hop per round, so convergence
+takes O(eccentricity of the component's min node) rounds — BFS-like, NOT
+logarithmic (there is no pointer doubling); ``max_rounds`` bounds pathological
+chains and exhaustion RAISES rather than returning half-merged labels.
+Convergence is detected with a content hash of the label table (cheap
+distributed aggregate, no join against the previous round).
 """
 
 from __future__ import annotations
@@ -89,13 +91,20 @@ def _label_fingerprint(labels: ray.data.Dataset) -> int:
 
 
 def connected_components_distributed(
-    edges: ray.data.Dataset, max_rounds: int = 25
+    edges: ray.data.Dataset, max_rounds: int = 64
 ) -> ray.data.Dataset:
     """Connected components over an undirected edge list (string columns
     ``src``, ``dst``). Returns (node, label) with label = the component's
     lexicographic-min node id. Fully distributed: per-round state is the
     (node, label) Dataset, shuffled by node / edge id — nothing is pulled to
-    the driver except a per-round 8-byte fingerprint."""
+    the driver except a per-round 8-byte fingerprint.
+
+    Raises RuntimeError if the labels are still changing after ``max_rounds``
+    (a component whose min-node eccentricity exceeds the bound — e.g. a long
+    alias CHAIN); returning silently would hand back a half-merged labeling.
+    Edge identity is a 128-bit content hash (two independent 64-bit hashes):
+    at web scale (1e8+ edges) a single 64-bit id has birthday-real collision
+    odds, and a collision would permanently merge unrelated components."""
 
     def init(t: pa.Table) -> pa.Table:
         node = pa.concat_arrays(
@@ -107,35 +116,39 @@ def connected_components_distributed(
         return pa.table({"node": node, "label": label})
 
     def edge_rows(t: pa.Table) -> pa.Table:
-        """Each edge becomes two (node, eid) rows; eid = content hash of the
-        edge (stable across rounds, no global counter)."""
+        """Each edge becomes two (node, eid, eid2) rows; (eid, eid2) = two
+        independent 64-bit content hashes of the edge = a 128-bit identity
+        (stable across rounds, no global counter, collision odds ~2^-128)."""
         import polars as pl
 
         df = pl.from_arrow(t)
-        eid = df.select(
-            pl.concat_str([pl.col("src"), pl.col("dst")], separator="\x1f")
-            .hash(seed=13)
-            .reinterpret(signed=True)
-            .alias("eid")
-        )["eid"].to_arrow()
-        eid = eid.combine_chunks() if isinstance(eid, pa.ChunkedArray) else eid
+        key = pl.concat_str([pl.col("src"), pl.col("dst")], separator="\x1f")
+        ids = df.select(
+            key.hash(seed=13).reinterpret(signed=True).alias("eid"),
+            key.hash(seed=1031).reinterpret(signed=True).alias("eid2"),
+        ).to_arrow().combine_chunks()
         return pa.table(
             {
                 "node": pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()]),
-                "eid": pa.concat_arrays([eid, eid]),
+                "eid": pa.concat_arrays([ids["eid"].combine_chunks()] * 2),
+                "eid2": pa.concat_arrays([ids["eid2"].combine_chunks()] * 2),
             }
         )
 
     # materialize ONCE: every round reads endpoint_rows twice, and a lazy
     # dataset would re-execute the whole upstream edge pipeline each time
     endpoint_rows = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    # materialize ONCE: the fingerprint, round 1's lab_rows and the round-1
+    # union each consume this — lazy, that is three executions of the full
+    # init + groupby-Min shuffle over the edge set
     labels = (
         edges.map_batches(init, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("label", alias_name="label"))
-    )
+    ).materialize()
     fp = _label_fingerprint(labels)
 
+    converged = False
     for _ in range(max_rounds):
         # 1) attach each node's current label to its incident edge endpoints:
         #    union (node, eid) rows with (node, label) rows, sort by node, and
@@ -147,7 +160,7 @@ def connected_components_distributed(
             out = (
                 df.with_columns(pl.col("label").max().over("node").alias("lab"))
                 .filter(pl.col("eid").is_not_null())
-                .select([pl.col("eid"), pl.col("lab")])
+                .select([pl.col("eid"), pl.col("eid2"), pl.col("lab")])
             )
             return out.to_arrow()
 
@@ -156,6 +169,7 @@ def connected_components_distributed(
                 {
                     "node": t["node"],
                     "eid": pa.nulls(t.num_rows, pa.int64()),
+                    "eid2": pa.nulls(t.num_rows, pa.int64()),
                     "label": t["label"],
                 }
             ),
@@ -166,6 +180,7 @@ def connected_components_distributed(
                 {
                     "node": t["node"],
                     "eid": t["eid"],
+                    "eid2": t["eid2"],
                     "label": pa.nulls(t.num_rows, pa.string()),
                 }
             ),
@@ -184,7 +199,7 @@ def connected_components_distributed(
 
             df = pl.from_arrow(t)
             out = (
-                df.with_columns(pl.col("lab").min().over("eid").alias("mm"))
+                df.with_columns(pl.col("lab").min().over(["eid", "eid2"]).alias("mm"))
                 .filter(pl.col("node").is_not_null())
                 .select([pl.col("node"), pl.col("mm").alias("label")])
             )
@@ -194,6 +209,7 @@ def connected_components_distributed(
             lambda t: pa.table(
                 {
                     "eid": t["eid"],
+                    "eid2": t["eid2"],
                     "node": pa.nulls(t.num_rows, pa.string()),
                     "lab": t["lab"],
                 }
@@ -204,6 +220,7 @@ def connected_components_distributed(
             lambda t: pa.table(
                 {
                     "eid": t["eid"],
+                    "eid2": t["eid2"],
                     "node": t["node"],
                     "lab": pa.nulls(t.num_rows, pa.string()),
                 }
@@ -222,6 +239,13 @@ def connected_components_distributed(
         ).materialize()
         new_fp = _label_fingerprint(labels)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            "(a component's min-node eccentricity exceeds the bound — raise "
+            "max_rounds); refusing to return half-merged labels"
+        )
     return labels

@@ -219,6 +219,16 @@ def build_term_dictionary(
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
+    # buckets no term hashed into still get an EMPTY dictionary file, matching
+    # compact_term_fragments exactly — the id prefix-sum contract (and any
+    # reader enumerating bucket-{i:05d}) must see every bucket on BOTH paths
+    seen = {r["bucket"] for r in rows if r["kind"] == 0}
+    for bk in range(num_buckets):
+        if bk not in seen:
+            fs_write_table(
+                pa.table({"term": pa.array([], pa.string())}),
+                os.path.join(out_path, f"bucket-{bk:05d}.parquet"),
+            )
     n_terms = int(sum(r["n"] for r in rows if r["kind"] == 0))
     if not probe:
         return n_terms, None

@@ -198,7 +198,7 @@ def _decode_dicts(t: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def _fold_bucket(t: pa.Table) -> pa.Table:
+def _fold_bucket(t: pa.Table, namespaces=None) -> pa.Table:
     """Vectorized per-bucket fold: exact dedup + sorted distinct graph list.
 
     (ReintroduceRdfSetSemantics.java:71-109 — DISTINCT + LIST(DISTINCT graph) with
@@ -225,7 +225,9 @@ def _fold_bucket(t: pa.Table) -> pa.Table:
     lookup = pl.DataFrame(
         {
             "combo": pl.Series(combos, dtype=pl.Utf8),
-            "table_key": pl.Series([combo_to_table_key(c)[0] for c in combos], dtype=pl.Utf8),
+            "table_key": pl.Series(
+                [combo_to_table_key(c, namespaces)[0] for c in combos], dtype=pl.Utf8
+            ),
             "pred": pl.Series([p[0] for p in parts], dtype=pl.Utf8),
             "s_kind": pl.Series([int(p[1]) for p in parts], dtype=pl.Int8),
             "o_kind": pl.Series([int(p[2]) for p in parts], dtype=pl.Int8),
@@ -250,6 +252,7 @@ def _fold_bucket(t: pa.Table) -> pa.Table:
 def fold(
     routed: ray.data.Dataset,
     num_buckets: int = 64,
+    namespaces=None,
 ) -> ray.data.Dataset:
     """Dedup + graph-fold. Output columns: DEDUP_KEY + ``graphs`` (list<string>)
     + ``combo`` (constant per table partition; parquet dictionary-encodes it to
@@ -268,9 +271,13 @@ def fold(
     # bundle the whole corpus into a handful of serial tasks (measured: the
     # fold stage collapsed 9s -> 57s at 32 cpus under a 256k quota). Task
     # granularity belongs to upstream block sizing.
+    # NOTE: table_key/pred/... are reconstructed POST-shuffle from combo, so
+    # the same namespaces used at route() time must be passed here — the
+    # route-computed table_key column is dropped by the exchange payload
+    # minimization (_add_bucket ships 5 columns only)
     with_bucket = routed.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
     return with_bucket.sort("bucket").map_batches(
-        _fold_bucket, batch_format="pyarrow", batch_size=None
+        lambda t: _fold_bucket(t, namespaces), batch_format="pyarrow", batch_size=None
     )
 
 
@@ -308,6 +315,7 @@ def _write_census_fn(
     lean_dir: str,
     terms_frag_dir: str | None = None,
     num_term_buckets: int = 32,
+    namespaces=None,
 ):
     """Final fold reducer body: fold the block, DIRECT-WRITE each table's slice
     to ``lean/table_key=<name>/`` (hive layout, same as a partitioned write),
@@ -339,7 +347,7 @@ def _write_census_fn(
     memo: dict = {}
 
     def fn(t: pa.Table) -> pa.Table:
-        folded = _fold_bucket(t)
+        folded = _fold_bucket(t, namespaces)
         tag = block_tag(folded)
         keys = pc.unique(folded["table_key"]).to_pylist()
         for k in keys:
@@ -382,7 +390,9 @@ def _write_census_fn(
                 d = f"{terms_frag_dir}/bucket={int(key[0]):05d}"
                 fs_makedirs(d)
                 fs_write_table(g.drop("bucket").to_arrow(), f"{d}/part-{tag}.parquet")
-        return census_block_rows(folded, spec_from_combo, decompose_lean, memo)
+        return census_block_rows(
+            folded, lambda c: spec_from_combo(c, namespaces), decompose_lean, memo
+        )
 
     return fn
 
@@ -393,6 +403,7 @@ def fold_write_census(
     num_buckets: int = 64,
     terms_frag_dir: str | None = None,
     num_term_buckets: int = 32,
+    namespaces=None,
 ) -> list[dict]:
     """ONE job = the fold exchange + the partitioned lean write + the full
     step-1 census (column stats, combos, row counts, graph domain, A5
@@ -413,7 +424,7 @@ def fold_write_census(
     return (
         with_bucket.sort("bucket")
         .map_batches(
-            _write_census_fn(lean_dir, terms_frag_dir, num_term_buckets),
+            _write_census_fn(lean_dir, terms_frag_dir, num_term_buckets, namespaces),
             batch_format="pyarrow",
             batch_size=None,
         )

@@ -25,7 +25,6 @@ re-runs skip stamped tables (per-partition checkpoint, north rule).
 from __future__ import annotations
 
 import os
-import threading
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -35,7 +34,6 @@ from ..decompose import bnode_ids, split_iri_arrays
 from ..state.manifest import TableSpec
 from ..terms import IRI_PARTS, KIND_BNODE, KIND_IRI
 
-_READ_LOCK = threading.Lock()
 
 #: fixed gYear ENUM domain (OptimizeForDatatype.java:27-50 pre-creates
 #: -5999..2999); built once at import, ~9k strings
@@ -168,8 +166,20 @@ class MaterializeFn:
                 a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
                 idx = pc.cast(pc.index_in(a, value_set=dom), pa.int32())
                 if pc.any(pc.and_(pc.is_valid(a), pc.is_null(idx))).as_py():
-                    # year outside the reference's fixed domain: keep the
-                    # observed-value dictionary rather than nulling data
+                    # year outside the reference's fixed domain. A fresh census
+                    # rejects GYEAR for such columns (stats gyear bound check),
+                    # so this only fires for manifests that predate the check —
+                    # the per-chunk observed-value dictionary DIVERGES between
+                    # this chunk's files and in-domain chunks', which the fixed
+                    # domain exists to prevent; warn loudly rather than nulling
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "%s: gYear outside fixed domain -5999..2999; falling "
+                        "back to a chunk-local dictionary (cross-file index "
+                        "stability is lost for this table)",
+                        c.name,
+                    )
                     a = pc.dictionary_encode(a)
                 else:
                     a = pa.DictionaryArray.from_arrays(idx, dom)
@@ -432,56 +442,3 @@ def _apply_unique_recheck(specs_by_name: dict[str, TableSpec], chunk_stats: list
                 name,
             )
             spec.subject_unique = False
-
-
-def materialize_table(
-    out_dir: str,
-    spec: TableSpec,
-    enums: dict[str, list[str]],
-    lean_path: str | None = None,
-    global_sort: bool = False,
-    small_table_rows: int = 100_000,
-) -> None:
-    """``global_sort=False`` (default) relies on the fold/merge stages' per-bucket
-    (subj, obj) sort: every written file is internally subject-sorted, which is
-    what Parquet row-group pruning and compression actually consume. Set True for
-    the reference's whole-table ORDER BY (an extra all-to-all per table —
-    ReintroduceRdfSetSemantics.java:88,105).
-
-    Tables whose known row count is <= ``small_table_rows`` skip Ray entirely:
-    one pyarrow read + transform + write on the calling thread. The per-table
-    Ray-job latency (~1s each over hundreds of per-predicate tables) otherwise
-    dominates this stage; at 100 TB the long tail of tables is still tiny while
-    the handful of big ones take the streaming path."""
-    dest = table_data_path(out_dir, spec.name)
-    success = os.path.join(dest, "_SUCCESS")
-    if os.path.exists(success):
-        return  # per-partition resume
-    src = lean_path or table_lean_path(out_dir, spec.name)
-    if spec.row_count is not None and spec.row_count <= small_table_rows:
-        import pyarrow.dataset as pads
-        import pyarrow.parquet as pq
-
-        t = pads.dataset(src).to_table()
-        sort_keys = [("subj", "ascending")] + ([("obj", "ascending")] if "obj" in t.column_names else [])
-        t = t.sort_by(sort_keys)  # whole-table ORDER BY, free at this size
-        s = t["subj"].combine_chunks()
-        uniq = len(s) < 2 or not pc.any(pc.equal(s.slice(1), s.slice(0, len(s) - 1))).as_py()
-        _apply_unique_recheck(
-            {spec.name: spec},
-            [{"table": spec.name, "part": 0, "n": t.num_rows, "unique": uniq, "first": "", "last": "", "src": ""}],
-        )
-        out = MaterializeFn(spec, enums)(t)
-        os.makedirs(dest, exist_ok=True)
-        pq.write_table(out, os.path.join(dest, "part-0.parquet"))
-    else:
-        with _READ_LOCK:
-            # Dataset creation races on a lazy fsspec import when called from several
-            # threads; creation is cheap, execution (below) still overlaps.
-            lean = ray.data.read_parquet(src)
-        if global_sort:
-            lean = lean.sort(["subj", "obj"] if "obj" in lean.schema().names else ["subj"])
-        lean.map_batches(MaterializeFn(spec, enums), batch_format="pyarrow").write_parquet(dest)
-    spec.path = dest
-    with open(success, "w") as f:
-        f.write("ok")

@@ -96,21 +96,14 @@ def _subject_census(
         )
 
     def fold(b: pa.Table) -> pa.Table:
+        from .dicts import _j1_pair_counts
+
         df = pl.from_arrow(b)
-        # per (subj, tbl) multiplicity + per-subj table set
+        # per (subj, tbl) multiplicity + the SHARED J1 pair-count fold (one
+        # implementation for every subject-overlap probe — dicts._j1_pair_counts)
         per = df.group_by(["subj", "tbl"]).agg(pl.len().alias("n"))
         dup = per.group_by("tbl").agg((pl.col("n") > 1).any().alias("has_dup"))
-        sets = per.group_by("subj").agg(pl.col("tbl").sort().alias("tbls"))
-        pairs = (
-            sets.filter(pl.col("tbls").list.len() > 1)
-            .with_columns(pl.col("tbls").list.eval(pl.element()).alias("tbls"))
-            .explode("tbls")
-            .rename({"tbls": "a"})
-            .join(sets.explode("tbls").rename({"tbls": "b"}), on="subj")
-            .filter(pl.col("a") < pl.col("b"))
-            .group_by(["a", "b"])
-            .agg(pl.len().cast(pl.Int64).alias("cnt"))
-        )
+        pairs = _j1_pair_counts(per.select(pl.col("subj").alias("term"), "tbl"))
         out = pl.concat(
             [
                 dup.select(pl.col("tbl").alias("a"), pl.lit("").alias("b"), pl.col("has_dup").cast(pl.Int64).alias("cnt")),

@@ -53,7 +53,7 @@ from ..terms import (
 
 #: declared xsd datatype -> (logical SQL datatype, all-values predicate kind)
 _DT_RULES: dict[str, tuple[str, str]] = {
-    XSD_INT: ("INTEGER", "int"),
+    XSD_INT: ("INTEGER", "int32"),
     XSD_INTEGER: ("BIGINT", "int"),
     XSD_LONG: ("BIGINT", "int"),
     XSD_DECIMAL: ("DOUBLE", "float"),
@@ -74,11 +74,25 @@ _BOOL_RE = r"^(true|false)$"
 
 _PRED_RE = {
     "int": _INT_RE,
+    "int32": _INT_RE,
     "float": _FLOAT_RE,
     "bool": _BOOL_RE,
     "date": _DATE_RE,
     "datetime": _DATETIME_RE,
     "gyear": _GYEAR_RE,
+}
+
+#: the regex is a lexical-SHAPE check; Arrow's cast is the ground truth the
+#: materialize stage will apply, and it rejects values the shape accepts
+#: (30-digit "integers", 2023-02-30 calendar impossibilities, int32 overflow)
+#: — a narrowing decision must never crash step 3, so each predicate is
+#: additionally confirmed with the actual cast on the block's values
+_PRED_CAST = {
+    "int": pa.int64(),
+    "int32": pa.int32(),
+    "float": pa.float64(),
+    "date": pa.date32(),
+    "datetime": pa.timestamp("us"),
 }
 
 
@@ -130,7 +144,20 @@ def block_col_stats(col: pa.Array, preds: list[str], collect_domain: bool = Fals
         s.maxv = pc.max(nn).as_py()
         s.has_empty = bool(pc.any(pc.equal(nn, "")).as_py())
         for p in preds:
-            s.pred_ok[p] = bool(pc.all(pc.match_substring_regex(nn, _PRED_RE[p])).as_py())
+            ok = bool(pc.all(pc.match_substring_regex(nn, _PRED_RE[p])).as_py())
+            if ok and p in _PRED_CAST:
+                try:
+                    pc.cast(nn, _PRED_CAST[p])
+                except pa.ArrowInvalid:
+                    ok = False
+            if ok and p == "gyear":
+                # the GYEAR encoding is a dictionary over the reference's FIXED
+                # domain -5999..2999 (OptimizeForDatatype.java:27-50); a year
+                # outside it would force a per-chunk observed-value dictionary
+                # that diverges between files — reject the narrowing instead
+                yrs = pc.cast(nn, pa.int64())
+                ok = pc.min(yrs).as_py() >= -5999 and pc.max(yrs).as_py() <= 2999
+            s.pred_ok[p] = ok
     return s
 
 
@@ -171,9 +198,12 @@ def decide_columns(spec: TableSpec, stats: dict[str, ColStats], graph_stats: dic
             if st.nulls == 0 and st.pred_ok.get(predkind, False):
                 c.datatype = logical
                 continue
-        # T4: IRI part narrowing
+        # T4: IRI part narrowing (port guarded: an adversarial IRI can carry a
+        # port lexeme that overflows int32, and the decision must not crash
+        # the materialize cast)
         if c.name.endswith("_port"):
-            c.datatype = "INTEGER"
+            if st.pred_ok.get("int32", False):
+                c.datatype = "INTEGER"
             continue
         if c.name.rsplit("_", 1)[-1] in ("path", "query", "fragment") and st.pred_ok.get("int", False) and st.nulls < st.n:
             c.datatype = "BIGINT"
@@ -193,12 +223,15 @@ def _emit_stats_rows(cols: dict, graphs_cols: dict, prefix: str, rows: dict) -> 
     import pickle
 
     for name, arr in cols.items():
-        preds = ["int"]
         base = name.rsplit("_", 1)[-1]
         if name.endswith("_litvalue"):
             preds = list(_PRED_RE)
-        elif base not in ("path", "query", "fragment", "port", "id"):
-            preds = []
+        elif base in ("path", "query", "fragment"):
+            preds = ["int"]  # BIGINT narrowing candidates (decide_columns T4)
+        elif base == "port":
+            preds = ["int32"]  # INTEGER decision gate
+        else:
+            preds = []  # bnode id columns are already integers — no regex pass
         # enum censuses (A3) ride the same pass: object-side scheme/host domains
         collect = name.startswith("object_") and base in ("scheme", "host")
         st = block_col_stats(arr, preds, collect_domain=collect)

@@ -629,3 +629,65 @@ def test_sparql_filter_edge_forms():
         parse_sparql('SELECT ?s WHERE { ?s a <A> . OPTIONAL { ?s <p> ?v . FILTER(REGEX(?v, "x")) } }')
     sql = to_sql(parse_sparql("SELECT (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"))
     assert sql.startswith("SELECT CAST(COUNT(") and "AS p" not in sql
+
+
+def test_narrowing_rejects_uncastable_lexicals():
+    """Review regression: the narrowing regexes accept lexical SHAPES that
+    Arrow's cast (what materialize applies) rejects — the census must not
+    make a decision that crashes step 3. Covers unbounded integers, calendar
+    -impossible dates, int32 overflow and out-of-domain gYears."""
+    import pyarrow as pa
+
+    from r2s2_ray.stages.stats import block_col_stats
+
+    def ok(vals, pred):
+        return block_col_stats(pa.array(vals, pa.string()), [pred]).pred_ok[pred]
+
+    assert ok(["1", "-42"], "int") and not ok(["9" * 30], "int")
+    assert ok(["2147483647"], "int32") and not ok(["2147483648"], "int32")
+    assert ok(["2023-02-28"], "date") and not ok(["2023-02-30"], "date")
+    assert ok(["2023-02-28T10:00:00"], "datetime") and not ok(
+        ["2023-02-30T10:00:00"], "datetime"
+    )
+    assert ok(["1999", "-5999"], "gyear") and not ok(["5000"], "gyear")
+
+
+def test_cc_chain_converges_and_guard_raises():
+    """Review regression: min-label propagation moves one hop per round
+    (BFS-like); a chain needs ~length rounds, and round exhaustion must RAISE
+    rather than silently return half-merged labels."""
+    import pytest
+    import ray.data
+
+    from r2s2_ray.functions.graph import connected_components_distributed
+
+    edges = pa.Table.from_pylist([{"src": f"n{i}", "dst": f"n{i + 1}"} for i in range(6)])
+    out = connected_components_distributed(ray.data.from_arrow(edges)).to_pandas()
+    assert set(out["label"]) == {"n0"} and len(out) == 7
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_distributed(ray.data.from_arrow(edges), max_rounds=1)
+
+
+def test_term_dictionary_writes_every_bucket(tmp_path):
+    """Review regression: build_term_dictionary and compact_term_fragments
+    must produce the SAME file set — empty buckets included — so the id
+    prefix-sum contract holds on both paths."""
+    import os
+
+    import ray.data
+
+    from r2s2_ray.stages.dicts import build_term_dictionary
+
+    tri = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["https://a.example/x"], pa.string()),
+                "obj": pa.array(["https://a.example/y"], pa.string()),
+            }
+        )
+    )
+    out = str(tmp_path / "dict")
+    n, _ = build_term_dictionary(tri, out, num_buckets=16)
+    assert n == 2
+    files = sorted(os.listdir(out))
+    assert files == [f"bucket-{i:05d}.parquet" for i in range(16)]
