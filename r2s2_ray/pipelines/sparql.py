@@ -26,7 +26,14 @@ aggregate projections ``(COUNT|SUM|MIN|MAX|AVG(DISTINCT? ?v|*) AS ?alias)``
 with ``GROUP BY`` (plain projected variables must be grouping keys; COUNT
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
 non-numeric forms — SPARQL error-skipping),
-DISTINCT, ORDER BY, LIMIT. Terms bind to their lexical forms; IRIs and
+``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` inline-data groups
+inside the WHERE body (no UNDEF; terms constrain/bind lexical forms),
+``FILTER (NOT) EXISTS { BGP }`` (correlated semi/anti-join; group-local
+variables are scoped, shared variables correlate — standard SPARQL),
+``FILTER(BOUND(?v))`` / ``FILTER(!BOUND(?v))`` (evaluated AFTER OPTIONAL
+joins — the classic OPTIONAL+!BOUND anti-join idiom works),
+DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; comparison is over
+lexical forms), LIMIT and OFFSET. Terms bind to their lexical forms; IRIs and
 blank-node labels as stored (bnodes are ``_:...``). The reference's own
 round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE {[] a ?type}``
 (SparqlOnLoadedTest.java:111-127) — runs verbatim.
@@ -49,8 +56,10 @@ class Term:
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]+)>", re.I)
 _SELECT_RE = re.compile(r"SELECT\s+(DISTINCT\s+)?(.*?)\s+WHERE", re.I | re.S)
 _WHERE_RE = re.compile(r"WHERE\s*\{(.*)\}", re.I | re.S)
-_LIMIT_RE = re.compile(r"LIMIT\s+(\d+)\s*$", re.I)
-_ORDER_RE = re.compile(r"ORDER\s+BY\s+(.+?)(?:LIMIT|$)", re.I | re.S)
+_LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)", re.I)
+_OFFSET_RE = re.compile(r"\bOFFSET\s+(\d+)", re.I)
+_ORDER_RE = re.compile(r"ORDER\s+BY\s+(.+?)(?:\bLIMIT\b|\bOFFSET\b|$)", re.I | re.S)
+_ORDER_KEY_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.I)
 _FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*\)", re.I)
 _FFUNC_RE = re.compile(
     r"FILTER\s*\(\s*(REGEX|STRSTARTS|CONTAINS)\s*\(\s*(\?\w+)\s*,\s*(\S+?)\s*"
@@ -107,9 +116,10 @@ class Query:
     distinct: bool
     patterns: list[tuple[Term, Term, Term, Term | None]]  # (s, p, o, graph)
     filters: list[tuple[str, str, Term]]  # (var, op, constant)
-    order_by: list[str]
+    order_by: list[tuple[str, bool]]  # (var, descending)
     limit: int | None
     from_graphs: list[str] | None = None  # FROM <g> dataset restriction
+    offset: int | None = None
     optionals: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
     #: aggregate projections: (func, distinct, var-or-None-for-*, alias)
     aggs: list[tuple[str, bool, str | None, str]] | None = None
@@ -117,6 +127,13 @@ class Query:
     #: whole-body UNION: branches of pure BGPs (multiset union; a variable
     #: unbound in a branch projects as NULL — SPARQL unbound)
     union_groups: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
+    #: VALUES inline data: (ordered vars, rows of constant Terms)
+    values_groups: list[tuple[list[str], list[list[Term]]]] | None = None
+    #: FILTER (NOT) EXISTS { BGP }: (negated, quads)
+    exists_filters: list[tuple[bool, list[tuple[Term, Term, Term, Term | None]]]] | None = None
+    #: FILTER(BOUND(?v)) / FILTER(!BOUND(?v)): (var, positive) — applied
+    #: AFTER OPTIONAL left joins (the anti-join idiom)
+    bound_filters: list[tuple[str, bool]] | None = None
 
 
 _AGG_RE = re.compile(
@@ -128,6 +145,9 @@ _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.I)
+_VALUES_RE = re.compile(r"VALUES\s+(\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{([^{}]*)\}", re.I)
+_EXISTS_RE = re.compile(r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", re.I)
+_BOUND_RE = re.compile(r"FILTER\s*\(\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*\)", re.I)
 _GRAPH_RE = re.compile(r"GRAPH\s+(\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*\{([^{}]*)\}", re.I)
 _QUOTED_RE = re.compile(r'"(?:[^"\\]|\\.)*"')
 
@@ -172,6 +192,45 @@ def _quads(
     """Group body -> (s, p, o, graph-term) quads. g=None means the pattern
     ranges over the whole store (the serving views union all graphs)."""
     return [(s, p, o, g) for s, p, o in _triples(inner, prefixes)]
+
+
+def _parse_values(head: str, data: str, prefixes: dict[str, str]) -> tuple[list[str], list[list[Term]]]:
+    """``VALUES`` head + data block -> (ordered vars, rows of constant Terms).
+    Single-var form (``VALUES ?v { t ... }``: bare terms, one per row) and the
+    row form (``VALUES (?a ?b) { (t t) ... }``). UNDEF is not supported."""
+    if re.search(r"\bUNDEF\b", data, re.I):
+        raise ValueError("VALUES UNDEF is not supported")
+    vars_ = re.findall(r"\?(\w+)", head)
+    rows: list[list[Term]] = []
+    if head.lstrip().startswith("("):
+        for rm in re.finditer(r"\(([^()]*)\)", data):
+            toks = [m.group(0) for m in _TERM_RE.finditer(rm.group(1))]
+            if len(toks) != len(vars_):
+                raise ValueError(
+                    f"VALUES row arity {len(toks)} != {len(vars_)} variables"
+                )
+            rows.append([_parse_term(t, prefixes) for t in toks])
+    else:
+        rows = [[_parse_term(m.group(0), prefixes)] for m in _TERM_RE.finditer(data)]
+    if not rows:
+        raise ValueError("empty VALUES data block")
+    for row in rows:
+        for t in row:
+            if t.kind == "var":
+                raise ValueError("VALUES data must be constant terms")
+    return vars_, rows
+
+
+def _parse_order(text: str) -> list[tuple[str, bool]]:
+    """ORDER BY condition text -> [(var, descending)] preserving key order;
+    plain ``?v`` and ``ASC(?v)`` are ascending, ``DESC(?v)`` descending."""
+    keys: list[tuple[str, bool]] = []
+    for m in _ORDER_KEY_RE.finditer(text):
+        if m.group(3):
+            keys.append((m.group(3), False))
+        else:
+            keys.append((m.group(2), m.group(1).upper() == "DESC"))
+    return keys
 
 
 def parse_sparql(q: str) -> Query:
@@ -244,16 +303,18 @@ def parse_sparql(q: str) -> Query:
         tail = q[q.rindex("}") + 1 :]
         if _GROUPBY_RE.search(tail):
             raise ValueError("GROUP BY over UNION is not supported")
-        lim = _LIMIT_RE.search(tail.strip())
+        lim = _LIMIT_RE.search(tail)
+        off = _OFFSET_RE.search(tail)
         order = _ORDER_RE.search(tail)
         return Query(
             sel_vars,
             distinct,
             [],
             [],
-            re.findall(r"\?(\w+)", order.group(1)) if order else [],
+            _parse_order(order.group(1)) if order else [],
             int(lim.group(1)) if lim else None,
             from_graphs=from_graphs or None,
+            offset=int(off.group(1)) if off else None,
             union_groups=union_groups,
         )
     if re.search(r"\bUNION\b", inner, re.I):
@@ -281,6 +342,22 @@ def parse_sparql(q: str) -> Query:
             raise ValueError("FILTER inside OPTIONAL is not supported")
         optionals.append(_quads(restore(m.group(1)), prefixes, None))
     inner = _OPTIONAL_RE.sub(" ", inner)
+    # VALUES inline-data groups and FILTER (NOT) EXISTS groups — extracted
+    # AFTER the OPTIONAL scan on purpose: one of these nested inside an
+    # OPTIONAL body leaves that OPTIONAL unmatched (nested braces) and the
+    # leftover braces fail the final tokenization loudly, instead of the
+    # group being silently lifted out of its OPTIONAL scope
+    values_groups: list[tuple[list[str], list[list[Term]]]] = []
+    for m in _VALUES_RE.finditer(inner):
+        values_groups.append(_parse_values(m.group(1), restore(m.group(2)), prefixes))
+    inner = _VALUES_RE.sub(" ", inner)
+    exists_filters: list[tuple[bool, list[tuple[Term, Term, Term, Term | None]]]] = []
+    for m in _EXISTS_RE.finditer(inner):
+        exists_filters.append((bool(m.group(1)), _quads(restore(m.group(2)), prefixes, None)))
+    inner = _EXISTS_RE.sub(" ", inner)
+    # FILTER((!)BOUND(?v)): post-OPTIONAL null tests (the anti-join idiom)
+    bound_filters = [(m.group(2), not m.group(1)) for m in _BOUND_RE.finditer(inner)]
+    inner = _BOUND_RE.sub(" ", inner)
     # string-function FILTERs first (their own regex would otherwise be
     # half-eaten by the comparison form): REGEX/STRSTARTS/CONTAINS(?v, "lit")
     filters = []
@@ -308,16 +385,28 @@ def parse_sparql(q: str) -> Query:
     if re.search(r"\bFILTER\b", inner, re.I):
         raise ValueError(
             "unsupported FILTER form (supported: comparison ops, "
-            "REGEX/STRSTARTS/CONTAINS)"
+            "REGEX/STRSTARTS/CONTAINS, (NOT) EXISTS, (!)BOUND)"
         )
+    # leftover braces or group keywords = a group the extractions above did
+    # not consume (e.g. EXISTS nested inside OPTIONAL). The triple tokenizer
+    # skips non-term characters, so without this check mis-nested structure
+    # would silently degrade into bogus required triples.
+    if re.search(r"[{}]", inner):
+        raise ValueError("unsupported nested group structure in WHERE body")
+    kw = re.search(r"\b(OPTIONAL|GRAPH|VALUES|UNION|EXISTS|MINUS|BIND|SERVICE)\b", inner, re.I)
+    if kw:
+        raise ValueError(f"unsupported or mis-nested {kw.group(1).upper()} group")
     rest = restore(inner)
     patterns = (_quads(rest, prefixes, None) if rest.strip() else []) + graph_quads
-    if not patterns:
+    if not patterns and not values_groups:
         raise ValueError("empty WHERE clause")
+    if exists_filters and not patterns:
+        raise ValueError("FILTER EXISTS needs a basic graph pattern to correlate with")
     tail = q[q.rindex("}") + 1 :]
-    lim = _LIMIT_RE.search(tail.strip())
+    lim = _LIMIT_RE.search(tail)
+    off = _OFFSET_RE.search(tail)
     order = _ORDER_RE.search(tail)
-    order_by = re.findall(r"\?(\w+)", order.group(1)) if order else []
+    order_by = _parse_order(order.group(1)) if order else []
     gb = _GROUPBY_RE.search(tail)
     group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
     if group_by and not aggs:
@@ -338,9 +427,13 @@ def parse_sparql(q: str) -> Query:
         order_by,
         int(lim.group(1)) if lim else None,
         from_graphs=from_graphs or None,
+        offset=int(off.group(1)) if off else None,
         optionals=optionals or None,
         aggs=aggs or None,
         group_by=group_by or None,
+        values_groups=values_groups or None,
+        exists_filters=exists_filters or None,
+        bound_filters=bound_filters or None,
     )
 
 
@@ -431,6 +524,38 @@ def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
     return ", ".join(parts), group
 
 
+def _order_limit(
+    query: Query, projected: set[str], cols: dict[str, str] | None = None
+) -> str:
+    """ORDER BY / LIMIT / OFFSET tail. Order keys use the projected alias when
+    available, else the bound column (invalid under DISTINCT or aggregation,
+    where SQL only sees the projection — raise rather than emit broken SQL)."""
+    sql = ""
+    if query.order_by:
+        parts = []
+        for v, desc in query.order_by:
+            if v in projected:
+                expr = v
+            elif cols and v in cols and not query.distinct and not query.aggs:
+                expr = cols[v]
+            else:
+                raise ValueError(f"ORDER BY variable ?{v} is not projected")
+            parts.append(f"{expr} DESC" if desc else expr)
+        sql += " ORDER BY " + ", ".join(parts)
+    if query.limit is not None:
+        sql += f" LIMIT {query.limit}"
+    if query.offset is not None:
+        sql += f" OFFSET {query.offset}"
+    return sql
+
+
+def _values_alias(k: int, vars_: list[str], rows: list[list[Term]]) -> str:
+    """One VALUES group -> an inline-data FROM alias ``(VALUES ...) vK(a, b)``
+    (terms constrain lexical forms, same comparison the BGP constants use)."""
+    body = ", ".join("(" + ", ".join(_q(t.value) for t in row) + ")" for row in rows)
+    return f"(VALUES {body}) v{k}({', '.join(vars_)})"
+
+
 def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     """BGP -> self-join SQL over the (subj, pred, obj, o_lang, o_dt, graph)
     triples view. OPTIONAL groups compile to LEFT JOINs of per-group
@@ -467,14 +592,31 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         sql = " UNION ALL ".join(parts)
         if query.distinct:
             sql = f"SELECT DISTINCT * FROM ({sql})"
-        if query.order_by:
-            sql += " ORDER BY " + ", ".join(query.order_by)
-        if query.limit is not None:
-            sql += f" LIMIT {query.limit}"
-        return sql
+        return sql + _order_limit(query, set(out_vars))
     aliases, binds, conds = _compile_bgp(
         query.patterns, query.from_graphs, triples_view, "t"
     )
+    for k, (v_vars, v_rows) in enumerate(query.values_groups or []):
+        # inline data joins the required part: an already-bound variable gets
+        # an equality (restriction), an unbound one binds to the data column
+        aliases.append(_values_alias(k, v_vars, v_rows))
+        for v in v_vars:
+            if v in binds:
+                conds.append(f"v{k}.{v} = {binds[v]}")
+            else:
+                binds[v] = f"v{k}.{v}"
+    for k, (negated, e_quads) in enumerate(query.exists_filters or []):
+        # correlated semi/anti-join: group-local variables are scoped to the
+        # subquery; variables shared with the required part correlate on the
+        # outer alias columns (standard SPARQL EXISTS semantics)
+        e_aliases, e_binds, e_conds = _compile_bgp(
+            e_quads, query.from_graphs, triples_view, f"e{k}_"
+        )
+        e_conds += [f"{e_binds[v]} = {binds[v]}" for v in e_binds if v in binds]
+        sub = f"SELECT 1 FROM {', '.join(e_aliases)}"
+        if e_conds:
+            sub += " WHERE " + " AND ".join(e_conds)
+        conds.append(f"{'NOT ' if negated else ''}EXISTS ({sub})")
     for var, op, term in query.filters:
         if var not in binds:
             raise ValueError(f"FILTER on unbound variable ?{var}")
@@ -502,14 +644,23 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             conds.append(f"{binds[var]} {sql_op} {_q(term.value)}")
     group = ""
     if not query.optionals:
+        # without OPTIONAL every bound variable is non-null: BOUND tests are
+        # constant, compiled as IS (NOT) NULL on the bound column for parity
+        for v, positive in query.bound_filters or []:
+            if v not in binds:
+                raise ValueError(f"BOUND on unbound variable ?{v}")
+            conds.append(f"{binds[v]} IS {'NOT NULL' if positive else 'NULL'}")
         if query.aggs:
             proj, group = _agg_projection(query, binds)
+            projected = {a for _, _, _, a in query.aggs} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in binds if not v.startswith("__"))
             missing = [v for v in out_vars if v not in binds]
             if missing:
                 raise ValueError(f"SELECT variables never bound: {missing}")
             proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars)
+            projected = set(out_vars)
+        colmap = binds
         sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
         if conds:
             sql += " WHERE " + " AND ".join(conds)
@@ -542,23 +693,30 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             for v in g_binds:
                 if v not in outer:
                     outer[v] = f"g{k}.{v}"
+        # BOUND tests evaluate AFTER the left joins (a !BOUND over an
+        # OPTIONAL-only variable is the standard anti-join idiom)
+        outer_conds = []
+        for v, positive in query.bound_filters or []:
+            if v not in outer:
+                raise ValueError(f"BOUND on unbound variable ?{v}")
+            outer_conds.append(f"{outer[v]} IS {'NOT NULL' if positive else 'NULL'}")
+        where = " WHERE " + " AND ".join(outer_conds) if outer_conds else ""
         if query.aggs:
             proj, group = _agg_projection(query, outer)
+            projected = {a for _, _, _, a in query.aggs} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in outer if not v.startswith("__"))
             missing = [v for v in out_vars if v not in outer]
             if missing:
                 raise ValueError(f"SELECT variables never bound: {missing}")
             proj = ", ".join(f"{outer[v]} AS {v}" for v in out_vars)
+            projected = set(out_vars)
+        colmap = outer
         sql = (
             f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
-            f"FROM ({req}) r {' '.join(joins)}{group}"
+            f"FROM ({req}) r {' '.join(joins)}{where}{group}"
         )
-    if query.order_by:
-        sql += " ORDER BY " + ", ".join(query.order_by)
-    if query.limit is not None:
-        sql += f" LIMIT {query.limit}"
-    return sql
+    return sql + _order_limit(query, projected, colmap)
 
 
 def run_sparql(out_dir: str, sparql: str):

@@ -619,8 +619,12 @@ def test_sparql_filter_edge_forms():
     assert "regexp_matches(t0.obj, '^u', 'i')" in sql
     with pytest.raises(ValueError, match="two arguments"):
         parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(STRSTARTS(?r, "a", "b")) }')
+    # BOUND became supported in the round-3 widening: on a required (never
+    # null) variable it compiles to an IS NOT NULL on the bound column
+    sql = to_sql(parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(BOUND(?r)) }'))
+    assert "t0.obj IS NOT NULL" in sql
     with pytest.raises(ValueError, match="unsupported FILTER form"):
-        parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(BOUND(?r)) }')
+        parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(LANG(?r) = "en") }')
     with pytest.raises(ValueError, match=r"DISTINCT \*"):
         parse_sparql("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
     with pytest.raises(ValueError, match="UNION branches"):
@@ -691,3 +695,67 @@ def test_term_dictionary_writes_every_bucket(tmp_path):
     assert n == 2
     files = sorted(os.listdir(out))
     assert files == [f"bucket-{i:05d}.parquet" for i in range(16)]
+
+
+def test_sparql_values_exists_bound_order():
+    """Round-3 widening: VALUES inline data (single + row form), FILTER
+    (NOT) EXISTS semi/anti-joins, OPTIONAL + (!)BOUND, ORDER BY ASC/DESC
+    modifiers, OFFSET — all against an in-memory triples view."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('s1','e:name','alice', NULL, NULL, 'g1'),
+          ('s2','e:name','bob',   NULL, NULL, 'g1'),
+          ('s3','e:name','carol', NULL, NULL, 'g2'),
+          ('s1','e:age','30', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g1'),
+          ('s3','e:age','40', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g2')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run(
+        "SELECT ?n WHERE { ?s <e:name> ?n } ORDER BY DESC(?n) LIMIT 2 OFFSET 1"
+    ) == [("bob",), ("alice",)]
+    assert run(
+        'SELECT ?s WHERE { ?s <e:name> ?n . VALUES ?n { "alice" "carol" } } ORDER BY ?s'
+    ) == [("s1",), ("s3",)]
+    # row form binds the unbound ?tag from the inline data
+    assert run(
+        "SELECT ?s ?tag WHERE { ?s <e:name> ?n . "
+        'VALUES (?n ?tag) { ("alice" "A") ("bob" "B") } } ORDER BY ?s'
+    ) == [("s1", "A"), ("s2", "B")]
+    assert run('SELECT ?x WHERE { VALUES ?x { "1" "2" } } ORDER BY DESC(?x)') == [
+        ("2",),
+        ("1",),
+    ]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . FILTER EXISTS { ?s <e:age> ?a } } ORDER BY ?s"
+    ) == [("s1",), ("s3",)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . FILTER NOT EXISTS { ?s <e:age> ?a } }"
+    ) == [("s2",)]
+    # the OPTIONAL + !BOUND anti-join idiom, and its BOUND complement
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a } FILTER(!BOUND(?a)) }"
+    ) == [("s2",)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a } FILTER(BOUND(?a)) } ORDER BY ?s"
+    ) == [("s1",), ("s3",)]
+    # a BOUND/EXISTS group nested in OPTIONAL must error, not silently re-scope
+    with pytest.raises(ValueError, match="FILTER inside OPTIONAL"):
+        run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER(!BOUND(?a)) } ?s <e:name> ?n }")
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER EXISTS { ?s <e:name> ?n } } ?s <e:name> ?n }")
+    with pytest.raises(ValueError, match="UNDEF"):
+        run("SELECT ?x WHERE { VALUES ?x { UNDEF } }")
+    with pytest.raises(ValueError, match="not projected"):
+        run("SELECT ?s WHERE { ?s <e:name> ?n } ORDER BY ?zzz")
+    with pytest.raises(ValueError, match="arity"):
+        run('SELECT ?s WHERE { VALUES (?a ?b) { ("x") } }')
