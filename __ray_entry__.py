@@ -211,6 +211,24 @@ def _kg_sparql_graph(sf_dir: str):
     )
 
 
+def _kg_sparql_antijoin(sf_dir: str):
+    """Round-3 SPARQL widening served end-to-end: VALUES inline data, a
+    FILTER NOT EXISTS anti-join, DESC ordering and OFFSET in one query."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?turn ?role WHERE {\n"
+        "  ?turn a ex:Turn .\n"
+        "  ?turn ex:role ?role .\n"
+        '  VALUES ?role { "user" "system" }\n'
+        "  FILTER NOT EXISTS { ?turn ex:mentions ?e }\n"
+        "} ORDER BY DESC(?turn) OFFSET 5"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_agg(sf_dir: str):
     """SPARQL aggregates served end-to-end: per-class instance counts via
     (COUNT(?s) AS ?n) + GROUP BY over the loaded store."""
@@ -551,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_roundtrip": _kg_roundtrip,
         "kg_sparql": _kg_sparql,
         "kg_sparql_graph": _kg_sparql_graph,
+        "kg_sparql_antijoin": _kg_sparql_antijoin,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
@@ -609,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip": oracles.roundtrip_oracle(),
         "kg_sparql": oracles.sparql_turns_oracle(),
         "kg_sparql_graph": oracles.sparql_graph_oracle(),
+        "kg_sparql_antijoin": oracles.sparql_antijoin_oracle(),
         "kg_sparql_agg": oracles.sparql_agg_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",

@@ -169,6 +169,24 @@ def sparql_turns_oracle() -> str:
     )
 
 
+def sparql_antijoin_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_antijoin``:
+    { ?turn a ex:Turn . ?turn ex:role ?role . VALUES ?role {"user" "system"}
+      FILTER NOT EXISTS { ?turn ex:mentions ?e } }
+    DISTINCT, ORDER BY DESC(?turn) OFFSET 5 — VALUES = an IN restriction,
+    NOT EXISTS = a correlated anti-join, OFFSET over the unique-turn order."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS ({t}) "
+        f"SELECT DISTINCT ty.subj AS turn, r.obj AS role "
+        f"FROM (SELECT DISTINCT subj FROM t WHERE pred = {_q(RDF_TYPE)} AND obj = {_q(vocab.C_TURN)}) ty "
+        f"JOIN (SELECT DISTINCT subj, obj FROM t WHERE pred = {_q(vocab.P_ROLE)}) r ON r.subj = ty.subj "
+        f"WHERE r.obj IN ('user', 'system') "
+        f"AND NOT EXISTS (SELECT 1 FROM t m WHERE m.pred = {_q(vocab.P_MENTIONS)} AND m.subj = ty.subj) "
+        f"ORDER BY turn DESC OFFSET 5"
+    )
+
+
 def sparql_graph_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_graph``:
     { GRAPH ?g { [] a ?type } } = distinct (graph, class) pairs over every
