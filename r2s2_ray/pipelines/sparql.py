@@ -30,8 +30,16 @@ non-numeric forms — SPARQL error-skipping),
 inside the WHERE body (no UNDEF; terms constrain/bind lexical forms),
 ``FILTER (NOT) EXISTS { BGP }`` (correlated semi/anti-join; group-local
 variables are scoped, shared variables correlate — standard SPARQL),
+``MINUS { BGP }`` (anti-join on the shared variables; a group sharing no
+variable removes nothing — the SPARQL MINUS/NOT-EXISTS divergence),
 ``FILTER(BOUND(?v))`` / ``FILTER(!BOUND(?v))`` (evaluated AFTER OPTIONAL
 joins — the classic OPTIONAL+!BOUND anti-join idiom works),
+``FILTER(LANG(?v) =/!= "en")`` (case-insensitive, ``""`` = untagged) and
+``FILTER(DATATYPE(?v) =/!= <dt>)`` (``xsd:string`` = plain untagged,
+``rdf:langString`` = lang-tagged) over the stored ``o_lang``/``o_dt``
+columns — an IRI/bnode binding behaves like a plain literal here
+(the store keeps no kind column in the serving view; restrict the
+pattern to literal objects for exact SPARQL error semantics),
 DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; comparison is over
 lexical forms), LIMIT and OFFSET. Terms bind to their lexical forms; IRIs and
 blank-node labels as stored (bnodes are ``_:...``). The reference's own
@@ -131,6 +139,10 @@ class Query:
     values_groups: list[tuple[list[str], list[list[Term]]]] | None = None
     #: FILTER (NOT) EXISTS { BGP }: (negated, quads)
     exists_filters: list[tuple[bool, list[tuple[Term, Term, Term, Term | None]]]] | None = None
+    #: MINUS { BGP } groups (anti-join on shared vars; no-op when disjoint)
+    minus_groups: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
+    #: FILTER(LANG/DATATYPE(?v) =/!= const): (func, var, op, constant)
+    langdt_filters: list[tuple[str, str, str, Term]] | None = None
     #: FILTER(BOUND(?v)) / FILTER(!BOUND(?v)): (var, positive) — applied
     #: AFTER OPTIONAL left joins (the anti-join idiom)
     bound_filters: list[tuple[str, bool]] | None = None
@@ -147,7 +159,11 @@ _BNODE_RE = re.compile(r"_:(\w+)")
 _OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.I)
 _VALUES_RE = re.compile(r"VALUES\s+(\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{([^{}]*)\}", re.I)
 _EXISTS_RE = re.compile(r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", re.I)
+_MINUS_RE = re.compile(r"MINUS\s*\{([^{}]*)\}", re.I)
 _BOUND_RE = re.compile(r"FILTER\s*\(\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*\)", re.I)
+_LANGDT_RE = re.compile(
+    r"FILTER\s*\(\s*(LANG|DATATYPE)\s*\(\s*\?(\w+)\s*\)\s*(=|!=)\s*(\S+?)\s*\)", re.I
+)
 _GRAPH_RE = re.compile(r"GRAPH\s+(\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*\{([^{}]*)\}", re.I)
 _QUOTED_RE = re.compile(r'"(?:[^"\\]|\\.)*"')
 
@@ -355,9 +371,21 @@ def parse_sparql(q: str) -> Query:
     for m in _EXISTS_RE.finditer(inner):
         exists_filters.append((bool(m.group(1)), _quads(restore(m.group(2)), prefixes, None)))
     inner = _EXISTS_RE.sub(" ", inner)
+    minus_groups = [
+        _quads(restore(m.group(1)), prefixes, None) for m in _MINUS_RE.finditer(inner)
+    ]
+    inner = _MINUS_RE.sub(" ", inner)
     # FILTER((!)BOUND(?v)): post-OPTIONAL null tests (the anti-join idiom)
     bound_filters = [(m.group(2), not m.group(1)) for m in _BOUND_RE.finditer(inner)]
     inner = _BOUND_RE.sub(" ", inner)
+    # FILTER(LANG(?v) = "en") / FILTER(DATATYPE(?v) = xsd:int): compile onto
+    # the stored o_lang / o_dt columns of the variable's binding pattern
+    langdt_filters: list[tuple[str, str, str, Term]] = []
+    for m in _LANGDT_RE.finditer(inner):
+        langdt_filters.append(
+            (m.group(1).lower(), m.group(2), m.group(3), _parse_term(restore(m.group(4)), prefixes))
+        )
+    inner = _LANGDT_RE.sub(" ", inner)
     # string-function FILTERs first (their own regex would otherwise be
     # half-eaten by the comparison form): REGEX/STRSTARTS/CONTAINS(?v, "lit")
     filters = []
@@ -433,6 +461,8 @@ def parse_sparql(q: str) -> Query:
         group_by=group_by or None,
         values_groups=values_groups or None,
         exists_filters=exists_filters or None,
+        minus_groups=minus_groups or None,
+        langdt_filters=langdt_filters or None,
         bound_filters=bound_filters or None,
     )
 
@@ -617,6 +647,56 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         if e_conds:
             sub += " WHERE " + " AND ".join(e_conds)
         conds.append(f"{'NOT ' if negated else ''}EXISTS ({sub})")
+    for k, m_quads in enumerate(query.minus_groups or []):
+        # MINUS: remove solutions with a COMPATIBLE minus-side solution that
+        # shares at least one variable. BGP variables are always bound, so
+        # compatible = equal on every shared variable; a group sharing no
+        # variable removes nothing (the SPARQL MINUS/NOT-EXISTS divergence)
+        m_aliases, m_binds, m_conds = _compile_bgp(
+            m_quads, query.from_graphs, triples_view, f"m{k}_"
+        )
+        shared = [v for v in m_binds if v in binds]
+        if not shared:
+            continue
+        m_conds += [f"{m_binds[v]} = {binds[v]}" for v in shared]
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM {', '.join(m_aliases)} WHERE "
+            + " AND ".join(m_conds)
+            + ")"
+        )
+    for func, var, op, term in query.langdt_filters or []:
+        # LANG/DATATYPE compile onto the stored o_lang / o_dt columns of the
+        # variable's binding pattern. Caveat (documented): an IRI/bnode
+        # binding carries NULL o_lang/o_dt and behaves like a plain literal —
+        # restrict the pattern to literal objects for exact SPARQL semantics.
+        col = binds.get(var)
+        if col is None:
+            raise ValueError(f"{func.upper()} on unbound variable ?{var}")
+        if not col.endswith(".obj"):
+            raise ValueError(f"{func.upper()}(?{var}) needs an object binding")
+        a = col[: -len(".obj")]
+        if func == "lang":
+            if term.kind != "lit":
+                raise ValueError("LANG compares against a plain string literal")
+            # lang tags match case-insensitively; "" = no language tag
+            expr = f"lower(coalesce({a}.o_lang, '')) = {_q(term.value.lower())}"
+        else:
+            if term.kind != "iri":
+                raise ValueError("DATATYPE compares against a datatype IRI")
+            xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+            rdf_langstring = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+            if term.value == xsd_string:
+                # RDF 1.1: a plain (untagged, untyped) literal IS xsd:string;
+                # the store may also carry the explicit annotation
+                expr = (
+                    f"({a}.o_lang IS NULL AND "
+                    f"coalesce({a}.o_dt, {_q(xsd_string)}) = {_q(xsd_string)})"
+                )
+            elif term.value == rdf_langstring:
+                expr = f"{a}.o_lang IS NOT NULL"
+            else:
+                expr = f"coalesce({a}.o_dt, '') = {_q(term.value)}"
+        conds.append(f"NOT ({expr})" if op == "!=" else expr)
     for var, op, term in query.filters:
         if var not in binds:
             raise ValueError(f"FILTER on unbound variable ?{var}")

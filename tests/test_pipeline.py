@@ -624,7 +624,7 @@ def test_sparql_filter_edge_forms():
     sql = to_sql(parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(BOUND(?r)) }'))
     assert "t0.obj IS NOT NULL" in sql
     with pytest.raises(ValueError, match="unsupported FILTER form"):
-        parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(LANG(?r) = "en") }')
+        parse_sparql("SELECT ?r WHERE { ?t <p> ?r . FILTER(STRLEN(?r) > 3) }")
     with pytest.raises(ValueError, match=r"DISTINCT \*"):
         parse_sparql("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
     with pytest.raises(ValueError, match="UNION branches"):
@@ -759,3 +759,61 @@ def test_sparql_values_exists_bound_order():
         run("SELECT ?s WHERE { ?s <e:name> ?n } ORDER BY ?zzz")
     with pytest.raises(ValueError, match="arity"):
         run('SELECT ?s WHERE { VALUES (?a ?b) { ("x") } }')
+
+
+def test_sparql_minus_lang_datatype():
+    """Round-3 widening 2: MINUS groups (anti-join on shared vars; disjoint
+    group removes nothing — the MINUS/NOT-EXISTS divergence), LANG() filters
+    (case-insensitive, "" = untagged) and DATATYPE() filters (xsd:string =
+    plain, rdf:langString = lang-tagged) over the o_lang/o_dt columns."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('s1','e:name','alice', NULL, NULL, 'g1'),
+          ('s2','e:name','bob',   NULL, NULL, 'g1'),
+          ('s1','e:label','der Fuchs', 'de', NULL, 'g1'),
+          ('s2','e:label','the fox', 'en', NULL, 'g1'),
+          ('s3','e:label','plain', NULL, NULL, 'g1'),
+          ('s1','e:age','30', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g1'),
+          ('s4','e:label','typed plain', NULL, 'http://www.w3.org/2001/XMLSchema#string', 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run("SELECT ?s WHERE { ?s <e:label> ?l . MINUS { ?s <e:name> ?n } } ORDER BY ?s") == [("s3",), ("s4",)]
+    # no shared variable: MINUS removes nothing (NOT EXISTS would empty it)
+    assert run(
+        "SELECT ?s WHERE { ?s <e:label> ?l . MINUS { ?x <e:name> ?n } } ORDER BY ?s"
+    ) == [("s1",), ("s2",), ("s3",), ("s4",)]
+    assert run('SELECT ?s WHERE { ?s <e:label> ?l . FILTER(LANG(?l) = "EN") }') == [("s2",)]
+    assert run(
+        'SELECT ?s WHERE { ?s <e:label> ?l . FILTER(LANG(?l) = "") } ORDER BY ?s'
+    ) == [("s3",), ("s4",)]
+    assert run(
+        'SELECT ?s WHERE { ?s <e:label> ?l . FILTER(LANG(?l) != "de") } ORDER BY ?s'
+    ) == [("s2",), ("s3",), ("s4",)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:age> ?v . "
+        "FILTER(DATATYPE(?v) = <http://www.w3.org/2001/XMLSchema#integer>) }"
+    ) == [("s1",)]
+    assert run(
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        "SELECT ?s WHERE { ?s <e:label> ?v . FILTER(DATATYPE(?v) = xsd:string) } ORDER BY ?s"
+    ) == [("s3",), ("s4",)]  # plain AND explicitly-annotated xsd:string both match
+    assert run(
+        "PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>\n"
+        "SELECT ?s WHERE { ?s <e:label> ?v . FILTER(DATATYPE(?v) = rdf:langString) } ORDER BY ?s"
+    ) == [("s1",), ("s2",)]
+    with pytest.raises(ValueError, match="object binding"):
+        run('SELECT ?s WHERE { ?s <e:name> ?n . FILTER(LANG(?s) = "en") }')
+    with pytest.raises(ValueError, match="unbound"):
+        run('SELECT ?s WHERE { ?s <e:name> ?n . FILTER(LANG(?z) = "en") }')
+    with pytest.raises(ValueError, match="datatype IRI"):
+        run('SELECT ?s WHERE { ?s <e:name> ?n . FILTER(DATATYPE(?n) = "x") }')
