@@ -606,6 +606,8 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                 if v not in all_vars and not v.startswith("__"):
                     all_vars.append(v)
         out_vars = query.select or sorted(all_vars)
+        if not out_vars:
+            raise ValueError("query projects no variables")
         never = [v for v in out_vars if all(v not in b for _, b, _ in compiled)]
         if never:
             raise ValueError(f"SELECT variables never bound: {never}")
@@ -735,6 +737,8 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             projected = {a for _, _, _, a in query.aggs} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in binds if not v.startswith("__"))
+            if not out_vars:
+                raise ValueError("query projects no variables")
             missing = [v for v in out_vars if v not in binds]
             if missing:
                 raise ValueError(f"SELECT variables never bound: {missing}")
@@ -786,6 +790,8 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             projected = {a for _, _, _, a in query.aggs} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in outer if not v.startswith("__"))
+            if not out_vars:
+                raise ValueError("query projects no variables")
             missing = [v for v in out_vars if v not in outer]
             if missing:
                 raise ValueError(f"SELECT variables never bound: {missing}")

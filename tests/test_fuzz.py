@@ -1,0 +1,171 @@
+"""Property-based fuzz tests (hypothesis) — no Ray session needed.
+
+Two families:
+- the vectorized hash kernels vs their scalar reference implementations
+  (the round-2 ADVICE bug — trailing-empty-string corruption in
+  poly_hash_arr — is exactly the class example-based fixtures missed);
+- the SPARQL BGP translator vs a naive multiset evaluator over random
+  tiny stores and random pattern shapes (shared-variable join semantics,
+  DISTINCT, constant restrictions, equality FILTERs).
+"""
+
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from r2s2_ray.functions.hashing import affine64, perm_constants, poly_hash_arr, poly_hash_one
+from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+# --------------------------------------------------------------------------
+# hashing kernels
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=12))
+def test_poly_hash_arr_matches_scalar(strs):
+    """Vectorized == scalar for arbitrary text, INCLUDING empty strings in
+    every position and non-ASCII (utf-8 byte semantics)."""
+    got = poly_hash_arr(pa.array(strs, pa.string()))
+    want = np.array([poly_hash_one(s) for s in strs], dtype=np.uint64)
+    assert np.array_equal(got, want), (strs, got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(max_size=20), min_size=1, max_size=8), st.integers(0, 5))
+def test_poly_hash_arr_slice_offset(strs, k):
+    """Arrow array SLICES (non-zero offset) hash identically to fresh arrays —
+    the zero-copy buffer view must honor arr.offset."""
+    arr = pa.array(strs + strs, pa.string()).slice(k, len(strs))
+    keep = (strs + strs)[k : k + len(strs)]
+    got = poly_hash_arr(arr)
+    want = np.array([poly_hash_one(s) for s in keep], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, (1 << 64) - 1), max_size=10), st.integers(0, 7))
+def test_affine64_matches_scalar(hs, i):
+    a, b = perm_constants(i)
+    h = np.array(hs, dtype=np.uint64)
+    got = affine64(h, a, b)
+    m = (1 << 64) - 1
+    want = np.array([((a * x) + b) & m for x in hs], dtype=np.uint64)
+    assert np.array_equal(got, want)
+
+
+# --------------------------------------------------------------------------
+# SPARQL BGP translator vs naive evaluator
+# --------------------------------------------------------------------------
+
+_ALPHABET = ["a", "b", "c"]
+_VARS = ["x", "y", "z"]
+
+_term = st.one_of(
+    st.sampled_from([("var", v) for v in _VARS]),
+    st.sampled_from([("iri", c) for c in _ALPHABET]),
+)
+_pattern = st.tuples(_term, _term, _term)
+_patterns = st.lists(_pattern, min_size=1, max_size=3).filter(
+    lambda ps: any(k == "var" for p in ps for k, _ in p)
+)
+_store = st.lists(
+    st.tuples(st.sampled_from(_ALPHABET), st.sampled_from(_ALPHABET), st.sampled_from(_ALPHABET)),
+    max_size=10,
+)
+
+
+def _naive_eval(store, patterns):
+    """Multiset BGP evaluation: left-to-right pattern matching with binding
+    extension (the SPARQL-algebra definition, independent of the SQL layout)."""
+    sols = [dict()]
+    for pat in patterns:
+        new = []
+        for b in sols:
+            for row in store:
+                b2 = dict(b)
+                ok = True
+                for (kind, val), cell in zip(pat, row):
+                    if kind == "iri":
+                        if cell != val:
+                            ok = False
+                            break
+                    else:
+                        if b2.get(val, cell) != cell:
+                            ok = False
+                            break
+                        b2[val] = cell
+                if ok:
+                    new.append(b2)
+        sols = new
+    return sols
+
+
+def _render(patterns, distinct, filt=None):
+    body = " . ".join(
+        " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in pat) for pat in patterns
+    )
+    if filt is not None:
+        body += f' FILTER(?{filt[0]} = "{filt[1]}")'
+    return f"SELECT {'DISTINCT ' if distinct else ''}* WHERE {{ {body} }}"
+
+
+def _run_sql(store, q):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE all_triples (subj VARCHAR, pred VARCHAR, obj VARCHAR, "
+        "o_lang VARCHAR, o_dt VARCHAR, graph VARCHAR)"
+    )
+    if store:
+        con.executemany(
+            "INSERT INTO all_triples VALUES (?, ?, ?, NULL, NULL, 'g')",
+            [list(r) for r in store],
+        )
+    cur = con.execute(to_sql(parse_sparql(q)))
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(cols), [tuple(r[i] for i in order) for r in rows]
+
+
+@settings(max_examples=60, deadline=None)
+@given(_store, _patterns, st.booleans())
+def test_sparql_bgp_matches_naive(store, patterns, distinct):
+    """Translator SQL over a random tiny store == the naive SPARQL-algebra
+    evaluation: same variables, same solution multiset (set under DISTINCT)."""
+    q = _render(patterns, distinct)
+    cols, rows = _run_sql(store, q)
+    sols = _naive_eval(store, patterns)
+    used = sorted({v for p in patterns for k, v in p if k == "var"})
+    assert cols == used
+    want = [tuple(s[v] for v in used) for s in sols]
+    if distinct:
+        assert set(rows) == set(want)
+    else:
+        assert Counter(rows) == Counter(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_store, _patterns, st.sampled_from(_ALPHABET), st.data())
+def test_sparql_filter_eq_matches_naive(store, patterns, const, data):
+    """Equality FILTER == naive post-filter on the chosen binding."""
+    used = sorted({v for p in patterns for k, v in p if k == "var"})
+    var = data.draw(st.sampled_from(used))
+    q = _render(patterns, False, filt=(var, const))
+    cols, rows = _run_sql(store, q)
+    sols = [s for s in _naive_eval(store, patterns) if s[var] == const]
+    want = [tuple(s[v] for v in used) for s in sols]
+    assert cols == used and Counter(rows) == Counter(want)
+
+
+def test_zero_projection_raises():
+    """An all-constant pattern set projects no variables — clear error, not
+    invalid SQL (was: 'SELECT  FROM ...')."""
+    import pytest
+
+    with pytest.raises(ValueError, match="projects no variables"):
+        to_sql(parse_sparql("SELECT * WHERE { <a> <b> <c> }"))
