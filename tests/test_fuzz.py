@@ -169,3 +169,74 @@ def test_zero_projection_raises():
 
     with pytest.raises(ValueError, match="projects no variables"):
         to_sql(parse_sparql("SELECT * WHERE { <a> <b> <c> }"))
+
+
+# --------------------------------------------------------------------------
+# vectorized extractor vs the scalar oracle on adversarial transcript text
+# --------------------------------------------------------------------------
+
+import datetime as _dt
+
+from r2s2_ray import vocab as _vocab
+from r2s2_ray.extract.batch import TripleExtractor
+from r2s2_ray.extract.oracle import extract_all
+from r2s2_ray.transcripts import TRANSCRIPT_SCHEMA
+
+_GAZ_WORDS = sorted(_vocab.GAZETTEER)[:5]
+
+_fragment = st.one_of(
+    st.text(max_size=12),
+    st.sampled_from(_GAZ_WORDS + [w.upper() for w in _GAZ_WORDS[:2]]),
+    st.sampled_from(
+        [
+            "[en] hello there",
+            "[eng] not a lang tag",
+            "[e] nope",
+            "[en]missing space",
+            "Tell me about document 42 from web.",
+            "Tell me about document 42 from web",
+            "tell me about document 42 from web.",
+            "Document 7 is written in en and has 123 characters.",
+            "Document 7 is written in EN and has 123 characters.",
+            "see https://ex.org/a/b.,",
+            "xhttps://glued.example/x",
+            "https://",
+            "https://.",
+            "a.b,c.",
+            "",
+        ]
+    ),
+)
+_text = st.lists(_fragment, max_size=4).map(" ".join)
+_turn = st.fixed_dictionaries(
+    {
+        "conv_id": st.integers(0, 99).map(lambda n: f"conv-{n:08d}"),
+        "turn_idx": st.integers(0, 7),
+        "role": st.sampled_from(["user", "assistant", "tool"]),
+        "text": _text,
+        "tool": st.one_of(st.none(), st.sampled_from(["search", "calc"])),
+        "ts": st.integers(0, 10**9).map(
+            lambda s: _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=s)
+        ),
+    }
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_turn, min_size=1, max_size=6))
+def test_extractor_matches_oracle_fuzz(turns):
+    """The vectorized batch extractor must emit EXACTLY the scalar oracle's
+    triple set on adversarial text: lang-tag look-alikes, pattern near-misses,
+    glued/bare/trailing-punctuation URLs, cased gazetteer hits, empty text,
+    random unicode — the fixture corpus never exercises these shapes."""
+    tbl = pa.Table.from_pylist(turns, schema=TRANSCRIPT_SCHEMA)
+    got = sorted(
+        zip(
+            *(
+                TripleExtractor()(tbl)[c].to_pylist()
+                for c in ["subj", "s_kind", "pred", "obj", "o_kind", "o_lang", "o_dt", "graph"]
+            )
+        )
+    )
+    want = sorted(tuple(t) for t in extract_all(turns))
+    assert got == want
