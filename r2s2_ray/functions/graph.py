@@ -72,11 +72,10 @@ def _label_fingerprint(labels: ray.data.Dataset) -> int:
         import polars as pl
 
         df = pl.from_arrow(t)
-        v = df.select(
-            pl.concat_str([pl.col("node"), pl.col("label")], separator="\x1f")
-            .hash(seed=7)
-            .alias("h")
-        )
+        # struct hash, NOT a separator-joined concat: node ids are arbitrary
+        # strings (entity surface forms), and ("a\x1fb","c") vs ("a","b\x1fc")
+        # must not alias
+        v = df.select(pl.struct(["node", "label"]).hash(seed=7).alias("h"))
         # per-block partial sum WRAPPED to uint64 (a plain int64 Sum aggregate
         # overflows into Python bigints and kills the reduce task)
         part = np.uint64(v["h"].to_numpy().astype(np.uint64, copy=False).sum())
@@ -122,7 +121,10 @@ def connected_components_distributed(
         import polars as pl
 
         df = pl.from_arrow(t)
-        key = pl.concat_str([pl.col("src"), pl.col("dst")], separator="\x1f")
+        # struct hash, NOT a separator-joined concat: node ids are arbitrary
+        # strings and ("a\x1fb","c") vs ("a","b\x1fc") would alias under a
+        # joined key — an ALIASED edge id min-merges unrelated components
+        key = pl.struct(["src", "dst"])
         ids = df.select(
             key.hash(seed=13).reinterpret(signed=True).alias("eid"),
             key.hash(seed=1031).reinterpret(signed=True).alias("eid2"),

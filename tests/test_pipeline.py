@@ -817,3 +817,23 @@ def test_sparql_minus_lang_datatype():
         run('SELECT ?s WHERE { ?s <e:name> ?n . FILTER(LANG(?z) = "en") }')
     with pytest.raises(ValueError, match="datatype IRI"):
         run('SELECT ?s WHERE { ?s <e:name> ?n . FILTER(DATATYPE(?n) = "x") }')
+
+
+def test_cc_separator_adversarial_node_ids():
+    """Edge identity must hash the (src, dst) STRUCT, not a separator-joined
+    string: nodes ("a\\x1fb","c") and ("a","b\\x1fc") form two disjoint
+    components, but a joined key aliases the two edges to one id and the
+    min-over-edge group would merge all four nodes."""
+    import ray.data
+
+    from r2s2_ray.functions.graph import connected_components_distributed
+
+    edges = pa.table(
+        {"src": ["a\x1fb", "a"], "dst": ["c", "b\x1fc"]}
+    )
+    out = connected_components_distributed(ray.data.from_arrow(edges)).to_pandas()
+    comps = out.groupby("label")["node"].apply(sorted).to_dict()
+    assert sorted(map(tuple, comps.values())) == [
+        ("a", "b\x1fc"),
+        ("a\x1fb", "c"),
+    ]
