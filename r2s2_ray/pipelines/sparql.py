@@ -41,7 +41,9 @@ columns — an IRI/bnode binding behaves like a plain literal here
 (the store keeps no kind column in the serving view; restrict the
 pattern to literal objects for exact SPARQL error semantics),
 DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; comparison is over
-lexical forms), LIMIT and OFFSET. Terms bind to their lexical forms; IRIs and
+lexical forms), LIMIT and OFFSET, and ``ASK`` queries (same body grammar,
+one boolean ``ask`` column; all-constant bodies are legal for ASK).
+Terms bind to their lexical forms; IRIs and
 blank-node labels as stored (bnodes are ``_:...``). The reference's own
 round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE {[] a ?type}``
 (SparqlOnLoadedTest.java:111-127) — runs verbatim.
@@ -146,6 +148,8 @@ class Query:
     #: FILTER(BOUND(?v)) / FILTER(!BOUND(?v)): (var, positive) — applied
     #: AFTER OPTIONAL left joins (the anti-join idiom)
     bound_filters: list[tuple[str, bool]] | None = None
+    #: ASK query: compile the same body, return one boolean column ``ask``
+    ask: bool = False
 
 
 _AGG_RE = re.compile(
@@ -250,10 +254,16 @@ def _parse_order(text: str) -> list[tuple[str, bool]]:
 
 
 def parse_sparql(q: str) -> Query:
+    # ASK: same body grammar as SELECT * — rewrite the head, compile the body
+    # identically, and flag the query so to_sql wraps it in EXISTS
+    ask = False
+    if not re.search(r"\bSELECT\b", q, re.I) and re.search(r"\bASK\b", q, re.I):
+        q = re.sub(r"\bASK\s*(?:WHERE\s*)?\{", "SELECT * WHERE {", q, count=1, flags=re.I)
+        ask = True
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
     sel = _SELECT_RE.search(q)
     if not sel:
-        raise ValueError("only SELECT queries are supported")
+        raise ValueError("only SELECT and ASK queries are supported")
     distinct = bool(sel.group(1))
     # FROM dataset clauses live between the projection and WHERE; strip them
     # from the projection text so they don't read as variables
@@ -332,6 +342,7 @@ def parse_sparql(q: str) -> Query:
             from_graphs=from_graphs or None,
             offset=int(off.group(1)) if off else None,
             union_groups=union_groups,
+            ask=ask,
         )
     if re.search(r"\bUNION\b", inner, re.I):
         raise ValueError(
@@ -464,6 +475,7 @@ def parse_sparql(q: str) -> Query:
         minus_groups=minus_groups or None,
         langdt_filters=langdt_filters or None,
         bound_filters=bound_filters or None,
+        ask=ask,
     )
 
 
@@ -607,7 +619,10 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                     all_vars.append(v)
         out_vars = query.select or sorted(all_vars)
         if not out_vars:
-            raise ValueError("query projects no variables")
+            if query.ask:
+                out_vars = []
+            else:
+                raise ValueError("query projects no variables")
         never = [v for v in out_vars if all(v not in b for _, b, _ in compiled)]
         if never:
             raise ValueError(f"SELECT variables never bound: {never}")
@@ -616,12 +631,14 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             proj = ", ".join(
                 f"{b_binds[v]} AS {v}" if v in b_binds else f"NULL AS {v}"
                 for v in out_vars
-            )
+            ) or "1 AS __m"
             part = f"SELECT {proj} FROM {', '.join(b_aliases)}"
             if b_conds:
                 part += " WHERE " + " AND ".join(b_conds)
             parts.append(part)
         sql = " UNION ALL ".join(parts)
+        if query.ask:
+            return f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask"
         if query.distinct:
             sql = f"SELECT DISTINCT * FROM ({sql})"
         return sql + _order_limit(query, set(out_vars))
@@ -737,12 +754,12 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             projected = {a for _, _, _, a in query.aggs} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in binds if not v.startswith("__"))
-            if not out_vars:
+            if not out_vars and not query.ask:
                 raise ValueError("query projects no variables")
             missing = [v for v in out_vars if v not in binds]
             if missing:
                 raise ValueError(f"SELECT variables never bound: {missing}")
-            proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars)
+            proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars) or "1 AS __m"
             projected = set(out_vars)
         colmap = binds
         sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
@@ -790,18 +807,20 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             projected = {a for _, _, _, a in query.aggs} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in outer if not v.startswith("__"))
-            if not out_vars:
+            if not out_vars and not query.ask:
                 raise ValueError("query projects no variables")
             missing = [v for v in out_vars if v not in outer]
             if missing:
                 raise ValueError(f"SELECT variables never bound: {missing}")
-            proj = ", ".join(f"{outer[v]} AS {v}" for v in out_vars)
+            proj = ", ".join(f"{outer[v]} AS {v}" for v in out_vars) or "1 AS __m"
             projected = set(out_vars)
         colmap = outer
         sql = (
             f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
             f"FROM ({req}) r {' '.join(joins)}{where}{group}"
         )
+    if query.ask:
+        return f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask"
     return sql + _order_limit(query, projected, colmap)
 
 

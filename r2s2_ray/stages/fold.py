@@ -62,7 +62,15 @@ def combo_string(t: pa.Table) -> pa.Array:
 
 def combo_to_table_key(combo: str, namespaces=None) -> tuple[str, TableKey, str | None]:
     """Driver-side: combo string -> (table name/key, TableKey, class_iri)."""
-    pred, s_kind, o_kind, lang, dt, cls = combo.split(_SEP)
+    parts = combo.split(_SEP)
+    if len(parts) != 6:
+        # IRIs/lang tags cannot legally contain U+001F; a malformed term would
+        # otherwise mis-split here — fail with the cause, not an unpack error
+        raise ValueError(
+            f"malformed RDF term: control character U+001F inside a "
+            f"predicate/datatype/class component (combo={combo!r})"
+        )
+    pred, s_kind, o_kind, lang, dt, cls = parts
     tk = TableKey(
         predicate=pred,
         subj_kind=int(s_kind),

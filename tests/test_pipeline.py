@@ -837,3 +837,29 @@ def test_cc_separator_adversarial_node_ids():
         ("a", "b\x1fc"),
         ("a\x1fb", "c"),
     ]
+
+
+def test_sparql_ask():
+    """ASK queries: same body grammar as SELECT, one boolean `ask` column.
+    All-constant bodies (no projectable variables) are legal for ASK."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('s1','e:name','alice', NULL, NULL, 'g1'),
+          ('s1','e:age','30', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run('ASK { <s1> <e:name> "alice" }') == [(True,)]
+    assert run('ASK { <s1> <e:name> "bob" }') == [(False,)]
+    assert run("ASK WHERE { ?s <e:age> ?v . FILTER(?v > 20) }") == [(True,)]
+    assert run('ASK { { <s1> <e:name> "bob" } UNION { ?s <e:age> ?v } }') == [(True,)]
+    assert run("ASK { ?s <e:name> ?n . FILTER NOT EXISTS { ?s <e:age> ?v } }") == [(False,)]
+    assert run("ASK { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?v } FILTER(BOUND(?v)) }") == [(True,)]
