@@ -13,7 +13,14 @@ non-nested ``GRAPH <g>/?g { ... }`` groups (a constant restricts its patterns
 to that named graph; a variable binds the graph column and joins when shared),
 anonymous blank nodes ``[]`` (each a fresh never-projected variable;
 bracketed property lists are NOT supported) and labelled query bnodes
-``_:x`` (scoped variables, standard SPARQL semantics), IRI/prefixed-name/
+``_:x`` (scoped variables, standard SPARQL semantics),
+property paths in the predicate position — sequences ``p1/p2/…`` (desugared
+to chained patterns over fresh variables), inverse steps ``^p`` (swap
+subject/object), alternations ``p1|p2`` (compiled to ``pred IN``) and
+one-or-more closures ``p+`` (a recursive-CTE transitive closure; constant
+GRAPH/FROM restrictions apply to every step; ``*``/``?``, ``(a|b)+``,
+``^p+`` and paths over variable predicates are rejected loudly),
+IRI/prefixed-name/
 literal constants (plain, ``@lang``, ``^^<datatype>``, bare numerics),
 ``FILTER(?v <op> term)`` for ``= != < <= > >=`` (numeric comparison when the
 constant is numeric, lexical otherwise, column comparison when the right side
@@ -57,10 +64,12 @@ from dataclasses import dataclass
 
 @dataclass
 class Term:
-    kind: str  # "var" | "iri" | "lit"
+    kind: str  # "var" | "iri" | "lit" | "alt" | "plus" (path predicates)
     value: str
     lang: str | None = None
     datatype: str | None = None
+    #: property-path alternation ``p1|p2|…``: the member IRIs (kind="alt")
+    alts: list[str] | None = None
 
 
 _PREFIX_RE = re.compile(r"PREFIX\s+(\w*):\s*<([^>]+)>", re.I)
@@ -192,26 +201,113 @@ def _mask_literals(text: str):
     return masked, restore
 
 
-def _triples(inner: str, prefixes: dict[str, str]) -> list[tuple[Term, Term, Term]]:
+def _path_atom(tok: str, prefixes: dict[str, str]) -> str:
+    """One atom inside a path operator expression — must be an IRI."""
+    t = _parse_term(tok, prefixes)
+    if t.kind != "iri":
+        raise ValueError(f"property-path atoms must be IRIs, got: {tok!r}")
+    return t.value
+
+
+#: gap between an object and the next subject: whitespace / "." separators
+_SEP_GAP = re.compile(r"[\s.]*")
+#: gap between a subject (or "/") and the first atom of a step: may open an
+#: alternation paren and carry the step's inverse marker
+_PRE_GAP = re.compile(r"\s*(\^)?\s*\(?\s*")
+#: gap after a step's last atom: optional close-paren, optional "+" postfix,
+#: then either end-of-path (object follows) or "/" + the next step's prefix
+_POST_GAP = re.compile(r"\s*(\))?\s*(\+)?\s*(?:(/)\s*(\^)?\s*(\()?\s*)?")
+#: gap between two atoms of one alternation: "|" (parens already consumed)
+_ALT_GAP = re.compile(r"\s*\|\s*")
+
+
+def _triples(
+    inner: str, prefixes: dict[str, str], fresh
+) -> list[tuple[Term, Term, Term]]:
     """Tokenize a (brace-free) group body into (s, p, o) triples. Patterns
     cannot be split on "." (IRIs and prefixed names contain dots): tokenize
-    the whole body in order and group by threes — the "." separators are
-    never term tokens."""
-    toks = [m.group(0) for m in _TERM_RE.finditer(inner)]
-    if not toks or len(toks) % 3:
+    the whole body in order and inspect the NON-TERM text between consecutive
+    tokens — "." separates patterns, and the property-path operators ``/``
+    (sequence), ``|`` (alternation), ``^`` (inverse) and postfix ``+``
+    (one-or-more) live in those gaps too. Sequences desugar to chained
+    patterns over fresh ``?__path{n}`` variables (``fresh``), inverse steps
+    swap subject/object, alternations become a kind="alt" predicate Term
+    (compiled to ``pred IN``), and ``p+`` becomes a kind="plus" Term
+    (compiled to a recursive-CTE transitive closure). ``(a|b)+``, ``^p+``
+    and operators around variable predicates are rejected loudly."""
+    toks = list(_TERM_RE.finditer(inner))
+    if not toks:
         raise ValueError(f"unsupported WHERE body (need s p o triples): {inner!r}")
-    return [
-        tuple(_parse_term(t, prefixes) for t in toks[i : i + 3])
-        for i in range(0, len(toks), 3)
-    ]
+    if not _SEP_GAP.fullmatch(inner[: toks[0].start()]):
+        raise ValueError(f"unsupported syntax before first term: {inner!r}")
+
+    def gap(j: int) -> str:
+        a = toks[j].end()
+        b = toks[j + 1].start() if j + 1 < len(toks) else len(inner)
+        return inner[a:b]
+
+    out: list[tuple[Term, Term, Term]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        subj = _parse_term(toks[i].group(0), prefixes)
+        pre = _PRE_GAP.fullmatch(gap(i))
+        if not pre:
+            raise ValueError(f"unsupported syntax after subject: {gap(i)!r}")
+        # steps: (inverse, [atom tokens], plus)
+        steps: list[tuple[bool, list[str], bool]] = []
+        inv = bool(pre.group(1))
+        j = i + 1
+        while True:
+            if j >= n:
+                raise ValueError("dangling pattern (need s p o triples)")
+            atoms = [toks[j].group(0)]
+            while j + 1 < n and _ALT_GAP.fullmatch(gap(j)):
+                j += 1
+                atoms.append(toks[j].group(0))
+            post = _POST_GAP.fullmatch(gap(j))
+            if not post:
+                raise ValueError(f"unsupported path syntax: {gap(j)!r}")
+            steps.append((inv, atoms, bool(post.group(2))))
+            if not post.group(3):  # no "/": path ends, object follows
+                break
+            inv = bool(post.group(4))
+            j += 1
+        if j + 1 >= n:
+            raise ValueError("dangling pattern (need s p o triples)")
+        obj = _parse_term(toks[j + 1].group(0), prefixes)
+        if not _SEP_GAP.fullmatch(re.sub(r"^[\s)]*", "", gap(j + 1))):
+            raise ValueError(f"unsupported syntax after object: {gap(j + 1)!r}")
+        # desugar the step chain
+        cur = subj
+        for k, (s_inv, atoms, s_plus) in enumerate(steps):
+            tgt = obj if k == len(steps) - 1 else fresh()
+            if len(atoms) > 1:
+                if s_plus:
+                    raise ValueError(
+                        "transitive closure over alternations ((a|b)+) is not supported"
+                    )
+                p = Term("alt", "", alts=[_path_atom(t, prefixes) for t in atoms])
+            elif s_plus:
+                if s_inv:
+                    raise ValueError("^p+ (inverse of a closure) is not supported")
+                p = Term("plus", _path_atom(atoms[0], prefixes))
+            elif s_inv or len(steps) > 1:
+                p = Term("iri", _path_atom(atoms[0], prefixes))
+            else:
+                # plain single-step predicate: any term kind (var joins)
+                p = _parse_term(atoms[0], prefixes)
+            out.append((tgt, p, cur) if s_inv else (cur, p, tgt))
+            cur = tgt
+        i = j + 2
+    return out
 
 
 def _quads(
-    inner: str, prefixes: dict[str, str], g: Term | None
+    inner: str, prefixes: dict[str, str], g: Term | None, fresh
 ) -> list[tuple[Term, Term, Term, Term | None]]:
     """Group body -> (s, p, o, graph-term) quads. g=None means the pattern
     ranges over the whole store (the serving views union all graphs)."""
-    return [(s, p, o, g) for s, p, o in _triples(inner, prefixes)]
+    return [(s, p, o, g) for s, p, o in _triples(inner, prefixes, fresh)]
 
 
 def _parse_values(head: str, data: str, prefixes: dict[str, str]) -> tuple[list[str], list[list[Term]]]:
@@ -302,6 +398,15 @@ def parse_sparql(q: str) -> Query:
     # per-fragment right before term parsing: "_:b1" / "[]" / "FILTER(...)"
     # inside a quoted constant is data, not syntax
     inner, restore = _mask_literals(body.group(1))
+    # fresh never-projected variables for property-path sequence desugaring —
+    # query-global counter so ?__path1 in one group can never accidentally
+    # join a ?__path1 in another
+    _path_n = [0]
+
+    def fresh() -> Term:
+        _path_n[0] += 1
+        return Term("var", f"__path{_path_n[0]}")
+
     # anonymous bnodes: each [] is a FRESH never-projected variable; labelled
     # query bnodes _:x are scoped variables (standard SPARQL semantics — a
     # bnode label in a query does NOT match the stored label, it joins)
@@ -325,7 +430,7 @@ def parse_sparql(q: str) -> Query:
         for br in branches:
             if re.search(r"\bFILTER\b", br, re.I):
                 raise ValueError("FILTER inside UNION branches is not supported")
-        union_groups = [_quads(restore(br), prefixes, None) for br in branches]
+        union_groups = [_quads(restore(br), prefixes, None, fresh) for br in branches]
         tail = q[q.rindex("}") + 1 :]
         if _GROUPBY_RE.search(tail):
             raise ValueError("GROUP BY over UNION is not supported")
@@ -358,7 +463,7 @@ def parse_sparql(q: str) -> Query:
         g = _parse_term(m.group(1), prefixes)
         if g.kind == "lit":
             raise ValueError("GRAPH must name an IRI or variable")
-        graph_quads += _quads(restore(m.group(2)), prefixes, g)
+        graph_quads += _quads(restore(m.group(2)), prefixes, g, fresh)
     inner = _GRAPH_RE.sub(" ", inner)
     # OPTIONAL groups next (non-nested only); FILTERs stay in the
     # required part — a FILTER inside an OPTIONAL group has different SPARQL
@@ -367,7 +472,7 @@ def parse_sparql(q: str) -> Query:
     for m in _OPTIONAL_RE.finditer(inner):
         if re.search(r"\bFILTER\b", m.group(1), re.I):
             raise ValueError("FILTER inside OPTIONAL is not supported")
-        optionals.append(_quads(restore(m.group(1)), prefixes, None))
+        optionals.append(_quads(restore(m.group(1)), prefixes, None, fresh))
     inner = _OPTIONAL_RE.sub(" ", inner)
     # VALUES inline-data groups and FILTER (NOT) EXISTS groups — extracted
     # AFTER the OPTIONAL scan on purpose: one of these nested inside an
@@ -380,10 +485,10 @@ def parse_sparql(q: str) -> Query:
     inner = _VALUES_RE.sub(" ", inner)
     exists_filters: list[tuple[bool, list[tuple[Term, Term, Term, Term | None]]]] = []
     for m in _EXISTS_RE.finditer(inner):
-        exists_filters.append((bool(m.group(1)), _quads(restore(m.group(2)), prefixes, None)))
+        exists_filters.append((bool(m.group(1)), _quads(restore(m.group(2)), prefixes, None, fresh)))
     inner = _EXISTS_RE.sub(" ", inner)
     minus_groups = [
-        _quads(restore(m.group(1)), prefixes, None) for m in _MINUS_RE.finditer(inner)
+        _quads(restore(m.group(1)), prefixes, None, fresh) for m in _MINUS_RE.finditer(inner)
     ]
     inner = _MINUS_RE.sub(" ", inner)
     # FILTER((!)BOUND(?v)): post-OPTIONAL null tests (the anti-join idiom)
@@ -436,7 +541,7 @@ def parse_sparql(q: str) -> Query:
     if kw:
         raise ValueError(f"unsupported or mis-nested {kw.group(1).upper()} group")
     rest = restore(inner)
-    patterns = (_quads(rest, prefixes, None) if rest.strip() else []) + graph_quads
+    patterns = (_quads(rest, prefixes, None, fresh) if rest.strip() else []) + graph_quads
     if not patterns and not values_groups:
         raise ValueError("empty WHERE clause")
     if exists_filters and not patterns:
@@ -494,37 +599,79 @@ def _compile_bgp(
     from_graphs: list[str] | None,
     triples_view: str,
     alias_prefix: str,
-) -> tuple[list[str], dict[str, str], list[str]]:
+) -> tuple[list[str], dict[str, str], list[str], list[str]]:
     """One basic graph pattern (quads: each with an optional graph term) ->
-    (FROM aliases, var->column binds, WHERE conds). Shared variables become
-    join equalities; constants become per-alias predicates. Variables bind to
-    lexical forms; a GRAPH variable binds the graph column."""
+    (FROM aliases, var->column binds, WHERE conds, CTE definitions). Shared
+    variables become join equalities; constants become per-alias predicates.
+    Variables bind to lexical forms; a GRAPH variable binds the graph column.
+    A kind="plus" path predicate aliases a recursive-CTE transitive closure
+    instead of the triples view (the CTE carries the LAST edge's o_lang/o_dt
+    so literal/LANG/DATATYPE conditions on the path object still compile);
+    a kind="alt" predicate compiles to ``pred IN (...)``."""
     binds: dict[str, str] = {}  # var -> first bound column
     conds: list[str] = []
     aliases: list[str] = []
+    ctes: list[str] = []
     for i, (s, p, o, g) in enumerate(patterns):
         a = f"{alias_prefix}{i}"
-        aliases.append(f"{triples_view} {a}")
-        if g is not None:
-            if g.kind == "var":
-                if g.value in binds:
-                    conds.append(f"{a}.graph = {binds[g.value]}")
+        if p.kind == "plus":
+            # one-or-more path: WITH RECURSIVE transitive closure of the
+            # predicate's edge set. UNION (distinct) terminates on cycles. A
+            # constant GRAPH / FROM restriction applies to EVERY step; a
+            # GRAPH variable is ill-defined over a multi-edge path — rejected.
+            if g is not None and g.kind == "var":
+                raise ValueError(
+                    "GRAPH variables over p+ path patterns are not supported"
+                )
+            gc = ""
+            if g is not None:
+                gc = f" AND {{t}}.graph = {_q(g.value)}"
+            elif from_graphs:
+                gs = ", ".join(_q(g_) for g_ in from_graphs)
+                gc = f" AND {{t}}.graph IN ({gs})"
+            cte = f"{a}_tc"
+            ctes.append(
+                f"{cte}(subj, obj, o_lang, o_dt) AS ("
+                f"SELECT b.subj, b.obj, b.o_lang, b.o_dt FROM {triples_view} b "
+                f"WHERE b.pred = {_q(p.value)}{gc.format(t='b')} "
+                f"UNION "
+                f"SELECT c.subj, t.obj, t.o_lang, t.o_dt FROM {cte} c "
+                f"JOIN {triples_view} t ON t.subj = c.obj "
+                f"AND t.pred = {_q(p.value)}{gc.format(t='t')})"
+            )
+            aliases.append(f"{cte} {a}")
+        else:
+            aliases.append(f"{triples_view} {a}")
+            if g is not None:
+                if g.kind == "var":
+                    if g.value in binds:
+                        conds.append(f"{a}.graph = {binds[g.value]}")
+                    else:
+                        binds[g.value] = f"{a}.graph"
                 else:
-                    binds[g.value] = f"{a}.graph"
-            else:
-                conds.append(f"{a}.graph = {_q(g.value)}")
-        elif from_graphs:
-            # FROM <g>: every non-GRAPH pattern matches the listed graphs only
-            gs = ", ".join(_q(g_) for g_ in from_graphs)
-            conds.append(f"{a}.graph IN ({gs})")
-        for term, col in ((s, "subj"), (p, "pred")):
-            if term.kind == "var":
-                if term.value in binds:
-                    conds.append(f"{a}.{col} = {binds[term.value]}")
+                    conds.append(f"{a}.graph = {_q(g.value)}")
+            elif from_graphs:
+                # FROM <g>: every non-GRAPH pattern matches the listed graphs only
+                gs = ", ".join(_q(g_) for g_ in from_graphs)
+                conds.append(f"{a}.graph IN ({gs})")
+            if p.kind == "alt":
+                conds.append(
+                    f"{a}.pred IN ({', '.join(_q(v) for v in p.alts)})"
+                )
+            elif p.kind == "var":
+                if p.value in binds:
+                    conds.append(f"{a}.pred = {binds[p.value]}")
                 else:
-                    binds[term.value] = f"{a}.{col}"
+                    binds[p.value] = f"{a}.pred"
             else:
-                conds.append(f"{a}.{col} = {_q(term.value)}")
+                conds.append(f"{a}.pred = {_q(p.value)}")
+        if s.kind == "var":
+            if s.value in binds:
+                conds.append(f"{a}.subj = {binds[s.value]}")
+            else:
+                binds[s.value] = f"{a}.subj"
+        else:
+            conds.append(f"{a}.subj = {_q(s.value)}")
         if o.kind == "var":
             if o.value in binds:
                 conds.append(f"{a}.obj = {binds[o.value]}")
@@ -537,7 +684,7 @@ def _compile_bgp(
                     conds.append(f"{a}.o_lang = {_q(o.lang)}")
                 elif o.datatype is not None:
                     conds.append(f"{a}.o_dt = {_q(o.datatype)}")
-    return aliases, binds, conds
+    return aliases, binds, conds, ctes
 
 
 def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
@@ -602,7 +749,14 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     """BGP -> self-join SQL over the (subj, pred, obj, o_lang, o_dt, graph)
     triples view. OPTIONAL groups compile to LEFT JOINs of per-group
     subqueries onto the required part (optional-only variables are NULL —
-    SPARQL unbound — when the group does not match)."""
+    SPARQL unbound — when the group does not match). ``p+`` path patterns
+    contribute recursive CTEs, hoisted to one outermost WITH RECURSIVE."""
+    all_ctes: list[str] = []
+
+    def _with(sql: str) -> str:
+        if not all_ctes:
+            return sql
+        return "WITH RECURSIVE " + ", ".join(all_ctes) + " " + sql
     if query.union_groups:
         # multiset union of independent BGP branches; the projection is the
         # SELECT list (or the union of branch variables), NULL where a branch
@@ -610,9 +764,10 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         all_vars: list[str] = []
         compiled = []
         for k, branch in enumerate(query.union_groups):
-            b_aliases, b_binds, b_conds = _compile_bgp(
+            b_aliases, b_binds, b_conds, b_ctes = _compile_bgp(
                 branch, query.from_graphs, triples_view, f"u{k}_"
             )
+            all_ctes.extend(b_ctes)
             compiled.append((b_aliases, b_binds, b_conds))
             for v in b_binds:
                 if v not in all_vars and not v.startswith("__"):
@@ -638,13 +793,14 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             parts.append(part)
         sql = " UNION ALL ".join(parts)
         if query.ask:
-            return f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask"
+            return _with(f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask")
         if query.distinct:
             sql = f"SELECT DISTINCT * FROM ({sql})"
-        return sql + _order_limit(query, set(out_vars))
-    aliases, binds, conds = _compile_bgp(
+        return _with(sql + _order_limit(query, set(out_vars)))
+    aliases, binds, conds, p_ctes = _compile_bgp(
         query.patterns, query.from_graphs, triples_view, "t"
     )
+    all_ctes.extend(p_ctes)
     for k, (v_vars, v_rows) in enumerate(query.values_groups or []):
         # inline data joins the required part: an already-bound variable gets
         # an equality (restriction), an unbound one binds to the data column
@@ -658,9 +814,10 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         # correlated semi/anti-join: group-local variables are scoped to the
         # subquery; variables shared with the required part correlate on the
         # outer alias columns (standard SPARQL EXISTS semantics)
-        e_aliases, e_binds, e_conds = _compile_bgp(
+        e_aliases, e_binds, e_conds, e_ctes = _compile_bgp(
             e_quads, query.from_graphs, triples_view, f"e{k}_"
         )
+        all_ctes.extend(e_ctes)
         e_conds += [f"{e_binds[v]} = {binds[v]}" for v in e_binds if v in binds]
         sub = f"SELECT 1 FROM {', '.join(e_aliases)}"
         if e_conds:
@@ -671,9 +828,10 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         # shares at least one variable. BGP variables are always bound, so
         # compatible = equal on every shared variable; a group sharing no
         # variable removes nothing (the SPARQL MINUS/NOT-EXISTS divergence)
-        m_aliases, m_binds, m_conds = _compile_bgp(
+        m_aliases, m_binds, m_conds, m_ctes = _compile_bgp(
             m_quads, query.from_graphs, triples_view, f"m{k}_"
         )
+        all_ctes.extend(m_ctes)
         shared = [v for v in m_binds if v in binds]
         if not shared:
             continue
@@ -776,9 +934,10 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         outer: dict[str, str] = {v: f"r.{v}" for v in binds}
         joins: list[str] = []
         for k, opt_group in enumerate(query.optionals):
-            g_aliases, g_binds, g_conds = _compile_bgp(
+            g_aliases, g_binds, g_conds, g_ctes = _compile_bgp(
                 opt_group, query.from_graphs, triples_view, f"o{k}_"
             )
+            all_ctes.extend(g_ctes)
             shared = [v for v in g_binds if v in outer and not outer[v].startswith("g")]
             for v in g_binds:
                 if v in outer and outer[v].startswith("g"):
@@ -820,8 +979,8 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             f"FROM ({req}) r {' '.join(joins)}{where}{group}"
         )
     if query.ask:
-        return f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask"
-    return sql + _order_limit(query, projected, colmap)
+        return _with(f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask")
+    return _with(sql + _order_limit(query, projected, colmap))
 
 
 def run_sparql(out_dir: str, sparql: str):

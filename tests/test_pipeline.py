@@ -863,3 +863,82 @@ def test_sparql_ask():
     assert run('ASK { { <s1> <e:name> "bob" } UNION { ?s <e:age> ?v } }') == [(True,)]
     assert run("ASK { ?s <e:name> ?n . FILTER NOT EXISTS { ?s <e:age> ?v } }") == [(False,)]
     assert run("ASK { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?v } FILTER(BOUND(?v)) }") == [(True,)]
+
+
+def test_sparql_property_paths():
+    """Property paths in the predicate position: sequences ``p1/p2`` desugar
+    to chained patterns over fresh variables, ``^p`` swaps subject/object,
+    ``p1|p2`` compiles to ``pred IN``, and ``p+`` compiles to a recursive-CTE
+    transitive closure (UNION dedup terminates on cycles). Constant GRAPH /
+    FROM restrictions apply to every closure step; ill-defined combinations
+    ((a|b)+, ^p+, operators on variable predicates, GRAPH ?g over p+) are
+    rejected loudly."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:knows','e:b', NULL, NULL, 'g1'),
+          ('e:b','e:knows','e:c', NULL, NULL, 'g1'),
+          ('e:c','e:knows','e:d', NULL, NULL, 'g2'),
+          ('e:d','e:knows','e:a', NULL, NULL, 'g2'),
+          ('e:a','e:name','alice', NULL, NULL, 'g1'),
+          ('e:b','e:name','bob', NULL, NULL, 'g1'),
+          ('e:b','e:nick','bobby', NULL, NULL, 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    # sequence: fresh intermediate variable, never projected
+    assert run("SELECT ?n WHERE { <e:a> <e:knows>/<e:name> ?n }") == [("bob",)]
+    # inverse step
+    assert run("SELECT ?s WHERE { <e:b> ^<e:knows> ?s }") == [("e:a",)]
+    # alternation -> pred IN
+    assert run(
+        "SELECT ?n WHERE { <e:b> (<e:name>|<e:nick>) ?n } ORDER BY ?n"
+    ) == [("bob",), ("bobby",)]
+    # transitive closure over a CYCLE (a->b->c->d->a) terminates and reaches
+    # every node including the start
+    assert run("SELECT ?x WHERE { <e:a> <e:knows>+ ?x } ORDER BY ?x") == [
+        ("e:a",), ("e:b",), ("e:c",), ("e:d",)
+    ]
+    # closure step inside a sequence
+    assert run("SELECT ?n WHERE { <e:a> <e:knows>+/<e:nick> ?n }") == [("bobby",)]
+    # FROM / GRAPH restriction applies to EVERY closure step (g2 edges cut
+    # the cycle)
+    assert run(
+        "SELECT ?x FROM <g1> WHERE { <e:a> <e:knows>+ ?x } ORDER BY ?x"
+    ) == [("e:b",), ("e:c",)]
+    assert run(
+        "SELECT ?x WHERE { GRAPH <g1> { <e:a> <e:knows>+ ?x } } ORDER BY ?x"
+    ) == [("e:b",), ("e:c",)]
+    # path inside OPTIONAL: unmatched rows keep NULL
+    got = run(
+        "SELECT ?s ?n WHERE { ?s <e:name> ?o . "
+        "OPTIONAL { ?s <e:knows>/<e:nick> ?n } } ORDER BY ?s"
+    )
+    assert got == [("e:a", "bobby"), ("e:b", None)]
+    # ASK with a closure; path vars stay out of SELECT *
+    assert run("ASK { <e:a> <e:knows>+ <e:d> }") == [(True,)]
+    cols = [d[0] for d in con.execute(
+        to_sql(parse_sparql("SELECT * WHERE { <e:a> <e:knows>/<e:name> ?n }"))
+    ).description]
+    assert cols == ["n"]
+    # multiple patterns where one carries a path ("."-separated)
+    assert run(
+        "SELECT ?n ?m WHERE { <e:a> <e:knows>/<e:name> ?n . <e:a> <e:name> ?m }"
+    ) == [("bob", "alice")]
+    for bad in [
+        "SELECT ?x WHERE { <e:a> (<e:knows>|<e:name>)+ ?x }",
+        "SELECT ?x WHERE { <e:a> ^<e:knows>+ ?x }",
+        "SELECT ?x WHERE { <e:a> ?p+ ?x }",
+        "SELECT ?x WHERE { GRAPH ?g { <e:a> <e:knows>+ ?x } }",
+        'SELECT ?x WHERE { <e:a> "lit"/<e:name> ?x }',
+    ]:
+        with pytest.raises(ValueError):
+            run(bad)
