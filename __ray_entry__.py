@@ -240,6 +240,37 @@ def _kg_sparql_agg(sf_dir: str):
     )
 
 
+def _kg_sparql_path(sf_dir: str):
+    """Property paths + BIND served end-to-end: the sequence path
+    ex:hasTurn/ex:mentions joins through a never-projected intermediate
+    variable, and BIND computes a derived projection column."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?conv ?e ?tag WHERE {\n"
+        "  ?conv ex:hasTurn/ex:mentions ?e .\n"
+        '  BIND(CONCAT("m:", ?e) AS ?tag)\n'
+        "}"
+    )
+    return run_sparql(out, q)
+
+
+def _kg_sparql_construct(sf_dir: str):
+    """CONSTRUCT served end-to-end: instantiates a new predicate over the
+    same sequence path; the result is the DISTINCT (subj, pred, obj) graph."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "CONSTRUCT { ?conv ex:mentionsEntity ?e } "
+        "WHERE { ?conv ex:hasTurn/ex:mentions ?e }"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -571,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_graph": _kg_sparql_graph,
         "kg_sparql_antijoin": _kg_sparql_antijoin,
         "kg_sparql_agg": _kg_sparql_agg,
+        "kg_sparql_path": _kg_sparql_path,
+        "kg_sparql_construct": _kg_sparql_construct,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -628,6 +661,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip": oracles.roundtrip_oracle(),
         "kg_sparql": oracles.sparql_turns_oracle(),
         "kg_sparql_graph": oracles.sparql_graph_oracle(),
+        "kg_sparql_path": oracles.sparql_path_oracle(),
+        "kg_sparql_construct": oracles.sparql_construct_oracle(),
         "kg_sparql_antijoin": oracles.sparql_antijoin_oracle(),
         "kg_sparql_agg": oracles.sparql_agg_oracle(),
         **relational.ORACLES,

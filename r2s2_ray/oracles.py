@@ -208,6 +208,34 @@ def sparql_agg_oracle() -> str:
     )
 
 
+def sparql_path_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_path``:
+    { ?conv ex:hasTurn/ex:mentions ?e . BIND(CONCAT("m:", ?e) AS ?tag) } —
+    the sequence path is a join through the (never-projected) intermediate
+    turn; BIND is a computed projection."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS ({t}) "
+        f"SELECT DISTINCT h.subj AS conv, m.obj AS e, 'm:' || m.obj AS tag "
+        f"FROM t h JOIN t m ON m.subj = h.obj "
+        f"WHERE h.pred = {_q(vocab.P_HAS_TURN)} AND m.pred = {_q(vocab.P_MENTIONS)}"
+    )
+
+
+def sparql_construct_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_construct``:
+    CONSTRUCT { ?conv ex:mentionsEntity ?e } over the same sequence path —
+    a DISTINCT (subj, constant pred, obj) graph."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS ({t}) "
+        f"SELECT DISTINCT h.subj AS subj, {_q(vocab.EX + 'mentionsEntity')} AS pred, "
+        f"m.obj AS obj "
+        f"FROM t h JOIN t m ON m.subj = h.obj "
+        f"WHERE h.pred = {_q(vocab.P_HAS_TURN)} AND m.pred = {_q(vocab.P_MENTIONS)}"
+    )
+
+
 def roundtrip_oracle() -> str:
     """Deduped linked triples, bnode-involving predicates excluded (bnode ids are
     content-hashed on the engine side; hashing is pytest-verified instead)."""

@@ -47,9 +47,15 @@ joins — the classic OPTIONAL+!BOUND anti-join idiom works),
 columns — an IRI/bnode binding behaves like a plain literal here
 (the store keeps no kind column in the serving view; restrict the
 pattern to literal objects for exact SPARQL error semantics),
+``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR
+and +,-,*,/ arithmetic with TRY_CAST numeric coercion; later BINDs may
+reference earlier ones, and BIND targets work in FILTER/ORDER BY/SELECT),
 DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; comparison is over
-lexical forms), LIMIT and OFFSET, and ``ASK`` queries (same body grammar,
-one boolean ``ask`` column; all-constant bodies are legal for ASK).
+lexical forms), LIMIT and OFFSET, ``ASK`` queries (same body grammar,
+one boolean ``ask`` column; all-constant bodies are legal for ASK), and
+``CONSTRUCT { template } WHERE { body }`` (per-solution template
+instantiation, OPTIONAL-unbound variables skip their triple, DISTINCT
+graph output as (subj, pred, obj)).
 Terms bind to their lexical forms; IRIs and
 blank-node labels as stored (bnodes are ``_:...``). The reference's own
 round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE {[] a ?type}``
@@ -157,6 +163,12 @@ class Query:
     #: FILTER(BOUND(?v)) / FILTER(!BOUND(?v)): (var, positive) — applied
     #: AFTER OPTIONAL left joins (the anti-join idiom)
     bound_filters: list[tuple[str, bool]] | None = None
+    #: BIND(expr AS ?v) assignments in textual order (later ones may
+    #: reference earlier ones): (expression AST, target variable)
+    bind_exprs: list[tuple[object, str]] | None = None
+    #: CONSTRUCT template triples (var/iri/lit terms only); the result is the
+    #: DISTINCT instantiated (subj, pred, obj) set — an RDF graph
+    construct: list[tuple[Term, Term, Term]] | None = None
     #: ASK query: compile the same body, return one boolean column ``ask``
     ask: bool = False
 
@@ -310,6 +322,181 @@ def _quads(
     return [(s, p, o, g) for s, p, o in _triples(inner, prefixes, fresh)]
 
 
+#: expression tokens for BIND(expr AS ?v)
+_ETOK_RE = re.compile(
+    r"""\s*(?: (?P<var>\?\w+)
+             | (?P<str>"(?:[^"\\]|\\.)*")
+             | (?P<num>\d+(?:\.\d+)?)
+             | (?P<name>[A-Za-z_]\w*)
+             | (?P<op>[-+*/(),])
+         )""",
+    re.X,
+)
+
+#: BIND functions -> (SQL function, numeric result). STR is the identity over
+#: lexical forms (the store binds lexical forms already), cast for safety.
+_BIND_FUNCS = {
+    "CONCAT": ("concat", False),
+    "STR": ("CAST({} AS VARCHAR)", False),
+    "UCASE": ("upper", False),
+    "LCASE": ("lower", False),
+    "STRLEN": ("length", True),
+    "SUBSTR": ("substr", False),
+}
+
+
+def _parse_expr(src: str):
+    """BIND expression -> AST tuples. Grammar: additive over multiplicative
+    over primaries; primaries are variables, string literals, numbers,
+    function calls (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR) and parenthesized
+    subexpressions. Returns nodes ("var", name) | ("str", text) |
+    ("num", text) | ("bin", op, l, r) | ("func", NAME, [args])."""
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        if src[pos:].strip() == "":
+            break
+        m = _ETOK_RE.match(src, pos)
+        if not m:
+            raise ValueError(f"unsupported BIND expression syntax at: {src[pos:]!r}")
+        pos = m.end()
+        for k in ("var", "str", "num", "name", "op"):
+            if m.group(k) is not None:
+                toks.append((k, m.group(k)))
+                break
+    i = [0]
+
+    def peek():
+        return toks[i[0]] if i[0] < len(toks) else (None, None)
+
+    def eat(kind=None, val=None):
+        k, v = peek()
+        if k is None or (kind and k != kind) or (val and v != val):
+            raise ValueError(f"malformed BIND expression: {src!r}")
+        i[0] += 1
+        return v
+
+    def prim():
+        k, v = peek()
+        if k == "var":
+            eat()
+            return ("var", v[1:])
+        if k == "str":
+            eat()
+            return ("str", v[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
+        if k == "num":
+            eat()
+            return ("num", v)
+        if k == "name":
+            name = eat().upper()
+            if name not in _BIND_FUNCS:
+                raise ValueError(f"unsupported BIND function: {name}")
+            eat("op", "(")
+            args = [add()]
+            while peek() == ("op", ","):
+                eat()
+                args.append(add())
+            eat("op", ")")
+            return ("func", name, args)
+        if k == "op" and v == "(":
+            eat()
+            node = add()
+            eat("op", ")")
+            return node
+        raise ValueError(f"malformed BIND expression: {src!r}")
+
+    def mul():
+        node = prim()
+        while peek()[0] == "op" and peek()[1] in "*/":
+            op = eat()
+            node = ("bin", op, node, prim())
+        return node
+
+    def add():
+        node = mul()
+        while peek()[0] == "op" and peek()[1] in "+-":
+            op = eat()
+            node = ("bin", op, node, mul())
+        return node
+
+    node = add()
+    if i[0] != len(toks):
+        raise ValueError(f"trailing tokens in BIND expression: {src!r}")
+    return node
+
+
+def _expr_sql(node, binds: dict[str, str]) -> str:
+    """BIND AST -> SQL over the bound columns. Arithmetic coerces variable /
+    string operands with TRY_CAST(.. AS DOUBLE) (non-numeric lexical forms
+    become NULL — the SPARQL type-error-skipping behavior)."""
+    kind = node[0]
+    if kind == "var":
+        if node[1] not in binds:
+            raise ValueError(f"BIND over unbound variable ?{node[1]}")
+        return binds[node[1]]
+    if kind == "str":
+        return _q(node[1])
+    if kind == "num":
+        return node[1]
+    if kind == "bin":
+        _, op, l, r = node
+
+        def num(n):
+            s = _expr_sql(n, binds)
+            if n[0] == "num" or (n[0] in ("bin", "func") and _expr_numeric(n)):
+                return s
+            return f"TRY_CAST({s} AS DOUBLE)"
+
+        return f"({num(l)} {op} {num(r)})"
+    _, name, args = node
+    sql_args = [_expr_sql(a, binds) for a in args]
+    fn, _ = _BIND_FUNCS[name]
+    if "{}" in fn:
+        if len(sql_args) != 1:
+            raise ValueError(f"{name} takes exactly one argument")
+        return fn.format(sql_args[0])
+    return f"{fn}({', '.join(sql_args)})"
+
+
+def _expr_numeric(node) -> bool:
+    if node[0] == "num" or node[0] == "bin":
+        return True
+    if node[0] == "func":
+        return _BIND_FUNCS[node[1]][1]
+    return False
+
+
+_BIND_OPEN_RE = re.compile(r"\bBIND\s*\(", re.I)
+_BIND_AS_RE = re.compile(r"\sAS\s+\?(\w+)\s*$", re.I)
+
+
+def _extract_binds(inner: str, restore) -> tuple[str, list[tuple[object, str]]]:
+    """Pull every top-level ``BIND(expr AS ?v)`` out of the masked body via
+    balanced-paren scanning (the expression itself contains parens, so a
+    regex can't bound it). Returns (body without BINDs, [(AST, var)]) in
+    textual order — later BINDs may reference earlier ones."""
+    out: list[tuple[object, str]] = []
+    while True:
+        m = _BIND_OPEN_RE.search(inner)
+        if not m:
+            return inner, out
+        depth, j = 1, m.end()
+        while j < len(inner) and depth:
+            if inner[j] == "(":
+                depth += 1
+            elif inner[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced parentheses in BIND")
+        body = inner[m.end() : j - 1]
+        am = _BIND_AS_RE.search(body)
+        if not am:
+            raise ValueError(f"BIND needs the form BIND(expr AS ?var): {restore(body)!r}")
+        out.append((_parse_expr(restore(body[: am.start()])), am.group(1)))
+        inner = inner[: m.start()] + " " + inner[j:]
+
+
 def _parse_values(head: str, data: str, prefixes: dict[str, str]) -> tuple[list[str], list[list[Term]]]:
     """``VALUES`` head + data block -> (ordered vars, rows of constant Terms).
     Single-var form (``VALUES ?v { t ... }``: bare terms, one per row) and the
@@ -350,6 +537,18 @@ def _parse_order(text: str) -> list[tuple[str, bool]]:
 
 
 def parse_sparql(q: str) -> Query:
+    # CONSTRUCT { template } WHERE { body }: parse the body as SELECT *, keep
+    # the template triples for instantiation in to_sql. Solution modifiers
+    # (ORDER BY / LIMIT / OFFSET) apply to the solution sequence BEFORE
+    # instantiation; the emitted graph is DISTINCT (set semantics).
+    construct_src = None
+    if not re.search(r"\bSELECT\b", q, re.I) and re.search(r"\bCONSTRUCT\b", q, re.I):
+        mq, mrestore = _mask_literals(q)
+        cm = re.search(r"\bCONSTRUCT\s*\{([^{}]*)\}", mq, re.I)
+        if not cm:
+            raise ValueError("CONSTRUCT needs a brace-delimited template")
+        construct_src = mrestore(cm.group(1))
+        q = mrestore(mq[: cm.start()] + "SELECT * " + mq[cm.end() :])
     # ASK: same body grammar as SELECT * — rewrite the head, compile the body
     # identically, and flag the query so to_sql wraps it in EXISTS
     ask = False
@@ -428,8 +627,8 @@ def parse_sparql(q: str) -> Query:
             raise ValueError("aggregates over UNION are not supported")
         branches = re.findall(r"\{([^{}]*)\}", inner)
         for br in branches:
-            if re.search(r"\bFILTER\b", br, re.I):
-                raise ValueError("FILTER inside UNION branches is not supported")
+            if re.search(r"\b(FILTER|BIND)\b", br, re.I):
+                raise ValueError("FILTER/BIND inside UNION branches is not supported")
         union_groups = [_quads(restore(br), prefixes, None, fresh) for br in branches]
         tail = q[q.rindex("}") + 1 :]
         if _GROUPBY_RE.search(tail):
@@ -491,6 +690,9 @@ def parse_sparql(q: str) -> Query:
         _quads(restore(m.group(1)), prefixes, None, fresh) for m in _MINUS_RE.finditer(inner)
     ]
     inner = _MINUS_RE.sub(" ", inner)
+    # BIND(expr AS ?v): balanced-paren extraction (the expression nests
+    # parens); ASTs compile against the bound columns in to_sql
+    inner, bind_exprs = _extract_binds(inner, restore)
     # FILTER((!)BOUND(?v)): post-OPTIONAL null tests (the anti-join idiom)
     bound_filters = [(m.group(2), not m.group(1)) for m in _BOUND_RE.finditer(inner)]
     inner = _BOUND_RE.sub(" ", inner)
@@ -580,8 +782,31 @@ def parse_sparql(q: str) -> Query:
         minus_groups=minus_groups or None,
         langdt_filters=langdt_filters or None,
         bound_filters=bound_filters or None,
+        bind_exprs=bind_exprs or None,
+        construct=_parse_construct(construct_src, prefixes) if construct_src else None,
         ask=ask,
     )
+
+
+def _parse_construct(
+    src: str, prefixes: dict[str, str]
+) -> list[tuple[Term, Term, Term]]:
+    """CONSTRUCT template block -> triples. Only plain var/IRI/literal terms:
+    property paths and blank-node shorthand are template-nonsensical here and
+    rejected loudly (a template bnode would need per-solution bnode minting,
+    which the serving layer does not do)."""
+
+    def no_paths() -> Term:
+        raise ValueError("property paths are not allowed in CONSTRUCT templates")
+
+    tmpl = _triples(src, prefixes, no_paths)
+    for t in tmpl:
+        for term in t:
+            if term.kind not in ("var", "iri", "lit"):
+                raise ValueError(
+                    f"unsupported CONSTRUCT template term kind: {term.kind}"
+                )
+    return tmpl
 
 
 def _q(s: str) -> str:
@@ -751,6 +976,30 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     subqueries onto the required part (optional-only variables are NULL —
     SPARQL unbound — when the group does not match). ``p+`` path patterns
     contribute recursive CTEs, hoisted to one outermost WITH RECURSIVE."""
+    if query.construct:
+        from dataclasses import replace
+
+        tmpl_vars: list[str] = []
+        for t in query.construct:
+            for term in t:
+                if term.kind == "var" and term.value not in tmpl_vars:
+                    tmpl_vars.append(term.value)
+        body_q = replace(query, construct=None, select=tmpl_vars, distinct=False)
+        body_sql = to_sql(body_q, triples_view)
+        parts = []
+        for s, p, o in query.construct:
+            cols = []
+            for term, name in ((s, "subj"), (p, "pred"), (o, "obj")):
+                v = f"b.{term.value}" if term.kind == "var" else _q(term.value)
+                cols.append(f"CAST({v} AS VARCHAR) AS {name}")
+            parts.append(f"SELECT {', '.join(cols)} FROM __body b")
+        # unbound template variables (OPTIONAL) generate no triple — the
+        # NULL filter is the SPARQL "skip incomplete instantiation" rule
+        return (
+            f"WITH __body AS ({body_sql}) "
+            f"SELECT DISTINCT subj, pred, obj FROM ({' UNION ALL '.join(parts)}) "
+            f"WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL"
+        )
     all_ctes: list[str] = []
 
     def _with(sql: str) -> str:
@@ -810,6 +1059,12 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                 conds.append(f"v{k}.{v} = {binds[v]}")
             else:
                 binds[v] = f"v{k}.{v}"
+    for node, bv in query.bind_exprs or []:
+        # assignment: computes over already-bound columns (and earlier BINDs);
+        # rebinding an existing variable is a SPARQL syntax error
+        if bv in binds:
+            raise ValueError(f"BIND target ?{bv} is already bound")
+        binds[bv] = f"({_expr_sql(node, binds)})"
     for k, (negated, e_quads) in enumerate(query.exists_filters or []):
         # correlated semi/anti-join: group-local variables are scoped to the
         # subquery; variables shared with the required part correlate on the

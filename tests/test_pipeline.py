@@ -942,3 +942,112 @@ def test_sparql_property_paths():
     ]:
         with pytest.raises(ValueError):
             run(bad)
+
+
+def test_sparql_bind():
+    """BIND(expr AS ?v): CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR and arithmetic
+    over bound variables; later BINDs may reference earlier ones; the target
+    participates in FILTERs, projection and ORDER BY. Rebinding and unbound
+    references are loud errors."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:name','alice', NULL, NULL, 'g1'),
+          ('e:a','e:age','30', NULL, NULL, 'g1'),
+          ('e:b','e:name','bob', NULL, NULL, 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run(
+        'SELECT ?s ?label WHERE { ?s <e:name> ?n . '
+        'BIND(CONCAT("user-", UCASE(?n)) AS ?label) } ORDER BY ?s'
+    ) == [("e:a", "user-ALICE"), ("e:b", "user-BOB")]
+    # arithmetic coerces lexical forms with TRY_CAST (SPARQL error-skipping)
+    assert run(
+        "SELECT ?s ?m WHERE { ?s <e:age> ?a . BIND(?a * 2 + 1 AS ?m) }"
+    ) == [("e:a", 61.0)]
+    # chained BINDs + FILTER over a computed variable
+    assert run(
+        "SELECT ?s ?l2 WHERE { ?s <e:name> ?n . BIND(STRLEN(?n) AS ?l) . "
+        "BIND(?l + 1 AS ?l2) } ORDER BY ?s"
+    ) == [("e:a", 6.0), ("e:b", 4.0)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . BIND(STRLEN(?n) AS ?l) . FILTER(?l > 3) }"
+    ) == [("e:a",)]
+    assert run(
+        "SELECT ?s ?sub WHERE { ?s <e:name> ?n . BIND(SUBSTR(?n, 1, 2) AS ?sub) } ORDER BY ?s"
+    ) == [("e:a", "al"), ("e:b", "bo")]
+    # a quoted literal containing "BIND(" or "AS ?x" is data, not syntax
+    assert run(
+        'SELECT ?s WHERE { ?s <e:name> ?n . BIND(CONCAT(?n, " BIND( AS ?y") AS ?x) . '
+        'FILTER(CONTAINS(?x, "BIND")) } ORDER BY ?s'
+    ) == [("e:a",), ("e:b",)]
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:name> ?n . BIND(?nope + 1 AS ?x) }")
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:name> ?n . BIND(1 AS ?n) }")
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:name> ?n . BIND(NOPE(?n) AS ?x) }")
+
+
+def test_sparql_construct():
+    """CONSTRUCT { template } WHERE { body }: the body compiles like SELECT,
+    each template triple instantiates per solution (constants pass through,
+    unbound OPTIONAL variables skip the triple), and the emitted graph is the
+    DISTINCT (subj, pred, obj) set."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:knows','e:b', NULL, NULL, 'g1'),
+          ('e:b','e:knows','e:c', NULL, NULL, 'g1'),
+          ('e:a','e:name','alice', NULL, NULL, 'g1'),
+          ('e:b','e:name','bob', NULL, NULL, 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return sorted(con.execute(to_sql(parse_sparql(q))).fetchall())
+
+    assert run(
+        "CONSTRUCT { ?s <e:acquaintedWith> ?o } WHERE { ?s <e:knows> ?o }"
+    ) == [("e:a", "e:acquaintedWith", "e:b"), ("e:b", "e:acquaintedWith", "e:c")]
+    # multi-triple template; unbound OPTIONAL vars generate no triple
+    got = run(
+        "CONSTRUCT { ?s <e:label> ?n . ?s <e:peer> ?o } "
+        "WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:knows> ?o } }"
+    )
+    assert got == [
+        ("e:a", "e:label", "alice"),
+        ("e:a", "e:peer", "e:b"),
+        ("e:b", "e:label", "bob"),
+        ("e:b", "e:peer", "e:c"),
+    ]
+    # property-path body feeding the template; DISTINCT graph semantics
+    assert run("CONSTRUCT { <e:a> <e:reaches> ?x } WHERE { <e:a> <e:knows>+ ?x }") == [
+        ("e:a", "e:reaches", "e:b"),
+        ("e:a", "e:reaches", "e:c"),
+    ]
+    cols = [
+        d[0]
+        for d in con.execute(
+            to_sql(parse_sparql("CONSTRUCT { ?s a <e:T> } WHERE { ?s <e:name> ?n }"))
+        ).description
+    ]
+    assert cols == ["subj", "pred", "obj"]
+    with pytest.raises(ValueError):
+        run("CONSTRUCT { ?s <e:p>/<e:q> ?o } WHERE { ?s <e:knows> ?o }")
+    with pytest.raises(ValueError):
+        run("CONSTRUCT { ?s <e:p> ?nope } WHERE { ?s <e:knows> ?o }")
