@@ -319,6 +319,36 @@ def _txt_quality(sf_dir: str):
     )
 
 
+def _txt_repetition(sf_dir: str):
+    """Gopher-style repetition signals (duplicate lines/words, top-bigram
+    share) as integer counts per document."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import repetition_signals
+
+    return repetition_signals(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
+def _td_contamination(sf_dir: str):
+    """Benchmark-contamination flags: word-5-shingle overlap of every
+    non-benchmark document against the deterministic benchmark stand-in
+    (doc_id % 97 == 0); broadcast benchmark set with a distributed hash-join
+    fallback past the size guard."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import contamination_flags
+
+    return contamination_flags(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
 def _mm_binary_stats(sf_dir: str):
     import ray.data
 
@@ -635,6 +665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
         "txt_fingerprint": _txt_fingerprint,
+        "txt_repetition": _txt_repetition,
+        "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
         "td_split": _td_split,
@@ -725,6 +757,8 @@ def oracle_sql() -> dict[str, str]:
         # family in r2s2_ray/functions/hashing.py)
         "td_prepare": oracles_td.td_prepare_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
+        "txt_repetition": oracles_td.repetition_oracle(),
+        "td_contamination": oracles_td.contamination_oracle(),
         "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
         "txt_token_chunks": oracles_td.token_chunks_oracle(),
         "td_split": oracles_td.stratified_split_oracle(),

@@ -625,3 +625,120 @@ def embedding_cosine_pairs_exact(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+#: broadcast guard for the benchmark shingle set in contamination_flags —
+#: a real benchmark suite is fixed-size (metadata-scale), but the mod-derived
+#: stand-in grows with the corpus, so the distributed join path takes over
+CONTAMINATION_BROADCAST_MAX = 2_000_000
+
+
+def contamination_flags(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    bench_mod: int = 97,
+    shingle_k: int = 5,
+    broadcast_max: int = CONTAMINATION_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """Benchmark-contamination check: flag every non-benchmark document that
+    shares at least one word-k-shingle with the benchmark set (the classic
+    pretraining decontamination rule — n-gram overlap against eval suites).
+    The benchmark here is the deterministic stand-in ``doc_id % bench_mod ==
+    0``; a real deployment passes an external benchmark table through the
+    same shingle path.
+
+    One row per non-benchmark document: (id, n_shared, contaminated) with
+    ``n_shared`` = distinct shared shingles. Benchmarks are fixed-size in
+    practice, so the default path broadcasts the benchmark shingle set once
+    (``ray.put``) and every batch runs one vectorized ``is_in``; if the set
+    exceeds ``broadcast_max`` the check switches to the fully distributed
+    path — hash_join on the shingle, sort-bucketed per-doc counts — with no
+    driver materialization."""
+    import pyarrow.compute as _pc
+
+    from ..relational import hash_join
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def sh_rows(b: pa.Table) -> pa.Table:
+        out = _shingle_rows(pl.from_arrow(b), id_col, text_col, shingle_k)
+        return out.rename({"sh": "s"}).to_arrow()
+
+    shingles = docs.map_batches(sh_rows, batch_format="pyarrow")
+
+    def _mod_mask(col: str, is_bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            mod = np.mod(b[col].combine_chunks().to_numpy(zero_copy_only=False), bench_mod)
+            return b.filter(pa.array((mod == 0) if is_bench else (mod != 0)))
+
+        return fn
+
+    bench_sh = shingles.map_batches(
+        _mod_mask(id_col, True), batch_format="pyarrow"
+    ).select_columns(["s"])
+    corpus_ids = docs.map_batches(
+        _mod_mask(id_col, False), batch_format="pyarrow"
+    ).select_columns([id_col])
+    corpus_sh = shingles.map_batches(_mod_mask(id_col, False), batch_format="pyarrow")
+
+    # the size probe and both consumers share one execution of the upstream
+    bench_sh = bench_sh.materialize()
+    if bench_sh.count() <= broadcast_max:
+        uniq = set()
+        for b in bench_sh.iter_batches(batch_format="pyarrow"):
+            uniq.update(b["s"].to_pylist())
+        bench_ref = ray.put(pa.array(sorted(uniq), pa.large_string()))
+
+        def count_hits(b: pa.Table, _ref=bench_ref) -> pa.Table:
+            hits = pl.from_arrow(
+                b.filter(_pc.is_in(b["s"], value_set=ray.get(_ref)))
+            )
+            agg = hits.group_by(id_col).agg(n_shared=pl.len().cast(pl.Int64))
+            return agg.to_arrow()
+
+        counts = corpus_sh.map_batches(count_hits, batch_format="pyarrow")
+        # one doc's shingles may span batches only if a doc spans blocks —
+        # they never do (one row per doc) — but two BATCHES of one block are
+        # doc-disjoint too; still, re-aggregate defensively after the join
+    else:
+        # distributed: dedup the benchmark shingles (sort co-locates equal
+        # keys), join corpus shingles against them, count per doc
+        def uniq_block(b: pa.Table) -> pa.Table:
+            return pl.from_arrow(b).unique().to_arrow()
+
+        bench_uniq = bench_sh.sort("s").map_batches(
+            uniq_block, batch_format="pyarrow", batch_size=None
+        )
+        pairs = hash_join(
+            corpus_sh, bench_uniq.add_column("hit", lambda df: 1), on="s",
+            right_cols=["hit"], how="inner",
+        )
+
+        def per_doc(b: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(b.select([id_col]))
+                .group_by(id_col)
+                .agg(n_shared=pl.len().cast(pl.Int64))
+                .to_arrow()
+            )
+
+        counts = pairs.sort(id_col).map_batches(
+            per_doc, batch_format="pyarrow", batch_size=None
+        )
+
+    joined = hash_join(corpus_ids, counts, on=id_col, right_cols=["n_shared"], how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        # batch-local re-sum: the broadcast path emits one partial per batch
+        # a doc appears in (docs are single rows, so this is a no-op today;
+        # it keeps the contract correct if ids ever repeat across batches)
+        df = df.group_by(id_col).agg(pl.col("n_shared").sum())
+        df = df.with_columns(pl.col("n_shared").fill_null(0).cast(pl.Int64))
+        return df.with_columns(
+            contaminated=(pl.col("n_shared") > 0).cast(pl.Int64)
+        ).to_arrow()
+
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)

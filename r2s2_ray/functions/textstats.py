@@ -296,3 +296,68 @@ def fingerprint(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Da
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_signals(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals, one row per document, all
+    integer counts (fraction thresholds are the consumer's policy):
+
+    - ``n_lines`` / ``n_dup_lines``: non-empty ``\\n``-split lines and how many
+      of them are repeats of an earlier line (n_lines - distinct lines)
+    - ``n_words`` / ``n_dup_words``: lowercase space-split tokens and repeats
+    - ``n_bigrams`` / ``top_bigram_n``: adjacent-word-pair instances and the
+      count of the most frequent pair (high top share = templated/spammy text)
+
+    Fully batch-local (each document is one row): explode + group_by inside
+    one polars frame, left-joined back onto the batch's id column so empty
+    documents keep a row of zeros. Mirrors the duplicate-line / top-n-gram
+    fraction rules of Rae et al. 2021 (Gopher) §A1.1 as integer counts."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        base = df.select(id_col)
+        ln = (
+            df.with_columns(pl.col(text_col).str.split("\n").alias("ln"))
+            .explode("ln")
+            .filter(pl.col("ln").str.len_chars() > 0)
+            .group_by(id_col)
+            .agg(
+                n_lines=pl.len().cast(pl.Int64),
+                n_dup_lines=(pl.len() - pl.col("ln").n_unique()).cast(pl.Int64),
+            )
+        )
+        tok = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase().str.split(" ").alias("tok")
+            )
+            .explode("tok")
+            .filter(pl.col("tok").str.len_chars() > 0)
+            .select([id_col, "tok"])
+        )
+        wd = tok.group_by(id_col).agg(
+            n_words=pl.len().cast(pl.Int64),
+            n_dup_words=(pl.len() - pl.col("tok").n_unique()).cast(pl.Int64),
+        )
+        bg = (
+            tok.with_columns(pl.col("tok").shift(-1).over(id_col).alias("nxt"))
+            .drop_nulls("nxt")
+            .with_columns(
+                pl.concat_str([pl.col("tok"), pl.col("nxt")], separator=" ").alias("bg")
+            )
+            .group_by([id_col, "bg"])
+            .len()
+            .group_by(id_col)
+            .agg(
+                n_bigrams=pl.col("len").sum().cast(pl.Int64),
+                top_bigram_n=pl.col("len").max().cast(pl.Int64),
+            )
+        )
+        out = (
+            base.join(ln, on=id_col, how="left")
+            .join(wd, on=id_col, how="left")
+            .join(bg, on=id_col, how="left")
+            .fill_null(0)
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")

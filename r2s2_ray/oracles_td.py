@@ -444,3 +444,44 @@ def connected_components_oracle(per_doc: int = 20, groups: int = 50) -> str:
           FROM cc JOIN e ON cc.node = e.src
           WHERE cc.label < e.dst)
         SELECT node, min(label) AS label FROM cc GROUP BY node"""
+
+
+def repetition_oracle() -> str:
+    """Oracle for functions.textstats.repetition_signals: non-empty line
+    counts and duplicate lines, lowercase space-split word counts and
+    duplicates, and adjacent-word-bigram totals / top count per document."""
+    return """
+WITH d AS (SELECT doc_id, text FROM documents),
+ln AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS lines FROM d),
+w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM d),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b FROM w),
+bgc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_bigram_n
+        FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b) GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(len(ln.lines), 0) AS BIGINT) AS n_lines,
+  CAST(coalesce(len(ln.lines) - len(list_distinct(ln.lines)), 0) AS BIGINT) AS n_dup_lines,
+  CAST(coalesce(len(w.toks), 0) AS BIGINT) AS n_words,
+  CAST(coalesce(len(w.toks) - len(list_distinct(w.toks)), 0) AS BIGINT) AS n_dup_words,
+  coalesce(bgc.n_bigrams, 0) AS n_bigrams,
+  coalesce(bgc.top_bigram_n, 0) AS top_bigram_n
+FROM d JOIN ln USING(doc_id) JOIN w USING(doc_id) LEFT JOIN bgc USING(doc_id)
+"""
+
+
+def contamination_oracle(bench_mod: int = 97, shingle_k: int = 5) -> str:
+    """Oracle for functions.dedup.contamination_flags: a document (outside the
+    benchmark stand-in, doc_id % bench_mod == 0) is contaminated when it
+    shares at least one word-k-shingle with any benchmark document;
+    ``n_shared`` counts its distinct shared shingles."""
+    return f"""
+WITH {_shingles_cte(shingle_k)},
+bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % {bench_mod} = 0),
+hits AS (SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_shared
+         FROM sh JOIN bsh USING (s) WHERE sh.doc_id % {bench_mod} != 0
+         GROUP BY sh.doc_id)
+SELECT d.doc_id,
+  coalesce(h.n_shared, 0) AS n_shared,
+  CAST(coalesce(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {bench_mod} != 0
+"""

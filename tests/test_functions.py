@@ -519,3 +519,72 @@ def test_hash_join_inner_left_and_collision_guard():
     assert len(lj) == 4 and lj.loc[lj["k"] == 2, "rv"].isna().all()
     with pytest.raises(ValueError, match="collide"):
         hash_join(left, right.map_batches(lambda b: b.rename_columns(["k", "lv"]), batch_format="pyarrow"), on="k", right_cols=["lv"])
+
+
+def test_repetition_signals_counts():
+    """Integer repetition signals match hand counts, empty documents keep a
+    zero row, and every count column is int64 (oracle hash contract)."""
+    from r2s2_ray.functions.textstats import repetition_signals
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["a b\nc d\na b\n\na b", "x x x y", "", "one two"],
+        }
+    )
+    out = repetition_signals(ray.data.from_arrow(t), "doc_id", "text").take_all()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 4
+    # doc 1: 4 non-empty lines, "a b" repeats twice beyond the first
+    assert rows[1]["n_lines"] == 4 and rows[1]["n_dup_lines"] == 2
+    # words split on SPACE only ("b\nc" is one token) — 5 tokens, none dup
+    assert rows[1]["n_words"] == 5 and rows[1]["n_dup_words"] == 0
+    # doc 2: bigrams "x x","x x","x y" -> 3 total, top count 2
+    assert rows[2]["n_bigrams"] == 3 and rows[2]["top_bigram_n"] == 2
+    assert rows[2]["n_dup_words"] == 2
+    # empty doc keeps a row of zeros
+    assert rows[3] == {
+        "doc_id": 3, "n_lines": 0, "n_dup_lines": 0, "n_words": 0,
+        "n_dup_words": 0, "n_bigrams": 0, "top_bigram_n": 0,
+    }
+    assert rows[4]["n_bigrams"] == 1 and rows[4]["top_bigram_n"] == 1
+
+
+def test_contamination_broadcast_matches_distributed():
+    """The broadcast (small benchmark) and distributed (hash-join) paths of
+    contamination_flags agree row-for-row, benchmark docs are excluded, and
+    shingle-less (short) docs keep an uncontaminated row."""
+    from r2s2_ray.functions.dedup import contamination_flags
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",       # benchmark (id % 3 == 0)
+        1: "alpha beta gamma delta epsilon eta",        # shares 2 5-shingles? no — 1
+        2: "totally different words here now folks",
+        3: "benchmark two text goes here okay",          # benchmark
+        4: "short doc",                                  # < 5 words: no shingles
+        5: "zz alpha beta gamma delta epsilon yy",       # shares interior shingle
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": [texts[k] for k in sorted(texts)],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = sorted(
+        contamination_flags(ds, "doc_id", "text", bench_mod=3).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        contamination_flags(ds, "doc_id", "text", bench_mod=3, broadcast_max=0).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
+    ids = [r["doc_id"] for r in a]
+    assert ids == [1, 2, 4, 5]  # benchmark ids 0/3 excluded
+    by = {r["doc_id"]: r for r in a}
+    # doc 1 shares the shingle "alpha beta gamma delta epsilon" with doc 0
+    assert by[1]["contaminated"] == 1 and by[1]["n_shared"] == 1
+    assert by[2] == {"doc_id": 2, "n_shared": 0, "contaminated": 0}
+    assert by[4] == {"doc_id": 4, "n_shared": 0, "contaminated": 0}
+    assert by[5]["contaminated"] == 1 and by[5]["n_shared"] == 1
