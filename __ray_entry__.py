@@ -319,6 +319,20 @@ def _txt_quality(sf_dir: str):
     )
 
 
+def _dd_substring_pairs(sf_dir: str):
+    """Exact substring near-dup pairs (Lee et al. 2021 style): docs sharing
+    any >=20-char substring, via the complete char-20-gram witness set."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
 def _txt_repetition(sf_dir: str):
     """Gopher-style repetition signals (duplicate lines/words, top-bigram
     share) as integer counts per document."""
@@ -666,6 +680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_langid": _txt_langid,
         "txt_fingerprint": _txt_fingerprint,
         "txt_repetition": _txt_repetition,
+        "dd_substring_pairs": _dd_substring_pairs,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
@@ -758,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         "td_prepare": oracles_td.td_prepare_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
         "txt_repetition": oracles_td.repetition_oracle(),
+        "dd_substring_pairs": oracles_td.substring_pairs_oracle(),
         "td_contamination": oracles_td.contamination_oracle(),
         "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
         "txt_token_chunks": oracles_td.token_chunks_oracle(),

@@ -107,6 +107,25 @@ def _token_table(b: pa.Table, id_col: str, text_col: str) -> pl.DataFrame:
     )
 
 
+
+def _fold_pairs(pairs: ray.data.Dataset, exprs: dict[str, "pl.Expr"] | None = None) -> ray.data.Dataset:
+    """Combine per-block pair emissions into one row per (a, b): ONE
+    distributed sort on the pair key (equal keys never straddle partitions)
+    + a block-local polars group_by — the repo-wide replacement for
+    ``groupby().aggregate`` here because Ray's Aggregate operator DEADLOCKS on
+    a zero-row input dataset (an empty candidate-pair set is a legal outcome
+    for every near-dup operator), and sort+map_batches handles empty blocks.
+    ``exprs=None`` means plain distinct."""
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        if exprs is None:
+            return df.unique(maintain_order=True).to_arrow()
+        return df.group_by(["a", "b"], maintain_order=True).agg(**exprs).to_arrow()
+
+    return pairs.sort(["a", "b"]).map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 class MinHasher:
     """Actor-pool stage: text -> MinHash signature (num_perm x 64-bit mins) +
     LSH band keys, fully vectorized (numpy over the exploded shingle table).
@@ -204,7 +223,7 @@ def minhash_lsh_pairs(
         block_pairs, batch_format="pyarrow", batch_size=None
     )
     # distinct pairs (a doc pair can collide in several bands)
-    return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
+    return _fold_pairs(pairs)
 
 
 def jaccard_pairs(
@@ -314,15 +333,16 @@ def ngram_jaccard_pairs(
             }
         )
 
-    from ray.data.aggregate import Count, Min
-
-    pairs = (
+    pairs = _fold_pairs(
         ds.select_columns([id_col, text_col])
         .map_batches(explode, batch_format="pyarrow")
         .sort("sh")
-        .map_batches(block_posting_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="c"), Min("na", alias_name="na"), Min("nb", alias_name="nb"))
+        .map_batches(block_posting_pairs, batch_format="pyarrow", batch_size=None),
+        {
+            "c": pl.len().cast(pl.Int64),
+            "na": pl.col("na").min(),
+            "nb": pl.col("nb").min(),
+        },
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -462,14 +482,12 @@ def embedding_neardup_pairs(
             }
         )
 
-    from ray.data.aggregate import Min
-
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
     pairs = bucketed.sort(["table", "bucket"]).map_batches(
         verify_block, batch_format="pyarrow", batch_size=None
     )
     # a pair can collide in several tables -> distinct (cosine identical everywhere)
-    return pairs.groupby(["a", "b"]).aggregate(Min("cosine", alias_name="cosine"))
+    return _fold_pairs(pairs, {"cosine": pl.col("cosine").min()})
 
 
 class _ExactPairScorer:
@@ -742,3 +760,71 @@ def contamination_flags(
         ).to_arrow()
 
     return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def substring_dup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    min_len: int = 20,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT substring near-duplicate pairs (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): every unordered doc pair
+    (a < b) sharing at least one character substring of length ``min_len``.
+    Two docs share a >=k substring iff they share a length-k one, so the
+    k-gram set is a complete witness — no recall loss vs suffix arrays, at
+    the cost of a ~k× shingle-volume blowup (the streamed-exchange price of
+    avoiding a global suffix array; the per-doc k-gram sets are distinct-ed
+    before the exchange).
+
+    Same skeleton as the LSH band buckets: distinct (id, sub) rows, ONE
+    distributed sort on the substring, vectorized within-block pair emission,
+    distinct pairs. ``max_bucket`` optionally drops pathological buckets (a
+    boilerplate string shared by thousands of docs makes that bucket
+    quadratic; capping trades recall for a documented bound, same knob as
+    ngram_jaccard_pairs)."""
+
+    def kgrams(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = (
+            df.with_columns(
+                # len_chars() is u32: subtracting below zero UNDERFLOWS to ~4e9
+                # and int_ranges then builds a billions-long list — cast first
+                off=pl.int_ranges(
+                    0, pl.col(text_col).str.len_chars().cast(pl.Int64) - (min_len - 1)
+                )
+            )
+            .explode("off")
+            .drop_nulls("off")
+            .with_columns(sub=pl.col(text_col).str.slice(pl.col("off"), min_len))
+            .select([pl.col(id_col).alias("doc"), "sub"])
+            .unique()
+        )
+        return out.to_arrow()
+
+    rows = ds.map_batches(kgrams, batch_format="pyarrow")
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("sub", "ascending"), ("doc", "ascending")])
+        codes = pc.dictionary_encode(t["sub"]).combine_chunks().indices.to_numpy(
+            zero_copy_only=False
+        )
+        docs = np.asarray(t["doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        bounds = _run_bounds(codes)
+        if max_bucket is not None:
+            sizes = np.diff(bounds)
+            keep = sizes <= max_bucket
+            # rebuild bounds with oversized runs dropped (documented recall cap)
+            segs = [(s, e) for s, e, k in zip(bounds[:-1], bounds[1:], keep) if k]
+            idx = np.concatenate([np.arange(s, e) for s, e in segs]) if segs else np.empty(0, np.int64)
+            docs = docs[idx]
+            codes = codes[idx]
+            bounds = _run_bounds(codes)
+        ia, jb = _group_pair_indices(bounds)
+        return pa.table({"a": pa.array(docs[ia], pa.int64()), "b": pa.array(docs[jb], pa.int64())})
+
+    pairs = rows.sort("sub").map_batches(block_pairs, batch_format="pyarrow", batch_size=None)
+    # a pair can share many substrings (every window of a long shared span)
+    return _fold_pairs(pairs)

@@ -485,3 +485,19 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % {bench_mod} != 0
 """
+
+
+def substring_pairs_oracle(min_len: int = 20) -> str:
+    """Oracle for functions.dedup.substring_dup_pairs: unordered doc pairs
+    sharing at least one character substring of length min_len (k-gram
+    witness set, self-join on the substring)."""
+    return f"""
+WITH g AS (SELECT DISTINCT doc_id, sub FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(text) - {min_len} + 2),
+                  i -> substr(text, i, {min_len}))) AS sub
+    FROM documents))
+SELECT x.doc_id AS a, y.doc_id AS b
+FROM g x JOIN g y ON x.sub = y.sub AND x.doc_id < y.doc_id
+GROUP BY x.doc_id, y.doc_id
+"""

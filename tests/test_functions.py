@@ -588,3 +588,36 @@ def test_contamination_broadcast_matches_distributed():
     assert by[2] == {"doc_id": 2, "n_shared": 0, "contaminated": 0}
     assert by[4] == {"doc_id": 4, "n_shared": 0, "contaminated": 0}
     assert by[5]["contaminated"] == 1 and by[5]["n_shared"] == 1
+
+
+def test_substring_dup_pairs_witness_and_cap():
+    """Exact substring pairs: a shared >=k-char span is found through its
+    k-gram witness windows regardless of alignment; disjoint texts produce no
+    pair; max_bucket drops a boilerplate bucket (documented recall cap)."""
+    from r2s2_ray.functions.dedup import substring_dup_pairs
+
+    boiler = "COMMON-BOILERPLATE-FOOTER-TEXT"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": [
+                "unique prefix one THIS-SHARED-SPAN-IS-LONG tail x",
+                "other lead-in text THIS-SHARED-SPAN-IS-LONG suffix",
+                "totally unrelated content with nothing shared at all",
+                "first boiler doc " + boiler,
+                "second boiler doc " + boiler,
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    pairs = sorted(
+        tuple(sorted((r["a"], r["b"])))
+        for r in substring_dup_pairs(ds, "doc_id", "text", min_len=20).take_all()
+    )
+    assert pairs == [(1, 2), (4, 5)]
+    # shorter-than-k docs are shingle-less and never pair
+    t2 = pa.table({"doc_id": pa.array([9], pa.int64()), "text": ["short"]})
+    assert substring_dup_pairs(ray.data.from_arrow(t2), "doc_id", "text").take_all() == []
+    # cap: every bucket here has size 2, so max_bucket=1 drops all pairs
+    capped = substring_dup_pairs(ds, "doc_id", "text", min_len=20, max_bucket=1).take_all()
+    assert capped == []
