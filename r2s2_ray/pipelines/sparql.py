@@ -25,12 +25,14 @@ literal constants (plain, ``@lang``, ``^^<datatype>``, bare numerics),
 ``FILTER(?v <op> term)`` for ``= != < <= > >=`` (numeric comparison when the
 constant is numeric, lexical otherwise, column comparison when the right side
 is another bound variable; FILTERs live in the required part),
+``FILTER(?v (NOT) IN (t, ...))`` constant-list restrictions,
 string-function FILTERs ``REGEX(?v, "pat")`` / ``STRSTARTS(?v, "s")`` /
 ``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; no flags arg),
 whole-body ``{ BGP } UNION { BGP }`` (two or more pure-BGP branches,
 multiset semantics, branch-unbound variables project as NULL),
-aggregate projections ``(COUNT|SUM|MIN|MAX|AVG(DISTINCT? ?v|*) AS ?alias)``
-with ``GROUP BY`` (plain projected variables must be grouping keys; COUNT
+aggregate projections ``(COUNT|SUM|MIN|MAX|AVG|SAMPLE(DISTINCT? ?v|*) AS
+?alias)`` and ``GROUP_CONCAT(?v; SEPARATOR="..")`` (deterministic ascending
+element order; SAMPLE = deterministic MIN) with ``GROUP BY`` (plain projected variables must be grouping keys; COUNT
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
 non-numeric forms — SPARQL error-skipping),
 ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` inline-data groups
@@ -85,6 +87,9 @@ _LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)", re.I)
 _OFFSET_RE = re.compile(r"\bOFFSET\s+(\d+)", re.I)
 _ORDER_RE = re.compile(r"ORDER\s+BY\s+(.+?)(?:\bLIMIT\b|\bOFFSET\b|$)", re.I | re.S)
 _ORDER_KEY_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.I)
+_IN_RE = re.compile(
+    r"FILTER\s*\(\s*\?(\w+)\s+(NOT\s+)?IN\s*\(([^()]*)\)\s*\)", re.I
+)
 _FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*\)", re.I)
 _FFUNC_RE = re.compile(
     r"FILTER\s*\(\s*(REGEX|STRSTARTS|CONTAINS)\s*\(\s*(\?\w+)\s*,\s*(\S+?)\s*"
@@ -174,7 +179,12 @@ class Query:
 
 
 _AGG_RE = re.compile(
-    r"\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)\s+AS\s+\?(\w+)\s*\)",
+    r"\(\s*(COUNT|SUM|MIN|MAX|AVG|SAMPLE)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)\s+AS\s+\?(\w+)\s*\)",
+    re.I,
+)
+_GCONCAT_RE = re.compile(
+    r"\(\s*GROUP_CONCAT\s*\(\s*(DISTINCT\s+)?(\?\w+)\s*"
+    r'(?:;\s*SEPARATOR\s*=\s*"((?:[^"\\]|\\.)*)"\s*)?\)\s+AS\s+\?(\w+)\s*\)',
     re.I,
 )
 _GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.I)
@@ -566,6 +576,15 @@ def parse_sparql(q: str) -> Query:
     # aggregate projections: (COUNT(?x) AS ?n) etc. — pulled out first so the
     # remaining ?vars are the plain (grouping) projection
     aggs: list[tuple[str, bool, str | None, str]] = []
+    for m in _GCONCAT_RE.finditer(sel_text):
+        # func tuple carries the separator in the slot the others leave None;
+        # SPARQL's default separator is a single space. Output order is
+        # DOCUMENTED as ascending lexical (SPARQL leaves it undefined; a
+        # deterministic order is what makes the result oracle-comparable).
+        sep = m.group(3) if m.group(3) is not None else " "
+        sep = sep.replace('\\"', '"').replace("\\\\", "\\")
+        aggs.append(("GROUP_CONCAT:" + sep, bool(m.group(1)), m.group(2)[1:], m.group(4)))
+    sel_text = _GCONCAT_RE.sub(" ", sel_text)
     for m in _AGG_RE.finditer(sel_text):
         func = m.group(1).upper()
         v = None if m.group(3) == "*" else m.group(3)[1:]
@@ -707,6 +726,20 @@ def parse_sparql(q: str) -> Query:
     # string-function FILTERs first (their own regex would otherwise be
     # half-eaten by the comparison form): REGEX/STRSTARTS/CONTAINS(?v, "lit")
     filters = []
+    # FILTER(?v (NOT) IN (t, t, ...)): constant list, compiled to SQL IN —
+    # the set restriction rides the alts slot of a constant Term
+    for m in _IN_RE.finditer(inner):
+        items = [
+            _parse_term(tm.group(0), prefixes)
+            for tm in _TERM_RE.finditer(restore(m.group(3)))
+        ]
+        if not items:
+            raise ValueError("empty IN list in FILTER")
+        if any(t.kind == "var" for t in items):
+            raise ValueError("FILTER IN lists must be constant terms")
+        op = "not in" if m.group(2) else "in"
+        filters.append((m.group(1), op, Term("alt", "", alts=[t.value for t in items])))
+    inner = _IN_RE.sub("", inner)
     for m in _FFUNC_RE.finditer(inner):
         func = m.group(1).lower()
         arg = _parse_term(restore(m.group(3)), prefixes)
@@ -932,6 +965,15 @@ def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
         if func == "COUNT":
             arg = "*" if var is None else f"{d}{vmap[var]}"
             parts.append(f"CAST(COUNT({arg}) AS BIGINT) AS {alias}")
+        elif func == "SAMPLE":
+            # SPARQL SAMPLE picks an arbitrary value; MIN makes it the
+            # deterministic (and thus oracle-comparable) choice
+            parts.append(f"MIN({vmap[var]}) AS {alias}")
+        elif func.startswith("GROUP_CONCAT:"):
+            sep = func[len("GROUP_CONCAT:"):]
+            parts.append(
+                f"string_agg({d}{vmap[var]}, {_q(sep)} ORDER BY {vmap[var]}) AS {alias}"
+            )
         else:
             parts.append(f"{func}({d}TRY_CAST({vmap[var]} AS DOUBLE)) AS {alias}")
     group = " GROUP BY " + ", ".join(vmap[v] for v in keys) if keys else ""
@@ -1138,6 +1180,10 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                 conds.append(f"{fn}({binds[var]}, {_q(term.value)}, {_q(term.lang)})")
             else:
                 conds.append(f"{fn}({binds[var]}, {_q(term.value)})")
+            continue
+        if op in ("in", "not in"):
+            lst = ", ".join(_q(v) for v in term.alts)
+            conds.append(f"{binds[var]} {op.upper()} ({lst})")
             continue
         sql_op = "<>" if op == "!=" else op
         if term.kind == "var":

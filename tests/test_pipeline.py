@@ -1051,3 +1051,48 @@ def test_sparql_construct():
         run("CONSTRUCT { ?s <e:p>/<e:q> ?o } WHERE { ?s <e:knows> ?o }")
     with pytest.raises(ValueError):
         run("CONSTRUCT { ?s <e:p> ?nope } WHERE { ?s <e:knows> ?o }")
+
+
+def test_sparql_group_concat_sample_in():
+    """GROUP_CONCAT (default space separator, custom SEPARATOR, DISTINCT;
+    deterministic ascending order documented), SAMPLE (deterministic MIN
+    choice), and FILTER(?v (NOT) IN (...)) constant-list restrictions."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:tag','x', NULL, NULL, 'g'),
+          ('e:a','e:tag','y', NULL, NULL, 'g'),
+          ('e:a','e:tag','x', NULL, NULL, 'g2'),
+          ('e:b','e:tag','z', NULL, NULL, 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run(
+        'SELECT ?s (GROUP_CONCAT(?t; SEPARATOR=",") AS ?tags) '
+        "WHERE { ?s <e:tag> ?t } GROUP BY ?s ORDER BY ?s"
+    ) == [("e:a", "x,x,y"), ("e:b", "z")]
+    assert run(
+        "SELECT ?s (GROUP_CONCAT(DISTINCT ?t) AS ?tags) "
+        "WHERE { ?s <e:tag> ?t } GROUP BY ?s ORDER BY ?s"
+    ) == [("e:a", "x y"), ("e:b", "z")]
+    assert run(
+        "SELECT ?s (SAMPLE(?t) AS ?one) WHERE { ?s <e:tag> ?t } GROUP BY ?s ORDER BY ?s"
+    ) == [("e:a", "x"), ("e:b", "z")]
+    assert run(
+        'SELECT DISTINCT ?s WHERE { ?s <e:tag> ?t . FILTER(?t IN ("x", "z")) } ORDER BY ?s'
+    ) == [("e:a",), ("e:b",)]
+    assert run(
+        'SELECT DISTINCT ?s WHERE { ?s <e:tag> ?t . FILTER(?t NOT IN ("x", "z")) }'
+    ) == [("e:a",)]
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:tag> ?t . FILTER(?t IN ()) }")
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:tag> ?t . FILTER(?t IN (?u)) }")
