@@ -419,6 +419,25 @@ def _sim_ann_lsh(sf_dir: str):
     )
 
 
+def _sim_ann_ivf(sf_dir: str):
+    """IVF-flat ANN: deterministic coarse codebook, nearest-centroid inverted
+    lists, nprobe-nearest-list search — the partition-pruned scale path next
+    to the LSH variant."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import ivf_topk
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = ivf_topk(ds, q, "vec_id", "embedding", k=5)
+    return pa.table(
+        {
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _dd_minhash(sf_dir: str):
     import ray.data
 
@@ -681,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_fingerprint": _txt_fingerprint,
         "txt_repetition": _txt_repetition,
         "dd_substring_pairs": _dd_substring_pairs,
+        "sim_ann_ivf": _sim_ann_ivf,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
@@ -774,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
         "txt_repetition": oracles_td.repetition_oracle(),
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),
+        "sim_ann_ivf": oracles_td.ann_ivf_oracle(),
         "td_contamination": oracles_td.contamination_oracle(),
         "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
         "txt_token_chunks": oracles_td.token_chunks_oracle(),

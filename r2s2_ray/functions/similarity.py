@@ -120,3 +120,67 @@ def lsh_topk(
 
     cand = ds.map_batches(prefilter, batch_format="pyarrow")
     return brute_force_topk(cand, q, id_col, vec_col, k)
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> list[dict]:
+    """IVF-flat approximate top-k: a coarse codebook partitions the corpus
+    into ``n_centroids`` inverted lists by nearest-centroid cosine; each query
+    probes its ``nprobe`` nearest lists and exact cosine runs only inside the
+    probed lists (the classic Faiss-style IVF structure — candidate volume
+    ~ nprobe/n_centroids of the corpus, vs the LSH path's Hamming buckets).
+
+    The codebook is the DETERMINISTIC stand-in ``n_centroids smallest-id
+    vectors`` (fetched via per-block mins + a metadata-scale driver merge) so
+    the whole search path is SQL-oracle-reproducible; a k-means-trained
+    codebook drops in without changing assignment or probing. Ties in
+    assignment and probing break toward the lower centroid index; the final
+    scoring reuses :func:`brute_force_topk` (cos DESC, id ASC)."""
+    q = np.asarray(queries, dtype=np.float64)
+
+    def local_min(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)[: n_centroids]
+        return b.select([id_col, vec_col]).take(pa.array(order, pa.int64()))
+
+    rows = ds.map_batches(local_min, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    cent = rows[:n_centroids]
+    if not cent:
+        return []
+    c_mat = np.asarray([r[vec_col] for r in cent], dtype=np.float64)
+    cn = np.linalg.norm(c_mat, axis=1)
+    cn[cn == 0] = 1.0
+
+    def _cos_to_cents(vecs: np.ndarray) -> np.ndarray:
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = 1.0
+        # dot / (|a| * |b|) — the same formula (and ordering hazard class) the
+        # oracle's list_cosine_similarity uses
+        return (vecs @ c_mat.T) / np.outer(vn, cn)
+
+    qs = _cos_to_cents(q)
+    probed: set[int] = set()
+    for qi in range(qs.shape[0]):
+        order = np.lexsort((np.arange(len(cent)), -qs[qi]))[:nprobe]
+        probed.update(int(x) for x in order)
+    probed_arr = np.array(sorted(probed), dtype=np.int64)
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        if not len(vecs):
+            return b
+        sims = _cos_to_cents(vecs)
+        # argmax returns the FIRST maximum — the tie-to-lowest-index rule
+        assign = np.argmax(sims, axis=1)
+        return b.filter(pa.array(np.isin(assign, probed_arr)))
+
+    cand = ds.map_batches(prefilter, batch_format="pyarrow")
+    return brute_force_topk(cand, q, id_col, vec_col, k)

@@ -501,3 +501,50 @@ SELECT x.doc_id AS a, y.doc_id AS b
 FROM g x JOIN g y ON x.sub = y.sub AND x.doc_id < y.doc_id
 GROUP BY x.doc_id, y.doc_id
 """
+
+
+def ann_ivf_oracle(
+    k: int = 5, n_centroids: int = 16, nprobe: int = 2, n_queries: int = 8
+) -> str:
+    """Oracle for functions.similarity.ivf_topk: deterministic codebook =
+    n_centroids smallest-vec_id embeddings; assignment / probing by cosine
+    with ties to the lower centroid index; exact top-k inside the union of
+    every query's probed lists."""
+    cos = (
+        "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    )
+    return f"""
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+          FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_centroids})),
+        assign AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     {cos.format(a='e.embedding', b='c.embedding')} DESC,
+                     c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        probe AS (
+          SELECT cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     {cos.format(a='e.embedding', b='c.embedding')} DESC,
+                     c.cid ASC) AS rn
+            FROM (SELECT * FROM embeddings WHERE vec_id < {n_queries}) e
+            CROSS JOIN cent c)
+          WHERE rn <= {nprobe}),
+        allowed AS (SELECT DISTINCT cid FROM probe),
+        cand AS (SELECT a.vec_id FROM assign a JOIN allowed USING (cid)),
+        scored AS (
+          SELECT q.vec_id AS qid, c.vec_id,
+                 {cos.format(a='eq.embedding', b='ec.embedding')} AS cos
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id < {n_queries}) q
+          JOIN embeddings eq ON eq.vec_id = q.vec_id
+          CROSS JOIN cand c
+          JOIN embeddings ec ON ec.vec_id = c.vec_id)
+        SELECT qid, vec_id
+        FROM (SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+              FROM scored)
+        WHERE rn <= {k}"""

@@ -621,3 +621,35 @@ def test_substring_dup_pairs_witness_and_cap():
     # cap: every bucket here has size 2, so max_bucket=1 drops all pairs
     capped = substring_dup_pairs(ds, "doc_id", "text", min_len=20, max_bucket=1).take_all()
     assert capped == []
+
+
+def test_ivf_topk_probes_and_full_probe_equals_exact():
+    """IVF-flat ANN: probing every list reproduces the exact brute-force
+    top-k; probing few lists returns <= k rows per query from the probed
+    partition only (partition pruning, the approximation knob)."""
+    import numpy as np
+
+    from r2s2_ray.functions.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(80, 16)).astype(np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(80), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    q = vecs[:3]
+    exact = brute_force_topk(ds, q, "vec_id", "embedding", k=4)
+    full = ivf_topk(ds, q, "vec_id", "embedding", k=4, n_centroids=8, nprobe=8)
+    assert full == exact
+    few = ivf_topk(ds, q, "vec_id", "embedding", k=4, n_centroids=8, nprobe=1)
+    assert few == ivf_topk(ds, q, "vec_id", "embedding", k=4, n_centroids=8, nprobe=1)
+    per_q: dict = {}
+    for r in few:
+        per_q.setdefault(r["qid"], []).append(r)
+    # each query still finds itself (cos=1 with its own corpus row lives in
+    # the probed nearest list by construction)
+    for qi in range(3):
+        assert per_q[qi][0]["vec_id"] == qi and abs(per_q[qi][0]["cosine"] - 1) < 1e-12
