@@ -271,6 +271,25 @@ def _kg_sparql_construct(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_subselect(sf_dir: str):
+    """Nested SELECT + HAVING served end-to-end: conversations whose
+    hasTurn/mentions path yields >= 6 solution rows, aggregated in a
+    subquery and joined back to the typed conversation pattern."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?conv ?n WHERE {\n"
+        "  ?conv a ex:Conversation .\n"
+        "  { SELECT ?conv (COUNT(?e) AS ?n) WHERE {\n"
+        "      ?conv ex:hasTurn/ex:mentions ?e\n"
+        "    } GROUP BY ?conv HAVING(?n >= 6) }\n"
+        "}"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -667,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_path": _kg_sparql_path,
         "kg_sparql_construct": _kg_sparql_construct,
+        "kg_sparql_subselect": _kg_sparql_subselect,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -730,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_graph": oracles.sparql_graph_oracle(),
         "kg_sparql_path": oracles.sparql_path_oracle(),
         "kg_sparql_construct": oracles.sparql_construct_oracle(),
+        "kg_sparql_subselect": oracles.sparql_subselect_oracle(),
         "kg_sparql_antijoin": oracles.sparql_antijoin_oracle(),
         "kg_sparql_agg": oracles.sparql_agg_oracle(),
         **relational.ORACLES,

@@ -236,6 +236,26 @@ def sparql_construct_oracle() -> str:
     )
 
 
+def sparql_subselect_oracle(min_n: int = 6) -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_subselect``: typed
+    conversations joined to a nested aggregate over the hasTurn/mentions path
+    (COUNT of path solution rows per conversation) with HAVING."""
+    t = raw_triples_sql(linked=True)
+    return (
+        # the served store has RDF SET semantics — dedup before counting, or
+        # raw-extraction multiset duplicates inflate the path solution count
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj, graph FROM ({t})), "
+        f"agg AS (SELECT h.subj AS conv, CAST(count(*) AS BIGINT) AS n "
+        f"FROM t h JOIN t m ON m.subj = h.obj "
+        f"WHERE h.pred = {_q(vocab.P_HAS_TURN)} AND m.pred = {_q(vocab.P_MENTIONS)} "
+        f"GROUP BY h.subj HAVING n >= {min_n}) "
+        f"SELECT DISTINCT ty.subj AS conv, agg.n "
+        f"FROM (SELECT subj FROM t WHERE pred = {_q(RDF_TYPE)} "
+        f"AND obj = {_q(vocab.C_CONVERSATION)}) ty "
+        f"JOIN agg ON agg.conv = ty.subj"
+    )
+
+
 def roundtrip_oracle() -> str:
     """Deduped linked triples, bnode-involving predicates excluded (bnode ids are
     content-hashed on the engine side; hashing is pytest-verified instead)."""

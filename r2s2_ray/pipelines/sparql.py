@@ -32,7 +32,10 @@ whole-body ``{ BGP } UNION { BGP }`` (two or more pure-BGP branches,
 multiset semantics, branch-unbound variables project as NULL),
 aggregate projections ``(COUNT|SUM|MIN|MAX|AVG|SAMPLE(DISTINCT? ?v|*) AS
 ?alias)`` and ``GROUP_CONCAT(?v; SEPARATOR="..")`` (deterministic ascending
-element order; SAMPLE = deterministic MIN) with ``GROUP BY`` (plain projected variables must be grouping keys; COUNT
+element order; SAMPLE = deterministic MIN) with ``GROUP BY`` and
+``HAVING(?aggAlias <op> number)``, nested ``{ SELECT ... }`` subqueries
+(one level, explicit projection required; joined to the outer pattern on
+shared projected variables) (plain projected variables must be grouping keys; COUNT
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
 non-numeric forms — SPARQL error-skipping),
 ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` inline-data groups
@@ -174,6 +177,11 @@ class Query:
     #: CONSTRUCT template triples (var/iri/lit terms only); the result is the
     #: DISTINCT instantiated (subj, pred, obj) set — an RDF graph
     construct: list[tuple[Term, Term, Term]] | None = None
+    #: nested { SELECT ... } subqueries (one level): each joins the outer
+    #: pattern on its shared projected variables
+    subselects: list["Query"] | None = None
+    #: HAVING(?aggAlias <op> number) over an aggregate projection
+    having: tuple[str, str, str] | None = None
     #: ASK query: compile the same body, return one boolean column ``ask``
     ask: bool = False
 
@@ -188,6 +196,9 @@ _GCONCAT_RE = re.compile(
     re.I,
 )
 _GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.I)
+_HAVING_RE = re.compile(
+    r"HAVING\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)\s*\)", re.I
+)
 _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
@@ -637,6 +648,9 @@ def parse_sparql(q: str) -> Query:
 
     inner = _ANON_RE.sub(_fresh, inner)
     inner = _BNODE_RE.sub(lambda m: f" ?__bn_{m.group(1)} ", inner)
+    # nested { SELECT ... } subqueries come out FIRST: their bodies contain
+    # braces that every later single-level group regex would trip over
+    inner, subselects = _extract_subselects(inner, restore, prefixes)
     # whole-body UNION of pure BGP branches: { A } UNION { B } [UNION { C }…]
     um = re.fullmatch(
         r"\s*\{([^{}]*)\}(?:\s*UNION\s*\{([^{}]*)\})+\s*", inner, re.I
@@ -644,6 +658,8 @@ def parse_sparql(q: str) -> Query:
     if um:
         if aggs:
             raise ValueError("aggregates over UNION are not supported")
+        if subselects:
+            raise ValueError("subselects combined with whole-body UNION are not supported")
         branches = re.findall(r"\{([^{}]*)\}", inner)
         for br in branches:
             if re.search(r"\b(FILTER|BIND)\b", br, re.I):
@@ -777,7 +793,7 @@ def parse_sparql(q: str) -> Query:
         raise ValueError(f"unsupported or mis-nested {kw.group(1).upper()} group")
     rest = restore(inner)
     patterns = (_quads(rest, prefixes, None, fresh) if rest.strip() else []) + graph_quads
-    if not patterns and not values_groups:
+    if not patterns and not values_groups and not subselects:
         raise ValueError("empty WHERE clause")
     if exists_filters and not patterns:
         raise ValueError("FILTER EXISTS needs a basic graph pattern to correlate with")
@@ -790,6 +806,16 @@ def parse_sparql(q: str) -> Query:
     group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
     if group_by and not aggs:
         raise ValueError("GROUP BY without an aggregate projection")
+    hv = _HAVING_RE.search(tail)
+    having = (hv.group(1), hv.group(2), hv.group(3)) if hv else None
+    if re.search(r"\bHAVING\b", tail, re.I) and not hv:
+        raise ValueError(
+            "unsupported HAVING form (supported: HAVING(?aggAlias <op> number))"
+        )
+    if having and not aggs:
+        raise ValueError("HAVING without an aggregate projection")
+    if having and having[0] not in {a for _, _, _, a in aggs}:
+        raise ValueError(f"HAVING references unknown aggregate alias ?{having[0]}")
     if aggs:
         # SPARQL: every plain projected variable must be a grouping key; an
         # aggregate query without GROUP BY groups the whole solution set
@@ -817,8 +843,44 @@ def parse_sparql(q: str) -> Query:
         bound_filters=bound_filters or None,
         bind_exprs=bind_exprs or None,
         construct=_parse_construct(construct_src, prefixes) if construct_src else None,
+        subselects=subselects or None,
+        having=having,
         ask=ask,
     )
+
+
+def _extract_subselects(inner: str, restore, prefixes: dict[str, str]):
+    """Pull every top-level ``{ SELECT ... }`` group out of the masked body via
+    balanced-brace scanning and recursively parse it (one nesting level: a
+    subselect inside a subselect recurses naturally, but groups other than the
+    subselect's own WHERE cannot contain further subselects). Outer PREFIX
+    declarations are re-prepended — SPARQL subqueries inherit the prologue."""
+    decls = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in prefixes.items())
+    out = []
+    pat = re.compile(r"\{\s*SELECT\b", re.I)
+    while True:
+        m = pat.search(inner)
+        if not m:
+            return inner, out
+        depth, j = 1, m.start() + 1
+        while j < len(inner) and depth:
+            if inner[j] == "{":
+                depth += 1
+            elif inner[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced braces in subselect")
+        sub_src = restore(inner[m.start() + 1 : j - 1])
+        sq = parse_sparql(decls + sub_src)
+        if sq.ask or sq.construct:
+            raise ValueError("only SELECT subqueries are supported")
+        if not sq.select and not sq.aggs:
+            raise ValueError(
+                "subselects need an explicit projection (SELECT * is ambiguous here)"
+            )
+        out.append(sq)
+        inner = inner[: m.start()] + " " + inner[j:]
 
 
 def _parse_construct(
@@ -1012,6 +1074,13 @@ def _values_alias(k: int, vars_: list[str], rows: list[list[Term]]) -> str:
     return f"(VALUES {body}) v{k}({', '.join(vars_)})"
 
 
+def _having_sql(query: Query) -> str:
+    if not query.having:
+        return ""
+    alias, op, val = query.having
+    return f" HAVING {alias} {'<>' if op == '!=' else op} {val}"
+
+
 def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     """BGP -> self-join SQL over the (subj, pred, obj, o_lang, o_dt, graph)
     triples view. OPTIONAL groups compile to LEFT JOINs of per-group
@@ -1092,6 +1161,19 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         query.patterns, query.from_graphs, triples_view, "t"
     )
     all_ctes.extend(p_ctes)
+    for k, sq in enumerate(query.subselects or []):
+        # a nested SELECT joins the outer pattern on its shared projected
+        # variables (natural-join semantics); unshared projected variables
+        # bind fresh. Its SQL (own WITH included) nests as a FROM subquery.
+        sub_sql = to_sql(sq, triples_view)
+        a = f"sq{k}"
+        aliases.append(f"({sub_sql}) {a}")
+        sub_vars = list(sq.select) + [al for _, _, _, al in (sq.aggs or [])]
+        for v in sub_vars:
+            if v in binds:
+                conds.append(f"{a}.{v} = {binds[v]}")
+            else:
+                binds[v] = f"{a}.{v}"
     for k, (v_vars, v_rows) in enumerate(query.values_groups or []):
         # inline data joins the required part: an already-bound variable gets
         # an equality (restriction), an unbound one binds to the data column
@@ -1224,7 +1306,7 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
         if conds:
             sql += " WHERE " + " AND ".join(conds)
-        sql += group
+        sql += group + _having_sql(query)
     else:
         # comma-join FROM and LEFT JOIN do not mix: wrap the required part in
         # a subquery projecting every bound variable, then LEFT JOIN one
@@ -1277,7 +1359,7 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         colmap = outer
         sql = (
             f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
-            f"FROM ({req}) r {' '.join(joins)}{where}{group}"
+            f"FROM ({req}) r {' '.join(joins)}{where}{group}{_having_sql(query)}"
         )
     if query.ask:
         return _with(f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask")

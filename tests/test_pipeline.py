@@ -1096,3 +1096,48 @@ def test_sparql_group_concat_sample_in():
         run("SELECT ?s WHERE { ?s <e:tag> ?t . FILTER(?t IN ()) }")
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { ?s <e:tag> ?t . FILTER(?t IN (?u)) }")
+
+
+def test_sparql_subselect_and_having():
+    """Nested { SELECT ... } groups join the outer pattern on shared projected
+    variables (aggregate subqueries work — the classic join-to-aggregate
+    idiom); HAVING(?alias <op> n) filters aggregate groups. Unprojected
+    subselects and HAVING without/over unknown aggregates are loud errors."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:tag','x', NULL, NULL, 'g'),
+          ('e:a','e:tag','y', NULL, NULL, 'g'),
+          ('e:b','e:tag','z', NULL, NULL, 'g'),
+          ('e:a','e:name','alice', NULL, NULL, 'g'),
+          ('e:b','e:name','bob', NULL, NULL, 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run(
+        "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(?n > 1)"
+    ) == [("e:a", 2)]
+    assert run(
+        "SELECT ?name ?n WHERE { ?s <e:name> ?name . "
+        "{ SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <e:tag> ?t } GROUP BY ?s } } "
+        "ORDER BY ?name"
+    ) == [("alice", 2), ("bob", 1)]
+    # subselect as a semi-join restriction
+    assert run(
+        'SELECT ?name WHERE { ?s <e:name> ?name . '
+        '{ SELECT ?s WHERE { ?s <e:tag> "z" } } }'
+    ) == [("bob",)]
+    with pytest.raises(ValueError):
+        run("SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(?m > 1)")
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:tag> ?t } HAVING(?t > 1)")
+    with pytest.raises(ValueError):
+        run("SELECT ?name WHERE { ?s <e:name> ?name . { SELECT * WHERE { ?s <e:tag> ?t } } }")
