@@ -704,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_join_orders": relational.q_hash_join_orders,
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_part_brand_stats": relational.q_part_brand_stats,
+        "q_json_props": relational.q_json_props,
         # training-data ops
         "dd_exact_docs": _dd_exact_docs,
         "td_prepare": _td_prepare,
@@ -761,6 +762,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_distinct_tokens,
                    CAST(list_max(list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> len(x))) AS BIGINT) AS max_token_len
             FROM documents""",
+        "q_json_props": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type""",
         "txt_quality": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,

@@ -16,7 +16,8 @@ bracketed property lists are NOT supported) and labelled query bnodes
 ``_:x`` (scoped variables, standard SPARQL semantics),
 property paths in the predicate position — sequences ``p1/p2/…`` (desugared
 to chained patterns over fresh variables), inverse steps ``^p`` (swap
-subject/object), alternations ``p1|p2`` (compiled to ``pred IN``) and
+subject/object), alternations ``p1|p2`` (compiled to ``pred IN``), negated property sets
+``!p`` / ``!(p1|p2)`` (``pred NOT IN``, forward members only) and
 one-or-more closures ``p+`` (a recursive-CTE transitive closure; constant
 GRAPH/FROM restrictions apply to every step; ``*``/``?``, ``(a|b)+``,
 ``^p+`` and paths over variable predicates are rejected loudly),
@@ -246,10 +247,10 @@ def _path_atom(tok: str, prefixes: dict[str, str]) -> str:
 _SEP_GAP = re.compile(r"[\s.]*")
 #: gap between a subject (or "/") and the first atom of a step: may open an
 #: alternation paren and carry the step's inverse marker
-_PRE_GAP = re.compile(r"\s*(\^)?\s*\(?\s*")
+_PRE_GAP = re.compile(r"\s*(\^)?\s*(!)?\s*\(?\s*")
 #: gap after a step's last atom: optional close-paren, optional "+" postfix,
 #: then either end-of-path (object follows) or "/" + the next step's prefix
-_POST_GAP = re.compile(r"\s*(\))?\s*(\+)?\s*(?:(/)\s*(\^)?\s*(\()?\s*)?")
+_POST_GAP = re.compile(r"\s*(\))?\s*(\+)?\s*(?:(/)\s*(\^)?\s*(!)?\s*\(?\s*)?")
 #: gap between two atoms of one alternation: "|" (parens already consumed)
 _ALT_GAP = re.compile(r"\s*\|\s*")
 
@@ -286,9 +287,9 @@ def _triples(
         pre = _PRE_GAP.fullmatch(gap(i))
         if not pre:
             raise ValueError(f"unsupported syntax after subject: {gap(i)!r}")
-        # steps: (inverse, [atom tokens], plus)
-        steps: list[tuple[bool, list[str], bool]] = []
-        inv = bool(pre.group(1))
+        # steps: (inverse, negated, [atom tokens], plus)
+        steps: list[tuple[bool, bool, list[str], bool]] = []
+        inv, neg = bool(pre.group(1)), bool(pre.group(2))
         j = i + 1
         while True:
             if j >= n:
@@ -300,10 +301,10 @@ def _triples(
             post = _POST_GAP.fullmatch(gap(j))
             if not post:
                 raise ValueError(f"unsupported path syntax: {gap(j)!r}")
-            steps.append((inv, atoms, bool(post.group(2))))
+            steps.append((inv, neg, atoms, bool(post.group(2))))
             if not post.group(3):  # no "/": path ends, object follows
                 break
-            inv = bool(post.group(4))
+            inv, neg = bool(post.group(4)), bool(post.group(5))
             j += 1
         if j + 1 >= n:
             raise ValueError("dangling pattern (need s p o triples)")
@@ -312,9 +313,17 @@ def _triples(
             raise ValueError(f"unsupported syntax after object: {gap(j + 1)!r}")
         # desugar the step chain
         cur = subj
-        for k, (s_inv, atoms, s_plus) in enumerate(steps):
+        for k, (s_inv, s_neg, atoms, s_plus) in enumerate(steps):
             tgt = obj if k == len(steps) - 1 else fresh()
-            if len(atoms) > 1:
+            if s_neg:
+                # negated property set !p / !(p1|p2): pred NOT IN — forward
+                # members only (SPARQL's ^-members inside !() are not supported)
+                if s_plus or s_inv:
+                    raise ValueError(
+                        "negated property sets cannot combine with ^ or +"
+                    )
+                p = Term("nalt", "", alts=[_path_atom(t, prefixes) for t in atoms])
+            elif len(atoms) > 1:
                 if s_plus:
                     raise ValueError(
                         "transitive closure over alternations ((a|b)+) is not supported"
@@ -977,6 +986,10 @@ def _compile_bgp(
             if p.kind == "alt":
                 conds.append(
                     f"{a}.pred IN ({', '.join(_q(v) for v in p.alts)})"
+                )
+            elif p.kind == "nalt":
+                conds.append(
+                    f"{a}.pred NOT IN ({', '.join(_q(v) for v in p.alts)})"
                 )
             elif p.kind == "var":
                 if p.value in binds:

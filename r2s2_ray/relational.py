@@ -689,3 +689,41 @@ ORACLES: dict[str, str] = {
                quantile_disc(CAST(round(value * 100) AS BIGINT), 0.90) AS p90_cents
         FROM events GROUP BY user_id""",
 }
+
+
+def q_json_props(sf_dir: str):
+    """Semi-structured column handling: parse the events ``props`` JSON string
+    per batch (vectorized polars json_path_match — no Python json.loads loop),
+    extract the integer field ``k`` and aggregate per event_type. NULL-safe:
+    rows whose props lack ``k`` (or carry malformed JSON) drop out of the sum
+    but still count into n_events, exactly like the SQL oracle's
+    json_extract."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = (
+            df.with_columns(
+                k=pl.col("props").str.json_path_match("$.k").cast(pl.Int64, strict=False)
+            )
+            .group_by("event_type")
+            .agg(
+                n_events=pl.len().cast(pl.Int64),
+                sum_k=pl.col("k").sum().cast(pl.Int64),
+                max_k=pl.col("k").max().cast(pl.Int64),
+            )
+        )
+        return out.to_arrow()
+
+    # per-block partial aggregation, then one tiny groupby over the partials
+    return (
+        ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )

@@ -925,6 +925,13 @@ def test_sparql_property_paths():
     assert got == [("e:a", "bobby"), ("e:b", None)]
     # ASK with a closure; path vars stay out of SELECT *
     assert run("ASK { <e:a> <e:knows>+ <e:d> }") == [(True,)]
+    # negated property sets: pred NOT IN
+    assert run(
+        "SELECT ?o WHERE { <e:b> !(<e:knows>|<e:name>) ?o }"
+    ) == [("bobby",)]
+    assert run("SELECT ?o WHERE { <e:b> !<e:knows> ?o } ORDER BY ?o") == [
+        ("bob",), ("bobby",)
+    ]
     cols = [d[0] for d in con.execute(
         to_sql(parse_sparql("SELECT * WHERE { <e:a> <e:knows>/<e:name> ?n }"))
     ).description]
@@ -935,6 +942,7 @@ def test_sparql_property_paths():
     ) == [("bob", "alice")]
     for bad in [
         "SELECT ?x WHERE { <e:a> (<e:knows>|<e:name>)+ ?x }",
+        "SELECT ?x WHERE { <e:a> !<e:knows>+ ?x }",
         "SELECT ?x WHERE { <e:a> ^<e:knows>+ ?x }",
         "SELECT ?x WHERE { <e:a> ?p+ ?x }",
         "SELECT ?x WHERE { GRAPH ?g { <e:a> <e:knows>+ ?x } }",
