@@ -61,7 +61,8 @@ lexical forms), LIMIT and OFFSET, ``ASK`` queries (same body grammar,
 one boolean ``ask`` column; all-constant bodies are legal for ASK), and
 ``CONSTRUCT { template } WHERE { body }`` (per-solution template
 instantiation, OPTIONAL-unbound variables skip their triple, DISTINCT
-graph output as (subj, pred, obj)).
+graph output as (subj, pred, obj)), and ``DESCRIBE <iri> ...``
+(subject-rows concise-bounded-description core).
 Terms bind to their lexical forms; IRIs and
 blank-node labels as stored (bnodes are ``_:...``). The reference's own
 round-trip query — ``SELECT DISTINCT ?type FROM <g> WHERE {[] a ?type}``
@@ -183,6 +184,11 @@ class Query:
     subselects: list["Query"] | None = None
     #: HAVING(?aggAlias <op> number) over an aggregate projection
     having: tuple[str, str, str] | None = None
+    #: DESCRIBE <iri> ...: emit every stored quad whose SUBJECT is one of the
+    #: listed IRIs (the concise-bounded-description core, one hop, no bnode
+    #: closure — the store's bnode ids are stable content hashes, so the
+    #: caller can follow them with further DESCRIBEs)
+    describe: list[str] | None = None
     #: ASK query: compile the same body, return one boolean column ``ask``
     ask: bool = False
 
@@ -567,6 +573,17 @@ def _parse_order(text: str) -> list[tuple[str, bool]]:
 
 
 def parse_sparql(q: str) -> Query:
+    # DESCRIBE <iri> [...]: no WHERE grammar needed — resolve PREFIXes and
+    # return the subject-rows query directly
+    if re.match(r"\s*(PREFIX\s+\w*:\s*<[^>]+>\s*)*DESCRIBE\b", q, re.I) and not re.search(
+        r"\b(SELECT|WHERE)\b", q, re.I
+    ):
+        prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
+        body = re.split(r"\bDESCRIBE\b", q, maxsplit=1, flags=re.I)[1]
+        terms = [_parse_term(m.group(0), prefixes) for m in _TERM_RE.finditer(body)]
+        if not terms or any(t.kind != "iri" for t in terms):
+            raise ValueError("DESCRIBE takes one or more constant IRIs")
+        return Query([], False, [], [], [], None, describe=[t.value for t in terms])
     # CONSTRUCT { template } WHERE { body }: parse the body as SELECT *, keep
     # the template triples for instantiation in to_sql. Solution modifiers
     # (ORDER BY / LIMIT / OFFSET) apply to the solution sequence BEFORE
@@ -1100,6 +1117,13 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     subqueries onto the required part (optional-only variables are NULL —
     SPARQL unbound — when the group does not match). ``p+`` path patterns
     contribute recursive CTEs, hoisted to one outermost WITH RECURSIVE."""
+    if query.describe:
+        lst = ", ".join(_q(v) for v in query.describe)
+        return (
+            f"SELECT DISTINCT subj, pred, obj, o_lang, o_dt, graph "
+            f"FROM {triples_view} WHERE subj IN ({lst}) "
+            f"ORDER BY subj, pred, obj, graph"
+        )
     if query.construct:
         from dataclasses import replace
 

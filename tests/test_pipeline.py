@@ -1149,3 +1149,37 @@ def test_sparql_subselect_and_having():
         run("SELECT ?s WHERE { ?s <e:tag> ?t } HAVING(?t > 1)")
     with pytest.raises(ValueError):
         run("SELECT ?name WHERE { ?s <e:name> ?name . { SELECT * WHERE { ?s <e:tag> ?t } } }")
+
+
+def test_sparql_describe():
+    """DESCRIBE <iri> [...] returns every stored quad whose subject is a
+    listed IRI (one-hop CBD core, deterministic order); variables or missing
+    IRIs are loud errors."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:name','alice', NULL, NULL, 'g'),
+          ('e:a','e:age','30', NULL, NULL, 'g'),
+          ('e:b','e:name','bob', NULL, NULL, 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run("DESCRIBE <e:a>") == [
+        ("e:a", "e:age", "30", None, None, "g"),
+        ("e:a", "e:name", "alice", None, None, "g"),
+    ]
+    assert run("PREFIX e: <e:> DESCRIBE e:a e:b")[-1] == (
+        "e:b", "e:name", "bob", None, None, "g",
+    )
+    with pytest.raises(ValueError):
+        run("DESCRIBE ?v")
+    with pytest.raises(ValueError):
+        run("DESCRIBE")
