@@ -290,6 +290,20 @@ def _kg_sparql_subselect(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_groupconcat(sf_dir: str):
+    """GROUP_CONCAT served end-to-end: each turn's DISTINCT mentioned
+    entities joined into one deterministic comma-separated string."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        'SELECT ?turn (GROUP_CONCAT(DISTINCT ?e; SEPARATOR=",") AS ?ents) '
+        "WHERE { ?turn ex:mentions ?e } GROUP BY ?turn"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -687,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_path": _kg_sparql_path,
         "kg_sparql_construct": _kg_sparql_construct,
         "kg_sparql_subselect": _kg_sparql_subselect,
+        "kg_sparql_groupconcat": _kg_sparql_groupconcat,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -752,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_path": oracles.sparql_path_oracle(),
         "kg_sparql_construct": oracles.sparql_construct_oracle(),
         "kg_sparql_subselect": oracles.sparql_subselect_oracle(),
+        "kg_sparql_groupconcat": oracles.sparql_groupconcat_oracle(),
         "kg_sparql_antijoin": oracles.sparql_antijoin_oracle(),
         "kg_sparql_agg": oracles.sparql_agg_oracle(),
         **relational.ORACLES,

@@ -256,6 +256,18 @@ def sparql_subselect_oracle(min_n: int = 6) -> str:
     )
 
 
+def sparql_groupconcat_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_groupconcat``:
+    per-turn sorted distinct mentioned entities as one comma-joined string
+    (the translator documents ascending element order for GROUP_CONCAT)."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT subj AS turn, string_agg(obj, ',' ORDER BY obj) AS ents "
+        f"FROM t WHERE pred = {_q(vocab.P_MENTIONS)} GROUP BY subj"
+    )
+
+
 def roundtrip_oracle() -> str:
     """Deduped linked triples, bnode-involving predicates excluded (bnode ids are
     content-hashed on the engine side; hashing is pytest-verified instead)."""
