@@ -27,6 +27,9 @@ literal constants (plain, ``@lang``, ``^^<datatype>``, bare numerics),
 constant is numeric, lexical otherwise, column comparison when the right side
 is another bound variable; FILTERs live in the required part),
 ``FILTER(?v (NOT) IN (t, ...))`` constant-list restrictions,
+generalized expression FILTERs ``FILTER(expr <op> expr)`` with the BIND
+expression grammar on either side (STRLEN/UCASE/CONCAT/arithmetic;
+numeric coercion when either side is numeric-valued),
 string-function FILTERs ``REGEX(?v, "pat")`` / ``STRSTARTS(?v, "s")`` /
 ``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; no flags arg),
 whole-body ``{ BGP } UNION { BGP }`` (two or more pure-BGP branches,
@@ -184,6 +187,10 @@ class Query:
     subselects: list["Query"] | None = None
     #: HAVING(?aggAlias <op> number) over an aggregate projection
     having: tuple[str, str, str] | None = None
+    #: generalized expression FILTERs: (lhs AST, op, rhs AST) compiled with
+    #: the BIND expression compiler (numeric coercion when either side is
+    #: numeric-valued)
+    expr_filters: list[tuple[object, str, object]] | None = None
     #: DESCRIBE <iri> ...: emit every stored quad whose SUBJECT is one of the
     #: listed IRIs (the concise-bounded-description core, one hop, no bnode
     #: closure — the store's bnode ids are stable content hashes, so the
@@ -798,15 +805,68 @@ def parse_sparql(q: str) -> Query:
             arg = Term("lit", arg.value, lang=flags.value)
         filters.append((m.group(2)[1:], func, arg))
     inner = _FFUNC_RE.sub("", inner)
-    filters += [
-        (m.group(1)[1:], m.group(2), _parse_term(restore(m.group(3)), prefixes))
-        for m in _FILTER_RE.finditer(inner)
-    ]
-    inner = _FILTER_RE.sub("", inner)
+    # simple comparisons FILTER(?v <op> term); a right side the TERM grammar
+    # cannot parse (e.g. a function call) falls through to the generalized
+    # expression extractor below instead of raising
+    def _take_cmp(m: re.Match) -> str:
+        try:
+            filters.append(
+                (m.group(1)[1:], m.group(2), _parse_term(restore(m.group(3)), prefixes))
+            )
+        except ValueError:
+            return m.group(0)  # left in place for the expression extractor
+        return ""
+
+    inner = _FILTER_RE.sub(_take_cmp, inner)
+    # generalized expression FILTERs: FILTER(expr <op> expr) with the BIND
+    # expression grammar on both sides (balanced-paren extraction; the
+    # top-level comparison operator is found at paren depth 0)
+    expr_filters: list[tuple[object, str, object]] = []
+    _F_OPEN = re.compile(r"\bFILTER\s*\(", re.I)
+    while True:
+        m = _F_OPEN.search(inner)
+        if not m:
+            break
+        depth, j = 1, m.end()
+        while j < len(inner) and depth:
+            if inner[j] == "(":
+                depth += 1
+            elif inner[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced parentheses in FILTER")
+        body = inner[m.end() : j - 1]
+        # top-level comparison operator scan (body is literal-masked)
+        d = 0
+        split = None
+        for pos, ch in enumerate(body):
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif d == 0 and ch in "<>=!":
+                two = body[pos : pos + 2]
+                opc = two if two in ("<=", ">=", "!=") else ch
+                if opc in ("<", ">", "=", "<=", ">=", "!="):
+                    split = (pos, opc)
+                    break
+        if split is None:
+            raise ValueError(
+                "unsupported FILTER form (supported: comparison ops, IN, "
+                "REGEX/STRSTARTS/CONTAINS, (NOT) EXISTS, (!)BOUND, "
+                "LANG/DATATYPE, expr <op> expr)"
+            )
+        pos, opc = split
+        lhs = _parse_expr(restore(body[:pos]))
+        rhs = _parse_expr(restore(body[pos + len(opc) :]))
+        expr_filters.append((lhs, opc, rhs))
+        inner = inner[: m.start()] + " " + inner[j:]
     if re.search(r"\bFILTER\b", inner, re.I):
         raise ValueError(
-            "unsupported FILTER form (supported: comparison ops, "
-            "REGEX/STRSTARTS/CONTAINS, (NOT) EXISTS, (!)BOUND)"
+            "unsupported FILTER form (supported: comparison ops, IN, "
+            "REGEX/STRSTARTS/CONTAINS, (NOT) EXISTS, (!)BOUND, "
+            "LANG/DATATYPE, expr <op> expr)"
         )
     # leftover braces or group keywords = a group the extractions above did
     # not consume (e.g. EXISTS nested inside OPTIONAL). The triple tokenizer
@@ -869,6 +929,7 @@ def parse_sparql(q: str) -> Query:
         bound_filters=bound_filters or None,
         bind_exprs=bind_exprs or None,
         construct=_parse_construct(construct_src, prefixes) if construct_src else None,
+        expr_filters=expr_filters or None,
         subselects=subselects or None,
         having=having,
         ask=ask,
@@ -1226,6 +1287,20 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         if bv in binds:
             raise ValueError(f"BIND target ?{bv} is already bound")
         binds[bv] = f"({_expr_sql(node, binds)})"
+    for lhs, opc, rhs in query.expr_filters or []:
+        numeric = (
+            _expr_numeric(lhs) or _expr_numeric(rhs)
+            or lhs[0] == "num" or rhs[0] == "num"
+        )
+
+        def _side(n):
+            s = _expr_sql(n, binds)
+            if numeric and not (_expr_numeric(n) or n[0] == "num"):
+                return f"TRY_CAST({s} AS DOUBLE)"
+            return s
+
+        sql_op = "<>" if opc == "!=" else opc
+        conds.append(f"{_side(lhs)} {sql_op} {_side(rhs)}")
     for k, (negated, e_quads) in enumerate(query.exists_filters or []):
         # correlated semi/anti-join: group-local variables are scoped to the
         # subquery; variables shared with the required part correlate on the

@@ -623,8 +623,11 @@ def test_sparql_filter_edge_forms():
     # null) variable it compiles to an IS NOT NULL on the bound column
     sql = to_sql(parse_sparql('SELECT ?r WHERE { ?t <p> ?r . FILTER(BOUND(?r)) }'))
     assert "t0.obj IS NOT NULL" in sql
+    # expression FILTERs became supported in the round-3 widening
+    sql = to_sql(parse_sparql("SELECT ?r WHERE { ?t <p> ?r . FILTER(STRLEN(?r) > 3) }"))
+    assert "length(t0.obj) > 3" in sql
     with pytest.raises(ValueError, match="unsupported FILTER form"):
-        parse_sparql("SELECT ?r WHERE { ?t <p> ?r . FILTER(STRLEN(?r) > 3) }")
+        parse_sparql("SELECT ?r WHERE { ?t <p> ?r . FILTER(WEIRD(?r)) }")
     with pytest.raises(ValueError, match=r"DISTINCT \*"):
         parse_sparql("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
     with pytest.raises(ValueError, match="UNION branches"):
@@ -1183,3 +1186,41 @@ def test_sparql_describe():
         run("DESCRIBE ?v")
     with pytest.raises(ValueError):
         run("DESCRIBE")
+
+
+def test_sparql_expression_filters():
+    """Generalized FILTER(expr <op> expr): the BIND expression grammar on
+    either side, numeric coercion when either side is numeric-valued, with
+    the simple ?v-op-constant form still taking its original path."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:name','alice', NULL, NULL, 'g'),
+          ('e:b','e:name','bob', NULL, NULL, 'g'),
+          ('e:a','e:nick','albert', NULL, NULL, 'g'),
+          ('e:a','e:age','30', NULL, NULL, 'g'),
+          ('e:b','e:age','25', NULL, NULL, 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run("SELECT ?s WHERE { ?s <e:name> ?n . FILTER(STRLEN(?n) > 3) }") == [("e:a",)]
+    assert run('SELECT ?s WHERE { ?s <e:name> ?n . FILTER(UCASE(?n) = "BOB") }') == [("e:b",)]
+    assert run("SELECT ?s WHERE { ?s <e:age> ?a . FILTER(?a * 2 > 55) }") == [("e:a",)]
+    # function on the RIGHT side (the simple-form regex only half-matches and
+    # must fall through, not raise)
+    assert run(
+        'SELECT ?s WHERE { ?s <e:name> ?n . ?s <e:nick> ?k . FILTER(?k != CONCAT(?n, "x")) }'
+    ) == [("e:a",)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . ?s <e:nick> ?k . FILTER(STRLEN(?k) > STRLEN(?n)) }"
+    ) == [("e:a",)]
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:name> ?n . FILTER(WEIRD(?n)) }")
