@@ -240,3 +240,85 @@ def test_extractor_matches_oracle_fuzz(turns):
     )
     want = sorted(tuple(t) for t in extract_all(turns))
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# property-path translator vs naive path-algebra evaluator
+# --------------------------------------------------------------------------
+
+_step = st.tuples(
+    st.booleans(),  # inverse
+    st.lists(st.sampled_from(_ALPHABET), min_size=1, max_size=2, unique=True),
+    st.booleans(),  # plus (one-or-more closure)
+).filter(lambda s: not (s[2] and (s[0] or len(s[1]) > 1)))  # no ^p+ / (a|b)+
+_path = st.lists(_step, min_size=1, max_size=3)
+_node = st.one_of(st.just(("var", "x")), st.sampled_from([("iri", c) for c in _ALPHABET]))
+
+
+def _step_rel(store, inv, preds, plus):
+    """One path step -> Counter of (subj, obj) pairs. Plain steps are
+    multisets (duplicate store rows multiply); a closure is the DISTINCT
+    transitive closure (SPARQL arbitrary-length-path semantics)."""
+    base = Counter()
+    for s, p, o in store:
+        if p in preds:
+            base[(o, s) if inv else (s, o)] += 1
+    if not plus:
+        return base
+    pairs = set(base)
+    while True:
+        nxt = pairs | {(a, d) for a, b in pairs for c, d in base if b == c}
+        if nxt == pairs:
+            return Counter(dict.fromkeys(pairs, 1))
+        pairs = nxt
+
+
+def _compose(r1, r2):
+    out = Counter()
+    for (a, b), m in r1.items():
+        for (c, d), n in r2.items():
+            if b == c:
+                out[(a, d)] += m * n
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(_store, _path, _node, st.one_of(st.just(("var", "y")), st.sampled_from([("iri", c) for c in _ALPHABET])), st.booleans())
+def test_sparql_property_path_matches_naive(store, path, subj, obj, distinct):
+    """Random path expressions (sequence / inverse / alternation / closure)
+    over random tiny stores: translator SQL == the path-algebra evaluation.
+    Sequences are multisets over the desugared fresh intermediates; closures
+    are distinct pair sets — exactly the engine's documented semantics."""
+    if subj[0] != "var" and obj[0] != "var":
+        obj = ("var", "y")
+    rel = None
+    for inv, preds, plus in path:
+        r = _step_rel(store, inv, preds, plus)
+        rel = r if rel is None else _compose(rel, r)
+    sols = Counter()
+    for (a, b), m in rel.items():
+        if subj[0] == "iri" and a != subj[1]:
+            continue
+        if obj[0] == "iri" and b != obj[1]:
+            continue
+        key = tuple(
+            x for t, x in ((subj, a), (obj, b)) if t[0] == "var"
+        )
+        sols[key] += m
+
+    def render_step(inv, preds, plus):
+        atom = f"<{preds[0]}>" if len(preds) == 1 else "(" + "|".join(f"<{p}>" for p in preds) + ")"
+        return ("^" if inv else "") + atom + ("+" if plus else "")
+
+    pstr = "/".join(render_step(*s) for s in path)
+    sterm = f"?{subj[1]}" if subj[0] == "var" else f"<{subj[1]}>"
+    oterm = f"?{obj[1]}" if obj[0] == "var" else f"<{obj[1]}>"
+    q = f"SELECT {'DISTINCT ' if distinct else ''}* WHERE {{ {sterm} {pstr} {oterm} }}"
+    cols, rows = _run_sql(store, q)
+    used = sorted({t[1] for t in (subj, obj) if t[0] == "var"})
+    assert cols == used
+    # project naive sols in column order (x before y by construction)
+    if distinct:
+        assert set(rows) == set(sols)
+    else:
+        assert Counter(rows) == sols
