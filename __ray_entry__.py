@@ -366,6 +366,20 @@ def _dd_substring_pairs(sf_dir: str):
     )
 
 
+def _dd_neardup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs -> distributed connected
+    components -> per-doc cluster_id (min doc id of the component)."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import neardup_clusters
+
+    return neardup_clusters(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
 def _txt_repetition(sf_dir: str):
     """Gopher-style repetition signals (duplicate lines/words, top-bigram
     share) as integer counts per document."""
@@ -737,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_repetition": _txt_repetition,
         "dd_substring_pairs": _dd_substring_pairs,
         "sim_ann_ivf": _sim_ann_ivf,
+        "dd_neardup_clusters": _dd_neardup_clusters,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
@@ -839,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_repetition": oracles_td.repetition_oracle(),
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),
         "sim_ann_ivf": oracles_td.ann_ivf_oracle(),
+        "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
         "td_contamination": oracles_td.contamination_oracle(),
         "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
         "txt_token_chunks": oracles_td.token_chunks_oracle(),

@@ -828,3 +828,76 @@ def substring_dup_pairs(
     pairs = rows.sort("sub").map_batches(block_pairs, batch_format="pyarrow", batch_size=None)
     # a pair can share many substrings (every window of a long shared span)
     return _fold_pairs(pairs)
+
+
+def neardup_clusters(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> ray.data.Dataset:
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs fed into the
+    fully distributed connected-components stage, one row per document with
+    ``cluster_id`` = the numeric-min doc id of its near-dup component
+    (documents with no near-dup are their own singleton cluster). The
+    composite is the standard corpus-dedup output shape — pick one canonical
+    doc per cluster downstream.
+
+    Ids travel through CC as fixed-width zero-padded strings so the CC
+    stage's lexicographic-min label IS the numeric min."""
+    width = 20  # enough for any int64
+
+    ids = ds.select_columns([id_col])
+    pairs = minhash_lsh_pairs(
+        ds, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    ).materialize()
+    if pairs.count() == 0:
+        # no candidate pairs at all: every document is its own cluster (the
+        # CC fixpoint loop is meaningless over an empty edge list)
+        def own(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_col: b[id_col], "cluster_id": pc.cast(b[id_col], pa.int64())}
+            )
+
+        return ids.map_batches(own, batch_format="pyarrow")
+
+    from ..relational import hash_join
+    from .graph import connected_components_distributed
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.utf8_lpad(pc.cast(b["a"], pa.string()), width, padding="0"),
+                "dst": pc.utf8_lpad(pc.cast(b["b"], pa.string()), width, padding="0"),
+            }
+        )
+
+    labels = connected_components_distributed(
+        pairs.map_batches(to_edges, batch_format="pyarrow")
+    )
+
+    def back(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(b["node"], pa.int64()),
+                "cluster_id": pc.cast(b["label"], pa.int64()),
+            }
+        )
+
+    cc = labels.map_batches(back, batch_format="pyarrow")
+    joined = hash_join(ids, cc, on=id_col, right_cols=["cluster_id"], how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster_id": pc.coalesce(
+                    b["cluster_id"], pc.cast(b[id_col], pa.int64())
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -548,3 +548,24 @@ def ann_ivf_oracle(
                      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
               FROM scored)
         WHERE rn <= {k}"""
+
+
+def neardup_clusters_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3) -> str:
+    """Oracle for functions.dedup.neardup_clusters: recursive-CTE min-label
+    propagation over the MinHash-LSH candidate pairs; singletons keep their
+    own id."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(num_perm, bands, shingle_k)},
+        p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bandkeys x JOIN bandkeys y
+                ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+        cc AS (
+          SELECT node, node AS label FROM (SELECT DISTINCT src AS node FROM e)
+          UNION
+          SELECT e.dst AS node, cc.label
+          FROM cc JOIN e ON cc.node = e.src
+          WHERE cc.label < e.dst),
+        lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
+        SELECT d.doc_id, CAST(coalesce(lab.label, d.doc_id) AS BIGINT) AS cluster_id
+        FROM documents d LEFT JOIN lab ON lab.node = d.doc_id"""

@@ -653,3 +653,34 @@ def test_ivf_topk_probes_and_full_probe_equals_exact():
     # the probed nearest list by construction)
     for qi in range(3):
         assert per_q[qi][0]["vec_id"] == qi and abs(per_q[qi][0]["cosine"] - 1) < 1e-12
+
+
+def test_neardup_clusters_composite():
+    """MinHash pairs -> distributed CC -> per-doc cluster ids: near-identical
+    docs share the min-id cluster, unrelated docs are singleton clusters, and
+    a corpus with no candidate pairs takes the own-cluster fast path."""
+    from r2s2_ray.functions.dedup import neardup_clusters
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [dup, dup, dup + " tail", "completely different words entirely here"],
+        }
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(ray.data.from_arrow(t), "doc_id", "text").take_all()
+    }
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1 and out[4] == 4
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": ["alpha beta gamma delta epsilon", "one two three four five six"],
+        }
+    )
+    out2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(ray.data.from_arrow(t2), "doc_id", "text").take_all()
+    }
+    assert out2 == {7: 7, 8: 8}
