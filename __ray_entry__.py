@@ -366,6 +366,19 @@ def _dd_substring_pairs(sf_dir: str):
     )
 
 
+def _td_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle: dense rank under the
+    keyed (affine64(doc_id), doc_id) order — reproducible, RNG-free."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import training_shuffle
+
+    return training_shuffle(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        "doc_id",
+    )
+
+
 def _dd_neardup_clusters(sf_dir: str):
     """Near-dup clusters: MinHash-LSH pairs -> distributed connected
     components -> per-doc cluster_id (min doc id of the component)."""
@@ -752,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_substring_pairs": _dd_substring_pairs,
         "sim_ann_ivf": _sim_ann_ivf,
         "dd_neardup_clusters": _dd_neardup_clusters,
+        "td_shuffle": _td_shuffle,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
@@ -855,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),
         "sim_ann_ivf": oracles_td.ann_ivf_oracle(),
         "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
+        "td_shuffle": oracles_td.training_shuffle_oracle(),
         "td_contamination": oracles_td.contamination_oracle(),
         "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
         "txt_token_chunks": oracles_td.token_chunks_oracle(),

@@ -361,3 +361,69 @@ def repetition_signals(ds: ray.data.Dataset, id_col: str, text_col: str) -> ray.
         return out.to_arrow()
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def training_shuffle(
+    ds: ray.data.Dataset, id_col: str, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Deterministic global training-order shuffle: every row gets a dense
+    ``shuffle_rank`` (0..n-1) equal to its position under the keyed order
+    (affine64(id), id) — a reproducible permutation with no RNG state, so a
+    resumed run and the SQL oracle produce bit-identical order. This is the
+    "global shuffle for training order" step of a data pipeline expressed as
+    a rank assignment: downstream writers emit shards in rank order.
+
+    Distribution mirrors sequence_pack: the hash's TOP BITS are the bucket
+    key (bucket order == hash order), pass 1 moves one row count per bucket
+    to the driver, pass 2 sorts on the bucket alone and ranks each block
+    locally plus its bucket offset. Scale-safe: driver traffic is
+    num_buckets integers."""
+    from .hashing import K_A, K_B
+
+    shift = np.uint64(64 - max(1, (num_buckets - 1).bit_length()))
+    n_buckets = 1 << (64 - int(shift))  # next power of two >= num_buckets
+
+    def hashed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            b[id_col].combine_chunks().to_numpy(zero_copy_only=False), dtype=np.int64
+        ).astype(np.uint64)
+        h = ids * np.uint64(K_A) + np.uint64(K_B)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "h": pa.array(h, pa.uint64()),
+                "bucket": pa.array((h >> shift).astype(np.int32), pa.int32()),
+            }
+        )
+
+    hashed_ds = ds.select_columns([id_col]).map_batches(
+        hashed, batch_format="pyarrow"
+    ).materialize()
+    if hashed_ds.count() == 0:
+        return hashed_ds.select_columns([id_col])
+
+    from ray.data.aggregate import Count
+
+    counts = {
+        r["bucket"]: r["n"]
+        for r in hashed_ds.groupby("bucket").aggregate(Count(alias_name="n")).take_all()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bk in range(n_buckets):
+        offsets[bk] = acc
+        acc += int(counts.get(bk, 0))
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["bucket", "h", id_col])
+        off = pl.col("bucket").replace_strict(
+            list(offsets.keys()), list(offsets.values()), return_dtype=pl.Int64
+        )
+        rank = pl.col("bucket").cum_count().over("bucket") - 1 + off
+        return df.select(
+            pl.col(id_col), rank.cast(pl.Int64).alias("shuffle_rank")
+        ).to_arrow()
+
+    return hashed_ds.sort("bucket").map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

@@ -569,3 +569,18 @@ def neardup_clusters_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int 
         lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node)
         SELECT d.doc_id, CAST(coalesce(lab.label, d.doc_id) AS BIGINT) AS cluster_id
         FROM documents d LEFT JOIN lab ON lab.node = d.doc_id"""
+
+
+def training_shuffle_oracle() -> str:
+    """Oracle for functions.textstats.training_shuffle: dense rank under the
+    (affine64(doc_id), doc_id) order — the same K_A/K_B constants, unsigned
+    64-bit arithmetic via the HUGEINT helpers."""
+    from .functions.hashing import K_A, K_B
+
+    u = _unsigned("doc_id")
+    h = f"(({_mulmod(u, str(K_A), str(K_A % 2**32))} + {K_B}) % CAST('{U64}' AS HUGEINT))"
+    return f"""
+        WITH h AS (SELECT doc_id, {h} AS h FROM documents)
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_rank
+        FROM h"""

@@ -684,3 +684,18 @@ def test_neardup_clusters_composite():
         for r in neardup_clusters(ray.data.from_arrow(t2), "doc_id", "text").take_all()
     }
     assert out2 == {7: 7, 8: 8}
+
+
+def test_training_shuffle_dense_deterministic():
+    """training_shuffle assigns a dense 0..n-1 permutation, identical across
+    runs and block layouts, and different from the id order (it actually
+    shuffles)."""
+    from r2s2_ray.functions.textstats import training_shuffle
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    a = {r["doc_id"]: r["shuffle_rank"] for r in training_shuffle(ray.data.from_arrow(t), "doc_id").take_all()}
+    b = {r["doc_id"]: r["shuffle_rank"]
+         for r in training_shuffle(ray.data.from_arrow(t).repartition(7), "doc_id").take_all()}
+    assert a == b
+    assert sorted(a.values()) == list(range(100))
+    assert [a[i] for i in range(100)] != list(range(100))
