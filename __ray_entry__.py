@@ -366,6 +366,20 @@ def _dd_substring_pairs(sf_dir: str):
     )
 
 
+def _td_source_mix(sf_dir: str):
+    """Per-source corpus mix: doc count, char mass, language spread and
+    exact-duplicate mass — the provenance report behind mixing weights."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import source_mix
+
+    return source_mix(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+        )
+    )
+
+
 def _td_shuffle(sf_dir: str):
     """Deterministic global training-order shuffle: dense rank under the
     keyed (affine64(doc_id), doc_id) order — reproducible, RNG-free."""
@@ -766,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ann_ivf": _sim_ann_ivf,
         "dd_neardup_clusters": _dd_neardup_clusters,
         "td_shuffle": _td_shuffle,
+        "td_source_mix": _td_source_mix,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
@@ -870,6 +885,13 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf": oracles_td.ann_ivf_oracle(),
         "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
         "td_shuffle": oracles_td.training_shuffle_oracle(),
+        "td_source_mix": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs
+            FROM documents GROUP BY source""",
         "td_contamination": oracles_td.contamination_oracle(),
         "txt_pii_scrub": oracles_td.pii_scrub_oracle(),
         "txt_token_chunks": oracles_td.token_chunks_oracle(),

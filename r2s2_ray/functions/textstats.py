@@ -427,3 +427,39 @@ def training_shuffle(
     return hashed_ds.sort("bucket").map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def source_mix(ds: ray.data.Dataset, *, source_col: str = "source") -> ray.data.Dataset:
+    """Corpus-mix report per source: document count, total characters,
+    distinct languages, and exact-duplicate mass (docs minus distinct texts)
+    — the per-provenance numbers a data-mixing decision needs. Per-block
+    polars partials (count/chars sum + distinct text hashes capped at block
+    scope would undercount, so texts ride the exchange as first-class
+    distinct rows) then one grouped fold per source."""
+
+    def rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select(
+            pl.col(source_col),
+            pl.col("lang"),
+            pl.col("text"),
+            pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        ).to_arrow()
+
+    base = ds.select_columns([source_col, "lang", "text"]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = df.group_by(source_col).agg(
+            n_docs=pl.len().cast(pl.Int64),
+            n_chars=pl.col("n_chars").sum().cast(pl.Int64),
+            n_langs=pl.col("lang").n_unique().cast(pl.Int64),
+            n_dup_docs=(pl.len() - pl.col("text").n_unique()).cast(pl.Int64),
+        )
+        return out.to_arrow()
+
+    # sources are low-cardinality: one sort co-locates each source's rows,
+    # the block fold computes exact distincts (no approximate sketches)
+    return base.sort(source_col).map_batches(fold, batch_format="pyarrow", batch_size=None)
