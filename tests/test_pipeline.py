@@ -1146,6 +1146,15 @@ def test_sparql_subselect_and_having():
         'SELECT ?name WHERE { ?s <e:name> ?name . '
         '{ SELECT ?s WHERE { ?s <e:tag> "z" } } }'
     ) == [("bob",)]
+    # a property-path closure INSIDE a subselect: its recursive CTE nests in
+    # the FROM subquery (WITH-in-subquery composes)
+    con.execute(
+        "INSERT INTO all_triples VALUES ('e:a','e:next','e:b',NULL,NULL,'g'),"
+        "('e:b','e:next','e:c',NULL,NULL,'g'),('e:c','e:name','carol',NULL,NULL,'g')"
+    )
+    assert run(
+        "SELECT ?n WHERE { { SELECT (COUNT(?x) AS ?n) WHERE { <e:a> <e:next>+ ?x } } }"
+    ) == [(2,)]
     with pytest.raises(ValueError):
         run("SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(?m > 1)")
     with pytest.raises(ValueError):
