@@ -673,6 +673,14 @@ def test_neardup_clusters_composite():
         for r in neardup_clusters(ray.data.from_arrow(t), "doc_id", "text").take_all()
     }
     assert out[1] == 1 and out[2] == 1 and out[3] == 1 and out[4] == 4
+    # the distributed-CC path (forced past the union-find guard) agrees
+    dist = {
+        r["doc_id"]: r["cluster_id"]
+        for r in neardup_clusters(
+            ray.data.from_arrow(t), "doc_id", "text", cc_broadcast_max=0
+        ).take_all()
+    }
+    assert dist == out
     t2 = pa.table(
         {
             "doc_id": pa.array([7, 8], pa.int64()),
