@@ -180,6 +180,18 @@ def run_bench() -> dict:
     minhash_lsh_pairs(docs, "doc_id", "text").count()
     queries["dd_minhash_pairs"] = round(time.perf_counter() - t0, 3)
 
+    from r2s2_ray.functions.dedup import neardup_clusters
+
+    t0 = time.perf_counter()
+    neardup_clusters(docs, "doc_id", "text").count()
+    queries["dd_neardup_clusters"] = round(time.perf_counter() - t0, 3)
+
+    from r2s2_ray.functions.dedup import contamination_flags
+
+    t0 = time.perf_counter()
+    contamination_flags(docs, "doc_id", "text").count()
+    queries["td_contamination"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     import numpy as np
