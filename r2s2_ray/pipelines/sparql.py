@@ -8,7 +8,9 @@ Supported subset (documented, tested): PREFIX declarations, SELECT with
 explicit variables or ``*``, ``FROM <graph>`` dataset clauses (restrict every
 pattern to the listed graphs), basic graph patterns (joins via shared
 variables), non-nested ``OPTIONAL { ... }`` groups (compiled to LEFT JOINs;
-optional-only variables project as NULL when unmatched — SPARQL unbound),
+optional-only variables project as NULL when unmatched — SPARQL unbound;
+comparison/string FILTERs INSIDE the group compile into the LeftJoin
+condition — they unmatch the group, never the outer row),
 non-nested ``GRAPH <g>/?g { ... }`` groups (a constant restricts its patterns
 to that named graph; a variable binds the graph column and joins when shared),
 anonymous blank nodes ``[]`` (each a fresh never-projected variable;
@@ -159,6 +161,11 @@ class Query:
     from_graphs: list[str] | None = None  # FROM <g> dataset restriction
     offset: int | None = None
     optionals: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
+    #: per-OPTIONAL-group FILTERs (parallel to ``optionals``): compiled INTO
+    #: the group subquery before the LEFT JOIN — the SPARQL LeftJoin
+    #: condition semantics (a failing filter unmatches the group, it does
+    #: not eliminate the outer row)
+    optional_filters: list[list[tuple[str, str, Term]]] | None = None
     #: aggregate projections: (func, distinct, var-or-None-for-*, alias)
     aggs: list[tuple[str, bool, str | None, str]] | None = None
     group_by: list[str] | None = None
@@ -732,14 +739,41 @@ def parse_sparql(q: str) -> Query:
             raise ValueError("GRAPH must name an IRI or variable")
         graph_quads += _quads(restore(m.group(2)), prefixes, g, fresh)
     inner = _GRAPH_RE.sub(" ", inner)
-    # OPTIONAL groups next (non-nested only); FILTERs stay in the
-    # required part — a FILTER inside an OPTIONAL group has different SPARQL
-    # semantics (conditional on the match) that this subset does not model
+    # OPTIONAL groups next (non-nested only). A FILTER inside the group is
+    # part of the LeftJoin condition (it can unmatch the group, never remove
+    # the outer row): the comparison and string-function forms compile into
+    # the group's subquery; other FILTER forms there are rejected loudly
     optionals: list[list[tuple[Term, Term, Term, Term | None]]] = []
+    optional_filters: list[list[tuple[str, str, Term]]] = []
     for m in _OPTIONAL_RE.finditer(inner):
-        if re.search(r"\bFILTER\b", m.group(1), re.I):
-            raise ValueError("FILTER inside OPTIONAL is not supported")
-        optionals.append(_quads(restore(m.group(1)), prefixes, None, fresh))
+        g_inner = m.group(1)
+        g_filters: list[tuple[str, str, Term]] = []
+        for fm in _FFUNC_RE.finditer(g_inner):
+            func = fm.group(1).lower()
+            arg = _parse_term(restore(fm.group(3)), prefixes)
+            if arg.kind != "lit":
+                raise ValueError(f"{fm.group(1).upper()} needs a literal argument")
+            if fm.group(4) is not None:
+                if func != "regex":
+                    raise ValueError(f"{fm.group(1).upper()} takes exactly two arguments")
+                flags = _parse_term(restore(fm.group(4)), prefixes)
+                if flags.kind != "lit" or not re.fullmatch(r"[ismx]*", flags.value):
+                    raise ValueError(f"unsupported REGEX flags: {flags.value!r}")
+                arg = Term("lit", arg.value, lang=flags.value)
+            g_filters.append((fm.group(2)[1:], func, arg))
+        g_inner = _FFUNC_RE.sub("", g_inner)
+        for fm in _FILTER_RE.finditer(g_inner):
+            g_filters.append(
+                (fm.group(1)[1:], fm.group(2), _parse_term(restore(fm.group(3)), prefixes))
+            )
+        g_inner = _FILTER_RE.sub("", g_inner)
+        if re.search(r"\bFILTER\b", g_inner, re.I):
+            raise ValueError(
+                "unsupported FILTER form inside OPTIONAL (supported there: "
+                "comparison ops, REGEX/STRSTARTS/CONTAINS)"
+            )
+        optionals.append(_quads(restore(g_inner), prefixes, None, fresh))
+        optional_filters.append(g_filters)
     inner = _OPTIONAL_RE.sub(" ", inner)
     # VALUES inline-data groups and FILTER (NOT) EXISTS groups — extracted
     # AFTER the OPTIONAL scan on purpose: one of these nested inside an
@@ -920,6 +954,7 @@ def parse_sparql(q: str) -> Query:
         from_graphs=from_graphs or None,
         offset=int(off.group(1)) if off else None,
         optionals=optionals or None,
+        optional_filters=optional_filters if any(optional_filters) else None,
         aggs=aggs or None,
         group_by=group_by or None,
         values_groups=values_groups or None,
@@ -1165,6 +1200,26 @@ def _values_alias(k: int, vars_: list[str], rows: list[list[Term]]) -> str:
     return f"(VALUES {body}) v{k}({', '.join(vars_)})"
 
 
+def _filter_cond(var: str, op: str, term: Term, binds: dict[str, str]) -> str:
+    """One comparison / string-function FILTER -> SQL condition over the
+    bound columns (shared by the required part and OPTIONAL group bodies)."""
+    if var not in binds:
+        raise ValueError(f"FILTER on unbound variable ?{var}")
+    if op in ("regex", "strstarts", "contains"):
+        fn = {"regex": "regexp_matches", "strstarts": "starts_with", "contains": "contains"}[op]
+        if op == "regex" and term.lang:  # REGEX flags ride the lang slot
+            return f"{fn}({binds[var]}, {_q(term.value)}, {_q(term.lang)})"
+        return f"{fn}({binds[var]}, {_q(term.value)})"
+    sql_op = "<>" if op == "!=" else op
+    if term.kind == "var":
+        if term.value not in binds:
+            raise ValueError(f"FILTER on unbound variable ?{term.value}")
+        return f"{binds[var]} {sql_op} {binds[term.value]}"
+    if term.datatype in _XSD_NUMERIC:
+        return f"TRY_CAST({binds[var]} AS DOUBLE) {sql_op} {float(term.value)}"
+    return f"{binds[var]} {sql_op} {_q(term.value)}"
+
+
 def _having_sql(query: Query) -> str:
     if not query.having:
         return ""
@@ -1366,34 +1421,13 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                 expr = f"coalesce({a}.o_dt, '') = {_q(term.value)}"
         conds.append(f"NOT ({expr})" if op == "!=" else expr)
     for var, op, term in query.filters:
-        if var not in binds:
-            raise ValueError(f"FILTER on unbound variable ?{var}")
-        if op in ("regex", "strstarts", "contains"):
-            fn = {"regex": "regexp_matches", "strstarts": "starts_with", "contains": "contains"}[op]
-            if op == "regex" and term.lang:  # REGEX flags ride the lang slot
-                conds.append(f"{fn}({binds[var]}, {_q(term.value)}, {_q(term.lang)})")
-            else:
-                conds.append(f"{fn}({binds[var]}, {_q(term.value)})")
-            continue
         if op in ("in", "not in"):
+            if var not in binds:
+                raise ValueError(f"FILTER on unbound variable ?{var}")
             lst = ", ".join(_q(v) for v in term.alts)
             conds.append(f"{binds[var]} {op.upper()} ({lst})")
             continue
-        sql_op = "<>" if op == "!=" else op
-        if term.kind == "var":
-            # var-to-var comparison: both sides must be bound columns —
-            # anything else would silently compare against the NAME string
-            if term.value not in binds:
-                raise ValueError(f"FILTER on unbound variable ?{term.value}")
-            conds.append(f"{binds[var]} {sql_op} {binds[term.value]}")
-        elif term.datatype in _XSD_NUMERIC:
-            # numeric comparison: cast the lexical form; non-numeric lexical
-            # forms become NULL and fail the predicate (SPARQL type error)
-            conds.append(
-                f"TRY_CAST({binds[var]} AS DOUBLE) {sql_op} {float(term.value)}"
-            )
-        else:
-            conds.append(f"{binds[var]} {sql_op} {_q(term.value)}")
+        conds.append(_filter_cond(var, op, term, binds))
     group = ""
     if not query.optionals:
         # without OPTIONAL every bound variable is non-null: BOUND tests are
@@ -1433,6 +1467,11 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                 opt_group, query.from_graphs, triples_view, f"o{k}_"
             )
             all_ctes.extend(g_ctes)
+            for fvar, fop, fterm in (query.optional_filters or [[]] * len(query.optionals))[k]:
+                # group-local LeftJoin condition: compiled into the subquery
+                # WHERE, so a failing filter unmatches the group (NULL row)
+                # instead of eliminating the outer solution
+                g_conds.append(_filter_cond(fvar, fop, fterm, g_binds))
             shared = [v for v in g_binds if v in outer and not outer[v].startswith("g")]
             for v in g_binds:
                 if v in outer and outer[v].startswith("g"):

@@ -632,8 +632,10 @@ def test_sparql_filter_edge_forms():
         parse_sparql("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
     with pytest.raises(ValueError, match="UNION branches"):
         parse_sparql("SELECT ?s WHERE { { ?s a <A> . FILTER(?s = <x>) } UNION { ?s a <B> } }")
-    with pytest.raises(ValueError, match="FILTER inside OPTIONAL"):
-        parse_sparql('SELECT ?s WHERE { ?s a <A> . OPTIONAL { ?s <p> ?v . FILTER(REGEX(?v, "x")) } }')
+    # comparison/string FILTERs inside OPTIONAL became supported (LeftJoin
+    # condition); other forms there still raise
+    with pytest.raises(ValueError, match="inside OPTIONAL"):
+        parse_sparql('SELECT ?s WHERE { ?s a <A> . OPTIONAL { ?s <p> ?v . FILTER(BOUND(?v)) } }')
     sql = to_sql(parse_sparql("SELECT (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"))
     assert sql.startswith("SELECT CAST(COUNT(") and "AS p" not in sql
 
@@ -752,7 +754,7 @@ def test_sparql_values_exists_bound_order():
         "SELECT ?s WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a } FILTER(BOUND(?a)) } ORDER BY ?s"
     ) == [("s1",), ("s3",)]
     # a BOUND/EXISTS group nested in OPTIONAL must error, not silently re-scope
-    with pytest.raises(ValueError, match="FILTER inside OPTIONAL"):
+    with pytest.raises(ValueError, match="inside OPTIONAL"):
         run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER(!BOUND(?a)) } ?s <e:name> ?n }")
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER EXISTS { ?s <e:name> ?n } } ?s <e:name> ?n }")
@@ -1233,3 +1235,37 @@ def test_sparql_expression_filters():
     ) == [("e:a",)]
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { ?s <e:name> ?n . FILTER(WEIRD(?n)) }")
+
+
+def test_sparql_optional_local_filters():
+    """A FILTER inside an OPTIONAL group is part of the LeftJoin condition:
+    it can unmatch the group (outer row survives with NULL) but never removes
+    the outer solution — the semantics that differ from hoisting the filter
+    into the required part."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:s1','e:name','alice', NULL, NULL, 'g'),
+          ('e:s1','e:age','30', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g'),
+          ('e:s2','e:name','bob', NULL, NULL, 'g'),
+          ('e:s2','e:age','20', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    got = run(
+        "SELECT ?s ?a WHERE { ?s <e:name> ?n . "
+        "OPTIONAL { ?s <e:age> ?a . FILTER(?a > 25) } } ORDER BY ?s"
+    )
+    assert got == [("e:s1", "30"), ("e:s2", None)]
+    got = run(
+        "SELECT ?s ?m WHERE { ?s <e:age> ?a . "
+        'OPTIONAL { ?s <e:name> ?m . FILTER(STRSTARTS(?m, "a")) } } ORDER BY ?s'
+    )
+    assert got == [("e:s1", "alice"), ("e:s2", None)]
