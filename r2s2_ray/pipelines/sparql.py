@@ -1532,3 +1532,16 @@ def run_sparql(out_dir: str, sparql: str):
         if stmt.strip():
             con.execute(stmt)
     return con.execute(to_sql(parse_sparql(sparql))).arrow()
+
+
+if __name__ == "__main__":  # pragma: no cover - thin CLI wrapper
+    # python -m r2s2_ray.pipelines.sparql OUT_DIR 'SPARQL...'  -> CSV on stdout
+    import sys
+
+    if len(sys.argv) != 3:
+        sys.exit("usage: python -m r2s2_ray.pipelines.sparql OUT_DIR 'SPARQL query'")
+    table = run_sparql(sys.argv[1], sys.argv[2])
+    cols = table.column_names
+    print(",".join(cols))
+    for row in zip(*[table[c].to_pylist() for c in cols]):
+        print(",".join("" if v is None else str(v) for v in row))
