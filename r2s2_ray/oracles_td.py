@@ -584,3 +584,50 @@ def training_shuffle_oracle() -> str:
         SELECT doc_id,
                CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS shuffle_rank
         FROM h"""
+
+
+def hll_distinct_oracle(p_bits: int = 6) -> str:
+    """Oracle for relational.q_hll_distinct: the identical HLL construction —
+    affine64 hash, top-p register, rank from the next 40 bits (integer
+    arithmetic + bin() bit length), alpha_64 raw estimate whose power-of-two
+    sum is exactly representable in float64 on both sides."""
+    from .functions.hashing import K_A, K_B
+
+    import math
+
+    m = 1 << p_bits
+    u = _unsigned("user_id")
+    h = f"(({_mulmod(u, str(K_A), str(K_A % 2**32))} + {K_B}) % CAST('{U64}' AS HUGEINT))"
+    payload = 2 ** (64 - p_bits)
+    # linear-counting constants m*ln(m/z), embedded as exact repr()s so SQL
+    # and engine share the identical doubles (no SQL-side ln())
+    lc = " ".join(
+        f"WHEN {z} THEN {m * math.log(m / z)!r}" for z in range(1, m + 1)
+    )
+    return f"""
+        WITH hs AS (SELECT event_type, {h} AS h FROM events),
+        r AS (SELECT event_type,
+                     CAST(h // {payload} AS BIGINT) AS reg,
+                     CAST((h % {payload}) // {2**18} AS BIGINT) AS w
+              FROM hs),
+        rk AS (SELECT event_type, reg,
+                      max(CASE WHEN w > 0
+                               THEN 41 - length(ltrim(bin(w), '0'))
+                               ELSE 41 END) AS rank
+               FROM r GROUP BY event_type, reg),
+        grid AS (SELECT t.event_type, j.reg
+                 FROM (SELECT DISTINCT event_type FROM events) t
+                 CROSS JOIN (SELECT unnest(range({m})) AS reg) j),
+        agg AS (
+          SELECT g.event_type,
+                 0.709 * {m} * {m} / sum(power(2.0, -coalesce(rk.rank, 0))) AS raw,
+                 CAST(sum(CASE WHEN coalesce(rk.rank, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_registers
+          FROM grid g LEFT JOIN rk ON rk.event_type = g.event_type AND rk.reg = g.reg
+          GROUP BY g.event_type)
+        SELECT event_type,
+               CASE WHEN zero_registers > 0 AND raw <= {2.5 * m}
+                    THEN CASE zero_registers {lc} END
+                    ELSE raw END AS hll_estimate,
+               zero_registers
+        FROM agg"""

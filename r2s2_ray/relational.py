@@ -727,3 +727,92 @@ def q_json_props(sf_dir: str):
             Max("max_k", alias_name="max_k"),
         )
     )
+
+
+def q_hll_distinct(sf_dir: str, *, p_bits: int = 6):
+    """Approximate distinct users per event_type via a HyperLogLog sketch
+    built from the repo's SQL-expressible hash family — the mergeable-sketch
+    pattern for COUNT(DISTINCT) at 100 TB, where the exact groupby ships
+    every key and the sketch ships 2^p_bits small integers per group.
+
+    Bit-reproducibility contract (what makes this ORACLE-comparable, unlike
+    library HLLs): h = affine64(user_id); register index = top p bits; the
+    rank is computed from the NEXT 40 bits only (rank = 41 - bitlen(w >> 18),
+    capped at 41 — the cap changes estimates with probability 2^-40) via
+    float64 frexp, which is EXACT for integers < 2^53; and the raw estimate
+    alpha * m^2 / sum(2^-M_j) sums 64 exact powers of two whose exponent
+    spread (< 53 bits) keeps every partial sum exactly representable, so the
+    final double is identical in numpy and SQL. No small/large-range
+    corrections (they need ln(), whose last-bit rounding is libm-specific);
+    the raw estimate and the zero-register count are both emitted so callers
+    can apply any correction they like."""
+    import polars as pl
+
+    from .functions.hashing import K_A, K_B
+
+    m = 1 << p_bits
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def registers(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            b["user_id"].combine_chunks().to_numpy(zero_copy_only=False), dtype=np.int64
+        ).astype(np.uint64)
+        h = ids * np.uint64(K_A) + np.uint64(K_B)
+        reg = (h >> np.uint64(64 - p_bits)).astype(np.int64)
+        w = (h << np.uint64(p_bits)) >> np.uint64(p_bits + 18)  # top 40 payload bits
+        v = w.astype(np.float64)  # exact: w < 2^40 < 2^53
+        bitlen = np.where(w > 0, np.frexp(v)[1], 0).astype(np.int64)
+        rank = np.where(w > 0, 41 - bitlen, 41).astype(np.int64)
+        df = pl.DataFrame(
+            {
+                "event_type": pl.Series(b["event_type"].to_pylist()),
+                "reg": reg,
+                "rank": rank,
+            }
+        )
+        return df.group_by(["event_type", "reg"]).agg(pl.col("rank").max()).to_arrow()
+
+    from ray.data.aggregate import Max
+
+    regs = (
+        ds.map_batches(registers, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+    def estimate(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        alpha = 0.709  # alpha_64 (Flajolet et al. 2007) for m = 64
+        out = []
+        for key, grp in df.group_by("event_type", maintain_order=False):
+            ranks = dict(zip(grp["reg"].to_list(), grp["rank"].to_list()))
+            # absent registers contribute 2^0 each (rank 0)
+            s = 0.0
+            for j in range(m):
+                s += 2.0 ** (-ranks.get(j, 0))
+            zeros = m - len([r for r in ranks.values() if r > 0])
+            raw = alpha * m * m / s
+            # small-range (linear counting) correction, standard HLL rule.
+            # m/zeros takes only m rational values, so the ln() is over a
+            # closed set both sides compute with the same libm — the oracle
+            # builder embeds the identical Python-computed constants.
+            if zeros > 0 and raw <= 2.5 * m:
+                import math
+
+                est = m * math.log(m / zeros)
+            else:
+                est = raw
+            out.append(
+                {
+                    "event_type": key[0],
+                    "hll_estimate": est,
+                    "zero_registers": zeros,
+                }
+            )
+        return pl.DataFrame(out).cast({"zero_registers": pl.Int64}).to_arrow()
+
+    # one tiny block per event_type after the register groupby: sort on the
+    # type so each group folds whole
+    return regs.sort("event_type").map_batches(
+        estimate, batch_format="pyarrow", batch_size=None
+    )

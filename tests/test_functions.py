@@ -707,3 +707,27 @@ def test_training_shuffle_dense_deterministic():
     assert a == b
     assert sorted(a.values()) == list(range(100))
     assert [a[i] for i in range(100)] != list(range(100))
+
+
+def test_hll_distinct_accuracy():
+    """The HLL sketch estimate lands within the expected m=64 error band
+    (~1.04/sqrt(64) = 13% sigma) of the true distinct count, and the
+    construction is deterministic across block layouts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.relational import q_hll_distinct
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r["hll_estimate"] for r in q_hll_distinct(sf).take_all()}
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "user_id"])
+    import collections
+    truth = collections.defaultdict(set)
+    for et, uid in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+        truth[et].add(uid)
+    assert set(got) == set(truth)
+    for et, est in got.items():
+        n = len(truth[et])
+        assert 0.55 * n <= est <= 1.8 * n, (et, est, n)
+    again = {r["event_type"]: r["hll_estimate"] for r in q_hll_distinct(sf).take_all()}
+    assert again == got
