@@ -763,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_json_props": relational.q_json_props,
         "q_hll_distinct": relational.q_hll_distinct,
         "q_heavy_hitters": relational.q_heavy_hitters,
+        "q_bloom_semijoin": relational.q_bloom_semijoin,
         # training-data ops
         "dd_exact_docs": _dd_exact_docs,
         "td_prepare": _td_prepare,
@@ -889,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
         "td_shuffle": oracles_td.training_shuffle_oracle(),
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
+        "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

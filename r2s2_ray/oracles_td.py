@@ -665,3 +665,41 @@ def heavy_hitters_oracle(depth: int = 4, width: int = 256, k: int = 10) -> str:
           ORDER BY true_n DESC, user_id ASC LIMIT {k})
         SELECT t.user_id, t.true_n, least({ests}) AS cms_n
         FROM top t"""
+
+
+def bloom_semijoin_oracle(m_bits: int = 4096, k_hashes: int = 3) -> str:
+    """Oracle for relational.q_bloom_semijoin: the identical bloom filter in
+    SQL — positions = top log2(m) bits of the affine64 hashes over the
+    BUILDING customer keys; an order passes when ALL k positions are set."""
+    from .functions.hashing import perm_constants
+
+    shift = 2 ** (64 - (m_bits - 1).bit_length())
+    consts = [perm_constants(11 + i) for i in range(k_hashes)]
+
+    def pos(d: int, col: str) -> str:
+        a, c = consts[d]
+        u = _unsigned(col)
+        h = f"(({_mulmod(u, str(a), str(a % 2**32))} + {c}) % CAST('{U64}' AS HUGEINT))"
+        return f"CAST({h} // {shift} AS BIGINT)"
+
+    build_rows = " UNION ALL ".join(
+        f"SELECT {pos(d, 'c_custkey')} AS p FROM bld" for d in range(k_hashes)
+    )
+    passes = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE p = {pos(d, 'o.o_custkey')})"
+        for d in range(k_hashes)
+    )
+    return f"""
+        WITH bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        bits AS (SELECT DISTINCT p FROM ({build_rows})),
+        probe AS (
+          SELECT o.o_orderpriority,
+                 CASE WHEN {passes} THEN 1 ELSE 0 END AS pass_,
+                 CASE WHEN EXISTS (SELECT 1 FROM bld WHERE c_custkey = o.o_custkey)
+                      THEN 1 ELSE 0 END AS true_
+          FROM orders o)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(pass_) AS BIGINT) AS n_bloom_pass,
+               CAST(sum(true_) AS BIGINT) AS n_true_match
+        FROM probe GROUP BY o_orderpriority"""

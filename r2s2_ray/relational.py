@@ -882,3 +882,75 @@ def q_heavy_hitters(sf_dir: str, *, depth: int = 4, width: int = 256, k: int = 1
             "cms_n": pa.array(out_est, pa.int64()),
         }
     )
+
+
+def q_bloom_semijoin(sf_dir: str, *, m_bits: int = 4096, k_hashes: int = 3):
+    """Bloom-join prefilter: the classic shuffle-avoidance optimization — a
+    small build side (BUILDING-segment customers) becomes an m-bit bloom
+    filter broadcast once; the large probe side (orders) tests membership
+    per batch and only survivors would enter the real join. Output per
+    order priority: probe count, bloom-pass count and true-match count
+    (pass >= true always; the gap is the false-positive mass, a direct
+    read on the filter's sizing). Integer-exact: positions are the top
+    log2(m) bits of the affine64 hash family, so the SQL oracle reproduces
+    every bit."""
+    import polars as pl
+
+    from .functions.hashing import perm_constants
+
+    shift = np.uint64(64 - (m_bits - 1).bit_length())
+    consts = [perm_constants(11 + i) for i in range(k_hashes)]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).select(["c_custkey"])
+
+    keys = np.asarray(
+        [r["c_custkey"] for r in cust.map_batches(building, batch_format="pyarrow").take_all()],
+        dtype=np.int64,
+    ).astype(np.uint64)
+    bits = np.zeros(m_bits, dtype=bool)
+    for a, c in consts:
+        bits[((keys * np.uint64(a) + np.uint64(c)) >> shift).astype(np.int64)] = True
+    true_set = pa.array(sorted(int(x) for x in keys.astype(np.int64)), pa.int64())
+    bits_ref = ray.put(bits)
+    true_ref = ray.put(true_set)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def probe(b: pa.Table, _bits=bits_ref, _true=true_ref) -> pa.Table:
+        bl = ray.get(_bits)
+        ids = np.asarray(
+            b["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False), dtype=np.int64
+        ).astype(np.uint64)
+        ok = np.ones(len(ids), dtype=bool)
+        for a, c in consts:
+            ok &= bl[((ids * np.uint64(a) + np.uint64(c)) >> shift).astype(np.int64)]
+        tm = pc.is_in(b["o_custkey"], value_set=ray.get(_true))
+        df = pl.DataFrame(
+            {
+                "o_orderpriority": pl.Series(b["o_orderpriority"].to_pylist()),
+                "pass_": ok,
+                "true_": np.asarray(tm.to_numpy(zero_copy_only=False), dtype=bool),
+            }
+        )
+        return (
+            df.group_by("o_orderpriority")
+            .agg(
+                n_orders=pl.len().cast(pl.Int64),
+                n_bloom_pass=pl.col("pass_").sum().cast(pl.Int64),
+                n_true_match=pl.col("true_").sum().cast(pl.Int64),
+            )
+            .to_arrow()
+        )
+
+    return (
+        orders.map_batches(probe, batch_format="pyarrow", batch_size=None)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_bloom_pass", alias_name="n_bloom_pass"),
+            Sum("n_true_match", alias_name="n_true_match"),
+        )
+    )

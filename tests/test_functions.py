@@ -746,3 +746,22 @@ def test_heavy_hitters_cms_one_sided():
     assert all(c >= tn for c, tn in zip(cms_n, true_n))
     # sorted output: counts non-increasing
     assert true_n == sorted(true_n, reverse=True)
+
+
+def test_bloom_semijoin_one_sided_and_tight():
+    """Bloom prefilter: pass count >= true-match count per group (one-sided),
+    and with 4096 bits over a few hundred build keys the false-positive mass
+    stays a small fraction of the probe side."""
+    from r2s2_ray.relational import q_bloom_semijoin
+
+    rows = q_bloom_semijoin("/root/testdata/sf0.001").take_all()
+    assert rows
+    tot_orders = sum(r["n_orders"] for r in rows)
+    tot_pass = sum(r["n_bloom_pass"] for r in rows)
+    tot_true = sum(r["n_true_match"] for r in rows)
+    for r in rows:
+        assert r["n_bloom_pass"] >= r["n_true_match"]
+        assert r["n_orders"] >= r["n_bloom_pass"]
+    # the filter actually filters: false positives are a small minority of
+    # the non-matching probe mass
+    assert (tot_pass - tot_true) <= 0.2 * (tot_orders - tot_true)
