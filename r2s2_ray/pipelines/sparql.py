@@ -5,8 +5,10 @@ SPARQL directly against the ``all_triples`` reassembly view, so the store IS
 queryable as SPARQL without a JVM).
 
 Supported subset (documented, tested): PREFIX declarations, SELECT with
-explicit variables or ``*``, ``FROM <graph>`` dataset clauses (restrict every
-pattern to the listed graphs), basic graph patterns (joins via shared
+explicit variables or ``*``, ``FROM <graph>`` / ``FROM NAMED <graph>`` dataset clauses (FROM = the
+default graph non-GRAPH patterns match; FROM NAMED = the named set GRAPH
+patterns range over — empty named set means GRAPH matches nothing, the
+SPARQL dataset semantics), basic graph patterns (joins via shared
 variables), non-nested ``OPTIONAL { ... }`` groups (compiled to LEFT JOINs;
 optional-only variables project as NULL when unmatched — SPARQL unbound;
 comparison/string FILTERs INSIDE the group compile into the LeftJoin
@@ -159,6 +161,9 @@ class Query:
     order_by: list[tuple[str, bool]]  # (var, descending)
     limit: int | None
     from_graphs: list[str] | None = None  # FROM <g> dataset restriction
+    #: FROM NAMED <g> dataset clauses: the named-graph set GRAPH patterns
+    #: range over (constant GRAPH IRIs outside the set match nothing)
+    from_named: list[str] | None = None
     offset: int | None = None
     optionals: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
     #: per-OPTIONAL-group FILTERs (parallel to ``optionals``): compiled INTO
@@ -649,16 +654,14 @@ def parse_sparql(q: str) -> Query:
         aggs.append((func, bool(m.group(2)), v, m.group(4)))
     sel_text = _AGG_RE.sub(" ", sel_text)
     from_graphs: list[str] = []
+    from_named: list[str] = []
     for m in _FROM_RE.finditer(q[: q.find("{") if "{" in q else len(q)]):
-        if m.group(1):
-            raise ValueError(
-                "FROM NAMED is not supported (GRAPH groups range over ALL graphs)"
-            )
+        target = from_named if m.group(1) else from_graphs
         if m.group(3):
-            from_graphs.append(m.group(3))
+            target.append(m.group(3))
         else:
             t = _parse_term(m.group(2), prefixes)
-            from_graphs.append(t.value)
+            target.append(t.value)
     sel_vars = [] if sel_text.strip() == "*" else re.findall(r"\?(\w+)", sel_text)
     body = _WHERE_RE.search(q)
     if not body:
@@ -719,6 +722,7 @@ def parse_sparql(q: str) -> Query:
             _parse_order(order.group(1)) if order else [],
             int(lim.group(1)) if lim else None,
             from_graphs=from_graphs or None,
+            from_named=from_named or None,
             offset=int(off.group(1)) if off else None,
             union_groups=union_groups,
             ask=ask,
@@ -952,6 +956,7 @@ def parse_sparql(q: str) -> Query:
         order_by,
         int(lim.group(1)) if lim else None,
         from_graphs=from_graphs or None,
+        from_named=from_named or None,
         offset=int(off.group(1)) if off else None,
         optionals=optionals or None,
         optional_filters=optional_filters if any(optional_filters) else None,
@@ -1038,7 +1043,7 @@ _XSD_NUMERIC = {
 
 def _compile_bgp(
     patterns: list[tuple[Term, Term, Term, Term | None]],
-    from_graphs: list[str] | None,
+    dataset: tuple[list[str] | None, list[str] | None],
     triples_view: str,
     alias_prefix: str,
 ) -> tuple[list[str], dict[str, str], list[str], list[str]]:
@@ -1050,6 +1055,8 @@ def _compile_bgp(
     instead of the triples view (the CTE carries the LAST edge's o_lang/o_dt
     so literal/LANG/DATATYPE conditions on the path object still compile);
     a kind="alt" predicate compiles to ``pred IN (...)``."""
+    from_graphs, from_named = dataset
+    has_dataset = from_graphs is not None or from_named is not None
     binds: dict[str, str] = {}  # var -> first bound column
     conds: list[str] = []
     aliases: list[str] = []
@@ -1067,7 +1074,10 @@ def _compile_bgp(
                 )
             gc = ""
             if g is not None:
-                gc = f" AND {{t}}.graph = {_q(g.value)}"
+                if has_dataset and (not from_named or g.value not in from_named):
+                    gc = " AND FALSE"
+                else:
+                    gc = f" AND {{t}}.graph = {_q(g.value)}"
             elif from_graphs:
                 gs = ", ".join(_q(g_) for g_ in from_graphs)
                 gc = f" AND {{t}}.graph IN ({gs})"
@@ -1085,11 +1095,23 @@ def _compile_bgp(
         else:
             aliases.append(f"{triples_view} {a}")
             if g is not None:
+                # SPARQL dataset semantics: with any FROM/FROM NAMED clause
+                # present, GRAPH patterns range over the FROM NAMED set only
+                # (an empty named set makes them match nothing)
                 if g.kind == "var":
+                    # bind first (the variable stays in scope even when the
+                    # named set is empty and no solution exists)
                     if g.value in binds:
                         conds.append(f"{a}.graph = {binds[g.value]}")
                     else:
                         binds[g.value] = f"{a}.graph"
+                    if has_dataset and not from_named:
+                        conds.append("FALSE")
+                    elif has_dataset:
+                        gs = ", ".join(_q(g_) for g_ in from_named)
+                        conds.append(f"{a}.graph IN ({gs})")
+                elif has_dataset and (not from_named or g.value not in from_named):
+                    conds.append("FALSE")
                 else:
                     conds.append(f"{a}.graph = {_q(g.value)}")
             elif from_graphs:
@@ -1278,7 +1300,7 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         compiled = []
         for k, branch in enumerate(query.union_groups):
             b_aliases, b_binds, b_conds, b_ctes = _compile_bgp(
-                branch, query.from_graphs, triples_view, f"u{k}_"
+                branch, (query.from_graphs, query.from_named), triples_view, f"u{k}_"
             )
             all_ctes.extend(b_ctes)
             compiled.append((b_aliases, b_binds, b_conds))
@@ -1311,7 +1333,7 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             sql = f"SELECT DISTINCT * FROM ({sql})"
         return _with(sql + _order_limit(query, set(out_vars)))
     aliases, binds, conds, p_ctes = _compile_bgp(
-        query.patterns, query.from_graphs, triples_view, "t"
+        query.patterns, (query.from_graphs, query.from_named), triples_view, "t"
     )
     all_ctes.extend(p_ctes)
     for k, sq in enumerate(query.subselects or []):
@@ -1361,7 +1383,7 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         # subquery; variables shared with the required part correlate on the
         # outer alias columns (standard SPARQL EXISTS semantics)
         e_aliases, e_binds, e_conds, e_ctes = _compile_bgp(
-            e_quads, query.from_graphs, triples_view, f"e{k}_"
+            e_quads, (query.from_graphs, query.from_named), triples_view, f"e{k}_"
         )
         all_ctes.extend(e_ctes)
         e_conds += [f"{e_binds[v]} = {binds[v]}" for v in e_binds if v in binds]
@@ -1375,7 +1397,7 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         # compatible = equal on every shared variable; a group sharing no
         # variable removes nothing (the SPARQL MINUS/NOT-EXISTS divergence)
         m_aliases, m_binds, m_conds, m_ctes = _compile_bgp(
-            m_quads, query.from_graphs, triples_view, f"m{k}_"
+            m_quads, (query.from_graphs, query.from_named), triples_view, f"m{k}_"
         )
         all_ctes.extend(m_ctes)
         shared = [v for v in m_binds if v in binds]
@@ -1464,7 +1486,7 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         joins: list[str] = []
         for k, opt_group in enumerate(query.optionals):
             g_aliases, g_binds, g_conds, g_ctes = _compile_bgp(
-                opt_group, query.from_graphs, triples_view, f"o{k}_"
+                opt_group, (query.from_graphs, query.from_named), triples_view, f"o{k}_"
             )
             all_ctes.extend(g_ctes)
             for fvar, fop, fterm in (query.optional_filters or [[]] * len(query.optionals))[k]:

@@ -1269,3 +1269,42 @@ def test_sparql_optional_local_filters():
         'OPTIONAL { ?s <e:name> ?m . FILTER(STRSTARTS(?m, "a")) } } ORDER BY ?s'
     )
     assert got == [("e:s1", "alice"), ("e:s2", None)]
+
+
+def test_sparql_from_named():
+    """SPARQL dataset clauses: FROM builds the default graph (non-GRAPH
+    patterns), FROM NAMED builds the named set GRAPH patterns range over;
+    with any dataset clause present, a GRAPH pattern outside the named set
+    (or with an empty named set) matches nothing."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:p','1', NULL, NULL, 'g1'),
+          ('e:b','e:p','2', NULL, NULL, 'g2'),
+          ('e:c','e:p','3', NULL, NULL, 'g3')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run(
+        "SELECT ?g ?s FROM NAMED <g1> FROM NAMED <g2> "
+        "WHERE { GRAPH ?g { ?s <e:p> ?o } } ORDER BY ?g"
+    ) == [("g1", "e:a"), ("g2", "e:b")]
+    # FROM without FROM NAMED: the named set is EMPTY -> GRAPH matches nothing
+    assert run("SELECT ?g ?s FROM <g1> WHERE { GRAPH ?g { ?s <e:p> ?o } }") == []
+    assert run("SELECT ?s FROM NAMED <g1> WHERE { GRAPH <g2> { ?s <e:p> ?o } }") == []
+    # default graph and named set coexist
+    assert run(
+        "SELECT ?s ?t FROM <g1> FROM NAMED <g2> "
+        "WHERE { ?s <e:p> ?o . GRAPH <g2> { ?t <e:p> ?o2 } }"
+    ) == [("e:a", "e:b")]
+    # no dataset clause: GRAPH ranges over every named graph (unchanged)
+    assert run("SELECT ?g ?s WHERE { GRAPH ?g { ?s <e:p> ?o } } ORDER BY ?g") == [
+        ("g1", "e:a"), ("g2", "e:b"), ("g3", "e:c"),
+    ]
