@@ -684,7 +684,10 @@ def contamination_flags(
         out = _shingle_rows(pl.from_arrow(b), id_col, text_col, shingle_k)
         return out.rename({"sh": "s"}).to_arrow()
 
-    shingles = docs.map_batches(sh_rows, batch_format="pyarrow")
+    # materialized ONCE: both the benchmark and the corpus branch consume
+    # the shingle rows, and the extraction (k x token volume) is the
+    # heaviest stage — without this Ray re-executes it per branch
+    shingles = docs.map_batches(sh_rows, batch_format="pyarrow").materialize()
 
     def _mod_mask(col: str, is_bench: bool):
         def fn(b: pa.Table) -> pa.Table:
@@ -701,7 +704,6 @@ def contamination_flags(
     ).select_columns([id_col])
     corpus_sh = shingles.map_batches(_mod_mask(id_col, False), batch_format="pyarrow")
 
-    # the size probe and both consumers share one execution of the upstream
     bench_sh = bench_sh.materialize()
     if bench_sh.count() <= broadcast_max:
         uniq = set()

@@ -400,7 +400,15 @@ def training_shuffle(
         hashed, batch_format="pyarrow"
     ).materialize()
     if hashed_ds.count() == 0:
-        return hashed_ds.select_columns([id_col])
+        # keep the documented (id, shuffle_rank) schema even for an empty input
+        def empty(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_col: b[id_col], "shuffle_rank": pa.nulls(0, pa.int64())}
+            )
+
+        return hashed_ds.select_columns([id_col]).map_batches(
+            empty, batch_format="pyarrow"
+        )
 
     from ray.data.aggregate import Count
 

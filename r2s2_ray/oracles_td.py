@@ -599,6 +599,14 @@ def hll_distinct_oracle(p_bits: int = 6) -> str:
     u = _unsigned("user_id")
     h = f"(({_mulmod(u, str(K_A), str(K_A % 2**32))} + {K_B}) % CAST('{U64}' AS HUGEINT))"
     payload = 2 ** (64 - p_bits)
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
     # linear-counting constants m*ln(m/z), embedded as exact repr()s so SQL
     # and engine share the identical doubles (no SQL-side ln())
     lc = " ".join(
@@ -620,7 +628,7 @@ def hll_distinct_oracle(p_bits: int = 6) -> str:
                  CROSS JOIN (SELECT unnest(range({m})) AS reg) j),
         agg AS (
           SELECT g.event_type,
-                 0.709 * {m} * {m} / sum(power(2.0, -coalesce(rk.rank, 0))) AS raw,
+                 {alpha!r} * {m} * {m} / sum(power(2.0, -coalesce(rk.rank, 0))) AS raw,
                  CAST(sum(CASE WHEN coalesce(rk.rank, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
                    AS zero_registers
           FROM grid g LEFT JOIN rk ON rk.event_type = g.event_type AND rk.reg = g.reg
@@ -640,12 +648,14 @@ def heavy_hitters_oracle(depth: int = 4, width: int = 256, k: int = 10) -> str:
     from .functions.hashing import perm_constants
 
     consts = [perm_constants(3 + i) for i in range(depth)]
+    assert width > 0 and width & (width - 1) == 0, "width must be a power of two"
+    span = 2 ** (64 - (width - 1).bit_length())
 
     def bucket(d: int, col: str) -> str:
         a, c = consts[d]
         u = _unsigned(col)
         h = f"(({_mulmod(u, str(a), str(a % 2**32))} + {c}) % CAST('{U64}' AS HUGEINT))"
-        return f"CAST({h} // {2**56} AS BIGINT)"
+        return f"CAST({h} // {span} AS BIGINT)"
 
     hash_rows = " UNION ALL ".join(
         f"SELECT {d} AS d, {bucket(d, 'user_id')} AS bucket FROM events"

@@ -272,10 +272,10 @@ def _path_atom(tok: str, prefixes: dict[str, str]) -> str:
 _SEP_GAP = re.compile(r"[\s.]*")
 #: gap between a subject (or "/") and the first atom of a step: may open an
 #: alternation paren and carry the step's inverse marker
-_PRE_GAP = re.compile(r"\s*(\^)?\s*(!)?\s*\(?\s*")
+_PRE_GAP = re.compile(r"\s*(\^)?\s*(!)?\s*(\()?\s*")
 #: gap after a step's last atom: optional close-paren, optional "+" postfix,
 #: then either end-of-path (object follows) or "/" + the next step's prefix
-_POST_GAP = re.compile(r"\s*(\))?\s*(\+)?\s*(?:(/)\s*(\^)?\s*(!)?\s*\(?\s*)?")
+_POST_GAP = re.compile(r"\s*(\))?\s*(\+)?\s*(?:(/)\s*(\^)?\s*(!)?\s*(\()?\s*)?")
 #: gap between two atoms of one alternation: "|" (parens already consumed)
 _ALT_GAP = re.compile(r"\s*\|\s*")
 
@@ -315,6 +315,7 @@ def _triples(
         # steps: (inverse, negated, [atom tokens], plus)
         steps: list[tuple[bool, bool, list[str], bool]] = []
         inv, neg = bool(pre.group(1)), bool(pre.group(2))
+        opened = bool(pre.group(3))
         j = i + 1
         while True:
             if j >= n:
@@ -326,15 +327,22 @@ def _triples(
             post = _POST_GAP.fullmatch(gap(j))
             if not post:
                 raise ValueError(f"unsupported path syntax: {gap(j)!r}")
+            # parentheses must pair WITHIN one step — a stray open or close
+            # is a typo'd alternation, not something to silently accept
+            if opened != bool(post.group(1)):
+                raise ValueError(
+                    f"unbalanced parentheses in property path near: {gap(j)!r}"
+                )
             steps.append((inv, neg, atoms, bool(post.group(2))))
             if not post.group(3):  # no "/": path ends, object follows
                 break
             inv, neg = bool(post.group(4)), bool(post.group(5))
+            opened = bool(post.group(6))
             j += 1
         if j + 1 >= n:
             raise ValueError("dangling pattern (need s p o triples)")
         obj = _parse_term(toks[j + 1].group(0), prefixes)
-        if not _SEP_GAP.fullmatch(re.sub(r"^[\s)]*", "", gap(j + 1))):
+        if not _SEP_GAP.fullmatch(gap(j + 1)):
             raise ValueError(f"unsupported syntax after object: {gap(j + 1)!r}")
         # desugar the step chain
         cur = subj
@@ -751,20 +759,9 @@ def parse_sparql(q: str) -> Query:
     optional_filters: list[list[tuple[str, str, Term]]] = []
     for m in _OPTIONAL_RE.finditer(inner):
         g_inner = m.group(1)
-        g_filters: list[tuple[str, str, Term]] = []
-        for fm in _FFUNC_RE.finditer(g_inner):
-            func = fm.group(1).lower()
-            arg = _parse_term(restore(fm.group(3)), prefixes)
-            if arg.kind != "lit":
-                raise ValueError(f"{fm.group(1).upper()} needs a literal argument")
-            if fm.group(4) is not None:
-                if func != "regex":
-                    raise ValueError(f"{fm.group(1).upper()} takes exactly two arguments")
-                flags = _parse_term(restore(fm.group(4)), prefixes)
-                if flags.kind != "lit" or not re.fullmatch(r"[ismx]*", flags.value):
-                    raise ValueError(f"unsupported REGEX flags: {flags.value!r}")
-                arg = Term("lit", arg.value, lang=flags.value)
-            g_filters.append((fm.group(2)[1:], func, arg))
+        g_filters: list[tuple[str, str, Term]] = [
+            _parse_ffunc(fm, restore, prefixes) for fm in _FFUNC_RE.finditer(g_inner)
+        ]
         g_inner = _FFUNC_RE.sub("", g_inner)
         for fm in _FILTER_RE.finditer(g_inner):
             g_filters.append(
@@ -827,21 +824,9 @@ def parse_sparql(q: str) -> Query:
         op = "not in" if m.group(2) else "in"
         filters.append((m.group(1), op, Term("alt", "", alts=[t.value for t in items])))
     inner = _IN_RE.sub("", inner)
-    for m in _FFUNC_RE.finditer(inner):
-        func = m.group(1).lower()
-        arg = _parse_term(restore(m.group(3)), prefixes)
-        if arg.kind != "lit":
-            raise ValueError(f"{m.group(1).upper()} needs a literal argument")
-        if m.group(4) is not None:
-            # third argument: only REGEX flags, folded into the stored term's
-            # lang slot (i/s/m/x pass straight through to DuckDB's RE2)
-            if func != "regex":
-                raise ValueError(f"{m.group(1).upper()} takes exactly two arguments")
-            flags = _parse_term(restore(m.group(4)), prefixes)
-            if flags.kind != "lit" or not re.fullmatch(r"[ismx]*", flags.value):
-                raise ValueError(f"unsupported REGEX flags: {flags.value!r}")
-            arg = Term("lit", arg.value, lang=flags.value)
-        filters.append((m.group(2)[1:], func, arg))
+    filters.extend(
+        _parse_ffunc(m, restore, prefixes) for m in _FFUNC_RE.finditer(inner)
+    )
     inner = _FFUNC_RE.sub("", inner)
     # simple comparisons FILTER(?v <op> term); a right side the TERM grammar
     # cannot parse (e.g. a function call) falls through to the generalized
@@ -1078,9 +1063,12 @@ def _compile_bgp(
                     gc = " AND FALSE"
                 else:
                     gc = f" AND {{t}}.graph = {_q(g.value)}"
-            elif from_graphs:
-                gs = ", ".join(_q(g_) for g_ in from_graphs)
-                gc = f" AND {{t}}.graph IN ({gs})"
+            elif has_dataset:
+                if from_graphs:
+                    gs = ", ".join(_q(g_) for g_ in from_graphs)
+                    gc = f" AND {{t}}.graph IN ({gs})"
+                else:
+                    gc = " AND FALSE"
             cte = f"{a}_tc"
             ctes.append(
                 f"{cte}(subj, obj, o_lang, o_dt) AS ("
@@ -1114,10 +1102,15 @@ def _compile_bgp(
                     conds.append("FALSE")
                 else:
                     conds.append(f"{a}.graph = {_q(g.value)}")
-            elif from_graphs:
-                # FROM <g>: every non-GRAPH pattern matches the listed graphs only
-                gs = ", ".join(_q(g_) for g_ in from_graphs)
-                conds.append(f"{a}.graph IN ({gs})")
+            elif has_dataset:
+                # FROM <g>: non-GRAPH patterns match the default graph = the
+                # FROM union; a dataset with only FROM NAMED has an EMPTY
+                # default graph (SPARQL dataset semantics)
+                if from_graphs:
+                    gs = ", ".join(_q(g_) for g_ in from_graphs)
+                    conds.append(f"{a}.graph IN ({gs})")
+                else:
+                    conds.append("FALSE")
             if p.kind == "alt":
                 conds.append(
                     f"{a}.pred IN ({', '.join(_q(v) for v in p.alts)})"
@@ -1220,6 +1213,23 @@ def _values_alias(k: int, vars_: list[str], rows: list[list[Term]]) -> str:
     (terms constrain lexical forms, same comparison the BGP constants use)."""
     body = ", ".join("(" + ", ".join(_q(t.value) for t in row) + ")" for row in rows)
     return f"(VALUES {body}) v{k}({', '.join(vars_)})"
+
+
+def _parse_ffunc(m: re.Match, restore, prefixes: dict[str, str]) -> tuple[str, str, Term]:
+    """One REGEX/STRSTARTS/CONTAINS FILTER match -> (var, func, argument Term)
+    with the shared validation (literal args; REGEX flags ride the lang slot)."""
+    func = m.group(1).lower()
+    arg = _parse_term(restore(m.group(3)), prefixes)
+    if arg.kind != "lit":
+        raise ValueError(f"{m.group(1).upper()} needs a literal argument")
+    if m.group(4) is not None:
+        if func != "regex":
+            raise ValueError(f"{m.group(1).upper()} takes exactly two arguments")
+        flags = _parse_term(restore(m.group(4)), prefixes)
+        if flags.kind != "lit" or not re.fullmatch(r"[ismx]*", flags.value):
+            raise ValueError(f"unsupported REGEX flags: {flags.value!r}")
+        arg = Term("lit", arg.value, lang=flags.value)
+    return m.group(2)[1:], func, arg
 
 
 def _filter_cond(var: str, op: str, term: Term, binds: dict[str, str]) -> str:
@@ -1562,8 +1572,11 @@ if __name__ == "__main__":  # pragma: no cover - thin CLI wrapper
 
     if len(sys.argv) != 3:
         sys.exit("usage: python -m r2s2_ray.pipelines.sparql OUT_DIR 'SPARQL query'")
+    import csv
+
     table = run_sparql(sys.argv[1], sys.argv[2])
     cols = table.column_names
-    print(",".join(cols))
+    w = csv.writer(sys.stdout)
+    w.writerow(cols)
     for row in zip(*[table[c].to_pylist() for c in cols]):
-        print(",".join("" if v is None else str(v) for v in row))
+        w.writerow(["" if v is None else v for v in row])

@@ -711,7 +711,13 @@ def q_json_props(sf_dir: str):
             .group_by("event_type")
             .agg(
                 n_events=pl.len().cast(pl.Int64),
-                sum_k=pl.col("k").sum().cast(pl.Int64),
+                # polars sums an all-null group to 0; SQL's sum() yields NULL —
+                # keep the SQL semantics so the oracle hash matches even for a
+                # type whose props never carry a castable k
+                sum_k=pl.when(pl.col("k").count() > 0)
+                .then(pl.col("k").sum())
+                .otherwise(None)
+                .cast(pl.Int64),
                 max_k=pl.col("k").max().cast(pl.Int64),
             )
         )
@@ -780,9 +786,18 @@ def q_hll_distinct(sf_dir: str, *, p_bits: int = 6):
         .aggregate(Max("rank", alias_name="rank"))
     )
 
+    # alpha_m per Flajolet et al. 2007 (m >= 128 uses the asymptotic form)
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+
     def estimate(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
-        alpha = 0.709  # alpha_64 (Flajolet et al. 2007) for m = 64
         out = []
         for key, grp in df.group_by("event_type", maintain_order=False):
             ranks = dict(zip(grp["reg"].to_list(), grp["rank"].to_list()))
@@ -831,6 +846,12 @@ def q_heavy_hitters(sf_dir: str, *, depth: int = 4, width: int = 256, k: int = 1
 
     from .functions.hashing import perm_constants
 
+    if width & (width - 1) or width <= 0:
+        raise ValueError(
+            f"width must be a power of two (buckets are the hash's top "
+            f"log2(width) bits): {width}"
+        )
+    cms_shift = np.uint64(64 - (width - 1).bit_length())
     ds = _read(sf_dir, "events", ["user_id"])
     consts = [perm_constants(3 + i) for i in range(depth)]
 
@@ -840,8 +861,7 @@ def q_heavy_hitters(sf_dir: str, *, depth: int = 4, width: int = 256, k: int = 1
         ).astype(np.uint64)
         rows = []
         for d, (a, c) in enumerate(consts):
-            bucket = ((ids * np.uint64(a) + np.uint64(c)) >> np.uint64(56)).astype(np.int64)
-            # width 256 == top byte; other widths would mask here
+            bucket = ((ids * np.uint64(a) + np.uint64(c)) >> cms_shift).astype(np.int64)
             rows.append(
                 pl.DataFrame({"d": np.full(len(bucket), d, dtype=np.int64), "bucket": bucket})
             )
@@ -869,7 +889,7 @@ def q_heavy_hitters(sf_dir: str, *, depth: int = 4, width: int = 256, k: int = 1
     for r in top:
         uid = np.uint64(np.int64(r["user_id"]))
         est = min(
-            cms.get((d, int((uid * np.uint64(a) + np.uint64(c)) >> np.uint64(56))), 0)
+            cms.get((d, int((uid * np.uint64(a) + np.uint64(c)) >> cms_shift)), 0)
             for d, (a, c) in enumerate(consts)
         )
         out_ids.append(r["user_id"])
@@ -898,6 +918,11 @@ def q_bloom_semijoin(sf_dir: str, *, m_bits: int = 4096, k_hashes: int = 3):
 
     from .functions.hashing import perm_constants
 
+    if m_bits & (m_bits - 1) or m_bits <= 0:
+        raise ValueError(
+            f"m_bits must be a power of two (positions are the hash's top "
+            f"log2(m) bits): {m_bits}"
+        )
     shift = np.uint64(64 - (m_bits - 1).bit_length())
     consts = [perm_constants(11 + i) for i in range(k_hashes)]
 
