@@ -952,6 +952,10 @@ def test_sparql_property_paths():
         "SELECT ?x WHERE { <e:a> ?p+ ?x }",
         "SELECT ?x WHERE { GRAPH ?g { <e:a> <e:knows>+ ?x } }",
         'SELECT ?x WHERE { <e:a> "lit"/<e:name> ?x }',
+        # unbalanced path parens must raise, not misparse (review fix)
+        "SELECT ?x WHERE { <e:a> (<e:knows> ?x }",
+        "SELECT ?x WHERE { <e:a> <e:knows>) ?x }",
+        "SELECT ?x WHERE { <e:a> (<e:knows>|<e:name> ?x }",
     ]:
         with pytest.raises(ValueError):
             run(bad)
@@ -1308,3 +1312,6 @@ def test_sparql_from_named():
     assert run("SELECT ?g ?s WHERE { GRAPH ?g { ?s <e:p> ?o } } ORDER BY ?g") == [
         ("g1", "e:a"), ("g2", "e:b"), ("g3", "e:c"),
     ]
+    # FROM NAMED without FROM: the DEFAULT graph is empty — non-GRAPH
+    # patterns match nothing (review fix)
+    assert run("SELECT ?s FROM NAMED <g1> WHERE { ?s <e:p> ?o }") == []
