@@ -366,6 +366,19 @@ def _dd_substring_pairs(sf_dir: str):
     )
 
 
+def _td_budget_sample(sf_dir: str):
+    """Token-budget corpus selection in deterministic shuffle order."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import budget_sample
+
+    return budget_sample(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
 def _td_source_mix(sf_dir: str):
     """Per-source corpus mix: doc count, char mass, language spread and
     exact-duplicate mass — the provenance report behind mixing weights."""
@@ -784,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_neardup_clusters": _dd_neardup_clusters,
         "td_shuffle": _td_shuffle,
         "td_source_mix": _td_source_mix,
+        "td_budget_sample": _td_budget_sample,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
@@ -889,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
         "td_shuffle": oracles_td.training_shuffle_oracle(),
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),
+        "td_budget_sample": oracles_td.budget_sample_oracle(),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

@@ -471,3 +471,68 @@ def source_mix(ds: ray.data.Dataset, *, source_col: str = "source") -> ray.data.
     # sources are low-cardinality: one sort co-locates each source's rows,
     # the block fold computes exact distincts (no approximate sketches)
     return base.sort(source_col).map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+def budget_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    budget: int = 10_000,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Token-budget corpus selection: walk documents in the deterministic
+    shuffle order (affine64(id), id — same permutation as training_shuffle)
+    and keep each document whose INCLUSIVE running token count still fits
+    ``budget`` — the standard "sample N tokens for this mixture slot" step,
+    reproducible with no RNG. Emits (id, n_tokens, keep) for every document.
+
+    Same metadata-scale machinery as sequence_pack, but bucketed on the
+    HASH top bits so bucket order == shuffle order: pass 1 moves one token
+    sum per bucket to the driver, pass 2 ranks blocks locally plus their
+    bucket offset."""
+    from .hashing import K_A, K_B
+
+    shift = np.uint64(64 - max(1, (num_buckets - 1).bit_length()))
+    n_buckets = 1 << (64 - int(shift))
+    from ray.data.aggregate import Sum
+
+    def prep(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = df.select(
+            pl.col(id_col),
+            pl.col(text_col).str.split(" ").list.len().cast(pl.Int64).alias("n_tokens"),
+        )
+        t = out.to_arrow()
+        ids = np.asarray(
+            t[id_col].combine_chunks().to_numpy(zero_copy_only=False), dtype=np.int64
+        ).astype(np.uint64)
+        h = ids * np.uint64(K_A) + np.uint64(K_B)
+        return t.append_column("h", pa.array(h, pa.uint64())).append_column(
+            "bucket", pa.array((h >> shift).astype(np.int32), pa.int32())
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    sums = {
+        r["bucket"]: r["sum(n_tokens)"]
+        for r in prepped.groupby("bucket").aggregate(Sum("n_tokens")).take_all()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bk in range(n_buckets):
+        offsets[bk] = acc
+        acc += int(sums.get(bk, 0))
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["bucket", "h", id_col])
+        off = pl.col("bucket").replace_strict(
+            list(offsets.keys()), list(offsets.values()), return_dtype=pl.Int64
+        )
+        incl = pl.col("n_tokens").cum_sum().over("bucket") + off
+        return df.select(
+            pl.col(id_col),
+            pl.col("n_tokens"),
+            (incl <= budget).cast(pl.Int64).alias("keep"),
+        ).to_arrow()
+
+    return prepped.sort("bucket").map_batches(block, batch_format="pyarrow", batch_size=None)

@@ -713,3 +713,22 @@ def bloom_semijoin_oracle(m_bits: int = 4096, k_hashes: int = 3) -> str:
                CAST(sum(pass_) AS BIGINT) AS n_bloom_pass,
                CAST(sum(true_) AS BIGINT) AS n_true_match
         FROM probe GROUP BY o_orderpriority"""
+
+
+def budget_sample_oracle(budget: int = 10_000) -> str:
+    """Oracle for functions.textstats.budget_sample: inclusive running token
+    sum over the (affine64(doc_id), doc_id) shuffle order, kept while it
+    fits the budget."""
+    from .functions.hashing import K_A, K_B
+
+    u = _unsigned("doc_id")
+    h = f"(({_mulmod(u, str(K_A), str(K_A % 2**32))} + {K_B}) % CAST('{U64}' AS HUGEINT))"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {h} AS h,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) <= {budget} AS BIGINT) AS keep
+        FROM t"""

@@ -765,3 +765,28 @@ def test_bloom_semijoin_one_sided_and_tight():
     # the filter actually filters: false positives are a small minority of
     # the non-matching probe mass
     assert (tot_pass - tot_true) <= 0.2 * (tot_orders - tot_true)
+
+
+def test_budget_sample_prefix_of_shuffle_order():
+    """budget_sample keeps exactly the longest prefix of the deterministic
+    shuffle order whose inclusive token sum fits the budget."""
+    from r2s2_ray.functions.textstats import budget_sample, training_shuffle
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": [" ".join(["w"] * (3 + i % 5)) for i in range(30)],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    rows = {r["doc_id"]: r for r in budget_sample(ds, "doc_id", "text", budget=40).take_all()}
+    order = sorted(
+        (r["shuffle_rank"], r["doc_id"])
+        for r in training_shuffle(ds, "doc_id").take_all()
+    )
+    run = 0
+    for _, did in order:
+        run += rows[did]["n_tokens"]
+        assert rows[did]["keep"] == (1 if run <= 40 else 0)
+    kept_tokens = sum(r["n_tokens"] for r in rows.values() if r["keep"])
+    assert kept_tokens <= 40
