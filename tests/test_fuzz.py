@@ -322,3 +322,75 @@ def test_sparql_property_path_matches_naive(store, path, subj, obj, distinct):
         assert set(rows) == set(sols)
     else:
         assert Counter(rows) == sols
+
+
+# --------------------------------------------------------------------------
+# expression FILTERs vs naive evaluation
+# --------------------------------------------------------------------------
+
+_EVALS = ["a", "ab", "3", "10", "x7", ""]
+_estore = st.lists(st.sampled_from(_EVALS), min_size=0, max_size=8)
+_efun = st.sampled_from(["plain", "strlen", "ucase", "lcase", "concat"])
+_eop = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+
+
+def _apply_fun(fun, v):
+    if fun == "strlen":
+        return len(v)
+    if fun == "ucase":
+        return v.upper()
+    if fun == "lcase":
+        return v.lower()
+    if fun == "concat":
+        return v + "z"
+    return v
+
+
+def _render_efun(fun):
+    if fun == "strlen":
+        return "STRLEN(?y)"
+    if fun == "ucase":
+        return "UCASE(?y)"
+    if fun == "lcase":
+        return "LCASE(?y)"
+    if fun == "concat":
+        return 'CONCAT(?y, "z")'
+    return "?y"
+
+
+@settings(max_examples=60, deadline=None)
+@given(_estore, _efun, _eop, st.one_of(st.sampled_from(_EVALS), st.integers(0, 12)))
+def test_sparql_expression_filter_matches_naive(vals, fun, op, rhs):
+    """FILTER(f(?y) <op> const) over random stores == the naive evaluation
+    with the translator's coercion rule: numeric comparison when either side
+    is numeric-valued (STRLEN or an int literal; TRY_CAST failures drop the
+    row), lexical comparison otherwise. `plain ?y op const` intentionally
+    takes the simple-form path — both paths are exercised."""
+    import operator
+
+    ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+           "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+    store = [("s%d" % i, "p", v) for i, v in enumerate(vals)]
+    numeric = fun == "strlen" or isinstance(rhs, int)
+    rhs_str = str(rhs) if isinstance(rhs, int) else f'"{rhs}"'
+    q = f"SELECT ?x ?y WHERE {{ ?x <p> ?y . FILTER({_render_efun(fun)} {op} {rhs_str}) }}"
+    cols, rows = _run_sql(store, q)
+    want = []
+    for s, _, v in store:
+        lhs = _apply_fun(fun, v)
+        if numeric:
+            try:
+                l = float(lhs)
+            except (TypeError, ValueError):
+                continue  # TRY_CAST -> NULL -> fails the predicate
+            try:
+                r = float(rhs)
+            except ValueError:
+                continue
+            keep = ops[op](l, r)
+        else:
+            keep = ops[op](str(lhs), str(rhs))
+        if keep:
+            want.append((s, v))
+    assert cols == ["x", "y"]
+    assert Counter(rows) == Counter(want)
