@@ -394,3 +394,56 @@ def test_sparql_expression_filter_matches_naive(vals, fun, op, rhs):
             want.append((s, v))
     assert cols == ["x", "y"]
     assert Counter(rows) == Counter(want)
+
+
+# --------------------------------------------------------------------------
+# OPTIONAL (LeftJoin) vs naive evaluation, incl. group-local filters
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(_store, _patterns, _patterns, st.one_of(st.none(), st.sampled_from(_ALPHABET)))
+def test_sparql_optional_matches_naive(store, req, opt, filt_const):
+    """{ REQ . OPTIONAL { OPT [FILTER(?v = c)] } } == the SPARQL LeftJoin:
+    each required solution extends with every compatible optional solution
+    that passes the group filter, or survives unextended (NULLs) when none
+    does. The filter may unmatch the group but never eliminates the outer
+    row."""
+    req_vars = sorted({v for p in req for k, v in p if k == "var"})
+    opt_vars = sorted({v for p in opt for k, v in p if k == "var"})
+    # the translator rejects filters over variables the group never binds —
+    # pick the filter var from the group's own variables
+    if filt_const is not None and not opt_vars:
+        filt_const = None
+    fvar = opt_vars[0] if filt_const is not None else None
+
+    body = " . ".join(
+        " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in req
+    )
+    obody = " . ".join(
+        " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in opt
+    )
+    if fvar is not None:
+        obody += f' . FILTER(?{fvar} = "{filt_const}")'
+    q = f"SELECT * WHERE {{ {body} . OPTIONAL {{ {obody} }} }}"
+    cols, rows = _run_sql(store, q)
+
+    opt_sols_all = _naive_eval(store, opt)
+    if fvar is not None:
+        opt_sols_all = [s for s in opt_sols_all if s[fvar] == filt_const]
+    used = sorted(set(req_vars) | set(opt_vars))
+    want = []
+    for r in _naive_eval(store, req):
+        matches = [
+            o
+            for o in opt_sols_all
+            if all(o[v] == r[v] for v in o if v in r)
+        ]
+        if matches:
+            for o in matches:
+                merged = {**r, **o}
+                want.append(tuple(merged.get(v) for v in used))
+        else:
+            want.append(tuple(r.get(v) for v in used))
+    assert cols == used
+    assert Counter(rows) == Counter(want)
