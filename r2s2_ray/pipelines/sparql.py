@@ -11,8 +11,9 @@ patterns range over — empty named set means GRAPH matches nothing, the
 SPARQL dataset semantics), basic graph patterns (joins via shared
 variables), non-nested ``OPTIONAL { ... }`` groups (compiled to LEFT JOINs;
 optional-only variables project as NULL when unmatched — SPARQL unbound;
-comparison/string FILTERs INSIDE the group compile into the LeftJoin
-condition — they unmatch the group, never the outer row),
+comparison/string FILTERs and BINDs INSIDE the group compile into the
+LeftJoin condition / group scope — a failing filter or an unmatched group
+yields NULL, never eliminates the outer row),
 non-nested ``GRAPH <g>/?g { ... }`` groups (a constant restricts its patterns
 to that named graph; a variable binds the graph column and joins when shared),
 anonymous blank nodes ``[]`` (each a fresh never-projected variable;
@@ -166,6 +167,10 @@ class Query:
     from_named: list[str] | None = None
     offset: int | None = None
     optionals: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
+    #: per-OPTIONAL-group BINDs (parallel to ``optionals``): computed inside
+    #: the group subquery — group-local derived variables, NULL when the
+    #: group does not match
+    optional_binds: list[list[tuple[object, str]]] | None = None
     #: per-OPTIONAL-group FILTERs (parallel to ``optionals``): compiled INTO
     #: the group subquery before the LEFT JOIN — the SPARQL LeftJoin
     #: condition semantics (a failing filter unmatches the group, it does
@@ -757,8 +762,9 @@ def parse_sparql(q: str) -> Query:
     # the group's subquery; other FILTER forms there are rejected loudly
     optionals: list[list[tuple[Term, Term, Term, Term | None]]] = []
     optional_filters: list[list[tuple[str, str, Term]]] = []
+    optional_binds: list[list[tuple[object, str]]] = []
     for m in _OPTIONAL_RE.finditer(inner):
-        g_inner = m.group(1)
+        g_inner, g_binds_x = _extract_binds(m.group(1), restore)
         g_filters: list[tuple[str, str, Term]] = [
             _parse_ffunc(fm, restore, prefixes) for fm in _FFUNC_RE.finditer(g_inner)
         ]
@@ -775,6 +781,7 @@ def parse_sparql(q: str) -> Query:
             )
         optionals.append(_quads(restore(g_inner), prefixes, None, fresh))
         optional_filters.append(g_filters)
+        optional_binds.append(g_binds_x)
     inner = _OPTIONAL_RE.sub(" ", inner)
     # VALUES inline-data groups and FILTER (NOT) EXISTS groups — extracted
     # AFTER the OPTIONAL scan on purpose: one of these nested inside an
@@ -945,6 +952,7 @@ def parse_sparql(q: str) -> Query:
         offset=int(off.group(1)) if off else None,
         optionals=optionals or None,
         optional_filters=optional_filters if any(optional_filters) else None,
+        optional_binds=optional_binds if any(optional_binds) else None,
         aggs=aggs or None,
         group_by=group_by or None,
         values_groups=values_groups or None,
@@ -1499,6 +1507,12 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                 opt_group, (query.from_graphs, query.from_named), triples_view, f"o{k}_"
             )
             all_ctes.extend(g_ctes)
+            for node, bv in (query.optional_binds or [[]] * len(query.optionals))[k]:
+                # group-local BIND: computed in the subquery projection —
+                # NULL (unbound) for outer rows the group does not match
+                if bv in g_binds or bv in outer:
+                    raise ValueError(f"BIND target ?{bv} is already bound")
+                g_binds[bv] = f"({_expr_sql(node, g_binds)})"
             for fvar, fop, fterm in (query.optional_filters or [[]] * len(query.optionals))[k]:
                 # group-local LeftJoin condition: compiled into the subquery
                 # WHERE, so a failing filter unmatches the group (NULL row)

@@ -1315,3 +1315,37 @@ def test_sparql_from_named():
     # FROM NAMED without FROM: the DEFAULT graph is empty — non-GRAPH
     # patterns match nothing (review fix)
     assert run("SELECT ?s FROM NAMED <g1> WHERE { ?s <e:p> ?o }") == []
+
+
+def test_sparql_optional_bind():
+    """BIND inside an OPTIONAL group computes in the group's scope: the
+    target is NULL (unbound) when the group does not match, may feed the
+    group's own FILTER, and rebinding an outer variable is a loud error."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:s1','e:name','alice', NULL, NULL, 'g'),
+          ('e:s1','e:age','30', NULL, NULL, 'g'),
+          ('e:s2','e:name','bob', NULL, NULL, 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run(
+        "SELECT ?s ?lab WHERE { ?s <e:name> ?n . "
+        'OPTIONAL { ?s <e:age> ?a . BIND(CONCAT("age:", ?a) AS ?lab) } } ORDER BY ?s'
+    ) == [("e:s1", "age:30"), ("e:s2", None)]
+    # BIND feeding the group's own FILTER (compiled after the binds)
+    assert run(
+        "SELECT ?s ?d WHERE { ?s <e:name> ?n . "
+        "OPTIONAL { ?s <e:age> ?a . BIND(?a * 2 AS ?d) . FILTER(?d > 100) } } ORDER BY ?s"
+    ) == [("e:s1", None), ("e:s2", None)]
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a . BIND(1 AS ?n) } }")
