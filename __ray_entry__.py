@@ -366,6 +366,20 @@ def _dd_substring_pairs(sf_dir: str):
     )
 
 
+def _txt_rare_terms(sf_dir: str):
+    """Per-document rarest tokens with corpus document frequency (the IDF
+    signal, integer-exact)."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import rare_terms
+
+    return rare_terms(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
 def _td_budget_sample(sf_dir: str):
     """Token-budget corpus selection in deterministic shuffle order."""
     import ray.data
@@ -798,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_shuffle": _td_shuffle,
         "td_source_mix": _td_source_mix,
         "td_budget_sample": _td_budget_sample,
+        "txt_rare_terms": _txt_rare_terms,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
@@ -904,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
         "td_shuffle": oracles_td.training_shuffle_oracle(),
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),
         "td_budget_sample": oracles_td.budget_sample_oracle(),
+        "txt_rare_terms": oracles_td.rare_terms_oracle(),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

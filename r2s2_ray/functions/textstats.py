@@ -536,3 +536,77 @@ def budget_sample(
         ).to_arrow()
 
     return prepped.sort("bucket").map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+#: vocabulary size under which rare_terms broadcasts the df table
+RARE_TERMS_BROADCAST_MAX = 5_000_000
+
+
+def rare_terms(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    broadcast_max: int = RARE_TERMS_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """Per-document rarest terms — the integer core of an IDF signal: for
+    every document, its ``k`` lowest-document-frequency tokens (ties by
+    token), each with its corpus df. Rank 0 = rarest. Integer/string only —
+    no float idf, so the SQL oracle is exact.
+
+    Stage shape: distinct (doc, token) explode -> distributed df groupby ->
+    df attached to every token row (broadcast map under ``broadcast_max``,
+    generic hash_join beyond it — web-scale vocabularies don't broadcast) ->
+    per-doc top-k via one sort + block-local fold."""
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase().str.split(" ").alias("tok")
+            )
+            .explode("tok")
+            .filter(pl.col("tok").str.len_chars() > 0)
+            .select([id_col, "tok"])
+            .unique()
+        )
+        return out.to_arrow()
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    dfreq = toks.groupby("tok").aggregate(Count(alias_name="df")).materialize()
+    if dfreq.count() <= broadcast_max:
+        rows = dfreq.take_all()
+        keys = pa.array([r["tok"] for r in rows], pa.large_string())
+        vals = pa.array([int(r["df"]) for r in rows], pa.int64())
+        ref = ray.put((keys, vals))
+
+        def attach(b: pa.Table, _ref=ref) -> pa.Table:
+            ks, vs = ray.get(_ref)
+            idx = pc.index_in(pc.cast(b["tok"], pa.large_string()), value_set=ks)
+            return b.append_column("df", pc.take(vs, idx))
+
+        joined = toks.map_batches(attach, batch_format="pyarrow")
+    else:
+        from ..relational import hash_join
+
+        joined = hash_join(toks, dfreq, on="tok", right_cols=["df"], how="inner")
+
+    def topk(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, "tok", "df"]))
+        out = (
+            df.sort([id_col, "df", "tok"])
+            .with_columns(rank=pl.col("tok").cum_count().over(id_col) - 1)
+            .filter(pl.col("rank") < k)
+            .select(
+                pl.col(id_col),
+                pl.col("rank").cast(pl.Int64),
+                pl.col("tok"),
+                pl.col("df").cast(pl.Int64),
+            )
+        )
+        return out.to_arrow()
+
+    return joined.sort(id_col).map_batches(topk, batch_format="pyarrow", batch_size=None)

@@ -732,3 +732,19 @@ def budget_sample_oracle(budget: int = 10_000) -> str:
                CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
                     ROWS UNBOUNDED PRECEDING) <= {budget} AS BIGINT) AS keep
         FROM t"""
+
+
+def rare_terms_oracle(k: int = 3) -> str:
+    """Oracle for functions.textstats.rare_terms: distinct (doc, token) rows,
+    corpus document frequency, per-doc top-k by (df ASC, token ASC)."""
+    return f"""
+        WITH t AS (SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                 x -> len(x) > 0)) AS tok
+            FROM documents)),
+        f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY tok)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, df FROM (
+          SELECT t.doc_id, t.tok, f.df,
+                 row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) - 1 AS rank
+          FROM t JOIN f USING (tok))
+        WHERE rank < {k}"""

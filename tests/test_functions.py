@@ -790,3 +790,36 @@ def test_budget_sample_prefix_of_shuffle_order():
         assert rows[did]["keep"] == (1 if run <= 40 else 0)
     kept_tokens = sum(r["n_tokens"] for r in rows.values() if r["keep"])
     assert kept_tokens <= 40
+
+
+def test_rare_terms_broadcast_matches_join():
+    """rare_terms: rank 0 is each doc's lowest-df token (ties by token), and
+    the broadcast-df and distributed hash_join paths agree exactly."""
+    from r2s2_ray.functions.textstats import rare_terms
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "common shared words unique1",
+                "common shared words unique2",
+                "common other tail unique3",
+            ],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = sorted(
+        (r["doc_id"], r["rank"], r["tok"], r["df"])
+        for r in rare_terms(ds, "doc_id", "text").take_all()
+    )
+    b = sorted(
+        (r["doc_id"], r["rank"], r["tok"], r["df"])
+        for r in rare_terms(ds, "doc_id", "text", broadcast_max=0).take_all()
+    )
+    assert a == b
+    by = {(d, rk): (tok, df) for d, rk, tok, df in a}
+    assert by[(1, 0)] == ("unique1", 1)
+    assert by[(2, 0)] == ("unique2", 1)
+    assert by[(3, 0)] == ("other", 1)  # tie on df=1 broken by token
+    # every doc contributes exactly k=3 rows (docs have >= 3 distinct tokens)
+    assert len(a) == 9
