@@ -447,3 +447,56 @@ def test_sparql_optional_matches_naive(store, req, opt, filt_const):
             want.append(tuple(r.get(v) for v in used))
     assert cols == used
     assert Counter(rows) == Counter(want)
+
+
+# --------------------------------------------------------------------------
+# UNION and aggregate projections vs naive evaluation
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns, st.booleans())
+def test_sparql_union_matches_naive(store, br1, br2, distinct):
+    """{ A } UNION { B } == the multiset concatenation of branch solutions,
+    NULL for variables a branch leaves unbound."""
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    q = (
+        f"SELECT {'DISTINCT ' if distinct else ''}* "
+        f"WHERE {{ {{ {render(br1)} }} UNION {{ {render(br2)} }} }}"
+    )
+    cols, rows = _run_sql(store, q)
+    v1 = {v for p in br1 for k, v in p if k == "var"}
+    v2 = {v for p in br2 for k, v in p if k == "var"}
+    used = sorted(v1 | v2)
+    want = []
+    for branch, vs in ((br1, v1), (br2, v2)):
+        for s in _naive_eval(store, branch):
+            want.append(tuple(s.get(v) if v in vs else None for v in used))
+    assert cols == used
+    if distinct:
+        assert set(rows) == set(want)
+    else:
+        assert Counter(rows) == Counter(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_store, _patterns, st.data())
+def test_sparql_count_groupby_matches_naive(store, patterns, data):
+    """(COUNT(?v) AS ?n) GROUP BY ?g == per-group solution counts of the
+    naive evaluation (COUNT over a BGP-bound variable counts every row)."""
+    used = sorted({v for p in patterns for k, v in p if k == "var"})
+    gvar = data.draw(st.sampled_from(used))
+    cvar = data.draw(st.sampled_from(used))
+    body = " . ".join(
+        " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in patterns
+    )
+    q = f"SELECT ?{gvar} (COUNT(?{cvar}) AS ?n) WHERE {{ {body} }} GROUP BY ?{gvar}"
+    cols, rows = _run_sql(store, q)
+    want = Counter(s[gvar] for s in _naive_eval(store, patterns))
+    assert sorted(cols) == sorted([gvar, "n"])
+    got = {r[cols.index(gvar)]: r[cols.index("n")] for r in rows}
+    assert got == dict(want)
