@@ -500,3 +500,35 @@ def test_sparql_count_groupby_matches_naive(store, patterns, data):
     assert sorted(cols) == sorted([gvar, "n"])
     got = {r[cols.index(gvar)]: r[cols.index("n")] for r in rows}
     assert got == dict(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns, st.booleans())
+def test_sparql_exists_matches_naive(store, req, sub, negated):
+    """FILTER (NOT) EXISTS { BGP } == the correlated semi/anti-join: a
+    required solution survives iff the subgroup has (no) solution compatible
+    on the SHARED variables (group-local variables are scoped)."""
+    shared = sorted(
+        {v for p in req for k, v in p if k == "var"}
+        & {v for p in sub for k, v in p if k == "var"}
+    )
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    q = (
+        f"SELECT * WHERE {{ {render(req)} . "
+        f"FILTER {'NOT ' if negated else ''}EXISTS {{ {render(sub)} }} }}"
+    )
+    cols, rows = _run_sql(store, q)
+    sub_sols = _naive_eval(store, sub)
+    used = sorted({v for p in req for k, v in p if k == "var"})
+    want = []
+    for r in _naive_eval(store, req):
+        hit = any(all(s[v] == r[v] for v in shared) for s in sub_sols)
+        if hit != negated:
+            want.append(tuple(r[v] for v in used))
+    assert cols == used
+    assert Counter(rows) == Counter(want)
