@@ -532,3 +532,32 @@ def test_sparql_exists_matches_naive(store, req, sub, negated):
             want.append(tuple(r[v] for v in used))
     assert cols == used
     assert Counter(rows) == Counter(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns)
+def test_sparql_minus_matches_naive(store, req, sub):
+    """MINUS { BGP } == remove solutions with a compatible minus-side
+    solution SHARING at least one variable; a disjoint group removes nothing
+    (the MINUS / NOT-EXISTS divergence, property-based)."""
+    shared = sorted(
+        {v for p in req for k, v in p if k == "var"}
+        & {v for p in sub for k, v in p if k == "var"}
+    )
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    q = f"SELECT * WHERE {{ {render(req)} . MINUS {{ {render(sub)} }} }}"
+    cols, rows = _run_sql(store, q)
+    sub_sols = _naive_eval(store, sub)
+    used = sorted({v for p in req for k, v in p if k == "var"})
+    want = []
+    for r in _naive_eval(store, req):
+        if shared and any(all(s[v] == r[v] for v in shared) for s in sub_sols):
+            continue  # removed
+        want.append(tuple(r[v] for v in used))
+    assert cols == used
+    assert Counter(rows) == Counter(want)
