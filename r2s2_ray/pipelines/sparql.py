@@ -61,7 +61,7 @@ joins — the classic OPTIONAL+!BOUND anti-join idiom works),
 columns — an IRI/bnode binding behaves like a plain literal here
 (the store keeps no kind column in the serving view; restrict the
 pattern to literal objects for exact SPARQL error semantics),
-``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR
+``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE
 and +,-,*,/ arithmetic with TRY_CAST numeric coercion; later BINDs may
 reference earlier ones, and BIND targets work in FILTER/ORDER BY/SELECT),
 DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; comparison is over
@@ -410,13 +410,16 @@ _BIND_FUNCS = {
     "LCASE": ("lower", False),
     "STRLEN": ("length", True),
     "SUBSTR": ("substr", False),
+    # REPLACE is special-cased in _expr_sql: SPARQL REPLACE is regex-based
+    # and replaces ALL occurrences (DuckDB needs the 'g' flag)
+    "REPLACE": ("", False),
 }
 
 
 def _parse_expr(src: str):
     """BIND expression -> AST tuples. Grammar: additive over multiplicative
     over primaries; primaries are variables, string literals, numbers,
-    function calls (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR) and parenthesized
+    function calls (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE) and parenthesized
     subexpressions. Returns nodes ("var", name) | ("str", text) |
     ("num", text) | ("bin", op, l, r) | ("func", NAME, [args])."""
     toks: list[tuple[str, str]] = []
@@ -518,6 +521,10 @@ def _expr_sql(node, binds: dict[str, str]) -> str:
         return f"({num(l)} {op} {num(r)})"
     _, name, args = node
     sql_args = [_expr_sql(a, binds) for a in args]
+    if name == "REPLACE":
+        if len(sql_args) != 3:
+            raise ValueError("REPLACE takes exactly three arguments")
+        return f"regexp_replace({sql_args[0]}, {sql_args[1]}, {sql_args[2]}, 'g')"
     fn, _ = _BIND_FUNCS[name]
     if "{}" in fn:
         if len(sql_args) != 1:

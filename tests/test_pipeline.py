@@ -1013,6 +1013,12 @@ def test_sparql_bind():
         run("SELECT ?s WHERE { ?s <e:name> ?n . BIND(1 AS ?n) }")
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { ?s <e:name> ?n . BIND(NOPE(?n) AS ?x) }")
+    # REPLACE: regex-based, replaces ALL occurrences (SPARQL semantics)
+    assert run(
+        'SELECT ?x WHERE { <e:a> <e:name> ?n . BIND(REPLACE(?n, "li", "_") AS ?x) }'
+    ) == [("a_ce",)]
+    with pytest.raises(ValueError):
+        run('SELECT ?x WHERE { ?s <e:name> ?n . BIND(REPLACE(?n, "a") AS ?x) }')
 
 
 def test_sparql_construct():
