@@ -12,7 +12,6 @@ the scale path is dictionary-encoding the labels, noted inline).
 
 from __future__ import annotations
 
-import hashlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -86,16 +85,28 @@ def bnode_ids(labels: pa.Array) -> pa.Array:
     """Deterministic 63-bit ids from bnode labels (replaces the reference's global
     AtomicLong, ParseIntoSOGTables.java:65 — content-derived, no coordination).
 
-    Python loop is confined to bnode columns; at 100 TB scale prefer keeping the
-    label dictionary-encoded and assigning ids per partition as
-    (partition_index << 40) | local_counter (SURVEY.md §1.4)."""
-    ids = [
-        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") >> 1
-        if s is not None
-        else None
-        for s in labels.to_pylist()
-    ]
-    return pa.array(ids, pa.int64())
+    Vectorized: polars' fixed-seed 64-bit string hash over the whole column
+    (no per-row Python), shifted into the non-negative int63 contract. Content
+    hashing keeps ids stable across partitions and retries; the alternative
+    (partition-salted counters, (partition_index << 40) | local_counter,
+    SURVEY.md §1.4) trades that stability for guaranteed uniqueness."""
+    import polars as pl
+
+    if isinstance(labels, pa.ChunkedArray):
+        labels = labels.combine_chunks()
+    s = pl.Series("l", labels)
+    ids = (
+        pl.DataFrame({"l": s})
+        .select(
+            pl.when(pl.col("l").is_null())
+            .then(None)
+            .otherwise(
+                (pl.col("l").hash(seed=0x5EED_B10C) // 2).reinterpret(signed=True)
+            )
+            .alias("id")
+        )["id"]
+    )
+    return ids.to_arrow().cast(pa.int64())
 
 
 def decompose_subject(t: pa.Table, spec: TableSpec, pred_part: str) -> dict[str, pa.Array]:

@@ -25,6 +25,7 @@ import ray.data
 from ray.data.aggregate import Min
 
 from . import vocab
+from .functions.graph import _label_fingerprint
 
 
 def alias_pairs() -> list[tuple[str, str]]:
@@ -118,20 +119,23 @@ def connected_components(
         .aggregate(Min("label", alias_name="label"))
     )
 
-    prev: dict | None = None
+    prev_fp: int | None = None
     for _ in range(max_rounds):
-        # propagate: each edge forwards min(label(src), label(dst)) to both ends
-        rows = labels.take_all()
-        # NOTE on scale: the label table is as big as the node set; take_all here is
-        # only valid because alias-merge node sets are small (entity surface forms).
-        # The fully distributed variant joins labels<->edges via a bucketed groupby;
-        # see functions/graph.py for the generic large-scale implementation.
-        lab = {r["node"]: r["label"] for r in rows}
-        # convergence: compare this round's broadcast snapshot against the
-        # previous round's — ONE take_all per round, no second materialization
-        if lab == prev:
+        # convergence: an 8-byte order-independent content fingerprint of the
+        # label table (distributed aggregate, one int row per block to the
+        # driver) — the driver never compares label MAPS, it compares two ints
+        labels = labels.materialize()
+        fp = _label_fingerprint(labels)
+        if fp == prev_fp:
             break
-        prev = lab
+        prev_fp = fp
+        # propagate: each edge forwards min(label(src), label(dst)) to both ends.
+        # NOTE on scale: the label table is as big as the node set; the take_all
+        # broadcast here is only valid because alias-merge node sets are small
+        # (entity surface forms). The fully distributed variant joins
+        # labels<->edges via a bucketed groupby; see functions/graph.py for the
+        # generic large-scale implementation.
+        rows = labels.take_all()
         keys = pa.array([r["node"] for r in rows], pa.string())
         vals = pa.array([r["label"] for r in rows], pa.string())
         ref = ray.put((keys, vals))

@@ -36,7 +36,8 @@ generalized expression FILTERs ``FILTER(expr <op> expr)`` with the BIND
 expression grammar on either side (STRLEN/UCASE/CONCAT/arithmetic;
 numeric coercion when either side is numeric-valued),
 string-function FILTERs ``REGEX(?v, "pat")`` / ``STRSTARTS(?v, "s")`` /
-``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; no flags arg),
+``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; the optional
+REGEX flags argument accepts ``i``/``s``/``m``/``x``),
 whole-body ``{ BGP } UNION { BGP }`` (two or more pure-BGP branches,
 multiset semantics, branch-unbound variables project as NULL),
 aggregate projections ``(COUNT|SUM|MIN|MAX|AVG|SAMPLE(DISTINCT? ?v|*) AS
@@ -278,11 +279,46 @@ _SEP_GAP = re.compile(r"[\s.]*")
 #: gap between a subject (or "/") and the first atom of a step: may open an
 #: alternation paren and carry the step's inverse marker
 _PRE_GAP = re.compile(r"\s*(\^)?\s*(!)?\s*(\()?\s*")
-#: gap after a step's last atom: optional close-paren, optional "+" postfix,
-#: then either end-of-path (object follows) or "/" + the next step's prefix
-_POST_GAP = re.compile(r"\s*(\))?\s*(\+)?\s*(?:(/)\s*(\^)?\s*(!)?\s*(\()?\s*)?")
+#: gap after a step's last atom: optional close-paren, optional closure
+#: modifier (``+`` one-or-more, ``*`` zero-or-more, ``?`` zero-or-one), then
+#: either end-of-path (object follows) or "/" + the next step's prefix
+_POST_GAP = re.compile(r"\s*(\))?\s*([+*?])?\s*(?:(/)\s*(\^)?\s*(!)?\s*(\()?\s*)?")
 #: gap between two atoms of one alternation: "|" (parens already consumed)
 _ALT_GAP = re.compile(r"\s*\|\s*")
+#: gap after an object continuing the same subject+predicate: "," object list
+_COMMA_GAP = re.compile(r"\s*,\s*")
+#: gap after an object continuing the same subject: ";" + next step's prefix
+_SEMI_GAP = re.compile(r"\s*;\s*(\^)?\s*(!)?\s*(\()?\s*")
+#: innermost non-empty bracketed property list ``[ p o ; ... ]``
+_PROPLIST_RE = re.compile(r"\[([^\[\]]+)\]")
+
+_PATH_KIND = {"+": "plus", "*": "star", "?": "qmark"}
+
+
+def _expand_proplists(inner: str, fresh) -> str:
+    """Desugar bracketed property lists: every ``[ p o ; q z ]`` becomes a
+    fresh never-projected variable in place, with ``?fresh p o ; q z`` appended
+    to the group body as ordinary patterns (innermost-first, so nesting
+    resolves naturally). Literals are masked during the scan — a "[" inside a
+    quoted constant is data. A property list as a FULL statement (``[ p o ] .``
+    with no outer triple) leaves a dangling token and fails tokenization
+    loudly rather than silently dropping its patterns."""
+    if "[" not in inner:
+        return inner
+    masked, restore = _mask_literals(inner)
+    extra: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        v = fresh()
+        extra.append(f"?{v.value} {m.group(1)}")
+        return f" ?{v.value} "
+
+    while _PROPLIST_RE.search(masked):
+        masked = _PROPLIST_RE.sub(repl, masked)
+    if re.search(r"[\[\]]", masked):
+        raise ValueError(f"unbalanced brackets in group body: {restore(masked)!r}")
+    # "." separators tolerate repetition (_SEP_GAP is [\s.]*) — join blindly
+    return restore(" . ".join([masked] + extra))
 
 
 def _triples(
@@ -291,37 +327,37 @@ def _triples(
     """Tokenize a (brace-free) group body into (s, p, o) triples. Patterns
     cannot be split on "." (IRIs and prefixed names contain dots): tokenize
     the whole body in order and inspect the NON-TERM text between consecutive
-    tokens — "." separates patterns, and the property-path operators ``/``
-    (sequence), ``|`` (alternation), ``^`` (inverse) and postfix ``+``
-    (one-or-more) live in those gaps too. Sequences desugar to chained
-    patterns over fresh ``?__path{n}`` variables (``fresh``), inverse steps
-    swap subject/object, alternations become a kind="alt" predicate Term
-    (compiled to ``pred IN``), and ``p+`` becomes a kind="plus" Term
-    (compiled to a recursive-CTE transitive closure). ``(a|b)+``, ``^p+``
-    and operators around variable predicates are rejected loudly."""
+    tokens — "." separates patterns, ";" continues the subject with a new
+    predicate-object list, "," continues the subject+path with another
+    object, and the property-path operators ``/`` (sequence), ``|``
+    (alternation), ``^`` (inverse) and the postfix closures ``+``/``*``/``?``
+    live in those gaps too. Bracketed property lists ``[ p o ]`` desugar to
+    fresh variables first (:func:`_expand_proplists`). Sequences desugar to
+    chained patterns over fresh ``?__path{n}`` variables (``fresh``), inverse
+    steps swap subject/object (including over closures: ``^p+`` is the
+    closure walked backwards), alternations become a kind="alt" predicate
+    Term (compiled to ``pred IN``) and closure modifiers become
+    kind="plus"/"star"/"qmark" Terms (compiled to recursive-CTE closures;
+    ``(a|b)+`` closes over the member set). Operators around variable
+    predicates are rejected loudly."""
+    inner = _expand_proplists(inner, fresh)
     toks = list(_TERM_RE.finditer(inner))
     if not toks:
         raise ValueError(f"unsupported WHERE body (need s p o triples): {inner!r}")
     if not _SEP_GAP.fullmatch(inner[: toks[0].start()]):
         raise ValueError(f"unsupported syntax before first term: {inner!r}")
 
+    n = len(toks)
+
     def gap(j: int) -> str:
         a = toks[j].end()
-        b = toks[j + 1].start() if j + 1 < len(toks) else len(inner)
+        b = toks[j + 1].start() if j + 1 < n else len(inner)
         return inner[a:b]
 
-    out: list[tuple[Term, Term, Term]] = []
-    i, n = 0, len(toks)
-    while i < n:
-        subj = _parse_term(toks[i].group(0), prefixes)
-        pre = _PRE_GAP.fullmatch(gap(i))
-        if not pre:
-            raise ValueError(f"unsupported syntax after subject: {gap(i)!r}")
-        # steps: (inverse, negated, [atom tokens], plus)
-        steps: list[tuple[bool, bool, list[str], bool]] = []
-        inv, neg = bool(pre.group(1)), bool(pre.group(2))
-        opened = bool(pre.group(3))
-        j = i + 1
+    def parse_steps(j: int, inv: bool, neg: bool, opened: bool):
+        """Parse one path (toks[j] = first atom). Returns (steps, last_idx)
+        where steps = [(inverse, negated, [atom tokens], modifier)]."""
+        steps: list[tuple[bool, bool, list[str], str]] = []
         while True:
             if j >= n:
                 raise ValueError("dangling pattern (need s p o triples)")
@@ -338,47 +374,77 @@ def _triples(
                 raise ValueError(
                     f"unbalanced parentheses in property path near: {gap(j)!r}"
                 )
-            steps.append((inv, neg, atoms, bool(post.group(2))))
+            steps.append((inv, neg, atoms, post.group(2) or ""))
             if not post.group(3):  # no "/": path ends, object follows
-                break
+                return steps, j
             inv, neg = bool(post.group(4)), bool(post.group(5))
             opened = bool(post.group(6))
             j += 1
-        if j + 1 >= n:
-            raise ValueError("dangling pattern (need s p o triples)")
-        obj = _parse_term(toks[j + 1].group(0), prefixes)
-        if not _SEP_GAP.fullmatch(gap(j + 1)):
-            raise ValueError(f"unsupported syntax after object: {gap(j + 1)!r}")
-        # desugar the step chain
+
+    out: list[tuple[Term, Term, Term]] = []
+
+    def emit(subj: Term, steps, obj: Term) -> None:
+        """Desugar one (subject, path steps, object) chain into patterns —
+        re-invoked per object of a "," list, so each object gets its own
+        fresh intermediates (the SPARQL objectList semantics)."""
         cur = subj
-        for k, (s_inv, s_neg, atoms, s_plus) in enumerate(steps):
+        for k, (s_inv, s_neg, atoms, s_mod) in enumerate(steps):
             tgt = obj if k == len(steps) - 1 else fresh()
             if s_neg:
                 # negated property set !p / !(p1|p2): pred NOT IN — forward
                 # members only (SPARQL's ^-members inside !() are not supported)
-                if s_plus or s_inv:
+                if s_mod or s_inv:
                     raise ValueError(
-                        "negated property sets cannot combine with ^ or +"
+                        "negated property sets cannot combine with ^ or closures"
                     )
                 p = Term("nalt", "", alts=[_path_atom(t, prefixes) for t in atoms])
+            elif s_mod:
+                # closure: single member rides .value, alternation rides .alts
+                kind = _PATH_KIND[s_mod]
+                if len(atoms) > 1:
+                    p = Term(kind, "", alts=[_path_atom(t, prefixes) for t in atoms])
+                else:
+                    p = Term(kind, _path_atom(atoms[0], prefixes))
             elif len(atoms) > 1:
-                if s_plus:
-                    raise ValueError(
-                        "transitive closure over alternations ((a|b)+) is not supported"
-                    )
                 p = Term("alt", "", alts=[_path_atom(t, prefixes) for t in atoms])
-            elif s_plus:
-                if s_inv:
-                    raise ValueError("^p+ (inverse of a closure) is not supported")
-                p = Term("plus", _path_atom(atoms[0], prefixes))
             elif s_inv or len(steps) > 1:
                 p = Term("iri", _path_atom(atoms[0], prefixes))
             else:
                 # plain single-step predicate: any term kind (var joins)
                 p = _parse_term(atoms[0], prefixes)
+            # ^ swaps subject/object; for closures this IS the inverse
+            # closure (s ^p+ o  ==  o p+ s)
             out.append((tgt, p, cur) if s_inv else (cur, p, tgt))
             cur = tgt
-        i = j + 2
+
+    i = 0
+    while i < n:
+        subj = _parse_term(toks[i].group(0), prefixes)
+        pre = _PRE_GAP.fullmatch(gap(i))
+        if not pre:
+            raise ValueError(f"unsupported syntax after subject: {gap(i)!r}")
+        inv, neg, opened = bool(pre.group(1)), bool(pre.group(2)), bool(pre.group(3))
+        j = i + 1
+        while True:  # predicate-object lists for this subject (";")
+            steps, j = parse_steps(j, inv, neg, opened)
+            while True:  # object list for this path (",")
+                if j + 1 >= n:
+                    raise ValueError("dangling pattern (need s p o triples)")
+                j += 1
+                obj = _parse_term(toks[j].group(0), prefixes)
+                emit(subj, steps, obj)
+                if j + 1 < n and _COMMA_GAP.fullmatch(gap(j)):
+                    continue
+                break
+            sm = _SEMI_GAP.fullmatch(gap(j)) if j + 1 < n else None
+            if sm:
+                inv, neg, opened = bool(sm.group(1)), bool(sm.group(2)), bool(sm.group(3))
+                j += 1
+                continue
+            break
+        if not _SEP_GAP.fullmatch(gap(j)):
+            raise ValueError(f"unsupported syntax after object: {gap(j)!r}")
+        i = j + 1
     return out
 
 
@@ -1063,14 +1129,18 @@ def _compile_bgp(
     ctes: list[str] = []
     for i, (s, p, o, g) in enumerate(patterns):
         a = f"{alias_prefix}{i}"
-        if p.kind == "plus":
-            # one-or-more path: WITH RECURSIVE transitive closure of the
-            # predicate's edge set. UNION (distinct) terminates on cycles. A
-            # constant GRAPH / FROM restriction applies to EVERY step; a
-            # GRAPH variable is ill-defined over a multi-edge path — rejected.
+        if p.kind in ("plus", "star", "qmark"):
+            # closure paths: WITH RECURSIVE transitive closure of the
+            # predicate (or alternation-member) edge set. UNION (distinct)
+            # terminates on cycles. ``*`` and ``?`` seed with the zero-length
+            # pairs — every term of the (restricted) store paired with itself
+            # (the SPARQL ZeroLengthPath: annotations ride the object side, so
+            # a literal endpoint keeps its lang/datatype exactly). A constant
+            # GRAPH / FROM restriction applies to EVERY step; a GRAPH
+            # variable is ill-defined over a multi-edge path — rejected.
             if g is not None and g.kind == "var":
                 raise ValueError(
-                    "GRAPH variables over p+ path patterns are not supported"
+                    "GRAPH variables over closure path patterns are not supported"
                 )
             gc = ""
             if g is not None:
@@ -1084,16 +1154,39 @@ def _compile_bgp(
                     gc = f" AND {{t}}.graph IN ({gs})"
                 else:
                     gc = " AND FALSE"
-            cte = f"{a}_tc"
-            ctes.append(
-                f"{cte}(subj, obj, o_lang, o_dt) AS ("
+            if p.alts:
+                pcond = "{t}.pred IN (" + ", ".join(_q(v) for v in p.alts) + ")"
+            else:
+                pcond = "{t}.pred = " + _q(p.value)
+            edges = (
                 f"SELECT b.subj, b.obj, b.o_lang, b.o_dt FROM {triples_view} b "
-                f"WHERE b.pred = {_q(p.value)}{gc.format(t='b')} "
-                f"UNION "
-                f"SELECT c.subj, t.obj, t.o_lang, t.o_dt FROM {cte} c "
-                f"JOIN {triples_view} t ON t.subj = c.obj "
-                f"AND t.pred = {_q(p.value)}{gc.format(t='t')})"
+                f"WHERE {pcond.format(t='b')}{gc.format(t='b')}"
             )
+            zero = (
+                f"SELECT DISTINCT z.subj AS subj, z.subj AS obj, "
+                f"CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_dt "
+                f"FROM {triples_view} z WHERE TRUE{gc.format(t='z')} "
+                f"UNION "
+                f"SELECT DISTINCT z.obj, z.obj, z.o_lang, z.o_dt "
+                f"FROM {triples_view} z WHERE TRUE{gc.format(t='z')}"
+            )
+            cte = f"{a}_tc"
+            if p.kind == "qmark":
+                # zero-or-one: no recursion — zero-length pairs ∪ single edges
+                ctes.append(
+                    f"{cte}(subj, obj, o_lang, o_dt) AS "
+                    f"(SELECT * FROM ({zero}) z0 UNION {edges})"
+                )
+            else:
+                anchor = f"SELECT * FROM ({zero}) z0" if p.kind == "star" else edges
+                ctes.append(
+                    f"{cte}(subj, obj, o_lang, o_dt) AS ("
+                    f"{anchor} "
+                    f"UNION "
+                    f"SELECT c.subj, t.obj, t.o_lang, t.o_dt FROM {cte} c "
+                    f"JOIN {triples_view} t ON t.subj = c.obj "
+                    f"AND {pcond.format(t='t')}{gc.format(t='t')})"
+                )
             aliases.append(f"{cte} {a}")
         else:
             aliases.append(f"{triples_view} {a}")

@@ -938,6 +938,11 @@ def q_bloom_semijoin(sf_dir: str, *, m_bits: int = 4096, k_hashes: int = 3):
     bits = np.zeros(m_bits, dtype=bool)
     for a, c in consts:
         bits[((keys * np.uint64(a) + np.uint64(c)) >> shift).astype(np.int64)] = True
+    # INTENTIONAL exact-set broadcast: this operator is a false-positive-rate
+    # METRIC (it reports bloom-pass vs true-match counts side by side), so it
+    # ships the exact build-side key set alongside the filter to label the
+    # truth. A production bloom SEMI-JOIN must broadcast ONLY `bits` — copying
+    # this pattern with `true_set` included defeats the bloom's size advantage.
     true_set = pa.array(sorted(int(x) for x in keys.astype(np.int64)), pa.int64())
     bits_ref = ray.put(bits)
     true_ref = ray.put(true_set)

@@ -1,0 +1,72 @@
+"""Pin the FULL __ray_entry__ contract in pytest: every queries() entry runs
+and matches its oracle_sql() at sf0.001 (rows + schema + values, the driver's
+own normalization from scripts/check_entry.py). The driver's per-round
+CORRECTNESS runs rotate over query subsets (r2 ran 38, r3 ran 50 of 69), so
+without this sweep a regression in a driver-uncovered query would only surface
+via manual check_entry runs. Reference analog: the Surefire-run end-to-end
+suite (r2s2 pom.xml:156-173) pins every pipeline per build.
+
+One pytest case per query (parametrized) so a failure names the query; the
+store-building queries share the pipeline output via the module cache in
+__ray_entry__, so the sweep costs minutes, not hours.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entry
+from scripts.check_entry import TABLES, normalize, to_pandas
+
+from conftest import SF_SMALL
+
+_QUERIES = entry.queries()
+_SQLS = entry.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_every_query_has_result_contract():
+    """Every queries() entry either has an oracle_sql() twin (full value
+    check) or is a documented rows-only op; no silent drift in the key sets."""
+    rows_only = set(_QUERIES) - set(_SQLS)
+    # rows-only entries are the genuinely non-SQL-expressible ops; additions
+    # here need a reason in the entry's docstring
+    assert all(q in _QUERIES for q in _SQLS), sorted(set(_SQLS) - set(_QUERIES))
+    assert len(_QUERIES) >= 69, len(_QUERIES)
+    # every rows-only op must at least be runnable (covered by the param run)
+    assert len(rows_only) < len(_QUERIES) / 4, sorted(rows_only)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_entry_query_matches_oracle(name, oracle_con, ray_session):
+    got = normalize(to_pandas(_QUERIES[name](SF_SMALL)))
+    if name not in _SQLS:
+        # rows-only contract: runs and yields a stable non-degenerate frame
+        assert got.shape[1] > 0
+        return
+    want = normalize(oracle_con.execute(_SQLS[name]).df())
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: schema {list(got.columns)} != {list(want.columns)}"
+    )
+    if not got.equals(want):
+        neq = (got != want).any(axis=1)
+        raise AssertionError(
+            f"{name}: {int(neq.sum())} differing rows of {len(got)}\n"
+            f"  got : {got[neq].head(3).to_dict('records')}\n"
+            f"  want: {want[neq].head(3).to_dict('records')}"
+        )
