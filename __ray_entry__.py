@@ -304,6 +304,69 @@ def _kg_sparql_groupconcat(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_proplist(sf_dir: str):
+    """Round-4 SPARQL widening served end-to-end: a bracketed property list
+    ``[ ex:role ?role ; ex:mentions ?e ]`` desugars to a fresh never-projected
+    turn variable carrying both predicate-object pairs."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?conv ?role ?e WHERE {\n"
+        "  ?conv ex:hasTurn [ ex:role ?role ; ex:mentions ?e ]\n"
+        "}"
+    )
+    return run_sparql(out, q)
+
+
+def _kg_sparql_optnested(sf_dir: str):
+    """Nested OPTIONAL served end-to-end: LeftJoin(conv, LeftJoin(hasTurn,
+    mentions)) — the inner group extends or stays unbound independently per
+    turn row."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?conv ?turn ?e WHERE {\n"
+        "  ?conv a ex:Conversation .\n"
+        "  OPTIONAL { ?conv ex:hasTurn ?turn . OPTIONAL { ?turn ex:mentions ?e } }\n"
+        "}"
+    )
+    return run_sparql(out, q)
+
+
+def _kg_sparql_star(sf_dir: str):
+    """Zero-or-more closure served end-to-end: ex:hasTurn/ex:mentions* pairs
+    every turn with itself (zero-length path) plus its mentioned entities —
+    the recursive-CTE closure with the zero-length seed."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?conv ?e WHERE { ?conv ex:hasTurn/ex:mentions* ?e }"
+    )
+    return run_sparql(out, q)
+
+
+def _kg_sparql_undef(sf_dir: str):
+    """VALUES UNDEF + expression ORDER BY served end-to-end: the UNDEF cell
+    constrains nothing on its row and leaves ?prio unbound (NULL) there."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?turn ?role ?prio WHERE {\n"
+        "  ?turn ex:role ?role .\n"
+        '  VALUES (?role ?prio) { ("user" "1") ("assistant" UNDEF) }\n'
+        "} ORDER BY DESC(STRLEN(?turn)) ?turn"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -770,6 +833,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_construct": _kg_sparql_construct,
         "kg_sparql_subselect": _kg_sparql_subselect,
         "kg_sparql_groupconcat": _kg_sparql_groupconcat,
+        "kg_sparql_proplist": _kg_sparql_proplist,
+        "kg_sparql_optnested": _kg_sparql_optnested,
+        "kg_sparql_star": _kg_sparql_star,
+        "kg_sparql_undef": _kg_sparql_undef,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -846,6 +913,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_groupconcat": oracles.sparql_groupconcat_oracle(),
         "kg_sparql_antijoin": oracles.sparql_antijoin_oracle(),
         "kg_sparql_agg": oracles.sparql_agg_oracle(),
+        "kg_sparql_proplist": oracles.sparql_proplist_oracle(),
+        "kg_sparql_optnested": oracles.sparql_optnested_oracle(),
+        "kg_sparql_star": oracles.sparql_star_oracle(),
+        "kg_sparql_undef": oracles.sparql_undef_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "txt_token_stats": """

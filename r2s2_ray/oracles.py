@@ -256,6 +256,73 @@ def sparql_subselect_oracle(min_n: int = 6) -> str:
     )
 
 
+def sparql_proplist_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_proplist``:
+    { ?conv ex:hasTurn [ ex:role ?role ; ex:mentions ?e ] } — the bracketed
+    property list desugars to a fresh turn variable carrying both
+    predicate-object pairs (two joins through the same turn)."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT DISTINCT h.subj AS conv, r.obj AS role, m.obj AS e "
+        f"FROM t h "
+        f"JOIN t r ON r.subj = h.obj AND r.pred = {_q(vocab.P_ROLE)} "
+        f"JOIN t m ON m.subj = h.obj AND m.pred = {_q(vocab.P_MENTIONS)} "
+        f"WHERE h.pred = {_q(vocab.P_HAS_TURN)}"
+    )
+
+
+def sparql_optnested_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_optnested``:
+    { ?conv a ex:Conversation . OPTIONAL { ?conv ex:hasTurn ?turn .
+      OPTIONAL { ?turn ex:mentions ?e } } } — LeftJoin(conv, LeftJoin(turns,
+    mentions)): chained LEFT JOINs, because the inner join variable (?turn)
+    is bound in the outer group's required part."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT DISTINCT ty.subj AS conv, h.obj AS turn, m.obj AS e "
+        f"FROM (SELECT subj FROM t WHERE pred = {_q(RDF_TYPE)} "
+        f"AND obj = {_q(vocab.C_CONVERSATION)}) ty "
+        f"LEFT JOIN (SELECT subj, obj FROM t WHERE pred = {_q(vocab.P_HAS_TURN)}) h "
+        f"ON h.subj = ty.subj "
+        f"LEFT JOIN (SELECT subj, obj FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) m "
+        f"ON m.subj = h.obj"
+    )
+
+
+def sparql_star_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_star``:
+    { ?conv ex:hasTurn/ex:mentions* ?e } — the zero-or-more closure pairs
+    every turn with itself (zero-length) plus its mentioned entities
+    (mentions edges never chain, so the closure is one step deep here;
+    the engine still evaluates the general recursive closure)."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"h AS (SELECT subj AS conv, obj AS turn FROM t "
+        f"WHERE pred = {_q(vocab.P_HAS_TURN)}) "
+        f"SELECT DISTINCT conv, turn AS e FROM h "
+        f"UNION "
+        f"SELECT DISTINCT h.conv, m.obj AS e FROM h "
+        f"JOIN t m ON m.subj = h.turn AND m.pred = {_q(vocab.P_MENTIONS)}"
+    )
+
+
+def sparql_undef_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_undef``:
+    { ?turn ex:role ?role . VALUES (?role ?prio) { ("user" "1")
+      ("assistant" UNDEF) } } — the UNDEF cell constrains nothing and leaves
+    ?prio unbound (NULL) on assistant rows."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT DISTINCT subj AS turn, obj AS role, "
+        f"CASE WHEN obj = 'user' THEN '1' END AS prio "
+        f"FROM t WHERE pred = {_q(vocab.P_ROLE)} AND obj IN ('user', 'assistant')"
+    )
+
+
 def sparql_groupconcat_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_groupconcat``:
     per-turn sorted distinct mentioned entities as one comma-joined string

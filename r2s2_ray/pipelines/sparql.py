@@ -9,23 +9,30 @@ explicit variables or ``*``, ``FROM <graph>`` / ``FROM NAMED <graph>`` dataset c
 default graph non-GRAPH patterns match; FROM NAMED = the named set GRAPH
 patterns range over — empty named set means GRAPH matches nothing, the
 SPARQL dataset semantics), basic graph patterns (joins via shared
-variables), non-nested ``OPTIONAL { ... }`` groups (compiled to LEFT JOINs;
-optional-only variables project as NULL when unmatched — SPARQL unbound;
-comparison/string FILTERs and BINDs INSIDE the group compile into the
-LeftJoin condition / group scope — a failing filter or an unmatched group
-yields NULL, never eliminates the outer row),
+variables; ``;`` predicate-object lists and ``,`` object lists),
+``OPTIONAL { ... }`` groups INCLUDING nested OPTIONALs (compiled to LEFT
+JOINs — nesting becomes LEFT JOINs inside the group subquery, the
+LeftJoin(A, LeftJoin(B, C)) algebra; optional-only variables project as
+NULL when unmatched — SPARQL unbound; comparison/string FILTERs and BINDs
+INSIDE a group compile into the LeftJoin condition / group scope — a
+failing filter or an unmatched group yields NULL, never eliminates the
+outer row),
 non-nested ``GRAPH <g>/?g { ... }`` groups (a constant restricts its patterns
 to that named graph; a variable binds the graph column and joins when shared),
-anonymous blank nodes ``[]`` (each a fresh never-projected variable;
-bracketed property lists are NOT supported) and labelled query bnodes
+anonymous blank nodes ``[]`` (each a fresh never-projected variable),
+bracketed property lists ``[ p o ; q z ]`` (desugared to fresh variables +
+patterns, nesting allowed) and labelled query bnodes
 ``_:x`` (scoped variables, standard SPARQL semantics),
 property paths in the predicate position — sequences ``p1/p2/…`` (desugared
 to chained patterns over fresh variables), inverse steps ``^p`` (swap
-subject/object), alternations ``p1|p2`` (compiled to ``pred IN``), negated property sets
+subject/object; ``^p+`` walks a closure backwards), alternations ``p1|p2``
+(compiled to ``pred IN``), negated property sets
 ``!p`` / ``!(p1|p2)`` (``pred NOT IN``, forward members only) and
-one-or-more closures ``p+`` (a recursive-CTE transitive closure; constant
-GRAPH/FROM restrictions apply to every step; ``*``/``?``, ``(a|b)+``,
-``^p+`` and paths over variable predicates are rejected loudly),
+closures ``p+``/``p*``/``p?`` incl. ``(a|b)+`` over alternation members
+(recursive-CTE transitive closures; ``*``/``?`` seed the zero-length pairs
+over the store's terms plus constant endpoints; constant GRAPH/FROM
+restrictions apply to every step; closures over negated sets or variable
+predicates are rejected loudly),
 IRI/prefixed-name/
 literal constants (plain, ``@lang``, ``^^<datatype>``, bare numerics),
 ``FILTER(?v <op> term)`` for ``= != < <= > >=`` (numeric comparison when the
@@ -49,7 +56,9 @@ shared projected variables) (plain projected variables must be grouping keys; CO
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
 non-numeric forms — SPARQL error-skipping),
 ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` inline-data groups
-inside the WHERE body (no UNDEF; terms constrain/bind lexical forms),
+inside the WHERE body (terms constrain/bind lexical forms; ``UNDEF`` cells
+constrain nothing on their row and leave otherwise-unbound variables
+unbound),
 ``FILTER (NOT) EXISTS { BGP }`` (correlated semi/anti-join; group-local
 variables are scoped, shared variables correlate — standard SPARQL),
 ``MINUS { BGP }`` (anti-join on the shared variables; a group sharing no
@@ -65,8 +74,10 @@ pattern to literal objects for exact SPARQL error semantics),
 ``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE
 and +,-,*,/ arithmetic with TRY_CAST numeric coercion; later BINDs may
 reference earlier ones, and BIND targets work in FILTER/ORDER BY/SELECT),
-DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; comparison is over
-lexical forms), LIMIT and OFFSET, ``ASK`` queries (same body grammar,
+DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; variable keys
+compare lexical forms, and expression keys — ``DESC(STRLEN(?v))``,
+arithmetic, CONCAT — compile with the BIND grammar), LIMIT and OFFSET,
+``ASK`` queries (same body grammar,
 one boolean ``ask`` column; all-constant bodies are legal for ASK), and
 ``CONSTRUCT { template } WHERE { body }`` (per-solution template
 instantiation, OPTIONAL-unbound variables skip their triple, DISTINCT
@@ -100,7 +111,6 @@ _WHERE_RE = re.compile(r"WHERE\s*\{(.*)\}", re.I | re.S)
 _LIMIT_RE = re.compile(r"\bLIMIT\s+(\d+)", re.I)
 _OFFSET_RE = re.compile(r"\bOFFSET\s+(\d+)", re.I)
 _ORDER_RE = re.compile(r"ORDER\s+BY\s+(.+?)(?:\bLIMIT\b|\bOFFSET\b|$)", re.I | re.S)
-_ORDER_KEY_RE = re.compile(r"(ASC|DESC)\s*\(\s*\?(\w+)\s*\)|\?(\w+)", re.I)
 _IN_RE = re.compile(
     r"FILTER\s*\(\s*\?(\w+)\s+(NOT\s+)?IN\s*\(([^()]*)\)\s*\)", re.I
 )
@@ -155,6 +165,21 @@ def _parse_term(tok: str, prefixes: dict[str, str]) -> Term:
 
 
 @dataclass
+class OptGroup:
+    """One OPTIONAL group: its own BGP, group-local FILTERs/BINDs, and
+    NESTED OPTIONAL children (compiled recursively as LEFT JOIN subqueries —
+    the SPARQL LeftJoin(A, LeftJoin(B, C)) shape)."""
+
+    quads: list[tuple[Term, Term, Term, Term | None]]
+    #: group-local comparison / string-function FILTERs — part of the
+    #: LeftJoin condition (can unmatch the group, never remove the outer row)
+    filters: list[tuple[str, str, Term]]
+    #: group-local BIND(expr AS ?v) assignments, textual order
+    binds: list[tuple[object, str]]
+    children: list["OptGroup"]
+
+
+@dataclass
 class Query:
     select: list[str]  # variable names, or [] for *
     distinct: bool
@@ -167,16 +192,13 @@ class Query:
     #: range over (constant GRAPH IRIs outside the set match nothing)
     from_named: list[str] | None = None
     offset: int | None = None
-    optionals: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
-    #: per-OPTIONAL-group BINDs (parallel to ``optionals``): computed inside
-    #: the group subquery — group-local derived variables, NULL when the
-    #: group does not match
-    optional_binds: list[list[tuple[object, str]]] | None = None
-    #: per-OPTIONAL-group FILTERs (parallel to ``optionals``): compiled INTO
-    #: the group subquery before the LEFT JOIN — the SPARQL LeftJoin
+    #: OPTIONAL groups (possibly nested): each compiles to a LEFT JOIN of a
+    #: per-group subquery onto the required part; a group's own children
+    #: compile to LEFT JOINs INSIDE its subquery (LeftJoin nesting). FILTERs
+    #: and BINDs inside a group live in its subquery — the SPARQL LeftJoin
     #: condition semantics (a failing filter unmatches the group, it does
     #: not eliminate the outer row)
-    optional_filters: list[list[tuple[str, str, Term]]] | None = None
+    optionals: list[OptGroup] | None = None
     #: aggregate projections: (func, distinct, var-or-None-for-*, alias)
     aggs: list[tuple[str, bool, str | None, str]] | None = None
     group_by: list[str] | None = None
@@ -234,7 +256,6 @@ _HAVING_RE = re.compile(
 _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
-_OPTIONAL_RE = re.compile(r"OPTIONAL\s*\{([^{}]*)\}", re.I)
 _VALUES_RE = re.compile(r"VALUES\s+(\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{([^{}]*)\}", re.I)
 _EXISTS_RE = re.compile(r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", re.I)
 _MINUS_RE = re.compile(r"MINUS\s*\{([^{}]*)\}", re.I)
@@ -242,7 +263,6 @@ _BOUND_RE = re.compile(r"FILTER\s*\(\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*\)", r
 _LANGDT_RE = re.compile(
     r"FILTER\s*\(\s*(LANG|DATATYPE)\s*\(\s*\?(\w+)\s*\)\s*(=|!=)\s*(\S+?)\s*\)", re.I
 )
-_GRAPH_RE = re.compile(r"GRAPH\s+(\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*\{([^{}]*)\}", re.I)
 _QUOTED_RE = re.compile(r'"(?:[^"\\]|\\.)*"')
 
 
@@ -638,42 +658,150 @@ def _extract_binds(inner: str, restore) -> tuple[str, list[tuple[object, str]]]:
         inner = inner[: m.start()] + " " + inner[j:]
 
 
-def _parse_values(head: str, data: str, prefixes: dict[str, str]) -> tuple[list[str], list[list[Term]]]:
+#: VALUES data tokens: the term grammar plus the UNDEF keyword
+_VALUES_TOK_RE = re.compile(r"\bUNDEF\b|" + _TERM_RE.pattern, re.X | re.I)
+
+
+_OPT_OPEN_RE = re.compile(r"\bOPTIONAL\s*\{", re.I)
+
+
+def _extract_braced(inner: str, open_re: re.Pattern) -> tuple[str, list[str]]:
+    """Pull every top-level ``<keyword> { ... }`` group out via balanced-brace
+    scanning (group bodies may nest further braces). Returns (body without
+    the groups, group bodies in textual order) — operate on MASKED text."""
+    out: list[str] = []
+    while True:
+        m = open_re.search(inner)
+        if not m:
+            return inner, out
+        depth, j = 1, m.end()
+        while j < len(inner) and depth:
+            if inner[j] == "{":
+                depth += 1
+            elif inner[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced braces in group")
+        out.append(inner[m.end() : j - 1])
+        inner = inner[: m.start()] + " " + inner[j:]
+
+
+def _parse_opt_group(
+    body: str, restore, prefixes: dict[str, str], fresh
+) -> OptGroup:
+    """One (masked) OPTIONAL group body -> OptGroup, recursing into nested
+    OPTIONALs first. Supported inside a group: triples (incl. paths and
+    property lists), comparison / string-function FILTERs, BINDs, nested
+    OPTIONALs; other group forms (GRAPH/VALUES/UNION/EXISTS/MINUS) inside an
+    OPTIONAL are rejected loudly."""
+    body, child_srcs = _extract_braced(body, _OPT_OPEN_RE)
+    children = [_parse_opt_group(c, restore, prefixes, fresh) for c in child_srcs]
+    body, binds = _extract_binds(body, restore)
+    filters: list[tuple[str, str, Term]] = [
+        _parse_ffunc(fm, restore, prefixes) for fm in _FFUNC_RE.finditer(body)
+    ]
+    body = _FFUNC_RE.sub("", body)
+    for fm in _FILTER_RE.finditer(body):
+        filters.append(
+            (fm.group(1)[1:], fm.group(2), _parse_term(restore(fm.group(3)), prefixes))
+        )
+    body = _FILTER_RE.sub("", body)
+    if re.search(r"\bFILTER\b", body, re.I):
+        raise ValueError(
+            "unsupported FILTER form inside OPTIONAL (supported there: "
+            "comparison ops, REGEX/STRSTARTS/CONTAINS)"
+        )
+    if re.search(r"[{}]", body) or re.search(
+        r"\b(GRAPH|VALUES|UNION|EXISTS|MINUS|SERVICE|SELECT)\b", body, re.I
+    ):
+        raise ValueError("unsupported group form nested inside OPTIONAL")
+    if not body.strip():
+        raise ValueError(
+            "OPTIONAL group needs its own triple patterns (a bare nested "
+            "OPTIONAL is not supported)"
+        )
+    return OptGroup(_quads(restore(body), prefixes, None, fresh), filters, binds, children)
+
+
+def _parse_values(
+    head: str, data: str, prefixes: dict[str, str]
+) -> tuple[list[str], list[list[Term | None]]]:
     """``VALUES`` head + data block -> (ordered vars, rows of constant Terms).
     Single-var form (``VALUES ?v { t ... }``: bare terms, one per row) and the
-    row form (``VALUES (?a ?b) { (t t) ... }``). UNDEF is not supported."""
-    if re.search(r"\bUNDEF\b", data, re.I):
-        raise ValueError("VALUES UNDEF is not supported")
+    row form (``VALUES (?a ?b) { (t t) ... }``). ``UNDEF`` cells parse to
+    ``None`` — no constraint on that variable for that row (the solution keeps
+    the variable unbound when nothing else binds it)."""
+
+    def cell(tok: str) -> Term | None:
+        if tok.strip().upper() == "UNDEF":
+            return None
+        return _parse_term(tok, prefixes)
+
     vars_ = re.findall(r"\?(\w+)", head)
-    rows: list[list[Term]] = []
+    rows: list[list[Term | None]] = []
     if head.lstrip().startswith("("):
         for rm in re.finditer(r"\(([^()]*)\)", data):
-            toks = [m.group(0) for m in _TERM_RE.finditer(rm.group(1))]
+            toks = [m.group(0) for m in _VALUES_TOK_RE.finditer(rm.group(1))]
             if len(toks) != len(vars_):
                 raise ValueError(
                     f"VALUES row arity {len(toks)} != {len(vars_)} variables"
                 )
-            rows.append([_parse_term(t, prefixes) for t in toks])
+            rows.append([cell(t) for t in toks])
     else:
-        rows = [[_parse_term(m.group(0), prefixes)] for m in _TERM_RE.finditer(data)]
+        rows = [[cell(m.group(0))] for m in _VALUES_TOK_RE.finditer(data)]
     if not rows:
         raise ValueError("empty VALUES data block")
     for row in rows:
         for t in row:
-            if t.kind == "var":
+            if t is not None and t.kind == "var":
                 raise ValueError("VALUES data must be constant terms")
     return vars_, rows
 
 
-def _parse_order(text: str) -> list[tuple[str, bool]]:
-    """ORDER BY condition text -> [(var, descending)] preserving key order;
-    plain ``?v`` and ``ASC(?v)`` are ascending, ``DESC(?v)`` descending."""
-    keys: list[tuple[str, bool]] = []
-    for m in _ORDER_KEY_RE.finditer(text):
-        if m.group(3):
-            keys.append((m.group(3), False))
-        else:
-            keys.append((m.group(2), m.group(1).upper() == "DESC"))
+def _parse_order(text: str) -> list[tuple[object, bool]]:
+    """ORDER BY condition text -> [(key, descending)] preserving key order.
+    A key is a variable NAME (plain ``?v``, ``ASC(?v)``, ``DESC(?v)``) or a
+    BIND-grammar expression AST (``DESC(STRLEN(?v))``, bare ``STRLEN(?v)``,
+    arithmetic, CONCAT, ...) — expression keys compile with the BIND
+    expression compiler in :func:`_order_limit`."""
+
+    def key_of(src: str):
+        src = src.strip()
+        m = re.fullmatch(r"\?(\w+)", src)
+        return m.group(1) if m else _parse_expr(src)
+
+    keys: list[tuple[object, bool]] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        m = re.match(r"(ASC|DESC)\s*\(", text[i:], re.I)
+        if m:
+            desc = m.group(1).upper() == "DESC"
+            depth, j = 1, i + m.end()
+            while j < n and depth:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError(f"unbalanced parentheses in ORDER BY: {text!r}")
+            keys.append((key_of(text[i + m.end() : j - 1]), desc))
+            i = j
+            continue
+        # bare key: ?var or an expression — consume to the next top-level space
+        depth, j = 0, i
+        while j < n and (depth or not text[j].isspace()):
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        keys.append((key_of(text[i:j]), False))
+        i = j
     return keys
 
 
@@ -821,41 +949,39 @@ def parse_sparql(q: str) -> Query:
     # group's patterns carry the graph term — a constant restricts to that
     # named graph, a variable binds the graph column (joins when shared).
     # Patterns OUTSIDE any GRAPH group range over the whole store (the views
-    # union all graphs), restricted by FROM when given.
+    # union all graphs), restricted by FROM when given. Balanced scanning
+    # (not the non-nested regex) so a GRAPH body holding a nested group is
+    # rejected HERE — the nested group must not leak out of its GRAPH scope.
     graph_quads: list[tuple[Term, Term, Term, Term | None]] = []
-    for m in _GRAPH_RE.finditer(inner):
+    _graph_open = re.compile(r"GRAPH\s+(\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*\{", re.I)
+    while True:
+        m = _graph_open.search(inner)
+        if not m:
+            break
+        depth, j = 1, m.end()
+        while j < len(inner) and depth:
+            if inner[j] == "{":
+                depth += 1
+            elif inner[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced braces in GRAPH group")
+        g_body = inner[m.end() : j - 1]
+        if re.search(r"[{}]", g_body):
+            raise ValueError("nested groups inside GRAPH are not supported")
         g = _parse_term(m.group(1), prefixes)
         if g.kind == "lit":
             raise ValueError("GRAPH must name an IRI or variable")
-        graph_quads += _quads(restore(m.group(2)), prefixes, g, fresh)
-    inner = _GRAPH_RE.sub(" ", inner)
-    # OPTIONAL groups next (non-nested only). A FILTER inside the group is
-    # part of the LeftJoin condition (it can unmatch the group, never remove
-    # the outer row): the comparison and string-function forms compile into
-    # the group's subquery; other FILTER forms there are rejected loudly
-    optionals: list[list[tuple[Term, Term, Term, Term | None]]] = []
-    optional_filters: list[list[tuple[str, str, Term]]] = []
-    optional_binds: list[list[tuple[object, str]]] = []
-    for m in _OPTIONAL_RE.finditer(inner):
-        g_inner, g_binds_x = _extract_binds(m.group(1), restore)
-        g_filters: list[tuple[str, str, Term]] = [
-            _parse_ffunc(fm, restore, prefixes) for fm in _FFUNC_RE.finditer(g_inner)
-        ]
-        g_inner = _FFUNC_RE.sub("", g_inner)
-        for fm in _FILTER_RE.finditer(g_inner):
-            g_filters.append(
-                (fm.group(1)[1:], fm.group(2), _parse_term(restore(fm.group(3)), prefixes))
-            )
-        g_inner = _FILTER_RE.sub("", g_inner)
-        if re.search(r"\bFILTER\b", g_inner, re.I):
-            raise ValueError(
-                "unsupported FILTER form inside OPTIONAL (supported there: "
-                "comparison ops, REGEX/STRSTARTS/CONTAINS)"
-            )
-        optionals.append(_quads(restore(g_inner), prefixes, None, fresh))
-        optional_filters.append(g_filters)
-        optional_binds.append(g_binds_x)
-    inner = _OPTIONAL_RE.sub(" ", inner)
+        graph_quads += _quads(restore(g_body), prefixes, g, fresh)
+        inner = inner[: m.start()] + " " + inner[j:]
+    # OPTIONAL groups next (nesting allowed — each nested OPTIONAL compiles
+    # to a LEFT JOIN inside its parent's subquery). A FILTER inside a group
+    # is part of the LeftJoin condition (it can unmatch the group, never
+    # remove the outer row): the comparison and string-function forms compile
+    # into the group's subquery; other FILTER forms there are rejected loudly
+    inner, _opt_srcs = _extract_braced(inner, _OPT_OPEN_RE)
+    optionals = [_parse_opt_group(src, restore, prefixes, fresh) for src in _opt_srcs]
     # VALUES inline-data groups and FILTER (NOT) EXISTS groups — extracted
     # AFTER the OPTIONAL scan on purpose: one of these nested inside an
     # OPTIONAL body leaves that OPTIONAL unmatched (nested braces) and the
@@ -1024,8 +1150,6 @@ def parse_sparql(q: str) -> Query:
         from_named=from_named or None,
         offset=int(off.group(1)) if off else None,
         optionals=optionals or None,
-        optional_filters=optional_filters if any(optional_filters) else None,
-        optional_binds=optional_binds if any(optional_binds) else None,
         aggs=aggs or None,
         group_by=group_by or None,
         values_groups=values_groups or None,
@@ -1170,12 +1294,31 @@ def _compile_bgp(
                 f"SELECT DISTINCT z.obj, z.obj, z.o_lang, z.o_dt "
                 f"FROM {triples_view} z WHERE TRUE{gc.format(t='z')}"
             )
+            # SPARQL ZeroLengthPath over a CONSTANT endpoint yields a
+            # solution even when the term is absent from the graph
+            # (eval(ZeroLengthPath(term X, var v)) = {v -> X}) — seed the
+            # pattern's own constant endpoints explicitly, annotations from
+            # the pattern term so literal-object conditions still hold
+            for _t in (s, o):
+                if _t.kind != "var":
+                    _lang = _q(_t.lang) if _t.lang is not None else "CAST(NULL AS VARCHAR)"
+                    _dt = (
+                        _q(_t.datatype)
+                        if _t.datatype is not None
+                        else "CAST(NULL AS VARCHAR)"
+                    )
+                    zero += (
+                        f" UNION SELECT {_q(_t.value)}, {_q(_t.value)}, {_lang}, {_dt}"
+                    )
             cte = f"{a}_tc"
             if p.kind == "qmark":
-                # zero-or-one: no recursion — zero-length pairs ∪ single edges
+                # zero-or-one: no recursion — zero-length pairs ∪ single
+                # edges. The UNION must live INSIDE a subquery: at the top
+                # level of a WITH RECURSIVE member DuckDB splits it into
+                # anchor/recursive halves and skips dedup across that split.
                 ctes.append(
                     f"{cte}(subj, obj, o_lang, o_dt) AS "
-                    f"(SELECT * FROM ({zero}) z0 UNION {edges})"
+                    f"(SELECT DISTINCT * FROM (({zero}) UNION ({edges})) u)"
                 )
             else:
                 anchor = f"SELECT * FROM ({zero}) z0" if p.kind == "star" else edges
@@ -1294,19 +1437,29 @@ def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
 def _order_limit(
     query: Query, projected: set[str], cols: dict[str, str] | None = None
 ) -> str:
-    """ORDER BY / LIMIT / OFFSET tail. Order keys use the projected alias when
-    available, else the bound column (invalid under DISTINCT or aggregation,
-    where SQL only sees the projection — raise rather than emit broken SQL)."""
+    """ORDER BY / LIMIT / OFFSET tail. Variable keys use the projected alias
+    when available, else the bound column (invalid under DISTINCT or
+    aggregation, where SQL only sees the projection — raise rather than emit
+    broken SQL). Expression keys compile with the BIND expression compiler
+    over the same name space."""
     sql = ""
     if query.order_by:
+        under_proj_only = query.distinct or bool(query.aggs)
         parts = []
         for v, desc in query.order_by:
-            if v in projected:
-                expr = v
-            elif cols and v in cols and not query.distinct and not query.aggs:
-                expr = cols[v]
+            if isinstance(v, str):
+                if v in projected:
+                    expr = v
+                elif cols and v in cols and not under_proj_only:
+                    expr = cols[v]
+                else:
+                    raise ValueError(f"ORDER BY variable ?{v} is not projected")
             else:
-                raise ValueError(f"ORDER BY variable ?{v} is not projected")
+                mapping: dict[str, str] = (
+                    dict(cols) if cols and not under_proj_only else {}
+                )
+                mapping.update({p: p for p in projected})
+                expr = _expr_sql(v, mapping)
             parts.append(f"{expr} DESC" if desc else expr)
         sql += " ORDER BY " + ", ".join(parts)
     if query.limit is not None:
@@ -1316,10 +1469,18 @@ def _order_limit(
     return sql
 
 
-def _values_alias(k: int, vars_: list[str], rows: list[list[Term]]) -> str:
+def _values_alias(k: int, vars_: list[str], rows: list[list[Term | None]]) -> str:
     """One VALUES group -> an inline-data FROM alias ``(VALUES ...) vK(a, b)``
-    (terms constrain lexical forms, same comparison the BGP constants use)."""
-    body = ", ".join("(" + ", ".join(_q(t.value) for t in row) + ")" for row in rows)
+    (terms constrain lexical forms, same comparison the BGP constants use;
+    an UNDEF cell is a typed NULL — joined with NULL-compatibility)."""
+    body = ", ".join(
+        "("
+        + ", ".join(
+            "CAST(NULL AS VARCHAR)" if t is None else _q(t.value) for t in row
+        )
+        + ")"
+        for row in rows
+    )
     return f"(VALUES {body}) v{k}({', '.join(vars_)})"
 
 
@@ -1358,6 +1519,80 @@ def _filter_cond(var: str, op: str, term: Term, binds: dict[str, str]) -> str:
     if term.datatype in _XSD_NUMERIC:
         return f"TRY_CAST({binds[var]} AS DOUBLE) {sql_op} {float(term.value)}"
     return f"{binds[var]} {sql_op} {_q(term.value)}"
+
+
+def _compile_opt_group(
+    grp: OptGroup,
+    dataset: tuple[list[str] | None, list[str] | None],
+    triples_view: str,
+    prefix: str,
+    all_ctes: list[str],
+    parent_vars: set[str],
+) -> tuple[str, set[str], set[str]]:
+    """One OPTIONAL group -> (subquery SQL projecting every exposed variable
+    under its own name, exposed variable set, ALWAYS-BOUND variable subset).
+    Nested children compile to LEFT JOINs inside this subquery — the SPARQL
+    LeftJoin(A, LeftJoin(B, C)) nesting. A variable exposed by a child but
+    not bound in this group's own BGP is NULLABLE here; joins onto it use
+    NULL-compatibility (an unbound variable is compatible with anything)."""
+    aliases, binds, conds, g_ctes = _compile_bgp(
+        grp.quads, dataset, triples_view, f"{prefix}t"
+    )
+    all_ctes.extend(g_ctes)
+    for node, bv in grp.binds:
+        # group-local BIND: computed in the subquery projection — NULL
+        # (unbound) for outer rows the group does not match
+        if bv in binds or bv in parent_vars:
+            raise ValueError(f"BIND target ?{bv} is already bound")
+        binds[bv] = f"({_expr_sql(node, binds)})"
+    for fvar, fop, fterm in grp.filters:
+        # group-local LeftJoin condition: compiled into the subquery WHERE,
+        # so a failing filter unmatches the group (NULL row) instead of
+        # eliminating the outer solution
+        conds.append(_filter_cond(fvar, fop, fterm, binds))
+    required = set(binds)
+    if not grp.children:
+        proj = ", ".join(f"{c} AS {v}" for v, c in binds.items())
+        sql = f"SELECT {proj} FROM {', '.join(aliases)}"
+        if conds:
+            sql += " WHERE " + " AND ".join(conds)
+        return sql, set(binds), required
+    req = f"SELECT {', '.join(f'{c} AS {v}' for v, c in binds.items())} FROM {', '.join(aliases)}"
+    if conds:
+        req += " WHERE " + " AND ".join(conds)
+    outer: dict[str, str] = {v: f"r.{v}" for v in binds}
+    from_child: set[str] = set()
+    joins: list[str] = []
+    for k, child in enumerate(grp.children):
+        c_sql, c_exposed, c_required = _compile_opt_group(
+            child, dataset, triples_view, f"{prefix}c{k}_", all_ctes,
+            parent_vars | set(binds),
+        )
+        ga = f"{prefix}g{k}"
+        on_parts: list[str] = []
+        for v in sorted(c_exposed):
+            if v in from_child:
+                raise ValueError(
+                    f"?{v} bound in two OPTIONAL groups is not supported"
+                )
+            if v in outer:
+                if v in c_required:
+                    on_parts.append(f"{ga}.{v} = {outer[v]}")
+                else:
+                    # the child may leave v unbound (its own nested group):
+                    # unbound is compatible with anything
+                    on_parts.append(f"({ga}.{v} = {outer[v]} OR {ga}.{v} IS NULL)")
+        joins.append(f"LEFT JOIN ({c_sql}) {ga} ON {' AND '.join(on_parts) or 'TRUE'}")
+        for v in c_exposed:
+            if v not in outer:
+                outer[v] = f"{ga}.{v}"
+                from_child.add(v)
+    proj = ", ".join(f"{c} AS {v}" for v, c in outer.items())
+    return (
+        f"SELECT {proj} FROM ({req}) r {' '.join(joins)}",
+        set(outer),
+        required,
+    )
 
 
 def _having_sql(query: Query) -> str:
@@ -1469,11 +1704,13 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                 binds[v] = f"{a}.{v}"
     for k, (v_vars, v_rows) in enumerate(query.values_groups or []):
         # inline data joins the required part: an already-bound variable gets
-        # an equality (restriction), an unbound one binds to the data column
+        # an equality (restriction) — NULL-compatible, because an UNDEF cell
+        # constrains nothing on that row — and an unbound one binds to the
+        # data column (NULL = the solution keeps it unbound)
         aliases.append(_values_alias(k, v_vars, v_rows))
         for v in v_vars:
             if v in binds:
-                conds.append(f"v{k}.{v} = {binds[v]}")
+                conds.append(f"(v{k}.{v} IS NULL OR v{k}.{v} = {binds[v]})")
             else:
                 binds[v] = f"v{k}.{v}"
     for node, bv in query.bind_exprs or []:
@@ -1596,43 +1833,45 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     else:
         # comma-join FROM and LEFT JOIN do not mix: wrap the required part in
         # a subquery projecting every bound variable, then LEFT JOIN one
-        # subquery per OPTIONAL group on its shared variables
+        # subquery per OPTIONAL group on its shared variables (nested groups
+        # compile to LEFT JOINs INSIDE the group subqueries)
         req = f"SELECT {', '.join(f'{c} AS {v}' for v, c in binds.items())} FROM {', '.join(aliases)}"
         if conds:
             req += " WHERE " + " AND ".join(conds)
         outer: dict[str, str] = {v: f"r.{v}" for v in binds}
+        opt_bound: set[str] = set()
         joins: list[str] = []
         for k, opt_group in enumerate(query.optionals):
-            g_aliases, g_binds, g_conds, g_ctes = _compile_bgp(
-                opt_group, (query.from_graphs, query.from_named), triples_view, f"o{k}_"
+            g_sql, g_exposed, g_required = _compile_opt_group(
+                opt_group,
+                (query.from_graphs, query.from_named),
+                triples_view,
+                f"o{k}_",
+                all_ctes,
+                set(binds),
             )
-            all_ctes.extend(g_ctes)
-            for node, bv in (query.optional_binds or [[]] * len(query.optionals))[k]:
-                # group-local BIND: computed in the subquery projection —
-                # NULL (unbound) for outer rows the group does not match
-                if bv in g_binds or bv in outer:
-                    raise ValueError(f"BIND target ?{bv} is already bound")
-                g_binds[bv] = f"({_expr_sql(node, g_binds)})"
-            for fvar, fop, fterm in (query.optional_filters or [[]] * len(query.optionals))[k]:
-                # group-local LeftJoin condition: compiled into the subquery
-                # WHERE, so a failing filter unmatches the group (NULL row)
-                # instead of eliminating the outer solution
-                g_conds.append(_filter_cond(fvar, fop, fterm, g_binds))
-            shared = [v for v in g_binds if v in outer and not outer[v].startswith("g")]
-            for v in g_binds:
-                if v in outer and outer[v].startswith("g"):
+            on_parts: list[str] = []
+            for v in sorted(g_exposed):
+                if v in opt_bound:
                     raise ValueError(
                         f"?{v} bound in two OPTIONAL groups is not supported"
                     )
-            sub_proj = ", ".join(f"{g_binds[v]} AS {v}" for v in g_binds)
-            sub = f"SELECT {sub_proj} FROM {', '.join(g_aliases)}"
-            if g_conds:
-                sub += " WHERE " + " AND ".join(g_conds)
-            on = " AND ".join(f"g{k}.{v} = {outer[v]}" for v in shared) or "TRUE"
-            joins.append(f"LEFT JOIN ({sub}) g{k} ON {on}")
-            for v in g_binds:
+                if v in outer:
+                    if v in g_required:
+                        on_parts.append(f"g{k}.{v} = {outer[v]}")
+                    else:
+                        # the group may leave v unbound (a nested child):
+                        # unbound is compatible with anything
+                        on_parts.append(
+                            f"(g{k}.{v} = {outer[v]} OR g{k}.{v} IS NULL)"
+                        )
+            joins.append(
+                f"LEFT JOIN ({g_sql}) g{k} ON {' AND '.join(on_parts) or 'TRUE'}"
+            )
+            for v in g_exposed:
                 if v not in outer:
                     outer[v] = f"g{k}.{v}"
+                    opt_bound.add(v)
         # BOUND tests evaluate AFTER the left joins (a !BOUND over an
         # OPTIONAL-only variable is the standard anti-join idiom)
         outer_conds = []

@@ -249,28 +249,38 @@ def test_extractor_matches_oracle_fuzz(turns):
 _step = st.tuples(
     st.booleans(),  # inverse
     st.lists(st.sampled_from(_ALPHABET), min_size=1, max_size=2, unique=True),
-    st.booleans(),  # plus (one-or-more closure)
-).filter(lambda s: not (s[2] and (s[0] or len(s[1]) > 1)))  # no ^p+ / (a|b)+
+    st.sampled_from(["", "+", "*", "?"]),  # closure modifier
+)
 _path = st.lists(_step, min_size=1, max_size=3)
 _node = st.one_of(st.just(("var", "x")), st.sampled_from([("iri", c) for c in _ALPHABET]))
 
 
-def _step_rel(store, inv, preds, plus):
+def _step_rel(store, inv, preds, mod, extra_terms=()):
     """One path step -> Counter of (subj, obj) pairs. Plain steps are
-    multisets (duplicate store rows multiply); a closure is the DISTINCT
-    transitive closure (SPARQL arbitrary-length-path semantics)."""
+    multisets (duplicate store rows multiply); closures (``+``/``*``/``?``)
+    are DISTINCT pair sets (SPARQL arbitrary-length-path semantics), with
+    ``*``/``?`` adding the zero-length identity over every graph term plus
+    ``extra_terms`` (constant pattern endpoints — the spec's ZeroLengthPath
+    yields a solution for a constant even when absent from the graph)."""
     base = Counter()
     for s, p, o in store:
         if p in preds:
             base[(o, s) if inv else (s, o)] += 1
-    if not plus:
+    if not mod:
         return base
+    ident = {(t, t) for s, _, o in store for t in (s, o)}
+    ident |= {(t, t) for t in extra_terms}
+    if mod == "?":
+        return Counter(dict.fromkeys(set(base) | ident, 1))
     pairs = set(base)
     while True:
         nxt = pairs | {(a, d) for a, b in pairs for c, d in base if b == c}
         if nxt == pairs:
-            return Counter(dict.fromkeys(pairs, 1))
+            break
         pairs = nxt
+    if mod == "*":
+        pairs |= ident
+    return Counter(dict.fromkeys(pairs, 1))
 
 
 def _compose(r1, r2):
@@ -292,8 +302,13 @@ def test_sparql_property_path_matches_naive(store, path, subj, obj, distinct):
     if subj[0] != "var" and obj[0] != "var":
         obj = ("var", "y")
     rel = None
-    for inv, preds, plus in path:
-        r = _step_rel(store, inv, preds, plus)
+    for idx, (inv, preds, mod) in enumerate(path):
+        extra = set()
+        if idx == 0 and subj[0] == "iri":
+            extra.add(subj[1])
+        if idx == len(path) - 1 and obj[0] == "iri":
+            extra.add(obj[1])
+        r = _step_rel(store, inv, preds, mod, extra)
         rel = r if rel is None else _compose(rel, r)
     sols = Counter()
     for (a, b), m in rel.items():
@@ -306,9 +321,9 @@ def test_sparql_property_path_matches_naive(store, path, subj, obj, distinct):
         )
         sols[key] += m
 
-    def render_step(inv, preds, plus):
+    def render_step(inv, preds, mod):
         atom = f"<{preds[0]}>" if len(preds) == 1 else "(" + "|".join(f"<{p}>" for p in preds) + ")"
-        return ("^" if inv else "") + atom + ("+" if plus else "")
+        return ("^" if inv else "") + atom + mod
 
     pstr = "/".join(render_step(*s) for s in path)
     sterm = f"?{subj[1]}" if subj[0] == "var" else f"<{subj[1]}>"
@@ -446,6 +461,46 @@ def test_sparql_optional_matches_naive(store, req, opt, filt_const):
         else:
             want.append(tuple(r.get(v) for v in used))
     assert cols == used
+    assert Counter(rows) == Counter(want)
+
+
+def _naive_leftjoin(left, right):
+    """SPARQL LeftJoin over solution-dict lists (a variable is bound iff the
+    key is present): every left solution extends with each compatible right
+    solution, or survives unextended when none is compatible."""
+    out = []
+    for l in left:
+        ms = [r for r in right if all(r[v] == l[v] for v in r if v in l)]
+        if ms:
+            out.extend({**l, **r} for r in ms)
+        else:
+            out.append(l)
+    return out
+
+
+@settings(max_examples=50, deadline=None)
+@given(_store, _patterns, _patterns, _patterns)
+def test_sparql_nested_optional_matches_naive(store, req, a, b):
+    """{ REQ . OPTIONAL { A . OPTIONAL { B } } } == LeftJoin(REQ,
+    LeftJoin(A, B)) — the inner group can extend or stay unbound
+    independently per outer row, and an inner-only variable shared with REQ
+    joins NULL-compatibly (unbound is compatible with anything)."""
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    q = (
+        f"SELECT * WHERE {{ {render(req)} . "
+        f"OPTIONAL {{ {render(a)} . OPTIONAL {{ {render(b)} }} }} }}"
+    )
+    cols, rows = _run_sql(store, q)
+    inner = _naive_leftjoin(_naive_eval(store, a), _naive_eval(store, b))
+    want_sols = _naive_leftjoin(_naive_eval(store, req), inner)
+    used = sorted({v for ps in (req, a, b) for p in ps for k, v in p if k == "var"})
+    assert cols == used
+    want = [tuple(s.get(v) for v in used) for s in want_sols]
     assert Counter(rows) == Counter(want)
 
 

@@ -758,8 +758,16 @@ def test_sparql_values_exists_bound_order():
         run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER(!BOUND(?a)) } ?s <e:name> ?n }")
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER EXISTS { ?s <e:name> ?n } } ?s <e:name> ?n }")
-    with pytest.raises(ValueError, match="UNDEF"):
-        run("SELECT ?x WHERE { VALUES ?x { UNDEF } }")
+    # VALUES UNDEF: an UNDEF cell constrains nothing on its row — the "alice"
+    # row pins ?tag, the UNDEF row matches every name and leaves ?tag unbound
+    assert run(
+        "SELECT ?s ?tag WHERE { ?s <e:name> ?n . "
+        'VALUES (?n ?tag) { ("alice" "A") (UNDEF "X") } } ORDER BY ?s ?tag'
+    ) == [("s1", "A"), ("s1", "X"), ("s2", "X"), ("s3", "X")]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . "
+        'VALUES (?s ?n) { ("s1" UNDEF) (UNDEF "bob") } } ORDER BY ?s'
+    ) == [("s1",), ("s2",)]
     with pytest.raises(ValueError, match="not projected"):
         run("SELECT ?s WHERE { ?s <e:name> ?n } ORDER BY ?zzz")
     with pytest.raises(ValueError, match="arity"):
@@ -873,11 +881,13 @@ def test_sparql_ask():
 def test_sparql_property_paths():
     """Property paths in the predicate position: sequences ``p1/p2`` desugar
     to chained patterns over fresh variables, ``^p`` swaps subject/object,
-    ``p1|p2`` compiles to ``pred IN``, and ``p+`` compiles to a recursive-CTE
-    transitive closure (UNION dedup terminates on cycles). Constant GRAPH /
-    FROM restrictions apply to every closure step; ill-defined combinations
-    ((a|b)+, ^p+, operators on variable predicates, GRAPH ?g over p+) are
-    rejected loudly."""
+    ``p1|p2`` compiles to ``pred IN``, and the closures ``p+``/``p*``/``p?``
+    compile to recursive-CTE transitive closures (UNION dedup terminates on
+    cycles; ``*``/``?`` seed zero-length pairs over the graph's terms plus
+    constant endpoints). ``(a|b)+`` closes over the member set and ``^p+``
+    walks the closure backwards. Constant GRAPH / FROM restrictions apply to
+    every closure step; ill-defined combinations (closures on negated sets or
+    variable predicates, GRAPH ?g over closures) are rejected loudly."""
     import duckdb
     import pytest
 
@@ -945,12 +955,41 @@ def test_sparql_property_paths():
     assert run(
         "SELECT ?n ?m WHERE { <e:a> <e:knows>/<e:name> ?n . <e:a> <e:name> ?m }"
     ) == [("bob", "alice")]
+    # zero-or-more: zero-length pair (constant endpoint) + full cycle closure
+    assert run("SELECT ?x WHERE { <e:a> <e:knows>* ?x } ORDER BY ?x") == [
+        ("e:a",), ("e:b",), ("e:c",), ("e:d",)
+    ]
+    # zero-or-one: self + direct neighbors only
+    assert run("SELECT ?x WHERE { <e:b> <e:knows>? ?x } ORDER BY ?x") == [
+        ("e:b",), ("e:c",)
+    ]
+    # a constant endpoint ABSENT from the graph still zero-length-matches
+    # (the spec's ZeroLengthPath over terms)
+    assert run("SELECT ?x WHERE { <e:zzz> <e:knows>* ?x }") == [("e:zzz",)]
+    # closure over an alternation member set
+    assert run(
+        "SELECT ?o WHERE { <e:a> (<e:knows>|<e:nick>)+ ?o } ORDER BY ?o"
+    ) == [("bobby",), ("e:a",), ("e:b",), ("e:c",), ("e:d",)]
+    # inverse closure: s ^p+ o == o p+ s (terms reachable INTO e:c)
+    assert run("SELECT ?x WHERE { ?x ^<e:knows>+ <e:c> } ORDER BY ?x") == [
+        ("e:a",), ("e:b",), ("e:c",), ("e:d",)
+    ]
+    # predicate-object lists (";") and object lists (",") share the subject
+    assert run(
+        "SELECT ?n ?k WHERE { <e:b> <e:name> ?n ; <e:knows> ?k }"
+    ) == [("bob", "e:c")]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?a , ?b . FILTER(?a = ?b) }"
+    ) == [("e:a",), ("e:b",)]
+    # bracketed property lists desugar to fresh never-projected variables
+    assert run(
+        "SELECT ?s WHERE { ?s <e:knows> [ <e:name> \"bob\" ; <e:nick> ?x ] }"
+    ) == [("e:a",)]
     for bad in [
-        "SELECT ?x WHERE { <e:a> (<e:knows>|<e:name>)+ ?x }",
         "SELECT ?x WHERE { <e:a> !<e:knows>+ ?x }",
-        "SELECT ?x WHERE { <e:a> ^<e:knows>+ ?x }",
         "SELECT ?x WHERE { <e:a> ?p+ ?x }",
         "SELECT ?x WHERE { GRAPH ?g { <e:a> <e:knows>+ ?x } }",
+        "SELECT ?x WHERE { GRAPH ?g { <e:a> <e:knows>* ?x } }",
         'SELECT ?x WHERE { <e:a> "lit"/<e:name> ?x }',
         # unbalanced path parens must raise, not misparse (review fix)
         "SELECT ?x WHERE { <e:a> (<e:knows> ?x }",
