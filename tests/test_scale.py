@@ -122,3 +122,62 @@ def test_materialize_per_partition_resume(sf_small, tmp_path):
     mtime_after = {f: os.path.getmtime(os.path.join(surv_dir, f)) for f in os.listdir(surv_dir)}
     assert mtime_after == mtime_before  # survivor untouched
     assert sorted(t.name for t in m2.tables) == names
+
+
+def test_anti_join_ids_at_volume():
+    """The distributed near-dup keep-list subtraction (_anti_join_ids — the
+    >NEAR_DUP_BROADCAST_MAX branch of prepare_corpus) on multi-block REAL
+    volume, not just the broadcast_max=0 toy-size equality pin: 300k doc ids
+    minus a 100k-row drop list across 64 hash buckets, exact oracle by
+    construction."""
+    from r2s2_ray.pipelines.training_data import _anti_join_ids
+
+    n = 300_000
+    deduped = ray.data.range(n).map_batches(
+        lambda b: pa.table({"doc_id": pa.array(np.asarray(b["id"], np.int64))}),
+        batch_format="numpy",
+    ).repartition(8)
+    # drop every 3rd id (pairs.b column is what _anti_join_ids consumes)
+    drops = ray.data.range(n // 3).map_batches(
+        lambda b: pa.table({"b": pa.array(np.asarray(b["id"], np.int64) * 3)}),
+        batch_format="numpy",
+    ).repartition(8)
+    kept = _anti_join_ids(deduped, drops)
+    got = np.sort(
+        np.concatenate(
+            [np.asarray(b["doc_id"]) for b in kept.iter_batches(batch_format="numpy")]
+        )
+    )
+    want = np.setdiff1d(np.arange(n, dtype=np.int64), np.arange(0, n, 3, dtype=np.int64))
+    assert np.array_equal(got, want)
+
+
+def test_neardup_clusters_distributed_branch_at_volume():
+    """The distributed-CC branch of neardup_clusters on >100k candidate
+    pairs (guard lowered below the real pair volume, asserted): 400 groups x
+    24 identical replicas -> C(24,2)x400 = 110,400 LSH pairs, every group a
+    clique whose cluster_id must be the group's min doc id."""
+    import polars as pl
+
+    from r2s2_ray.functions.dedup import minhash_lsh_pairs, neardup_clusters
+
+    groups, reps = 400, 24
+    rows = []
+    for g in range(groups):
+        # deterministic per-group text, identical across replicas so every
+        # replica pair collides in every band, and group-UNIQUE tokens so no
+        # cross-group word-shingle can ever match (exact expected pair count)
+        words = " ".join(f"g{g}w{i}" for i in range(30))
+        for r in range(reps):
+            rows.append({"doc_id": g * 1000 + r, "text": words})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(8)
+
+    guard = 50_000
+    n_pairs = minhash_lsh_pairs(ds, "doc_id", "text").count()
+    assert n_pairs == groups * reps * (reps - 1) // 2  # 110,400
+    assert n_pairs > guard  # the distributed branch IS the one taken below
+
+    out = neardup_clusters(ds, "doc_id", "text", cc_broadcast_max=guard).take_all()
+    assert len(out) == groups * reps
+    for r in out:
+        assert r["cluster_id"] == (r["doc_id"] // 1000) * 1000
