@@ -25,9 +25,13 @@ patterns, nesting allowed) and labelled query bnodes
 ``_:x`` (scoped variables, standard SPARQL semantics),
 property paths in the predicate position — sequences ``p1/p2/…`` (desugared
 to chained patterns over fresh variables), inverse steps ``^p`` (swap
-subject/object; ``^p+`` walks a closure backwards), alternations ``p1|p2``
-(compiled to ``pred IN``), negated property sets
-``!p`` / ``!(p1|p2)`` (``pred NOT IN``, forward members only) and
+subject/object; ``^p+`` / ``^(a|b)+`` walk a closure backwards),
+alternations ``p1|p2`` (compiled to ``pred IN``; ``^`` members allowed —
+``(p|^q)`` unions reversed edges), negated property sets
+``!p`` / ``!(p1|p2)`` (``pred NOT IN``) including ``^`` members
+(``!(p|^q)`` / ``!^p`` — the spec's alt(NPS(fwd), inv(NPS(bwd)))
+translation; closures over negated sets or MIXED-direction alternations
+are rejected loudly) and
 closures ``p+``/``p*``/``p?`` incl. ``(a|b)+`` over alternation members
 (recursive-CTE transitive closures; ``*``/``?`` seed the zero-length pairs
 over the store's terms plus constant endpoints; constant GRAPH/FROM
@@ -297,18 +301,21 @@ def _path_atom(tok: str, prefixes: dict[str, str]) -> str:
 #: gap between an object and the next subject: whitespace / "." separators
 _SEP_GAP = re.compile(r"[\s.]*")
 #: gap between a subject (or "/") and the first atom of a step: may open an
-#: alternation paren and carry the step's inverse marker
-_PRE_GAP = re.compile(r"\s*(\^)?\s*(!)?\s*(\()?\s*")
+#: alternation paren and carry the step's inverse marker; a second ``^``
+#: AFTER the ``!`` / paren marks the FIRST MEMBER inverse (``!^p``, ``(^a|b)``)
+_PRE_GAP = re.compile(r"\s*(\^)?\s*(!)?\s*(\()?\s*(\^)?\s*")
 #: gap after a step's last atom: optional close-paren, optional closure
 #: modifier (``+`` one-or-more, ``*`` zero-or-more, ``?`` zero-or-one), then
 #: either end-of-path (object follows) or "/" + the next step's prefix
-_POST_GAP = re.compile(r"\s*(\))?\s*([+*?])?\s*(?:(/)\s*(\^)?\s*(!)?\s*(\()?\s*)?")
-#: gap between two atoms of one alternation: "|" (parens already consumed)
-_ALT_GAP = re.compile(r"\s*\|\s*")
+_POST_GAP = re.compile(
+    r"\s*(\))?\s*([+*?])?\s*(?:(/)\s*(\^)?\s*(!)?\s*(\()?\s*(\^)?\s*)?"
+)
+#: gap between two atoms of one alternation: "|" + optional member inverse
+_ALT_GAP = re.compile(r"\s*\|\s*(\^)?\s*")
 #: gap after an object continuing the same subject+predicate: "," object list
 _COMMA_GAP = re.compile(r"\s*,\s*")
 #: gap after an object continuing the same subject: ";" + next step's prefix
-_SEMI_GAP = re.compile(r"\s*;\s*(\^)?\s*(!)?\s*(\()?\s*")
+_SEMI_GAP = re.compile(r"\s*;\s*(\^)?\s*(!)?\s*(\()?\s*(\^)?\s*")
 #: innermost non-empty bracketed property list ``[ p o ; ... ]``
 _PROPLIST_RE = re.compile(r"\[([^\[\]]+)\]")
 
@@ -374,17 +381,22 @@ def _triples(
         b = toks[j + 1].start() if j + 1 < n else len(inner)
         return inner[a:b]
 
-    def parse_steps(j: int, inv: bool, neg: bool, opened: bool):
+    def parse_steps(j: int, inv: bool, neg: bool, opened: bool, m_inv: bool):
         """Parse one path (toks[j] = first atom). Returns (steps, last_idx)
-        where steps = [(inverse, negated, [atom tokens], modifier)]."""
-        steps: list[tuple[bool, bool, list[str], str]] = []
+        where steps = [(inverse, negated, [(member_inverse, atom token)],
+        modifier)] — member inverse marks ``^`` INSIDE an alternation or
+        negated set (``(a|^b)``, ``!^p``), step inverse the ``^`` outside."""
+        steps: list[tuple[bool, bool, list[tuple[bool, str]], str]] = []
         while True:
             if j >= n:
                 raise ValueError("dangling pattern (need s p o triples)")
-            atoms = [toks[j].group(0)]
-            while j + 1 < n and _ALT_GAP.fullmatch(gap(j)):
+            atoms = [(m_inv, toks[j].group(0))]
+            while j + 1 < n:
+                am = _ALT_GAP.fullmatch(gap(j))
+                if not am:
+                    break
                 j += 1
-                atoms.append(toks[j].group(0))
+                atoms.append((bool(am.group(1)), toks[j].group(0)))
             post = _POST_GAP.fullmatch(gap(j))
             if not post:
                 raise ValueError(f"unsupported path syntax: {gap(j)!r}")
@@ -398,7 +410,7 @@ def _triples(
             if not post.group(3):  # no "/": path ends, object follows
                 return steps, j
             inv, neg = bool(post.group(4)), bool(post.group(5))
-            opened = bool(post.group(6))
+            opened, m_inv = bool(post.group(6)), bool(post.group(7))
             j += 1
 
     out: list[tuple[Term, Term, Term]] = []
@@ -410,31 +422,60 @@ def _triples(
         cur = subj
         for k, (s_inv, s_neg, atoms, s_mod) in enumerate(steps):
             tgt = obj if k == len(steps) - 1 else fresh()
+            # fold the step-level ^ into each member (inv distributes over
+            # alternation and over negated sets: ^!(a) == !(^a))
+            membs = [(mi != s_inv, tok) for mi, tok in atoms]
+            any_inv = any(mi for mi, _ in membs)
+            swap = False  # emit reversed instead of via member flags
             if s_neg:
-                # negated property set !p / !(p1|p2): pred NOT IN — forward
-                # members only (SPARQL's ^-members inside !() are not supported)
-                if s_mod or s_inv:
+                # negated property set !p / !(p|^q): members split by
+                # direction into a two-branch CTE (the spec's
+                # alt(NPS(fwd), inv(NPS(bwd))) translation)
+                if s_mod:
                     raise ValueError(
-                        "negated property sets cannot combine with ^ or closures"
+                        "negated property sets cannot combine with closures"
                     )
-                p = Term("nalt", "", alts=[_path_atom(t, prefixes) for t in atoms])
+                p = Term(
+                    "nalt",
+                    "",
+                    alts=[
+                        ("^" if mi else "") + _path_atom(t, prefixes)
+                        for mi, t in membs
+                    ],
+                )
             elif s_mod:
                 # closure: single member rides .value, alternation rides .alts
                 kind = _PATH_KIND[s_mod]
-                if len(atoms) > 1:
-                    p = Term(kind, "", alts=[_path_atom(t, prefixes) for t in atoms])
+                if len(membs) > 1:
+                    if any_inv and not all(mi for mi, _ in membs):
+                        raise ValueError(
+                            "closures over MIXED-direction alternations "
+                            "((a|^b)+) are not supported"
+                        )
+                    # uniformly inverse members hoist: ^(a|b)+ == the (a|b)+
+                    # closure walked backwards
+                    p = Term(kind, "", alts=[_path_atom(t, prefixes) for _, t in membs])
+                    swap = any_inv
                 else:
-                    p = Term(kind, _path_atom(atoms[0], prefixes))
-            elif len(atoms) > 1:
-                p = Term("alt", "", alts=[_path_atom(t, prefixes) for t in atoms])
-            elif s_inv or len(steps) > 1:
-                p = Term("iri", _path_atom(atoms[0], prefixes))
+                    # ^p+ == the closure walked backwards: emit reversed
+                    p = Term(kind, _path_atom(membs[0][1], prefixes))
+                    swap = membs[0][0]
+            elif len(membs) > 1:
+                p = Term(
+                    "alt",
+                    "",
+                    alts=[
+                        ("^" if mi else "") + _path_atom(t, prefixes)
+                        for mi, t in membs
+                    ],
+                )
+            elif membs[0][0] or len(steps) > 1:
+                p = Term("iri", _path_atom(membs[0][1], prefixes))
+                swap = membs[0][0]
             else:
                 # plain single-step predicate: any term kind (var joins)
-                p = _parse_term(atoms[0], prefixes)
-            # ^ swaps subject/object; for closures this IS the inverse
-            # closure (s ^p+ o  ==  o p+ s)
-            out.append((tgt, p, cur) if s_inv else (cur, p, tgt))
+                p = _parse_term(membs[0][1], prefixes)
+            out.append((tgt, p, cur) if swap else (cur, p, tgt))
             cur = tgt
 
     i = 0
@@ -443,10 +484,11 @@ def _triples(
         pre = _PRE_GAP.fullmatch(gap(i))
         if not pre:
             raise ValueError(f"unsupported syntax after subject: {gap(i)!r}")
-        inv, neg, opened = bool(pre.group(1)), bool(pre.group(2)), bool(pre.group(3))
+        inv, neg = bool(pre.group(1)), bool(pre.group(2))
+        opened, m_inv = bool(pre.group(3)), bool(pre.group(4))
         j = i + 1
         while True:  # predicate-object lists for this subject (";")
-            steps, j = parse_steps(j, inv, neg, opened)
+            steps, j = parse_steps(j, inv, neg, opened, m_inv)
             while True:  # object list for this path (",")
                 if j + 1 >= n:
                     raise ValueError("dangling pattern (need s p o triples)")
@@ -458,7 +500,8 @@ def _triples(
                 break
             sm = _SEMI_GAP.fullmatch(gap(j)) if j + 1 < n else None
             if sm:
-                inv, neg, opened = bool(sm.group(1)), bool(sm.group(2)), bool(sm.group(3))
+                inv, neg = bool(sm.group(1)), bool(sm.group(2))
+                opened, m_inv = bool(sm.group(3)), bool(sm.group(4))
                 j += 1
                 continue
             break
@@ -1332,7 +1375,42 @@ def _compile_bgp(
                 )
             aliases.append(f"{cte} {a}")
         else:
-            aliases.append(f"{triples_view} {a}")
+            mixed = p.kind in ("alt", "nalt") and p.alts and any(
+                m.startswith("^") for m in p.alts
+            )
+            if mixed:
+                # (negated) property set with ^ members: the spec's
+                # alt(NPS(fwd), inv(NPS(bwd))) / alt(fwd..., inv(bwd)...)
+                # translation — a two-branch CTE (UNION ALL: multiset), the
+                # inverse branch emits reversed edges. The graph column rides
+                # along so GRAPH/FROM conditions below apply unchanged; the
+                # reversed "object" is the store subject (never a literal),
+                # so its o_lang/o_dt are NULL.
+                fwd = [m for m in p.alts if not m.startswith("^")]
+                bwd = [m[1:] for m in p.alts if m.startswith("^")]
+                op = "IN" if p.kind == "alt" else "NOT IN"
+                branches = []
+                if fwd:
+                    branches.append(
+                        f"SELECT b.subj, b.obj, b.o_lang, b.o_dt, b.graph "
+                        f"FROM {triples_view} b "
+                        f"WHERE b.pred {op} ({', '.join(_q(v) for v in fwd)})"
+                    )
+                if bwd:
+                    branches.append(
+                        f"SELECT b.obj, b.subj, CAST(NULL AS VARCHAR), "
+                        f"CAST(NULL AS VARCHAR), b.graph FROM {triples_view} b "
+                        f"WHERE b.pred {op} ({', '.join(_q(v) for v in bwd)})"
+                    )
+                cte = f"{a}_ns"
+                ctes.append(
+                    f"{cte}(subj, obj, o_lang, o_dt, graph) AS (SELECT * FROM ("
+                    + " UNION ALL ".join(f"({b})" for b in branches)
+                    + ") u)"
+                )
+                aliases.append(f"{cte} {a}")
+            else:
+                aliases.append(f"{triples_view} {a}")
             if g is not None:
                 # SPARQL dataset semantics: with any FROM/FROM NAMED clause
                 # present, GRAPH patterns range over the FROM NAMED set only
@@ -1362,7 +1440,9 @@ def _compile_bgp(
                     conds.append(f"{a}.graph IN ({gs})")
                 else:
                     conds.append("FALSE")
-            if p.kind == "alt":
+            if mixed:
+                pass  # the predicate restriction lives inside the CTE
+            elif p.kind == "alt":
                 conds.append(
                     f"{a}.pred IN ({', '.join(_q(v) for v in p.alts)})"
                 )

@@ -339,6 +339,44 @@ def test_sparql_property_path_matches_naive(store, path, subj, obj, distinct):
         assert Counter(rows) == sols
 
 
+_members = st.lists(
+    st.tuples(st.booleans(), st.sampled_from(_ALPHABET)),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_store, _members, st.booleans())
+def test_sparql_property_set_inverse_members_matches_naive(store, members, negated):
+    """(Negated) property sets with ^ members — ``(a|^b)`` / ``!(a|^b)`` /
+    ``!^a`` — vs the spec translation alt(NPS(fwd), inv(NPS(bwd))): forward
+    members match forward edges, inverse members match reversed edges, each
+    branch only present when it has members; multiset union."""
+    fwd = {p for inv, p in members if not inv}
+    bwd = {p for inv, p in members if inv}
+    want = Counter()
+    for s, p, o in store:
+        if negated:
+            if fwd and p not in fwd:
+                want[(s, o)] += 1
+            if bwd and p not in bwd:
+                want[(o, s)] += 1
+        else:
+            if p in fwd:
+                want[(s, o)] += 1
+            if p in bwd:
+                want[(o, s)] += 1
+    body = "|".join(("^" if inv else "") + f"<{p}>" for inv, p in members)
+    pstr = ("!" if negated else "") + (f"({body})" if len(members) > 1 else body)
+    if len(members) == 1 and not negated and not members[0][0]:
+        pstr = f"<{members[0][1]}>"  # plain predicate — fine either way
+    cols, rows = _run_sql(store, f"SELECT * WHERE {{ ?x {pstr} ?y }}")
+    assert cols == ["x", "y"]
+    assert Counter(rows) == want
+
+
 # --------------------------------------------------------------------------
 # expression FILTERs vs naive evaluation
 # --------------------------------------------------------------------------
