@@ -46,6 +46,10 @@ is another bound variable; FILTERs live in the required part),
 generalized expression FILTERs ``FILTER(expr <op> expr)`` with the BIND
 expression grammar on either side (STRLEN/UCASE/CONCAT/arithmetic;
 numeric coercion when either side is numeric-valued),
+boolean connectives ``&&`` / ``||`` / ``!`` over comparison and
+REGEX/STRSTARTS/CONTAINS atoms (SQL three-valued logic matches the SPARQL
+EBV error table; BOUND inside connectives is rejected — it must evaluate
+after OPTIONAL joins),
 string-function FILTERs ``REGEX(?v, "pat")`` / ``STRSTARTS(?v, "s")`` /
 ``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; the optional
 REGEX flags argument accepts ``i``/``s``/``m``/``x``),
@@ -75,9 +79,10 @@ joins — the classic OPTIONAL+!BOUND anti-join idiom works),
 columns — an IRI/bnode binding behaves like a plain literal here
 (the store keeps no kind column in the serving view; restrict the
 pattern to literal objects for exact SPARQL error semantics),
-``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/REPLACE
-and +,-,*,/ arithmetic with TRY_CAST numeric coercion; later BINDs may
-reference earlier ones, and BIND targets work in FILTER/ORDER BY/SELECT),
+``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/
+REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR and +,-,*,/ arithmetic with
+TRY_CAST numeric coercion; later BINDs may reference earlier ones, and BIND
+targets work in FILTER/ORDER BY/SELECT),
 DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; variable keys
 compare lexical forms, and expression keys — ``DESC(STRLEN(?v))``,
 arithmetic, CONCAT — compile with the BIND grammar), LIMIT and OFFSET,
@@ -235,6 +240,9 @@ class Query:
     #: the BIND expression compiler (numeric coercion when either side is
     #: numeric-valued)
     expr_filters: list[tuple[object, str, object]] | None = None
+    #: boolean FILTERs with connectives: _parse_bool ASTs ("or"/"and"/"not"
+    #: over comparison and string-function atoms), compiled by _bool_sql
+    bool_filters: list[object] | None = None
     #: DESCRIBE <iri> ...: emit every stored quad whose SUBJECT is one of the
     #: listed IRIs (the concise-bounded-description core, one hop, no bnode
     #: closure — the store's bnode ids are stable content hashes, so the
@@ -539,9 +547,16 @@ _BIND_FUNCS = {
     "LCASE": ("lower", False),
     "STRLEN": ("length", True),
     "SUBSTR": ("substr", False),
-    # REPLACE is special-cased in _expr_sql: SPARQL REPLACE is regex-based
-    # and replaces ALL occurrences (DuckDB needs the 'g' flag)
+    # REPLACE / STRBEFORE / STRAFTER are special-cased in _expr_sql: SPARQL
+    # REPLACE is regex-based and replaces ALL occurrences (DuckDB needs the
+    # 'g' flag); STRBEFORE/STRAFTER return "" when the needle is absent
     "REPLACE": ("", False),
+    "STRBEFORE": ("", False),
+    "STRAFTER": ("", False),
+    "ABS": ("abs(TRY_CAST({} AS DOUBLE))", True),
+    "ROUND": ("round(TRY_CAST({} AS DOUBLE))", True),
+    "CEIL": ("ceil(TRY_CAST({} AS DOUBLE))", True),
+    "FLOOR": ("floor(TRY_CAST({} AS DOUBLE))", True),
 }
 
 
@@ -654,6 +669,17 @@ def _expr_sql(node, binds: dict[str, str]) -> str:
         if len(sql_args) != 3:
             raise ValueError("REPLACE takes exactly three arguments")
         return f"regexp_replace({sql_args[0]}, {sql_args[1]}, {sql_args[2]}, 'g')"
+    if name in ("STRBEFORE", "STRAFTER"):
+        if len(sql_args) != 2:
+            raise ValueError(f"{name} takes exactly two arguments")
+        s_, t_ = sql_args
+        pos = f"position({t_} IN {s_})"
+        if name == "STRBEFORE":
+            return f"(CASE WHEN {pos} > 0 THEN substr({s_}, 1, {pos} - 1) ELSE '' END)"
+        return (
+            f"(CASE WHEN {pos} > 0 "
+            f"THEN substr({s_}, {pos} + length({t_})) ELSE '' END)"
+        )
     fn, _ = _BIND_FUNCS[name]
     if "{}" in fn:
         if len(sql_args) != 1:
@@ -668,6 +694,108 @@ def _expr_numeric(node) -> bool:
     if node[0] == "func":
         return _BIND_FUNCS[node[1]][1]
     return False
+
+
+def _split_top(src: str, op: str) -> list[str]:
+    """Split ``src`` on depth-0 occurrences of the two-char operator ``op``
+    (``&&`` / ``||``) — parenthesized subexpressions are opaque."""
+    parts, depth, start = [], 0, 0
+    i = 0
+    while i < len(src):
+        ch = src[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and src[i : i + 2] == op:
+            parts.append(src[start:i])
+            i += 2
+            start = i
+            continue
+        i += 1
+    parts.append(src[start:])
+    return parts
+
+
+def _top_cmp(src: str) -> tuple[int, str] | None:
+    """Find the depth-0 comparison operator in a (masked) FILTER body.
+    Returns (position, operator) or None."""
+    d = 0
+    for pos, ch in enumerate(src):
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+        elif d == 0 and ch in "<>=!":
+            two = src[pos : pos + 2]
+            opc = two if two in ("<=", ">=", "!=") else ch
+            if opc in ("<", ">", "=", "<=", ">=", "!="):
+                return pos, opc
+    return None
+
+
+#: boolean-atom string functions inside FILTER connectives
+_SFUNC_ATOM_RE = re.compile(
+    r"(REGEX|STRSTARTS|CONTAINS)\s*\(\s*\?(\w+)\s*,\s*(\S+?)\s*(?:,\s*(\S+?)\s*)?\)",
+    re.I,
+)
+
+
+def _parse_bool(src: str, restore, prefixes: dict[str, str]):
+    """A (masked) FILTER body with boolean connectives -> bool AST:
+    ("or"|"and", [nodes]) | ("not", node) | ("sfunc", var, func, Term) |
+    ("cmp", lhs AST, op, rhs AST). SQL three-valued logic mirrors the SPARQL
+    error semantics here (error||true = true, error&&false = false, and a
+    non-true filter eliminates the row). BOUND inside connectives is NOT
+    supported — it must evaluate after OPTIONAL joins; use a standalone
+    FILTER((!)BOUND(?v))."""
+    parts = _split_top(src, "||")
+    if len(parts) > 1:
+        return ("or", [_parse_bool(p, restore, prefixes) for p in parts])
+    parts = _split_top(src, "&&")
+    if len(parts) > 1:
+        return ("and", [_parse_bool(p, restore, prefixes) for p in parts])
+    s = src.strip()
+    if s.startswith("!") and not s[1:].lstrip().startswith("="):
+        return ("not", _parse_bool(s[1:], restore, prefixes))
+    if s.startswith("("):
+        depth, j = 1, 1
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        if depth == 0 and j == len(s):
+            # parens spanning the WHOLE atom: a boolean group — recurse.
+            # (A bare parenthesized arithmetic expression is not a valid
+            # boolean atom anyway; the recursion's raise names it.)
+            return _parse_bool(s[1:-1], restore, prefixes)
+    m = _SFUNC_ATOM_RE.fullmatch(s)
+    if m:
+        var, func, arg = _parse_sfunc_parts(
+            m.group(1), m.group(2), m.group(3), m.group(4), restore, prefixes
+        )
+        return ("sfunc", var, func, arg)
+    if re.match(r"BOUND\s*\(", s, re.I):
+        raise ValueError(
+            "BOUND inside &&/|| is not supported (it must evaluate after "
+            "OPTIONAL joins — use a standalone FILTER((!)BOUND(?v)))"
+        )
+    split = _top_cmp(s)
+    if split is None:
+        raise ValueError(
+            "unsupported FILTER form (supported: comparison ops, &&/||/! "
+            "connectives, IN, REGEX/STRSTARTS/CONTAINS, (NOT) EXISTS, "
+            f"(!)BOUND, LANG/DATATYPE, expr <op> expr): {restore(s)!r}"
+        )
+    pos, opc = split
+    return (
+        "cmp",
+        _parse_expr(restore(s[:pos])),
+        opc,
+        _parse_expr(restore(s[pos + len(opc) :])),
+    )
 
 
 _BIND_OPEN_RE = re.compile(r"\bBIND\s*\(", re.I)
@@ -1090,10 +1218,12 @@ def parse_sparql(q: str) -> Query:
         return ""
 
     inner = _FILTER_RE.sub(_take_cmp, inner)
-    # generalized expression FILTERs: FILTER(expr <op> expr) with the BIND
-    # expression grammar on both sides (balanced-paren extraction; the
-    # top-level comparison operator is found at paren depth 0)
+    # generalized expression FILTERs: FILTER(boolexpr) with ``&&``/``||``/``!``
+    # connectives over comparison / string-function atoms, the BIND expression
+    # grammar on comparison sides (balanced-paren extraction; connectives and
+    # the comparison operator are found at paren depth 0)
     expr_filters: list[tuple[object, str, object]] = []
+    bool_filters: list[object] = []
     _F_OPEN = re.compile(r"\bFILTER\s*\(", re.I)
     while True:
         m = _F_OPEN.search(inner)
@@ -1108,31 +1238,11 @@ def parse_sparql(q: str) -> Query:
             j += 1
         if depth:
             raise ValueError("unbalanced parentheses in FILTER")
-        body = inner[m.end() : j - 1]
-        # top-level comparison operator scan (body is literal-masked)
-        d = 0
-        split = None
-        for pos, ch in enumerate(body):
-            if ch == "(":
-                d += 1
-            elif ch == ")":
-                d -= 1
-            elif d == 0 and ch in "<>=!":
-                two = body[pos : pos + 2]
-                opc = two if two in ("<=", ">=", "!=") else ch
-                if opc in ("<", ">", "=", "<=", ">=", "!="):
-                    split = (pos, opc)
-                    break
-        if split is None:
-            raise ValueError(
-                "unsupported FILTER form (supported: comparison ops, IN, "
-                "REGEX/STRSTARTS/CONTAINS, (NOT) EXISTS, (!)BOUND, "
-                "LANG/DATATYPE, expr <op> expr)"
-            )
-        pos, opc = split
-        lhs = _parse_expr(restore(body[:pos]))
-        rhs = _parse_expr(restore(body[pos + len(opc) :]))
-        expr_filters.append((lhs, opc, rhs))
+        node = _parse_bool(inner[m.end() : j - 1], restore, prefixes)
+        if node[0] == "cmp":
+            expr_filters.append((node[1], node[2], node[3]))
+        else:
+            bool_filters.append(node)
         inner = inner[: m.start()] + " " + inner[j:]
     if re.search(r"\bFILTER\b", inner, re.I):
         raise ValueError(
@@ -1203,6 +1313,7 @@ def parse_sparql(q: str) -> Query:
         bind_exprs=bind_exprs or None,
         construct=_parse_construct(construct_src, prefixes) if construct_src else None,
         expr_filters=expr_filters or None,
+        bool_filters=bool_filters or None,
         subselects=subselects or None,
         having=having,
         ask=ask,
@@ -1564,21 +1675,30 @@ def _values_alias(k: int, vars_: list[str], rows: list[list[Term | None]]) -> st
     return f"(VALUES {body}) v{k}({', '.join(vars_)})"
 
 
-def _parse_ffunc(m: re.Match, restore, prefixes: dict[str, str]) -> tuple[str, str, Term]:
-    """One REGEX/STRSTARTS/CONTAINS FILTER match -> (var, func, argument Term)
-    with the shared validation (literal args; REGEX flags ride the lang slot)."""
-    func = m.group(1).lower()
-    arg = _parse_term(restore(m.group(3)), prefixes)
+def _parse_sfunc_parts(
+    func_name: str, var: str, arg_tok: str, flags_tok: str | None, restore, prefixes
+) -> tuple[str, str, Term]:
+    """REGEX/STRSTARTS/CONTAINS parts -> (var, func, argument Term) with the
+    shared validation (literal args; REGEX flags ride the lang slot)."""
+    func = func_name.lower()
+    arg = _parse_term(restore(arg_tok), prefixes)
     if arg.kind != "lit":
-        raise ValueError(f"{m.group(1).upper()} needs a literal argument")
-    if m.group(4) is not None:
+        raise ValueError(f"{func_name.upper()} needs a literal argument")
+    if flags_tok is not None:
         if func != "regex":
-            raise ValueError(f"{m.group(1).upper()} takes exactly two arguments")
-        flags = _parse_term(restore(m.group(4)), prefixes)
+            raise ValueError(f"{func_name.upper()} takes exactly two arguments")
+        flags = _parse_term(restore(flags_tok), prefixes)
         if flags.kind != "lit" or not re.fullmatch(r"[ismx]*", flags.value):
             raise ValueError(f"unsupported REGEX flags: {flags.value!r}")
         arg = Term("lit", arg.value, lang=flags.value)
-    return m.group(2)[1:], func, arg
+    return var, func, arg
+
+
+def _parse_ffunc(m: re.Match, restore, prefixes: dict[str, str]) -> tuple[str, str, Term]:
+    """One REGEX/STRSTARTS/CONTAINS FILTER match -> (var, func, argument Term)."""
+    return _parse_sfunc_parts(
+        m.group(1), m.group(2)[1:], m.group(3), m.group(4), restore, prefixes
+    )
 
 
 def _filter_cond(var: str, op: str, term: Term, binds: dict[str, str]) -> str:
@@ -1673,6 +1793,44 @@ def _compile_opt_group(
         set(outer),
         required,
     )
+
+
+def _cmp_sql(lhs, opc: str, rhs, binds: dict[str, str]) -> str:
+    """One ``expr <op> expr`` comparison -> SQL over the bound columns, with
+    the numeric-coercion rule: numeric comparison when either side is
+    numeric-valued (TRY_CAST failures become NULL — SPARQL error-skipping)."""
+    numeric = (
+        _expr_numeric(lhs) or _expr_numeric(rhs)
+        or lhs[0] == "num" or rhs[0] == "num"
+    )
+
+    def side(n):
+        s = _expr_sql(n, binds)
+        if numeric and not (_expr_numeric(n) or n[0] == "num"):
+            return f"TRY_CAST({s} AS DOUBLE)"
+        return s
+
+    sql_op = "<>" if opc == "!=" else opc
+    return f"{side(lhs)} {sql_op} {side(rhs)}"
+
+
+def _bool_sql(node, binds: dict[str, str]) -> str:
+    """Boolean FILTER AST (:func:`_parse_bool`) -> SQL condition. SQL
+    three-valued logic mirrors SPARQL's error semantics: an error (NULL)
+    short-circuits through || / && exactly like the spec's EBV table, and a
+    non-TRUE result eliminates the row."""
+    tag = node[0]
+    if tag == "or":
+        return "(" + " OR ".join(_bool_sql(x, binds) for x in node[1]) + ")"
+    if tag == "and":
+        return "(" + " AND ".join(_bool_sql(x, binds) for x in node[1]) + ")"
+    if tag == "not":
+        return f"NOT ({_bool_sql(node[1], binds)})"
+    if tag == "sfunc":
+        _, var, func, arg = node
+        return _filter_cond(var, func, arg, binds)
+    _, lhs, opc, rhs = node
+    return _cmp_sql(lhs, opc, rhs, binds)
 
 
 def _having_sql(query: Query) -> str:
@@ -1800,19 +1958,9 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             raise ValueError(f"BIND target ?{bv} is already bound")
         binds[bv] = f"({_expr_sql(node, binds)})"
     for lhs, opc, rhs in query.expr_filters or []:
-        numeric = (
-            _expr_numeric(lhs) or _expr_numeric(rhs)
-            or lhs[0] == "num" or rhs[0] == "num"
-        )
-
-        def _side(n):
-            s = _expr_sql(n, binds)
-            if numeric and not (_expr_numeric(n) or n[0] == "num"):
-                return f"TRY_CAST({s} AS DOUBLE)"
-            return s
-
-        sql_op = "<>" if opc == "!=" else opc
-        conds.append(f"{_side(lhs)} {sql_op} {_side(rhs)}")
+        conds.append(_cmp_sql(lhs, opc, rhs, binds))
+    for node in query.bool_filters or []:
+        conds.append(_bool_sql(node, binds))
     for k, (negated, e_quads) in enumerate(query.exists_filters or []):
         # correlated semi/anti-join: group-local variables are scoped to the
         # subquery; variables shared with the required part correlate on the

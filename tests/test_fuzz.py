@@ -449,6 +449,85 @@ def test_sparql_expression_filter_matches_naive(vals, fun, op, rhs):
     assert Counter(rows) == Counter(want)
 
 
+_batom = st.tuples(
+    st.sampled_from(["strlen_gt", "eq", "contains"]),
+    st.one_of(st.sampled_from(_EVALS), st.integers(0, 6)),
+)
+_btree = st.recursive(
+    _batom,
+    lambda kids: st.one_of(
+        st.tuples(st.just("not"), kids),
+        st.tuples(st.sampled_from(["and", "or"]), kids, kids),
+    ),
+    max_leaves=4,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_estore, _btree)
+def test_sparql_boolean_filter_matches_naive(vals, tree):
+    """FILTER bodies with &&/||/! connectives over comparison and CONTAINS
+    atoms == the naive three-valued evaluation (an error — failed numeric
+    cast — propagates through connectives like SQL NULL, and a non-TRUE
+    filter eliminates the row: the SPARQL EBV error table)."""
+
+    def render(t):
+        if t[0] == "not":
+            return f"!({render(t[1])})"
+        if t[0] in ("and", "or"):
+            op = "&&" if t[0] == "and" else "||"
+            return f"({render(t[1])} {op} {render(t[2])})"
+        kind, rhs = t
+        r = str(rhs) if isinstance(rhs, int) else f'"{rhs}"'
+        if kind == "strlen_gt":
+            return f"STRLEN(?y) > {r}" if isinstance(rhs, int) else f'STRLEN(?y) > "{rhs}"'
+        if kind == "contains":
+            return f"CONTAINS(?y, {r})" if not isinstance(rhs, int) else f'CONTAINS(?y, "{rhs}")'
+        return f"?y = {r}"
+
+    def ev(t, v):
+        """True / False / None (error) — SQL 3VL == SPARQL EBV errors."""
+        if t[0] == "not":
+            x = ev(t[1], v)
+            return None if x is None else not x
+        if t[0] in ("and", "or"):
+            a, b = ev(t[1], v), ev(t[2], v)
+            if t[0] == "and":
+                if a is False or b is False:
+                    return False
+                if a is None or b is None:
+                    return None
+                return True
+            if a is True or b is True:
+                return True
+            if a is None or b is None:
+                return None
+            return False
+        kind, rhs = t
+        if kind == "strlen_gt":
+            if isinstance(rhs, int):
+                return len(v) > rhs
+            try:
+                return float(len(v)) > float(rhs)
+            except ValueError:
+                return None
+        if kind == "contains":
+            return str(rhs) in v
+        if isinstance(rhs, int):
+            try:
+                return float(v) == float(rhs)
+            except ValueError:
+                return None
+        return v == rhs
+
+    store = [("s%d" % i, "p", v) for i, v in enumerate(vals)]
+    q = f"SELECT ?x ?y WHERE {{ ?x <p> ?y . FILTER({render(tree)}) }}"
+    cols, rows = _run_sql(store, q)
+    want = [(s, v) for s, _, v in store if ev(tree, v) is True]
+    assert cols == ["x", "y"]
+    assert Counter(rows) == Counter(want)
+
+
 # --------------------------------------------------------------------------
 # OPTIONAL (LeftJoin) vs naive evaluation, incl. group-local filters
 # --------------------------------------------------------------------------
