@@ -836,13 +836,51 @@ _VALUES_TOK_RE = re.compile(r"\bUNDEF\b|" + _TERM_RE.pattern, re.X | re.I)
 _OPT_OPEN_RE = re.compile(r"\bOPTIONAL\s*\{", re.I)
 
 
+def _at_depth0(text: str, pos: int) -> bool:
+    """True when ``pos`` sits at brace depth 0 of ``text`` — extraction
+    passes must only lift TOP-LEVEL groups; a match inside another group's
+    braces belongs to that group (lifting it would silently re-scope it)."""
+    d = 0
+    for ch in text[:pos]:
+        if ch == "{":
+            d += 1
+        elif ch == "}":
+            d -= 1
+    return d == 0
+
+
+def _take_depth0(inner: str, pattern: re.Pattern) -> tuple[str, list[re.Match]]:
+    """All DEPTH-0 matches of ``pattern``, removed from ``inner`` (each
+    replaced by a space). Deeper matches stay in place — their enclosing
+    group's parser rejects them loudly instead of this pass silently
+    lifting them out of scope."""
+    matches: list[re.Match] = []
+    parts: list[str] = []
+    last = 0
+    for m in pattern.finditer(inner):
+        if not _at_depth0(inner, m.start()):
+            continue
+        matches.append(m)
+        parts.append(inner[last : m.start()])
+        parts.append(" ")
+        last = m.end()
+    parts.append(inner[last:])
+    return "".join(parts), matches
+
+
 def _extract_braced(inner: str, open_re: re.Pattern) -> tuple[str, list[str]]:
-    """Pull every top-level ``<keyword> { ... }`` group out via balanced-brace
-    scanning (group bodies may nest further braces). Returns (body without
-    the groups, group bodies in textual order) — operate on MASKED text."""
+    """Pull every TOP-LEVEL ``<keyword> { ... }`` group out via balanced-brace
+    scanning (group bodies may nest further braces; matches inside other
+    groups' braces are left for those groups' parsers to reject). Returns
+    (body without the groups, group bodies in textual order) — operate on
+    MASKED text."""
     out: list[str] = []
     while True:
-        m = open_re.search(inner)
+        m = None
+        for cand in open_re.finditer(inner):
+            if _at_depth0(inner, cand.start()):
+                m = cand
+                break
         if not m:
             return inner, out
         depth, j = 1, m.end()
@@ -1126,7 +1164,11 @@ def parse_sparql(q: str) -> Query:
     graph_quads: list[tuple[Term, Term, Term, Term | None]] = []
     _graph_open = re.compile(r"GRAPH\s+(\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*\{", re.I)
     while True:
-        m = _graph_open.search(inner)
+        m = None
+        for cand in _graph_open.finditer(inner):
+            if _at_depth0(inner, cand.start()):
+                m = cand
+                break
         if not m:
             break
         depth, j = 1, m.end()
@@ -1158,18 +1200,19 @@ def parse_sparql(q: str) -> Query:
     # OPTIONAL body leaves that OPTIONAL unmatched (nested braces) and the
     # leftover braces fail the final tokenization loudly, instead of the
     # group being silently lifted out of its OPTIONAL scope
-    values_groups: list[tuple[list[str], list[list[Term]]]] = []
-    for m in _VALUES_RE.finditer(inner):
-        values_groups.append(_parse_values(m.group(1), restore(m.group(2)), prefixes))
-    inner = _VALUES_RE.sub(" ", inner)
-    exists_filters: list[tuple[bool, list[tuple[Term, Term, Term, Term | None]]]] = []
-    for m in _EXISTS_RE.finditer(inner):
-        exists_filters.append((bool(m.group(1)), _quads(restore(m.group(2)), prefixes, None, fresh)))
-    inner = _EXISTS_RE.sub(" ", inner)
-    minus_groups = [
-        _quads(restore(m.group(1)), prefixes, None, fresh) for m in _MINUS_RE.finditer(inner)
+    inner, _v_matches = _take_depth0(inner, _VALUES_RE)
+    values_groups = [
+        _parse_values(m.group(1), restore(m.group(2)), prefixes) for m in _v_matches
     ]
-    inner = _MINUS_RE.sub(" ", inner)
+    inner, _e_matches = _take_depth0(inner, _EXISTS_RE)
+    exists_filters = [
+        (bool(m.group(1)), _quads(restore(m.group(2)), prefixes, None, fresh))
+        for m in _e_matches
+    ]
+    inner, _m_matches = _take_depth0(inner, _MINUS_RE)
+    minus_groups = [
+        _quads(restore(m.group(1)), prefixes, None, fresh) for m in _m_matches
+    ]
     # BIND(expr AS ?v): balanced-paren extraction (the expression nests
     # parens); ASTs compile against the bound columns in to_sql
     inner, bind_exprs = _extract_binds(inner, restore)
@@ -1260,7 +1303,13 @@ def parse_sparql(q: str) -> Query:
     if kw:
         raise ValueError(f"unsupported or mis-nested {kw.group(1).upper()} group")
     rest = restore(inner)
-    patterns = (_quads(rest, prefixes, None, fresh) if rest.strip() else []) + graph_quads
+    # a residue of only whitespace / "." separators (all patterns lived in
+    # extracted groups) is an empty required part, not a parse error
+    patterns = (
+        _quads(rest, prefixes, None, fresh)
+        if not re.fullmatch(r"[\s.]*", rest)
+        else []
+    ) + graph_quads
     if not patterns and not values_groups and not subselects:
         raise ValueError("empty WHERE clause")
     if exists_filters and not patterns:
@@ -1333,6 +1382,12 @@ def _extract_subselects(inner: str, restore, prefixes: dict[str, str]):
         m = pat.search(inner)
         if not m:
             return inner, out
+        if not _at_depth0(inner, m.start()):
+            # inside another group's braces (OPTIONAL/GRAPH/EXISTS/...):
+            # lifting it would silently re-scope it to the top level
+            raise ValueError(
+                "subselects nested inside other groups are not supported"
+            )
         depth, j = 1, m.start() + 1
         while j < len(inner) and depth:
             if inner[j] == "{":

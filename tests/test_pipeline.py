@@ -1394,3 +1394,34 @@ def test_sparql_optional_bind():
     ) == [("e:s1", None), ("e:s2", None)]
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a . BIND(1 AS ?n) } }")
+
+
+def test_sparql_nested_group_misscope_rejected():
+    """Round-4 hardening: a group construct nested inside ANOTHER group's
+    body (subselect in OPTIONAL, OPTIONAL in EXISTS, VALUES in MINUS, GRAPH
+    in EXISTS, ...) must raise — the extraction passes only lift DEPTH-0
+    matches, so a nested match can never be silently re-scoped to the top
+    level. Legal top-level combinations keep compiling."""
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    bad = [
+        "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?v . { SELECT ?s WHERE { ?s <r> ?w } } } }",
+        "SELECT ?s WHERE { ?s <p> ?o . FILTER EXISTS { ?s <q> ?v . OPTIONAL { ?s <r> ?w } } }",
+        "SELECT ?s WHERE { ?s <p> ?o . MINUS { ?s <q> ?v . FILTER(?v > 3) } }",
+        "SELECT ?s WHERE { ?s <p> ?o . FILTER EXISTS { GRAPH <g> { ?s <q> ?v } } }",
+        'SELECT ?s WHERE { ?s <p> ?o . MINUS { ?s <q> ?v . VALUES ?v { "1" } } }',
+    ]
+    for q in bad:
+        with pytest.raises(ValueError):
+            to_sql(parse_sparql(q))
+    good = [
+        "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?v } . FILTER EXISTS { ?s <r> ?w } }",
+        "SELECT ?s ?n WHERE { ?s <p> ?o . { SELECT ?s (COUNT(?w) AS ?n) WHERE { ?s <r> ?w } GROUP BY ?s } }",
+        # all required patterns inside groups: the "." residue is legal
+        'SELECT ?s WHERE { GRAPH <g> { ?s <q> ?v } . MINUS { ?s <p> "x" } }',
+        'SELECT ?s WHERE { ?s <p> ?o . VALUES ?o { "1" "2" } }',
+    ]
+    for q in good:
+        to_sql(parse_sparql(q))
