@@ -13,10 +13,10 @@ variables; ``;`` predicate-object lists and ``,`` object lists),
 ``OPTIONAL { ... }`` groups INCLUDING nested OPTIONALs (compiled to LEFT
 JOINs — nesting becomes LEFT JOINs inside the group subquery, the
 LeftJoin(A, LeftJoin(B, C)) algebra; optional-only variables project as
-NULL when unmatched — SPARQL unbound; comparison/string FILTERs and BINDs
-INSIDE a group compile into the LeftJoin condition / group scope — a
-failing filter or an unmatched group yields NULL, never eliminates the
-outer row),
+NULL when unmatched — SPARQL unbound; comparison / string-function /
+boolean-connective / expression FILTERs and BINDs INSIDE a group compile
+into the LeftJoin condition / group scope — a failing filter or an
+unmatched group yields NULL, never eliminates the outer row),
 non-nested ``GRAPH <g>/?g { ... }`` groups (a constant restricts its patterns
 to that named graph; a variable binds the graph column and joins when shared),
 anonymous blank nodes ``[]`` (each a fresh never-projected variable),
@@ -186,6 +186,9 @@ class OptGroup:
     #: group-local BIND(expr AS ?v) assignments, textual order
     binds: list[tuple[object, str]]
     children: list["OptGroup"]
+    #: group-local boolean / expression FILTERs (_parse_bool ASTs) — same
+    #: LeftJoin-condition placement as ``filters``
+    bools: list[object]
 
 
 @dataclass
@@ -911,15 +914,51 @@ def _parse_opt_group(
         _parse_ffunc(fm, restore, prefixes) for fm in _FFUNC_RE.finditer(body)
     ]
     body = _FFUNC_RE.sub("", body)
-    for fm in _FILTER_RE.finditer(body):
-        filters.append(
-            (fm.group(1)[1:], fm.group(2), _parse_term(restore(fm.group(3)), prefixes))
-        )
-    body = _FILTER_RE.sub("", body)
+
+    def _take_cmp(fm: re.Match) -> str:
+        # a right side the TERM grammar cannot parse (a function call, a
+        # connective tail) falls through to the boolean extractor below
+        try:
+            filters.append(
+                (fm.group(1)[1:], fm.group(2), _parse_term(restore(fm.group(3)), prefixes))
+            )
+        except ValueError:
+            return fm.group(0)
+        return ""
+
+    body = _FILTER_RE.sub(_take_cmp, body)
+    # remaining FILTER(...) forms: the boolean / expression grammar
+    # (&&/||/! connectives, expr <op> expr, string-function atoms) — same
+    # LeftJoin-condition placement. BOUND/EXISTS/group forms raise inside
+    # _parse_bool / the keyword check below.
+    bools: list[object] = []
+    _f_open = re.compile(r"\bFILTER\s*\(", re.I)
+    while True:
+        fm = _f_open.search(body)
+        if not fm:
+            break
+        depth, j = 1, fm.end()
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError("unbalanced parentheses in FILTER inside OPTIONAL")
+        fbody = body[fm.end() : j - 1]
+        if re.search(r"\bBOUND\b", fbody, re.I):
+            raise ValueError(
+                "BOUND FILTERs inside OPTIONAL are not supported (group-"
+                "scoped BOUND semantics are not implemented — place the "
+                "BOUND test after the OPTIONAL group)"
+            )
+        bools.append(_parse_bool(fbody, restore, prefixes))
+        body = body[: fm.start()] + " " + body[j:]
     if re.search(r"\bFILTER\b", body, re.I):
         raise ValueError(
             "unsupported FILTER form inside OPTIONAL (supported there: "
-            "comparison ops, REGEX/STRSTARTS/CONTAINS)"
+            "comparison ops, &&/||/! connectives, REGEX/STRSTARTS/CONTAINS)"
         )
     if re.search(r"[{}]", body) or re.search(
         r"\b(GRAPH|VALUES|UNION|EXISTS|MINUS|SERVICE|SELECT)\b", body, re.I
@@ -930,7 +969,9 @@ def _parse_opt_group(
             "OPTIONAL group needs its own triple patterns (a bare nested "
             "OPTIONAL is not supported)"
         )
-    return OptGroup(_quads(restore(body), prefixes, None, fresh), filters, binds, children)
+    return OptGroup(
+        _quads(restore(body), prefixes, None, fresh), filters, binds, children, bools
+    )
 
 
 def _parse_values(
@@ -1805,6 +1846,8 @@ def _compile_opt_group(
         # so a failing filter unmatches the group (NULL row) instead of
         # eliminating the outer solution
         conds.append(_filter_cond(fvar, fop, fterm, binds))
+    for node in grp.bools:
+        conds.append(_bool_sql(node, binds))
     required = set(binds)
     if not grp.children:
         proj = ", ".join(f"{c} AS {v}" for v, c in binds.items())
