@@ -367,6 +367,24 @@ def _kg_sparql_undef(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_bool(sf_dir: str):
+    """Boolean FILTER connectives served end-to-end: ||, && and ! over
+    comparison and CONTAINS atoms in one filter (SQL 3VL = SPARQL EBV)."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?turn ?role ?text WHERE {\n"
+        "  ?turn ex:role ?role .\n"
+        "  ?turn ex:text ?text .\n"
+        '  FILTER((?role = "assistant" || ?role = "tool") && STRLEN(?text) > 80'
+        ' && !CONTAINS(?text, "vector"))\n'
+        "}"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -837,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_optnested": _kg_sparql_optnested,
         "kg_sparql_star": _kg_sparql_star,
         "kg_sparql_undef": _kg_sparql_undef,
+        "kg_sparql_bool": _kg_sparql_bool,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -917,6 +936,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_optnested": oracles.sparql_optnested_oracle(),
         "kg_sparql_star": oracles.sparql_star_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
+        "kg_sparql_bool": oracles.sparql_bool_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "txt_token_stats": """

@@ -323,6 +323,22 @@ def sparql_undef_oracle() -> str:
     )
 
 
+def sparql_bool_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_bool``:
+    { ?turn ex:role ?role . ?turn ex:text ?text .
+      FILTER((?role = "assistant" || ?role = "tool") && STRLEN(?text) > 80
+             && !CONTAINS(?text, "vector")) } DISTINCT."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT DISTINCT r.subj AS turn, r.obj AS role, x.obj AS text "
+        f"FROM t r JOIN t x ON x.subj = r.subj AND x.pred = {_q(vocab.P_TEXT)} "
+        f"WHERE r.pred = {_q(vocab.P_ROLE)} "
+        f"AND (r.obj = 'assistant' OR r.obj = 'tool') "
+        f"AND length(x.obj) > 80 AND NOT contains(x.obj, 'vector')"
+    )
+
+
 def sparql_groupconcat_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_groupconcat``:
     per-turn sorted distinct mentioned entities as one comma-joined string
