@@ -385,6 +385,24 @@ def _kg_sparql_bool(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_union(sf_dir: str):
+    """Round-4 UNION widening served end-to-end: branches are full groups (a
+    FILTER scoped to one branch, an OPTIONAL left-joining inside the other)
+    and the COUNT + GROUP BY aggregate runs over the union's multiset."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT ?turn (COUNT(?e) AS ?n) WHERE {\n"
+        '  { ?turn ex:mentions ?e . FILTER(CONTAINS(?e, "or")) }\n'
+        "  UNION\n"
+        '  { ?turn ex:role "assistant" . OPTIONAL { ?turn ex:mentions ?e } }\n'
+        "} GROUP BY ?turn"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -856,6 +874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_star": _kg_sparql_star,
         "kg_sparql_undef": _kg_sparql_undef,
         "kg_sparql_bool": _kg_sparql_bool,
+        "kg_sparql_union": _kg_sparql_union,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -937,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_star": oracles.sparql_star_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),
+        "kg_sparql_union": oracles.sparql_union_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "txt_token_stats": """

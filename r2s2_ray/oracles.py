@@ -339,6 +339,31 @@ def sparql_bool_oracle() -> str:
     )
 
 
+def sparql_union_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_union``:
+    { ?turn ex:mentions ?e . FILTER(CONTAINS(?e, "or")) } UNION
+    { ?turn ex:role "assistant" . OPTIONAL { ?turn ex:mentions ?e } }
+    with COUNT(?e) GROUP BY ?turn over the union multiset — branch 1 is the
+    filtered mentions edges, branch 2 every assistant turn left-joined to its
+    mentions (an unmatched OPTIONAL contributes an unbound ?e that COUNT
+    skips)."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"u AS ("
+        f"SELECT subj AS turn, obj AS e FROM t "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)} AND contains(obj, 'or') "
+        f"UNION ALL "
+        f"SELECT r.subj AS turn, m.obj AS e "
+        f"FROM (SELECT subj FROM t WHERE pred = {_q(vocab.P_ROLE)} "
+        f"AND obj = 'assistant') r "
+        f"LEFT JOIN (SELECT subj, obj FROM t "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)}) m ON m.subj = r.subj"
+        f") "
+        f"SELECT turn, CAST(COUNT(e) AS BIGINT) AS n FROM u GROUP BY turn"
+    )
+
+
 def sparql_groupconcat_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_groupconcat``:
     per-turn sorted distinct mentioned entities as one comma-joined string

@@ -53,8 +53,18 @@ after OPTIONAL joins),
 string-function FILTERs ``REGEX(?v, "pat")`` / ``STRSTARTS(?v, "s")`` /
 ``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; the optional
 REGEX flags argument accepts ``i``/``s``/``m``/``x``),
-whole-body ``{ BGP } UNION { BGP }`` (two or more pure-BGP branches,
-multiset semantics, branch-unbound variables project as NULL),
+whole-body ``{ group } UNION { group }`` (two or more branches, each a FULL
+group — FILTER/BIND/OPTIONAL/VALUES/GRAPH/subselects and nested UNIONs all
+legal inside a branch, compiled as self-contained sub-queries; multiset
+semantics, branch-unbound variables project as NULL, all-constant branches
+contribute bare match rows; aggregates + GROUP BY + HAVING on the outer
+query run over the union's solution multiset, and DISTINCT / expression
+ORDER BY / LIMIT / OFFSET apply to the union), and UNION sequences JOINED
+with other top-level patterns (``?s a ?t . { A } UNION { B }`` — the union
+compiles to a subquery joined on shared variables with SPARQL solution
+compatibility: a branch-unbound shared variable is compatible with
+anything and the merged binding is the bound one; like OPTIONAL, the union
+join applies after the required part regardless of textual position),
 aggregate projections ``(COUNT|SUM|MIN|MAX|AVG|SAMPLE(DISTINCT? ?v|*) AS
 ?alias)`` and ``GROUP_CONCAT(?v; SEPARATOR="..")`` (deterministic ascending
 element order; SAMPLE = deterministic MIN) with ``GROUP BY`` and
@@ -214,9 +224,20 @@ class Query:
     #: aggregate projections: (func, distinct, var-or-None-for-*, alias)
     aggs: list[tuple[str, bool, str | None, str]] | None = None
     group_by: list[str] | None = None
-    #: whole-body UNION: branches of pure BGPs (multiset union; a variable
-    #: unbound in a branch projects as NULL — SPARQL unbound)
-    union_groups: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
+    #: whole-body UNION: each branch is a full sub-Query (SELECT * over the
+    #: branch's group — FILTER/BIND/OPTIONAL/VALUES/subselects all legal
+    #: inside). Multiset union; a variable unbound in a branch projects as
+    #: NULL — SPARQL unbound. Aggregates/GROUP BY/HAVING on the outer query
+    #: apply over the union's solution multiset.
+    union_branches: list["Query"] | None = None
+    #: UNION sequences JOINED with the rest of the body (``?s a ?t .
+    #: { A } UNION { B }``): each is a select-* Query carrying only
+    #: union_branches, compiled to a subquery and joined on shared variables
+    #: with SPARQL compatibility (an unbound/NULL union-side value is
+    #: compatible with anything; the merged binding is the bound one). Like
+    #: OPTIONAL, these apply after the required part regardless of textual
+    #: position.
+    union_joins: list["Query"] | None = None
     #: VALUES inline data: (ordered vars, rows of constant Terms)
     values_groups: list[tuple[list[str], list[list[Term]]]] | None = None
     #: FILTER (NOT) EXISTS { BGP }: (negated, quads)
@@ -1055,6 +1076,109 @@ def _parse_order(text: str) -> list[tuple[object, bool]]:
     return keys
 
 
+def _close_brace(src: str, i: int) -> int:
+    """Index just past the brace matching the ``{`` at ``i`` (balanced scan)."""
+    depth, j = 1, i + 1
+    n = len(src)
+    while j < n and depth:
+        if src[j] == "{":
+            depth += 1
+        elif src[j] == "}":
+            depth -= 1
+        j += 1
+    if depth:
+        raise ValueError("unbalanced braces in WHERE body")
+    return j
+
+
+#: text that OWNS the braced group opening right after it — such a group is
+#: that construct's body, never a union branch
+_GROUP_OWNER_RE = re.compile(
+    r"(?:OPTIONAL|MINUS|EXISTS|SERVICE|UNION)\s*$"
+    r"|GRAPH\s+(?:\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*$"
+    r"|VALUES\s+[^{}]*$",
+    re.I,
+)
+
+
+def _extract_union_seqs(inner: str) -> tuple[str, list[str]]:
+    """Pull every depth-0 ``{ A } UNION { B } [UNION { C }…]`` sequence that
+    is JOINED with the rest of the body (the whole-body case was handled
+    earlier). Returns the body with the sequences excised plus each
+    sequence's source text. Groups owned by a keyword (OPTIONAL/GRAPH/…) and
+    ``{ SELECT`` subselects are left in place."""
+    seqs: list[str] = []
+    while True:
+        found = None
+        i, depth = 0, 0
+        n = len(inner)
+        while i < n:
+            c = inner[i]
+            if c == "{":
+                if (
+                    depth == 0
+                    and not _GROUP_OWNER_RE.search(inner[:i])
+                    and not re.compile(r"\s*SELECT\b", re.I).match(inner, i + 1)
+                ):
+                    j = _close_brace(inner, i)
+                    um = re.compile(r"\s*UNION\s*\{", re.I).match(inner, j)
+                    if um:
+                        while um:
+                            j = _close_brace(inner, um.end() - 1)
+                            um = re.compile(r"\s*UNION\s*\{", re.I).match(inner, j)
+                        found = (i, j)
+                        break
+                    i = j
+                    continue
+                depth += 1
+            elif c == "}":
+                depth -= 1
+            i += 1
+        if not found:
+            return inner, seqs
+        s, e = found
+        seqs.append(inner[s:e])
+        inner = inner[:s] + " " + inner[e:]
+
+
+def _kw_at_depth0(inner: str, kw: str) -> bool:
+    """True when the bare keyword occurs OUTSIDE every braced group (masked
+    text — literals cannot false-positive)."""
+    return any(
+        _at_depth0(inner, m.start()) for m in re.finditer(rf"\b{kw}\b", inner, re.I)
+    )
+
+
+def _split_union_branches(inner: str) -> list[str] | None:
+    """Whole-body UNION splitter: when the (masked) body is exactly two or
+    more balanced braced groups joined by UNION — whitespace only around them
+    — return the branch bodies, else None. Balanced scanning, so branches may
+    hold nested groups (OPTIONAL, subselects, further UNIONs)."""
+    srcs: list[str] = []
+    pos, n = 0, len(inner)
+    while True:
+        m = re.compile(r"\s*\{").match(inner, pos)
+        if not m:
+            return None
+        depth, j = 1, m.end()
+        while j < n and depth:
+            if inner[j] == "{":
+                depth += 1
+            elif inner[j] == "}":
+                depth -= 1
+            j += 1
+        if depth:
+            return None
+        srcs.append(inner[m.end() : j - 1])
+        um = re.compile(r"\s*UNION\b", re.I).match(inner, j)
+        if um:
+            pos = um.end()
+            continue
+        if inner[j:].strip():
+            return None
+        return srcs if len(srcs) >= 2 else None
+
+
 def parse_sparql(q: str) -> Query:
     # DESCRIBE <iri> [...]: no WHERE grammar needed — resolve PREFIXes and
     # return the subject-rows query directly
@@ -1155,29 +1279,51 @@ def parse_sparql(q: str) -> Query:
 
     inner = _ANON_RE.sub(_fresh, inner)
     inner = _BNODE_RE.sub(lambda m: f" ?__bn_{m.group(1)} ", inner)
-    # nested { SELECT ... } subqueries come out FIRST: their bodies contain
-    # braces that every later single-level group regex would trip over
-    inner, subselects = _extract_subselects(inner, restore, prefixes)
-    # whole-body UNION of pure BGP branches: { A } UNION { B } [UNION { C }…]
-    um = re.fullmatch(
-        r"\s*\{([^{}]*)\}(?:\s*UNION\s*\{([^{}]*)\})+\s*", inner, re.I
-    )
-    if um:
-        if aggs:
-            raise ValueError("aggregates over UNION are not supported")
-        if subselects:
-            raise ValueError("subselects combined with whole-body UNION are not supported")
-        branches = re.findall(r"\{([^{}]*)\}", inner)
-        for br in branches:
-            if re.search(r"\b(FILTER|BIND)\b", br, re.I):
-                raise ValueError("FILTER/BIND inside UNION branches is not supported")
-        union_groups = [_quads(restore(br), prefixes, None, fresh) for br in branches]
+    # whole-body UNION comes out FIRST (before subselect extraction — a
+    # subselect inside a branch belongs to that branch's sub-parse): the body
+    # is a sequence of balanced braced groups joined by UNION. Each branch
+    # re-parses as a full ``SELECT *`` sub-Query with the outer prologue and
+    # dataset clauses — FILTER/BIND/OPTIONAL/VALUES/GRAPH/subselects inside a
+    # branch all go through the one body grammar. Branch bnode variables were
+    # already rewritten above, and union branches never join each other, so
+    # the per-branch re-parse cannot capture variables across branches.
+    def _parse_branches(srcs: list[str]) -> list[Query]:
+        decls = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in prefixes.items())
+        out = []
+        for src in srcs:
+            bq = parse_sparql(decls + "SELECT * WHERE {" + restore(src) + "}")
+            bq.from_graphs = from_graphs or None
+            bq.from_named = from_named or None
+            out.append(bq)
+        return out
+
+    branch_srcs = _split_union_branches(inner)
+    if branch_srcs is not None:
+        union_branches = _parse_branches(branch_srcs)
         tail = q[q.rindex("}") + 1 :]
-        if _GROUPBY_RE.search(tail):
-            raise ValueError("GROUP BY over UNION is not supported")
         lim = _LIMIT_RE.search(tail)
         off = _OFFSET_RE.search(tail)
         order = _ORDER_RE.search(tail)
+        gb = _GROUPBY_RE.search(tail)
+        group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
+        if group_by and not aggs:
+            raise ValueError("GROUP BY without an aggregate projection")
+        hv = _HAVING_RE.search(tail)
+        having = (hv.group(1), hv.group(2), hv.group(3)) if hv else None
+        if re.search(r"\bHAVING\b", tail, re.I) and not hv:
+            raise ValueError(
+                "unsupported HAVING form (supported: HAVING(?aggAlias <op> number))"
+            )
+        if having and not aggs:
+            raise ValueError("HAVING without an aggregate projection")
+        if having and having[0] not in {a for _, _, _, a in aggs}:
+            raise ValueError(f"HAVING references unknown aggregate alias ?{having[0]}")
+        if aggs:
+            keys = group_by or sel_vars
+            stray = [v for v in sel_vars if v not in keys]
+            if stray:
+                raise ValueError(f"non-grouped variables in aggregate SELECT: {stray}")
+            group_by = keys
         return Query(
             sel_vars,
             distinct,
@@ -1188,13 +1334,39 @@ def parse_sparql(q: str) -> Query:
             from_graphs=from_graphs or None,
             from_named=from_named or None,
             offset=int(off.group(1)) if off else None,
-            union_groups=union_groups,
+            union_branches=union_branches,
+            aggs=aggs or None,
+            group_by=group_by or None,
+            having=having,
+            construct=_parse_construct(construct_src, prefixes) if construct_src else None,
             ask=ask,
         )
-    if re.search(r"\bUNION\b", inner, re.I):
-        raise ValueError(
-            "UNION is only supported as the whole WHERE body: { BGP } UNION { BGP }"
+    # UNION sequences joined with the rest of the body: each becomes a
+    # select-* union sub-Query, joined to the required part on shared
+    # variables (NULL-compatible — SPARQL solution compatibility)
+    inner, _useq_srcs = _extract_union_seqs(inner)
+    union_joins = [
+        Query(
+            [],
+            False,
+            [],
+            [],
+            [],
+            None,
+            from_graphs=from_graphs or None,
+            from_named=from_named or None,
+            union_branches=_parse_branches(_split_union_branches(src)),
         )
+        for src in _useq_srcs
+    ]
+    if _kw_at_depth0(inner, "UNION"):
+        raise ValueError(
+            "unsupported UNION placement (supported: { group } UNION { group } "
+            "as the whole body or joined with other top-level patterns)"
+        )
+    # nested { SELECT ... } subqueries next: their bodies contain braces that
+    # every later single-level group regex would trip over
+    inner, subselects = _extract_subselects(inner, restore, prefixes)
     # GRAPH groups come out first (non-nested, plain triples inside): each
     # group's patterns carry the graph term — a constant restricts to that
     # named graph, a variable binds the graph column (joins when shared).
@@ -1351,9 +1523,9 @@ def parse_sparql(q: str) -> Query:
         if not re.fullmatch(r"[\s.]*", rest)
         else []
     ) + graph_quads
-    if not patterns and not values_groups and not subselects:
+    if not patterns and not values_groups and not subselects and not union_joins:
         raise ValueError("empty WHERE clause")
-    if exists_filters and not patterns:
+    if exists_filters and not patterns and not union_joins:
         raise ValueError("FILTER EXISTS needs a basic graph pattern to correlate with")
     tail = q[q.rindex("}") + 1 :]
     lim = _LIMIT_RE.search(tail)
@@ -1405,6 +1577,7 @@ def parse_sparql(q: str) -> Query:
         expr_filters=expr_filters or None,
         bool_filters=bool_filters or None,
         subselects=subselects or None,
+        union_joins=union_joins or None,
         having=having,
         ask=ask,
     )
@@ -1686,8 +1859,11 @@ def _compile_bgp(
     return aliases, binds, conds, ctes
 
 
-def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
-    """Aggregate SELECT -> (projection SQL, GROUP BY clause). Grouping keys
+def _agg_projection(
+    query: Query, vmap: dict[str, str]
+) -> tuple[str, str, list[str]]:
+    """Aggregate SELECT -> (projection SQL, GROUP BY clause, ordered output
+    column names). Grouping keys
     are the plain projected variables (or the explicit GROUP BY); COUNT works
     on lexical forms directly, SUM/AVG/MIN/MAX cast the lexical form to
     DOUBLE (numeric-literal aggregation; non-numeric forms become NULL and
@@ -1698,7 +1874,8 @@ def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
         raise ValueError(f"GROUP BY variables never bound: {missing}")
     # only SELECTed grouping keys are projected: SPARQL allows grouping by a
     # variable without projecting it, and the result shape must honor SELECT
-    parts = [f"{vmap[v]} AS {v}" for v in keys if v in query.select]
+    names = [v for v in keys if v in query.select]
+    parts = [f"{vmap[v]} AS {v}" for v in names]
     for func, distinct, var, alias in query.aggs:
         if var is not None and var not in vmap:
             raise ValueError(f"aggregate over unbound variable ?{var}")
@@ -1718,7 +1895,7 @@ def _agg_projection(query: Query, vmap: dict[str, str]) -> tuple[str, str]:
         else:
             parts.append(f"{func}({d}TRY_CAST({vmap[var]} AS DOUBLE)) AS {alias}")
     group = " GROUP BY " + ", ".join(vmap[v] for v in keys) if keys else ""
-    return ", ".join(parts), group
+    return ", ".join(parts), group, names + [a for _, _, _, a in query.aggs]
 
 
 def _order_limit(
@@ -1944,13 +2121,26 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
     subqueries onto the required part (optional-only variables are NULL —
     SPARQL unbound — when the group does not match). ``p+`` path patterns
     contribute recursive CTEs, hoisted to one outermost WITH RECURSIVE."""
+    return _to_sql_cols(query, triples_view)[0]
+
+
+def _to_sql_cols(
+    query: Query,
+    triples_view: str = "all_triples",
+    allow_empty_projection: bool = False,
+) -> tuple[str, list[str]]:
+    """``to_sql`` plus the ordered output column names — the UNION compiler
+    needs each branch's columns to build the NULL-padded positional union.
+    ``allow_empty_projection``: an all-constant UNION branch is legal (it
+    contributes its match rows, every union variable NULL) — compile it as
+    ``SELECT 1 AS __m`` instead of raising."""
     if query.describe:
         lst = ", ".join(_q(v) for v in query.describe)
         return (
             f"SELECT DISTINCT subj, pred, obj, o_lang, o_dt, graph "
             f"FROM {triples_view} WHERE subj IN ({lst}) "
             f"ORDER BY subj, pred, obj, graph"
-        )
+        ), ["subj", "pred", "obj", "o_lang", "o_dt", "graph"]
     if query.construct:
         from dataclasses import replace
 
@@ -1974,53 +2164,54 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             f"WITH __body AS ({body_sql}) "
             f"SELECT DISTINCT subj, pred, obj FROM ({' UNION ALL '.join(parts)}) "
             f"WHERE subj IS NOT NULL AND pred IS NOT NULL AND obj IS NOT NULL"
-        )
+        ), ["subj", "pred", "obj"]
     all_ctes: list[str] = []
 
     def _with(sql: str) -> str:
         if not all_ctes:
             return sql
         return "WITH RECURSIVE " + ", ".join(all_ctes) + " " + sql
-    if query.union_groups:
-        # multiset union of independent BGP branches; the projection is the
-        # SELECT list (or the union of branch variables), NULL where a branch
-        # leaves a variable unbound
+    if query.union_branches:
+        # multiset union of full sub-Queries (each branch carries its own
+        # FILTERs/BINDs/OPTIONALs and compiles self-contained — its CTEs live
+        # inside its own subquery). The union projection is the SELECT list
+        # (or the union of branch variables), NULL where a branch leaves a
+        # variable unbound; outer aggregates/GROUP BY run over the union.
+        compiled = [
+            _to_sql_cols(bq, triples_view, allow_empty_projection=True)
+            for bq in query.union_branches
+        ]
         all_vars: list[str] = []
-        compiled = []
-        for k, branch in enumerate(query.union_groups):
-            b_aliases, b_binds, b_conds, b_ctes = _compile_bgp(
-                branch, (query.from_graphs, query.from_named), triples_view, f"u{k}_"
-            )
-            all_ctes.extend(b_ctes)
-            compiled.append((b_aliases, b_binds, b_conds))
-            for v in b_binds:
-                if v not in all_vars and not v.startswith("__"):
+        for _, b_cols in compiled:
+            for v in b_cols:
+                if v not in all_vars:
                     all_vars.append(v)
-        out_vars = query.select or sorted(all_vars)
-        if not out_vars:
-            if query.ask:
-                out_vars = []
-            else:
+        if query.aggs:
+            base_vars = sorted(all_vars)
+        else:
+            base_vars = query.select or sorted(all_vars)
+            if not base_vars and not query.ask:
                 raise ValueError("query projects no variables")
-        never = [v for v in out_vars if all(v not in b for _, b, _ in compiled)]
+        never = [v for v in base_vars if all(v not in b for _, b in compiled)]
         if never:
             raise ValueError(f"SELECT variables never bound: {never}")
         parts = []
-        for b_aliases, b_binds, b_conds in compiled:
+        for k, (b_sql, b_cols) in enumerate(compiled):
             proj = ", ".join(
-                f"{b_binds[v]} AS {v}" if v in b_binds else f"NULL AS {v}"
-                for v in out_vars
+                v if v in b_cols else f"NULL AS {v}" for v in base_vars
             ) or "1 AS __m"
-            part = f"SELECT {proj} FROM {', '.join(b_aliases)}"
-            if b_conds:
-                part += " WHERE " + " AND ".join(b_conds)
-            parts.append(part)
+            parts.append(f"SELECT {proj} FROM ({b_sql}) __b{k}")
         sql = " UNION ALL ".join(parts)
         if query.ask:
-            return _with(f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask")
+            return f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask", ["ask"]
+        vmap = {v: v for v in base_vars}
+        if query.aggs:
+            proj, group, out_cols = _agg_projection(query, vmap)
+            sql = f"SELECT {proj} FROM ({sql}) __u{group}{_having_sql(query)}"
+            return sql + _order_limit(query, set(out_cols), vmap), out_cols
         if query.distinct:
             sql = f"SELECT DISTINCT * FROM ({sql})"
-        return _with(sql + _order_limit(query, set(out_vars)))
+        return sql + _order_limit(query, set(base_vars), vmap), base_vars
     aliases, binds, conds, p_ctes = _compile_bgp(
         query.patterns, (query.from_graphs, query.from_named), triples_view, "t"
     )
@@ -2036,6 +2227,22 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
         for v in sub_vars:
             if v in binds:
                 conds.append(f"{a}.{v} = {binds[v]}")
+            else:
+                binds[v] = f"{a}.{v}"
+    for k, uq in enumerate(query.union_joins or []):
+        # a union sequence joined with the body: shared variables join with
+        # SPARQL compatibility (an unbound/NULL side is compatible with
+        # anything; the merged binding is the bound one — COALESCE keeps
+        # later references correct even when both sides are nullable)
+        u_sql, u_cols = _to_sql_cols(uq, triples_view, allow_empty_projection=True)
+        a = f"uj{k}"
+        aliases.append(f"({u_sql}) {a}")
+        for v in u_cols:
+            if v in binds:
+                conds.append(
+                    f"({a}.{v} IS NULL OR {binds[v]} IS NULL OR {a}.{v} = {binds[v]})"
+                )
+                binds[v] = f"COALESCE({binds[v]}, {a}.{v})"
             else:
                 binds[v] = f"{a}.{v}"
     for k, (v_vars, v_rows) in enumerate(query.values_groups or []):
@@ -2140,17 +2347,18 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
                 raise ValueError(f"BOUND on unbound variable ?{v}")
             conds.append(f"{binds[v]} IS {'NOT NULL' if positive else 'NULL'}")
         if query.aggs:
-            proj, group = _agg_projection(query, binds)
+            proj, group, out_cols = _agg_projection(query, binds)
             projected = {a for _, _, _, a in query.aggs} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in binds if not v.startswith("__"))
-            if not out_vars and not query.ask:
+            if not out_vars and not query.ask and not allow_empty_projection:
                 raise ValueError("query projects no variables")
             missing = [v for v in out_vars if v not in binds]
             if missing:
                 raise ValueError(f"SELECT variables never bound: {missing}")
             proj = ", ".join(f"{binds[v]} AS {v}" for v in out_vars) or "1 AS __m"
             projected = set(out_vars)
+            out_cols = out_vars
         colmap = binds
         sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
         if conds:
@@ -2207,25 +2415,26 @@ def to_sql(query: Query, triples_view: str = "all_triples") -> str:
             outer_conds.append(f"{outer[v]} IS {'NOT NULL' if positive else 'NULL'}")
         where = " WHERE " + " AND ".join(outer_conds) if outer_conds else ""
         if query.aggs:
-            proj, group = _agg_projection(query, outer)
+            proj, group, out_cols = _agg_projection(query, outer)
             projected = {a for _, _, _, a in query.aggs} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in outer if not v.startswith("__"))
-            if not out_vars and not query.ask:
+            if not out_vars and not query.ask and not allow_empty_projection:
                 raise ValueError("query projects no variables")
             missing = [v for v in out_vars if v not in outer]
             if missing:
                 raise ValueError(f"SELECT variables never bound: {missing}")
             proj = ", ".join(f"{outer[v]} AS {v}" for v in out_vars) or "1 AS __m"
             projected = set(out_vars)
+            out_cols = out_vars
         colmap = outer
         sql = (
             f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
             f"FROM ({req}) r {' '.join(joins)}{where}{group}{_having_sql(query)}"
         )
     if query.ask:
-        return _with(f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask")
-    return _with(sql + _order_limit(query, projected, colmap))
+        return _with(f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask"), ["ask"]
+    return _with(sql + _order_limit(query, projected, colmap)), out_cols
 
 
 def run_sparql(out_dir: str, sparql: str):

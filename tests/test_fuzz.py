@@ -656,6 +656,98 @@ def test_sparql_union_matches_naive(store, br1, br2, distinct):
 
 
 @settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns, _patterns, st.sampled_from(_ALPHABET))
+def test_sparql_union_rich_branches_matches_naive(store, br1, br2, opt, c):
+    """Round-4 widening: UNION branches are full groups — a FILTER inside one
+    branch scopes to that branch only, and an OPTIONAL inside the other
+    left-joins inside that branch only."""
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    v1 = sorted({v for p in br1 for k, v in p if k == "var"})
+    fvar = v1[0] if v1 else None
+    b1 = render(br1) + (f' . FILTER(?{fvar} = "{c}")' if fvar else "")
+    b2 = f"{render(br2)} . OPTIONAL {{ {render(opt)} }}"
+    q = f"SELECT * WHERE {{ {{ {b1} }} UNION {{ {b2} }} }}"
+    cols, rows = _run_sql(store, q)
+    sols1 = [s for s in _naive_eval(store, br1) if fvar is None or s[fvar] == c]
+    sols2 = _naive_leftjoin(_naive_eval(store, br2), _naive_eval(store, opt))
+    used = sorted(
+        {v for ps in (br1, br2, opt) for p in ps for k, v in p if k == "var"}
+    )
+    want = [tuple(s.get(v) for v in used) for s in sols1 + sols2]
+    assert cols == used
+    assert Counter(rows) == Counter(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns, _patterns)
+def test_sparql_joined_union_matches_naive(store, req, br1, br2):
+    """Round-4 widening: a UNION sequence joined with other patterns —
+    Join(REQ, Union(A, B)) with SPARQL solution compatibility (a
+    branch-unbound shared variable is compatible with anything; the merged
+    binding is the bound one)."""
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    q = (
+        f"SELECT * WHERE {{ {render(req)} . "
+        f"{{ {render(br1)} }} UNION {{ {render(br2)} }} }}"
+    )
+    cols, rows = _run_sql(store, q)
+    union_sols = list(_naive_eval(store, br1)) + list(_naive_eval(store, br2))
+    want_sols = []
+    for l in _naive_eval(store, req):
+        for r in union_sols:
+            if all(r[v] == l[v] for v in r if v in l):
+                want_sols.append({**l, **r})
+    used = sorted(
+        {v for ps in (req, br1, br2) for p in ps for k, v in p if k == "var"}
+    )
+    want = [tuple(s.get(v) for v in used) for s in want_sols]
+    assert cols == used
+    assert Counter(rows) == Counter(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns, st.data())
+def test_sparql_agg_over_union_matches_naive(store, br1, br2, data):
+    """Round-4 widening: aggregates + GROUP BY over a whole-body UNION run on
+    the union's solution multiset — COUNT(?v) counts the solutions where ?v
+    is bound, and an unbound grouping variable groups as one NULL key."""
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    used = sorted(
+        {v for ps in (br1, br2) for p in ps for k, v in p if k == "var"}
+    )
+    gvar = data.draw(st.sampled_from(used))
+    cvar = data.draw(st.sampled_from(used))
+    q = (
+        f"SELECT ?{gvar} (COUNT(?{cvar}) AS ?n) WHERE "
+        f"{{ {{ {render(br1)} }} UNION {{ {render(br2)} }} }} GROUP BY ?{gvar}"
+    )
+    cols, rows = _run_sql(store, q)
+    sols = list(_naive_eval(store, br1)) + list(_naive_eval(store, br2))
+    want: dict[str | None, int] = {}
+    for s in sols:
+        key = s.get(gvar)
+        want[key] = want.get(key, 0) + (1 if s.get(cvar) is not None else 0)
+    assert sorted(cols) == sorted([gvar, "n"])
+    got = {r[cols.index(gvar)]: r[cols.index("n")] for r in rows}
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None)
 @given(_store, _patterns, st.data())
 def test_sparql_count_groupby_matches_naive(store, patterns, data):
     """(COUNT(?v) AS ?n) GROUP BY ?g == per-group solution counts of the

@@ -602,8 +602,28 @@ def test_sparql_union(kg_out):
     )
     r = mixed["r"].to_pylist()
     assert any(x is None for x in r) and any(x is not None for x in r)
-    with pytest.raises(ValueError, match="whole WHERE body"):
-        parse_sparql(pfx + "SELECT ?s WHERE { ?s a ex:Turn . { ?s a ex:A } UNION { ?s a ex:B } }")
+    # round-4 widening: a union sequence JOINED with other patterns compiles
+    # (subquery joined on shared vars); here ex:A/ex:B match nothing, so the
+    # join of turns with an empty union is empty
+    joined = run_sparql(
+        out,
+        pfx + "SELECT ?s WHERE { ?s a ex:Turn . { ?s a ex:A } UNION { ?s a ex:B } }",
+    )
+    assert joined.num_rows == 0
+    # and the joined form agrees with manual distribution over the branches
+    roles = run_sparql(
+        out,
+        pfx + 'SELECT ?s WHERE { ?s a ex:Turn . { ?s ex:role "user" } UNION { ?s ex:role "tool" } }',
+    )
+    dist = run_sparql(
+        out,
+        pfx + 'SELECT ?s WHERE { { ?s a ex:Turn . ?s ex:role "user" } UNION { ?s a ex:Turn . ?s ex:role "tool" } }',
+    )
+    assert sorted(roles["s"].to_pylist()) == sorted(dist["s"].to_pylist())
+    assert roles.num_rows > 0
+    # misplaced UNION (inside an OPTIONAL group) still raises loudly
+    with pytest.raises(ValueError):
+        parse_sparql(pfx + "SELECT ?s WHERE { ?s a ex:Turn . OPTIONAL { { ?s a ex:A } UNION { ?s a ex:B } } }")
 
 
 def test_sparql_filter_edge_forms():
@@ -630,8 +650,10 @@ def test_sparql_filter_edge_forms():
         parse_sparql("SELECT ?r WHERE { ?t <p> ?r . FILTER(WEIRD(?r)) }")
     with pytest.raises(ValueError, match=r"DISTINCT \*"):
         parse_sparql("SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?s ?p ?o }")
-    with pytest.raises(ValueError, match="UNION branches"):
-        parse_sparql("SELECT ?s WHERE { { ?s a <A> . FILTER(?s = <x>) } UNION { ?s a <B> } }")
+    # FILTER inside a UNION branch became supported in the round-4 widening:
+    # each branch compiles as a full sub-Query, the filter scoped to it
+    q = parse_sparql("SELECT ?s WHERE { { ?s a <A> . FILTER(?s = <x>) } UNION { ?s a <B> } }")
+    assert len(q.union_branches) == 2 and q.union_branches[0].filters
     # comparison/string FILTERs inside OPTIONAL became supported (LeftJoin
     # condition); other forms there still raise
     with pytest.raises(ValueError, match="inside OPTIONAL"):
