@@ -403,6 +403,25 @@ def _kg_sparql_union(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_expr(sf_dir: str):
+    """Round-4 expression widening served end-to-end: plain SELECT
+    expressions desugar to trailing BINDs, COALESCE over an OPTIONAL-only
+    variable defers past the LEFT JOIN, and IF compiles its comparison
+    condition to CASE WHEN."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        'SELECT ?turn (COALESCE(?tool, "none") AS ?tool_name) '
+        '(IF(STRLEN(?text) > 120, "long", "short") AS ?sz) WHERE {\n'
+        "  ?turn ex:text ?text .\n"
+        "  OPTIONAL { ?turn ex:tool ?tool }\n"
+        "}"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -875,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_undef": _kg_sparql_undef,
         "kg_sparql_bool": _kg_sparql_bool,
         "kg_sparql_union": _kg_sparql_union,
+        "kg_sparql_expr": _kg_sparql_expr,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -957,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),
         "kg_sparql_union": oracles.sparql_union_oracle(),
+        "kg_sparql_expr": oracles.sparql_expr_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "txt_token_stats": """

@@ -364,6 +364,22 @@ def sparql_union_oracle() -> str:
     )
 
 
+def sparql_expr_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_expr``:
+    { ?turn ex:text ?text . OPTIONAL { ?turn ex:tool ?tool } } with
+    COALESCE(?tool, "none") and IF(STRLEN(?text) > 120, ...) SELECT
+    expressions — a LEFT JOIN to the tool edges plus scalar projections."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT x.subj AS turn, coalesce(tl.obj, 'none') AS tool_name, "
+        f"CASE WHEN length(x.obj) > 120 THEN 'long' ELSE 'short' END AS sz "
+        f"FROM (SELECT subj, obj FROM t WHERE pred = {_q(vocab.P_TEXT)}) x "
+        f"LEFT JOIN (SELECT subj, obj FROM t "
+        f"WHERE pred = {_q(vocab.P_TOOL)}) tl ON tl.subj = x.subj"
+    )
+
+
 def sparql_groupconcat_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_groupconcat``:
     per-turn sorted distinct mentioned entities as one comma-joined string

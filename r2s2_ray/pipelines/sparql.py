@@ -90,9 +90,15 @@ columns — an IRI/bnode binding behaves like a plain literal here
 (the store keeps no kind column in the serving view; restrict the
 pattern to literal objects for exact SPARQL error semantics),
 ``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/
-REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR and +,-,*,/ arithmetic with
-TRY_CAST numeric coercion; later BINDs may reference earlier ones, and BIND
-targets work in FILTER/ORDER BY/SELECT),
+REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR/COALESCE/MD5/SHA256,
+``IF(cond, then, else)`` with an ``expr <op> expr`` condition, LANG/DATATYPE
+as expressions over object bindings, and +,-,*,/ arithmetic with
+TRY_CAST numeric coercion; later BINDs may reference earlier ones, BIND
+targets work in FILTER/ORDER BY/SELECT, and a BIND referencing
+OPTIONAL-only variables — ``COALESCE(?opt, "default")`` — defers to after
+the LEFT JOINs), plain SELECT expressions ``SELECT ?s (expr AS ?v)``
+(desugared to trailing BINDs; not combinable with aggregates or whole-body
+UNION),
 DISTINCT, ORDER BY (with ``ASC()``/``DESC()`` modifiers; variable keys
 compare lexical forms, and expression keys — ``DESC(STRLEN(?v))``,
 arithmetic, CONCAT — compile with the BIND grammar), LIMIT and OFFSET,
@@ -557,7 +563,7 @@ _ETOK_RE = re.compile(
              | (?P<str>"(?:[^"\\]|\\.)*")
              | (?P<num>\d+(?:\.\d+)?)
              | (?P<name>[A-Za-z_]\w*)
-             | (?P<op>[-+*/(),])
+             | (?P<op><=|>=|!=|[-+*/(),=<>])
          )""",
     re.X,
 )
@@ -581,6 +587,17 @@ _BIND_FUNCS = {
     "ROUND": ("round(TRY_CAST({} AS DOUBLE))", True),
     "CEIL": ("ceil(TRY_CAST({} AS DOUBLE))", True),
     "FLOOR": ("floor(TRY_CAST({} AS DOUBLE))", True),
+    # COALESCE = first non-error (here: non-NULL) argument; IF / LANG /
+    # DATATYPE are special-cased in _expr_sql (IF compiles to CASE WHEN and
+    # accepts an ``expr <op> expr`` comparison as its condition; LANG and
+    # DATATYPE read the stored o_lang / o_dt columns of an object binding,
+    # same caveats as the FILTER forms)
+    "COALESCE": ("coalesce", False),
+    "IF": ("", False),
+    "LANG": ("", False),
+    "DATATYPE": ("", False),
+    "MD5": ("md5", False),
+    "SHA256": ("sha256", False),
 }
 
 
@@ -631,10 +648,10 @@ def _parse_expr(src: str):
             if name not in _BIND_FUNCS:
                 raise ValueError(f"unsupported BIND function: {name}")
             eat("op", "(")
-            args = [add()]
+            args = [cmpexpr()]
             while peek() == ("op", ","):
                 eat()
-                args.append(add())
+                args.append(cmpexpr())
             eat("op", ")")
             return ("func", name, args)
         if k == "op" and v == "(":
@@ -656,6 +673,16 @@ def _parse_expr(src: str):
         while peek()[0] == "op" and peek()[1] in "+-":
             op = eat()
             node = ("bin", op, node, mul())
+        return node
+
+    def cmpexpr():
+        # a function ARGUMENT may be a comparison (IF's condition); the
+        # top-level expression stays additive — FILTER splits its own
+        # comparison before reaching this parser
+        node = add()
+        if peek()[0] == "op" and peek()[1] in ("=", "!=", "<", "<=", ">", ">="):
+            op = eat()
+            node = ("cmpe", node, op, add())
         return node
 
     node = add()
@@ -687,7 +714,35 @@ def _expr_sql(node, binds: dict[str, str]) -> str:
             return f"TRY_CAST({s} AS DOUBLE)"
 
         return f"({num(l)} {op} {num(r)})"
+    if kind == "cmpe":
+        _, l, op, r = node
+        return f"({_cmp_sql(l, op, r, binds)})"
     _, name, args = node
+    if name == "IF":
+        if len(args) != 3:
+            raise ValueError("IF takes exactly three arguments")
+        c, t, e = (_expr_sql(a, binds) for a in args)
+        return f"(CASE WHEN {c} THEN {t} ELSE {e} END)"
+    if name in ("LANG", "DATATYPE"):
+        # read the stored o_lang / o_dt columns of the variable's binding
+        # pattern — same mechanics and caveats as the FILTER forms (an
+        # IRI/bnode binding behaves like a plain literal here)
+        if len(args) != 1 or args[0][0] != "var":
+            raise ValueError(f"{name} takes exactly one variable argument")
+        col = binds.get(args[0][1])
+        if col is None:
+            raise ValueError(f"{name} on unbound variable ?{args[0][1]}")
+        if not col.endswith(".obj"):
+            raise ValueError(f"{name}(?{args[0][1]}) needs an object binding")
+        a = col[: -len(".obj")]
+        if name == "LANG":
+            return f"coalesce({a}.o_lang, '')"
+        xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+        rdf_langstring = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+        return (
+            f"coalesce({a}.o_dt, CASE WHEN {a}.o_lang IS NOT NULL "
+            f"THEN {_q(rdf_langstring)} ELSE {_q(xsd_string)} END)"
+        )
     sql_args = [_expr_sql(a, binds) for a in args]
     if name == "REPLACE":
         if len(sql_args) != 3:
@@ -710,6 +765,23 @@ def _expr_sql(node, binds: dict[str, str]) -> str:
             raise ValueError(f"{name} takes exactly one argument")
         return fn.format(sql_args[0])
     return f"{fn}({', '.join(sql_args)})"
+
+
+def _expr_vars(node) -> set[str]:
+    """Variable names an expression AST references."""
+    k = node[0]
+    if k == "var":
+        return {node[1]}
+    if k == "bin":
+        return _expr_vars(node[2]) | _expr_vars(node[3])
+    if k == "cmpe":
+        return _expr_vars(node[1]) | _expr_vars(node[3])
+    if k == "func":
+        out: set[str] = set()
+        for a in node[2]:
+            out |= _expr_vars(a)
+        return out
+    return set()
 
 
 def _expr_numeric(node) -> bool:
@@ -1091,6 +1163,21 @@ def _close_brace(src: str, i: int) -> int:
     return j
 
 
+def _close_paren(src: str, i: int) -> int:
+    """Index just past the paren matching the ``(`` at ``i`` (balanced scan)."""
+    depth, j = 1, i + 1
+    n = len(src)
+    while j < n and depth:
+        if src[j] == "(":
+            depth += 1
+        elif src[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        raise ValueError("unbalanced parentheses in SELECT")
+    return j
+
+
 #: text that OWNS the braced group opening right after it — such a group is
 #: that construct's body, never a union branch
 _GROUP_OWNER_RE = re.compile(
@@ -1241,6 +1328,38 @@ def parse_sparql(q: str) -> Query:
             )
         aggs.append((func, bool(m.group(2)), v, m.group(4)))
     sel_text = _AGG_RE.sub(" ", sel_text)
+    # plain SELECT expressions ``(expr AS ?v)`` (the aggregates are already
+    # removed): each desugars to a trailing BIND — same grammar, evaluated
+    # after the body's own BINDs — with ?v taking the expression's place in
+    # the projection
+    sel_binds: list[tuple[object, str]] = []
+    if "(" in sel_text:
+        sel_masked, sel_restore = _mask_literals(sel_text)
+        out_parts: list[str] = []
+        i = 0
+        while i < len(sel_masked):
+            if sel_masked[i] == "(":
+                j = _close_paren(sel_masked, i)
+                seg = sel_masked[i + 1 : j - 1]
+                am = _BIND_AS_RE.search(seg)
+                if not am:
+                    raise ValueError(
+                        f"unsupported SELECT expression (need (expr AS ?v)): "
+                        f"{sel_restore(seg)!r}"
+                    )
+                sel_binds.append(
+                    (_parse_expr(sel_restore(seg[: am.start()])), am.group(1))
+                )
+                out_parts.append(f" ?{am.group(1)} ")
+                i = j
+            else:
+                out_parts.append(sel_masked[i])
+                i += 1
+        sel_text = sel_restore("".join(out_parts))
+    if sel_binds and aggs:
+        raise ValueError(
+            "SELECT expressions combined with aggregate projections are not supported"
+        )
     from_graphs: list[str] = []
     from_named: list[str] = []
     for m in _FROM_RE.finditer(q[: q.find("{") if "{" in q else len(q)]):
@@ -1299,6 +1418,10 @@ def parse_sparql(q: str) -> Query:
 
     branch_srcs = _split_union_branches(inner)
     if branch_srcs is not None:
+        if sel_binds:
+            raise ValueError(
+                "SELECT expressions over a whole-body UNION are not supported"
+            )
         union_branches = _parse_branches(branch_srcs)
         tail = q[q.rindex("}") + 1 :]
         lim = _LIMIT_RE.search(tail)
@@ -1572,7 +1695,7 @@ def parse_sparql(q: str) -> Query:
         minus_groups=minus_groups or None,
         langdt_filters=langdt_filters or None,
         bound_filters=bound_filters or None,
-        bind_exprs=bind_exprs or None,
+        bind_exprs=(bind_exprs + sel_binds) or None,
         construct=_parse_construct(construct_src, prefixes) if construct_src else None,
         expr_filters=expr_filters or None,
         bool_filters=bool_filters or None,
@@ -2256,11 +2379,18 @@ def _to_sql_cols(
                 conds.append(f"(v{k}.{v} IS NULL OR v{k}.{v} = {binds[v]})")
             else:
                 binds[v] = f"v{k}.{v}"
+    deferred_binds: list[tuple[object, str]] = []
     for node, bv in query.bind_exprs or []:
         # assignment: computes over already-bound columns (and earlier BINDs);
-        # rebinding an existing variable is a SPARQL syntax error
+        # rebinding an existing variable is a SPARQL syntax error. A bind
+        # referencing OPTIONAL-only variables (COALESCE over an unmatched
+        # group is the idiom) defers to after the LEFT JOINs, where those
+        # variables exist as NULLable columns.
         if bv in binds:
             raise ValueError(f"BIND target ?{bv} is already bound")
+        if query.optionals and not (_expr_vars(node) <= set(binds)):
+            deferred_binds.append((node, bv))
+            continue
         binds[bv] = f"({_expr_sql(node, binds)})"
     for lhs, opc, rhs in query.expr_filters or []:
         conds.append(_cmp_sql(lhs, opc, rhs, binds))
@@ -2406,6 +2536,13 @@ def _to_sql_cols(
                 if v not in outer:
                     outer[v] = f"g{k}.{v}"
                     opt_bound.add(v)
+        # deferred BINDs (referencing OPTIONAL-only variables) compute over
+        # the post-join namespace — an unmatched group's NULL flows into the
+        # expression, which is what COALESCE is for
+        for node, bv in deferred_binds:
+            if bv in outer:
+                raise ValueError(f"BIND target ?{bv} is already bound")
+            outer[bv] = f"({_expr_sql(node, outer)})"
         # BOUND tests evaluate AFTER the left joins (a !BOUND over an
         # OPTIONAL-only variable is the standard anti-join idiom)
         outer_conds = []

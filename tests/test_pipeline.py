@@ -1082,6 +1082,71 @@ def test_sparql_bind():
         run('SELECT ?x WHERE { ?s <e:name> ?n . BIND(REPLACE(?n, "a") AS ?x) }')
 
 
+def test_sparql_select_expressions_and_new_functions():
+    """Round-4 widening: plain SELECT expressions (expr AS ?v) desugar to
+    trailing BINDs; COALESCE over an OPTIONAL-only variable defers to after
+    the LEFT JOINs; IF takes an expr <op> expr condition; LANG/DATATYPE work
+    as expressions; MD5/SHA256 hash lexical forms."""
+    import hashlib
+
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:name','alice', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'g1'),
+          ('e:a','e:age','30', NULL, NULL, 'g1'),
+          ('e:b','e:name','bob', NULL, NULL, 'g1'),
+          ('e:c','e:label','salut', 'fr', NULL, 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    # SELECT expression = trailing BIND
+    assert run(
+        "SELECT ?s (UCASE(?n) AS ?u) WHERE { ?s <e:name> ?n } ORDER BY ?s"
+    ) == [("e:a", "ALICE"), ("e:b", "BOB")]
+    # COALESCE over an OPTIONAL-only variable (deferred past the LEFT JOIN)
+    assert run(
+        'SELECT ?s (COALESCE(?a, "unknown") AS ?age) WHERE '
+        "{ ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a } } ORDER BY ?s"
+    ) == [("e:a", "30"), ("e:b", "unknown")]
+    # IF with a comparison condition; numeric coercion on the comparison
+    assert run(
+        'SELECT ?s (IF(STRLEN(?n) > 3, "long", "short") AS ?k) '
+        "WHERE { ?s <e:name> ?n } ORDER BY ?s"
+    ) == [("e:a", "long"), ("e:b", "short")]
+    # LANG/DATATYPE as expressions
+    assert run(
+        "SELECT ?s ?l WHERE { ?s <e:label> ?v . BIND(LANG(?v) AS ?l) }"
+    ) == [("e:c", "fr")]
+    assert run(
+        "SELECT ?d WHERE { <e:a> <e:name> ?v . BIND(DATATYPE(?v) AS ?d) }"
+    ) == [("http://www.w3.org/2001/XMLSchema#string",)]
+    # hashes match the spec'd digest of the lexical form
+    assert run(
+        "SELECT (MD5(?n) AS ?h) WHERE { <e:b> <e:name> ?n }"
+    ) == [(hashlib.md5(b"bob").hexdigest(),)]
+    assert run(
+        "SELECT (SHA256(?n) AS ?h) WHERE { <e:b> <e:name> ?n }"
+    ) == [(hashlib.sha256(b"bob").hexdigest(),)]
+    # malformed SELECT expressions raise
+    with pytest.raises(ValueError, match="SELECT expression"):
+        parse_sparql("SELECT ?s (UCASE(?n)) WHERE { ?s <e:name> ?n }")
+    with pytest.raises(ValueError, match="aggregate"):
+        parse_sparql(
+            "SELECT (COUNT(?s) AS ?c) (STRLEN(?n) AS ?l) WHERE { ?s <e:name> ?n }"
+        )
+    # LANG needs an object binding
+    with pytest.raises(ValueError, match="object binding"):
+        run("SELECT ?l WHERE { ?s <e:name> ?n . BIND(LANG(?s) AS ?l) }")
+
+
 def test_sparql_construct():
     """CONSTRUCT { template } WHERE { body }: the body compiles like SELECT,
     each template triple instantiates per solution (constants pass through,
