@@ -74,7 +74,9 @@ shared projected variables) (plain projected variables must be grouping keys; CO
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
 non-numeric forms — SPARQL error-skipping),
 ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` inline-data groups
-inside the WHERE body (terms constrain/bind lexical forms; ``UNDEF`` cells
+inside the WHERE body AND as the trailing post-solution-modifier clause
+(``… } ORDER BY ?x LIMIT 5 VALUES ?v { … }`` — spliced into the body, the
+same join semantics; terms constrain/bind lexical forms; ``UNDEF`` cells
 constrain nothing on their row and leave otherwise-unbound variables
 unbound),
 ``FILTER (NOT) EXISTS { BGP }`` (correlated semi/anti-join; group-local
@@ -83,7 +85,9 @@ variables are scoped, shared variables correlate — standard SPARQL),
 variable removes nothing — the SPARQL MINUS/NOT-EXISTS divergence),
 ``FILTER(BOUND(?v))`` / ``FILTER(!BOUND(?v))`` (evaluated AFTER OPTIONAL
 joins — the classic OPTIONAL+!BOUND anti-join idiom works),
-``FILTER(LANG(?v) =/!= "en")`` (case-insensitive, ``""`` = untagged) and
+``FILTER(LANG(?v) =/!= "en")`` (case-insensitive, ``""`` = untagged),
+``FILTER(LANGMATCHES(LANG(?v), "range"))`` (RFC 4647 basic filtering —
+``"en"`` matches ``en`` and ``en-US``, ``"*"`` any tagged literal) and
 ``FILTER(DATATYPE(?v) =/!= <dt>)`` (``xsd:string`` = plain untagged,
 ``rdf:langString`` = lang-tagged) over the stored ``o_lang``/``o_dt``
 columns — an IRI/bnode binding behaves like a plain literal here
@@ -302,6 +306,10 @@ _VALUES_RE = re.compile(r"VALUES\s+(\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{([^{}]*)\}",
 _EXISTS_RE = re.compile(r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", re.I)
 _MINUS_RE = re.compile(r"MINUS\s*\{([^{}]*)\}", re.I)
 _BOUND_RE = re.compile(r"FILTER\s*\(\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*\)", re.I)
+_LANGMATCHES_RE = re.compile(
+    r"FILTER\s*\(\s*LANGMATCHES\s*\(\s*LANG\s*\(\s*\?(\w+)\s*\)\s*,\s*(\S+?)\s*\)\s*\)",
+    re.I,
+)
 _LANGDT_RE = re.compile(
     r"FILTER\s*\(\s*(LANG|DATATYPE)\s*\(\s*\?(\w+)\s*\)\s*(=|!=)\s*(\S+?)\s*\)", re.I
 )
@@ -1296,6 +1304,19 @@ def parse_sparql(q: str) -> Query:
     if not re.search(r"\bSELECT\b", q, re.I) and re.search(r"\bASK\b", q, re.I):
         q = re.sub(r"\bASK\s*(?:WHERE\s*)?\{", "SELECT * WHERE {", q, count=1, flags=re.I)
         ask = True
+    # trailing VALUES clause (the SPARQL grammar's post-solution-modifier
+    # position: ``... } ORDER BY ... LIMIT ... VALUES ?x { ... }``): joins
+    # the query solutions exactly like an in-body VALUES group — splice it
+    # inside the WHERE body's closing brace (masked scan: a "VALUES" inside
+    # a quoted literal is data)
+    _mq, _mrestore = _mask_literals(q)
+    _tv = re.search(
+        r"(VALUES\s+(?:\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{[^{}]*\})\s*$", _mq, re.I
+    )
+    if _tv and "}" in _mq[: _tv.start()]:
+        rest = _mrestore(_mq[: _tv.start()])
+        k = rest.rindex("}")
+        q = rest[:k] + " " + _mrestore(_tv.group(1)) + " " + rest[k:]
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
     sel = _SELECT_RE.search(q)
     if not sel:
@@ -1563,6 +1584,14 @@ def parse_sparql(q: str) -> Query:
             (m.group(1).lower(), m.group(2), m.group(3), _parse_term(restore(m.group(4)), prefixes))
         )
     inner = _LANGDT_RE.sub(" ", inner)
+    # FILTER(LANGMATCHES(LANG(?v), "range")): basic language-range matching —
+    # "*" matches any tagged literal, "en" matches "en" and "en-US"
+    for m in _LANGMATCHES_RE.finditer(inner):
+        rng = _parse_term(restore(m.group(2)), prefixes)
+        if rng.kind != "lit":
+            raise ValueError("LANGMATCHES takes a plain string language range")
+        langdt_filters.append(("langmatches", m.group(1), "=", rng))
+    inner = _LANGMATCHES_RE.sub(" ", inner)
     # string-function FILTERs first (their own regex would otherwise be
     # half-eaten by the comparison form): REGEX/STRSTARTS/CONTAINS(?v, "lit")
     filters = []
@@ -2438,7 +2467,18 @@ def _to_sql_cols(
         if not col.endswith(".obj"):
             raise ValueError(f"{func.upper()}(?{var}) needs an object binding")
         a = col[: -len(".obj")]
-        if func == "lang":
+        if func == "langmatches":
+            # basic language ranges: "*" = any tagged literal; "en" matches
+            # "en" and "en-US" (case-insensitive, RFC 4647 basic filtering)
+            rng = term.value.lower()
+            if rng == "*":
+                expr = f"{a}.o_lang IS NOT NULL"
+            else:
+                expr = (
+                    f"(lower({a}.o_lang) = {_q(rng)} OR "
+                    f"starts_with(lower({a}.o_lang), {_q(rng + '-')}))"
+                )
+        elif func == "lang":
             if term.kind != "lit":
                 raise ValueError("LANG compares against a plain string literal")
             # lang tags match case-insensitively; "" = no language tag

@@ -762,6 +762,15 @@ def test_sparql_values_exists_bound_order():
         ("2",),
         ("1",),
     ]
+    # round-4: the trailing VALUES clause (post-solution-modifier grammar
+    # position) joins the query solutions like an in-body VALUES group
+    assert run(
+        'SELECT ?s ?n WHERE { ?s <e:name> ?n } ORDER BY ?s VALUES ?n { "alice" "carol" }'
+    ) == [("s1", "alice"), ("s3", "carol")]
+    assert run(
+        'SELECT ?s WHERE { { ?s <e:name> "alice" } UNION { ?s <e:name> "bob" } } '
+        'VALUES ?s { "s2" "s3" }'
+    ) == [("s2",)]
     assert run(
         "SELECT ?s WHERE { ?s <e:name> ?n . FILTER EXISTS { ?s <e:age> ?a } } ORDER BY ?s"
     ) == [("s1",), ("s3",)]
@@ -852,6 +861,14 @@ def test_sparql_minus_lang_datatype():
         run('SELECT ?s WHERE { ?s <e:name> ?n . FILTER(LANG(?z) = "en") }')
     with pytest.raises(ValueError, match="datatype IRI"):
         run('SELECT ?s WHERE { ?s <e:name> ?n . FILTER(DATATYPE(?n) = "x") }')
+    # round-4: LANGMATCHES basic filtering — a range matches itself and its
+    # subtags case-insensitively; "*" matches any tagged literal
+    assert run(
+        'SELECT ?s WHERE { ?s <e:label> ?l . FILTER(LANGMATCHES(LANG(?l), "DE")) }'
+    ) == [("s1",)]
+    assert run(
+        'SELECT ?s WHERE { ?s <e:label> ?l . FILTER(LANGMATCHES(LANG(?l), "*")) } ORDER BY ?s'
+    ) == [("s1",), ("s2",)]
 
 
 def test_cc_separator_adversarial_node_ids():
