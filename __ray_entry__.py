@@ -422,6 +422,21 @@ def _kg_sparql_expr(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_kinds(sf_dir: str):
+    """Round-4 term-kind filters served end-to-end: isLiteral/isBlank compile
+    onto the serving views' constant s_kind/o_kind columns (exact — the
+    store's table split is by kind), here selecting every literal statement
+    about non-bnode subjects across a variable predicate."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "SELECT DISTINCT ?s ?p ?o WHERE { ?s ?p ?o . "
+        "FILTER(isLiteral(?o)) . FILTER(!isBlank(?s)) }"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_roundtrip(sf_dir: str):
     out = _pipeline_out(sf_dir)
     from r2s2_ray.pipelines.serve import reassemble_triples
@@ -895,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_bool": _kg_sparql_bool,
         "kg_sparql_union": _kg_sparql_union,
         "kg_sparql_expr": _kg_sparql_expr,
+        "kg_sparql_kinds": _kg_sparql_kinds,
         "kg_connected_components": _kg_connected_components,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
@@ -978,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_bool": oracles.sparql_bool_oracle(),
         "kg_sparql_union": oracles.sparql_union_oracle(),
         "kg_sparql_expr": oracles.sparql_expr_oracle(),
+        "kg_sparql_kinds": oracles.sparql_kinds_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "txt_token_stats": """

@@ -380,6 +380,18 @@ def sparql_expr_oracle() -> str:
     )
 
 
+def sparql_kinds_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_kinds``: the
+    distinct (subj, pred, obj) statements with a literal object and a
+    non-bnode subject — the raw store's kind columns make this a direct
+    predicate."""
+    return (
+        f"SELECT DISTINCT subj AS s, pred AS p, obj AS o "
+        f"FROM ({raw_triples_sql(linked=True)}) "
+        f"WHERE s_kind != 0 AND o_kind = 2"
+    )
+
+
 def sparql_groupconcat_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_groupconcat``:
     per-turn sorted distinct mentioned entities as one comma-joined string

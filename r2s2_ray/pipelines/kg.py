@@ -419,6 +419,14 @@ def run_pipeline(
         return m4
     # ---- step 4: serving artifacts (R2RML + DuckDB views) ---------------------
     m5 = _load_or_none(out_dir, 4, "serve", resume)
+    if m5 is not None:
+        # the serving artifacts are pure derivations of the manifest (~ms to
+        # emit) — rewrite them on resume so an out-dir built by an older
+        # binary always serves with the current view schema
+        from . import serve
+
+        serve.write_views_sql(out_dir, m5)
+        serve.write_r2rml(out_dir, m5)
     if m5 is None:
         with StageTimer(metrics, "step4_s"):
             from . import serve

@@ -96,9 +96,13 @@ def pm_view_sql(t: TableSpec, i: int, pm: PredicateMapSpec, graphs: list[str]) -
         f"{o_lang} AS o_lang, {o_dt} AS o_dt, {gid} AS gid "
         f"FROM {src} WHERE {g} IS NOT NULL"
     )
+    # s_kind / o_kind are STATIC per predicate-map (the table split is by
+    # kind), so the views expose them as constants — exact isIRI/isBlank/
+    # isLiteral SPARQL filters at zero storage cost
     return (
         f"CREATE OR REPLACE VIEW v_{t.name}_{i} AS "
-        f"SELECT subj, pred, obj, o_lang, o_dt, {_graph_case(graphs)} AS graph FROM ({inner});"
+        f"SELECT subj, pred, obj, o_lang, o_dt, {_graph_case(graphs)} AS graph, "
+        f"{t.subj_kind} AS s_kind, {pm.obj_kind} AS o_kind FROM ({inner});"
     )
 
 
@@ -325,4 +329,8 @@ def reassemble_triples(out_dir: str):
     for stmt in fs_read_text(os.path.join(out_dir, "views.sql")).split(";\n"):
         if stmt.strip():
             con.execute(stmt)
-    return con.execute("SELECT * FROM all_triples").arrow()
+    # explicit columns: the round-trip contract is the six triple columns —
+    # the views' constant s_kind/o_kind serving columns stay out of it
+    return con.execute(
+        "SELECT subj, pred, obj, o_lang, o_dt, graph FROM all_triples"
+    ).arrow()

@@ -91,8 +91,12 @@ joins — the classic OPTIONAL+!BOUND anti-join idiom works),
 ``FILTER(DATATYPE(?v) =/!= <dt>)`` (``xsd:string`` = plain untagged,
 ``rdf:langString`` = lang-tagged) over the stored ``o_lang``/``o_dt``
 columns — an IRI/bnode binding behaves like a plain literal here
-(the store keeps no kind column in the serving view; restrict the
-pattern to literal objects for exact SPARQL error semantics),
+(combine with a kind filter for exact SPARQL error semantics),
+``FILTER((!)isIRI/isURI/isBlank/isLiteral/isNumeric(?v))`` term-kind tests
+over the serving views' constant ``s_kind``/``o_kind`` columns (exact —
+the store's table split is by kind; isNumeric = literal with a numeric XSD
+datatype, per spec untyped lexical numbers are not numeric; needs a direct
+triple-pattern binding),
 ``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/
 REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR/COALESCE/MD5/SHA256,
 ``IF(cond, then, else)`` with an ``expr <op> expr`` condition, LANG/DATATYPE
@@ -259,6 +263,10 @@ class Query:
     #: FILTER(BOUND(?v)) / FILTER(!BOUND(?v)): (var, positive) — applied
     #: AFTER OPTIONAL left joins (the anti-join idiom)
     bound_filters: list[tuple[str, bool]] | None = None
+    #: FILTER((!)isIRI/isBlank/isLiteral/isNumeric(?v)): (func, var,
+    #: positive) — compiled onto the serving views' constant s_kind/o_kind
+    #: columns (exact, the table split is by kind)
+    kind_filters: list[tuple[str, str, bool]] | None = None
     #: BIND(expr AS ?v) assignments in textual order (later ones may
     #: reference earlier ones): (expression AST, target variable)
     bind_exprs: list[tuple[object, str]] | None = None
@@ -306,6 +314,11 @@ _VALUES_RE = re.compile(r"VALUES\s+(\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{([^{}]*)\}",
 _EXISTS_RE = re.compile(r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", re.I)
 _MINUS_RE = re.compile(r"MINUS\s*\{([^{}]*)\}", re.I)
 _BOUND_RE = re.compile(r"FILTER\s*\(\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*\)", re.I)
+_KINDF_RE = re.compile(
+    r"FILTER\s*\(\s*(!)?\s*(isIRI|isURI|isBlank|isLiteral|isNumeric)\s*"
+    r"\(\s*\?(\w+)\s*\)\s*\)",
+    re.I,
+)
 _LANGMATCHES_RE = re.compile(
     r"FILTER\s*\(\s*LANGMATCHES\s*\(\s*LANG\s*\(\s*\?(\w+)\s*\)\s*,\s*(\S+?)\s*\)\s*\)",
     re.I,
@@ -1584,6 +1597,13 @@ def parse_sparql(q: str) -> Query:
             (m.group(1).lower(), m.group(2), m.group(3), _parse_term(restore(m.group(4)), prefixes))
         )
     inner = _LANGDT_RE.sub(" ", inner)
+    # FILTER((!)isIRI/isBlank/isLiteral/isNumeric(?v)): term-kind tests over
+    # the serving views' constant kind columns
+    kind_filters = [
+        (m.group(2).lower(), m.group(3), not m.group(1))
+        for m in _KINDF_RE.finditer(inner)
+    ]
+    inner = _KINDF_RE.sub(" ", inner)
     # FILTER(LANGMATCHES(LANG(?v), "range")): basic language-range matching —
     # "*" matches any tagged literal, "en" matches "en" and "en-US"
     for m in _LANGMATCHES_RE.finditer(inner):
@@ -1724,6 +1744,7 @@ def parse_sparql(q: str) -> Query:
         minus_groups=minus_groups or None,
         langdt_filters=langdt_filters or None,
         bound_filters=bound_filters or None,
+        kind_filters=kind_filters or None,
         bind_exprs=(bind_exprs + sel_binds) or None,
         construct=_parse_construct(construct_src, prefixes) if construct_src else None,
         expr_filters=expr_filters or None,
@@ -2500,6 +2521,45 @@ def _to_sql_cols(
             else:
                 expr = f"coalesce({a}.o_dt, '') = {_q(term.value)}"
         conds.append(f"NOT ({expr})" if op == "!=" else expr)
+    for func, var, positive in query.kind_filters or []:
+        # term-kind tests over the views' constant s_kind/o_kind columns
+        # (KIND_BNODE=0, KIND_IRI=1, KIND_LITERAL=2). A predicate/graph
+        # binding is an IRI by construction. isNumeric = literal with a
+        # numeric XSD datatype (untyped lexical numbers are NOT isNumeric —
+        # the spec's typed-literal rule).
+        col = binds.get(var)
+        if col is None:
+            raise ValueError(f"{func} on unbound variable ?{var}")
+        if col.endswith(".obj"):
+            a = col[: -len(".obj")]
+            kind_col = f"{a}.o_kind"
+        elif col.endswith(".subj"):
+            a = col[: -len(".subj")]
+            kind_col = f"{a}.s_kind"
+        elif col.endswith(".pred") or col.endswith(".graph"):
+            kind_col = "1"  # always an IRI
+        else:
+            raise ValueError(
+                f"{func}(?{var}) needs a direct triple-pattern binding"
+            )
+        if func == "isnumeric":
+            if not col.endswith(".obj"):
+                expr = "FALSE"
+            else:
+                numeric_dts = ", ".join(
+                    _q(f"http://www.w3.org/2001/XMLSchema#{n}")
+                    for n in (
+                        "integer", "decimal", "float", "double", "int", "long",
+                        "short", "byte", "nonNegativeInteger", "positiveInteger",
+                        "nonPositiveInteger", "negativeInteger", "unsignedInt",
+                        "unsignedLong", "unsignedShort", "unsignedByte",
+                    )
+                )
+                expr = f"({kind_col} = 2 AND {a}.o_dt IN ({numeric_dts}))"
+        else:
+            want = {"isiri": 1, "isuri": 1, "isblank": 0, "isliteral": 2}[func]
+            expr = f"{kind_col} = {want}"
+        conds.append(expr if positive else f"NOT ({expr})")
     for var, op, term in query.filters:
         if op in ("in", "not in"):
             if var not in binds:

@@ -871,6 +871,46 @@ def test_sparql_minus_lang_datatype():
     ) == [("s1",), ("s2",)]
 
 
+def test_sparql_kind_filters():
+    """Round-4: isIRI/isBlank/isLiteral/isNumeric compile onto the serving
+    views' constant s_kind/o_kind columns; predicate bindings are IRIs by
+    construction; isNumeric needs a numeric XSD datatype."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:knows','e:b', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'g', 1, 1),
+          ('e:a','e:name','alice', NULL, NULL, 'g', 1, 2),
+          ('e:a','e:age','30', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g', 1, 2),
+          ('_:b1','e:name','from-bnode', NULL, NULL, 'g', 0, 2),
+          ('e:a','e:ref','_:b1', NULL, NULL, 'g', 1, 0)
+        ) t(subj, pred, obj, o_lang, o_dt, graph, s_kind, o_kind)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run("SELECT ?o WHERE { <e:a> ?p ?o . FILTER(isIRI(?o)) }") == [("e:b",)]
+    assert sorted(
+        run("SELECT ?o WHERE { <e:a> ?p ?o . FILTER(isLiteral(?o)) }")
+    ) == [("30",), ("alice",)]
+    assert run("SELECT ?o WHERE { <e:a> ?p ?o . FILTER(isBlank(?o)) }") == [("_:b1",)]
+    # only the xsd:integer-typed literal is numeric; "alice"/untyped are not
+    assert run("SELECT ?o WHERE { <e:a> ?p ?o . FILTER(isNumeric(?o)) }") == [("30",)]
+    # subject-side kind + negation
+    assert run(
+        "SELECT ?s WHERE { ?s <e:name> ?n . FILTER(!isBlank(?s)) }"
+    ) == [("e:a",)]
+    # a predicate binding is an IRI by construction (no row filtered)
+    assert len(run("SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?p)) }")) == 5
+    with pytest.raises(ValueError, match="unbound"):
+        run("SELECT ?s WHERE { ?s <e:name> ?n . FILTER(isIRI(?z)) }")
+
+
 def test_cc_separator_adversarial_node_ids():
     """Edge identity must hash the (src, dst) STRUCT, not a separator-joined
     string: nodes ("a\\x1fb","c") and ("a","b\\x1fc") form two disjoint
