@@ -16,7 +16,10 @@ LeftJoin(A, LeftJoin(B, C)) algebra; optional-only variables project as
 NULL when unmatched — SPARQL unbound; comparison / string-function /
 boolean-connective / expression FILTERs and BINDs INSIDE a group compile
 into the LeftJoin condition / group scope — a failing filter or an
-unmatched group yields NULL, never eliminates the outer row),
+unmatched group yields NULL, never eliminates the outer row; a group
+holding UNION/VALUES/GRAPH/MINUS/EXISTS/subselect forms re-parses WHOLE as
+a select-* sub-Query and LEFT JOINs with NULL-compatible conditions on
+every shared variable),
 non-nested ``GRAPH <g>/?g { ... }`` groups (a constant restricts its patterns
 to that named graph; a variable binds the graph column and joins when shared),
 anonymous blank nodes ``[]`` (each a fresh never-projected variable),
@@ -96,7 +99,9 @@ columns — an IRI/bnode binding behaves like a plain literal here
 over the serving views' constant ``s_kind``/``o_kind`` columns (exact —
 the store's table split is by kind; isNumeric = literal with a numeric XSD
 datatype, per spec untyped lexical numbers are not numeric; needs a direct
-triple-pattern binding),
+triple-pattern binding), ``FILTER((!)sameTerm(?a, ?b|term))`` (lexical-form
+identity plus lang-tag/datatype identity when both sides are object
+bindings),
 ``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/
 REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR/COALESCE/MD5/SHA256,
 ``IF(cond, then, else)`` with an ``expr <op> expr`` condition, LANG/DATATYPE
@@ -213,6 +218,11 @@ class OptGroup:
     #: group-local boolean / expression FILTERs (_parse_bool ASTs) — same
     #: LeftJoin-condition placement as ``filters``
     bools: list[object]
+    #: when the group body holds forms the OptGroup shape can't carry
+    #: (UNION/VALUES/GRAPH/MINUS/EXISTS/subselects), the WHOLE group
+    #: re-parses as a select-* sub-Query and LEFT JOINs with NULL-compatible
+    #: conditions on every shared variable; the other fields are empty then
+    subquery: "Query | None" = None
 
 
 @dataclass
@@ -267,6 +277,10 @@ class Query:
     #: positive) — compiled onto the serving views' constant s_kind/o_kind
     #: columns (exact, the table split is by kind)
     kind_filters: list[tuple[str, str, bool]] | None = None
+    #: FILTER((!)sameTerm(?a, ?b|term)): (var, var-or-constant-Term,
+    #: positive) — lexical-form identity plus, when both sides are object
+    #: bindings, lang-tag and datatype identity
+    sameterm_filters: list[tuple[str, object, bool]] | None = None
     #: BIND(expr AS ?v) assignments in textual order (later ones may
     #: reference earlier ones): (expression AST, target variable)
     bind_exprs: list[tuple[object, str]] | None = None
@@ -314,6 +328,10 @@ _VALUES_RE = re.compile(r"VALUES\s+(\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{([^{}]*)\}",
 _EXISTS_RE = re.compile(r"FILTER\s+(NOT\s+)?EXISTS\s*\{([^{}]*)\}", re.I)
 _MINUS_RE = re.compile(r"MINUS\s*\{([^{}]*)\}", re.I)
 _BOUND_RE = re.compile(r"FILTER\s*\(\s*(!)?\s*BOUND\s*\(\s*\?(\w+)\s*\)\s*\)", re.I)
+_SAMETERM_RE = re.compile(
+    r"FILTER\s*\(\s*(!)?\s*sameTerm\s*\(\s*\?(\w+)\s*,\s*(\?\w+|\S+?)\s*\)\s*\)",
+    re.I,
+)
 _KINDF_RE = re.compile(
     r"FILTER\s*\(\s*(!)?\s*(isIRI|isURI|isBlank|isLiteral|isNumeric)\s*"
     r"\(\s*\?(\w+)\s*\)\s*\)",
@@ -1013,16 +1031,41 @@ def _extract_braced(inner: str, open_re: re.Pattern) -> tuple[str, list[str]]:
         inner = inner[: m.start()] + " " + inner[j:]
 
 
+#: group forms inside OPTIONAL that route the whole group through the
+#: sub-Query fallback (the OptGroup shape carries only BGP+FILTER+BIND+
+#: nested OPTIONALs)
+_OPT_SUBQ_KW_RE = re.compile(
+    r"\b(UNION|VALUES|GRAPH|MINUS|SERVICE)\b"
+    r"|\bFILTER\s+(NOT\s+)?EXISTS\b"
+    r"|\{\s*SELECT\b",
+    re.I,
+)
+
+
 def _parse_opt_group(
-    body: str, restore, prefixes: dict[str, str], fresh
+    body: str, restore, prefixes: dict[str, str], fresh, dataset_clause: str = ""
 ) -> OptGroup:
     """One (masked) OPTIONAL group body -> OptGroup, recursing into nested
     OPTIONALs first. Supported inside a group: triples (incl. paths and
     property lists), comparison / string-function FILTERs, BINDs, nested
-    OPTIONALs; other group forms (GRAPH/VALUES/UNION/EXISTS/MINUS) inside an
-    OPTIONAL are rejected loudly."""
+    OPTIONALs. Other group forms (UNION/VALUES/GRAPH/MINUS/EXISTS/
+    subselects) route the WHOLE group through a select-* sub-Query re-parse
+    — one LEFT JOIN of a self-contained subquery, NULL-compatible on every
+    shared variable (required-part variables are never NULL, so the
+    compatibility join degrades to plain equality there)."""
+    if any(
+        _at_depth0(body, m.start()) for m in _OPT_SUBQ_KW_RE.finditer(body)
+    ):
+        decls = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in prefixes.items())
+        sub = parse_sparql(
+            decls + "SELECT * " + dataset_clause + " WHERE {" + restore(body) + "}"
+        )
+        return OptGroup([], [], [], [], [], subquery=sub)
     body, child_srcs = _extract_braced(body, _OPT_OPEN_RE)
-    children = [_parse_opt_group(c, restore, prefixes, fresh) for c in child_srcs]
+    children = [
+        _parse_opt_group(c, restore, prefixes, fresh, dataset_clause)
+        for c in child_srcs
+    ]
     body, binds = _extract_binds(body, restore)
     filters: list[tuple[str, str, Term]] = [
         _parse_ffunc(fm, restore, prefixes) for fm in _FFUNC_RE.finditer(body)
@@ -1564,7 +1607,14 @@ def parse_sparql(q: str) -> Query:
     # remove the outer row): the comparison and string-function forms compile
     # into the group's subquery; other FILTER forms there are rejected loudly
     inner, _opt_srcs = _extract_braced(inner, _OPT_OPEN_RE)
-    optionals = [_parse_opt_group(src, restore, prefixes, fresh) for src in _opt_srcs]
+    _ds_clause = " ".join(
+        [f"FROM <{g}>" for g in from_graphs]
+        + [f"FROM NAMED <{g}>" for g in from_named]
+    )
+    optionals = [
+        _parse_opt_group(src, restore, prefixes, fresh, _ds_clause)
+        for src in _opt_srcs
+    ]
     # VALUES inline-data groups and FILTER (NOT) EXISTS groups — extracted
     # AFTER the OPTIONAL scan on purpose: one of these nested inside an
     # OPTIONAL body leaves that OPTIONAL unmatched (nested braces) and the
@@ -1597,6 +1647,17 @@ def parse_sparql(q: str) -> Query:
             (m.group(1).lower(), m.group(2), m.group(3), _parse_term(restore(m.group(4)), prefixes))
         )
     inner = _LANGDT_RE.sub(" ", inner)
+    # FILTER((!)sameTerm(?a, ?b)): term identity — lexical forms plus
+    # lang/datatype when both sides are object bindings
+    sameterm_filters: list[tuple[str, object, bool]] = []
+    for m in _SAMETERM_RE.finditer(inner):
+        rhs: object = (
+            m.group(3)[1:]
+            if m.group(3).startswith("?")
+            else _parse_term(restore(m.group(3)), prefixes)
+        )
+        sameterm_filters.append((m.group(2), rhs, not m.group(1)))
+    inner = _SAMETERM_RE.sub(" ", inner)
     # FILTER((!)isIRI/isBlank/isLiteral/isNumeric(?v)): term-kind tests over
     # the serving views' constant kind columns
     kind_filters = [
@@ -1745,6 +1806,7 @@ def parse_sparql(q: str) -> Query:
         langdt_filters=langdt_filters or None,
         bound_filters=bound_filters or None,
         kind_filters=kind_filters or None,
+        sameterm_filters=sameterm_filters or None,
         bind_exprs=(bind_exprs + sel_binds) or None,
         construct=_parse_construct(construct_src, prefixes) if construct_src else None,
         expr_filters=expr_filters or None,
@@ -2181,6 +2243,14 @@ def _compile_opt_group(
     LeftJoin(A, LeftJoin(B, C)) nesting. A variable exposed by a child but
     not bound in this group's own BGP is NULLABLE here; joins onto it use
     NULL-compatibility (an unbound variable is compatible with anything)."""
+    if grp.subquery is not None:
+        # the sub-Query fallback (UNION/VALUES/GRAPH/... inside the group):
+        # self-contained SQL, every exposed variable treated as nullable so
+        # the caller's ON clause uses NULL-compatibility throughout
+        sub_sql, sub_cols = _to_sql_cols(
+            grp.subquery, triples_view, allow_empty_projection=True
+        )
+        return sub_sql, set(sub_cols), set()
     aliases, binds, conds, g_ctes = _compile_bgp(
         grp.quads, dataset, triples_view, f"{prefix}t"
     )
@@ -2521,6 +2591,25 @@ def _to_sql_cols(
             else:
                 expr = f"coalesce({a}.o_dt, '') = {_q(term.value)}"
         conds.append(f"NOT ({expr})" if op == "!=" else expr)
+    for v1, rhs, positive in query.sameterm_filters or []:
+        c1 = binds.get(v1)
+        if c1 is None:
+            raise ValueError(f"sameTerm on unbound variable ?{v1}")
+        if isinstance(rhs, str):
+            c2 = binds.get(rhs)
+            if c2 is None:
+                raise ValueError(f"sameTerm on unbound variable ?{rhs}")
+            parts = [f"{c1} = {c2}"]
+            if c1.endswith(".obj") and c2.endswith(".obj"):
+                a1, a2 = c1[: -len(".obj")], c2[: -len(".obj")]
+                parts.append(
+                    f"coalesce({a1}.o_lang, '') = coalesce({a2}.o_lang, '')"
+                )
+                parts.append(f"coalesce({a1}.o_dt, '') = coalesce({a2}.o_dt, '')")
+            expr = "(" + " AND ".join(parts) + ")"
+        else:
+            expr = f"{c1} = {_q(rhs.value)}"  # constant: lexical identity
+        conds.append(expr if positive else f"NOT {expr}")
     for func, var, positive in query.kind_filters or []:
         # term-kind tests over the views' constant s_kind/o_kind columns
         # (KIND_BNODE=0, KIND_IRI=1, KIND_LITERAL=2). A predicate/graph

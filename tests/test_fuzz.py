@@ -716,6 +716,32 @@ def test_sparql_joined_union_matches_naive(store, req, br1, br2):
 
 
 @settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns, _patterns)
+def test_sparql_union_inside_optional_matches_naive(store, req, br1, br2):
+    """Round-4 widening: OPTIONAL { { A } UNION { B } } routes through the
+    sub-Query fallback — LeftJoin(REQ, Union(A, B))."""
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    q = (
+        f"SELECT * WHERE {{ {render(req)} . "
+        f"OPTIONAL {{ {{ {render(br1)} }} UNION {{ {render(br2)} }} }} }}"
+    )
+    cols, rows = _run_sql(store, q)
+    union_sols = list(_naive_eval(store, br1)) + list(_naive_eval(store, br2))
+    want_sols = _naive_leftjoin(_naive_eval(store, req), union_sols)
+    used = sorted(
+        {v for ps in (req, br1, br2) for p in ps for k, v in p if k == "var"}
+    )
+    want = [tuple(s.get(v) for v in used) for s in want_sols]
+    assert cols == used
+    assert Counter(rows) == Counter(want)
+
+
+@settings(max_examples=40, deadline=None)
 @given(_store, _patterns, _patterns, st.data())
 def test_sparql_agg_over_union_matches_naive(store, br1, br2, data):
     """Round-4 widening: aggregates + GROUP BY over a whole-body UNION run on

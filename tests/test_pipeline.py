@@ -621,9 +621,16 @@ def test_sparql_union(kg_out):
     )
     assert sorted(roles["s"].to_pylist()) == sorted(dist["s"].to_pylist())
     assert roles.num_rows > 0
-    # misplaced UNION (inside an OPTIONAL group) still raises loudly
-    with pytest.raises(ValueError):
-        parse_sparql(pfx + "SELECT ?s WHERE { ?s a ex:Turn . OPTIONAL { { ?s a ex:A } UNION { ?s a ex:B } } }")
+    # UNION inside an OPTIONAL group routes through the sub-Query fallback:
+    # the empty union leaves every turn row with the optional var unbound
+    opt_union = run_sparql(
+        out,
+        pfx + "SELECT ?s ?v WHERE { ?s a ex:Turn . "
+        "OPTIONAL { { ?s ex:role ?v } UNION { ?s a ex:Nope . ?s ex:text ?v } } }",
+    )
+    roles_direct = run_sparql(out, pfx + "SELECT ?s ?v WHERE { ?s a ex:Turn . ?s ex:role ?v }")
+    assert opt_union.num_rows == roles_direct.num_rows  # every turn has a role
+    assert sorted(opt_union["v"].to_pylist()) == sorted(roles_direct["v"].to_pylist())
 
 
 def test_sparql_filter_edge_forms():
@@ -787,8 +794,13 @@ def test_sparql_values_exists_bound_order():
     # a BOUND/EXISTS group nested in OPTIONAL must error, not silently re-scope
     with pytest.raises(ValueError, match="inside OPTIONAL"):
         run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER(!BOUND(?a)) } ?s <e:name> ?n }")
-    with pytest.raises(ValueError):
-        run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER EXISTS { ?s <e:name> ?n } } ?s <e:name> ?n }")
+    # round-4: EXISTS inside OPTIONAL routes through the sub-Query fallback
+    # (group-scoped correlation); every named subject survives, ages attach
+    # where the group matched
+    assert run(
+        "SELECT ?s ?a WHERE { OPTIONAL { ?s <e:age> ?a . "
+        "FILTER EXISTS { ?s <e:name> ?n } } ?s <e:name> ?n } ORDER BY ?s"
+    ) == [("s1", "30"), ("s2", None), ("s3", "40")]
     # VALUES UNDEF: an UNDEF cell constrains nothing on its row — the "alice"
     # row pins ?tag, the UNDEF row matches every name and leaves ?tag unbound
     assert run(
@@ -909,6 +921,18 @@ def test_sparql_kind_filters():
     assert len(run("SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?p)) }")) == 5
     with pytest.raises(ValueError, match="unbound"):
         run("SELECT ?s WHERE { ?s <e:name> ?n . FILTER(isIRI(?z)) }")
+    # sameTerm: lexical identity plus lang/datatype identity on object pairs
+    con.execute(
+        "INSERT INTO all_triples VALUES "
+        "('e:c','e:name','alice','en',NULL,'g',1,2)"
+    )
+    assert run(
+        "SELECT ?a ?b WHERE { <e:a> <e:name> ?x . ?b <e:name> ?y . "
+        "FILTER(sameTerm(?x, ?y)) . BIND(?b AS ?a) }"
+    ) == [("e:a", "e:a")]  # "alice" vs "alice"@en differ as terms
+    assert run(
+        'SELECT ?s WHERE { ?s <e:age> ?v . FILTER(sameTerm(?v, "30")) }'
+    ) == [("e:a",)]
 
 
 def test_cc_separator_adversarial_node_ids():
