@@ -17,9 +17,9 @@ NULL when unmatched — SPARQL unbound; comparison / string-function /
 boolean-connective / expression FILTERs and BINDs INSIDE a group compile
 into the LeftJoin condition / group scope — a failing filter or an
 unmatched group yields NULL, never eliminates the outer row; a group
-holding UNION/VALUES/GRAPH/MINUS/EXISTS/subselect forms re-parses WHOLE as
-a select-* sub-Query and LEFT JOINs with NULL-compatible conditions on
-every shared variable),
+holding UNION/VALUES/GRAPH/MINUS/EXISTS/BOUND/subselect forms re-parses
+WHOLE as a select-* sub-Query — group-scoped semantics for all of them —
+and LEFT JOINs with NULL-compatible conditions on every shared variable),
 non-nested ``GRAPH <g>/?g { ... }`` groups (a constant restricts its patterns
 to that named graph; a variable binds the graph column and joins when shared),
 anonymous blank nodes ``[]`` (each a fresh never-projected variable),
@@ -1035,7 +1035,7 @@ def _extract_braced(inner: str, open_re: re.Pattern) -> tuple[str, list[str]]:
 #: sub-Query fallback (the OptGroup shape carries only BGP+FILTER+BIND+
 #: nested OPTIONALs)
 _OPT_SUBQ_KW_RE = re.compile(
-    r"\b(UNION|VALUES|GRAPH|MINUS|SERVICE)\b"
+    r"\b(UNION|VALUES|GRAPH|MINUS|SERVICE|BOUND)\b"
     r"|\bFILTER\s+(NOT\s+)?EXISTS\b"
     r"|\{\s*SELECT\b",
     re.I,

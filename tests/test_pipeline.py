@@ -662,9 +662,10 @@ def test_sparql_filter_edge_forms():
     q = parse_sparql("SELECT ?s WHERE { { ?s a <A> . FILTER(?s = <x>) } UNION { ?s a <B> } }")
     assert len(q.union_branches) == 2 and q.union_branches[0].filters
     # comparison/string FILTERs inside OPTIONAL became supported (LeftJoin
-    # condition); other forms there still raise
-    with pytest.raises(ValueError, match="inside OPTIONAL"):
-        parse_sparql('SELECT ?s WHERE { ?s a <A> . OPTIONAL { ?s <p> ?v . FILTER(BOUND(?v)) } }')
+    # condition); round-4 routes group-scoped BOUND through the sub-Query
+    # fallback (BOUND over the group's own variable is constant-true here)
+    q = parse_sparql('SELECT ?s WHERE { ?s a <A> . OPTIONAL { ?s <p> ?v . FILTER(BOUND(?v)) } }')
+    assert q.optionals[0].subquery is not None
     sql = to_sql(parse_sparql("SELECT (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"))
     assert sql.startswith("SELECT CAST(COUNT(") and "AS p" not in sql
 
@@ -791,9 +792,13 @@ def test_sparql_values_exists_bound_order():
     assert run(
         "SELECT ?s WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a } FILTER(BOUND(?a)) } ORDER BY ?s"
     ) == [("s1",), ("s3",)]
-    # a BOUND/EXISTS group nested in OPTIONAL must error, not silently re-scope
-    with pytest.raises(ValueError, match="inside OPTIONAL"):
-        run("SELECT ?s WHERE { OPTIONAL { ?s <e:age> ?a . FILTER(!BOUND(?a)) } ?s <e:name> ?n }")
+    # round-4: group-scoped BOUND routes through the sub-Query fallback —
+    # !BOUND over the group's own required variable is constant-false, so
+    # the group never matches and every outer row survives unextended
+    assert run(
+        "SELECT ?s ?a WHERE { OPTIONAL { ?s <e:age> ?a . FILTER(!BOUND(?a)) } "
+        "?s <e:name> ?n } ORDER BY ?s"
+    ) == [("s1", None), ("s2", None), ("s3", None)]
     # round-4: EXISTS inside OPTIONAL routes through the sub-Query fallback
     # (group-scoped correlation); every named subject survives, ages attach
     # where the group matched
