@@ -761,7 +761,9 @@ def _expr_sql(node, binds: dict[str, str]) -> str:
         if len(args) != 3:
             raise ValueError("IF takes exactly three arguments")
         c, t, e = (_expr_sql(a, binds) for a in args)
-        return f"(CASE WHEN {c} THEN {t} ELSE {e} END)"
+        # an ERROR (NULL) condition must propagate as error (stay NULL),
+        # not silently pick the else branch — hence the explicit NOT arm
+        return f"(CASE WHEN {c} THEN {t} WHEN NOT ({c}) THEN {e} END)"
     if name in ("LANG", "DATATYPE"):
         # read the stored o_lang / o_dt columns of the variable's binding
         # pattern — same mechanics and caveats as the FILTER forms (an
@@ -1051,8 +1053,8 @@ def _parse_opt_group(
     OPTIONALs. Other group forms (UNION/VALUES/GRAPH/MINUS/EXISTS/
     subselects) route the WHOLE group through a select-* sub-Query re-parse
     — one LEFT JOIN of a self-contained subquery, NULL-compatible on every
-    shared variable (required-part variables are never NULL, so the
-    compatibility join degrades to plain equality there)."""
+    shared variable (for a variable whose required-part binding is itself
+    non-nullable, the compatibility join degrades to plain equality)."""
     if any(
         _at_depth0(body, m.start()) for m in _OPT_SUBQ_KW_RE.finditer(body)
     ):
@@ -1105,10 +1107,12 @@ def _parse_opt_group(
             raise ValueError("unbalanced parentheses in FILTER inside OPTIONAL")
         fbody = body[fm.end() : j - 1]
         if re.search(r"\bBOUND\b", fbody, re.I):
+            # depth-0 BOUND routes the whole group through the sub-Query
+            # fallback before reaching here; this path only sees BOUND
+            # buried inside bare nested brace groups
             raise ValueError(
-                "BOUND FILTERs inside OPTIONAL are not supported (group-"
-                "scoped BOUND semantics are not implemented — place the "
-                "BOUND test after the OPTIONAL group)"
+                "BOUND here is mis-nested (a group-level BOUND FILTER "
+                "compiles via the OPTIONAL sub-Query fallback)"
             )
         bools.append(_parse_bool(fbody, restore, prefixes))
         body = body[: fm.start()] + " " + body[j:]
@@ -1292,6 +1296,13 @@ def _extract_union_seqs(inner: str) -> tuple[str, list[str]]:
         inner = inner[:s] + " " + inner[e:]
 
 
+def _query_tail(q: str) -> str:
+    """Solution-modifier tail: the text after the LAST brace outside any
+    quoted literal (a ``}`` inside an ORDER BY string constant is data)."""
+    mq, mr = _mask_literals(q)
+    return mr(mq[mq.rindex("}") + 1 :])
+
+
 def _kw_at_depth0(inner: str, kw: str) -> bool:
     """True when the bare keyword occurs OUTSIDE every braced group (masked
     text — literals cannot false-positive)."""
@@ -1306,19 +1317,14 @@ def _split_union_branches(inner: str) -> list[str] | None:
     — return the branch bodies, else None. Balanced scanning, so branches may
     hold nested groups (OPTIONAL, subselects, further UNIONs)."""
     srcs: list[str] = []
-    pos, n = 0, len(inner)
+    pos = 0
     while True:
         m = re.compile(r"\s*\{").match(inner, pos)
         if not m:
             return None
-        depth, j = 1, m.end()
-        while j < n and depth:
-            if inner[j] == "{":
-                depth += 1
-            elif inner[j] == "}":
-                depth -= 1
-            j += 1
-        if depth:
+        try:
+            j = _close_brace(inner, m.end() - 1)
+        except ValueError:
             return None
         srcs.append(inner[m.end() : j - 1])
         um = re.compile(r"\s*UNION\b", re.I).match(inner, j)
@@ -1370,9 +1376,11 @@ def parse_sparql(q: str) -> Query:
         r"(VALUES\s+(?:\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{[^{}]*\})\s*$", _mq, re.I
     )
     if _tv and "}" in _mq[: _tv.start()]:
-        rest = _mrestore(_mq[: _tv.start()])
+        # all index math on the MASKED text: a "}" inside a quoted literal
+        # (e.g. in an ORDER BY expression) must not become the splice point
+        rest = _mq[: _tv.start()]
         k = rest.rindex("}")
-        q = rest[:k] + " " + _mrestore(_tv.group(1)) + " " + rest[k:]
+        q = _mrestore(rest[:k] + " " + _tv.group(1) + " " + rest[k:])
     prefixes = {m.group(1): m.group(2) for m in _PREFIX_RE.finditer(q)}
     sel = _SELECT_RE.search(q)
     if not sel:
@@ -1447,13 +1455,16 @@ def parse_sparql(q: str) -> Query:
             t = _parse_term(m.group(2), prefixes)
             target.append(t.value)
     sel_vars = [] if sel_text.strip() == "*" else re.findall(r"\?(\w+)", sel_text)
-    body = _WHERE_RE.search(q)
-    if not body:
-        raise ValueError("missing WHERE clause")
     # literals are masked during ALL structural rewrites below and restored
     # per-fragment right before term parsing: "_:b1" / "[]" / "FILTER(...)"
-    # inside a quoted constant is data, not syntax
-    inner, restore = _mask_literals(body.group(1))
+    # inside a quoted constant is data, not syntax. The WHERE body itself is
+    # located on the MASKED text — _WHERE_RE is greedy to the last brace,
+    # and a "}" inside a solution-modifier string literal must not extend it
+    _mq2, restore = _mask_literals(q)
+    body = _WHERE_RE.search(_mq2)
+    if not body:
+        raise ValueError("missing WHERE clause")
+    inner = body.group(1)
     # fresh never-projected variables for property-path sequence desugaring —
     # query-global counter so ?__path1 in one group can never accidentally
     # join a ?__path1 in another
@@ -1485,11 +1496,22 @@ def parse_sparql(q: str) -> Query:
     # the per-branch re-parse cannot capture variables across branches.
     def _parse_branches(srcs: list[str]) -> list[Query]:
         decls = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in prefixes.items())
+        # the dataset clause rides the synthesized TEXT (not a post-hoc
+        # attribute) so it propagates into every nested structure the branch
+        # re-parse builds — its own OPTIONAL sub-queries, unions, subselects
+        ds = " ".join(
+            [f"FROM <{g}>" for g in from_graphs]
+            + [f"FROM NAMED <{g}>" for g in from_named]
+        )
         out = []
         for src in srcs:
-            bq = parse_sparql(decls + "SELECT * WHERE {" + restore(src) + "}")
-            bq.from_graphs = from_graphs or None
-            bq.from_named = from_named or None
+            body_src = restore(src)
+            if re.match(r"\s*SELECT\b", body_src, re.I):
+                # a branch that IS a subselect: re-brace it so the synthetic
+                # WHERE body reads { SELECT ... } (subselect position), not
+                # a bare SELECT the triple grammar would choke on
+                body_src = "{ " + body_src + " }"
+            bq = parse_sparql(decls + "SELECT * " + ds + " WHERE {" + body_src + "}")
             out.append(bq)
         return out
 
@@ -1500,7 +1522,7 @@ def parse_sparql(q: str) -> Query:
                 "SELECT expressions over a whole-body UNION are not supported"
             )
         union_branches = _parse_branches(branch_srcs)
-        tail = q[q.rindex("}") + 1 :]
+        tail = _query_tail(q)
         lim = _LIMIT_RE.search(tail)
         off = _OFFSET_RE.search(tail)
         order = _ORDER_RE.search(tail)
@@ -1760,7 +1782,7 @@ def parse_sparql(q: str) -> Query:
         raise ValueError("empty WHERE clause")
     if exists_filters and not patterns and not union_joins:
         raise ValueError("FILTER EXISTS needs a basic graph pattern to correlate with")
-    tail = q[q.rindex("}") + 1 :]
+    tail = _query_tail(q)
     lim = _LIMIT_RE.search(tail)
     off = _OFFSET_RE.search(tail)
     order = _ORDER_RE.search(tail)
@@ -2433,7 +2455,7 @@ def _to_sql_cols(
             base_vars = sorted(all_vars)
         else:
             base_vars = query.select or sorted(all_vars)
-            if not base_vars and not query.ask:
+            if not base_vars and not query.ask and not allow_empty_projection:
                 raise ValueError("query projects no variables")
         never = [v for v in base_vars if all(v not in b for _, b in compiled)]
         if never:
@@ -2454,11 +2476,21 @@ def _to_sql_cols(
             return sql + _order_limit(query, set(out_cols), vmap), out_cols
         if query.distinct:
             sql = f"SELECT DISTINCT * FROM ({sql})"
+        elif query.order_by:
+            # expression ORDER BY keys are illegal directly on a UNION ALL
+            # set — wrap it in a plain select first
+            sql = f"SELECT * FROM ({sql}) __q"
         return sql + _order_limit(query, set(base_vars), vmap), base_vars
     aliases, binds, conds, p_ctes = _compile_bgp(
         query.patterns, (query.from_graphs, query.from_named), triples_view, "t"
     )
     all_ctes.extend(p_ctes)
+    #: required-part variables whose binding column may be NULL (SPARQL
+    #: unbound): bound only via a union_join branch that can skip them, a
+    #: VALUES UNDEF cell, or a subselect that can leave them unbound. Every
+    #: later join (OPTIONAL/EXISTS/MINUS) must treat NULL here as
+    #: compatible-with-anything, not as a failed equality.
+    nullable: set[str] = set()
     for k, sq in enumerate(query.subselects or []):
         # a nested SELECT joins the outer pattern on its shared projected
         # variables (natural-join semantics); unshared projected variables
@@ -2467,11 +2499,14 @@ def _to_sql_cols(
         a = f"sq{k}"
         aliases.append(f"({sub_sql}) {a}")
         sub_vars = list(sq.select) + [al for _, _, _, al in (sq.aggs or [])]
+        sub_nullable = bool(sq.optionals or sq.union_branches)
         for v in sub_vars:
             if v in binds:
                 conds.append(f"{a}.{v} = {binds[v]}")
             else:
                 binds[v] = f"{a}.{v}"
+                if sub_nullable:
+                    nullable.add(v)
     for k, uq in enumerate(query.union_joins or []):
         # a union sequence joined with the body: shared variables join with
         # SPARQL compatibility (an unbound/NULL side is compatible with
@@ -2488,17 +2523,20 @@ def _to_sql_cols(
                 binds[v] = f"COALESCE({binds[v]}, {a}.{v})"
             else:
                 binds[v] = f"{a}.{v}"
+                nullable.add(v)
     for k, (v_vars, v_rows) in enumerate(query.values_groups or []):
         # inline data joins the required part: an already-bound variable gets
         # an equality (restriction) — NULL-compatible, because an UNDEF cell
         # constrains nothing on that row — and an unbound one binds to the
         # data column (NULL = the solution keeps it unbound)
         aliases.append(_values_alias(k, v_vars, v_rows))
-        for v in v_vars:
+        for j, v in enumerate(v_vars):
             if v in binds:
                 conds.append(f"(v{k}.{v} IS NULL OR v{k}.{v} = {binds[v]})")
             else:
                 binds[v] = f"v{k}.{v}"
+                if any(row[j] is None for row in v_rows):
+                    nullable.add(v)
     deferred_binds: list[tuple[object, str]] = []
     for node, bv in query.bind_exprs or []:
         # assignment: computes over already-bound columns (and earlier BINDs);
@@ -2524,7 +2562,16 @@ def _to_sql_cols(
             e_quads, (query.from_graphs, query.from_named), triples_view, f"e{k}_"
         )
         all_ctes.extend(e_ctes)
-        e_conds += [f"{e_binds[v]} = {binds[v]}" for v in e_binds if v in binds]
+        # a nullable outer binding (union_join / UNDEF) left NULL means the
+        # variable is unbound in this solution — EXISTS substitutes nothing
+        # for it, so the subquery variable stays free (no correlation)
+        e_conds += [
+            f"({binds[v]} IS NULL OR {e_binds[v]} = {binds[v]})"
+            if v in nullable
+            else f"{e_binds[v]} = {binds[v]}"
+            for v in e_binds
+            if v in binds
+        ]
         sub = f"SELECT 1 FROM {', '.join(e_aliases)}"
         if e_conds:
             sub += " WHERE " + " AND ".join(e_conds)
@@ -2541,7 +2588,20 @@ def _to_sql_cols(
         shared = [v for v in m_binds if v in binds]
         if not shared:
             continue
-        m_conds += [f"{m_binds[v]} = {binds[v]}" for v in shared]
+        # compatibility: equal on every shared variable the outer solution
+        # actually binds (NULL = unbound = compatible); the removal also
+        # requires a non-empty domain overlap — at least one shared variable
+        # bound on the outer side (the MINUS disjoint-domain rule)
+        m_conds += [
+            f"({binds[v]} IS NULL OR {m_binds[v]} = {binds[v]})"
+            if v in nullable
+            else f"{m_binds[v]} = {binds[v]}"
+            for v in shared
+        ]
+        if all(v in nullable for v in shared):
+            m_conds.append(
+                "(" + " OR ".join(f"{binds[v]} IS NOT NULL" for v in shared) + ")"
+            )
         conds.append(
             f"NOT EXISTS (SELECT 1 FROM {', '.join(m_aliases)} WHERE "
             + " AND ".join(m_conds)
@@ -2608,7 +2668,24 @@ def _to_sql_cols(
                 parts.append(f"coalesce({a1}.o_dt, '') = coalesce({a2}.o_dt, '')")
             expr = "(" + " AND ".join(parts) + ")"
         else:
-            expr = f"{c1} = {_q(rhs.value)}"  # constant: lexical identity
+            # constant: lexical identity, plus lang-tag / datatype identity
+            # when the binding is an object column and the constant is a
+            # literal (a plain constant only matches plain/xsd:string —
+            # "x" never sameTerm-matches "x"@en)
+            parts = [f"{c1} = {_q(rhs.value)}"]
+            if c1.endswith(".obj") and rhs.kind == "lit":
+                a1 = c1[: -len(".obj")]
+                parts.append(
+                    f"lower(coalesce({a1}.o_lang, '')) = "
+                    f"{_q((rhs.lang or '').lower())}"
+                )
+                if not rhs.lang:
+                    xsd_string = "http://www.w3.org/2001/XMLSchema#string"
+                    parts.append(
+                        f"coalesce({a1}.o_dt, {_q(xsd_string)}) = "
+                        f"{_q(rhs.datatype or xsd_string)}"
+                    )
+            expr = "(" + " AND ".join(parts) + ")"
         conds.append(expr if positive else f"NOT {expr}")
     for func, var, positive in query.kind_filters or []:
         # term-kind tests over the views' constant s_kind/o_kind columns
@@ -2710,14 +2787,19 @@ def _to_sql_cols(
                         f"?{v} bound in two OPTIONAL groups is not supported"
                     )
                 if v in outer:
-                    if v in g_required:
-                        on_parts.append(f"g{k}.{v} = {outer[v]}")
-                    else:
-                        # the group may leave v unbound (a nested child):
-                        # unbound is compatible with anything
-                        on_parts.append(
-                            f"(g{k}.{v} = {outer[v]} OR g{k}.{v} IS NULL)"
-                        )
+                    # unbound (NULL) is compatible with anything — on the
+                    # group side when the group may leave v unbound, AND on
+                    # the outer side when the required part's binding is
+                    # nullable (union_join / UNDEF / subselect)
+                    alts = []
+                    if v not in g_required:
+                        alts.append(f"g{k}.{v} IS NULL")
+                    if v in nullable:
+                        alts.append(f"{outer[v]} IS NULL")
+                    eq = f"g{k}.{v} = {outer[v]}"
+                    on_parts.append(
+                        "(" + " OR ".join([eq] + alts) + ")" if alts else eq
+                    )
             joins.append(
                 f"LEFT JOIN ({g_sql}) g{k} ON {' AND '.join(on_parts) or 'TRUE'}"
             )
@@ -2725,6 +2807,10 @@ def _to_sql_cols(
                 if v not in outer:
                     outer[v] = f"g{k}.{v}"
                     opt_bound.add(v)
+                elif v in nullable:
+                    # the merged solution takes the bound side: a row where
+                    # the outer left v unbound adopts the group's binding
+                    outer[v] = f"COALESCE({outer[v]}, g{k}.{v})"
         # deferred BINDs (referencing OPTIONAL-only variables) compute over
         # the post-join namespace — an unmatched group's NULL flows into the
         # expression, which is what COALESCE is for

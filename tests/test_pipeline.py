@@ -888,6 +888,66 @@ def test_sparql_minus_lang_datatype():
     ) == [("s1",), ("s2",)]
 
 
+def test_sparql_review_fix_regressions():
+    """Round-4 review-pass fixes, each pinned by its repro: (1) a union_join
+    branch leaving a shared variable unbound must stay compatible with a
+    later OPTIONAL (merged binding adopts the group's value); (2) sameTerm
+    against a lang-tagged/typed constant compares the tag/datatype; (3) an
+    error (NULL) IF condition propagates as unbound, not the else branch;
+    (4) a brace inside an ORDER BY string literal neither corrupts the
+    trailing-VALUES splice nor drops the modifier tail; (5) all-constant
+    union branches are legal joined and inside OPTIONAL; (6) a branch that
+    IS a subselect re-braces correctly."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('a','p','x1', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'g', 1, 2),
+          ('a','q','y1', NULL, NULL, 'g', 1, 2),
+          ('a','r','x2', NULL, NULL, 'g', 1, 2),
+          ('b','name','x', 'en', NULL, 'g', 1, 2),
+          ('c','name','x', NULL, NULL, 'g', 1, 2),
+          ('d','age','notnum', NULL, NULL, 'g', 1, 2)
+        ) t(subj, pred, obj, o_lang, o_dt, graph, s_kind, o_kind)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert sorted(
+        run("SELECT * WHERE { { ?s <p> ?x } UNION { ?s <q> ?y } OPTIONAL { ?s <r> ?x } }")
+    ) == [("a", "x1", None), ("a", "x2", "y1")]
+    assert run('SELECT ?s WHERE { ?s <name> ?v . FILTER(sameTerm(?v, "x"@en)) }') == [("b",)]
+    assert run('SELECT ?s WHERE { ?s <name> ?v . FILTER(sameTerm(?v, "x")) }') == [("c",)]
+    assert run('SELECT ?s (IF(?v > 5, "big", "small") AS ?k) WHERE { ?s <age> ?v }') == [
+        ("d", None)
+    ]
+    assert run(
+        'SELECT ?s ?x WHERE { ?s <p> ?x } ORDER BY CONCAT(?s, "}") VALUES ?s { "a" }'
+    ) == [("a", "x1")]
+    assert run(
+        'SELECT ?s WHERE { { ?s <p> ?x } UNION { ?s <q> ?x } } ORDER BY CONCAT(?s, "}") LIMIT 1'
+    ) == [("a",)]
+    assert run(
+        'SELECT ?s ?x WHERE { ?s <p> ?x . { <a> <q> "y1" } UNION { <a> <q> "zz" } }'
+    ) == [("a", "x1")]
+    assert run(
+        'SELECT ?s ?x WHERE { ?s <p> ?x . OPTIONAL { { <a> <q> "zz" } UNION { <a> <q> "ww" } } }'
+    ) == [("a", "x1")]
+    assert run(
+        "SELECT ?s WHERE { { SELECT ?s WHERE { ?s <p> ?x } } UNION { ?s <q> ?y } } ORDER BY ?s"
+    ) == [("a",), ("a",)]
+    # FROM propagates into an OPTIONAL sub-Query nested in a union branch
+    q = parse_sparql(
+        "SELECT ?s FROM <http://g1> WHERE { { ?s <p> ?v . "
+        "OPTIONAL { { ?s <q> ?w } UNION { ?s <r> ?w } } } UNION { ?s <t> ?u } }"
+    )
+    assert q.union_branches[0].optionals[0].subquery.from_graphs == ["http://g1"]
+
+
 def test_sparql_kind_filters():
     """Round-4: isIRI/isBlank/isLiteral/isNumeric compile onto the serving
     views' constant s_kind/o_kind columns; predicate bindings are IRIs by
@@ -935,8 +995,11 @@ def test_sparql_kind_filters():
         "SELECT ?a ?b WHERE { <e:a> <e:name> ?x . ?b <e:name> ?y . "
         "FILTER(sameTerm(?x, ?y)) . BIND(?b AS ?a) }"
     ) == [("e:a", "e:a")]  # "alice" vs "alice"@en differ as terms
+    # the stored age is "30"^^xsd:integer — a PLAIN "30" is a different term
+    assert run('SELECT ?s WHERE { ?s <e:age> ?v . FILTER(sameTerm(?v, "30")) }') == []
     assert run(
-        'SELECT ?s WHERE { ?s <e:age> ?v . FILTER(sameTerm(?v, "30")) }'
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>\n"
+        'SELECT ?s WHERE { ?s <e:age> ?v . FILTER(sameTerm(?v, "30"^^xsd:integer)) }'
     ) == [("e:a",)]
 
 
