@@ -742,6 +742,83 @@ def test_sparql_union_inside_optional_matches_naive(store, req, br1, br2):
 
 
 @settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns, _patterns, _patterns)
+def test_sparql_joined_union_then_optional_matches_naive(store, req, br1, br2, opt):
+    """Review-fix pin: LeftJoin(Join(REQ, Union(A, B)), OPT) — a union
+    branch may leave a shared variable unbound (NULL in the required part),
+    and the OPTIONAL must treat that as compatible, adopting the group's
+    binding in the merged solution."""
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    q = (
+        f"SELECT * WHERE {{ {render(req)} . "
+        f"{{ {render(br1)} }} UNION {{ {render(br2)} }} "
+        f"OPTIONAL {{ {render(opt)} }} }}"
+    )
+    cols, rows = _run_sql(store, q)
+    union_sols = list(_naive_eval(store, br1)) + list(_naive_eval(store, br2))
+    joined = []
+    for l in _naive_eval(store, req):
+        for r in union_sols:
+            if all(r[v] == l[v] for v in r if v in l):
+                joined.append({**l, **r})
+    want_sols = _naive_leftjoin(joined, _naive_eval(store, opt))
+    used = sorted(
+        {v for ps in (req, br1, br2, opt) for p in ps for k, v in p if k == "var"}
+    )
+    want = [tuple(s.get(v) for v in used) for s in want_sols]
+    assert cols == used
+    assert Counter(rows) == Counter(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_store, _patterns, _patterns, _patterns)
+def test_sparql_joined_union_then_minus_matches_naive(store, req, br1, br2):
+    """Review-fix pin: Minus(Join(REQ, Union(A, B)), M) — a solution with a
+    branch-unbound variable is removed only when a minus solution is
+    compatible on the variables the solution ACTUALLY binds and the bound
+    domains overlap (the SPARQL disjoint-domain rule)."""
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    minus = br2  # reuse a generated pattern as the MINUS group
+    q = (
+        f"SELECT * WHERE {{ {render(req)} . "
+        f"{{ {render(br1)} }} UNION {{ {render(br2)} }} "
+        f"MINUS {{ {render(minus)} }} }}"
+    )
+    cols, rows = _run_sql(store, q)
+    union_sols = list(_naive_eval(store, br1)) + list(_naive_eval(store, br2))
+    joined = []
+    for l in _naive_eval(store, req):
+        for r in union_sols:
+            if all(r[v] == l[v] for v in r if v in l):
+                joined.append({**l, **r})
+    msols = list(_naive_eval(store, minus))
+    want_sols = [
+        l
+        for l in joined
+        if not any(
+            set(l) & set(m) and all(m[v] == l[v] for v in m if v in l)
+            for m in msols
+        )
+    ]
+    used = sorted(
+        {v for ps in (req, br1, br2) for p in ps for k, v in p if k == "var"}
+    )
+    want = [tuple(s.get(v) for v in used) for s in want_sols]
+    assert cols == used
+    assert Counter(rows) == Counter(want)
+
+
+@settings(max_examples=40, deadline=None)
 @given(_store, _patterns, _patterns, st.data())
 def test_sparql_agg_over_union_matches_naive(store, br1, br2, data):
     """Round-4 widening: aggregates + GROUP BY over a whole-body UNION run on
