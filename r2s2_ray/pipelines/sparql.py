@@ -50,11 +50,11 @@ generalized expression FILTERs ``FILTER(expr <op> expr)`` with the BIND
 expression grammar on either side (STRLEN/UCASE/CONCAT/arithmetic;
 numeric coercion when either side is numeric-valued),
 boolean connectives ``&&`` / ``||`` / ``!`` over comparison and
-REGEX/STRSTARTS/CONTAINS atoms (SQL three-valued logic matches the SPARQL
+REGEX/STRSTARTS/STRENDS/CONTAINS atoms (SQL three-valued logic matches the SPARQL
 EBV error table; BOUND inside connectives is rejected — it must evaluate
 after OPTIONAL joins),
 string-function FILTERs ``REGEX(?v, "pat")`` / ``STRSTARTS(?v, "s")`` /
-``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; the optional
+``STRENDS(?v, "s")`` / ``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; the optional
 REGEX flags argument accepts ``i``/``s``/``m``/``x``),
 whole-body ``{ group } UNION { group }`` (two or more branches, each a FULL
 group — FILTER/BIND/OPTIONAL/VALUES/GRAPH/subselects and nested UNIONs all
@@ -71,7 +71,10 @@ join applies after the required part regardless of textual position),
 aggregate projections ``(COUNT|SUM|MIN|MAX|AVG|SAMPLE(DISTINCT? ?v|*) AS
 ?alias)`` and ``GROUP_CONCAT(?v; SEPARATOR="..")`` (deterministic ascending
 element order; SAMPLE = deterministic MIN) with ``GROUP BY`` and
-``HAVING(?aggAlias <op> number)``, nested ``{ SELECT ... }`` subqueries
+``HAVING(?aggAlias <op> number)`` and the direct aggregate form
+``HAVING(COUNT(?v) > n)`` (COUNT/SUM/MIN/MAX/AVG, DISTINCT and ``*``
+allowed, no alias or aggregate projection required — grouped keys alone
+may be selected), nested ``{ SELECT ... }`` subqueries
 (one level, explicit projection required; joined to the outer pattern on
 shared projected variables) (plain projected variables must be grouping keys; COUNT
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
@@ -103,7 +106,8 @@ triple-pattern binding), ``FILTER((!)sameTerm(?a, ?b|term))`` (lexical-form
 identity plus lang-tag/datatype identity when both sides are object
 bindings),
 ``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/
-REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR/COALESCE/MD5/SHA256,
+REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR/COALESCE/MD5/SHA256/
+YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over dateTime lexicals,
 ``IF(cond, then, else)`` with an ``expr <op> expr`` condition, LANG/DATATYPE
 as expressions over object bindings, and +,-,*,/ arithmetic with
 TRY_CAST numeric coercion; later BINDs may reference earlier ones, BIND
@@ -154,7 +158,7 @@ _IN_RE = re.compile(
 )
 _FILTER_RE = re.compile(r"FILTER\s*\(\s*(\?\w+)\s*(=|!=|<=|>=|<|>)\s*(.+?)\s*\)", re.I)
 _FFUNC_RE = re.compile(
-    r"FILTER\s*\(\s*(REGEX|STRSTARTS|CONTAINS)\s*\(\s*(\?\w+)\s*,\s*(\S+?)\s*"
+    r"FILTER\s*\(\s*(REGEX|STRSTARTS|STRENDS|CONTAINS)\s*\(\s*(\?\w+)\s*,\s*(\S+?)\s*"
     r"(?:,\s*(\S+?)\s*)?\)\s*\)",
     re.I,
 )
@@ -292,6 +296,10 @@ class Query:
     subselects: list["Query"] | None = None
     #: HAVING(?aggAlias <op> number) over an aggregate projection
     having: tuple[str, str, str] | None = None
+    #: HAVING(COUNT(?v) > n) direct aggregate form: (func, distinct,
+    #: var-or-None-for-*, op, number) — compiled as the aggregate expression
+    #: in the HAVING clause, no alias/projection required
+    having_agg: tuple[str, bool, str | None, str, str] | None = None
     #: generalized expression FILTERs: (lhs AST, op, rhs AST) compiled with
     #: the BIND expression compiler (numeric coercion when either side is
     #: numeric-valued)
@@ -321,7 +329,43 @@ _GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.I)
 _HAVING_RE = re.compile(
     r"HAVING\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)\s*\)", re.I
 )
+#: the direct aggregate form ``HAVING(COUNT(?v) > 2)`` — no alias needed
+_HAVING_AGG_RE = re.compile(
+    r"HAVING\s*\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)\s*"
+    r"(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)\s*\)",
+    re.I,
+)
 _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
+
+
+def _parse_having(tail: str, aggs) -> tuple[tuple | None, tuple | None]:
+    """Parse the HAVING clause from the query tail. Two forms: the alias form
+    ``HAVING(?aggAlias <op> number)`` (returned first) and the direct
+    aggregate form ``HAVING(COUNT(?v) > 2)`` (returned second) — at most one
+    is non-None."""
+    hv = _HAVING_RE.search(tail)
+    if hv:
+        if not aggs:
+            raise ValueError("HAVING without an aggregate projection")
+        if hv.group(1) not in {a for _, _, _, a in aggs}:
+            raise ValueError(
+                f"HAVING references unknown aggregate alias ?{hv.group(1)}"
+            )
+        return (hv.group(1), hv.group(2), hv.group(3)), None
+    ha = _HAVING_AGG_RE.search(tail)
+    if ha:
+        func = ha.group(1).upper()
+        varg = ha.group(3)
+        var = None if varg == "*" else varg[1:]
+        if var is None and func != "COUNT":
+            raise ValueError(f"{func}(*) is not a valid aggregate")
+        return None, (func, bool(ha.group(2)), var, ha.group(4), ha.group(5))
+    if re.search(r"\bHAVING\b", tail, re.I):
+        raise ValueError(
+            "unsupported HAVING form (supported: HAVING(?aggAlias <op> number)"
+            " or HAVING(AGG(?var) <op> number))"
+        )
+    return None, None
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
 _VALUES_RE = re.compile(r"VALUES\s+(\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{([^{}]*)\}", re.I)
@@ -637,6 +681,14 @@ _BIND_FUNCS = {
     "DATATYPE": ("", False),
     "MD5": ("md5", False),
     "SHA256": ("sha256", False),
+    # xsd:dateTime / xsd:date component accessors — operate on the lexical
+    # form (a non-castable lexical yields NULL, the SPARQL error)
+    "YEAR": ("year(TRY_CAST({} AS TIMESTAMP))", True),
+    "MONTH": ("month(TRY_CAST({} AS TIMESTAMP))", True),
+    "DAY": ("day(TRY_CAST({} AS TIMESTAMP))", True),
+    "HOURS": ("hour(TRY_CAST({} AS TIMESTAMP))", True),
+    "MINUTES": ("minute(TRY_CAST({} AS TIMESTAMP))", True),
+    "SECONDS": ("second(TRY_CAST({} AS TIMESTAMP))", True),
 }
 
 
@@ -873,7 +925,7 @@ def _top_cmp(src: str) -> tuple[int, str] | None:
 
 #: boolean-atom string functions inside FILTER connectives
 _SFUNC_ATOM_RE = re.compile(
-    r"(REGEX|STRSTARTS|CONTAINS)\s*\(\s*\?(\w+)\s*,\s*(\S+?)\s*(?:,\s*(\S+?)\s*)?\)",
+    r"(REGEX|STRSTARTS|STRENDS|CONTAINS)\s*\(\s*\?(\w+)\s*,\s*(\S+?)\s*(?:,\s*(\S+?)\s*)?\)",
     re.I,
 )
 
@@ -923,7 +975,7 @@ def _parse_bool(src: str, restore, prefixes: dict[str, str]):
     if split is None:
         raise ValueError(
             "unsupported FILTER form (supported: comparison ops, &&/||/! "
-            "connectives, IN, REGEX/STRSTARTS/CONTAINS, (NOT) EXISTS, "
+            "connectives, IN, REGEX/STRSTARTS/STRENDS/CONTAINS, (NOT) EXISTS, "
             f"(!)BOUND, LANG/DATATYPE, expr <op> expr): {restore(s)!r}"
         )
     pos, opc = split
@@ -1119,7 +1171,7 @@ def _parse_opt_group(
     if re.search(r"\bFILTER\b", body, re.I):
         raise ValueError(
             "unsupported FILTER form inside OPTIONAL (supported there: "
-            "comparison ops, &&/||/! connectives, REGEX/STRSTARTS/CONTAINS)"
+            "comparison ops, &&/||/! connectives, REGEX/STRSTARTS/STRENDS/CONTAINS)"
         )
     if re.search(r"[{}]", body) or re.search(
         r"\b(GRAPH|VALUES|UNION|EXISTS|MINUS|SERVICE|SELECT)\b", body, re.I
@@ -1528,19 +1580,12 @@ def parse_sparql(q: str) -> Query:
         order = _ORDER_RE.search(tail)
         gb = _GROUPBY_RE.search(tail)
         group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
-        if group_by and not aggs:
+        having, having_agg = _parse_having(tail, aggs)
+        if group_by and not aggs and not having_agg:
             raise ValueError("GROUP BY without an aggregate projection")
-        hv = _HAVING_RE.search(tail)
-        having = (hv.group(1), hv.group(2), hv.group(3)) if hv else None
-        if re.search(r"\bHAVING\b", tail, re.I) and not hv:
-            raise ValueError(
-                "unsupported HAVING form (supported: HAVING(?aggAlias <op> number))"
-            )
-        if having and not aggs:
-            raise ValueError("HAVING without an aggregate projection")
-        if having and having[0] not in {a for _, _, _, a in aggs}:
-            raise ValueError(f"HAVING references unknown aggregate alias ?{having[0]}")
-        if aggs:
+        if having_agg and not (aggs or group_by):
+            raise ValueError("HAVING(AGG(...)) needs a GROUP BY or aggregate projection")
+        if aggs or having_agg:
             keys = group_by or sel_vars
             stray = [v for v in sel_vars if v not in keys]
             if stray:
@@ -1560,6 +1605,7 @@ def parse_sparql(q: str) -> Query:
             aggs=aggs or None,
             group_by=group_by or None,
             having=having,
+            having_agg=having_agg,
             construct=_parse_construct(construct_src, prefixes) if construct_src else None,
             ask=ask,
         )
@@ -1696,7 +1742,7 @@ def parse_sparql(q: str) -> Query:
         langdt_filters.append(("langmatches", m.group(1), "=", rng))
     inner = _LANGMATCHES_RE.sub(" ", inner)
     # string-function FILTERs first (their own regex would otherwise be
-    # half-eaten by the comparison form): REGEX/STRSTARTS/CONTAINS(?v, "lit")
+    # half-eaten by the comparison form): REGEX/STRSTARTS/STRENDS/CONTAINS(?v, "lit")
     filters = []
     # FILTER(?v (NOT) IN (t, t, ...)): constant list, compiled to SQL IN —
     # the set restriction rides the alts slot of a constant Term
@@ -1758,7 +1804,7 @@ def parse_sparql(q: str) -> Query:
     if re.search(r"\bFILTER\b", inner, re.I):
         raise ValueError(
             "unsupported FILTER form (supported: comparison ops, IN, "
-            "REGEX/STRSTARTS/CONTAINS, (NOT) EXISTS, (!)BOUND, "
+            "REGEX/STRSTARTS/STRENDS/CONTAINS, (NOT) EXISTS, (!)BOUND, "
             "LANG/DATATYPE, expr <op> expr)"
         )
     # leftover braces or group keywords = a group the extractions above did
@@ -1789,19 +1835,12 @@ def parse_sparql(q: str) -> Query:
     order_by = _parse_order(order.group(1)) if order else []
     gb = _GROUPBY_RE.search(tail)
     group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
-    if group_by and not aggs:
+    having, having_agg = _parse_having(tail, aggs)
+    if group_by and not aggs and not having_agg:
         raise ValueError("GROUP BY without an aggregate projection")
-    hv = _HAVING_RE.search(tail)
-    having = (hv.group(1), hv.group(2), hv.group(3)) if hv else None
-    if re.search(r"\bHAVING\b", tail, re.I) and not hv:
-        raise ValueError(
-            "unsupported HAVING form (supported: HAVING(?aggAlias <op> number))"
-        )
-    if having and not aggs:
-        raise ValueError("HAVING without an aggregate projection")
-    if having and having[0] not in {a for _, _, _, a in aggs}:
-        raise ValueError(f"HAVING references unknown aggregate alias ?{having[0]}")
-    if aggs:
+    if having_agg and not (aggs or group_by):
+        raise ValueError("HAVING(AGG(...)) needs a GROUP BY or aggregate projection")
+    if aggs or having_agg:
         # SPARQL: every plain projected variable must be a grouping key; an
         # aggregate query without GROUP BY groups the whole solution set
         keys = group_by or sel_vars
@@ -1836,6 +1875,7 @@ def parse_sparql(q: str) -> Query:
         subselects=subselects or None,
         union_joins=union_joins or None,
         having=having,
+        having_agg=having_agg,
         ask=ask,
     )
 
@@ -2133,7 +2173,7 @@ def _agg_projection(
     # variable without projecting it, and the result shape must honor SELECT
     names = [v for v in keys if v in query.select]
     parts = [f"{vmap[v]} AS {v}" for v in names]
-    for func, distinct, var, alias in query.aggs:
+    for func, distinct, var, alias in query.aggs or []:
         if var is not None and var not in vmap:
             raise ValueError(f"aggregate over unbound variable ?{var}")
         d = "DISTINCT " if distinct else ""
@@ -2152,7 +2192,7 @@ def _agg_projection(
         else:
             parts.append(f"{func}({d}TRY_CAST({vmap[var]} AS DOUBLE)) AS {alias}")
     group = " GROUP BY " + ", ".join(vmap[v] for v in keys) if keys else ""
-    return ", ".join(parts), group, names + [a for _, _, _, a in query.aggs]
+    return ", ".join(parts), group, names + [a for _, _, _, a in query.aggs or []]
 
 
 def _order_limit(
@@ -2165,7 +2205,7 @@ def _order_limit(
     over the same name space."""
     sql = ""
     if query.order_by:
-        under_proj_only = query.distinct or bool(query.aggs)
+        under_proj_only = query.distinct or bool(query.aggs) or bool(query.having_agg)
         parts = []
         for v, desc in query.order_by:
             if isinstance(v, str):
@@ -2208,7 +2248,7 @@ def _values_alias(k: int, vars_: list[str], rows: list[list[Term | None]]) -> st
 def _parse_sfunc_parts(
     func_name: str, var: str, arg_tok: str, flags_tok: str | None, restore, prefixes
 ) -> tuple[str, str, Term]:
-    """REGEX/STRSTARTS/CONTAINS parts -> (var, func, argument Term) with the
+    """REGEX/STRSTARTS/STRENDS/CONTAINS parts -> (var, func, argument Term) with the
     shared validation (literal args; REGEX flags ride the lang slot)."""
     func = func_name.lower()
     arg = _parse_term(restore(arg_tok), prefixes)
@@ -2225,7 +2265,7 @@ def _parse_sfunc_parts(
 
 
 def _parse_ffunc(m: re.Match, restore, prefixes: dict[str, str]) -> tuple[str, str, Term]:
-    """One REGEX/STRSTARTS/CONTAINS FILTER match -> (var, func, argument Term)."""
+    """One REGEX/STRSTARTS/STRENDS/CONTAINS FILTER match -> (var, func, argument Term)."""
     return _parse_sfunc_parts(
         m.group(1), m.group(2)[1:], m.group(3), m.group(4), restore, prefixes
     )
@@ -2236,8 +2276,13 @@ def _filter_cond(var: str, op: str, term: Term, binds: dict[str, str]) -> str:
     bound columns (shared by the required part and OPTIONAL group bodies)."""
     if var not in binds:
         raise ValueError(f"FILTER on unbound variable ?{var}")
-    if op in ("regex", "strstarts", "contains"):
-        fn = {"regex": "regexp_matches", "strstarts": "starts_with", "contains": "contains"}[op]
+    if op in ("regex", "strstarts", "strends", "contains"):
+        fn = {
+            "regex": "regexp_matches",
+            "strstarts": "starts_with",
+            "strends": "ends_with",
+            "contains": "contains",
+        }[op]
         if op == "regex" and term.lang:  # REGEX flags ride the lang slot
             return f"{fn}({binds[var]}, {_q(term.value)}, {_q(term.lang)})"
         return f"{fn}({binds[var]}, {_q(term.value)})"
@@ -2373,11 +2418,23 @@ def _bool_sql(node, binds: dict[str, str]) -> str:
     return _cmp_sql(lhs, opc, rhs, binds)
 
 
-def _having_sql(query: Query) -> str:
-    if not query.having:
+def _having_sql(query: Query, vmap: dict[str, str]) -> str:
+    if query.having:
+        alias, op, val = query.having
+        return f" HAVING {alias} {'<>' if op == '!=' else op} {val}"
+    if not query.having_agg:
         return ""
-    alias, op, val = query.having
-    return f" HAVING {alias} {'<>' if op == '!=' else op} {val}"
+    # direct aggregate form: compile the aggregate over the bound column —
+    # SQL HAVING may reference aggregates that are not projected
+    func, distinct, var, op, val = query.having_agg
+    if var is not None and var not in vmap:
+        raise ValueError(f"HAVING aggregate over unbound variable ?{var}")
+    d = "DISTINCT " if distinct else ""
+    if func == "COUNT":
+        expr = f"COUNT({'*' if var is None else d + vmap[var]})"
+    else:
+        expr = f"{func}({d}TRY_CAST({vmap[var]} AS DOUBLE))"
+    return f" HAVING {expr} {'<>' if op == '!=' else op} {val}"
 
 
 def to_sql(query: Query, triples_view: str = "all_triples") -> str:
@@ -2451,7 +2508,7 @@ def _to_sql_cols(
             for v in b_cols:
                 if v not in all_vars:
                     all_vars.append(v)
-        if query.aggs:
+        if query.aggs or query.having_agg:
             base_vars = sorted(all_vars)
         else:
             base_vars = query.select or sorted(all_vars)
@@ -2470,9 +2527,9 @@ def _to_sql_cols(
         if query.ask:
             return f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask", ["ask"]
         vmap = {v: v for v in base_vars}
-        if query.aggs:
+        if query.aggs or query.having_agg:
             proj, group, out_cols = _agg_projection(query, vmap)
-            sql = f"SELECT {proj} FROM ({sql}) __u{group}{_having_sql(query)}"
+            sql = f"SELECT {proj} FROM ({sql}) __u{group}{_having_sql(query, vmap)}"
             return sql + _order_limit(query, set(out_cols), vmap), out_cols
         if query.distinct:
             sql = f"SELECT DISTINCT * FROM ({sql})"
@@ -2742,9 +2799,9 @@ def _to_sql_cols(
             if v not in binds:
                 raise ValueError(f"BOUND on unbound variable ?{v}")
             conds.append(f"{binds[v]} IS {'NOT NULL' if positive else 'NULL'}")
-        if query.aggs:
+        if query.aggs or query.having_agg:
             proj, group, out_cols = _agg_projection(query, binds)
-            projected = {a for _, _, _, a in query.aggs} | set(query.select)
+            projected = {a for _, _, _, a in query.aggs or []} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in binds if not v.startswith("__"))
             if not out_vars and not query.ask and not allow_empty_projection:
@@ -2759,7 +2816,7 @@ def _to_sql_cols(
         sql = f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} FROM {', '.join(aliases)}"
         if conds:
             sql += " WHERE " + " AND ".join(conds)
-        sql += group + _having_sql(query)
+        sql += group + _having_sql(query, binds)
     else:
         # comma-join FROM and LEFT JOIN do not mix: wrap the required part in
         # a subquery projecting every bound variable, then LEFT JOIN one
@@ -2826,9 +2883,9 @@ def _to_sql_cols(
                 raise ValueError(f"BOUND on unbound variable ?{v}")
             outer_conds.append(f"{outer[v]} IS {'NOT NULL' if positive else 'NULL'}")
         where = " WHERE " + " AND ".join(outer_conds) if outer_conds else ""
-        if query.aggs:
+        if query.aggs or query.having_agg:
             proj, group, out_cols = _agg_projection(query, outer)
-            projected = {a for _, _, _, a in query.aggs} | set(query.select)
+            projected = {a for _, _, _, a in query.aggs or []} | set(query.select)
         else:
             out_vars = query.select or sorted(v for v in outer if not v.startswith("__"))
             if not out_vars and not query.ask and not allow_empty_projection:
@@ -2842,7 +2899,7 @@ def _to_sql_cols(
         colmap = outer
         sql = (
             f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
-            f"FROM ({req}) r {' '.join(joins)}{where}{group}{_having_sql(query)}"
+            f"FROM ({req}) r {' '.join(joins)}{where}{group}{_having_sql(query, outer)}"
         )
     if query.ask:
         return _with(f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask"), ["ask"]

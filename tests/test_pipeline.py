@@ -1450,6 +1450,117 @@ def test_sparql_subselect_and_having():
         run("SELECT ?name WHERE { ?s <e:name> ?name . { SELECT * WHERE { ?s <e:tag> ?t } } }")
 
 
+def test_sparql_having_direct_aggregate():
+    """HAVING(AGG(?v) <op> n) — the direct aggregate form needs no alias or
+    aggregate projection (grouped keys alone may be selected); works on the
+    plain, OPTIONAL and UNION compile paths; SUM/AVG coerce numerically.
+    COUNT(*)/DISTINCT supported; SUM(*) and HAVING without grouping raise."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:tag','x', NULL, NULL, 'g'),
+          ('e:a','e:tag','y', NULL, NULL, 'g'),
+          ('e:a','e:tag','y', NULL, NULL, 'h'),
+          ('e:b','e:tag','z', NULL, NULL, 'g'),
+          ('e:a','e:num','4', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g'),
+          ('e:b','e:num','9', NULL, 'http://www.w3.org/2001/XMLSchema#integer', 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run(
+        "SELECT ?s WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(COUNT(?t) > 2)"
+    ) == [("e:a",)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:tag> ?t } GROUP BY ?s "
+        "HAVING(COUNT(DISTINCT ?t) > 1)"
+    ) == [("e:a",)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(COUNT(*) >= 1) ORDER BY ?s"
+    ) == [("e:a",), ("e:b",)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:num> ?v } GROUP BY ?s HAVING(SUM(?v) > 5)"
+    ) == [("e:b",)]
+    # alongside an aggregate projection
+    assert run(
+        "SELECT ?s (SUM(?v) AS ?tot) WHERE { ?s <e:num> ?v } GROUP BY ?s "
+        "HAVING(COUNT(?v) >= 1) ORDER BY ?s"
+    ) == [("e:a", 4.0), ("e:b", 9.0)]
+    # OPTIONAL compile path: count the optionally-bound variable
+    assert run(
+        "SELECT ?s WHERE { ?s <e:tag> ?t OPTIONAL { ?s <e:num> ?v } } "
+        "GROUP BY ?s HAVING(COUNT(?v) = 3)"
+    ) == [("e:a",)]
+    # UNION compile path
+    assert run(
+        "SELECT ?s WHERE { { ?s <e:tag> ?o } UNION { ?s <e:num> ?o } } "
+        "GROUP BY ?s HAVING(COUNT(?o) > 2)"
+    ) == [("e:a",)]
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:tag> ?t } HAVING(COUNT(?t) > 1)")
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(SUM(*) > 1)")
+    with pytest.raises(ValueError):
+        run("SELECT ?s WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(COUNT(?zz) > 1)")
+
+
+def test_sparql_strends_and_date_accessors():
+    """STRENDS joins the string-function FILTER family (plain and inside
+    boolean connectives); YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS extract
+    dateTime components in BIND/FILTER expressions (non-castable lexicals
+    yield NULL — the SPARQL error — so they drop out of FILTERs)."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:when','2024-03-01T10:30:05', NULL,
+           'http://www.w3.org/2001/XMLSchema#dateTime', 'g'),
+          ('e:b','e:when','2023-11-15', NULL,
+           'http://www.w3.org/2001/XMLSchema#date', 'g'),
+          ('e:c','e:when','not-a-date', NULL, NULL, 'g'),
+          ('e:a','e:name','alpha', NULL, NULL, 'g'),
+          ('e:b','e:name','beta', NULL, NULL, 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run('SELECT ?s WHERE { ?s <e:name> ?n FILTER(STRENDS(?n, "ta")) }') == [
+        ("e:b",)
+    ]
+    assert run(
+        'SELECT ?s WHERE { ?s <e:name> ?n '
+        'FILTER(STRENDS(?n, "ha") || STRENDS(?n, "ta")) } ORDER BY ?s'
+    ) == [("e:a",), ("e:b",)]
+    assert run(
+        "SELECT ?s ?y WHERE { ?s <e:when> ?d BIND(YEAR(?d) AS ?y) } ORDER BY ?s"
+    ) == [("e:a", 2024), ("e:b", 2023), ("e:c", None)]
+    assert run("SELECT ?s WHERE { ?s <e:when> ?d FILTER(MONTH(?d) = 3) }") == [
+        ("e:a",)
+    ]
+    assert run(
+        "SELECT ?s ?m WHERE { ?s <e:when> ?d BIND(MINUTES(?d) AS ?m) "
+        "FILTER(BOUND(?m)) } ORDER BY ?s"
+    ) == [("e:a", 30), ("e:b", 0)]
+    assert run(
+        "SELECT ?s WHERE { ?s <e:when> ?d FILTER(DAY(?d) + HOURS(?d) = 11) }"
+    ) == [("e:a",)]
+    with pytest.raises(ValueError):
+        run('SELECT ?s WHERE { ?s <e:name> ?n FILTER(STRENDS(?n, "a", "b")) }')
+
+
 def test_sparql_describe():
     """DESCRIBE <iri> [...] returns every stored quad whose subject is a
     listed IRI (one-hop CBD core, deterministic order); variables or missing
