@@ -385,6 +385,21 @@ def _kg_sparql_bool(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_having(sf_dir: str):
+    """Direct-aggregate HAVING served end-to-end: turns mentioning at least
+    three distinct entities — HAVING(COUNT(DISTINCT ?e) >= 3) with no aliased
+    aggregate projection, only the grouped key selected."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT ?turn WHERE { ?turn ex:mentions ?e } "
+        "GROUP BY ?turn HAVING(COUNT(DISTINCT ?e) >= 3)"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_union(sf_dir: str):
     """Round-4 UNION widening served end-to-end: branches are full groups (a
     FILTER scoped to one branch, an OPTIONAL left-joining inside the other)
@@ -908,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_star": _kg_sparql_star,
         "kg_sparql_undef": _kg_sparql_undef,
         "kg_sparql_bool": _kg_sparql_bool,
+        "kg_sparql_having": _kg_sparql_having,
         "kg_sparql_union": _kg_sparql_union,
         "kg_sparql_expr": _kg_sparql_expr,
         "kg_sparql_kinds": _kg_sparql_kinds,
@@ -992,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_star": oracles.sparql_star_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),
+        "kg_sparql_having": oracles.sparql_having_oracle(),
         "kg_sparql_union": oracles.sparql_union_oracle(),
         "kg_sparql_expr": oracles.sparql_expr_oracle(),
         "kg_sparql_kinds": oracles.sparql_kinds_oracle(),

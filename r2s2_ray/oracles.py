@@ -339,6 +339,18 @@ def sparql_bool_oracle() -> str:
     )
 
 
+def sparql_having_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_having``:
+    { ?turn ex:mentions ?e } GROUP BY ?turn HAVING(COUNT(DISTINCT ?e) >= 3)
+    — per-turn distinct-entity counts filtered in the HAVING clause."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT subj AS turn FROM t WHERE pred = {_q(vocab.P_MENTIONS)} "
+        f"GROUP BY subj HAVING COUNT(DISTINCT obj) >= 3"
+    )
+
+
 def sparql_union_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_union``:
     { ?turn ex:mentions ?e . FILTER(CONTAINS(?e, "or")) } UNION
