@@ -74,7 +74,9 @@ element order; SAMPLE = deterministic MIN) with ``GROUP BY`` and
 ``HAVING(?aggAlias <op> number)`` and the direct aggregate form
 ``HAVING(COUNT(?v) > n)`` (COUNT/SUM/MIN/MAX/AVG, DISTINCT and ``*``
 allowed, no alias or aggregate projection required — grouped keys alone
-may be selected), nested ``{ SELECT ... }`` subqueries
+may be selected; conjuncts ``&&``-join and the two forms mix), ORDER BY
+over whole-key aggregates — ``ORDER BY DESC(COUNT(?v))`` — with or
+without a matching projected alias, nested ``{ SELECT ... }`` subqueries
 (one level, explicit projection required; joined to the outer pattern on
 shared projected variables) (plain projected variables must be grouping keys; COUNT
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
@@ -107,7 +109,8 @@ identity plus lang-tag/datatype identity when both sides are object
 bindings),
 ``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/
 REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR/COALESCE/MD5/SHA256/
-YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over dateTime lexicals,
+YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over dateTime lexicals, IRI/URI
+as the identity on the lexical form,
 ``IF(cond, then, else)`` with an ``expr <op> expr`` condition, LANG/DATATYPE
 as expressions over object bindings, and +,-,*,/ arithmetic with
 TRY_CAST numeric coercion; later BINDs may reference earlier ones, BIND
@@ -121,7 +124,8 @@ compare lexical forms, and expression keys — ``DESC(STRLEN(?v))``,
 arithmetic, CONCAT — compile with the BIND grammar), LIMIT and OFFSET,
 ``ASK`` queries (same body grammar,
 one boolean ``ask`` column; all-constant bodies are legal for ASK), and
-``CONSTRUCT { template } WHERE { body }`` (per-solution template
+``CONSTRUCT { template } WHERE { body }`` and the template-free
+``CONSTRUCT WHERE { bgp }`` shorthand (per-solution template
 instantiation, OPTIONAL-unbound variables skip their triple, DISTINCT
 graph output as (subj, pred, obj)), and ``DESCRIBE <iri> ...``
 (subject-rows concise-bounded-description core).
@@ -294,12 +298,12 @@ class Query:
     #: nested { SELECT ... } subqueries (one level): each joins the outer
     #: pattern on its shared projected variables
     subselects: list["Query"] | None = None
-    #: HAVING(?aggAlias <op> number) over an aggregate projection
-    having: tuple[str, str, str] | None = None
-    #: HAVING(COUNT(?v) > n) direct aggregate form: (func, distinct,
-    #: var-or-None-for-*, op, number) — compiled as the aggregate expression
-    #: in the HAVING clause, no alias/projection required
-    having_agg: tuple[str, bool, str | None, str, str] | None = None
+    #: HAVING conjuncts (``&&``-joined), each ("alias", aggAlias, op, number)
+    #: for the projected-alias form or ("agg", func, distinct,
+    #: var-or-None-for-*, op, number) for the direct aggregate form — the
+    #: latter compiles the aggregate expression straight into the HAVING
+    #: clause, no alias/projection required
+    having: list[tuple] | None = None
     #: generalized expression FILTERs: (lhs AST, op, rhs AST) compiled with
     #: the BIND expression compiler (numeric coercion when either side is
     #: numeric-valued)
@@ -326,46 +330,69 @@ _GCONCAT_RE = re.compile(
     re.I,
 )
 _GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.I)
-_HAVING_RE = re.compile(
-    r"HAVING\s*\(\s*\?(\w+)\s*(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)\s*\)", re.I
-)
-#: the direct aggregate form ``HAVING(COUNT(?v) > 2)`` — no alias needed
+_HAVING_ALIAS_RE = re.compile(r"\?(\w+)\s*(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)")
+#: the direct aggregate form ``COUNT(?v) > 2`` — no alias needed
 _HAVING_AGG_RE = re.compile(
-    r"HAVING\s*\(\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)\s*"
-    r"(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)\s*\)",
+    r"(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)\s*"
+    r"(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)",
     re.I,
 )
 _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 
 
-def _parse_having(tail: str, aggs) -> tuple[tuple | None, tuple | None]:
-    """Parse the HAVING clause from the query tail. Two forms: the alias form
-    ``HAVING(?aggAlias <op> number)`` (returned first) and the direct
-    aggregate form ``HAVING(COUNT(?v) > 2)`` (returned second) — at most one
-    is non-None."""
-    hv = _HAVING_RE.search(tail)
-    if hv:
-        if not aggs:
-            raise ValueError("HAVING without an aggregate projection")
-        if hv.group(1) not in {a for _, _, _, a in aggs}:
-            raise ValueError(
-                f"HAVING references unknown aggregate alias ?{hv.group(1)}"
+def _parse_having(tail: str, aggs, group_by) -> list[tuple] | None:
+    """Parse the HAVING clause from the query tail into a conjunct list.
+    Each ``&&``-joined conjunct is either the alias form
+    ``?aggAlias <op> number`` or the direct aggregate form
+    ``COUNT(DISTINCT? ?v|*) <op> number``; HAVING bodies carry only numbers
+    so balanced-paren extraction needs no literal masking."""
+    m = re.search(r"\bHAVING\s*\(", tail, re.I)
+    if m is None:
+        if re.search(r"\bHAVING\b", tail, re.I):
+            raise ValueError("HAVING needs a parenthesized condition")
+        return None
+    depth, j = 1, m.end()
+    while j < len(tail) and depth:
+        if tail[j] == "(":
+            depth += 1
+        elif tail[j] == ")":
+            depth -= 1
+        j += 1
+    if depth:
+        raise ValueError("unbalanced parentheses in HAVING")
+    conds: list[tuple] = []
+    for part in _split_top(tail[m.end() : j - 1], "&&"):
+        part = part.strip()
+        hv = _HAVING_ALIAS_RE.fullmatch(part)
+        if hv:
+            if not aggs:
+                raise ValueError("HAVING without an aggregate projection")
+            if hv.group(1) not in {a for _, _, _, a in aggs}:
+                raise ValueError(
+                    f"HAVING references unknown aggregate alias ?{hv.group(1)}"
+                )
+            conds.append(("alias", hv.group(1), hv.group(2), hv.group(3)))
+            continue
+        ha = _HAVING_AGG_RE.fullmatch(part)
+        if ha:
+            func = ha.group(1).upper()
+            varg = ha.group(3)
+            var = None if varg == "*" else varg[1:]
+            if var is None and func != "COUNT":
+                raise ValueError(f"{func}(*) is not a valid aggregate")
+            if not (aggs or group_by):
+                raise ValueError(
+                    "HAVING(AGG(...)) needs a GROUP BY or aggregate projection"
+                )
+            conds.append(
+                ("agg", func, bool(ha.group(2)), var, ha.group(4), ha.group(5))
             )
-        return (hv.group(1), hv.group(2), hv.group(3)), None
-    ha = _HAVING_AGG_RE.search(tail)
-    if ha:
-        func = ha.group(1).upper()
-        varg = ha.group(3)
-        var = None if varg == "*" else varg[1:]
-        if var is None and func != "COUNT":
-            raise ValueError(f"{func}(*) is not a valid aggregate")
-        return None, (func, bool(ha.group(2)), var, ha.group(4), ha.group(5))
-    if re.search(r"\bHAVING\b", tail, re.I):
+            continue
         raise ValueError(
-            "unsupported HAVING form (supported: HAVING(?aggAlias <op> number)"
-            " or HAVING(AGG(?var) <op> number))"
+            "unsupported HAVING form (supported: ?aggAlias <op> number and "
+            f"AGG(?var) <op> number, &&-joined): {part!r}"
         )
-    return None, None
+    return conds
 _ANON_RE = re.compile(r"\[\s*\]")
 _BNODE_RE = re.compile(r"_:(\w+)")
 _VALUES_RE = re.compile(r"VALUES\s+(\?\w+|\(\s*(?:\?\w+\s*)+\))\s*\{([^{}]*)\}", re.I)
@@ -681,6 +708,10 @@ _BIND_FUNCS = {
     "DATATYPE": ("", False),
     "MD5": ("md5", False),
     "SHA256": ("sha256", False),
+    # the serving model stores IRIs by their lexical form, so constructing
+    # an IRI from a string is the identity on that form (no re-validation)
+    "IRI": ("({})", False),
+    "URI": ("({})", False),
     # xsd:dateTime / xsd:date component accessors — operate on the lexical
     # form (a non-castable lexical yields NULL, the SPARQL error)
     "YEAR": ("year(TRY_CAST({} AS TIMESTAMP))", True),
@@ -1232,7 +1263,21 @@ def _parse_order(text: str) -> list[tuple[object, bool]]:
     def key_of(src: str):
         src = src.strip()
         m = re.fullmatch(r"\?(\w+)", src)
-        return m.group(1) if m else _parse_expr(src)
+        if m:
+            return m.group(1)
+        # a whole-key aggregate — ORDER BY DESC(COUNT(?v)) — becomes an
+        # ("agg", ...) node compiled against the grouped input columns
+        ma = re.fullmatch(
+            r"(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)", src, re.I
+        )
+        if ma:
+            func = ma.group(1).upper()
+            varg = ma.group(3)
+            var = None if varg == "*" else varg[1:]
+            if var is None and func != "COUNT":
+                raise ValueError(f"{func}(*) is not a valid aggregate")
+            return ("agg", func, bool(ma.group(2)), var)
+        return _parse_expr(src)
 
     keys: list[tuple[object, bool]] = []
     i, n = 0, len(text)
@@ -1407,11 +1452,21 @@ def parse_sparql(q: str) -> Query:
     construct_src = None
     if not re.search(r"\bSELECT\b", q, re.I) and re.search(r"\bCONSTRUCT\b", q, re.I):
         mq, mrestore = _mask_literals(q)
-        cm = re.search(r"\bCONSTRUCT\s*\{([^{}]*)\}", mq, re.I)
-        if not cm:
-            raise ValueError("CONSTRUCT needs a brace-delimited template")
-        construct_src = mrestore(cm.group(1))
-        q = mrestore(mq[: cm.start()] + "SELECT * " + mq[cm.end() :])
+        # the CONSTRUCT WHERE { bgp } shorthand: the template IS the body
+        # (spec-restricted to a basic graph pattern — the template parser
+        # rejects anything else loudly)
+        cw = re.search(r"\bCONSTRUCT\s+WHERE\s*\{([^{}]*)\}", mq, re.I)
+        if cw:
+            construct_src = mrestore(cw.group(1))
+            q = mrestore(
+                mq[: cw.start()] + "SELECT * WHERE {" + cw.group(1) + "}" + mq[cw.end() :]
+            )
+        else:
+            cm = re.search(r"\bCONSTRUCT\s*\{([^{}]*)\}", mq, re.I)
+            if not cm:
+                raise ValueError("CONSTRUCT needs a brace-delimited template")
+            construct_src = mrestore(cm.group(1))
+            q = mrestore(mq[: cm.start()] + "SELECT * " + mq[cm.end() :])
     # ASK: same body grammar as SELECT * — rewrite the head, compile the body
     # identically, and flag the query so to_sql wraps it in EXISTS
     ask = False
@@ -1580,12 +1635,12 @@ def parse_sparql(q: str) -> Query:
         order = _ORDER_RE.search(tail)
         gb = _GROUPBY_RE.search(tail)
         group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
-        having, having_agg = _parse_having(tail, aggs)
-        if group_by and not aggs and not having_agg:
+        having = _parse_having(tail, aggs, group_by)
+        order_by = _parse_order(order.group(1)) if order else []
+        agg_order = any(isinstance(k, tuple) and k[0] == "agg" for k, _ in order_by)
+        if group_by and not aggs and not having and not agg_order:
             raise ValueError("GROUP BY without an aggregate projection")
-        if having_agg and not (aggs or group_by):
-            raise ValueError("HAVING(AGG(...)) needs a GROUP BY or aggregate projection")
-        if aggs or having_agg:
+        if aggs or having or agg_order:
             keys = group_by or sel_vars
             stray = [v for v in sel_vars if v not in keys]
             if stray:
@@ -1596,7 +1651,7 @@ def parse_sparql(q: str) -> Query:
             distinct,
             [],
             [],
-            _parse_order(order.group(1)) if order else [],
+            order_by,
             int(lim.group(1)) if lim else None,
             from_graphs=from_graphs or None,
             from_named=from_named or None,
@@ -1605,7 +1660,6 @@ def parse_sparql(q: str) -> Query:
             aggs=aggs or None,
             group_by=group_by or None,
             having=having,
-            having_agg=having_agg,
             construct=_parse_construct(construct_src, prefixes) if construct_src else None,
             ask=ask,
         )
@@ -1835,12 +1889,11 @@ def parse_sparql(q: str) -> Query:
     order_by = _parse_order(order.group(1)) if order else []
     gb = _GROUPBY_RE.search(tail)
     group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
-    having, having_agg = _parse_having(tail, aggs)
-    if group_by and not aggs and not having_agg:
+    having = _parse_having(tail, aggs, group_by)
+    agg_order = any(isinstance(k, tuple) and k[0] == "agg" for k, _ in order_by)
+    if group_by and not aggs and not having and not agg_order:
         raise ValueError("GROUP BY without an aggregate projection")
-    if having_agg and not (aggs or group_by):
-        raise ValueError("HAVING(AGG(...)) needs a GROUP BY or aggregate projection")
-    if aggs or having_agg:
+    if aggs or having or agg_order:
         # SPARQL: every plain projected variable must be a grouping key; an
         # aggregate query without GROUP BY groups the whole solution set
         keys = group_by or sel_vars
@@ -1875,7 +1928,6 @@ def parse_sparql(q: str) -> Query:
         subselects=subselects or None,
         union_joins=union_joins or None,
         having=having,
-        having_agg=having_agg,
         ask=ask,
     )
 
@@ -2205,7 +2257,7 @@ def _order_limit(
     over the same name space."""
     sql = ""
     if query.order_by:
-        under_proj_only = query.distinct or bool(query.aggs) or bool(query.having_agg)
+        under_proj_only = query.distinct or _is_agg_query(query)
         parts = []
         for v, desc in query.order_by:
             if isinstance(v, str):
@@ -2215,6 +2267,35 @@ def _order_limit(
                     expr = cols[v]
                 else:
                     raise ValueError(f"ORDER BY variable ?{v} is not projected")
+            elif v[0] == "agg":
+                # ORDER BY over an aggregate: reuse a matching projected
+                # alias when one exists, else compile the aggregate over the
+                # grouped input columns (valid SQL in a grouped query)
+                _, func, distinct, var = v
+                if not (query.aggs or query.group_by):
+                    raise ValueError(
+                        "ORDER BY aggregate needs GROUP BY or an aggregate projection"
+                    )
+                alias = next(
+                    (
+                        a
+                        for f, d, vv, a in query.aggs or []
+                        if f == func and d == distinct and vv == var
+                    ),
+                    None,
+                )
+                if alias is not None:
+                    expr = alias
+                else:
+                    if var is not None and (not cols or var not in cols):
+                        raise ValueError(
+                            f"ORDER BY aggregate over unbound variable ?{var}"
+                        )
+                    d = "DISTINCT " if distinct else ""
+                    if func == "COUNT":
+                        expr = f"COUNT({'*' if var is None else d + cols[var]})"
+                    else:
+                        expr = f"{func}({d}TRY_CAST({cols[var]} AS DOUBLE))"
             else:
                 mapping: dict[str, str] = (
                     dict(cols) if cols and not under_proj_only else {}
@@ -2418,23 +2499,38 @@ def _bool_sql(node, binds: dict[str, str]) -> str:
     return _cmp_sql(lhs, opc, rhs, binds)
 
 
+
+def _is_agg_query(query: "Query") -> bool:
+    """True when compilation must take the grouped path: an aggregate
+    projection, a HAVING clause, or an ORDER BY aggregate key."""
+    return bool(
+        query.aggs
+        or query.having
+        or any(isinstance(k, tuple) and k[0] == "agg" for k, _ in query.order_by or [])
+    )
+
+
 def _having_sql(query: Query, vmap: dict[str, str]) -> str:
-    if query.having:
-        alias, op, val = query.having
-        return f" HAVING {alias} {'<>' if op == '!=' else op} {val}"
-    if not query.having_agg:
+    if not query.having:
         return ""
-    # direct aggregate form: compile the aggregate over the bound column —
-    # SQL HAVING may reference aggregates that are not projected
-    func, distinct, var, op, val = query.having_agg
-    if var is not None and var not in vmap:
-        raise ValueError(f"HAVING aggregate over unbound variable ?{var}")
-    d = "DISTINCT " if distinct else ""
-    if func == "COUNT":
-        expr = f"COUNT({'*' if var is None else d + vmap[var]})"
-    else:
-        expr = f"{func}({d}TRY_CAST({vmap[var]} AS DOUBLE))"
-    return f" HAVING {expr} {'<>' if op == '!=' else op} {val}"
+    parts = []
+    for cond in query.having:
+        if cond[0] == "alias":
+            _, alias, op, val = cond
+            parts.append(f"{alias} {'<>' if op == '!=' else op} {val}")
+            continue
+        # direct aggregate form: compile the aggregate over the bound
+        # column — SQL HAVING may reference aggregates that are not projected
+        _, func, distinct, var, op, val = cond
+        if var is not None and var not in vmap:
+            raise ValueError(f"HAVING aggregate over unbound variable ?{var}")
+        d = "DISTINCT " if distinct else ""
+        if func == "COUNT":
+            expr = f"COUNT({'*' if var is None else d + vmap[var]})"
+        else:
+            expr = f"{func}({d}TRY_CAST({vmap[var]} AS DOUBLE))"
+        parts.append(f"{expr} {'<>' if op == '!=' else op} {val}")
+    return " HAVING " + " AND ".join(parts)
 
 
 def to_sql(query: Query, triples_view: str = "all_triples") -> str:
@@ -2508,7 +2604,7 @@ def _to_sql_cols(
             for v in b_cols:
                 if v not in all_vars:
                     all_vars.append(v)
-        if query.aggs or query.having_agg:
+        if _is_agg_query(query):
             base_vars = sorted(all_vars)
         else:
             base_vars = query.select or sorted(all_vars)
@@ -2527,7 +2623,7 @@ def _to_sql_cols(
         if query.ask:
             return f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask", ["ask"]
         vmap = {v: v for v in base_vars}
-        if query.aggs or query.having_agg:
+        if _is_agg_query(query):
             proj, group, out_cols = _agg_projection(query, vmap)
             sql = f"SELECT {proj} FROM ({sql}) __u{group}{_having_sql(query, vmap)}"
             return sql + _order_limit(query, set(out_cols), vmap), out_cols
@@ -2799,7 +2895,7 @@ def _to_sql_cols(
             if v not in binds:
                 raise ValueError(f"BOUND on unbound variable ?{v}")
             conds.append(f"{binds[v]} IS {'NOT NULL' if positive else 'NULL'}")
-        if query.aggs or query.having_agg:
+        if _is_agg_query(query):
             proj, group, out_cols = _agg_projection(query, binds)
             projected = {a for _, _, _, a in query.aggs or []} | set(query.select)
         else:
@@ -2883,7 +2979,7 @@ def _to_sql_cols(
                 raise ValueError(f"BOUND on unbound variable ?{v}")
             outer_conds.append(f"{outer[v]} IS {'NOT NULL' if positive else 'NULL'}")
         where = " WHERE " + " AND ".join(outer_conds) if outer_conds else ""
-        if query.aggs or query.having_agg:
+        if _is_agg_query(query):
             proj, group, out_cols = _agg_projection(query, outer)
             projected = {a for _, _, _, a in query.aggs or []} | set(query.select)
         else:

@@ -1503,12 +1503,64 @@ def test_sparql_having_direct_aggregate():
         "SELECT ?s WHERE { { ?s <e:tag> ?o } UNION { ?s <e:num> ?o } } "
         "GROUP BY ?s HAVING(COUNT(?o) > 2)"
     ) == [("e:a",)]
+    # conjunctive HAVING: &&-joined conjuncts, alias and aggregate forms mixed
+    assert run(
+        "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <e:tag> ?t } GROUP BY ?s "
+        "HAVING(?n > 1 && ?n < 4)"
+    ) == [("e:a", 3)]
+    assert run(
+        "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <e:tag> ?t } GROUP BY ?s "
+        "HAVING(?n >= 1 && COUNT(DISTINCT ?t) > 1)"
+    ) == [("e:a", 3)]
+    # ORDER BY over an aggregate — with and without a matching alias
+    assert run(
+        "SELECT ?s WHERE { ?s <e:tag> ?t } GROUP BY ?s "
+        "ORDER BY DESC(COUNT(?t)) ?s"
+    ) == [("e:a",), ("e:b",)]
+    assert run(
+        "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <e:tag> ?t } GROUP BY ?s "
+        "ORDER BY DESC(COUNT(?t)) LIMIT 1"
+    ) == [("e:a", 3)]
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { ?s <e:tag> ?t } HAVING(COUNT(?t) > 1)")
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(SUM(*) > 1)")
     with pytest.raises(ValueError):
         run("SELECT ?s WHERE { ?s <e:tag> ?t } GROUP BY ?s HAVING(COUNT(?zz) > 1)")
+    with pytest.raises(ValueError):  # || disjuncts are not supported
+        run(
+            "SELECT ?s (COUNT(?t) AS ?n) WHERE { ?s <e:tag> ?t } GROUP BY ?s "
+            "HAVING(?n > 1 || ?n < 4)"
+        )
+
+
+def test_sparql_iri_func_and_construct_where():
+    """IRI()/URI() are the identity on the stored lexical form (the serving
+    model keeps IRIs as strings); CONSTRUCT WHERE { bgp } is the template-free
+    shorthand — the body doubles as the template."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:tag','x', NULL, NULL, 'g'),
+          ('e:b','e:tag','z', NULL, NULL, 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run(
+        'SELECT ?u WHERE { ?s <e:tag> ?t BIND(IRI(CONCAT("http://x/", ?t)) AS ?u) } '
+        "ORDER BY ?u"
+    ) == [("http://x/x",), ("http://x/z",)]
+    assert sorted(run("CONSTRUCT WHERE { ?s <e:tag> ?o }")) == [
+        ("e:a", "e:tag", "x"),
+        ("e:b", "e:tag", "z"),
+    ]
 
 
 def test_sparql_strends_and_date_accessors():
