@@ -582,6 +582,21 @@ def _dd_neardup_clusters(sf_dir: str):
     )
 
 
+def _txt_lm_surprisal(sf_dir: str):
+    """Per-document surprisal under the corpus's own unigram LM (the
+    CCNet-style quality signal). The driver entry projects the integer-exact
+    whole-bit column; the float cross-entropy is pytest-pinned."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import lm_surprisal
+
+    return lm_surprisal(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    ).select_columns(["doc_id", "n_tokens", "surprisal_bits"])
+
+
 def _txt_repetition(sf_dir: str):
     """Gopher-style repetition signals (duplicate lines/words, top-bigram
     share) as integer counts per document."""
@@ -970,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_source_mix": _td_source_mix,
         "td_budget_sample": _td_budget_sample,
         "txt_rare_terms": _txt_rare_terms,
+        "txt_lm_surprisal": _txt_lm_surprisal,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
         "txt_token_chunks": _txt_token_chunks,
@@ -1086,6 +1102,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),
         "td_budget_sample": oracles_td.budget_sample_oracle(),
         "txt_rare_terms": oracles_td.rare_terms_oracle(),
+        "txt_lm_surprisal": oracles_td.lm_surprisal_oracle(),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

@@ -192,6 +192,12 @@ def run_bench() -> dict:
     contamination_flags(docs, "doc_id", "text").count()
     queries["td_contamination"] = round(time.perf_counter() - t0, 3)
 
+    from r2s2_ray.functions.textstats import lm_surprisal
+
+    t0 = time.perf_counter()
+    lm_surprisal(docs, "doc_id", "text").count()
+    queries["txt_lm_surprisal"] = round(time.perf_counter() - t0, 3)
+
     t0 = time.perf_counter()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     import numpy as np

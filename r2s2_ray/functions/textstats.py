@@ -610,3 +610,137 @@ def rare_terms(
         return out.to_arrow()
 
     return joined.sort(id_col).map_batches(topk, batch_format="pyarrow", batch_size=None)
+
+
+#: broadcast the unigram table only below this vocabulary size — web-scale
+#: vocabularies take the distributed hash_join path instead
+LM_VOCAB_BROADCAST_MAX = 5_000_000
+
+
+def lm_surprisal(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    broadcast_max: int = LM_VOCAB_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """Per-document surprisal under a unigram language model estimated from
+    the corpus itself — the CCNet/Gopher-style "how unusual is this document"
+    quality signal, self-contained (no external LM).
+
+    Returns (id, n_tokens, surprisal_bits, xent_nats) for every document with
+    at least one ``[a-z0-9]+`` token (the ``token_stats`` convention):
+
+    - ``surprisal_bits`` = sum over tokens (with multiplicity) of
+      ``floor(log2(N)) - floor(log2(c_t))`` where ``c_t`` is the token's
+      corpus term frequency and ``N`` the corpus token total. Whole-bit
+      quantization keeps the column INTEGER-EXACT — ``floor(log2(x))`` of an
+      int is its bit length minus one on both engines (numpy ``frexp`` here,
+      ``length(bin(x)) - 1`` in the SQL oracle) — so the oracle comparison is
+      bit-exact with no float-rounding hazard.
+    - ``xent_nats`` = mean token negative log-likelihood
+      ``sum(ln(N) - ln(c_t)) / n_tokens`` — the conventional float
+      cross-entropy, pinned by pytest against an exact reference rather than
+      the 1e-9-rounded oracle hash.
+
+    Stage shape (one token-explode pass feeds both the model estimate and the
+    scoring): explode (doc, token) with multiplicity -> term-frequency
+    groupby (the vocabulary exchange) -> counts attached back to every token
+    row (broadcast map under ``broadcast_max``, distributed hash_join beyond
+    — a web-scale vocabulary never lands on the driver) -> per-doc fold via
+    sort + block-local group_by (equal keys never split across sort output
+    blocks; avoids the Aggregate operator's empty-input hang)."""
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = (
+            df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+")
+                .alias("tok")
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+            .select([id_col, "tok"])
+        )
+        return out.to_arrow()
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    counts = toks.groupby("tok").aggregate(Count(alias_name="c")).materialize()
+    # the corpus token total: one int per count block to the driver
+    total = sum(
+        int(pc.sum(b["c"]).as_py() or 0)
+        for b in counts.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if total == 0:
+        id_type = pa.large_string()
+        for f in ds.schema().base_schema:
+            if f.name == id_col:
+                id_type = f.type
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "surprisal_bits": pa.array([], pa.int64()),
+                    "xent_nats": pa.array([], pa.float64()),
+                }
+            )
+        )
+    total_bits = int(total).bit_length() - 1
+    ln_total = float(np.log(float(total)))
+
+    if counts.count() <= broadcast_max:
+        rows = counts.take_all()
+        keys = pa.array([r["tok"] for r in rows], pa.large_string())
+        vals = pa.array([int(r["c"]) for r in rows], pa.int64())
+        ref = ray.put((keys, vals))
+
+        def attach(b: pa.Table, _ref=ref) -> pa.Table:
+            ks, vs = ray.get(_ref)
+            idx = pc.index_in(pc.cast(b["tok"], pa.large_string()), value_set=ks)
+            return b.append_column("c", pc.take(vs, idx))
+
+        joined = toks.map_batches(attach, batch_format="pyarrow")
+    else:
+        from ..relational import hash_join
+
+        joined = hash_join(toks, counts, on="tok", right_cols=["c"], how="inner")
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], b.schema.field(id_col).type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "surprisal_bits": pa.array([], pa.int64()),
+                    "xent_nats": pa.array([], pa.float64()),
+                }
+            )
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        # floor(log2(c)) == frexp exponent - 1, exact for counts < 2**53
+        bits = (total_bits - (np.frexp(c.astype(np.float64))[1] - 1)).astype(np.int64)
+        nats = ln_total - np.log(c.astype(np.float64))
+        df = pl.from_arrow(b.select([id_col])).with_columns(
+            bits=pl.Series(bits), nats=pl.Series(nats)
+        )
+        out = (
+            df.group_by(id_col, maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_tokens"),
+                pl.col("bits").sum().cast(pl.Int64).alias("surprisal_bits"),
+                pl.col("nats").sum().alias("xent_sum"),
+            )
+            .with_columns(
+                (pl.col("xent_sum") / pl.col("n_tokens")).alias("xent_nats")
+            )
+            .drop("xent_sum")
+        )
+        return out.to_arrow()
+
+    return joined.sort(id_col).map_batches(
+        score, batch_format="pyarrow", batch_size=None
+    )

@@ -748,3 +748,29 @@ def rare_terms_oracle(k: int = 3) -> str:
                  row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) - 1 AS rank
           FROM t JOIN f USING (tok))
         WHERE rank < {k}"""
+
+
+def lm_surprisal_oracle() -> str:
+    """Exact SQL mirror of ``textstats.lm_surprisal``'s integer contract:
+    per-document sum of whole-bit unigram surprisals, where
+    ``floor(log2(x)) = length(bin(x)) - 1`` keeps both engines in integer
+    arithmetic (the float ``xent_nats`` column is excluded from the driver
+    entry and pinned by pytest instead)."""
+    return """
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents
+        ), cnt AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY tok
+        ), tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(bin(tot.n)) - length(bin(cnt.c))) AS BIGINT)
+                 AS surprisal_bits
+        FROM tok t
+        JOIN cnt ON cnt.tok = t.tok
+        CROSS JOIN tot
+        GROUP BY t.doc_id"""

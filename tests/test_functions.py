@@ -823,3 +823,46 @@ def test_rare_terms_broadcast_matches_join():
     assert by[(3, 0)] == ("other", 1)  # tie on df=1 broken by token
     # every doc contributes exactly k=3 rows (docs have >= 3 distinct tokens)
     assert len(a) == 9
+
+
+def test_lm_surprisal_exact_and_paths_agree():
+    """lm_surprisal: surprisal_bits matches a direct integer reference
+    (floor-log2 per token, summed with multiplicity), xent_nats matches the
+    float cross-entropy to 1e-12, and the broadcast and distributed
+    hash_join paths agree exactly."""
+    import math
+
+    from r2s2_ray.functions.textstats import lm_surprisal
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "aa aa bb",
+                "aa bb cc cc",
+                "dd",
+            ],
+        }
+    )
+    # corpus counts: aa=3 bb=2 cc=2 dd=1, N=8 -> floor(log2): N=3, aa=1,
+    # bb=1, cc=1, dd=0
+    expect_bits = {1: (3, (3 - 1) * 2 + (3 - 1)), 2: (4, 8), 3: (1, 3)}
+    counts = {"aa": 3, "bb": 2, "cc": 2, "dd": 1}
+    docs = {1: ["aa", "aa", "bb"], 2: ["aa", "bb", "cc", "cc"], 3: ["dd"]}
+
+    ds = ray.data.from_arrow(t)
+    rows = {r["doc_id"]: r for r in lm_surprisal(ds, "doc_id", "text").take_all()}
+    for d, (n, bits) in expect_bits.items():
+        assert rows[d]["n_tokens"] == n
+        assert rows[d]["surprisal_bits"] == bits
+        ref = sum(math.log(8) - math.log(counts[tok]) for tok in docs[d]) / n
+        assert abs(rows[d]["xent_nats"] - ref) < 1e-12
+    dist = {
+        r["doc_id"]: r
+        for r in lm_surprisal(ds, "doc_id", "text", broadcast_max=0).take_all()
+    }
+    assert {
+        d: (r["n_tokens"], r["surprisal_bits"]) for d, r in rows.items()
+    } == {d: (r["n_tokens"], r["surprisal_bits"]) for d, r in dist.items()}
+    for d in rows:
+        assert abs(rows[d]["xent_nats"] - dist[d]["xent_nats"]) < 1e-12
