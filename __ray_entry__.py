@@ -683,6 +683,20 @@ def _sim_ann_lsh(sf_dir: str):
     )
 
 
+def _sim_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table — per-vector
+    cluster assignment after 3 iterations, bit-exact vs the unrolled-CTE SQL
+    oracle because every step is integer arithmetic."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans(ds, "vec_id", "embedding", k=8, n_iters=3)
+
+
 def _sim_ann_ivf(sf_dir: str):
     """IVF-flat ANN: deterministic coarse codebook, nearest-centroid inverted
     lists, nprobe-nearest-list search — the partition-pruned scale path next
@@ -980,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_repetition": _txt_repetition,
         "dd_substring_pairs": _dd_substring_pairs,
         "sim_ann_ivf": _sim_ann_ivf,
+        "sim_kmeans": _sim_kmeans,
         "dd_neardup_clusters": _dd_neardup_clusters,
         "td_shuffle": _td_shuffle,
         "td_source_mix": _td_source_mix,
@@ -1097,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_repetition": oracles_td.repetition_oracle(),
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),
         "sim_ann_ivf": oracles_td.ann_ivf_oracle(),
+        "sim_kmeans": oracles_td.kmeans_oracle(),
         "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
         "td_shuffle": oracles_td.training_shuffle_oracle(),
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),

@@ -206,6 +206,12 @@ def run_bench() -> dict:
     brute_force_topk(emb, q, "vec_id", "embedding", k=5)
     queries["sim_ann_bruteforce"] = round(time.perf_counter() - t0, 3)
 
+    from r2s2_ray.functions.similarity import kmeans
+
+    t0 = time.perf_counter()
+    kmeans(emb, "vec_id", "embedding", k=8, n_iters=3).count()
+    queries["sim_kmeans"] = round(time.perf_counter() - t0, 3)
+
     n_dedup = sum(t.row_count for t in manifest.tables)
     result = {
         "metric": "kg_pipeline_e2e",

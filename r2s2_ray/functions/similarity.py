@@ -184,3 +184,135 @@ def ivf_topk(
 
     cand = ds.map_batches(prefilter, batch_format="pyarrow")
     return brute_force_topk(cand, q, id_col, vec_col, k)
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 3,
+    scale_bits: int = 20,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the embedding column, returning one
+    (id, cluster) row per vector — the standard corpus-clustering /
+    topic-bucketing primitive for training-data curation.
+
+    The whole algorithm runs in INTEGER arithmetic so the result is
+    deterministic and SQL-oracle-exact despite being iterative:
+
+    - components quantize to ``floor(v * 2**scale_bits + 0.5)`` (exact in
+      float64 on both engines — scaling by a power of two is lossless);
+    - squared-euclidean distances and per-cluster component sums are int64
+      (exact and ORDER-FREE, so block order cannot perturb centroids the way
+      float partial sums would);
+    - the centroid update is the round-half-up integer mean
+      ``(2*s + n) // (2*n)`` with floor semantics (mirrored in SQL via the
+      positive-mod floor-division identity);
+    - ties (equal distances, empty clusters) break to the lower cluster
+      index / keep the previous centroid.
+
+    Init is the ``k`` lowest-id vectors (cluster index = id rank), the same
+    deterministic codebook rule :func:`ivf_topk` uses. Per iteration the
+    centroid matrix is broadcast via ``ray.put`` (k x dim ints), every block
+    does one int64 matmul and emits k*(dim+1) PARTIAL rows (sums + count —
+    never per-point traffic), and a tiny groupby-sum exchange reduces them;
+    the driver only ever sees k*(dim+1) integers per iteration. The quantized
+    projection is materialized once and re-scanned per iteration."""
+
+    def quant(b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        if not len(vecs):
+            return pa.table(
+                {id_col: b[id_col], "qvec": pa.array([], pa.list_(pa.int64()))}
+            )
+        q = np.floor(vecs * float(1 << scale_bits) + 0.5).astype(np.int64)
+        return pa.table(
+            {id_col: b[id_col], "qvec": pa.array(list(q), pa.list_(pa.int64()))}
+        )
+
+    qds = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    def local_min(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)[:k]
+        return b.take(pa.array(order, pa.int64()))
+
+    seed = qds.map_batches(local_min, batch_format="pyarrow").take_all()
+    seed.sort(key=lambda r: r[id_col])
+    cent = np.asarray([r["qvec"] for r in seed[:k]], dtype=np.int64)
+    if not len(cent):
+        return ray.data.from_arrow(
+            pa.table(
+                {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        )
+    kk, dim = cent.shape
+
+    def _assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # expanded squared euclidean, all int64-exact at scale_bits<=20 and
+        # dims in the hundreds; argmin takes the FIRST (lowest) cluster on ties
+        xx = (X * X).sum(axis=1)
+        cc = (C * C).sum(axis=1)
+        d2 = xx[:, None] - 2 * (X @ C.T) + cc[None, :]
+        return np.argmin(d2, axis=1)
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+
+        def partials(b: pa.Table, _ref=ref) -> pa.Table:
+            C = ray.get(_ref)
+            X = np.asarray(b["qvec"].to_pylist(), dtype=np.int64)
+            if not len(X):
+                return pa.table(
+                    {"key": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+                )
+            a = _assign(X, C)
+            keys, sums = [], []
+            for c in np.unique(a):
+                rows = X[a == c]
+                base = int(c) * (dim + 1)
+                keys.extend(range(base, base + dim))
+                sums.extend(rows.sum(axis=0).tolist())
+                keys.append(base + dim)
+                sums.append(int(len(rows)))
+            return pa.table(
+                {"key": pa.array(keys, pa.int64()), "s": pa.array(sums, pa.int64())}
+            )
+
+        folded = (
+            qds.map_batches(partials, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum(on="s", alias_name="s"))
+            .take_all()
+        )
+        sums = np.zeros((kk, dim), dtype=np.int64)
+        counts = np.zeros(kk, dtype=np.int64)
+        for r in folded:
+            c, d = divmod(int(r["key"]), dim + 1)
+            if d == dim:
+                counts[c] = int(r["s"])
+            else:
+                sums[c, d] = int(r["s"])
+        new = cent.copy()
+        nz = counts > 0  # empty clusters keep their previous centroid
+        new[nz] = (2 * sums[nz] + counts[nz, None]) // (2 * counts[nz, None])
+        cent = new
+
+    ref = ray.put(cent)
+
+    def finalize(b: pa.Table, _ref=ref) -> pa.Table:
+        C = ray.get(_ref)
+        X = np.asarray(b["qvec"].to_pylist(), dtype=np.int64)
+        if not len(X):
+            return pa.table(
+                {id_col: b[id_col], "cluster": pa.array([], pa.int64())}
+            )
+        a = _assign(X, C).astype(np.int64)
+        return pa.table({id_col: b[id_col], "cluster": pa.array(a, pa.int64())})
+
+    return qds.map_batches(finalize, batch_format="pyarrow")

@@ -774,3 +774,59 @@ def lm_surprisal_oracle() -> str:
         JOIN cnt ON cnt.tok = t.tok
         CROSS JOIN tot
         GROUP BY t.doc_id"""
+
+
+def kmeans_oracle(k: int = 8, n_iters: int = 3, scale_bits: int = 20) -> str:
+    """Exact SQL mirror of ``similarity.kmeans``: the iterations unroll into a
+    CTE chain. Everything is integer arithmetic — quantize, squared distances,
+    per-cluster sums, the round-half-up integer mean via the positive-mod
+    floor-division identity — so the comparison is bit-exact despite the
+    algorithm being iterative (the int/int division is exact: the corrected
+    numerator is divisible and below 2**53)."""
+    scale = float(1 << scale_bits)
+    out = [
+        f"""
+        WITH q AS (
+          SELECT vec_id, d - 1 AS dim,
+                 CAST(floor(CAST(e AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS qx
+          FROM (SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) AS d
+                FROM embeddings)
+        ), c0 AS (
+          SELECT CAST(r - 1 AS BIGINT) AS cluster, dim, qx FROM (
+            SELECT dim, qx, dense_rank() OVER (ORDER BY vec_id) AS r FROM q
+          ) WHERE r <= {k}
+        )"""
+    ]
+    for i in range(1, n_iters + 2):
+        out.append(
+            f"""
+        , d{i} AS (
+          SELECT q.vec_id, c.cluster,
+                 SUM((q.qx - c.qx) * (q.qx - c.qx)) AS dist
+          FROM q JOIN c{i - 1} c USING (dim) GROUP BY q.vec_id, c.cluster
+        ), a{i} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d{i}) WHERE rn = 1
+        )"""
+        )
+        if i <= n_iters:
+            out.append(
+                f"""
+        , s{i} AS (
+          SELECT a.cluster, q.dim, SUM(q.qx) AS s, COUNT(*) AS n
+          FROM a{i} a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cluster, q.dim
+        ), c{i} AS (
+          SELECT p.cluster, p.dim,
+                 CAST(COALESCE(
+                   ((2*s.s + s.n) - ((((2*s.s + s.n) % (2*s.n)) + (2*s.n)) % (2*s.n)))
+                     / (2*s.n),
+                   p.qx) AS BIGINT) AS qx
+          FROM c{i - 1} p LEFT JOIN s{i} s USING (cluster, dim)
+        )"""
+            )
+    out.append(f" SELECT vec_id, cluster FROM a{n_iters + 1}")
+    return "".join(out)

@@ -866,3 +866,50 @@ def test_lm_surprisal_exact_and_paths_agree():
     } == {d: (r["n_tokens"], r["surprisal_bits"]) for d, r in dist.items()}
     for d in rows:
         assert abs(rows[d]["xent_nats"] - dist[d]["xent_nats"]) < 1e-12
+
+
+def test_kmeans_matches_local_reference():
+    """kmeans: the distributed integer-exact Lloyd iterations match a
+    single-process NumPy reference of the same contract (quantize ->
+    lowest-id init -> argmin assignment -> round-half-up integer mean,
+    empty clusters keep their centroid) on a multi-block input."""
+    import numpy as np
+
+    from r2s2_ray.functions.similarity import kmeans
+
+    rng = np.random.default_rng(7)
+    n, dim, k, iters, bits = 120, 8, 4, 3, 20
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans(ds, "vec_id", "embedding", k=k, n_iters=iters,
+                        scale_bits=bits).take_all()
+    }
+
+    X = np.floor(vecs.astype(np.float64) * (1 << bits) + 0.5).astype(np.int64)
+    order = np.argsort(ids)
+    cent = X[order[:k]].copy()
+
+    def assign(C):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters):
+        a = assign(cent)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                s, cnt = X[m].sum(axis=0), int(m.sum())
+                cent[c] = (2 * s + cnt) // (2 * cnt)
+    want = assign(cent)
+    assert got == {int(i): int(c) for i, c in zip(ids, want)}
+    assert len(set(got.values())) > 1  # the clustering is non-trivial
