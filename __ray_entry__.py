@@ -400,6 +400,21 @@ def _kg_sparql_having(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_dates(sf_dir: str):
+    """dateTime component accessors served end-to-end: per (day, hour) turn
+    counts from BIND(DAY/HOURS(?ts)) grouped over the bind targets."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT ?d ?h (COUNT(*) AS ?n) WHERE {\n"
+        "  ?t ex:ts ?ts BIND(DAY(?ts) AS ?d) BIND(HOURS(?ts) AS ?h)\n"
+        "} GROUP BY ?d ?h"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_union(sf_dir: str):
     """Round-4 UNION widening served end-to-end: branches are full groups (a
     FILTER scoped to one branch, an OPTIONAL left-joining inside the other)
@@ -953,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_undef": _kg_sparql_undef,
         "kg_sparql_bool": _kg_sparql_bool,
         "kg_sparql_having": _kg_sparql_having,
+        "kg_sparql_dates": _kg_sparql_dates,
         "kg_sparql_union": _kg_sparql_union,
         "kg_sparql_expr": _kg_sparql_expr,
         "kg_sparql_kinds": _kg_sparql_kinds,
@@ -1040,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),
         "kg_sparql_having": oracles.sparql_having_oracle(),
+        "kg_sparql_dates": oracles.sparql_dates_oracle(),
         "kg_sparql_union": oracles.sparql_union_oracle(),
         "kg_sparql_expr": oracles.sparql_expr_oracle(),
         "kg_sparql_kinds": oracles.sparql_kinds_oracle(),

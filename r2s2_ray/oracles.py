@@ -351,6 +351,20 @@ def sparql_having_oracle() -> str:
     )
 
 
+def sparql_dates_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_dates``: per
+    (day, hour) counts of turn timestamps — the dateTime component accessors
+    over the stored lexical forms."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT CAST(day(CAST(obj AS TIMESTAMP)) AS BIGINT) AS d, "
+        f"CAST(hour(CAST(obj AS TIMESTAMP)) AS BIGINT) AS h, "
+        f"CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM t WHERE pred = {_q(vocab.P_TS)} GROUP BY d, h"
+    )
+
+
 def sparql_union_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_union``:
     { ?turn ex:mentions ?e . FILTER(CONTAINS(?e, "or")) } UNION
