@@ -698,6 +698,26 @@ def _sim_ann_lsh(sf_dir: str):
     )
 
 
+_BM25_QUERIES = ["merge sort window", "customer order line", "spark vector hash join"]
+
+
+def _sim_bm25(sf_dir: str):
+    """BM25 top-k retrieval over the documents corpus — integer-exact scoring
+    contract (scaled multiplicative idf + rational-saturation floor division
+    in Int128), bit-exact vs the HUGEINT SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.retrieval import bm25_topk
+
+    return bm25_topk(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+        _BM25_QUERIES,
+        k=10,
+    )
+
+
 def _sim_kmeans(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table — per-vector
     cluster assignment after 3 iterations, bit-exact vs the unrolled-CTE SQL
@@ -1026,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _mm_image_features,
         "mm_audio_frames": _mm_audio_frames,
         "mm_video_frames": _mm_video_frames,
+        "sim_bm25": _sim_bm25,
     }
 
 
@@ -1136,6 +1157,7 @@ def oracle_sql() -> dict[str, str]:
         "td_budget_sample": oracles_td.budget_sample_oracle(),
         "txt_rare_terms": oracles_td.rare_terms_oracle(),
         "txt_lm_surprisal": oracles_td.lm_surprisal_oracle(),
+        "sim_bm25": oracles_td.bm25_oracle(_BM25_QUERIES, k=10),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

@@ -830,3 +830,58 @@ def kmeans_oracle(k: int = 8, n_iters: int = 3, scale_bits: int = 20) -> str:
             )
     out.append(f" SELECT vec_id, cluster FROM a{n_iters + 1}")
     return "".join(out)
+
+
+def bm25_oracle(queries: list[str], k: int = 10, idf_scale_bits: int = 10) -> str:
+    """Exact SQL mirror of ``retrieval.bm25_topk``'s integer contract: the
+    scaled multiplicative idf ``(N << bits) // df`` and the rational BM25
+    saturation (k1=6/5, b=3/4) multiplied through to one HUGEINT floor
+    division per term — bit-exact vs the polars Int128 path. Ties at the k
+    boundary break on ascending doc_id in both engines."""
+    from .functions.retrieval import query_terms
+
+    pairs = query_terms(queries)
+    values = ", ".join(f"({qid}, '{tok}')" for qid, tok in pairs)
+    scale = 1 << idf_scale_bits
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, tok
+        ), dl AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 GREATEST(1, CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT))
+                   AS avgdl
+          FROM dl
+        ), q(query_id, tok) AS (VALUES {values}),
+        df AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+          FROM tf WHERE tok IN (SELECT tok FROM q) GROUP BY tok
+        ), sc AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(SUM(
+                   ((CAST(stats.n AS HUGEINT) * {scale})
+                      // CAST(df.df AS HUGEINT))
+                     * 44 * stats.avgdl * tf.tf
+                   // CAST(20 * stats.avgdl * tf.tf + 6 * stats.avgdl
+                           + 18 * dl.dl AS HUGEINT)
+                 ) AS BIGINT) AS score_q
+          FROM q
+          JOIN df ON df.tok = q.tok
+          JOIN tf ON tf.tok = q.tok
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN stats
+          GROUP BY q.query_id, tf.doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_q,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT query_id, doc_id, score_q,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_q DESC, doc_id) AS rank
+              FROM sc)
+        WHERE rank <= {k}"""

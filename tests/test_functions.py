@@ -913,3 +913,60 @@ def test_kmeans_matches_local_reference():
     want = assign(cent)
     assert got == {int(i): int(c) for i, c in zip(ids, want)}
     assert len(set(got.values())) > 1  # the clustering is non-trivial
+
+
+def test_bm25_topk_matches_integer_reference():
+    """bm25_topk: scores match a pure-Python implementation of the documented
+    integer contract (scaled multiplicative idf, k1=6/5 b=3/4 saturation,
+    floors in the stated places), ranks are deterministic on ties, and
+    queries with no corpus hit yield no rows."""
+    from r2s2_ray.functions.retrieval import bm25_topk, query_terms
+
+    docs = {
+        1: "red fox jumps over the lazy dog",
+        2: "red red red wine",
+        3: "the quick brown fox",
+        4: "lazy summer day with the dog and the fox",
+        5: "wine and dine",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": [docs[d] for d in sorted(docs)],
+        }
+    )
+    queries = ["red fox", "lazy dog wine", "zebra"]
+    got = bm25_topk(
+        ray.data.from_arrow(t).repartition(3), "doc_id", "text", queries, k=3
+    ).to_pylist()
+
+    # pure-Python reference of the same contract
+    toks = {d: [w for w in s.lower().split()] for d, s in docs.items()}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n = len(docs)
+    avgdl = max(1, sum(dl.values()) // n)
+    df = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    expect = []
+    for qid, q in enumerate(queries):
+        scores = {}
+        terms = [tok for i, tok in query_terms([q])]
+        for d, ws in toks.items():
+            s = 0
+            for term in terms:
+                tf = ws.count(term)
+                if tf == 0 or term not in df:
+                    continue
+                w_t = (n << 10) // df[term]
+                s += (w_t * 44 * avgdl * tf) // (
+                    20 * avgdl * tf + 6 * avgdl + 18 * dl[d]
+                )
+            if s > 0:
+                scores[d] = s
+        best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (d, s) in enumerate(best, start=1):
+            expect.append((qid, d, s, rank))
+    assert [(r["query_id"], r["doc_id"], r["score_q"], r["rank"]) for r in got] == expect
+    assert all(r["query_id"] != 2 for r in got)  # zebra: no corpus hit
