@@ -698,6 +698,23 @@ def _sim_ann_lsh(sf_dir: str):
     )
 
 
+def _td_dsir(sf_dir: str):
+    """DSIR-style importance weights: hashed unigram+bigram features, target
+    (lang='en') vs raw corpus, whole-bit log-likelihood-ratio — integer-exact
+    vs the SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import dsir_weights
+
+    return dsir_weights(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 _BM25_QUERIES = ["merge sort window", "customer order line", "spark vector hash join"]
 
 
@@ -1047,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_frames": _mm_audio_frames,
         "mm_video_frames": _mm_video_frames,
         "sim_bm25": _sim_bm25,
+        "td_dsir_weights": _td_dsir,
     }
 
 
@@ -1158,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_rare_terms": oracles_td.rare_terms_oracle(),
         "txt_lm_surprisal": oracles_td.lm_surprisal_oracle(),
         "sim_bm25": oracles_td.bm25_oracle(_BM25_QUERIES, k=10),
+        "td_dsir_weights": oracles_td.dsir_oracle(),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

@@ -744,3 +744,137 @@ def lm_surprisal(
     return joined.sort(id_col).map_batches(
         score, batch_format="pyarrow", batch_size=None
     )
+
+
+def dsir_weights(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    target_col: str = "lang",
+    target_value: str = "en",
+    num_buckets: int = 1024,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by how
+    much its hashed n-gram feature distribution looks like a TARGET subset of
+    the corpus versus the corpus as a whole — the signal used to resample raw
+    web data toward a high-quality target domain.
+
+    Integer-exact contract (bit-exact vs the SQL oracle):
+
+    * features: lowercase ``[a-z0-9]+`` unigrams plus space-joined bigrams,
+      hashed with the SQL-expressible polynomial hash into ``num_buckets``
+      buckets (``poly_hash(f) mod B`` — hashed n-gram features are the paper's
+      construction).
+    * per-bucket counts with +1 smoothing: ``ct_b`` over target documents
+      (``target_col == target_value``), ``cr_b`` over all documents;
+      ``Nt = sum(ct_b + 1)``, ``Nr = sum(cr_b + 1)`` over all B buckets.
+    * whole-bit log-likelihood-ratio ``lam_b = flog2(ct_b+1) - flog2(Nt)
+      - flog2(cr_b+1) + flog2(Nr)`` (integer; ``flog2`` = bit length - 1).
+    * ``weight_bits(d) = sum_b c_db * lam_b`` and ``n_features(d) = sum_b
+      c_db`` — documents with no token are excluded.
+
+    Stage shape: ONE feature pass per batch (a document never splits across
+    input batches, so per-batch (doc, bucket) counts are globally exact) ->
+    a B-row bucket-count exchange (B is a constant — driver-safe take_all)
+    -> lam broadcast as a dense array -> per-doc fold via the range sort
+    (equal ids land in one block)."""
+    from .hashing import poly_hash_arr
+
+    is_target_expr = pl.col(target_col) == target_value
+
+    def feat_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col, target_col]))
+        toks = (
+            df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+")
+                .alias("tok"),
+                is_target_expr.cast(pl.Int64).alias("is_target"),
+            )
+            .select([id_col, "tok", "is_target"])
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        if toks.height == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], b.schema.field(id_col).type),
+                    "bucket": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "is_target": pa.array([], pa.int64()),
+                }
+            )
+        bi = toks.with_columns(pl.col("tok").shift(-1).over(id_col).alias("nxt"))
+        bigrams = bi.drop_nulls("nxt").with_columns(
+            (pl.col("tok") + pl.lit(" ") + pl.col("nxt")).alias("tok")
+        ).select([id_col, "tok", "is_target"])
+        feats = pl.concat([toks, bigrams])
+        h = poly_hash_arr(feats["tok"].to_arrow())
+        feats = feats.with_columns(
+            pl.Series("bucket", (h % np.uint64(num_buckets)).astype(np.int64))
+        )
+        out = feats.group_by([id_col, "bucket", "is_target"]).agg(
+            pl.len().cast(pl.Int64).alias("c")
+        )
+        return out.select([id_col, "bucket", "c", "is_target"]).to_arrow()
+
+    dcb = ds.map_batches(feat_rows, batch_format="pyarrow").materialize()
+
+    # bucket-count exchange: at most num_buckets output rows (constant)
+    from ray.data.aggregate import Sum
+
+    def tgt_part(b: pa.Table) -> pa.Table:
+        ct = pc.multiply(b["c"], b["is_target"])
+        return b.select(["bucket", "c"]).append_column("ct", ct)
+
+    bc_rows = (
+        dcb.map_batches(tgt_part, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="cr"), Sum("ct", alias_name="ct"))
+        .take_all()
+    )
+    cr_tot = sum(int(r["cr"]) for r in bc_rows)
+    ct_tot = sum(int(r["ct"]) for r in bc_rows)
+    nr = cr_tot + num_buckets
+    nt = ct_tot + num_buckets
+    lam = np.zeros(num_buckets, dtype=np.int64)
+    base = nr.bit_length() - nt.bit_length()
+    lam[:] = base  # empty buckets: ct=cr=0 -> bitlens cancel
+    for r in bc_rows:
+        lam[int(r["bucket"])] = (
+            (int(r["ct"]) + 1).bit_length()
+            - nt.bit_length()
+            - (int(r["cr"]) + 1).bit_length()
+            + nr.bit_length()
+        )
+    lam_ref = ray.put(lam)
+
+    def fold(b: pa.Table, _ref=lam_ref) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], b.schema.field(id_col).type),
+                    "n_features": pa.array([], pa.int64()),
+                    "weight_bits": pa.array([], pa.int64()),
+                }
+            )
+        lam_arr = ray.get(_ref)
+        bk = b["bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        c = b["c"].combine_chunks().to_numpy(zero_copy_only=False)
+        df = pl.from_arrow(b.select([id_col])).with_columns(
+            c=pl.Series(c.astype(np.int64)),
+            wb=pl.Series((c * lam_arr[bk]).astype(np.int64)),
+        )
+        out = (
+            df.group_by(id_col, maintain_order=True)
+            .agg(
+                pl.col("c").sum().cast(pl.Int64).alias("n_features"),
+                pl.col("wb").sum().cast(pl.Int64).alias("weight_bits"),
+            )
+        )
+        return out.to_arrow()
+
+    return dcb.sort(id_col).map_batches(fold, batch_format="pyarrow", batch_size=None)

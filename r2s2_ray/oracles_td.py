@@ -885,3 +885,55 @@ def bm25_oracle(queries: list[str], k: int = 10, idf_scale_bits: int = 10) -> st
                                         ORDER BY score_q DESC, doc_id) AS rank
               FROM sc)
         WHERE rank <= {k}"""
+
+
+def dsir_oracle(
+    target_value: str = "en", num_buckets: int = 1024
+) -> str:
+    """Exact SQL mirror of ``textstats.dsir_weights``: hashed unigram+bigram
+    features (the polynomial-hash bucket), +1-smoothed target/raw bucket
+    counts, and the whole-bit log-likelihood-ratio fold — all integer, so the
+    comparison is bit-exact. ``flog2`` differences appear as ``length(bin())``
+    differences (the -1s cancel)."""
+    bucket = f"CAST({_unsigned(_poly_hash('hex(encode(f))'))} % {num_buckets} AS BIGINT)"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, t AS tok, CAST(i AS BIGINT) AS pos
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t,
+                       generate_subscripts(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS i
+                FROM documents)
+        ), feat AS (
+          SELECT doc_id, tok AS f FROM tok
+          UNION ALL
+          SELECT a.doc_id, a.tok || ' ' || b.tok AS f
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        ), dcb AS (
+          SELECT doc_id, {bucket} AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+          FROM feat GROUP BY doc_id, 2
+        ), tgt AS (
+          SELECT doc_id FROM documents WHERE lang = '{target_value}'
+        ), bc AS (
+          SELECT bucket,
+                 CAST(SUM(c) AS BIGINT) AS cr,
+                 CAST(COALESCE(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM tgt)
+                                        THEN c END), 0) AS BIGINT) AS ct
+          FROM dcb GROUP BY bucket
+        ), tots AS (
+          SELECT CAST((SELECT COALESCE(SUM(cr), 0) FROM bc) + {num_buckets}
+                      AS BIGINT) AS nr,
+                 CAST((SELECT COALESCE(SUM(ct), 0) FROM bc) + {num_buckets}
+                      AS BIGINT) AS nt
+        ), lam AS (
+          SELECT bucket,
+                 CAST(length(bin(ct + 1)) - length(bin(tots.nt))
+                      - length(bin(cr + 1)) + length(bin(tots.nr))
+                      AS BIGINT) AS lam
+          FROM bc CROSS JOIN tots
+        )
+        SELECT dcb.doc_id,
+               CAST(SUM(dcb.c) AS BIGINT) AS n_features,
+               CAST(SUM(dcb.c * lam.lam) AS BIGINT) AS weight_bits
+        FROM dcb JOIN lam USING (bucket)
+        GROUP BY dcb.doc_id"""

@@ -970,3 +970,61 @@ def test_bm25_topk_matches_integer_reference():
             expect.append((qid, d, s, rank))
     assert [(r["query_id"], r["doc_id"], r["score_q"], r["rank"]) for r in got] == expect
     assert all(r["query_id"] != 2 for r in got)  # zebra: no corpus hit
+
+
+def test_dsir_weights_matches_integer_reference():
+    """dsir_weights: matches a pure-Python mirror of the documented contract
+    (poly-hash feature buckets, +1-smoothed target/raw counts, whole-bit
+    log-ratio) on a multi-block corpus with a real target/raw split."""
+    from r2s2_ray.functions.hashing import poly_hash_one
+    from r2s2_ray.functions.textstats import dsir_weights
+
+    docs = {
+        1: ("the quick brown fox", "en"),
+        2: ("der schnelle braune fuchs", "de"),
+        3: ("the lazy dog sleeps", "en"),
+        4: ("fox and dog and fox", "de"),
+        5: ("the the the", "en"),
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": [docs[d][0] for d in sorted(docs)],
+            "lang": [docs[d][1] for d in sorted(docs)],
+        }
+    )
+    B = 64
+    got = {
+        r["doc_id"]: (r["n_features"], r["weight_bits"])
+        for r in dsir_weights(
+            ray.data.from_arrow(t).repartition(3), "doc_id", "text", num_buckets=B
+        ).take_all()
+    }
+
+    def feats(s):
+        ws = s.lower().split()
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    dcb = {}
+    for d, (s, lang) in docs.items():
+        for f in feats(s):
+            b = poly_hash_one(f) % B
+            dcb[(d, b)] = dcb.get((d, b), 0) + 1
+    cr, ct = {}, {}
+    for (d, b), c in dcb.items():
+        cr[b] = cr.get(b, 0) + c
+        if docs[d][1] == "en":
+            ct[b] = ct.get(b, 0) + c
+    nr = sum(cr.values()) + B
+    nt = sum(ct.values()) + B
+    expect = {}
+    for (d, b), c in dcb.items():
+        lam = (
+            (ct.get(b, 0) + 1).bit_length()
+            - nt.bit_length()
+            - (cr[b] + 1).bit_length()
+            + nr.bit_length()
+        )
+        n, w = expect.get(d, (0, 0))
+        expect[d] = (n + c, w + c * lam)
+    assert got == expect
