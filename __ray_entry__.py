@@ -351,6 +351,22 @@ def _kg_sparql_star(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_seqpath(sf_dir: str):
+    """Parenthesized SEQUENCE closure served end-to-end:
+    (ex:hasTurn/ex:mentions)+ closes over the conv->entity composed edge
+    relation (the chain join is the closed-over edge set; on this graph the
+    composed edges cannot chain — entities have no hasTurn — so depth is 1,
+    while the recursive machinery is fuzz-tested to arbitrary depth)."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?conv ?e WHERE { ?conv (ex:hasTurn/ex:mentions)+ ?e }"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_undef(sf_dir: str):
     """VALUES UNDEF + expression ORDER BY served end-to-end: the UNDEF cell
     constrains nothing on its row and leaves ?prio unbound (NULL) there."""
@@ -1002,6 +1018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_proplist": _kg_sparql_proplist,
         "kg_sparql_optnested": _kg_sparql_optnested,
         "kg_sparql_star": _kg_sparql_star,
+        "kg_sparql_seqpath": _kg_sparql_seqpath,
         "kg_sparql_undef": _kg_sparql_undef,
         "kg_sparql_bool": _kg_sparql_bool,
         "kg_sparql_having": _kg_sparql_having,
@@ -1092,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_proplist": oracles.sparql_proplist_oracle(),
         "kg_sparql_optnested": oracles.sparql_optnested_oracle(),
         "kg_sparql_star": oracles.sparql_star_oracle(),
+        "kg_sparql_seqpath": oracles.sparql_seqpath_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),
         "kg_sparql_having": oracles.sparql_having_oracle(),

@@ -309,6 +309,22 @@ def sparql_star_oracle() -> str:
     )
 
 
+def sparql_seqpath_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_seqpath``:
+    { ?conv (ex:hasTurn/ex:mentions)+ ?e } — the closed-over edge relation is
+    the hasTurn JOIN mentions chain (conv -> entity); those composed edges
+    cannot chain further on this graph (an entity is never a hasTurn
+    subject), so the one-or-more closure equals the single chain join."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT DISTINCT h.subj AS conv, m.obj AS e "
+        f"FROM (SELECT subj, obj FROM t WHERE pred = {_q(vocab.P_HAS_TURN)}) h "
+        f"JOIN (SELECT subj, obj FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) m "
+        f"ON m.subj = h.obj"
+    )
+
+
 def sparql_undef_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_undef``:
     { ?turn ex:role ?role . VALUES (?role ?prio) { ("user" "1")

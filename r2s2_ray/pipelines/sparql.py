@@ -36,6 +36,11 @@ alternations ``p1|p2`` (compiled to ``pred IN``; ``^`` members allowed —
 translation; closures over negated sets or MIXED-direction alternations
 are rejected loudly) and
 closures ``p+``/``p*``/``p?`` incl. ``(a|b)+`` over alternation members
+and SEQUENCE closures ``(p/q)+``/``(p/q)*``/``(p/q)?`` (the closed-over
+edge relation is the chain join of the members; ``^(p/q)+`` walks it
+backwards; plain grouping parens ``(p/q)`` strip; member-level operators
+inside a sequence closure and negated sequence closures are rejected
+loudly)
 (recursive-CTE transitive closures; ``*``/``?`` seed the zero-length pairs
 over the store's terms plus constant endpoints; constant GRAPH/FROM
 restrictions apply to every step; closures over negated sets or variable
@@ -496,6 +501,71 @@ def _expand_proplists(inner: str, fresh) -> str:
     return restore(" . ".join([masked] + extra))
 
 
+#: parenthesized SEQUENCE closure ``(p/q)+`` (optionally ``^``-inverted);
+#: the inner part must hold at least one ``/`` and no alternation members
+#: the closure ``?`` must not swallow a following VARIABLE's question mark:
+#: ``(p/q)? ?x`` has a qmark closure, ``(p/q) ?x`` does not
+_SEQCLO_RE = re.compile(r"(\^?)\s*\(\s*([^()|]*?/[^()|]*?)\s*\)\s*([+*]|\?(?!\w))")
+#: plain parenthesized sequence ``(p/q)`` with NO closure — the parens are
+#: redundant grouping, stripped in place
+_SEQPLAIN_RE = re.compile(
+    r"\(\s*([^()|]*?/[^()|]*?)\s*\)(?!\s*([+*]|\?(?!\w)))"
+)
+
+_SEQ_MARK = "urn:x-seqpath:"
+
+
+def _expand_seq_closures(inner: str) -> tuple[str, dict[str, tuple[str, list[str]]]]:
+    """Desugar parenthesized sequence paths. ``(p/q)+`` / ``(p/q)*`` /
+    ``(p/q)?`` become marker IRI atoms ``<urn:x-seqpath:K>`` (a leading ``^``
+    stays on the marker — the closure walked backwards), with the returned
+    dict mapping marker value -> ("plus"|"star"|"qmark", raw member tokens);
+    :func:`_triples` rewrites the marker predicates into kind="seq*" Terms.
+    Redundant grouping parens ``(p/q)`` with no closure are stripped. Member
+    tokens may not carry their own operators (``(p+/q)*``, ``(^p/q)+``) and a
+    sequence closure cannot be negated — each rejects loudly."""
+    if "/" not in inner or "(" not in inner:
+        return inner, {}
+    masked, restore = _mask_literals(inner)
+    seqs: dict[str, tuple[str, list[str]]] = {}
+
+    def repl(m: re.Match) -> str:
+        before = masked[: m.start()].rstrip()
+        if before.endswith("!"):
+            raise ValueError(
+                "negated sequence closures (!(p/q)+) are not supported"
+            )
+        body = restore(m.group(2))
+        if re.search(r"[+*?^!\[\]]", body):
+            raise ValueError(
+                f"unsupported path form inside sequence closure: ({body})"
+            )
+        members = [t.strip() for t in body.split("/")]
+        if any(not t for t in members):
+            raise ValueError(f"empty step in sequence closure: ({body})")
+        key = f"{_SEQ_MARK}{len(seqs)}"
+        seqs[key] = (_PATH_KIND[m.group(3)], members)
+        return f" {m.group(1)}<{key}> "
+
+    # match-by-match so the "negated?" look-behind sees the current text
+    while True:
+        m = _SEQCLO_RE.search(masked)
+        if not m:
+            break
+        masked = masked[: m.start()] + repl(m) + masked[m.end() :]
+    def strip_plain(m: re.Match) -> str:
+        if masked[: m.start()].rstrip().endswith(("^", "!")):
+            # ^(p/q) would need member-wise reversal, !(p/q) is not SPARQL —
+            # neither is plain grouping, so refuse rather than mis-strip
+            raise ValueError(
+                f"unsupported operator on a plain sequence group: {m.group(0)!r}"
+            )
+        return f" {m.group(1)} "
+
+    masked = _SEQPLAIN_RE.sub(strip_plain, masked)
+    return restore(masked), seqs
+
+
 def _triples(
     inner: str, prefixes: dict[str, str], fresh
 ) -> list[tuple[Term, Term, Term]]:
@@ -516,6 +586,7 @@ def _triples(
     ``(a|b)+`` closes over the member set). Operators around variable
     predicates are rejected loudly."""
     inner = _expand_proplists(inner, fresh)
+    inner, seqs = _expand_seq_closures(inner)
     toks = list(_TERM_RE.finditer(inner))
     if not toks:
         raise ValueError(f"unsupported WHERE body (need s p o triples): {inner!r}")
@@ -656,6 +727,21 @@ def _triples(
         if not _SEP_GAP.fullmatch(gap(j)):
             raise ValueError(f"unsupported syntax after object: {gap(j)!r}")
         i = j + 1
+    if seqs:
+        # marker predicates placed by _expand_seq_closures -> seq-closure
+        # Terms (member atoms resolve against the prologue's prefixes here)
+        def unmark(t3):
+            s, p, o = t3
+            if p.kind == "iri" and p.value in seqs:
+                kind, members = seqs[p.value]
+                p = Term(
+                    "seq" + kind,
+                    "",
+                    alts=[_path_atom(t, prefixes) for t in members],
+                )
+            return (s, p, o)
+
+        out = [unmark(t3) for t3 in out]
     return out
 
 
@@ -2025,7 +2111,8 @@ def _compile_bgp(
     ctes: list[str] = []
     for i, (s, p, o, g) in enumerate(patterns):
         a = f"{alias_prefix}{i}"
-        if p.kind in ("plus", "star", "qmark"):
+        if p.kind in ("plus", "star", "qmark", "seqplus", "seqstar", "seqqmark"):
+            base_kind = p.kind[3:] if p.kind.startswith("seq") else p.kind
             # closure paths: WITH RECURSIVE transitive closure of the
             # predicate (or alternation-member) edge set. UNION (distinct)
             # terminates on cycles. ``*`` and ``?`` seed with the zero-length
@@ -2050,13 +2137,38 @@ def _compile_bgp(
                     gc = f" AND {{t}}.graph IN ({gs})"
                 else:
                     gc = " AND FALSE"
-            if p.alts:
-                pcond = "{t}.pred IN (" + ", ".join(_q(v) for v in p.alts) + ")"
+            if p.kind.startswith("seq"):
+                # sequence closure (p/q)+: the closed-over edge relation is
+                # the CHAIN JOIN of the member predicates, one hop per member
+                pconds = ["{t}.pred = " + _q(v) for v in p.alts]
+            elif p.alts:
+                pconds = ["{t}.pred IN (" + ", ".join(_q(v) for v in p.alts) + ")"]
             else:
-                pcond = "{t}.pred = " + _q(p.value)
+                pconds = ["{t}.pred = " + _q(p.value)]
+
+            def _chain(prefix: str, first_on: str | None = None) -> tuple[str, str]:
+                """(FROM clause, WHERE conds) for one pass over the member
+                chain; ``first_on`` joins hop 0 to a preceding relation."""
+                frm = f"{triples_view} {prefix}0"
+                if first_on:
+                    frm += f" ON {prefix}0.subj = {first_on}"
+                wh = [pconds[0].format(t=f"{prefix}0") + gc.format(t=f"{prefix}0")]
+                for ii in range(1, len(pconds)):
+                    frm += (
+                        f" JOIN {triples_view} {prefix}{ii} "
+                        f"ON {prefix}{ii}.subj = {prefix}{ii - 1}.obj"
+                    )
+                    wh.append(
+                        pconds[ii].format(t=f"{prefix}{ii}")
+                        + gc.format(t=f"{prefix}{ii}")
+                    )
+                return frm, " AND ".join(wh)
+
+            last = f"b{len(pconds) - 1}"
+            e_frm, e_wh = _chain("b")
             edges = (
-                f"SELECT b.subj, b.obj, b.o_lang, b.o_dt FROM {triples_view} b "
-                f"WHERE {pcond.format(t='b')}{gc.format(t='b')}"
+                f"SELECT b0.subj, {last}.obj, {last}.o_lang, {last}.o_dt "
+                f"FROM {e_frm} WHERE {e_wh}"
             )
             zero = (
                 f"SELECT DISTINCT z.subj AS subj, z.subj AS obj, "
@@ -2083,7 +2195,7 @@ def _compile_bgp(
                         f" UNION SELECT {_q(_t.value)}, {_q(_t.value)}, {_lang}, {_dt}"
                     )
             cte = f"{a}_tc"
-            if p.kind == "qmark":
+            if base_kind == "qmark":
                 # zero-or-one: no recursion — zero-length pairs ∪ single
                 # edges. The UNION must live INSIDE a subquery: at the top
                 # level of a WITH RECURSIVE member DuckDB splits it into
@@ -2093,14 +2205,15 @@ def _compile_bgp(
                     f"(SELECT DISTINCT * FROM (({zero}) UNION ({edges})) u)"
                 )
             else:
-                anchor = f"SELECT * FROM ({zero}) z0" if p.kind == "star" else edges
+                anchor = f"SELECT * FROM ({zero}) z0" if base_kind == "star" else edges
+                r_last = f"t{len(pconds) - 1}"
+                r_frm, r_wh = _chain("t", first_on="c.obj")
                 ctes.append(
                     f"{cte}(subj, obj, o_lang, o_dt) AS ("
                     f"{anchor} "
                     f"UNION "
-                    f"SELECT c.subj, t.obj, t.o_lang, t.o_dt FROM {cte} c "
-                    f"JOIN {triples_view} t ON t.subj = c.obj "
-                    f"AND {pcond.format(t='t')}{gc.format(t='t')})"
+                    f"SELECT c.subj, {r_last}.obj, {r_last}.o_lang, {r_last}.o_dt "
+                    f"FROM {cte} c JOIN {r_frm} WHERE {r_wh})"
                 )
             aliases.append(f"{cte} {a}")
         else:

@@ -928,3 +928,62 @@ def test_sparql_minus_matches_naive(store, req, sub):
         want.append(tuple(r[v] for v in used))
     assert cols == used
     assert Counter(rows) == Counter(want)
+
+
+_seqpreds = st.lists(st.sampled_from(_ALPHABET), min_size=2, max_size=3)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    _store,
+    _seqpreds,
+    st.sampled_from(["+", "*", "?"]),
+    st.booleans(),
+    _node,
+    st.one_of(st.just(("var", "y")), st.sampled_from([("iri", c) for c in _ALPHABET])),
+)
+def test_sparql_sequence_closure_matches_naive(store, preds, mod, inv, subj, obj):
+    """Sequence closures ``(p/q)+`` / ``*`` / ``?`` (and ``^``-inverted) vs
+    naive evaluation: the closed-over edge relation is the COMPOSITION of the
+    member predicates, the closure is a distinct pair set, ``*``/``?`` add
+    the zero-length identity over graph terms plus constant endpoints, and
+    ``^`` reverses the final pair set."""
+    if subj[0] != "var" and obj[0] != "var":
+        obj = ("var", "y")
+    rel = None
+    for p in preds:
+        r = Counter()
+        for s, pp, o in store:
+            if pp == p:
+                r[(s, o)] += 1
+        rel = r if rel is None else _compose(rel, r)
+    base = rel
+    extra = {t[1] for t in (subj, obj) if t[0] == "iri"}
+    ident = {(t, t) for s, _, o in store for t in (s, o)}
+    ident |= {(t, t) for t in extra}
+    if mod == "?":
+        pairs = set(base) | ident
+    else:
+        pairs = set(base)
+        while True:
+            nxt = pairs | {(a, d) for a, b in pairs for c, d in base if b == c}
+            if nxt == pairs:
+                break
+            pairs = nxt
+        if mod == "*":
+            pairs |= ident
+    if inv:
+        pairs = {(b, a) for a, b in pairs}
+    sols = Counter()
+    for a, b in pairs:
+        if subj[0] == "iri" and a != subj[1]:
+            continue
+        if obj[0] == "iri" and b != obj[1]:
+            continue
+        sols[tuple(x for t, x in ((subj, a), (obj, b)) if t[0] == "var")] += 1
+    pstr = ("^" if inv else "") + "(" + "/".join(f"<{p}>" for p in preds) + ")" + mod
+    sterm = f"?{subj[1]}" if subj[0] == "var" else f"<{subj[1]}>"
+    oterm = f"?{obj[1]}" if obj[0] == "var" else f"<{obj[1]}>"
+    cols, rows = _run_sql(store, f"SELECT * WHERE {{ {sterm} {pstr} {oterm} }}")
+    assert cols == sorted({t[1] for t in (subj, obj) if t[0] == "var"})
+    assert Counter(rows) == sols

@@ -1156,9 +1156,33 @@ def test_sparql_property_paths():
     assert run(
         "SELECT ?s WHERE { ?s <e:knows> [ <e:name> \"bob\" ; <e:nick> ?x ] }"
     ) == [("e:a",)]
+    # SEQUENCE closures (p/q)+ / * / ?: the closed-over edge relation is the
+    # chain join knows/knows (a->c, b->d, c->a, d->b on the 4-cycle)
+    assert run(
+        "SELECT ?x WHERE { <e:a> (<e:knows>/<e:knows>)+ ?x } ORDER BY ?x"
+    ) == [("e:a",), ("e:c",)]
+    assert run(
+        "SELECT ?x WHERE { <e:b> (<e:knows>/<e:knows>)? ?x } ORDER BY ?x"
+    ) == [("e:b",), ("e:d",)]
+    # ^(p/q)+ walks the sequence closure backwards
+    assert run(
+        "SELECT ?x WHERE { <e:c> ^(<e:knows>/<e:knows>)+ ?x } ORDER BY ?x"
+    ) == [("e:a",), ("e:c",)]
+    # plain grouping parens strip; a following ?var is NOT a qmark closure
+    assert run(
+        "SELECT ?n WHERE { <e:a> (<e:knows>/<e:name>) ?n }"
+    ) == [("bob",)]
+    # three-member sequence closure, seeded zero-length on *
+    assert run(
+        "SELECT ?x WHERE { <e:zz> (<e:knows>/<e:knows>/<e:knows>)* ?x }"
+    ) == [("e:zz",)]
     for bad in [
         "SELECT ?x WHERE { <e:a> !<e:knows>+ ?x }",
         "SELECT ?x WHERE { <e:a> ?p+ ?x }",
+        "SELECT ?x WHERE { <e:a> !(<e:knows>/<e:name>)+ ?x }",
+        "SELECT ?x WHERE { <e:a> (<e:knows>+/<e:name>)+ ?x }",
+        "SELECT ?x WHERE { <e:a> (^<e:knows>/<e:name>)+ ?x }",
+        "SELECT ?x WHERE { <e:a> ^(<e:knows>/<e:name>) ?x }",
         "SELECT ?x WHERE { GRAPH ?g { <e:a> <e:knows>+ ?x } }",
         "SELECT ?x WHERE { GRAPH ?g { <e:a> <e:knows>* ?x } }",
         'SELECT ?x WHERE { <e:a> "lit"/<e:name> ?x }',
