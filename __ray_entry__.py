@@ -367,6 +367,26 @@ def _kg_sparql_seqpath(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_strfuncs(sf_dir: str):
+    """ENCODE_FOR_URI (pure-SQL byte-fold percent-encoding), SHA256 and TZ
+    served end-to-end over the mentions edges and turn timestamps (the corpus
+    timestamps carry no timezone suffix, so TZ yields the simple literal ""
+    everywhere — the accessor still runs through the whole stack)."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?turn ?enc ?h ?z WHERE {\n"
+        "  ?turn ex:mentions ?e . ?turn ex:ts ?t .\n"
+        "  BIND(ENCODE_FOR_URI(?e) AS ?enc) .\n"
+        "  BIND(SHA256(?e) AS ?h) .\n"
+        "  BIND(TZ(?t) AS ?z)\n"
+        "}"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_undef(sf_dir: str):
     """VALUES UNDEF + expression ORDER BY served end-to-end: the UNDEF cell
     constrains nothing on its row and leaves ?prio unbound (NULL) there."""
@@ -1019,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_optnested": _kg_sparql_optnested,
         "kg_sparql_star": _kg_sparql_star,
         "kg_sparql_seqpath": _kg_sparql_seqpath,
+        "kg_sparql_strfuncs": _kg_sparql_strfuncs,
         "kg_sparql_undef": _kg_sparql_undef,
         "kg_sparql_bool": _kg_sparql_bool,
         "kg_sparql_having": _kg_sparql_having,
@@ -1110,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_optnested": oracles.sparql_optnested_oracle(),
         "kg_sparql_star": oracles.sparql_star_oracle(),
         "kg_sparql_seqpath": oracles.sparql_seqpath_oracle(),
+        "kg_sparql_strfuncs": oracles.sparql_strfuncs_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),
         "kg_sparql_having": oracles.sparql_having_oracle(),

@@ -325,6 +325,26 @@ def sparql_seqpath_oracle() -> str:
     )
 
 
+def sparql_strfuncs_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_strfuncs``. The
+    engine percent-encodes with a byte-level RFC 3986 fold; this oracle is
+    INDEPENDENT of that expression: entity IRIs on this corpus are ASCII
+    slugs whose only non-unreserved characters are ``:`` and ``/``, so a
+    targeted replace chain is the exact same function on this data shape.
+    SHA256 is DuckDB-native on both sides; the corpus timestamps carry no
+    timezone suffix, so TZ is the constant simple literal ''."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})) "
+        f"SELECT DISTINCT m.subj AS turn, "
+        f"replace(replace(m.obj, ':', '%3A'), '/', '%2F') AS enc, "
+        f"sha256(m.obj) AS h, '' AS z "
+        f"FROM t m JOIN t ts ON ts.subj = m.subj "
+        f"AND ts.pred = {_q(vocab.P_TS)} "
+        f"WHERE m.pred = {_q(vocab.P_MENTIONS)}"
+    )
+
+
 def sparql_undef_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_undef``:
     { ?turn ex:role ?role . VALUES (?role ?prio) { ("user" "1")

@@ -794,6 +794,18 @@ _BIND_FUNCS = {
     "DATATYPE": ("", False),
     "MD5": ("md5", False),
     "SHA256": ("sha256", False),
+    # SHA1/384/512 have no native DuckDB kernel — they compile to the
+    # hashlib-backed scalar UDFs that register_udfs() installs on the
+    # serving connection (lowercase hex, matching md5/sha256)
+    "SHA1": ("sparql_sha1", False),
+    "SHA384": ("sparql_sha384", False),
+    "SHA512": ("sparql_sha512", False),
+    # ENCODE_FOR_URI / TZ are special-cased in _expr_sql: percent-encoding
+    # expands to a pure-SQL byte-list fold (oracle-expressible, no UDF);
+    # TZ extracts the timezone suffix of the stored dateTime lexical form
+    # ("" when absent — the SPARQL simple-literal result)
+    "ENCODE_FOR_URI": ("", False),
+    "TZ": ("", False),
     # the serving model stores IRIs by their lexical form, so constructing
     # an IRI from a string is the identity on that form (no re-validation)
     "IRI": ("({})", False),
@@ -954,6 +966,38 @@ def _expr_sql(node, binds: dict[str, str]) -> str:
             f"THEN {_q(rdf_langstring)} ELSE {_q(xsd_string)} END)"
         )
     sql_args = [_expr_sql(a, binds) for a in args]
+    if name == "ENCODE_FOR_URI":
+        if len(sql_args) != 1:
+            raise ValueError("ENCODE_FOR_URI takes exactly one argument")
+        # RFC 3986: unreserved chars [A-Za-z0-9-._~] pass through, every
+        # other UTF-8 BYTE percent-encodes (non-ASCII is multi-byte, so the
+        # byte-level walk is exactly the spec's behavior). The byte list
+        # comes from the uppercase hex of the utf-8 encoding — pure SQL, so
+        # the expression works on ANY DuckDB connection (oracles included).
+        hx = f"hex(encode({sql_args[0]}))"
+        byte = (
+            f"strpos('123456789ABCDEF', substr({hx}, 2*i + 1, 1)) * 16 "
+            f"+ strpos('123456789ABCDEF', substr({hx}, 2*i + 2, 1))"
+        )
+        enc = (
+            "CASE WHEN (b BETWEEN 48 AND 57) OR (b BETWEEN 65 AND 90) "
+            "OR (b BETWEEN 97 AND 122) OR b IN (45, 46, 95, 126) "
+            "THEN chr(CAST(b AS INTEGER)) "
+            "ELSE '%' || substr('0123456789ABCDEF', b // 16 + 1, 1) "
+            "|| substr('0123456789ABCDEF', b % 16 + 1, 1) END"
+        )
+        return (
+            f"coalesce(list_aggregate(list_transform("
+            f"list_transform(range(0, length({hx}) // 2), i -> {byte}), "
+            f"b -> {enc}), 'string_agg', ''), '')"
+        )
+    if name == "TZ":
+        if len(sql_args) != 1:
+            raise ValueError("TZ takes exactly one argument")
+        return (
+            f"coalesce(regexp_extract({sql_args[0]}, "
+            f"'(Z|[+-][0-9][0-9]:[0-9][0-9])$', 1), '')"
+        )
     if name == "REPLACE":
         if len(sql_args) != 3:
             raise ValueError("REPLACE takes exactly three arguments")
@@ -3115,6 +3159,31 @@ def _to_sql_cols(
     return _with(sql + _order_limit(query, projected, colmap)), out_cols
 
 
+def register_udfs(con) -> None:
+    """Install the serving-side scalar UDFs DuckDB lacks natively: SHA1 /
+    SHA384 / SHA512 (hashlib-backed, lowercase hex like the native
+    md5/sha256). Call once per connection; a second call is a no-op."""
+    import hashlib
+
+    def mk(algo):
+        # a plain single-parameter closure: duckdb's create_function counts
+        # default args as parameters, so a lambda with `_a=algo` won't bind
+        def f(s: str) -> str:
+            return algo(s.encode("utf-8")).hexdigest()
+
+        return f
+
+    for name, algo in (
+        ("sparql_sha1", hashlib.sha1),
+        ("sparql_sha384", hashlib.sha384),
+        ("sparql_sha512", hashlib.sha512),
+    ):
+        try:
+            con.create_function(name, mk(algo), ["VARCHAR"], "VARCHAR")
+        except Exception:
+            pass  # already registered on this connection
+
+
 def run_sparql(out_dir: str, sparql: str):
     """Execute a SPARQL query against a materialized store: loads the serving
     views (views.sql) into DuckDB and runs the translated SQL. Returns a
@@ -3126,6 +3195,7 @@ def run_sparql(out_dir: str, sparql: str):
     from ..util import fs_read_text
 
     con = duckdb.connect()
+    register_udfs(con)
     for stmt in fs_read_text(os.path.join(out_dir, "views.sql")).split(";\n"):
         if stmt.strip():
             con.execute(stmt)

@@ -1848,3 +1848,56 @@ def test_sparql_nested_group_misscope_rejected():
     ]
     for q in good:
         to_sql(parse_sparql(q))
+
+
+def test_sparql_strfuncs_encode_tz_sha():
+    """ENCODE_FOR_URI percent-encodes every non-unreserved UTF-8 byte (the
+    RFC 3986 byte-level walk, uppercase hex — multibyte chars encode per
+    byte); TZ extracts the dateTime timezone suffix ('' when absent); SHA1 /
+    SHA384 / SHA512 are the hashlib-backed serving UDFs, lowercase hex like
+    the native md5/sha256. All work in BIND and in FILTER expressions."""
+    import hashlib
+    from urllib.parse import quote
+
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, register_udfs, to_sql
+
+    con = duckdb.connect()
+    register_udfs(con)
+    register_udfs(con)  # idempotent on one connection
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:name','héllo wörld/x?','fr', NULL, 'g1'),
+          ('e:b','e:ts','2024-03-01T10:15:30Z', NULL, NULL, 'g1'),
+          ('e:c','e:ts','2024-03-01T10:15:30+05:30', NULL, NULL, 'g1'),
+          ('e:d','e:ts','2024-03-01T10:15:30', NULL, NULL, 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    got = run(
+        "SELECT ?e WHERE { <e:a> <e:name> ?n . BIND(ENCODE_FOR_URI(?n) AS ?e) }"
+    )[0][0]
+    assert got == quote("héllo wörld/x?", safe="-._~")
+    assert run(
+        'SELECT ?e WHERE { <e:a> <e:name> ?n . BIND(ENCODE_FOR_URI("") AS ?e) }'
+    ) == [("",)]
+    assert run(
+        "SELECT ?s ?z WHERE { ?s <e:ts> ?t . BIND(TZ(?t) AS ?z) } ORDER BY ?s"
+    ) == [("e:b", "Z"), ("e:c", "+05:30"), ("e:d", "")]
+    # TZ inside a FILTER expression
+    assert run('SELECT ?s WHERE { ?s <e:ts> ?t . FILTER(TZ(?t) = "Z") }') == [
+        ("e:b",)
+    ]
+    ref = b"2024-03-01T10:15:30Z"
+    for fn, algo in (
+        ("SHA1", hashlib.sha1),
+        ("SHA384", hashlib.sha384),
+        ("SHA512", hashlib.sha512),
+    ):
+        assert run(
+            f"SELECT ?h WHERE {{ <e:b> <e:ts> ?t . BIND({fn}(?t) AS ?h) }}"
+        ) == [(algo(ref).hexdigest(),)]
