@@ -751,6 +751,23 @@ def _td_dsir(sf_dir: str):
     )
 
 
+def _txt_top_ngrams(sf_dir: str):
+    """Corpus-wide top-k bigrams by frequency (count DESC, gram ASC) —
+    per-batch combiner -> one gram-keyed exchange -> local top-k -> k-row
+    driver merge. Exact vs the positional-self-join SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import top_ngrams
+
+    return top_ngrams(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+        n=2,
+        k=20,
+    )
+
+
 _BM25_QUERIES = ["merge sort window", "customer order line", "spark vector hash join"]
 
 
@@ -1103,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_video_frames": _mm_video_frames,
         "sim_bm25": _sim_bm25,
         "td_dsir_weights": _td_dsir,
+        "txt_top_ngrams": _txt_top_ngrams,
     }
 
 
@@ -1217,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_lm_surprisal": oracles_td.lm_surprisal_oracle(),
         "sim_bm25": oracles_td.bm25_oracle(_BM25_QUERIES, k=10),
         "td_dsir_weights": oracles_td.dsir_oracle(),
+        "txt_top_ngrams": oracles_td.top_ngrams_oracle(n=2, k=20),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

@@ -878,3 +878,82 @@ def dsir_weights(
         return out.to_arrow()
 
     return dcb.sort(id_col).map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+def top_ngrams(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    k: int = 20,
+) -> pa.Table:
+    """Corpus-wide top-k token n-grams by frequency — the classic corpus
+    profile (boilerplate phrases, templated spans) that drives stop-phrase
+    lists and repetition filters at web scale.
+
+    Deterministic contract: tokens are lowercase ``[a-z0-9]+``; n-grams are
+    space-joined WITHIN a document (never across documents); ranking is
+    ``count DESC, gram ASC`` (lexicographic tie-break), rank 1-based.
+
+    Stage shape: per-batch n-gram explode + partial counts (the combiner —
+    vocabulary-sized, not token-sized, rows enter the exchange) -> one
+    groupby-sum exchange (each gram lands in exactly one block) -> per-block
+    local top-k (count DESC, gram ASC) -> a k x nblocks driver merge.
+    Returns a k-row arrow table (rank, gram, count) — driver-safe by
+    construction."""
+    import heapq
+
+    def grams(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        toks = (
+            df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+")
+                .alias("tok")
+            )
+            .select([id_col, "tok"])
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        if toks.height == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.large_string()), "c": pa.array([], pa.int64())}
+            )
+        parts = [pl.col("tok")]
+        for j in range(1, n):
+            parts.extend([pl.lit(" "), pl.col("tok").shift(-j).over(id_col)])
+        out = (
+            toks.with_columns(pl.concat_str(parts).alias("gram"))
+            .drop_nulls("gram")
+            .group_by("gram")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        return out.select(["gram", "c"]).to_arrow()
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(grams, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("c", alias_name="count"))
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return (
+            df.sort(["count", "gram"], descending=[True, False]).head(k).to_arrow()
+        )
+
+    rows = counts.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    best = heapq.nsmallest(k, ((-int(r["count"]), r["gram"]) for r in rows))
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(best) + 1), pa.int64()),
+            "gram": pa.array([g for _, g in best], pa.large_string()),
+            "count": pa.array([-c for c, _ in best], pa.int64()),
+        }
+    )

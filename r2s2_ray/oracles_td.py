@@ -937,3 +937,33 @@ def dsir_oracle(
                CAST(SUM(dcb.c * lam.lam) AS BIGINT) AS weight_bits
         FROM dcb JOIN lam USING (bucket)
         GROUP BY dcb.doc_id"""
+
+
+def top_ngrams_oracle(n: int = 2, k: int = 20) -> str:
+    """Exact SQL mirror of ``textstats.top_ngrams``: within-document n-grams
+    via an n-way positional self-join, count DESC / gram ASC ranking."""
+    join = "tok a0"
+    gram = "a0.tok"
+    for j in range(1, n):
+        join += (
+            f" JOIN tok a{j} ON a{j}.doc_id = a0.doc_id"
+            f" AND a{j}.pos = a0.pos + {j}"
+        )
+        gram += f" || ' ' || a{j}.tok"
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, t AS tok, CAST(i AS BIGINT) AS pos
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t,
+                       generate_subscripts(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS i
+                FROM documents)
+        ), g AS (
+          SELECT {gram} AS gram FROM {join}
+        ), c AS (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS "count" FROM g GROUP BY gram
+        )
+        SELECT CAST(row_number() OVER (ORDER BY "count" DESC, gram) AS BIGINT)
+                 AS rank,
+               gram, "count"
+        FROM c ORDER BY "count" DESC, gram LIMIT {k}"""
