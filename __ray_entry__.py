@@ -751,6 +751,24 @@ def _td_dsir(sf_dir: str):
     )
 
 
+def _td_temperature_sample(sf_dir: str):
+    """Temperature-weighted source mixing (size^(1/2) quotas, largest-remainder
+    rounding, per-source content-hash ranking) — integer-exact vs the SQL
+    oracle; the standard multi-source data-mixing step."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import temperature_sample
+
+    return temperature_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source", "n_chars"],
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 def _txt_top_ngrams(sf_dir: str):
     """Corpus-wide top-k bigrams by frequency (count DESC, gram ASC) —
     per-batch combiner -> one gram-keyed exchange -> local top-k -> k-row
@@ -1121,6 +1139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_bm25": _sim_bm25,
         "td_dsir_weights": _td_dsir,
         "txt_top_ngrams": _txt_top_ngrams,
+        "td_temperature_sample": _td_temperature_sample,
     }
 
 
@@ -1236,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_bm25": oracles_td.bm25_oracle(_BM25_QUERIES, k=10),
         "td_dsir_weights": oracles_td.dsir_oracle(),
         "txt_top_ngrams": oracles_td.top_ngrams_oracle(n=2, k=20),
+        "td_temperature_sample": oracles_td.temperature_sample_oracle(),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

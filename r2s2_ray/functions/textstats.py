@@ -957,3 +957,88 @@ def top_ngrams(
             "count": pa.array([-c for c, _ in best], pa.int64()),
         }
     )
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+    *,
+    denom: int = 4,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Temperature-weighted source mixing (the mT5 / Llama data-mixing step):
+    sample a fixed document budget across sources with per-source quotas
+    proportional to size^alpha, alpha = 1/2, flattening the source
+    distribution so small sources are not drowned out.
+
+    Deterministic, integer-exact contract (no RNG, no floats):
+
+    - per-source weight ``w_s = isqrt(sum(weight_col))`` (integer sqrt)
+    - budget ``B = total_docs // denom``; quota ``q_s = B * w_s // W``
+      (``W = sum w_s``), leftover ``B - sum q_s`` distributed by largest
+      remainder (``B * w_s % W`` DESC, source ASC tie-break)
+    - within a source, documents are ranked by ``(poly_hash(text), id)`` —
+      the SQL-expressible content hash — and the first ``q_s`` kept.
+
+    Emits ``(id, source, rk)`` for the selected documents. Stage shape: one
+    source-keyed aggregate (num_sources rows to the driver — metadata scale),
+    quota dict broadcast in the block closure, then the bucket-sort +
+    whole-block grouped-rank pattern (no global sort, no per-group Python).
+    A quota larger than a source's row count degrades to "take all" on both
+    the Ray and SQL sides."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from .hashing import poly_hash_arr
+
+    stats = (
+        ds.groupby(source_col)
+        .aggregate(Sum(weight_col, alias_name="toks"), Count(alias_name="nd"))
+        .take_all()
+    )
+    total = sum(int(r["nd"]) for r in stats)
+    budget = total // denom
+    w = {r[source_col]: math.isqrt(int(r["toks"])) for r in stats}
+    wsum = sum(w.values()) or 1
+    quota = {s: budget * ws // wsum for s, ws in w.items()}
+    leftover = budget - sum(quota.values())
+    for s in sorted(w, key=lambda s: (-(budget * w[s] % wsum), s))[:leftover]:
+        quota[s] += 1
+    qtab = pl.DataFrame(
+        {
+            source_col: list(quota.keys()),
+            "quota": pl.Series(list(quota.values()), dtype=pl.Int64),
+        }
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        f = poly_hash_arr(col).astype(np.int64)
+        t = b.select([id_col, source_col]).append_column("f", pa.array(f, pa.int64()))
+        bk = pl.from_arrow(t.select([source_col])).select(
+            pl.col(source_col).hash(seed=17).mod(num_buckets).cast(pl.Int32).alias("bucket")
+        )["bucket"]
+        return t.append_column("bucket", bk.to_arrow())
+
+    def block(b: pa.Table, _q=qtab) -> pa.Table:
+        df = pl.from_arrow(b).sort([source_col, "f", id_col])
+        return (
+            df.with_columns(
+                pl.col(id_col).cum_count().over(source_col).cast(pl.Int64).alias("rk")
+            )
+            .join(_q, on=source_col, how="left")
+            .filter(pl.col("rk") <= pl.col("quota"))
+            .select([id_col, source_col, "rk"])
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )

@@ -967,3 +967,43 @@ def top_ngrams_oracle(n: int = 2, k: int = 20) -> str:
                  AS rank,
                gram, "count"
         FROM c ORDER BY "count" DESC, gram LIMIT {k}"""
+
+
+def temperature_sample_oracle(denom: int = 4) -> str:
+    """Exact SQL mirror of ``textstats.temperature_sample``: integer-sqrt
+    temperature weights (float sqrt corrected to true isqrt), floor-division
+    quotas with largest-remainder leftover assignment, per-source
+    (poly_hash, id) ranking."""
+    isq = (
+        "(f0 + CASE WHEN (f0 + 1) * (f0 + 1) <= toks THEN 1 ELSE 0 END"
+        " - CASE WHEN f0 * f0 > toks THEN 1 ELSE 0 END)"
+    )
+    return f"""
+        WITH st AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+                    FROM documents GROUP BY source),
+             tot AS (SELECT CAST(count(*) AS BIGINT) // {denom} AS b FROM documents),
+             f0t AS (SELECT source, toks,
+                            CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS f0
+                     FROM st),
+             wi AS (SELECT source, {isq} AS w FROM f0t),
+             ww AS (SELECT source, w, SUM(w) OVER () AS wsum FROM wi),
+             q0 AS (SELECT source,
+                           (SELECT b FROM tot) * w // wsum AS q,
+                           (SELECT b FROM tot) * w % wsum AS rem
+                    FROM ww),
+             lo AS (SELECT (SELECT b FROM tot) - SUM(q) AS leftover FROM q0),
+             quota AS (SELECT source,
+                              q + CASE WHEN row_number()
+                                         OVER (ORDER BY rem DESC, source)
+                                       <= (SELECT leftover FROM lo)
+                                  THEN 1 ELSE 0 END AS quota
+                       FROM q0),
+             hx AS (SELECT doc_id, source, hex(encode(text)) AS h FROM documents),
+             fp AS (SELECT doc_id, source, {_poly_hash('h')} AS f FROM hx),
+             rnk AS (SELECT doc_id, source,
+                            CAST(row_number() OVER (PARTITION BY source
+                                                    ORDER BY f, doc_id) AS BIGINT) AS rk
+                     FROM fp)
+        SELECT rnk.doc_id, rnk.source, rnk.rk
+        FROM rnk JOIN quota USING (source)
+        WHERE rnk.rk <= quota.quota"""
