@@ -33,9 +33,10 @@ alternations ``p1|p2`` (compiled to ``pred IN``; ``^`` members allowed —
 ``(p|^q)`` unions reversed edges), negated property sets
 ``!p`` / ``!(p1|p2)`` (``pred NOT IN``) including ``^`` members
 (``!(p|^q)`` / ``!^p`` — the spec's alt(NPS(fwd), inv(NPS(bwd)))
-translation; closures over negated sets or MIXED-direction alternations
-are rejected loudly) and
+translation; closures over negated sets are rejected loudly) and
 closures ``p+``/``p*``/``p?`` incl. ``(a|b)+`` over alternation members
+and MIXED-direction alternations ``(a|^b)+`` (the closed-over edge set is
+the union of forward and reversed member edges)
 and SEQUENCE closures ``(p/q)+``/``(p/q)*``/``(p/q)?`` (the closed-over
 edge relation is the chain join of the members; ``^(p/q)+`` walks it
 backwards; plain grouping parens ``(p/q)`` strip; member-level operators
@@ -667,14 +668,24 @@ def _triples(
                 kind = _PATH_KIND[s_mod]
                 if len(membs) > 1:
                     if any_inv and not all(mi for mi, _ in membs):
-                        raise ValueError(
-                            "closures over MIXED-direction alternations "
-                            "((a|^b)+) are not supported"
+                        # MIXED-direction alternation closure (a|^b)+ —
+                        # members keep their ^ markers; the compiler closes
+                        # over the two-branch (fwd ∪ reversed) edge union
+                        p = Term(
+                            kind,
+                            "",
+                            alts=[
+                                ("^" if mi else "") + _path_atom(t, prefixes)
+                                for mi, t in membs
+                            ],
                         )
-                    # uniformly inverse members hoist: ^(a|b)+ == the (a|b)+
-                    # closure walked backwards
-                    p = Term(kind, "", alts=[_path_atom(t, prefixes) for _, t in membs])
-                    swap = any_inv
+                    else:
+                        # uniformly inverse members hoist: ^(a|b)+ == the
+                        # (a|b)+ closure walked backwards
+                        p = Term(
+                            kind, "", alts=[_path_atom(t, prefixes) for _, t in membs]
+                        )
+                        swap = any_inv
                 else:
                     # ^p+ == the closure walked backwards: emit reversed
                     p = Term(kind, _path_atom(membs[0][1], prefixes))
@@ -2181,10 +2192,40 @@ def _compile_bgp(
                     gc = f" AND {{t}}.graph IN ({gs})"
                 else:
                     gc = " AND FALSE"
+            edge_view, gc_chain = triples_view, gc
             if p.kind.startswith("seq"):
                 # sequence closure (p/q)+: the closed-over edge relation is
                 # the CHAIN JOIN of the member predicates, one hop per member
                 pconds = ["{t}.pred = " + _q(v) for v in p.alts]
+            elif p.alts and any(m.startswith("^") for m in p.alts):
+                # MIXED-direction alternation closure (a|^b)+: the closed-over
+                # edge relation is the UNION ALL of forward edges and REVERSED
+                # ^-member edges (a reversed "object" is a store subject,
+                # never a literal, so its o_lang/o_dt are NULL). The GRAPH /
+                # FROM restriction is baked into each branch, so the chain
+                # walks the CTE with no further predicate/graph conditions.
+                fwd = [m for m in p.alts if not m.startswith("^")]
+                bwd = [m[1:] for m in p.alts if m.startswith("^")]
+                branches = [
+                    f"SELECT b.subj, b.obj, b.o_lang, b.o_dt "
+                    f"FROM {triples_view} b "
+                    f"WHERE b.pred IN ({', '.join(_q(v) for v in fwd)})"
+                    + gc.format(t="b")
+                ] if fwd else []
+                if bwd:
+                    branches.append(
+                        f"SELECT b.obj, b.subj, CAST(NULL AS VARCHAR), "
+                        f"CAST(NULL AS VARCHAR) FROM {triples_view} b "
+                        f"WHERE b.pred IN ({', '.join(_q(v) for v in bwd)})"
+                        + gc.format(t="b")
+                    )
+                edge_view = f"{a}_me"
+                ctes.append(
+                    f"{edge_view}(subj, obj, o_lang, o_dt) AS (SELECT * FROM ("
+                    + " UNION ALL ".join(f"({b})" for b in branches)
+                    + ") u)"
+                )
+                pconds, gc_chain = ["TRUE"], ""
             elif p.alts:
                 pconds = ["{t}.pred IN (" + ", ".join(_q(v) for v in p.alts) + ")"]
             else:
@@ -2193,18 +2234,18 @@ def _compile_bgp(
             def _chain(prefix: str, first_on: str | None = None) -> tuple[str, str]:
                 """(FROM clause, WHERE conds) for one pass over the member
                 chain; ``first_on`` joins hop 0 to a preceding relation."""
-                frm = f"{triples_view} {prefix}0"
+                frm = f"{edge_view} {prefix}0"
                 if first_on:
                     frm += f" ON {prefix}0.subj = {first_on}"
-                wh = [pconds[0].format(t=f"{prefix}0") + gc.format(t=f"{prefix}0")]
+                wh = [pconds[0].format(t=f"{prefix}0") + gc_chain.format(t=f"{prefix}0")]
                 for ii in range(1, len(pconds)):
                     frm += (
-                        f" JOIN {triples_view} {prefix}{ii} "
+                        f" JOIN {edge_view} {prefix}{ii} "
                         f"ON {prefix}{ii}.subj = {prefix}{ii - 1}.obj"
                     )
                     wh.append(
                         pconds[ii].format(t=f"{prefix}{ii}")
-                        + gc.format(t=f"{prefix}{ii}")
+                        + gc_chain.format(t=f"{prefix}{ii}")
                     )
                 return frm, " AND ".join(wh)
 

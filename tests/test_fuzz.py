@@ -14,7 +14,7 @@ from collections import Counter
 import duckdb
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from r2s2_ray.functions.hashing import affine64, perm_constants, poly_hash_arr, poly_hash_one
@@ -982,6 +982,61 @@ def test_sparql_sequence_closure_matches_naive(store, preds, mod, inv, subj, obj
             continue
         sols[tuple(x for t, x in ((subj, a), (obj, b)) if t[0] == "var")] += 1
     pstr = ("^" if inv else "") + "(" + "/".join(f"<{p}>" for p in preds) + ")" + mod
+    sterm = f"?{subj[1]}" if subj[0] == "var" else f"<{subj[1]}>"
+    oterm = f"?{obj[1]}" if obj[0] == "var" else f"<{obj[1]}>"
+    cols, rows = _run_sql(store, f"SELECT * WHERE {{ {sterm} {pstr} {oterm} }}")
+    assert cols == sorted({t[1] for t in (subj, obj) if t[0] == "var"})
+    assert Counter(rows) == sols
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    _store,
+    _members,
+    st.sampled_from(["+", "*", "?"]),
+    st.one_of(st.just(("var", "x")), st.sampled_from([("iri", c) for c in _ALPHABET])),
+    st.one_of(st.just(("var", "y")), st.sampled_from([("iri", c) for c in _ALPHABET])),
+)
+def test_sparql_mixed_direction_closure_matches_naive(store, members, mod, subj, obj):
+    """Closures over MIXED-direction alternations ``(a|^b)+`` / ``*`` / ``?``:
+    the closed-over edge set is the union of forward edges for plain members
+    and REVERSED edges for ^ members; the closure result is a DISTINCT pair
+    set, with ``*``/``?`` adding the zero-length identity over every graph
+    term plus constant pattern endpoints."""
+    assume(len({inv for inv, _ in members}) == 2)  # genuinely mixed
+    if subj[0] != "var" and obj[0] != "var":
+        obj = ("var", "y")
+    base = set()
+    for s, p, o in store:
+        for inv, m in members:
+            if p == m:
+                base.add((o, s) if inv else (s, o))
+    extra = {t[1] for t in (subj, obj) if t[0] == "iri"}
+    ident = {(t, t) for s, _, o in store for t in (s, o)} | {(t, t) for t in extra}
+    if mod == "?":
+        pairs = base | ident
+    else:
+        pairs = set(base)
+        while True:
+            nxt = pairs | {(a, d) for a, b in pairs for c, d in pairs if b == c}
+            if nxt == pairs:
+                break
+            pairs = nxt
+        if mod == "*":
+            pairs |= ident
+    sols = Counter()
+    for a, b in pairs:
+        if subj[0] == "iri" and a != subj[1]:
+            continue
+        if obj[0] == "iri" and b != obj[1]:
+            continue
+        sols[tuple(x for t, x in ((subj, a), (obj, b)) if t[0] == "var")] += 1
+    pstr = (
+        "("
+        + "|".join(("^" if inv else "") + f"<{m}>" for inv, m in members)
+        + ")"
+        + mod
+    )
     sterm = f"?{subj[1]}" if subj[0] == "var" else f"<{subj[1]}>"
     oterm = f"?{obj[1]}" if obj[0] == "var" else f"<{obj[1]}>"
     cols, rows = _run_sql(store, f"SELECT * WHERE {{ {sterm} {pstr} {oterm} }}")
