@@ -367,6 +367,23 @@ def _kg_sparql_seqpath(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_mixedpath(sf_dir: str):
+    """MIXED-direction alternation closure served end-to-end:
+    (ex:hasTurn|^ex:hasTurn)+ closes over the union of forward and reversed
+    hasTurn edges, so each conv + its turns is one reachability component
+    (self-pairs arise from the two-step there-and-back walks); grouping by
+    the start node counts the component size."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT ?x (COUNT(?y) AS ?n) "
+        "WHERE { ?x (ex:hasTurn|^ex:hasTurn)+ ?y } GROUP BY ?x"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_strfuncs(sf_dir: str):
     """ENCODE_FOR_URI (pure-SQL byte-fold percent-encoding), SHA256 and TZ
     served end-to-end over the mentions edges and turn timestamps (the corpus
@@ -1074,6 +1091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_optnested": _kg_sparql_optnested,
         "kg_sparql_star": _kg_sparql_star,
         "kg_sparql_seqpath": _kg_sparql_seqpath,
+        "kg_sparql_mixedpath": _kg_sparql_mixedpath,
         "kg_sparql_strfuncs": _kg_sparql_strfuncs,
         "kg_sparql_undef": _kg_sparql_undef,
         "kg_sparql_bool": _kg_sparql_bool,
@@ -1168,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_optnested": oracles.sparql_optnested_oracle(),
         "kg_sparql_star": oracles.sparql_star_oracle(),
         "kg_sparql_seqpath": oracles.sparql_seqpath_oracle(),
+        "kg_sparql_mixedpath": oracles.sparql_mixedpath_oracle(),
         "kg_sparql_strfuncs": oracles.sparql_strfuncs_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),

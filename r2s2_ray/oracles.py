@@ -474,3 +474,23 @@ def roundtrip_oracle() -> str:
         f"WHERE s_kind != 0 AND o_kind != 0 "
         f"GROUP BY subj, pred, obj, o_lang, o_dt, graph"
     )
+
+
+def sparql_mixedpath_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_mixedpath``:
+    { ?x (ex:hasTurn|^ex:hasTurn)+ ?y } GROUP BY ?x — the closed-over edge
+    set is the union of forward hasTurn edges and their reverses, so each
+    conv and its turns form one component and the closure is exactly
+    component x component (self-pairs included via the two-step
+    conv->turn->conv / turn->conv->turn walks); COUNT(?y) per ?x is the
+    component size."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH RECURSIVE t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"h AS (SELECT subj AS a, obj AS b FROM t "
+        f"WHERE pred = {_q(vocab.P_HAS_TURN)}), "
+        f"e AS (SELECT a, b FROM h UNION SELECT b, a FROM h), "
+        f"c(a, b) AS (SELECT a, b FROM e "
+        f"UNION SELECT c.a, e.b FROM c JOIN e ON e.a = c.b) "
+        f"SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY a"
+    )
