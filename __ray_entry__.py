@@ -768,6 +768,26 @@ def _td_dsir(sf_dir: str):
     )
 
 
+def _io_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink -> source roundtrip (the LLM-corpus interchange format):
+    documents written as line-delimited JSON shards (one file per block,
+    resumable), read back as a streaming Dataset — values identical to the
+    parquet source, proven by the identity SQL oracle."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    out = tempfile.mkdtemp(prefix="jsonl_rt_")
+    write_jsonl(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), out
+    )
+    return read_jsonl(out).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _td_temperature_sample(sf_dir: str):
     """Temperature-weighted source mixing (size^(1/2) quotas, largest-remainder
     rounding, per-source content-hash ranking) — integer-exact vs the SQL
@@ -1158,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_dsir_weights": _td_dsir,
         "txt_top_ngrams": _txt_top_ngrams,
         "td_temperature_sample": _td_temperature_sample,
+        "io_jsonl_roundtrip": _io_jsonl_roundtrip,
     }
 
 
@@ -1275,6 +1296,7 @@ def oracle_sql() -> dict[str, str]:
         "td_dsir_weights": oracles_td.dsir_oracle(),
         "txt_top_ngrams": oracles_td.top_ngrams_oracle(n=2, k=20),
         "td_temperature_sample": oracles_td.temperature_sample_oracle(),
+        "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """
