@@ -788,6 +788,23 @@ def _io_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _io_csv_roundtrip(sf_dir: str):
+    """CSV sink -> source roundtrip: documents written as CSV shards (one per
+    block), read back via pyarrow's vectorized CSV reader — values identical
+    to the parquet source, proven by the identity SQL oracle."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import read_csv, write_csv
+
+    out = tempfile.mkdtemp(prefix="csv_rt_")
+    write_csv(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), out)
+    return read_csv(out).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _td_temperature_sample(sf_dir: str):
     """Temperature-weighted source mixing (size^(1/2) quotas, largest-remainder
     rounding, per-source content-hash ranking) — integer-exact vs the SQL
@@ -1179,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_top_ngrams": _txt_top_ngrams,
         "td_temperature_sample": _td_temperature_sample,
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
+        "io_csv_roundtrip": _io_csv_roundtrip,
     }
 
 
@@ -1297,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_top_ngrams": oracles_td.top_ngrams_oracle(n=2, k=20),
         "td_temperature_sample": oracles_td.temperature_sample_oracle(),
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

@@ -31,3 +31,14 @@ def write_jsonl(ds: ray.data.Dataset, out_dir: str, **kwargs) -> None:
     """Dataset -> ``out_dir`` of ``*.json`` line-delimited shards, one per
     block (partitioned output — never one giant file)."""
     ds.write_json(out_dir, **kwargs)
+
+
+def read_csv(paths: str | list[str], **kwargs) -> ray.data.Dataset:
+    """Directory / file / list of CSV shards -> streaming Dataset (pyarrow's
+    vectorized CSV reader under the hood)."""
+    return ray.data.read_csv(paths, **kwargs)
+
+
+def write_csv(ds: ray.data.Dataset, out_dir: str, **kwargs) -> None:
+    """Dataset -> ``out_dir`` of CSV shards, one per block."""
+    ds.write_csv(out_dir, **kwargs)
