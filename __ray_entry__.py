@@ -788,6 +788,24 @@ def _io_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _sim_quantize(sf_dir: str):
+    """Symmetric per-dimension int8 embedding quantization (ANN memory
+    reduction): corpus max-abs scales via a metadata-scale block reduce,
+    floor((x*127)/s) in float64 — bit-exact vs the SQL oracle; long-format
+    (vec_id, i, q) output for integer-for-integer comparison."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import quantize_embeddings
+
+    return quantize_embeddings(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        "vec_id",
+        "embedding",
+    )
+
+
 def _io_csv_roundtrip(sf_dir: str):
     """CSV sink -> source roundtrip: documents written as CSV shards (one per
     block), read back via pyarrow's vectorized CSV reader — values identical
@@ -1197,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_temperature_sample": _td_temperature_sample,
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
         "io_csv_roundtrip": _io_csv_roundtrip,
+        "sim_quantize": _sim_quantize,
     }
 
 
@@ -1316,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "td_temperature_sample": oracles_td.temperature_sample_oracle(),
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

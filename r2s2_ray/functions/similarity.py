@@ -316,3 +316,65 @@ def kmeans(
         return pa.table({id_col: b[id_col], "cluster": pa.array(a, pa.int64())})
 
     return qds.map_batches(finalize, batch_format="pyarrow")
+
+
+def quantize_embeddings(
+    ds: ray.data.Dataset,
+    id_col: str,
+    vec_col: str,
+    *,
+    bits: int = 8,
+) -> ray.data.Dataset:
+    """Symmetric per-dimension integer quantization of an embedding column —
+    the standard ANN memory-reduction step (float32 -> int8 is a 4x index
+    shrink before IVF/PQ-style search).
+
+    Deterministic, oracle-exact contract: scale_d = max(|x_d|) over the corpus
+    (per dimension), q = floor(x * (2^(bits-1) - 1) / scale_d) computed in
+    IEEE float64 (both engines evaluate the identical (x * L) / s expression),
+    q = 0 where scale_d = 0. Emits long-format ``(id, i, q)`` rows (i 1-based)
+    so the SQL oracle compares integer-for-integer.
+
+    Stage shape: pass 1 reduces one dim-length max-abs vector per BLOCK to the
+    driver (nblocks x dim floats — metadata scale); the scale vector is
+    broadcast via ``ray.put`` once and every pass-2 batch quantizes with two
+    vectorized numpy ops. No shuffle anywhere."""
+    levels = float((1 << (bits - 1)) - 1)
+
+    def _matrix(b: pa.Table) -> tuple[np.ndarray, pa.Array]:
+        col = b[vec_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(col), flat.size // max(1, len(col))), col
+
+    def partial(b: pa.Table) -> pa.Table:
+        X, _ = _matrix(b)
+        m = np.abs(X).max(axis=0)
+        return pa.table({"dim_max": pa.array([m.tolist()], pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    scale = np.max(np.stack([np.asarray(r["dim_max"]) for r in parts]), axis=0)
+    sref = ray.put(scale)
+
+    def quant(b: pa.Table, _sref=sref) -> pa.Table:
+        s = ray.get(_sref)
+        X, _ = _matrix(b)
+        n, d = X.shape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((X * levels) / s)
+        q = np.where(s == 0, 0.0, q).astype(np.int64)
+        ids = np.asarray(
+            b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            if isinstance(b[id_col], pa.ChunkedArray)
+            else b[id_col].to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, d), pa.int64()),
+                "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n), pa.int64()),
+                "q": pa.array(q.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")

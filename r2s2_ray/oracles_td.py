@@ -1007,3 +1007,22 @@ def temperature_sample_oracle(denom: int = 4) -> str:
         SELECT rnk.doc_id, rnk.source, rnk.rk
         FROM rnk JOIN quota USING (source)
         WHERE rnk.rk <= quota.quota"""
+
+
+def quantize_embeddings_oracle(bits: int = 8) -> str:
+    """Exact SQL mirror of ``similarity.quantize_embeddings``: per-dimension
+    max-abs scale, floor((x * L) / s) in IEEE float64 (same operation order
+    as the numpy side, hence bit-identical), q = 0 on zero-scale dims."""
+    levels = (1 << (bits - 1)) - 1
+    return f"""
+        WITH e AS (SELECT vec_id,
+                          unnest(embedding) AS x,
+                          generate_subscripts(embedding, 1) AS i
+                   FROM embeddings),
+             s AS (SELECT i, max(abs(CAST(x AS DOUBLE))) AS s FROM e GROUP BY i)
+        SELECT e.vec_id,
+               CAST(e.i AS BIGINT) AS i,
+               CAST(CASE WHEN s.s = 0 THEN 0
+                         ELSE FLOOR((CAST(e.x AS DOUBLE) * {levels}) / s.s)
+                    END AS BIGINT) AS q
+        FROM e JOIN s USING (i)"""
