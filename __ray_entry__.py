@@ -788,6 +788,20 @@ def _io_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _q_profile_docs(sf_dir: str):
+    """Per-column data profile of the documents table (count / nulls / exact
+    distinct / varchar min-max) — the ingest sanity check, census family
+    generalized to any table; exact vs the per-column UNION SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.relational import profile_table
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    return profile_table(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols), cols
+    )
+
+
 def _sim_quantize(sf_dir: str):
     """Symmetric per-dimension int8 embedding quantization (ANN memory
     reduction): corpus max-abs scales via a metadata-scale block reduce,
@@ -1216,6 +1230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
         "io_csv_roundtrip": _io_csv_roundtrip,
         "sim_quantize": _sim_quantize,
+        "q_profile_docs": _q_profile_docs,
     }
 
 
@@ -1336,6 +1351,14 @@ def oracle_sql() -> dict[str, str]:
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
+        "q_profile_docs": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"min(CAST({c} AS VARCHAR)) AS min_v, "
+            f"max(CAST({c} AS VARCHAR)) AS max_v FROM documents"
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
         "q_heavy_hitters": oracles_td.heavy_hitters_oracle(),
         "q_bloom_semijoin": oracles_td.bloom_semijoin_oracle(),
         "td_source_mix": """

@@ -984,3 +984,96 @@ def q_bloom_semijoin(sf_dir: str, *, m_bits: int = 4096, k_hashes: int = 3):
             Sum("n_true_match", alias_name="n_true_match"),
         )
     )
+
+
+def profile_table(ds: ray.data.Dataset, columns: list[str]) -> pa.Table:
+    """Per-column data profile — ``(column, n, nulls, n_distinct, min_v,
+    max_v)`` with min/max over the VARCHAR rendering (type-uniform output).
+    The ingest-side sanity check every pipeline runs before committing a new
+    source (the reference's census family generalized to ANY table).
+
+    Stage shape: counts ride per-block partials into a tiny column-keyed
+    groupby; distinct/min/max ride ONE exchange of per-block-distinct
+    ``(column, v)`` pairs (for a high-cardinality column that exchange is the
+    unavoidable exact-distinct cost; per-block dedup is the combiner that
+    collapses low-cardinality columns to a handful of rows). Nulls are
+    excluded from distinct/min/max — the SQL convention. Output is
+    num_columns rows: driver-safe by construction."""
+    import polars as pl
+
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+    from ray.data.aggregate import Sum as _Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        rows = {
+            "column": [],
+            "n": [],
+            "nulls": [],
+        }
+        for c in columns:
+            rows["column"].append(c)
+            rows["n"].append(len(b))
+            rows["nulls"].append(b[c].null_count)
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.large_string()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "nulls": pa.array(rows["nulls"], pa.int64()),
+            }
+        )
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(columns))
+        parts = []
+        for c in columns:
+            parts.append(
+                df.select(
+                    pl.lit(c).alias("column"),
+                    pl.col(c).cast(pl.Utf8).alias("v"),
+                )
+                .drop_nulls("v")
+                .unique()
+            )
+        return pl.concat(parts).to_arrow()
+
+    cnt = {
+        r["column"]: r
+        for r in ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(_Sum("n", alias_name="n"), _Sum("nulls", alias_name="nulls"))
+        .take_all()
+    }
+    dst = {
+        r["column"]: r
+        for r in ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["column", "v"])
+        .aggregate(_Count(alias_name="_m"))
+        .groupby("column")
+        .aggregate(
+            _Count(alias_name="n_distinct"),
+            _Min("v", alias_name="min_v"),
+            _Max("v", alias_name="max_v"),
+        )
+        .take_all()
+    }
+    return pa.table(
+        {
+            "column": pa.array(columns, pa.large_string()),
+            "n": pa.array([int(cnt[c]["n"]) for c in columns], pa.int64()),
+            "nulls": pa.array([int(cnt[c]["nulls"]) for c in columns], pa.int64()),
+            "n_distinct": pa.array(
+                [int(dst[c]["n_distinct"]) if c in dst else 0 for c in columns],
+                pa.int64(),
+            ),
+            "min_v": pa.array(
+                [dst[c]["min_v"] if c in dst else None for c in columns],
+                pa.large_string(),
+            ),
+            "max_v": pa.array(
+                [dst[c]["max_v"] if c in dst else None for c in columns],
+                pa.large_string(),
+            ),
+        }
+    )
