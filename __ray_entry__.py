@@ -788,6 +788,23 @@ def _io_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _dd_setsim_prefix(sf_dir: str):
+    """PPJoin-style prefix-filtered EXACT token-set Jaccard join (t = 9/10,
+    integer-rational threshold): candidates only from each doc's rarest-token
+    prefix + length filter, exact intersection for survivors via two hash
+    joins — the unfiltered all-pairs SQL oracle proves the filters lossless."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import setsim_prefix_pairs
+
+    return setsim_prefix_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+        threshold=(9, 10),
+    )
+
+
 def _q_profile_docs(sf_dir: str):
     """Per-column data profile of the documents table (count / nulls / exact
     distinct / varchar min-max) — the ingest sanity check, census family
@@ -1231,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_csv_roundtrip": _io_csv_roundtrip,
         "sim_quantize": _sim_quantize,
         "q_profile_docs": _q_profile_docs,
+        "dd_setsim_prefix": _dd_setsim_prefix,
     }
 
 
@@ -1351,6 +1369,7 @@ def oracle_sql() -> dict[str, str]:
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
+        "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),
         "q_profile_docs": " UNION ALL ".join(
             f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, "

@@ -947,3 +947,170 @@ def neardup_clusters(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def setsim_prefix_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: tuple[int, int] = (3, 5),
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT token-set Jaccard join via PREFIX FILTERING (the PPJoin family,
+    cf. "A Two-Level Signature Scheme for Stable Set Similarity Joins",
+    VLDB 2023): candidate pairs are generated only from each document's
+    PREFIX — its ``n - ceil(t*n) + 1`` globally rarest tokens — which is
+    lossless for Jaccard >= t (two qualifying sets must share a prefix token)
+    while shrinking posting lists by orders of magnitude vs the full inverted
+    index of :func:`ngram_jaccard_pairs`. The SQL oracle computes ALL exact
+    pairs with no filtering, so the losslessness of the prefix + length
+    filters is oracle-proven, not assumed.
+
+    ``threshold`` is a rational ``(num, den)`` — prefix lengths and the final
+    test (``den*inter >= num*union``) are integer-exact; no float ceil drift.
+
+    Stage shape (every exchange key-partitioned, no driver materialization):
+    distinct (token, doc) explode -> token-df groupby -> df attach
+    (hash_join) -> per-doc prefix rank (bucket sort + block fold) ->
+    token-keyed candidate generation with the ``den*min >= num*max`` length
+    filter -> pair dedup -> two hash_joins count the exact intersection for
+    the surviving candidates only. Output: (a, b, inter, uni) ints with
+    a < b."""
+    num, den = threshold
+    from ray.data.aggregate import Count as _Count
+
+    from ..relational import _bucket_by, hash_join
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        return (
+            df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+")
+                .alias("tok")
+            )
+            .select([id_col, "tok"])
+            .explode("tok")
+            .drop_nulls("tok")
+            .unique()
+            .with_columns(pl.col("tok").count().over(id_col).cast(pl.Int64).alias("n_doc"))
+            .rename({id_col: "doc"})
+            .to_arrow()
+        )
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+    dfs = toks.groupby("tok").aggregate(_Count(alias_name="dfreq"))
+    with_df = hash_join(toks, dfs, on="tok", right_cols=["dfreq"])
+
+    def prefix_block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["doc", "dfreq", "tok"])
+        pfx = (
+            pl.col("n_doc")
+            - ((num * pl.col("n_doc") + den - 1) // den).cast(pl.Int64)
+            + 1
+        )
+        return (
+            df.with_columns(pl.col("tok").cum_count().over("doc").cast(pl.Int64).alias("rk"))
+            .filter(pl.col("rk") <= pfx)
+            .select(["tok", "doc", "n_doc"])
+            .to_arrow()
+        )
+
+    pre = (
+        with_df.map_batches(_bucket_by("doc", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(prefix_block, batch_format="pyarrow", batch_size=None)
+    )
+
+    def cand_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n < 2:
+            return empty
+        t = t.sort_by([("tok", "ascending"), ("doc", "ascending")])
+        tk = t["tok"].combine_chunks() if isinstance(t["tok"], pa.ChunkedArray) else t["tok"]
+        neq = pc.not_equal(tk.slice(1), tk.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        bounds = np.concatenate([[0], np.flatnonzero(neq) + 1, [n]]).astype(np.int64)
+        docs = np.asarray(t["doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        cnts = np.asarray(t["n_doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ia, jb = _group_pair_indices(bounds)
+        if not len(ia):
+            return empty
+        na, nb = cnts[ia], cnts[jb]
+        # length filter, lossless: J >= num/den implies den*min >= num*max
+        keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+        return pa.table(
+            {
+                "a": pa.array(docs[ia][keep], pa.int64()),
+                "b": pa.array(docs[jb][keep], pa.int64()),
+                "na": pa.array(na[keep], pa.int64()),
+                "nb": pa.array(nb[keep], pa.int64()),
+            }
+        )
+
+    cands = _fold_pairs(
+        pre.sort("tok").map_batches(cand_block, batch_format="pyarrow", batch_size=None),
+        {"na": pl.col("na").min(), "nb": pl.col("nb").min()},
+    )
+
+    # verification: exact |A ∩ B| for candidates only — join candidates to A's
+    # tokens (doc-keyed), then probe B's tokens on a composite (tok, doc) key
+    p_a = toks.map_batches(
+        lambda b: pa.table({"a": b["doc"], "tok": b["tok"]}), batch_format="pyarrow"
+    )
+    j1 = hash_join(cands, p_a, on="a", right_cols=["tok"])
+
+    def key_left(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.with_columns(
+            pl.concat_str(
+                [pl.col("tok"), pl.col("b").cast(pl.Utf8)], separator="\x1f"
+            ).alias("k")
+        ).select(["a", "b", "na", "nb", "k"]).to_arrow()
+
+    def key_right(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.with_columns(
+            pl.concat_str(
+                [pl.col("tok"), pl.col("doc").cast(pl.Utf8)], separator="\x1f"
+            ).alias("k"),
+            pl.lit(1, dtype=pl.Int64).alias("hit"),
+        ).select(["k", "hit"]).to_arrow()
+
+    j2 = hash_join(
+        j1.map_batches(key_left, batch_format="pyarrow"),
+        toks.map_batches(key_right, batch_format="pyarrow"),
+        on="k",
+        right_cols=["hit"],
+    )
+
+    folded = _fold_pairs(
+        j2.map_batches(
+            lambda b: b.select(["a", "b", "na", "nb"]), batch_format="pyarrow"
+        ),
+        {
+            "inter": pl.len().cast(pl.Int64),
+            "na": pl.col("na").min(),
+            "nb": pl.col("nb").min(),
+        },
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return (
+            df.with_columns((pl.col("na") + pl.col("nb") - pl.col("inter")).alias("uni"))
+            .filter(den * pl.col("inter") >= num * pl.col("uni"))
+            .select(["a", "b", "inter", "uni"])
+            .to_arrow()
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -1026,3 +1026,20 @@ def quantize_embeddings_oracle(bits: int = 8) -> str:
                          ELSE FLOOR((CAST(e.x AS DOUBLE) * {levels}) / s.s)
                     END AS BIGINT) AS q
         FROM e JOIN s USING (i)"""
+
+
+def setsim_prefix_oracle(num: int = 3, den: int = 5) -> str:
+    """Exact all-pairs token-set Jaccard with the integer rational threshold —
+    deliberately NO prefix/length filtering, so the losslessness of
+    ``dedup.setsim_prefix_pairs``'s filters is what the comparison proves."""
+    return f"""
+        WITH tok AS (SELECT DISTINCT doc_id,
+                            unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                     FROM documents),
+             sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+             i AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+                   FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+        SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS uni
+        FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+        WHERE {den} * i.inter >= {num} * (sa.n + sb.n - i.inter)"""
