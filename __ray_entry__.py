@@ -788,6 +788,26 @@ def _io_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _sim_pq_codes(sf_dir: str):
+    """Product-quantization codes (IVF-PQ compression step): 8 subspaces x
+    integer-exact kmeans, (vec_id, subspace, code) — bit-exact vs the
+    per-subspace unrolled-CTE SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import pq_codes
+
+    return pq_codes(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        "vec_id",
+        "embedding",
+        m=8,
+        k=8,
+        n_iters=2,
+    )
+
+
 def _dd_setsim_prefix(sf_dir: str):
     """PPJoin-style prefix-filtered EXACT token-set Jaccard join (t = 9/10,
     integer-rational threshold): candidates only from each doc's rarest-token
@@ -1249,6 +1269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_quantize": _sim_quantize,
         "q_profile_docs": _q_profile_docs,
         "dd_setsim_prefix": _dd_setsim_prefix,
+        "sim_pq_codes": _sim_pq_codes,
     }
 
 
@@ -1370,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),
+        "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "q_profile_docs": " UNION ALL ".join(
             f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, "

@@ -378,3 +378,64 @@ def quantize_embeddings(
         )
 
     return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def pq_codes(
+    ds: ray.data.Dataset,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k: int = 8,
+    n_iters: int = 2,
+    scale_bits: int = 20,
+) -> ray.data.Dataset:
+    """Product-quantization codebook assignment: the embedding splits into
+    ``m`` contiguous subspaces, each clustered independently with the
+    integer-exact :func:`kmeans`, and every vector gets one code per subspace
+    — the classic IVF-PQ compression step (m bytes replace dim floats in the
+    ANN index). Emits ``(id, subspace, code)`` long-format rows.
+
+    The subspace loop runs on the driver (m is a small constant); each
+    iteration is the kmeans pipeline over a column SLICE — the slice happens
+    inside ``map_batches``, so only the narrowed vectors enter each kmeans
+    exchange. Deterministic end to end: kmeans is all-integer, so the oracle
+    unrolls the same iterations per subspace in SQL."""
+    import polars as pl
+
+    outs = []
+    # subspace width from the first row's dim (metadata probe, one row)
+    dim = len(ds.take(1)[0][vec_col])
+    w = dim // m
+
+    def slicer(lo: int, ln: int):
+        def fn(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b.select([id_col, vec_col]))
+            return df.with_columns(
+                pl.col(vec_col).list.slice(lo, ln).alias(vec_col)
+            ).to_arrow()
+
+        return fn
+
+    for j in range(m):
+        sub = ds.map_batches(slicer(j * w, w), batch_format="pyarrow")
+        res = kmeans(
+            sub, id_col, vec_col, k=k, n_iters=n_iters, scale_bits=scale_bits
+        )
+
+        def tag(b: pa.Table, _j=j) -> pa.Table:
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "subspace": pa.array(
+                        np.full(b.num_rows, _j, dtype=np.int64), pa.int64()
+                    ),
+                    "code": b["cluster"],
+                }
+            )
+
+        outs.append(res.map_batches(tag, batch_format="pyarrow"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

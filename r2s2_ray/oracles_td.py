@@ -776,7 +776,9 @@ def lm_surprisal_oracle() -> str:
         GROUP BY t.doc_id"""
 
 
-def kmeans_oracle(k: int = 8, n_iters: int = 3, scale_bits: int = 20) -> str:
+def kmeans_oracle(
+    k: int = 8, n_iters: int = 3, scale_bits: int = 20, vec_expr: str = "embedding"
+) -> str:
     """Exact SQL mirror of ``similarity.kmeans``: the iterations unroll into a
     CTE chain. Everything is integer arithmetic — quantize, squared distances,
     per-cluster sums, the round-half-up integer mean via the positive-mod
@@ -789,8 +791,8 @@ def kmeans_oracle(k: int = 8, n_iters: int = 3, scale_bits: int = 20) -> str:
         WITH q AS (
           SELECT vec_id, d - 1 AS dim,
                  CAST(floor(CAST(e AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS qx
-          FROM (SELECT vec_id, unnest(embedding) AS e,
-                       generate_subscripts(embedding, 1) AS d
+          FROM (SELECT vec_id, unnest({vec_expr}) AS e,
+                       generate_subscripts({vec_expr}, 1) AS d
                 FROM embeddings)
         ), c0 AS (
           SELECT CAST(r - 1 AS BIGINT) AS cluster, dim, qx FROM (
@@ -1043,3 +1045,25 @@ def setsim_prefix_oracle(num: int = 3, den: int = 5) -> str:
         SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS uni
         FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
         WHERE {den} * i.inter >= {num} * (sa.n + sb.n - i.inter)"""
+
+
+def pq_codes_oracle(
+    m: int = 8, dim: int = 64, k: int = 8, n_iters: int = 2, scale_bits: int = 20
+) -> str:
+    """Exact SQL mirror of ``similarity.pq_codes``: one integer-exact kmeans
+    oracle per subspace over ``list_slice(embedding, ...)``, UNION ALL'd with
+    the subspace index."""
+    w = dim // m
+    subs = []
+    for j in range(m):
+        inner = kmeans_oracle(
+            k,
+            n_iters,
+            scale_bits,
+            vec_expr=f"list_slice(embedding, {j * w + 1}, {(j + 1) * w})",
+        )
+        subs.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS subspace, cluster AS code "
+            f"FROM ({inner})"
+        )
+    return " UNION ALL ".join(subs)
