@@ -808,6 +808,21 @@ def _sim_pq_codes(sf_dir: str):
     )
 
 
+def _sim_ann_pq(sf_dir: str):
+    """Asymmetric-distance PQ search (IVF-PQ query side): per-subspace
+    integer kmeans codebooks + broadcast nq x k distance tables, m lookups
+    per vector, top-5 per query — exact vs the reconstruction SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import pq_adc_topk
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_adc_topk(ds, q, "vec_id", "embedding", m=8, k_codes=8, n_iters=2, k=5)
+
+
 def _dd_setsim_prefix(sf_dir: str):
     """PPJoin-style prefix-filtered EXACT token-set Jaccard join (t = 9/10,
     integer-rational threshold): candidates only from each doc's rarest-token
@@ -1270,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_profile_docs": _q_profile_docs,
         "dd_setsim_prefix": _dd_setsim_prefix,
         "sim_pq_codes": _sim_pq_codes,
+        "sim_ann_pq": _sim_ann_pq,
     }
 
 
@@ -1392,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
+        "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),
         "q_profile_docs": " UNION ALL ".join(
             f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n, "
             f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls, "

@@ -195,9 +195,12 @@ def kmeans(
     n_iters: int = 3,
     scale_bits: int = 20,
     concurrency=(1, 8),
+    return_centroids: bool = False,
 ) -> ray.data.Dataset:
     """Distributed Lloyd's k-means over the embedding column, returning one
-    (id, cluster) row per vector — the standard corpus-clustering /
+    (id, cluster) row per vector (with ``return_centroids`` also the final
+    quantized k x dim int64 centroid matrix, already on the driver — it is
+    reduced there every iteration anyway) — the standard corpus-clustering /
     topic-bucketing primitive for training-data curation.
 
     The whole algorithm runs in INTEGER arithmetic so the result is
@@ -244,11 +247,12 @@ def kmeans(
     seed.sort(key=lambda r: r[id_col])
     cent = np.asarray([r["qvec"] for r in seed[:k]], dtype=np.int64)
     if not len(cent):
-        return ray.data.from_arrow(
+        empty = ray.data.from_arrow(
             pa.table(
                 {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
             )
         )
+        return (empty, cent) if return_centroids else empty
     kk, dim = cent.shape
 
     def _assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -315,7 +319,8 @@ def kmeans(
         a = _assign(X, C).astype(np.int64)
         return pa.table({id_col: b[id_col], "cluster": pa.array(a, pa.int64())})
 
-    return qds.map_batches(finalize, batch_format="pyarrow")
+    out = qds.map_batches(finalize, batch_format="pyarrow")
+    return (out, cent) if return_centroids else out
 
 
 def quantize_embeddings(
@@ -439,3 +444,116 @@ def pq_codes(
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def pq_adc_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    k_codes: int = 8,
+    n_iters: int = 2,
+    scale_bits: int = 20,
+    k: int = 5,
+) -> pa.Table:
+    """Asymmetric-distance PQ search (the query side of IVF-PQ): per-subspace
+    kmeans codebooks compress every vector to ``m`` codes; each query
+    precomputes an ``m x k_codes`` table of integer squared distances to the
+    subspace centroids, and a vector's score is ``m`` table lookups summed —
+    never a full-dimension scan of the corpus.
+
+    All-integer (quantized components, int64 squared distances), so the SQL
+    oracle reproduces the exact ranking. Stage shape: per subspace one kmeans
+    (codes stay distributed) + a broadcast nq x k_codes lookup table; lookups
+    emit (id, qid, part) rows into ONE (id, qid) groupby-sum; per-block local
+    top-k (dist ASC, id ASC) and a k x nq x nblocks driver merge finish.
+    Returns a (qid, id, dist) arrow table."""
+    import heapq
+
+    qq = np.floor(
+        np.asarray(queries, dtype=np.float64) * float(1 << scale_bits) + 0.5
+    ).astype(np.int64)
+    nq, dim = qq.shape
+    w = dim // m
+    import polars as pl
+
+    def slicer(lo: int, ln: int):
+        def fn(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b.select([id_col, vec_col]))
+            return df.with_columns(
+                pl.col(vec_col).list.slice(lo, ln).alias(vec_col)
+            ).to_arrow()
+
+        return fn
+
+    parts = []
+    for j in range(m):
+        sub = ds.map_batches(slicer(j * w, w), batch_format="pyarrow")
+        codes, cent = kmeans(
+            sub,
+            id_col,
+            vec_col,
+            k=k_codes,
+            n_iters=n_iters,
+            scale_bits=scale_bits,
+            return_centroids=True,
+        )
+        qsub = qq[:, j * w : (j + 1) * w]
+        # nq x k_codes integer squared distances, computed once on the driver
+        D = ((qsub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        dref = ray.put(D)
+
+        def lookup(b: pa.Table, _ref=dref) -> pa.Table:
+            Dj = ray.get(_ref)
+            ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+            cd = np.asarray(b["cluster"].to_pylist(), dtype=np.int64)
+            n = len(ids)
+            qidx = np.tile(np.arange(Dj.shape[0], dtype=np.int64), n)
+            return pa.table(
+                {
+                    id_col: pa.array(np.repeat(ids, Dj.shape[0]), pa.int64()),
+                    "qid": pa.array(qidx, pa.int64()),
+                    "part": pa.array(
+                        Dj[qidx, np.repeat(cd, Dj.shape[0])], pa.int64()
+                    ),
+                }
+            )
+
+        parts.append(codes.map_batches(lookup, batch_format="pyarrow"))
+
+    allparts = parts[0]
+    for p in parts[1:]:
+        allparts = allparts.union(p)
+    from ray.data.aggregate import Sum as _Sum
+
+    dists = allparts.groupby([id_col, "qid"]).aggregate(_Sum("part", alias_name="dist"))
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return (
+            df.sort(["qid", "dist", id_col])
+            .with_columns(pl.col("dist").cum_count().over("qid").cast(pl.Int64).alias("rk"))
+            .filter(pl.col("rk") <= k)
+            .select(["qid", id_col, "dist"])
+            .to_arrow()
+        )
+
+    rows = dists.map_batches(local_topk, batch_format="pyarrow").take_all()
+    best: dict[int, list] = {}
+    for r in rows:
+        best.setdefault(int(r["qid"]), []).append((int(r["dist"]), int(r[id_col])))
+    out_q, out_id, out_d = [], [], []
+    for qid in sorted(best):
+        for d, i in heapq.nsmallest(k, best[qid]):
+            out_q.append(qid)
+            out_id.append(i)
+            out_d.append(d)
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "dist": pa.array(out_d, pa.int64()),
+        }
+    )

@@ -777,7 +777,11 @@ def lm_surprisal_oracle() -> str:
 
 
 def kmeans_oracle(
-    k: int = 8, n_iters: int = 3, scale_bits: int = 20, vec_expr: str = "embedding"
+    k: int = 8,
+    n_iters: int = 3,
+    scale_bits: int = 20,
+    vec_expr: str = "embedding",
+    final: str = "assign",
 ) -> str:
     """Exact SQL mirror of ``similarity.kmeans``: the iterations unroll into a
     CTE chain. Everything is integer arithmetic — quantize, squared distances,
@@ -830,7 +834,15 @@ def kmeans_oracle(
           FROM c{i - 1} p LEFT JOIN s{i} s USING (cluster, dim)
         )"""
             )
-    out.append(f" SELECT vec_id, cluster FROM a{n_iters + 1}")
+    if final == "recon":
+        # per-vector RECONSTRUCTED components: the assigned final centroid's
+        # quantized values, (vec_id, dim, qx) — the PQ/ADC building block
+        out.append(
+            f" SELECT a.vec_id, c.dim, c.qx "
+            f"FROM a{n_iters + 1} a JOIN c{n_iters} c USING (cluster)"
+        )
+    else:
+        out.append(f" SELECT vec_id, cluster FROM a{n_iters + 1}")
     return "".join(out)
 
 
@@ -1067,3 +1079,56 @@ def pq_codes_oracle(
             f"FROM ({inner})"
         )
     return " UNION ALL ".join(subs)
+
+
+def pq_adc_oracle(
+    m: int = 8,
+    dim: int = 64,
+    k_codes: int = 8,
+    n_iters: int = 2,
+    scale_bits: int = 20,
+    nq: int = 8,
+    k: int = 5,
+) -> str:
+    """Exact SQL mirror of ``similarity.pq_adc_topk``: per-subspace kmeans
+    reconstruction (assigned final centroid components), integer squared
+    distance to the quantized first-``nq`` query vectors, top-k per query
+    (dist ASC, vec_id ASC)."""
+    scale = float(1 << scale_bits)
+    w = dim // m
+    rec = " UNION ALL ".join(
+        f"SELECT vec_id, dim + {j * w} AS dim, qx FROM ("
+        + kmeans_oracle(
+            k_codes,
+            n_iters,
+            scale_bits,
+            vec_expr=f"list_slice(embedding, {j * w + 1}, {(j + 1) * w})",
+            final="recon",
+        )
+        + ")"
+        for j in range(m)
+    )
+    return f"""
+        WITH rec AS ({rec}),
+        gq AS (
+          SELECT vec_id, d - 1 AS dim,
+                 CAST(floor(CAST(e AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS qx
+          FROM (SELECT vec_id, unnest(embedding) AS e,
+                       generate_subscripts(embedding, 1) AS d
+                FROM embeddings)
+        ),
+        qv AS (
+          SELECT CAST(r - 1 AS BIGINT) AS qid, dim, qx FROM (
+            SELECT dim, qx, dense_rank() OVER (ORDER BY vec_id) AS r FROM gq
+          ) WHERE r <= {nq}
+        ),
+        d AS (
+          SELECT qv.qid, rec.vec_id,
+                 CAST(SUM((qv.qx - rec.qx) * (qv.qx - rec.qx)) AS BIGINT) AS dist
+          FROM rec JOIN qv USING (dim) GROUP BY qv.qid, rec.vec_id
+        )
+        SELECT qid, vec_id, dist FROM (
+          SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY dist, vec_id) AS rn
+          FROM d) WHERE rn <= {k}"""
