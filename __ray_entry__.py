@@ -1229,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_agg": relational.q_filter_agg,
         "q_distinct_events": relational.q_distinct_events,
         "q_user_cumsum": relational.q_user_cumsum,
+        "q_rollup_docs": relational.q_rollup_docs,
         "q_sessions": relational.q_sessions,
         "q_hourly_window": relational.q_hourly_window,
         "q_asof_clicks": relational.q_asof_clicks,

@@ -609,6 +609,11 @@ def q_user_value_quantiles(sf_dir: str, num_buckets: int = 32):
 
 
 ORACLES: dict[str, str] = {
+    "q_rollup_docs": """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY ROLLUP (source, lang)""",
     "q_supplier_by_region": """
         SELECT r_name,
                CAST(count(*) AS BIGINT) AS n_suppliers,
@@ -1077,3 +1082,51 @@ def profile_table(ds: ray.data.Dataset, columns: list[str]) -> pa.Table:
             ),
         }
     )
+
+
+def q_rollup_docs(sf_dir: str):
+    """GROUP BY ROLLUP (source, lang) over documents — the OLAP subtotal
+    operator Ray Data lacks. Scale design: only the FINEST level runs as a
+    distributed groupby (that is the one real exchange); the coarser levels
+    (per-source, grand total) aggregate from the finest RESULT, which is
+    group-cardinality-sized — never a second scan of the input."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .group_by(["source", "lang"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_chars").sum().alias("n_chars"),
+            )
+            .to_arrow()
+        )
+
+    finest = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+        .take_all()
+    )
+    df = pl.DataFrame(
+        {
+            "source": [r["source"] for r in finest],
+            "lang": [r["lang"] for r in finest],
+            "n_docs": pl.Series([int(r["n_docs"]) for r in finest], dtype=pl.Int64),
+            "n_chars": pl.Series([int(r["n_chars"]) for r in finest], dtype=pl.Int64),
+        }
+    )
+    by_source = df.group_by("source").agg(
+        pl.col("n_docs").sum(), pl.col("n_chars").sum()
+    ).with_columns(pl.lit(None, dtype=pl.Utf8).alias("lang"))
+    total = df.select(
+        pl.lit(None, dtype=pl.Utf8).alias("source"),
+        pl.lit(None, dtype=pl.Utf8).alias("lang"),
+        pl.col("n_docs").sum(),
+        pl.col("n_chars").sum(),
+    )
+    cols = ["source", "lang", "n_docs", "n_chars"]
+    return pl.concat([df.select(cols), by_source.select(cols), total.select(cols)]).to_arrow()
