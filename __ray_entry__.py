@@ -1180,6 +1180,37 @@ def _kg_connected_components(sf_dir: str):
     return connected_components_distributed(cc_demo_edges(sf_dir))
 
 
+def _kg_pagerank(sf_dir: str):
+    """Integer-exact distributed PageRank over the distinct hasTurn+mentions
+    edge set (3 iterations, scale 1e6, d = 85/100): per-iteration rank
+    shipping via key-partitioned hash_joins, per-block contribution combiners
+    — bit-exact vs the unrolled-CTE SQL oracle."""
+    import polars as pl
+
+    from ray.data.aggregate import Count
+
+    from r2s2_ray.functions.graph import pagerank
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        return (
+            df.filter(pl.col("pred").is_in([vocab.P_HAS_TURN, vocab.P_MENTIONS]))
+            .select(pl.col("subj").alias("src"), pl.col("obj").alias("dst"))
+            .unique()
+            .to_arrow()
+        )
+
+    edges = (
+        ds.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["src", "dst"])
+    )
+    return pagerank(edges, n_iters=3)
+
+
 def _td_prepare(sf_dir: str):
     from r2s2_ray.pipelines.training_data import prepare_corpus
 
@@ -1222,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_expr": _kg_sparql_expr,
         "kg_sparql_kinds": _kg_sparql_kinds,
         "kg_connected_components": _kg_connected_components,
+        "kg_pagerank": _kg_pagerank,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
         "q_join_revenue": relational.q_join_revenue,
@@ -1316,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_star": oracles.sparql_star_oracle(),
         "kg_sparql_seqpath": oracles.sparql_seqpath_oracle(),
         "kg_sparql_mixedpath": oracles.sparql_mixedpath_oracle(),
+        "kg_pagerank": oracles.pagerank_oracle(n_iters=3),
         "kg_sparql_strfuncs": oracles.sparql_strfuncs_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),

@@ -494,3 +494,33 @@ def sparql_mixedpath_oracle() -> str:
         f"UNION SELECT c.a, e.b FROM c JOIN e ON e.a = c.b) "
         f"SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY a"
     )
+
+
+def pagerank_oracle(
+    n_iters: int = 3, scale: int = 1_000_000, d_num: int = 85, d_den: int = 100
+) -> str:
+    """Relational rendering of ``__ray_entry__._kg_pagerank``: the integer
+    PageRank recurrence unrolled as chained CTEs over the distinct
+    hasTurn+mentions edge set — floor divisions at exactly the two points the
+    Ray operator floors, so the comparison is bit-exact despite iteration."""
+    t = raw_triples_sql(linked=True)
+    base = (d_den - d_num) * scale // d_den
+    parts = [
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"e AS (SELECT DISTINCT subj AS s, obj AS d FROM t "
+        f"WHERE pred IN ({_q(vocab.P_HAS_TURN)}, {_q(vocab.P_MENTIONS)})), "
+        f"nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e), "
+        f"od AS (SELECT s, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY s), "
+        f"r0 AS (SELECT v, CAST({scale} AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.d AS v, SUM(r.r // od.o) AS c "
+            f"FROM e JOIN r{i - 1} r ON r.v = e.s JOIN od ON od.s = e.s "
+            f"GROUP BY e.d), "
+            f"r{i} AS (SELECT n.v, "
+            f"CAST({base} + ({d_num} * COALESCE(c.c, 0)) // {d_den} AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{i} c USING (v))"
+        )
+    parts.append(f" SELECT v AS node, r AS rank_scaled FROM r{n_iters}")
+    return "".join(parts)
