@@ -1211,6 +1211,28 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(edges, n_iters=3)
 
 
+def _kg_copmi(sf_dir: str):
+    """Entity co-mention PMI (whole-bit quantized — the lm_surprisal integer
+    log2 contract): turn-keyed pair generation + pair fold + gazetteer-sized
+    count broadcast; bit-exact vs the self-join SQL oracle."""
+    import polars as pl
+
+    from r2s2_ray.functions.graph import comention_pmi
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+
+    def mention_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        return (
+            df.filter(pl.col("pred") == vocab.P_MENTIONS)
+            .select(pl.col("subj").alias("turn"), pl.col("obj").alias("ent"))
+            .unique()
+            .to_arrow()
+        )
+
+    return comention_pmi(ds.map_batches(mention_rows, batch_format="pyarrow"))
+
+
 def _td_prepare(sf_dir: str):
     from r2s2_ray.pipelines.training_data import prepare_corpus
 
@@ -1254,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_kinds": _kg_sparql_kinds,
         "kg_connected_components": _kg_connected_components,
         "kg_pagerank": _kg_pagerank,
+        "kg_copmi": _kg_copmi,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
         "q_join_revenue": relational.q_join_revenue,
@@ -1349,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_seqpath": oracles.sparql_seqpath_oracle(),
         "kg_sparql_mixedpath": oracles.sparql_mixedpath_oracle(),
         "kg_pagerank": oracles.pagerank_oracle(n_iters=3),
+        "kg_copmi": oracles.comention_pmi_oracle(),
         "kg_sparql_strfuncs": oracles.sparql_strfuncs_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),

@@ -369,3 +369,101 @@ def pagerank(
         lambda b: pa.table({"node": b["v"], "rank_scaled": b["r"]}),
         batch_format="pyarrow",
     )
+
+
+def comention_pmi(
+    mentions: ray.data.Dataset,
+    *,
+    turn_col: str = "turn",
+    ent_col: str = "ent",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Entity co-mention pointwise mutual information, whole-bit quantized:
+    for every entity pair co-mentioned in a turn,
+    ``pmi_bits = flog2(n_ab * N) - flog2(n_a * n_b)`` with
+    ``flog2(x) = bit_length(x) - 1`` — the same integer log2 contract the
+    unigram-LM surprisal uses (oracle: ``length(bin(x)) - 1``), so the
+    iterative-free statistic is bit-exact across engines.
+
+    Stage shape: one turn-keyed bucket sort + block pair generation (the
+    fold.py shuffle pattern), one (a, b) pair fold, and a tiny entity-count
+    broadcast (the entity vocabulary is gazetteer-sized; at web scale swap
+    the broadcast for the rare_terms hash_join path). Emits
+    (a, b, n_ab, pmi_bits)."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    from ..relational import _bucket_by
+    from .dedup import _fold_pairs, _group_pair_indices
+
+    m = (
+        mentions.groupby([turn_col, ent_col])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns([turn_col, ent_col])
+        .materialize()
+    )
+    n_e = {
+        r[ent_col]: int(r["count()"])
+        for r in m.groupby(ent_col).aggregate(Count()).take_all()
+    }
+    n_turns = m.groupby(turn_col).aggregate(Count()).count()
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.large_string()), "b": pa.array([], pa.large_string())}
+        )
+        n = t.num_rows
+        if n < 2:
+            return empty
+        t = t.sort_by([(turn_col, "ascending"), (ent_col, "ascending")])
+        tc = t[turn_col]
+        tc = tc.combine_chunks() if isinstance(tc, pa.ChunkedArray) else tc
+        neq = pc.not_equal(tc.slice(1), tc.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+        bounds = np.concatenate([[0], np.flatnonzero(neq) + 1, [n]]).astype(np.int64)
+        ents = np.asarray(t[ent_col].to_pylist(), dtype=object)
+        ia, jb = _group_pair_indices(bounds)
+        if not len(ia):
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(list(ents[ia]), pa.large_string()),
+                "b": pa.array(list(ents[jb]), pa.large_string()),
+            }
+        )
+
+    pairs = _fold_pairs(
+        m.map_batches(_bucket_by(turn_col, num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(pair_block, batch_format="pyarrow", batch_size=None),
+        {"n_ab": pl.len().cast(pl.Int64)},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.large_string()),
+                    "b": pa.array([], pa.large_string()),
+                    "n_ab": pa.array([], pa.int64()),
+                    "pmi_bits": pa.array([], pa.int64()),
+                }
+            )
+        n_ab = np.asarray(b["n_ab"].to_pylist(), dtype=np.int64)
+        na = np.asarray([n_e[x] for x in b["a"].to_pylist()], dtype=np.int64)
+        nb = np.asarray([n_e[x] for x in b["b"].to_pylist()], dtype=np.int64)
+
+        def flog2(x: np.ndarray) -> np.ndarray:
+            # exact for x < 2**53: frexp exponents of exactly-representable ints
+            return (np.frexp(x.astype(np.float64))[1] - 1).astype(np.int64)
+
+        pmi = flog2(n_ab * n_turns) - flog2(na * nb)
+        return pa.table(
+            {
+                "a": b["a"],
+                "b": b["b"],
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "pmi_bits": pa.array(pmi, pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

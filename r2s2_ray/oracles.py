@@ -524,3 +524,25 @@ def pagerank_oracle(
         )
     parts.append(f" SELECT v AS node, r AS rank_scaled FROM r{n_iters}")
     return "".join(parts)
+
+
+def comention_pmi_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_copmi``: distinct
+    (turn, entity) mention rows, pair counts via a turn-keyed self-join, and
+    the whole-bit PMI contract ``(length(bin(n_ab * N)) - 1) -
+    (length(bin(n_a * n_b)) - 1)``."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"m AS (SELECT DISTINCT subj AS turn, obj AS ent FROM t "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)}), "
+        f"ne AS (SELECT ent, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY ent), "
+        f"tot AS (SELECT CAST(count(DISTINCT turn) AS BIGINT) AS n FROM m), "
+        f"p AS (SELECT x.ent AS a, y.ent AS b, CAST(count(*) AS BIGINT) AS n_ab "
+        f"FROM m x JOIN m y ON x.turn = y.turn AND x.ent < y.ent GROUP BY 1, 2) "
+        f"SELECT p.a, p.b, p.n_ab, "
+        f"CAST((length(bin(p.n_ab * tot.n)) - 1) "
+        f"- (length(bin(na.c * nb.c)) - 1) AS BIGINT) AS pmi_bits "
+        f"FROM p JOIN ne na ON na.ent = p.a JOIN ne nb ON nb.ent = p.b "
+        f"CROSS JOIN tot"
+    )
