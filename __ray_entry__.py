@@ -1233,6 +1233,15 @@ def _kg_copmi(sf_dir: str):
     return comention_pmi(ds.map_batches(mention_rows, batch_format="pyarrow"))
 
 
+def _kg_triangles(sf_dir: str):
+    """Distributed triangle enumeration over the entity co-mention graph:
+    the PMI operator's distinct ordered pairs feed two key-partitioned
+    hash_joins (wedge + closing edge) — each triangle once as a < b < c."""
+    from r2s2_ray.functions.graph import triangles
+
+    return triangles(_kg_copmi(sf_dir).select_columns(["a", "b"]))
+
+
 def _td_prepare(sf_dir: str):
     from r2s2_ray.pipelines.training_data import prepare_corpus
 
@@ -1277,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_connected_components": _kg_connected_components,
         "kg_pagerank": _kg_pagerank,
         "kg_copmi": _kg_copmi,
+        "kg_triangles": _kg_triangles,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
         "q_join_revenue": relational.q_join_revenue,
@@ -1373,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_mixedpath": oracles.sparql_mixedpath_oracle(),
         "kg_pagerank": oracles.pagerank_oracle(n_iters=3),
         "kg_copmi": oracles.comention_pmi_oracle(),
+        "kg_triangles": oracles.triangles_oracle(),
         "kg_sparql_strfuncs": oracles.sparql_strfuncs_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),

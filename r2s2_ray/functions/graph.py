@@ -467,3 +467,59 @@ def comention_pmi(
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def triangles(
+    edges: ray.data.Dataset, *, a_col: str = "a", b_col: str = "b"
+) -> ray.data.Dataset:
+    """Distributed triangle enumeration over an undirected edge set stored as
+    ordered pairs (a < b): two key-partitioned hash_joins — wedges
+    ``(a,b)·(b,c)`` first, then the closing edge ``(a,c)`` probed on a
+    composite key. Because every edge is stored once in (min, max) order,
+    each triangle is emitted exactly once as (a < b < c). No broadcast, no
+    driver materialization; the wedge join is the classic skew point —
+    degree-ordering already bounds it (a wedge's center is the middle vertex
+    only when b < c, which the ordered representation enforces)."""
+    import polars as pl
+
+    from ..relational import hash_join
+
+    left = edges.map_batches(
+        lambda b: pa.table({"a0": b[a_col], "k": b[b_col]}), batch_format="pyarrow"
+    )
+    right = edges.map_batches(
+        lambda b: pa.table({"k": b[a_col], "c": b[b_col]}), batch_format="pyarrow"
+    )
+    wedges = hash_join(left, right, on="k", right_cols=["c"])
+
+    def wedge_key(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return (
+            df.with_columns(
+                pl.concat_str([pl.col("a0"), pl.col("c")], separator="\x1f").alias("kk")
+            )
+            .select(["a0", "k", "c", "kk"])
+            .to_arrow()
+        )
+
+    def edge_key(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({"x": b[a_col], "y": b[b_col]}))
+        return (
+            df.with_columns(
+                pl.concat_str([pl.col("x"), pl.col("y")], separator="\x1f").alias("kk"),
+                pl.lit(1, dtype=pl.Int64).alias("hit"),
+            )
+            .select(["kk", "hit"])
+            .to_arrow()
+        )
+
+    closed = hash_join(
+        wedges.map_batches(wedge_key, batch_format="pyarrow"),
+        edges.map_batches(edge_key, batch_format="pyarrow"),
+        on="kk",
+        right_cols=["hit"],
+    )
+    return closed.map_batches(
+        lambda b: pa.table({"a": b["a0"], "b": b["k"], "c": b["c"]}),
+        batch_format="pyarrow",
+    )

@@ -546,3 +546,20 @@ def comention_pmi_oracle() -> str:
         f"FROM p JOIN ne na ON na.ent = p.a JOIN ne nb ON nb.ent = p.b "
         f"CROSS JOIN tot"
     )
+
+
+def triangles_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_triangles``: distinct
+    ordered co-mention pairs, wedge join + closing-edge join — each triangle
+    once as a < b < c."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"m AS (SELECT DISTINCT subj AS turn, obj AS ent FROM t "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)}), "
+        f"p AS (SELECT DISTINCT x.ent AS a, y.ent AS b "
+        f"FROM m x JOIN m y ON x.turn = y.turn AND x.ent < y.ent) "
+        f"SELECT e1.a, e1.b, e2.b AS c "
+        f"FROM p e1 JOIN p e2 ON e2.a = e1.b "
+        f"JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b"
+    )
