@@ -1242,6 +1242,58 @@ def _kg_triangles(sf_dir: str):
     return triangles(_kg_copmi(sf_dir).select_columns(["a", "b"]))
 
 
+def _kg_clustering(sf_dir: str):
+    """Per-node clustering coefficient as an exact rational: triangle count
+    per vertex (each enumerated triangle credits its three corners) over
+    wedge count deg*(deg-1)/2 — emitted as integer (node, tri, wedges) so no
+    float division enters the contract."""
+    import polars as pl
+
+    from ray.data.aggregate import Count, Sum
+
+    edges = _kg_copmi(sf_dir).select_columns(["a", "b"]).materialize()
+    from r2s2_ray.functions.graph import triangles
+
+    tri = triangles(edges)
+
+    def corners(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return pl.concat(
+            [df.select(pl.col(c).alias("node")) for c in ("a", "b", "c")]
+        ).to_arrow()
+
+    tri_per_node = (
+        tri.map_batches(corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="tri"))
+    )
+
+    def ends(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return pl.concat(
+            [df.select(pl.col(c).alias("node")) for c in ("a", "b")]
+        ).to_arrow()
+
+    deg = (
+        edges.map_batches(ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+    from r2s2_ray.relational import hash_join
+
+    joined = hash_join(deg, tri_per_node, on="node", right_cols=["tri"], how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select(
+            pl.col("node"),
+            pl.col("tri").fill_null(0).cast(pl.Int64).alias("tri"),
+            (pl.col("deg") * (pl.col("deg") - 1) // 2).cast(pl.Int64).alias("wedges"),
+        ).to_arrow()
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _td_prepare(sf_dir: str):
     from r2s2_ray.pipelines.training_data import prepare_corpus
 
@@ -1287,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,
         "kg_copmi": _kg_copmi,
         "kg_triangles": _kg_triangles,
+        "kg_clustering": _kg_clustering,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
         "q_join_revenue": relational.q_join_revenue,
@@ -1384,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": oracles.pagerank_oracle(n_iters=3),
         "kg_copmi": oracles.comention_pmi_oracle(),
         "kg_triangles": oracles.triangles_oracle(),
+        "kg_clustering": oracles.clustering_oracle(),
         "kg_sparql_strfuncs": oracles.sparql_strfuncs_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),

@@ -563,3 +563,27 @@ def triangles_oracle() -> str:
         f"FROM p e1 JOIN p e2 ON e2.a = e1.b "
         f"JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b"
     )
+
+
+def clustering_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_clustering``: triangle
+    corners unioned and counted per vertex, degree from the ordered pair
+    ends, wedges = deg*(deg-1)/2 — all integers."""
+    tri = triangles_oracle()
+    return (
+        f"WITH tr AS ({tri}), "
+        f"corners AS (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr "
+        f"UNION ALL SELECT c FROM tr), "
+        f"tpn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM corners "
+        f"GROUP BY node), "
+        f"t2 AS (SELECT DISTINCT subj, pred, obj FROM ({raw_triples_sql(linked=True)})), "
+        f"m2 AS (SELECT DISTINCT subj AS turn, obj AS ent FROM t2 "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)}), "
+        f"p2 AS (SELECT DISTINCT x.ent AS a, y.ent AS b "
+        f"FROM m2 x JOIN m2 y ON x.turn = y.turn AND x.ent < y.ent), "
+        f"ends AS (SELECT a AS node FROM p2 UNION ALL SELECT b FROM p2), "
+        f"dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ends GROUP BY node) "
+        f"SELECT dg.node, COALESCE(tpn.tri, 0) AS tri, "
+        f"CAST(dg.deg * (dg.deg - 1) // 2 AS BIGINT) AS wedges "
+        f"FROM dg LEFT JOIN tpn USING (node)"
+    )
