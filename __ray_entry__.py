@@ -1294,6 +1294,39 @@ def _kg_clustering(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow")
 
 
+def _kg_kcore(sf_dir: str):
+    """Fixed-round 2-core peeling over the ordered turn-entity mention
+    bipartite graph (4 unrolled rounds, two semi-joins per round): surviving
+    (node, deg) — exact vs the unrolled-CTE oracle."""
+    import polars as pl
+
+    from r2s2_ray.functions.graph import kcore
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        return (
+            df.filter(pl.col("pred") == vocab.P_MENTIONS)
+            .select(
+                pl.min_horizontal("subj", "obj").alias("a"),
+                pl.max_horizontal("subj", "obj").alias("b"),
+            )
+            .unique()
+            .to_arrow()
+        )
+
+    from ray.data.aggregate import Count
+
+    edges = (
+        ds.map_batches(pair_rows, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["a", "b"])
+    )
+    return kcore(edges, k=2, rounds=4)
+
+
 def _td_prepare(sf_dir: str):
     from r2s2_ray.pipelines.training_data import prepare_corpus
 
@@ -1340,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_copmi": _kg_copmi,
         "kg_triangles": _kg_triangles,
         "kg_clustering": _kg_clustering,
+        "kg_kcore": _kg_kcore,
         # relational operators (joins/aggregates/sorts/windows/sessions)
         "q_lineitem_agg": relational.q_lineitem_agg,
         "q_join_revenue": relational.q_join_revenue,
@@ -1438,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_copmi": oracles.comention_pmi_oracle(),
         "kg_triangles": oracles.triangles_oracle(),
         "kg_clustering": oracles.clustering_oracle(),
+        "kg_kcore": oracles.kcore_oracle(k=2, rounds=4),
         "kg_sparql_strfuncs": oracles.sparql_strfuncs_oracle(),
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),

@@ -523,3 +523,105 @@ def triangles(
         lambda b: pa.table({"a": b["a0"], "b": b["k"], "c": b["c"]}),
         batch_format="pyarrow",
     )
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    *,
+    k: int = 2,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    broadcast_max: int = 2_000_000,
+) -> ray.data.Dataset:
+    """Fixed-round k-core peeling over an ordered (a < b) edge set: each
+    round computes degrees over the CURRENT edge set, keeps nodes with
+    ``deg >= k``, and restricts edges to kept endpoints. The contract is
+    ``rounds`` peels — deterministic and SQL-unrollable; on graphs whose
+    peeling converges faster the result IS the k-core.
+
+    Dual path, the repo's standard split: with at most ``broadcast_max``
+    surviving nodes the keep-set ships once per round via ``ray.put`` and the
+    edge restriction is one vectorized ``is_in`` filter (ONE exchange per
+    round — the degree groupby); beyond the guard both endpoint restrictions
+    run as key-partitioned hash_join semi-joins (no driver materialization at
+    any node count). The two paths are equality-pinned in
+    tests/test_functions.py. Emits surviving (node, deg)."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    from ..relational import hash_join
+
+    def ends(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return pl.concat(
+            [df.select(pl.col(c).alias("node")) for c in (a_col, b_col)]
+        ).to_arrow()
+
+    e = edges.select_columns([a_col, b_col]).materialize()
+    for _ in range(rounds):
+        deg = (
+            e.map_batches(ends, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Count(alias_name="deg"))
+            .materialize()
+        )
+        if deg.count() <= broadcast_max:
+            keep_rows = deg.map_batches(
+                lambda b: pa.table(
+                    {"node": pc.array_filter(b["node"], pc.greater_equal(b["deg"], k))}
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+            keep_set = pa.array(sorted(r["node"] for r in keep_rows), pa.large_string())
+            kref = ray.put(keep_set)
+
+            def restrict(b: pa.Table, _ref=kref) -> pa.Table:
+                ks = ray.get(_ref)
+                m = pc.and_(
+                    pc.is_in(b[a_col].cast(pa.large_string()), value_set=ks),
+                    pc.is_in(b[b_col].cast(pa.large_string()), value_set=ks),
+                )
+                return b.filter(m)
+
+            e = e.map_batches(restrict, batch_format="pyarrow").materialize()
+        else:
+            keep = deg.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": pc.array_filter(
+                            b["node"], pc.greater_equal(b["deg"], k)
+                        ),
+                        "ok": pc.array_filter(
+                            pc.cast(pc.greater_equal(b["deg"], k), pa.int64()),
+                            pc.greater_equal(b["deg"], k),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            ea = hash_join(
+                e.map_batches(
+                    lambda b: pa.table({"node": b[a_col], b_col: b[b_col]}),
+                    batch_format="pyarrow",
+                ),
+                keep,
+                on="node",
+                right_cols=["ok"],
+            ).map_batches(
+                lambda b: pa.table({a_col: b["node"], "node": b[b_col]}),
+                batch_format="pyarrow",
+            )
+            e = (
+                hash_join(ea, keep, on="node", right_cols=["ok"], suffix="_b")
+                .map_batches(
+                    lambda b: pa.table({a_col: b[a_col], b_col: b["node"]}),
+                    batch_format="pyarrow",
+                )
+                .materialize()
+            )
+    return (
+        e.map_batches(ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )

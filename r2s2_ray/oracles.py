@@ -587,3 +587,34 @@ def clustering_oracle() -> str:
         f"CAST(dg.deg * (dg.deg - 1) // 2 AS BIGINT) AS wedges "
         f"FROM dg LEFT JOIN tpn USING (node)"
     )
+
+
+def kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    """Relational rendering of ``__ray_entry__._kg_kcore``: the fixed-round
+    peeling unrolled — degrees over the current edge set, keep deg >= k,
+    restrict edges — over the ordered turn-entity mention pairs."""
+    t = raw_triples_sql(linked=True)
+    # every CTE is MATERIALIZED: the peeling rounds reference their
+    # predecessor three times each, and DuckDB's default inline expansion
+    # would copy the base parquet scan 3^rounds times (fd exhaustion)
+    parts = [
+        f"WITH t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"p0 AS MATERIALIZED (SELECT DISTINCT LEAST(subj, obj) AS a, "
+        f"GREATEST(subj, obj) AS b "
+        f"FROM t WHERE pred = {_q(vocab.P_MENTIONS)})"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", d{r} AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+            f"(SELECT a AS node FROM p{r - 1} UNION ALL SELECT b FROM p{r - 1}) "
+            f"GROUP BY node), "
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {k}), "
+            f"p{r} AS MATERIALIZED (SELECT p.a, p.b FROM p{r - 1} p "
+            f"JOIN k{r} x ON x.node = p.a JOIN k{r} y ON y.node = p.b)"
+        )
+    parts.append(
+        f" SELECT node, CAST(count(*) AS BIGINT) AS deg FROM "
+        f"(SELECT a AS node FROM p{rounds} UNION ALL SELECT b FROM p{rounds}) "
+        f"GROUP BY node"
+    )
+    return "".join(parts)

@@ -181,3 +181,35 @@ def test_neardup_clusters_distributed_branch_at_volume():
     assert len(out) == groups * reps
     for r in out:
         assert r["cluster_id"] == (r["doc_id"] // 1000) * 1000
+
+
+def test_kcore_broadcast_and_distributed_paths_agree(ray_session):
+    """kcore's size-guarded broadcast keep-set path and the hash_join
+    semi-join scale path must peel identically (broadcast_max=0 forces the
+    distributed branch)."""
+    import polars as pl
+
+    from r2s2_ray.functions.graph import kcore
+
+    # a path graph P6 plus a triangle with a pendant: peeling is non-trivial
+    # (path interior survives round 1 then erodes; the triangle is the 2-core)
+    edges = [
+        ("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n5"), ("n5", "n6"),
+        ("t1", "t2"), ("t1", "t3"), ("t2", "t3"), ("t3", "t9"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.large_string()),
+                "b": pa.array([b for _, b in edges], pa.large_string()),
+            }
+        )
+    ).repartition(3)
+    bc = sorted((r["node"], r["deg"]) for r in kcore(ds, k=2, rounds=3).take_all())
+    dist = sorted(
+        (r["node"], r["deg"])
+        for r in kcore(ds, k=2, rounds=3, broadcast_max=0).take_all()
+    )
+    assert bc == dist
+    # 3 peels of P6 leave nothing of the path; the triangle survives as the 2-core
+    assert bc == [("t1", 2), ("t2", 2), ("t3", 2)]
