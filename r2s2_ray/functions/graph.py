@@ -262,6 +262,7 @@ def pagerank(
     scale: int = 1_000_000,
     d_num: int = 85,
     d_den: int = 100,
+    broadcast_max: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Distributed PageRank in EXACT integer arithmetic (fixed iteration
     count, scaled ranks): deterministic across block orders and engines, so
@@ -275,11 +276,15 @@ def pagerank(
     redistributed (the plain sparse-propagation variant; the contract is the
     fixed-point of THIS recurrence, documented rather than hidden).
 
-    Stage shape per iteration: one hash_join ships ranks to their out-edges
-    (key-partitioned), a per-block pre-agg combines contributions by dst,
-    one groupby-sum reduces them, and a left hash_join rebases onto the node
-    set. Ranks materialize between iterations so lineage stays O(1). No
-    driver materialization at any point."""
+    Dual path, the repo's standard split: with at most ``broadcast_max``
+    nodes the (rank // outdeg) table ships once per iteration via ``ray.put``
+    and an iteration is ONE dst-keyed groupby-sum whose result (node-scale,
+    guarded) rebuilds the broadcast; beyond the guard each iteration is one
+    hash_join shipping ranks to their out-edges (key-partitioned), a
+    per-block dst combiner, one groupby-sum, and a left hash_join rebasing
+    onto the node set — ranks materialize between iterations so lineage
+    stays O(1), and nothing reaches the driver. The two paths are
+    equality-pinned in tests."""
     import polars as pl
     from ray.data.aggregate import Count, Sum
 
@@ -313,6 +318,58 @@ def pagerank(
         .groupby("v")
         .aggregate(Count(alias_name="outdeg"))
     )
+
+    if nodes.count() <= broadcast_max:
+        # broadcast path: per iteration ship {src: r // outdeg} once, run ONE
+        # dst-keyed groupby-sum, pull the node-scale sums (guarded) back
+        od = {r["v"]: int(r["outdeg"]) for r in outdeg.take_all()}
+        node_list = [r["v"] for r in nodes.take_all()]
+        ranks_d = {v: scale for v in node_list}
+        e_small = edges.map_batches(
+            lambda b: pa.table({"src": b[src_col], "dst": b[dst_col]}),
+            batch_format="pyarrow",
+        ).materialize()
+        for _ in range(n_iters):
+            share = {v: ranks_d[v] // od[v] for v in od}
+            sref = ray.put(share)
+
+            def contrib_bc(b: pa.Table, _ref=sref) -> pa.Table:
+                sh = ray.get(_ref)
+                df = pl.from_arrow(b)
+                return (
+                    df.with_columns(
+                        pl.col("src")
+                        .replace_strict(
+                            list(sh.keys()), list(sh.values()), return_dtype=pl.Int64
+                        )
+                        .alias("c")
+                    )
+                    .group_by("dst")
+                    .agg(pl.col("c").sum())
+                    .to_arrow()
+                )
+
+            sums = {
+                r["dst"]: int(r["sum(c)"])
+                for r in e_small.map_batches(contrib_bc, batch_format="pyarrow")
+                .groupby("dst")
+                .aggregate(Sum("c"))
+                .take_all()
+            }
+            ranks_d = {
+                v: base + (d_num * sums.get(v, 0)) // d_den for v in node_list
+            }
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(node_list, pa.large_string()),
+                    "rank_scaled": pa.array(
+                        [ranks_d[v] for v in node_list], pa.int64()
+                    ),
+                }
+            )
+        )
+
     # (src, dst, outdeg) — built once, reused every iteration
     eo = hash_join(
         edges.map_batches(

@@ -213,3 +213,27 @@ def test_kcore_broadcast_and_distributed_paths_agree(ray_session):
     assert bc == dist
     # 3 peels of P6 leave nothing of the path; the triangle survives as the 2-core
     assert bc == [("t1", 2), ("t2", 2), ("t3", 2)]
+
+
+def test_pagerank_broadcast_and_distributed_paths_agree(ray_session):
+    """pagerank's guarded broadcast path and the hash_join scale path must
+    produce identical integer ranks (broadcast_max=0 forces the distributed
+    branch)."""
+    from r2s2_ray.functions.graph import pagerank
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["a", "a", "b", "c", "d", "e"], pa.large_string()),
+                "dst": pa.array(["b", "c", "c", "d", "a", "a"], pa.large_string()),
+            }
+        )
+    ).repartition(2)
+    bc = sorted(
+        (r["node"], r["rank_scaled"]) for r in pagerank(edges, n_iters=2).take_all()
+    )
+    dist = sorted(
+        (r["node"], r["rank_scaled"])
+        for r in pagerank(edges, n_iters=2, broadcast_max=0).take_all()
+    )
+    assert bc == dist and len(bc) == 5
