@@ -768,6 +768,22 @@ def _td_dsir(sf_dir: str):
     )
 
 
+def _txt_hashed_bow(sf_dir: str):
+    """Feature-hashing bag-of-words (hashing-trick vectorizer for
+    classifier-based filtering): poly_hash(token) & 255 buckets, sparse
+    (doc, dim, count) rows — bit-exact vs the SQL oracle, no exchange."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import hashed_bow
+
+    return hashed_bow(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+        dim_bits=8,
+    )
+
+
 def _io_jsonl_roundtrip(sf_dir: str):
     """JSONL sink -> source roundtrip (the LLM-corpus interchange format):
     documents written as line-delimited JSON shards (one file per block,
@@ -1439,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_setsim_prefix": _dd_setsim_prefix,
         "sim_pq_codes": _sim_pq_codes,
         "sim_ann_pq": _sim_ann_pq,
+        "txt_hashed_bow": _txt_hashed_bow,
     }
 
 
@@ -1565,6 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),
+        "txt_hashed_bow": oracles_td.hashed_bow_oracle(dim_bits=8),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),
         "q_profile_docs": " UNION ALL ".join(

@@ -1042,3 +1042,65 @@ def temperature_sample(
         .sort("bucket")
         .map_batches(block, batch_format="pyarrow", batch_size=None)
     )
+
+
+def hashed_bow(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    dim_bits: int = 8,
+) -> ray.data.Dataset:
+    """Feature-hashing bag-of-words vectorizer (the HashingVectorizer /
+    hashing-trick step that turns raw text into fixed-width features for
+    classifier-based quality filtering at corpus scale): every token maps to
+    ``poly_hash(token) mod 2**dim_bits`` — the SQL-expressible hash family —
+    and the document's feature value is the token count in that bucket.
+
+    Emits sparse long-format ``(id, dim, count)`` integer rows (zero buckets
+    omitted), so the oracle compares integer-for-integer and downstream
+    stages densify only if they must. One vectorized explode + a per-doc
+    polars group count; no exchange at all — the rows stay in their
+    document's block."""
+    from .hashing import poly_hash_arr
+
+    mask = np.uint64((1 << dim_bits) - 1)
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        toks = (
+            df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+")
+                .alias("tok")
+            )
+            .select([id_col, "tok"])
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        if toks.height == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "count": pa.array([], pa.int64()),
+                }
+            )
+        t = toks.to_arrow()
+        col = t["tok"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = (poly_hash_arr(col) & mask).astype(np.int64)
+        out = (
+            pl.DataFrame(
+                {
+                    id_col: pl.from_arrow(t[id_col]),
+                    "dim": dim,
+                }
+            )
+            .group_by([id_col, "dim"])
+            .agg(pl.len().cast(pl.Int64).alias("count"))
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")

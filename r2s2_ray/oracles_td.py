@@ -1132,3 +1132,24 @@ def pq_adc_oracle(
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY dist, vec_id) AS rn
           FROM d) WHERE rn <= {k}"""
+
+
+def hashed_bow_oracle(dim_bits: int = 8) -> str:
+    """Exact SQL mirror of ``textstats.hashed_bow``: per-token polynomial
+    hash (the shared SQL-expressible family) masked to ``dim_bits`` bits,
+    counts per (doc, bucket)."""
+    d = (1 << dim_bits) - 1
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents
+        ), hx AS (
+          SELECT doc_id, hex(encode(tok)) AS h FROM tok
+        ), hh AS (
+          SELECT doc_id, {_poly_hash('h')} AS f FROM hx
+        )
+        SELECT doc_id,
+               CAST({_unsigned('f')} % {d + 1} AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS "count"
+        FROM hh GROUP BY doc_id, dim"""
