@@ -1060,7 +1060,20 @@ def setsim_prefix_pairs(
     cands = _fold_pairs(
         pre.sort("tok").map_batches(cand_block, batch_format="pyarrow", batch_size=None),
         {"na": pl.col("na").min(), "nb": pl.col("nb").min()},
-    )
+    ).materialize()
+    if cands.count() == 0:
+        # no candidate shares a prefix token — legal outcome; an empty sorted
+        # dataset has no schema, which the verification joins below require
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "uni": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     # verification: exact |A ∩ B| for candidates only — join candidates to A's
     # tokens (doc-keyed), then probe B's tokens on a composite (tok, doc) key

@@ -1042,3 +1042,47 @@ def test_sparql_mixed_direction_closure_matches_naive(store, members, mod, subj,
     cols, rows = _run_sql(store, f"SELECT * WHERE {{ {sterm} {pstr} {oterm} }}")
     assert cols == sorted({t[1] for t in (subj, obj) if t[0] == "var"})
     assert Counter(rows) == sols
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=8).map(
+            " ".join
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.sampled_from([(1, 2), (3, 5), (9, 10)]),
+)
+def test_setsim_prefix_matches_bruteforce(texts, threshold):
+    """The prefix+length filters of setsim_prefix_pairs must be LOSSLESS for
+    any rational threshold: the distributed join equals brute-force token-set
+    Jaccard over random tiny corpora (single-token docs, duplicate docs,
+    shared-vocabulary near-misses)."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import setsim_prefix_pairs
+
+    num, den = threshold
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.large_string()),
+        }
+    )
+    got = sorted(
+        (r["a"], r["b"], r["inter"], r["uni"])
+        for r in setsim_prefix_pairs(
+            ray.data.from_arrow(t), "doc_id", "text", threshold=threshold
+        ).take_all()
+    )
+    sets = [frozenset(x.split()) for x in texts]
+    want = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            uni = len(sets[i] | sets[j])
+            if inter and den * inter >= num * uni:
+                want.append((i, j, inter, uni))
+    assert got == sorted(want)
