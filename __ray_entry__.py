@@ -768,6 +768,24 @@ def _td_dsir(sf_dir: str):
     )
 
 
+def _td_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES analog,
+    RNG-free): (affine64(id) >> 1) // n_chars keys, global 100 smallest —
+    local top-k per block + driver heap merge, exact vs the SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import weighted_sample
+
+    return weighted_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ),
+        "doc_id",
+        "n_chars",
+        k=100,
+    )
+
+
 def _txt_hashed_bow(sf_dir: str):
     """Feature-hashing bag-of-words (hashing-trick vectorizer for
     classifier-based filtering): poly_hash(token) & 255 buckets, sparse
@@ -1456,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_pq_codes": _sim_pq_codes,
         "sim_ann_pq": _sim_ann_pq,
         "txt_hashed_bow": _txt_hashed_bow,
+        "td_weighted_sample": _td_weighted_sample,
     }
 
 
@@ -1583,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),
         "txt_hashed_bow": oracles_td.hashed_bow_oracle(dim_bits=8),
+        "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),
         "q_profile_docs": " UNION ALL ".join(

@@ -1104,3 +1104,57 @@ def hashed_bow(
         return out.to_arrow()
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int = 100,
+) -> pa.Table:
+    """Deterministic weighted sampling without replacement (the RNG-free
+    analog of A-ES reservoir sampling): every row gets the integer key
+    ``(affine64(id) >> 1) // weight`` — a fixed pseudo-random draw scaled
+    DOWN by the weight, so heavier rows rank earlier — and the global k
+    smallest (key, id) win. Reproducible across runs, partitionings and
+    engines: the affine hash is the SQL-expressible family and the key stays
+    below 2**63 by construction (the >> 1).
+
+    Stage shape: per-block local top-k (one vectorized lexsort), k x nblocks
+    rows to the driver, heap merge — shuffle-free and linear in the corpus."""
+    import heapq
+
+    from .hashing import K_A, K_B
+
+    def local(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        w = np.asarray(b[weight_col].to_pylist(), dtype=np.int64)
+        if not len(ids):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    weight_col: pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                }
+            )
+        h = ids.astype(np.uint64) * np.uint64(K_A) + np.uint64(K_B)
+        key = ((h >> np.uint64(1)) // w.astype(np.uint64)).astype(np.int64)
+        order = np.lexsort((ids, key))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                weight_col: pa.array(w[order], pa.int64()),
+                "key": pa.array(key[order], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(local, batch_format="pyarrow").take_all()
+    best = heapq.nsmallest(k, ((int(r["key"]), int(r[id_col]), int(r[weight_col])) for r in rows))
+    return pa.table(
+        {
+            id_col: pa.array([i for _, i, _ in best], pa.int64()),
+            weight_col: pa.array([w for _, _, w in best], pa.int64()),
+            "key": pa.array([x for x, _, _ in best], pa.int64()),
+        }
+    )

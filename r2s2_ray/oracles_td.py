@@ -1153,3 +1153,19 @@ def hashed_bow_oracle(dim_bits: int = 8) -> str:
                CAST({_unsigned('f')} % {d + 1} AS BIGINT) AS dim,
                CAST(count(*) AS BIGINT) AS "count"
         FROM hh GROUP BY doc_id, dim"""
+
+
+def weighted_sample_oracle(k: int = 100) -> str:
+    """Exact SQL mirror of ``textstats.weighted_sample``: the same affine64
+    draw (HUGEINT helpers), halved then floor-divided by the weight, k
+    smallest (key, id)."""
+    from .functions.hashing import K_A, K_B
+
+    u = _unsigned("doc_id")
+    h = f"(({_mulmod(u, str(K_A), str(K_A % 2**32))} + {K_B}) % CAST('{U64}' AS HUGEINT))"
+    return f"""
+        WITH h AS (SELECT doc_id, n_chars,
+                          ({h} // CAST(2 AS HUGEINT)) // n_chars AS key
+                   FROM documents)
+        SELECT doc_id, n_chars, CAST(key AS BIGINT) AS key
+        FROM h ORDER BY key, doc_id LIMIT {k}"""
