@@ -212,6 +212,18 @@ def run_bench() -> dict:
     kmeans(emb, "vec_id", "embedding", k=8, n_iters=3).count()
     queries["sim_kmeans"] = round(time.perf_counter() - t0, 3)
 
+    from r2s2_ray.functions.dedup import setsim_prefix_pairs
+
+    t0 = time.perf_counter()
+    setsim_prefix_pairs(docs, "doc_id", "text", threshold=(9, 10)).count()
+    queries["dd_setsim_prefix"] = round(time.perf_counter() - t0, 3)
+
+    import __ray_entry__ as _entry
+
+    t0 = time.perf_counter()
+    _entry._kg_pagerank(sf_dir).count()
+    queries["kg_pagerank"] = round(time.perf_counter() - t0, 3)
+
     n_dedup = sum(t.row_count for t in manifest.tables)
     result = {
         "metric": "kg_pipeline_e2e",
