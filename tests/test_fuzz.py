@@ -1086,3 +1086,93 @@ def test_setsim_prefix_matches_bruteforce(texts, threshold):
             if inter and den * inter >= num * uni:
                 want.append((i, j, inter, uni))
     assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=14,
+        unique=True,
+    ),
+    st.integers(1, 3),
+)
+def test_pagerank_matches_python_reference(edge_ids, n_iters):
+    """Integer PageRank on random tiny digraphs == a pure-Python rendering of
+    the documented recurrence (floor divisions at exactly the two contract
+    points, dangling mass dropped)."""
+    import ray.data
+
+    from r2s2_ray.functions.graph import pagerank
+
+    edges = [(f"v{a}", f"v{b}") for a, b in edge_ids]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.large_string()),
+                "dst": pa.array([b for _, b in edges], pa.large_string()),
+            }
+        )
+    ).repartition(2)
+    got = sorted(
+        (r["node"], r["rank_scaled"])
+        for r in pagerank(ds, n_iters=n_iters).take_all()
+    )
+    scale, d_num, d_den = 1_000_000, 85, 100
+    base = (d_den - d_num) * scale // d_den
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    r = {v: scale for v in nodes}
+    for _ in range(n_iters):
+        s = {v: 0 for v in nodes}
+        for a, b in edges:
+            s[b] += r[a] // out[a]
+        r = {v: base + (d_num * s[v]) // d_den for v in nodes}
+    assert got == sorted(r.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] < e[1]),
+        min_size=1,
+        max_size=16,
+        unique=True,
+    ),
+    st.integers(1, 3),
+)
+def test_kcore_matches_python_reference(edge_ids, rounds):
+    """Fixed-round 2-core peeling on random tiny graphs == a pure-Python
+    peel (degrees over current edges, keep deg >= 2, restrict)."""
+    import ray.data
+
+    from r2s2_ray.functions.graph import kcore
+
+    edges = [(f"v{a}", f"v{b}") for a, b in edge_ids]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.large_string()),
+                "b": pa.array([b for _, b in edges], pa.large_string()),
+            }
+        )
+    ).repartition(2)
+    got = sorted(
+        (r["node"], r["deg"]) for r in kcore(ds, k=2, rounds=rounds).take_all()
+    )
+    cur = list(edges)
+    for _ in range(rounds):
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 2}
+        cur = [(a, b) for a, b in cur if a in keep and b in keep]
+    deg = {}
+    for a, b in cur:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert got == sorted(deg.items())
