@@ -1416,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_events": relational.q_distinct_events,
         "q_user_cumsum": relational.q_user_cumsum,
         "q_rollup_docs": relational.q_rollup_docs,
+        "q_value_histogram": relational.q_value_histogram,
         "q_sessions": relational.q_sessions,
         "q_hourly_window": relational.q_hourly_window,
         "q_asof_clicks": relational.q_asof_clicks,

@@ -609,6 +609,10 @@ def q_user_value_quantiles(sf_dir: str, num_buckets: int = 32):
 
 
 ORACLES: dict[str, str] = {
+    "q_value_histogram": """
+        SELECT CAST(round(value * 100) AS BIGINT) // 50 AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY bin""",
     "q_rollup_docs": """
         SELECT source, lang,
                CAST(count(*) AS BIGINT) AS n_docs,
@@ -1130,3 +1134,33 @@ def q_rollup_docs(sf_dir: str):
     )
     cols = ["source", "lang", "n_docs", "n_chars"]
     return pl.concat([df.select(cols), by_source.select(cols), total.select(cols)]).to_arrow()
+
+
+def q_value_histogram(sf_dir: str, bin_cents: int = 50):
+    """Equal-width histogram of event values (cents-exact binning:
+    ``round(value*100) // bin_cents`` — the cents convention every money
+    column in this repo uses, so the float never enters the contract): the
+    aggregation-before-exchange shape — per-block bin counts are the
+    combiner, the groupby moves one row per bin per block."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return (
+            df.select(
+                ((pl.col("value") * 100).round(0).cast(pl.Int64) // bin_cents).alias(
+                    "bin"
+                )
+            )
+            .group_by("bin")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
