@@ -33,7 +33,9 @@ alternations ``p1|p2`` (compiled to ``pred IN``; ``^`` members allowed —
 ``(p|^q)`` unions reversed edges), negated property sets
 ``!p`` / ``!(p1|p2)`` (``pred NOT IN``) including ``^`` members
 (``!(p|^q)`` / ``!^p`` — the spec's alt(NPS(fwd), inv(NPS(bwd)))
-translation; closures over negated sets are rejected loudly) and
+translation; NPS closures ``!(a|b)+`` / ``!p*`` / ``!p?`` close over the
+complement edge set — only ``^`` members inside a CLOSED negated set are
+rejected) and
 closures ``p+``/``p*``/``p?`` incl. ``(a|b)+`` over alternation members
 and MIXED-direction alternations ``(a|^b)+`` (the closed-over edge set is
 the union of forward and reversed member edges)
@@ -652,17 +654,28 @@ def _triples(
                 # direction into a two-branch CTE (the spec's
                 # alt(NPS(fwd), inv(NPS(bwd))) translation)
                 if s_mod:
-                    raise ValueError(
-                        "negated property sets cannot combine with closures"
+                    # closure over a negated set, (!(a|b))+ / !p* / !p? — the
+                    # closed-over edge set is pred NOT IN (members); inverse
+                    # members inside a CLOSED negated set stay rejected
+                    if any_inv:
+                        raise ValueError(
+                            "closures over negated sets with ^ members "
+                            "((!(a|^b))+) are not supported"
+                        )
+                    p = Term(
+                        "n" + _PATH_KIND[s_mod],
+                        "",
+                        alts=[_path_atom(t, prefixes) for _, t in membs],
                     )
-                p = Term(
-                    "nalt",
-                    "",
-                    alts=[
-                        ("^" if mi else "") + _path_atom(t, prefixes)
-                        for mi, t in membs
-                    ],
-                )
+                else:
+                    p = Term(
+                        "nalt",
+                        "",
+                        alts=[
+                            ("^" if mi else "") + _path_atom(t, prefixes)
+                            for mi, t in membs
+                        ],
+                    )
             elif s_mod:
                 # closure: single member rides .value, alternation rides .alts
                 kind = _PATH_KIND[s_mod]
@@ -2166,8 +2179,23 @@ def _compile_bgp(
     ctes: list[str] = []
     for i, (s, p, o, g) in enumerate(patterns):
         a = f"{alias_prefix}{i}"
-        if p.kind in ("plus", "star", "qmark", "seqplus", "seqstar", "seqqmark"):
-            base_kind = p.kind[3:] if p.kind.startswith("seq") else p.kind
+        if p.kind in (
+            "plus",
+            "star",
+            "qmark",
+            "seqplus",
+            "seqstar",
+            "seqqmark",
+            "nplus",
+            "nstar",
+            "nqmark",
+        ):
+            if p.kind.startswith("seq"):
+                base_kind = p.kind[3:]
+            elif p.kind.startswith("n"):
+                base_kind = p.kind[1:]
+            else:
+                base_kind = p.kind
             # closure paths: WITH RECURSIVE transitive closure of the
             # predicate (or alternation-member) edge set. UNION (distinct)
             # terminates on cycles. ``*`` and ``?`` seed with the zero-length
@@ -2197,6 +2225,13 @@ def _compile_bgp(
                 # sequence closure (p/q)+: the closed-over edge relation is
                 # the CHAIN JOIN of the member predicates, one hop per member
                 pconds = ["{t}.pred = " + _q(v) for v in p.alts]
+            elif p.kind.startswith("n"):
+                # closure over a negated property set (!(a|b))+: the
+                # closed-over edge set is every triple whose predicate is NOT
+                # a member
+                pconds = [
+                    "{t}.pred NOT IN (" + ", ".join(_q(v) for v in p.alts) + ")"
+                ]
             elif p.alts and any(m.startswith("^") for m in p.alts):
                 # MIXED-direction alternation closure (a|^b)+: the closed-over
                 # edge relation is the UNION ALL of forward edges and REVERSED

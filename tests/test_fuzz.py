@@ -1176,3 +1176,47 @@ def test_kcore_matches_python_reference(edge_ids, rounds):
         deg[a] = deg.get(a, 0) + 1
         deg[b] = deg.get(b, 0) + 1
     assert got == sorted(deg.items())
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    _store,
+    st.lists(st.sampled_from(_ALPHABET), min_size=1, max_size=2, unique=True),
+    st.sampled_from(["+", "*", "?"]),
+    st.one_of(st.just(("var", "x")), st.sampled_from([("iri", c) for c in _ALPHABET])),
+    st.one_of(st.just(("var", "y")), st.sampled_from([("iri", c) for c in _ALPHABET])),
+)
+def test_sparql_negated_set_closure_matches_naive(store, members, mod, subj, obj):
+    """Closures over negated property sets ``(!(a|b))+`` / ``!a*`` / ``!a?``:
+    the closed-over edge set is every triple whose predicate is NOT a member;
+    distinct pair semantics, zero-length identity for ``*``/``?``."""
+    if subj[0] != "var" and obj[0] != "var":
+        obj = ("var", "y")
+    base = {(s, o) for s, p, o in store if p not in members}
+    extra = {t[1] for t in (subj, obj) if t[0] == "iri"}
+    ident = {(t, t) for s, _, o in store for t in (s, o)} | {(t, t) for t in extra}
+    if mod == "?":
+        pairs = base | ident
+    else:
+        pairs = set(base)
+        while True:
+            nxt = pairs | {(a, d) for a, b in pairs for c, d in pairs if b == c}
+            if nxt == pairs:
+                break
+            pairs = nxt
+        if mod == "*":
+            pairs |= ident
+    sols = Counter()
+    for a, b in pairs:
+        if subj[0] == "iri" and a != subj[1]:
+            continue
+        if obj[0] == "iri" and b != obj[1]:
+            continue
+        sols[tuple(x for t, x in ((subj, a), (obj, b)) if t[0] == "var")] += 1
+    inner = "|".join(f"<{m}>" for m in members)
+    pstr = (f"!({inner})" if len(members) > 1 else f"!<{members[0]}>") + mod
+    sterm = f"?{subj[1]}" if subj[0] == "var" else f"<{subj[1]}>"
+    oterm = f"?{obj[1]}" if obj[0] == "var" else f"<{obj[1]}>"
+    cols, rows = _run_sql(store, f"SELECT * WHERE {{ {sterm} {pstr} {oterm} }}")
+    assert cols == sorted({t[1] for t in (subj, obj) if t[0] == "var"})
+    assert Counter(rows) == sols
