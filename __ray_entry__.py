@@ -1417,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_cumsum": relational.q_user_cumsum,
         "q_rollup_docs": relational.q_rollup_docs,
         "q_value_histogram": relational.q_value_histogram,
+        "q_sliding_user_count": relational.q_sliding_user_count,
         "q_sessions": relational.q_sessions,
         "q_hourly_window": relational.q_hourly_window,
         "q_asof_clicks": relational.q_asof_clicks,

@@ -609,6 +609,12 @@ def q_user_value_quantiles(sf_dir: str, num_buckets: int = 32):
 
 
 ORACLES: dict[str, str] = {
+    "q_sliding_user_count": """
+        SELECT event_id,
+               CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_1h
+        FROM events""",
     "q_value_histogram": """
         SELECT CAST(round(value * 100) AS BIGINT) // 50 AS bin,
                CAST(count(*) AS BIGINT) AS n
@@ -1163,4 +1169,30 @@ def q_value_histogram(sf_dir: str, bin_cents: int = 50):
         ds.map_batches(pre, batch_format="pyarrow")
         .groupby("bin")
         .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def q_sliding_user_count(sf_dir: str, num_buckets: int = 32):
+    """Per-event SLIDING time-window aggregate (count of the same user's
+    events in the trailing hour, value-range semantics — RANGE, not ROWS, so
+    equal-timestamp peers all count): the windowed-aggregate shape Ray Data
+    lacks. Bucket-sort on user co-locates each user's events; polars'
+    time-rolling kernel does the in-block work vectorized."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["user_id", "ts", "event_id"])
+        # rolling emits one row per input row IN ORDER, so the counts column
+        # aligns positionally with the sorted frame
+        n = df.rolling(
+            index_column="ts", period="1h", group_by="user_id", closed="both"
+        ).agg(pl.len().cast(pl.Int64).alias("n_1h"))
+        return df.select(["event_id"]).hstack(n.select(["n_1h"])).to_arrow()
+
+    return (
+        ds.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
     )
