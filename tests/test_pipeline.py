@@ -1055,10 +1055,11 @@ def test_sparql_property_paths():
     ``p1|p2`` compiles to ``pred IN``, and the closures ``p+``/``p*``/``p?``
     compile to recursive-CTE transitive closures (UNION dedup terminates on
     cycles; ``*``/``?`` seed zero-length pairs over the graph's terms plus
-    constant endpoints). ``(a|b)+`` closes over the member set and ``^p+``
-    walks the closure backwards. Constant GRAPH / FROM restrictions apply to
-    every closure step; ill-defined combinations (closures on negated sets or
-    variable predicates, GRAPH ?g over closures) are rejected loudly."""
+    constant endpoints). ``(a|b)+`` closes over the member set, ``!p+``
+    closes over the negated property set, and ``^p+`` walks the closure
+    backwards. Constant GRAPH / FROM restrictions apply to every closure
+    step; ill-defined combinations (negated SEQUENCE closures, variable
+    predicates, GRAPH ?g over closures) are rejected loudly."""
     import duckdb
     import pytest
 
@@ -1176,8 +1177,15 @@ def test_sparql_property_paths():
     assert run(
         "SELECT ?x WHERE { <e:zz> (<e:knows>/<e:knows>/<e:knows>)* ?x }"
     ) == [("e:zz",)]
+    # negated-property-set closure (!p+): one-or-more steps along any
+    # predicate EXCEPT the members (supported since the negated-set-closure
+    # widening; was rejected before)
+    assert run("SELECT ?x WHERE { <e:a> !<e:knows>+ ?x } ORDER BY ?x") == [("alice",)]
+    assert run("SELECT ?x WHERE { <e:b> !<e:knows>+ ?x } ORDER BY ?x") == [
+        ("bob",),
+        ("bobby",),
+    ]
     for bad in [
-        "SELECT ?x WHERE { <e:a> !<e:knows>+ ?x }",
         "SELECT ?x WHERE { <e:a> ?p+ ?x }",
         "SELECT ?x WHERE { <e:a> !(<e:knows>/<e:name>)+ ?x }",
         "SELECT ?x WHERE { <e:a> (<e:knows>+/<e:name>)+ ?x }",
