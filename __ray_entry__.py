@@ -1418,6 +1418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rollup_docs": relational.q_rollup_docs,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
+        "q_lead_lag_delta": relational.q_lead_lag_delta,
+        "q_pivot_event_types": relational.q_pivot_event_types,
         "q_sessions": relational.q_sessions,
         "q_hourly_window": relational.q_hourly_window,
         "q_asof_clicks": relational.q_asof_clicks,

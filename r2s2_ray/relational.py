@@ -1196,3 +1196,91 @@ def q_sliding_user_count(sf_dir: str, num_buckets: int = 32):
         .sort("bucket")
         .map_batches(block, batch_format="pyarrow", batch_size=None)
     )
+
+
+def q_lead_lag_delta(sf_dir: str, num_buckets: int = 32):
+    """Per-event LAG: microseconds since the same user's PREVIOUS event
+    (NULL for a user's first event) — the lead/lag window shape Ray Data has
+    no kernel for. Same sort(bucket) + whole-block pattern as q_user_cumsum:
+    bucketing co-locates each user's events in one block, polars'
+    ``diff().over()`` does the shift vectorized, and no block ever sees a
+    partial user, so the result is exact regardless of block boundaries."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["user_id", "ts", "event_id"])
+        out = df.with_columns(
+            pl.col("ts")
+            .diff()
+            .over("user_id")
+            .dt.total_microseconds()
+            .cast(pl.Int64)
+            .alias("delta_us")
+        )
+        return out.select(["event_id", "user_id", "delta_us"]).to_arrow()
+
+    return (
+        ds.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q_pivot_event_types(sf_dir: str):
+    """PIVOT: per-user event counts spread into one fixed column per event
+    type (the conditional-aggregation / crosstab shape). The type set is
+    pinned (schema contract), so this is a single groupby over per-block
+    partials — each block pre-aggregates its users' counts into the wide
+    layout, then one narrow exchange sums the partials; no per-type scan,
+    no second pass."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = df.group_by("user_id").agg(
+            [
+                (pl.col("event_type") == t).sum().cast(pl.Int64).alias(f"n_{t}")
+                for t in types
+            ]
+        )
+        return out.to_arrow()
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in types:
+            c = b[f"n_{t}"]
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            cols[f"n_{t}"] = c.cast(pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORACLES["q_lead_lag_delta"] = """
+    SELECT event_id, user_id,
+           CAST(date_diff('microsecond',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS delta_us
+    FROM events"""
+
+ORACLES["q_pivot_event_types"] = """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+    FROM events GROUP BY user_id"""
