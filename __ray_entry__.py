@@ -802,6 +802,23 @@ def _txt_hashed_bow(sf_dir: str):
     )
 
 
+def _txt_classifier_score(sf_dir: str):
+    """Linear quality classifier over the hashed BoW (fasttext-style
+    score-and-threshold filter): deterministic signed bucket weights from the
+    shared affine64 family, per-doc weight sum + keep flag — bit-exact vs the
+    SQL oracle, zero exchanges."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import classifier_score
+
+    return classifier_score(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+        dim_bits=8,
+    )
+
+
 def _io_jsonl_roundtrip(sf_dir: str):
     """JSONL sink -> source roundtrip (the LLM-corpus interchange format):
     documents written as line-delimited JSON shards (one file per block,
@@ -1478,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_pq_codes": _sim_pq_codes,
         "sim_ann_pq": _sim_ann_pq,
         "txt_hashed_bow": _txt_hashed_bow,
+        "txt_classifier_score": _txt_classifier_score,
         "td_weighted_sample": _td_weighted_sample,
     }
 
@@ -1606,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),
         "txt_hashed_bow": oracles_td.hashed_bow_oracle(dim_bits=8),
+        "txt_classifier_score": oracles_td.classifier_score_oracle(dim_bits=8),
         "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),

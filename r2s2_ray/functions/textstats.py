@@ -1158,3 +1158,73 @@ def weighted_sample(
             "key": pa.array([x for x, _, _ in best], pa.int64()),
         }
     )
+
+
+def classifier_score(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    dim_bits: int = 8,
+) -> ray.data.Dataset:
+    """Linear quality classifier over the hashed bag-of-words (the
+    fasttext-style score-and-threshold filter every LLM corpus pipeline runs
+    after vectorization): each token maps to ``poly_hash(token) mod
+    2**dim_bits`` and the model weight for bucket ``b`` is the deterministic
+    signed integer ``((affine64(b) >> 4) % 17) - 8`` — the same
+    SQL-expressible affine family as the MinHash permutations, so the oracle
+    reproduces the scores bit-for-bit without shipping a weight table.
+
+    Emits ``(id, score, keep)`` with ``score = sum of weights over token
+    occurrences`` (docs with zero tokens drop, matching SQL GROUP BY) and
+    ``keep = score >= 0``. The weight table (2**dim_bits int64s) is built once
+    per closure; scoring is one explode + vectorized gather + per-doc sum,
+    all block-local — zero exchanges at any corpus size."""
+    from .hashing import K_A, K_B, poly_hash_arr
+
+    n_buckets = 1 << dim_bits
+    mask = np.uint64(n_buckets - 1)
+    b = np.arange(n_buckets, dtype=np.uint64)
+    weights = (
+        ((b * np.uint64(K_A) + np.uint64(K_B)) >> np.uint64(4)) % np.uint64(17)
+    ).astype(np.int64) - 8
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        toks = (
+            df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+")
+                .alias("tok")
+            )
+            .select([id_col, "tok"])
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        if toks.height == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                    "keep": pa.array([], pa.int64()),
+                }
+            )
+        t = toks.to_arrow()
+        col = t["tok"]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        dim = (poly_hash_arr(col) & mask).astype(np.int64)
+        out = (
+            pl.DataFrame(
+                {
+                    id_col: pl.from_arrow(t[id_col]),
+                    "wt": weights[dim],
+                }
+            )
+            .group_by(id_col)
+            .agg(pl.col("wt").sum().cast(pl.Int64).alias("score"))
+            .with_columns((pl.col("score") >= 0).cast(pl.Int64).alias("keep"))
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")

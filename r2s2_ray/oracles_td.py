@@ -1169,3 +1169,37 @@ def weighted_sample_oracle(k: int = 100) -> str:
                    FROM documents)
         SELECT doc_id, n_chars, CAST(key AS BIGINT) AS key
         FROM h ORDER BY key, doc_id LIMIT {k}"""
+
+
+def classifier_score_oracle(dim_bits: int = 8) -> str:
+    """Exact SQL mirror of ``textstats.classifier_score``: per-token poly
+    hash masked to ``dim_bits`` bits, bucket weight ``((affine64(b) >> 4) %
+    17) - 8`` via the shared HUGEINT affine helpers, per-doc weight sum and
+    the >= 0 keep flag."""
+    from .functions.hashing import K_A, K_B
+
+    d = 1 << dim_bits
+    aff = (
+        f"(({_mulmod('b', str(K_A), str(K_A % 2**32))} + {K_B}) "
+        f"% CAST('{U64}' AS HUGEINT))"
+    )
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+          FROM documents
+        ), hx AS (
+          SELECT doc_id, hex(encode(tok)) AS h FROM tok
+        ), hh AS (
+          SELECT doc_id, {_poly_hash('h')} AS f FROM hx
+        ), dim AS (
+          SELECT doc_id, {_unsigned('f')} % {d} AS b FROM hh
+        ), w AS (
+          SELECT doc_id,
+                 CAST((({aff} // 16) % 17) AS BIGINT) - 8 AS wt
+          FROM dim
+        )
+        SELECT doc_id,
+               CAST(sum(wt) AS BIGINT) AS score,
+               CAST(sum(wt) >= 0 AS BIGINT) AS keep
+        FROM w GROUP BY doc_id"""

@@ -1028,3 +1028,40 @@ def test_dsir_weights_matches_integer_reference():
         n, w = expect.get(d, (0, 0))
         expect[d] = (n + c, w + c * lam)
     assert got == expect
+
+
+def test_classifier_score_matches_pure_python(ray_session):
+    """classifier_score == a per-doc pure-Python rendering of the same
+    contract: weight(b) = ((b*K_A + K_B mod 2^64) >> 4) % 17 - 8 over
+    poly_hash(token) & 255 buckets, summed per doc; keep = score >= 0."""
+    import ray.data
+
+    from r2s2_ray.functions.hashing import K_A, K_B, poly_hash_one
+    from r2s2_ray.functions.textstats import classifier_score
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark spark spark spark"),
+        (3, ""),  # zero tokens -> dropped
+        (4, "Mixed CASE tokens 123 and-punct!"),
+        (5, "a b c d e f g h i j k l m n o p"),
+    ]
+    want = {}
+    for did, text in docs:
+        import re
+
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        if not toks:
+            continue
+        s = 0
+        for t in toks:
+            b = poly_hash_one(t) & 255
+            s += int(((b * K_A + K_B) % (1 << 64)) >> 4) % 17 - 8
+        want[did] = (s, int(s >= 0))
+
+    ds = ray.data.from_items([{"doc_id": d, "text": t} for d, t in docs])
+    got = {
+        r["doc_id"]: (r["score"], r["keep"])
+        for r in classifier_score(ds, "doc_id", "text").take_all()
+    }
+    assert got == want
