@@ -544,6 +544,19 @@ def _dd_exact_docs(sf_dir: str):
     return exact_dedup(docs, ["text"], "doc_id")
 
 
+def _dd_chunk_dedup(sf_dir: str):
+    """Segment-level exact dedup with reassembly (C4/paragraph-dedup shape
+    over fixed 32-token windows): global keep-first per exact chunk text,
+    surviving chunks stitched back per document — (doc_id, text_dedup,
+    n_kept, n_total)."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import chunk_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_dedup(docs, "doc_id", "text", chunk_size=32)
+
+
 def _txt_token_stats(sf_dir: str):
     import ray.data
 
@@ -1452,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semijoin": relational.q_bloom_semijoin,
         # training-data ops
         "dd_exact_docs": _dd_exact_docs,
+        "dd_chunk_dedup": _dd_chunk_dedup,
         "td_prepare": _td_prepare,
         "dd_minhash_pairs": _dd_minhash,
         "dd_simhash": _dd_simhash,
@@ -1541,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_kinds": oracles.sparql_kinds_oracle(),
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dd_chunk_dedup": oracles_td.chunk_dedup_oracle(chunk_size=32),
         "txt_token_stats": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,

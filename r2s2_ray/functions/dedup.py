@@ -1127,3 +1127,118 @@ def setsim_prefix_pairs(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def chunk_dedup(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_size: int = 32,
+    max_chunks_per_doc: int = 1 << 20,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Segment-level exact dedup with document reassembly (the C4 /
+    paragraph-dedup shape: drop every repeated span, keep the first
+    occurrence, stitch the survivors back into each document). Segments are
+    fixed ``chunk_size``-token windows (this corpus has no newline paragraph
+    breaks; the operator is separator-agnostic).
+
+    Keep-first contract: the occurrence with the smallest
+    ``(doc_id, chunk_idx)`` survives; every other occurrence of the exact
+    same chunk text is removed from its document. Output one row per input
+    document: ``(id, text_dedup, n_kept, n_total)`` — a document whose every
+    chunk lost is kept with ``text_dedup = ''``.
+
+    Scale shape (two exchanges, both key-partitioned):
+    1. chunking is block-local (each document is one row); the winner per
+       distinct chunk text is a ``groupby(chunk_text).min(occ)`` where
+       ``occ = doc_id * max_chunks_per_doc + chunk_idx`` packs the
+       keep-first order into one int64 (documented bound: doc_id <
+       2**63 / max_chunks_per_doc). The survivors ARE the groupby result —
+       no join back to occurrences.
+    2. reassembly co-locates each document's surviving chunks with its
+       totals row via one hash-bucket sort, then a whole-block polars
+       group_by stitches chunks in chunk_idx order.
+    """
+    occ_base = max_chunks_per_doc
+
+    def chunk_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        ex = (
+            df.with_columns(pl.col(text_col).str.split(" ").alias("tok"))
+            .drop(text_col)
+            .explode("tok")
+            .with_columns(
+                ((pl.col("tok").cum_count().over(id_col) - 1) // chunk_size)
+                .cast(pl.Int64)
+                .alias("chunk_idx")
+            )
+        )
+        out = ex.group_by([id_col, "chunk_idx"], maintain_order=True).agg(
+            pl.col("tok").str.join(" ").alias("chunk_text")
+        )
+        return out.select(
+            (pl.col(id_col) * occ_base + pl.col("chunk_idx")).alias("occ"),
+            pl.col("chunk_text"),
+        ).to_arrow()
+
+    def pre(b: pa.Table) -> pa.Table:
+        # per-block combiner: one candidate row per distinct chunk per block
+        return (
+            pl.from_arrow(b).group_by("chunk_text").agg(pl.col("occ").min()).to_arrow()
+        )
+
+    winners = (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("chunk_text")
+        .aggregate(Min("occ", alias_name="occ"))
+    )
+
+    def surv_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.select(
+            (pl.col("occ") // occ_base).alias(id_col),
+            (pl.col("occ") % occ_base).alias("chunk_idx"),
+            pl.col("chunk_text"),
+            pl.lit(1, pl.Int8).alias("kind"),
+            pl.lit(0, pl.Int64).alias("n_total"),
+        ).to_arrow()
+
+    def totals_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        out = df.select(
+            pl.col(id_col),
+            pl.lit(-1, pl.Int64).alias("chunk_idx"),
+            pl.lit("", pl.String).alias("chunk_text"),
+            pl.lit(0, pl.Int8).alias("kind"),
+            (
+                (pl.col(text_col).str.split(" ").list.len().cast(pl.Int64) + chunk_size - 1)
+                // chunk_size
+            ).alias("n_total"),
+        )
+        return out.to_arrow()
+
+    def bucket(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.uint64()).to_numpy(zero_copy_only=False)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(64 - 5)
+        return b.append_column("bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+    both = (
+        winners.map_batches(surv_rows, batch_format="pyarrow")
+        .union(ds.map_batches(totals_rows, batch_format="pyarrow"))
+        .map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+    def stitch(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort([id_col, "kind", "chunk_idx"])
+        out = df.group_by(id_col, maintain_order=False).agg(
+            pl.col("chunk_text").filter(pl.col("kind") == 1).str.join(" ").alias("text_dedup"),
+            (pl.col("kind") == 1).sum().cast(pl.Int64).alias("n_kept"),
+            pl.col("n_total").max().alias("n_total"),
+        )
+        return out.to_arrow()
+
+    return both.map_batches(stitch, batch_format="pyarrow", batch_size=None)

@@ -1203,3 +1203,39 @@ def classifier_score_oracle(dim_bits: int = 8) -> str:
                CAST(sum(wt) AS BIGINT) AS score,
                CAST(sum(wt) >= 0 AS BIGINT) AS keep
         FROM w GROUP BY doc_id"""
+
+
+def chunk_dedup_oracle(chunk_size: int = 32, occ_base: int = 1 << 20) -> str:
+    """DuckDB mirror of ``dedup.chunk_dedup``: fixed token windows, global
+    keep-first per exact chunk text (min packed (doc_id, chunk_idx)
+    occurrence), per-document reassembly in chunk order, empty-string rows
+    for fully-deduplicated documents."""
+    c = chunk_size
+    return f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             e AS (SELECT doc_id, toks,
+                          unnest(range((len(toks) + {c - 1}) // {c})) AS ci
+                   FROM t),
+             ch AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+                           array_to_string(list_slice(toks, ci * {c} + 1, ci * {c} + {c}), ' ')
+                             AS chunk_text
+                    FROM e),
+             win AS (SELECT chunk_text,
+                            min(doc_id * {occ_base} + chunk_idx) AS occ
+                     FROM ch GROUP BY chunk_text),
+             surv AS (SELECT occ // {occ_base} AS doc_id,
+                             occ % {occ_base} AS chunk_idx, chunk_text
+                      FROM win),
+             agg AS (SELECT doc_id,
+                            CAST(count(*) AS BIGINT) AS n_kept,
+                            string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup
+                     FROM surv GROUP BY doc_id),
+             tot AS (SELECT doc_id,
+                            CAST((len(string_split(text, ' ')) + {c - 1}) // {c} AS BIGINT)
+                              AS n_total
+                     FROM documents)
+        SELECT tot.doc_id,
+               coalesce(agg.text_dedup, '') AS text_dedup,
+               CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+               n_total
+        FROM tot LEFT JOIN agg USING (doc_id)"""

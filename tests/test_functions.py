@@ -1065,3 +1065,35 @@ def test_classifier_score_matches_pure_python(ray_session):
         for r in classifier_score(ds, "doc_id", "text").take_all()
     }
     assert got == want
+
+
+def test_chunk_dedup_keep_first_and_reassembly(ray_session):
+    """chunk_dedup: global keep-first on exact chunk text, in-document
+    duplicate windows drop too, fully-duplicated docs survive as empty rows,
+    and surviving chunks reassemble in chunk_idx order."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import chunk_dedup
+
+    w = lambda n, tag: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    shared = w(4, "s")  # one full 4-token window shared across docs
+    docs = [
+        # doc 1: unique A + shared window
+        {"doc_id": 1, "text": w(4, "a") + " " + shared},
+        # doc 2: shared window (dropped: doc 1 owns it) + unique B
+        {"doc_id": 2, "text": shared + " " + w(4, "b")},
+        # doc 3: the SAME window twice in one doc -> second drops
+        {"doc_id": 3, "text": w(4, "c") + " " + w(4, "c")},
+        # doc 4: nothing but the shared window -> fully deduplicated
+        {"doc_id": 4, "text": shared},
+    ]
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_total"])
+        for r in chunk_dedup(
+            ray.data.from_items(docs), "doc_id", "text", chunk_size=4
+        ).take_all()
+    }
+    assert out[1] == (w(4, "a") + " " + shared, 2, 2)
+    assert out[2] == (w(4, "b"), 1, 2)
+    assert out[3] == (w(4, "c"), 1, 2)
+    assert out[4] == ("", 0, 1)
