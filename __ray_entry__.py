@@ -74,6 +74,16 @@ def _kg_transcripts(sf_dir: str):
     return ds.map_batches(fmt, batch_format="pyarrow")
 
 
+def _td_render_dialogs(sf_dir: str):
+    """Chat-template rendering: each conversation becomes ONE training
+    document (turns joined in turn_idx order as 'role: text' lines) —
+    conv-bucketed sort + whole-block stitch, per-turn text preserved
+    verbatim."""
+    from r2s2_ray.pipelines.training_data import render_dialogs
+
+    return render_dialogs(read_transcripts(sf_dir))
+
+
 def _kg_triples_dedup(sf_dir: str):
     from r2s2_ray.pipelines.kg import triples_dataset
     from r2s2_ray.stages.fold import fold, route
@@ -1467,6 +1477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_exact_docs": _dd_exact_docs,
         "dd_chunk_dedup": _dd_chunk_dedup,
         "td_prepare": _td_prepare,
+        "td_render_dialogs": _td_render_dialogs,
         "dd_minhash_pairs": _dd_minhash,
         "dd_simhash": _dd_simhash,
         "dd_embedding_neardup": _dd_embedding,
@@ -1619,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         # operators (possible because the operators use the SQL-expressible hash
         # family in r2s2_ray/functions/hashing.py)
         "td_prepare": oracles_td.td_prepare_oracle(),
+        "td_render_dialogs": oracles.render_dialogs_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
         "txt_repetition": oracles_td.repetition_oracle(),
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),

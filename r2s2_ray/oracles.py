@@ -618,3 +618,18 @@ def kcore_oracle(k: int = 2, rounds: int = 4) -> str:
         f"GROUP BY node"
     )
     return "".join(parts)
+
+
+def render_dialogs_oracle() -> str:
+    """SQL mirror of ``training_data.render_dialogs``: turns joined in
+    turn_idx order as ``role: text`` lines, one row per conversation."""
+    return f"""
+        WITH tx AS ({TRANSCRIPTS_SQL}),
+             r AS (SELECT conv_id,
+                          string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+                            AS rendered,
+                          CAST(count(*) AS BIGINT) AS n_turns
+                   FROM tx GROUP BY conv_id)
+        SELECT conv_id, rendered, n_turns,
+               CAST(length(rendered) AS BIGINT) AS n_chars
+        FROM r"""

@@ -135,3 +135,45 @@ def prepare_corpus(
         return pa.table({"doc_id": b.filter(mask)["doc_id"]})
 
     return deduped.map_batches(keep_fn, batch_format="pyarrow")
+
+
+def render_dialogs(
+    transcripts: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Render each conversation to ONE training document (the chat-template
+    step every instruction-tuning pipeline runs before packing): turns joined
+    in ``turn_idx`` order as ``role: text`` lines. Output one row per
+    conversation — ``(conv_id, rendered, n_turns, n_chars)``.
+
+    A conversation's turns can span input files at corpus scale, so the
+    stitch co-locates them with one conv-bucketed sort (the q_user_cumsum
+    ordered-log shape), then a whole-block polars group-join; per-turn text
+    equality and stable turn ordering (the BASELINE per-row invariant) are
+    preserved verbatim inside the rendered string."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import poly_hash_arr
+
+        cid = b["conv_id"]
+        cid = cid.combine_chunks() if isinstance(cid, pa.ChunkedArray) else cid
+        h = poly_hash_arr(cid) % np.uint64(num_buckets)
+        return b.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    def stitch(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["conv_id", "turn_idx"])
+        out = df.group_by("conv_id", maintain_order=False).agg(
+            (pl.col("role") + pl.lit(": ") + pl.col("text"))
+            .str.join("\n")
+            .alias("rendered"),
+            pl.len().cast(pl.Int64).alias("n_turns"),
+        )
+        return out.with_columns(
+            pl.col("rendered").str.len_chars().cast(pl.Int64).alias("n_chars")
+        ).to_arrow()
+
+    return (
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(stitch, batch_format="pyarrow", batch_size=None)
+    )

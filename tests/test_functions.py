@@ -1097,3 +1097,33 @@ def test_chunk_dedup_keep_first_and_reassembly(ray_session):
     assert out[2] == (w(4, "b"), 1, 2)
     assert out[3] == (w(4, "c"), 1, 2)
     assert out[4] == ("", 0, 1)
+
+
+def test_render_dialogs_cross_block_order(ray_session):
+    """render_dialogs stitches a conversation whose turns arrive shuffled
+    across MANY blocks, in strict turn_idx order."""
+    import ray.data
+
+    from r2s2_ray.pipelines.training_data import render_dialogs
+
+    rows = []
+    for conv in ("c1", "c2"):
+        for i in (3, 0, 2, 1):  # shuffled on purpose
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "turn_idx": i,
+                    "role": "user" if i % 2 == 0 else "assistant",
+                    "text": f"{conv}-t{i}",
+                    "tool": "",
+                }
+            )
+    ds = ray.data.from_items(rows).repartition(8)  # turns split across blocks
+    got = {r["conv_id"]: r for r in render_dialogs(ds).take_all()}
+    for conv in ("c1", "c2"):
+        want = "\n".join(
+            f"{'user' if i % 2 == 0 else 'assistant'}: {conv}-t{i}" for i in range(4)
+        )
+        assert got[conv]["rendered"] == want
+        assert got[conv]["n_turns"] == 4
+        assert got[conv]["n_chars"] == len(want)
