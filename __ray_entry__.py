@@ -107,6 +107,56 @@ def _kg_triples_dedup(sf_dir: str):
     return folded.map_batches(fmt, batch_format="pyarrow")
 
 
+def _kg_incremental(sf_dir: str):
+    """Incremental (delta) load equivalence, served end-to-end: build the
+    per-bucket quad state from HALF the corpus (even conv ids), merge the
+    other half as a delta (only the delta crosses the exchange; touched
+    buckets fold old+new locally — stages/incremental.py), then fold the
+    state. The oracle is the FULL-corpus dedup SQL, so the value-hash match
+    proves incremental == one-shot."""
+    import tempfile
+
+    from r2s2_ray.extract.batch import extract_triples
+    from r2s2_ray.linking import canonicalize
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import (
+        quad_state_build,
+        quad_state_merge,
+        state_folded,
+    )
+
+    def half(parity: int):
+        ds = read_transcripts(sf_dir)
+
+        def f(b: pa.Table) -> pa.Table:
+            digits = pc.utf8_slice_codeunits(b["conv_id"], 5, 99)
+            par = pc.bit_wise_and(pc.cast(digits, pa.int64()), 1)
+            return b.filter(pc.equal(par, parity))
+
+        return route(
+            canonicalize(extract_triples(ds.map_batches(f, batch_format="pyarrow")))
+        )
+
+    state = tempfile.mkdtemp(prefix="kg_incr_state_")
+    quad_state_build(half(0), state, num_buckets=32)
+    quad_state_merge(half(1), state, num_buckets=32)
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "o_lang": b["o_lang"],
+                "o_dt": b["o_dt"],
+                "graphs_s": pc.binary_join(b["graphs"], pa.scalar(",", pa.large_string())),
+                "n_graphs": pc.cast(pc.list_value_length(b["graphs"]), pa.int64()),
+            }
+        )
+
+    return state_folded(state).map_batches(fmt, batch_format="pyarrow")
+
+
 def _kg_pred_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1414,6 +1464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_raw": lambda sf: _triples(sf, linked=False),
         "kg_triples_linked": lambda sf: _triples(sf, linked=True),
         "kg_triples_dedup": _kg_triples_dedup,
+        "kg_incremental": _kg_incremental,
         "kg_pred_counts": _kg_pred_counts,
         "kg_class_census": _kg_class_census,
         "kg_mentions": _kg_mentions,
@@ -1531,6 +1582,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_raw": oracles.raw_triples_sql(linked=False),
         "kg_triples_linked": oracles.raw_triples_sql(linked=True),
         "kg_triples_dedup": oracles.dedup_triples_oracle(),
+        # incremental two-phase load must equal the ONE-SHOT dedup SQL
+        "kg_incremental": oracles.dedup_triples_oracle(),
         "kg_pred_counts": oracles.pred_counts_oracle(),
         "kg_class_census": oracles.class_census_oracle(),
         "kg_mentions": oracles.mentions_oracle(),

@@ -1,0 +1,192 @@
+"""Incremental (delta) KG load — per-bucket quad state merged LSM-style.
+
+The reference's load is strictly one-shot: the store is read-only after the
+12-step batch (Loader.java:151-159) and "resume" only means re-entering a
+crashed step. At 10^12-turn scale a daily re-load of the whole lake is not a
+plan, so the engine adds DELTA ingestion at the dedup exchange, with the one
+property that matters at 100 TB: **historical data never crosses the exchange
+again.** Only the delta is shuffled; every touched bucket then folds old + new
+LOCALLY (read its own files, union, dedup, rewrite), and untouched buckets are
+not even read.
+
+State layout: ``state_dir/bucket=NNNNN/quads-<tag>.parquet`` — the DISTINCT
+quad rows (combo, subj, obj, graph) of that fold bucket, i.e. the fold
+exchange's payload persisted per bucket (the same composite bucket function as
+``fold._add_bucket``, so dedup groups are bucket-complete by construction).
+Storing pre-fold quads (not folded graph-lists) makes the merge a plain set
+union; the fold to graph-list rows happens at read via the SAME
+``_fold_bucket`` kernel the batch path uses, so both paths produce
+byte-identical folded tables (pinned by test).
+
+Idempotency / resume: the per-bucket rewrite is convergent — file names are
+content tags over the SORTED merged quads, so re-running the same delta
+produces the same file name and content (overwrite-in-place), and stale
+generations are removed only after the new one is written. A crashed merge
+re-run therefore heals itself bucket by bucket.
+"""
+
+from __future__ import annotations
+
+import polars as pl
+import pyarrow as pa
+import ray.data
+
+from ..util import (
+    fs_exists,
+    fs_list_parquet,
+    fs_makedirs,
+    fs_read_table,
+    fs_remove,
+    fs_rmtree,
+    fs_write_table,
+)
+from .fold import _add_bucket, _decode_dicts, _fold_bucket, block_tag
+
+#: the exchange payload = dedup-relevant quad identity
+QUAD_COLS = ["combo", "subj", "obj", "graph"]
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("n_old", pa.int64()),
+        ("n_delta", pa.int64()),
+        ("n_quads", pa.int64()),
+    ]
+)
+
+
+def _bucket_dir(state_dir: str, bucket: int) -> str:
+    return f"{state_dir}/bucket={bucket:07d}"
+
+
+def _write_bucket(state_dir: str, bucket: int, quads: pl.DataFrame) -> None:
+    """Deterministic content-tagged write + stale-generation cleanup."""
+    quads = quads.sort(QUAD_COLS)
+    tbl = quads.to_arrow()
+    tag = block_tag(tbl, cols=("combo", "subj", "obj"))
+    d = _bucket_dir(state_dir, bucket)
+    fs_makedirs(d)
+    path = f"{d}/quads-{tag}.parquet"
+    fs_write_table(tbl, path)
+    for f in fs_list_parquet(d):
+        if not f.endswith(f"quads-{tag}.parquet"):
+            fs_remove(f)
+
+
+def _apply_blocks(state_dir: str, merge: bool):
+    """Per-block body shared by build and merge: the sorted block is
+    bucket-complete, so each bucket's new quad set is final here."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = _decode_dicts(t)
+        df = pl.from_arrow(t)
+        rows = []
+        for key, g in df.partition_by("bucket", as_dict=True).items():
+            b = int(key[0])
+            delta = g.select(QUAD_COLS).unique()
+            n_old = 0
+            parts = [delta]
+            if merge:
+                d = _bucket_dir(state_dir, b)
+                if fs_exists(d):
+                    for f in fs_list_parquet(d):
+                        old = pl.from_arrow(fs_read_table(f))
+                        n_old += old.height
+                        parts.append(old)
+            merged = pl.concat(parts).unique() if len(parts) > 1 else delta
+            _write_bucket(state_dir, b, merged)
+            rows.append(
+                {
+                    "bucket": b,
+                    "n_old": n_old,
+                    "n_delta": delta.height,
+                    "n_quads": merged.height,
+                }
+            )
+        if not rows:
+            return _STATS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
+
+    return fn
+
+
+def quad_state_build(
+    routed: ray.data.Dataset, state_dir: str, num_buckets: int = 64
+) -> list[dict]:
+    """Initial state: route+fold-bucket the corpus, persist per-bucket
+    distinct quads. Returns metadata-scale per-bucket stats rows."""
+    fs_rmtree(state_dir)
+    return (
+        routed.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(
+            _apply_blocks(state_dir, merge=False),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .take_all()
+    )
+
+
+def quad_state_merge(
+    routed_delta: ray.data.Dataset, state_dir: str, num_buckets: int = 64
+) -> list[dict]:
+    """Delta merge: ONLY the delta crosses the exchange (same bucket function
+    as the initial build — mandatory, and asserted by the equivalence test);
+    each touched bucket unions its existing files with the delta locally and
+    rewrites one content-tagged generation. Untouched buckets are not read.
+
+    Returns per-touched-bucket stats rows (n_old, n_delta, n_quads) — the
+    per-partition lineage/metrics record for the increment."""
+    return (
+        routed_delta.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(
+            _apply_blocks(state_dir, merge=True),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .take_all()
+    )
+
+
+def state_folded(state_dir: str, namespaces=None) -> ray.data.Dataset:
+    """Fold the persisted state to the batch path's folded-triples shape
+    (DEDUP_KEY + combo + graphs), one parallel task per bucket, NO exchange:
+    every bucket directory is dedup-group-complete, so ``_fold_bucket`` over
+    its files is exact. Output is byte-identical to ``fold(route(...))`` over
+    the union corpus (equivalence pinned by test_incremental_*)."""
+    import pyarrow.fs as pafs
+
+    from ..util import fs_for
+
+    fs, root = fs_for(state_dir)
+    sel = pafs.FileSelector(root, recursive=False)
+    dirs = sorted(
+        f.path for f in fs.get_file_info(sel) if f.type == pafs.FileType.Directory
+    )
+
+    def fold_dir(b: pa.Table) -> pa.Table:
+        outs = []
+        for d in b["dir"].to_pylist():
+            files = fs_list_parquet(d)
+            if not files:
+                continue
+            quads = pa.concat_tables([fs_read_table(f) for f in files])
+            outs.append(_fold_bucket(quads, namespaces))
+        if not outs:
+            from .fold import DEDUP_KEY
+
+            fields = []
+            for c in DEDUP_KEY + ["combo"]:
+                fields.append(
+                    (c, pa.int8() if c in ("s_kind", "o_kind") else pa.string())
+                )
+            fields.append(("graphs", pa.list_(pa.string())))
+            return pa.schema(fields).empty_table()
+        return pa.concat_tables(outs, promote_options="default")
+
+    items = [{"dir": d} for d in dirs]
+    return ray.data.from_items(items).map_batches(
+        fold_dir, batch_format="pyarrow", batch_size=1
+    )
