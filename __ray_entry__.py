@@ -271,6 +271,23 @@ def _kg_sparql_graph(sf_dir: str):
     )
 
 
+def _kg_sparql_graphgroups(sf_dir: str):
+    """Nested groups INSIDE a variable GRAPH group served end-to-end:
+    ``GRAPH ?g { ?turn a ex:Turn . OPTIONAL { ?turn ex:mentions ?e } }`` —
+    the OPTIONAL distributes out with ?g re-applied (sparql.py
+    _rewrite_graph_groups), so optionality is evaluated PER GRAPH."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?g ?turn ?e WHERE {\n"
+        "  GRAPH ?g { ?turn a ex:Turn . OPTIONAL { ?turn ex:mentions ?e } }\n"
+        "}"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_antijoin(sf_dir: str):
     """Round-3 SPARQL widening served end-to-end: VALUES inline data, a
     FILTER NOT EXISTS anti-join, DESC ordering and OFFSET in one query."""
@@ -1474,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_roundtrip": _kg_roundtrip,
         "kg_sparql": _kg_sparql,
         "kg_sparql_graph": _kg_sparql_graph,
+        "kg_sparql_graphgroups": _kg_sparql_graphgroups,
         "kg_sparql_antijoin": _kg_sparql_antijoin,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_path": _kg_sparql_path,
@@ -1593,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_roundtrip": oracles.roundtrip_oracle(),
         "kg_sparql": oracles.sparql_turns_oracle(),
         "kg_sparql_graph": oracles.sparql_graph_oracle(),
+        "kg_sparql_graphgroups": oracles.sparql_graphgroups_oracle(),
         "kg_sparql_path": oracles.sparql_path_oracle(),
         "kg_sparql_construct": oracles.sparql_construct_oracle(),
         "kg_sparql_subselect": oracles.sparql_subselect_oracle(),

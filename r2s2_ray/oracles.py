@@ -633,3 +633,19 @@ def render_dialogs_oracle() -> str:
         SELECT conv_id, rendered, n_turns,
                CAST(length(rendered) AS BIGINT) AS n_chars
         FROM r"""
+
+
+def sparql_graphgroups_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_graphgroups``:
+    { GRAPH ?g { ?turn a ex:Turn . OPTIONAL { ?turn ex:mentions ?e } } } —
+    per-graph LeftJoin: the mentions edge must live in the SAME graph as the
+    type triple to extend the row."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj, graph FROM ({t})) "
+        f"SELECT DISTINCT ty.graph AS g, ty.subj AS turn, m.obj AS e "
+        f"FROM (SELECT subj, graph FROM t WHERE pred = {_q(RDF_TYPE)} "
+        f"AND obj = {_q(vocab.C_TURN)}) ty "
+        f"LEFT JOIN (SELECT subj, obj, graph FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) m "
+        f"ON m.subj = ty.subj AND m.graph = ty.graph"
+    )

@@ -1554,6 +1554,139 @@ def _query_tail(q: str) -> str:
     return mr(mq[mq.rindex("}") + 1 :])
 
 
+_GRAPH_OPEN_RE = re.compile(r"\bGRAPH\s+(\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*\{", re.I)
+
+_NONBIND_OPEN_RE = re.compile(r"\b(?:MINUS|FILTER\s+(?:NOT\s+)?EXISTS)\s*\{", re.I)
+
+
+def _scrub_nonbinding(body: str) -> str:
+    """Remove the spans of a group body that mention variables WITHOUT
+    binding them — MINUS { ... } and FILTER (NOT) EXISTS { ... } interiors
+    (balanced braces) and FILTER( ... ) expressions (balanced parens) — so a
+    variable scan over the remainder sees only binding positions."""
+    while True:
+        m = _NONBIND_OPEN_RE.search(body)
+        if not m:
+            break
+        j = _close_brace(body, m.end() - 1)
+        body = body[: m.start()] + " " + body[j:]
+    f_open = re.compile(r"\bFILTER\s*\(", re.I)
+    while True:
+        m = f_open.search(body)
+        if not m:
+            break
+        depth, j = 1, m.end()
+        while j < len(body) and depth:
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+            j += 1
+        body = body[: m.start()] + " " + body[j:]
+    return body
+
+
+def _distribute_graph_var(gtok: str, body: str) -> str:
+    """Distribute a variable-GRAPH group's braced children out of the group
+    (spec-equivalent rewrites — the graph variable joins the pieces back):
+
+    * ``GRAPH ?g { A OPTIONAL { B } }`` -> ``GRAPH ?g { A } OPTIONAL
+      { GRAPH ?g { B } }`` — equivalent while A binds ?g (empty A raises);
+    * ``GRAPH ?g { {X} UNION {Y} }`` -> ``{ GRAPH ?g {X} } UNION
+      { GRAPH ?g {Y} }`` — each branch binds ?g itself;
+    * ``VALUES`` blocks hoist verbatim (inline data is graph-independent).
+
+    Any other braced form inside the group keeps the flat scan's loud
+    reject downstream."""
+    body, opt_srcs = _extract_braced(body, _OPT_OPEN_RE)
+    hoisted = [f" OPTIONAL {{ GRAPH {gtok} {{ {c} }} }} " for c in opt_srcs]
+    body, v_matches = _take_depth0(body, _VALUES_RE)
+    hoisted += [" " + vm.group(0) + " " for vm in v_matches]
+    needs_anchor = bool(opt_srcs) or bool(v_matches)
+    whole = _split_union_branches(body)
+    if whole is not None:
+        hoisted.append(
+            " UNION ".join(f"{{ GRAPH {gtok} {{ {b} }} }}" for b in whole)
+        )
+        body = ""
+    else:
+        body, useqs = _extract_union_seqs(body)
+        for seq in useqs:
+            branches = _split_union_branches(seq)
+            if branches is None:
+                raise ValueError("unsupported UNION form inside GRAPH group")
+            hoisted.append(
+                " UNION ".join(f"{{ GRAPH {gtok} {{ {b} }} }}" for b in branches)
+            )
+    if re.search(r"[{}]", body):
+        # anything braced beyond OPTIONAL/UNION/VALUES (MINUS, EXISTS,
+        # subselects, bare groups) — reject HERE, loudly: re-emitting it
+        # under GRAPH ?var would re-enter the rewrite loop unchanged
+        raise ValueError(
+            "unsupported group form nested inside GRAPH ?var (supported "
+            "there: OPTIONAL, UNION, VALUES)"
+        )
+    if body.strip():
+        return f" GRAPH {gtok} {{ {body} }} " + " ".join(hoisted)
+    if needs_anchor or not hoisted:
+        raise ValueError(
+            "GRAPH ?var over OPTIONAL/VALUES needs its own triple patterns "
+            "in the group (something must bind the graph variable)"
+        )
+    return " ".join(hoisted)
+
+
+def _rewrite_graph_groups(inner: str, prefixes: dict[str, str]) -> str:
+    """Desugar depth-0 GRAPH groups whose body holds NESTED groups (braces)
+    — forms the flat GRAPH scan later in the parse would reject:
+
+    * constant graph: ``GRAPH <g> { body }`` -> the subselect ``{ SELECT *
+      FROM <g> WHERE { body } }``. A subselect's FROM pins its default
+      graph, which is exactly constant-GRAPH semantics, and the sub-parse
+      handles every group form (OPTIONAL/UNION/VALUES/MINUS/EXISTS/nested
+      subselects) through the one body grammar. (The outer query's own
+      FROM NAMED list, when present, is not re-checked against <g> — same
+      behavior as the flat constant-GRAPH scan.)
+    * variable graph: OPTIONAL / UNION / VALUES distribute out of the
+      group (see :func:`_distribute_graph_var`).
+
+    Operates on the MASKED body (literal placeholders move untouched); runs
+    before every other group extractor so the rewritten text flows through
+    the normal paths. Brace-free GRAPH groups pass through unchanged."""
+    out = inner
+    while True:
+        hit = None
+        for cand in _GRAPH_OPEN_RE.finditer(out):
+            if not _at_depth0(out, cand.start()):
+                continue
+            j = _close_brace(out, cand.end() - 1)
+            body = out[cand.end() : j - 1]
+            if re.search(r"[{}]", body):
+                hit = (cand, j, body)
+                break
+        if hit is None:
+            return out
+        cand, j, body = hit
+        gtok = cand.group(1)
+        if gtok.startswith("?"):
+            rep = _distribute_graph_var(gtok, body)
+        else:
+            g = _parse_term(gtok, prefixes)
+            if g.kind == "lit":
+                raise ValueError("GRAPH must name an IRI or variable")
+            # subselects need an explicit projection: project every variable
+            # the body BINDS (anon/path vars included — they are
+            # query-unique, so exposing them joins nothing by accident).
+            # MINUS / FILTER (NOT) EXISTS / FILTER(...) interiors do not
+            # bind, so their spans are scrubbed before collecting
+            body_vars = sorted(set(re.findall(r"\?(\w+)", _scrub_nonbinding(body))))
+            if not body_vars:
+                raise ValueError("GRAPH group with nested groups binds no variables")
+            proj = " ".join(f"?{v}" for v in body_vars)
+            rep = f" {{ SELECT {proj} FROM <{g.value}> WHERE {{ {body} }} }} "
+        out = out[: cand.start()] + rep + out[j:]
+
+
 def _kw_at_depth0(inner: str, kw: str) -> bool:
     """True when the bare keyword occurs OUTSIDE every braced group (masked
     text — literals cannot false-positive)."""
@@ -1747,6 +1880,10 @@ def parse_sparql(q: str) -> Query:
 
     inner = _ANON_RE.sub(_fresh, inner)
     inner = _BNODE_RE.sub(lambda m: f" ?__bn_{m.group(1)} ", inner)
+    # GRAPH groups holding nested groups desugar FIRST (constant graph ->
+    # FROM-pinned subselect; variable graph -> distributed OPTIONAL/UNION/
+    # VALUES) so the rewritten text flows through the normal group paths
+    inner = _rewrite_graph_groups(inner, prefixes)
     # whole-body UNION comes out FIRST (before subselect extraction — a
     # subselect inside a branch belongs to that branch's sub-parse): the body
     # is a sequence of balanced braced groups joined by UNION. Each branch

@@ -1909,3 +1909,73 @@ def test_sparql_strfuncs_encode_tz_sha():
         assert run(
             f"SELECT ?h WHERE {{ <e:b> <e:ts> ?t . BIND({fn}(?t) AS ?h) }}"
         ) == [(algo(ref).hexdigest(),)]
+
+
+def test_sparql_graph_nested_groups():
+    """GRAPH groups holding NESTED groups desugar instead of rejecting:
+    constant graph -> a FROM-pinned subselect (every group form legal
+    inside); variable graph -> OPTIONAL/UNION/VALUES distribute out with
+    the graph variable re-applied (spec-equivalent while the group's own
+    triples bind ?g). Ill-posed forms still raise."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:knows','e:b', NULL, NULL, 'g1'),
+          ('e:b','e:knows','e:c', NULL, NULL, 'g1'),
+          ('e:c','e:knows','e:d', NULL, NULL, 'g2'),
+          ('e:a','e:name','alice', NULL, NULL, 'g1'),
+          ('e:b','e:name','bob', NULL, NULL, 'g2'),
+          ('e:b','e:nick','bobby', NULL, NULL, 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    # constant GRAPH + nested OPTIONAL: bob's name lives in g2, so ?n is NULL
+    assert run(
+        "SELECT ?x ?n WHERE { GRAPH <g1> { ?x <e:knows> ?y . "
+        "OPTIONAL { ?x <e:name> ?n } } } ORDER BY ?x"
+    ) == [("e:a", "alice"), ("e:b", None)]
+    # variable GRAPH + nested OPTIONAL: optionality is PER GRAPH
+    assert run(
+        "SELECT ?g ?x ?n WHERE { GRAPH ?g { ?x <e:knows> ?y . "
+        "OPTIONAL { ?x <e:name> ?n } } } ORDER BY ?g ?x"
+    ) == [("g1", "e:a", "alice"), ("g1", "e:b", None), ("g2", "e:c", None)]
+    # UNION under both graph forms
+    assert run(
+        "SELECT ?g ?v WHERE { GRAPH ?g { { ?x <e:name> ?v } UNION "
+        "{ ?x <e:nick> ?v } } } ORDER BY ?g ?v"
+    ) == [("g1", "alice"), ("g1", "bobby"), ("g2", "bob")]
+    assert run(
+        "SELECT ?v WHERE { GRAPH <g1> { { ?x <e:name> ?v } UNION "
+        "{ ?x <e:nick> ?v } } } ORDER BY ?v"
+    ) == [("alice",), ("bobby",)]
+    # VALUES inside variable GRAPH hoists (inline data is graph-independent)
+    assert run(
+        'SELECT ?g ?x WHERE { GRAPH ?g { ?x <e:name> ?v VALUES ?v { "alice" "bob" } } } '
+        "ORDER BY ?g"
+    ) == [("g1", "e:a"), ("g2", "e:b")]
+    # constant GRAPH + MINUS / NOT EXISTS via the subselect path (MINUS-only
+    # variables must not leak into the synthesized projection)
+    assert run(
+        "SELECT ?x WHERE { GRAPH <g1> { ?x <e:knows> ?y . "
+        "MINUS { ?x <e:name> ?w } } }"
+    ) == [("e:b",)]
+    assert run(
+        "SELECT ?x WHERE { GRAPH <g1> { ?x <e:knows> ?y . "
+        "FILTER NOT EXISTS { ?x <e:name> ?w } } }"
+    ) == [("e:b",)]
+    for bad in [
+        # MINUS under a VARIABLE graph cannot distribute
+        "SELECT ?x WHERE { GRAPH ?g { ?x <e:p> ?y . MINUS { ?x <e:q> ?y } } }",
+        # nothing binds ?g
+        "SELECT ?x WHERE { GRAPH ?g { OPTIONAL { ?x <e:q> ?y } } }",
+    ]:
+        with pytest.raises(ValueError):
+            run(bad)
