@@ -634,6 +634,40 @@ def _dd_chunk_dedup(sf_dir: str):
     return chunk_dedup(docs, "doc_id", "text", chunk_size=32)
 
 
+def _dd_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup against persisted fingerprint state (the
+    corpus-side twin of kg_incremental): build the per-bucket fingerprint
+    state from EVEN doc ids, then dedup the ODD half as a delta — only the
+    delta crosses the exchange, each bucket's state file is read locally.
+    Returns the delta's survivors; phase-2 state append runs too (convergent
+    union), exercising the full increment cycle."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.stages.incremental import (
+        fp_dedup_delta,
+        fp_state_append,
+        fp_state_build,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def parity(p: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), p))
+
+        return fn
+
+    state = tempfile.mkdtemp(prefix="dd_incr_state_")
+    fp_state_build(docs.map_batches(parity(0), batch_format="pyarrow"), state)
+    kept = fp_dedup_delta(
+        docs.map_batches(parity(1), batch_format="pyarrow"), state
+    ).materialize()
+    fp_state_append(kept, state)
+    return kept.select_columns(["doc_id", "text"])
+
+
 def _txt_token_stats(sf_dir: str):
     import ray.data
 
@@ -1525,6 +1559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_events": relational.q_distinct_events,
         "q_user_cumsum": relational.q_user_cumsum,
         "q_rollup_docs": relational.q_rollup_docs,
+        "q_cube_docs": relational.q_cube_docs,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
         "q_lead_lag_delta": relational.q_lead_lag_delta,
@@ -1545,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "dd_exact_docs": _dd_exact_docs,
         "dd_chunk_dedup": _dd_chunk_dedup,
+        "dd_incremental_dedup": _dd_incremental_dedup,
         "td_prepare": _td_prepare,
         "td_render_dialogs": _td_render_dialogs,
         "dd_minhash_pairs": _dd_minhash,
@@ -1639,6 +1675,14 @@ def oracle_sql() -> dict[str, str]:
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dd_chunk_dedup": oracles_td.chunk_dedup_oracle(chunk_size=32),
+        # delta survivors: odd-id docs whose text is absent from the even
+        # half, first occurrence (min id) within the delta
+        "dd_incremental_dedup": """
+            WITH a AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+                 b AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+            SELECT min(doc_id) AS doc_id, text FROM b
+            WHERE text NOT IN (SELECT text FROM a)
+            GROUP BY text""",
         "txt_token_stats": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,

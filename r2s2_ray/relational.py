@@ -1284,3 +1284,67 @@ ORACLES["q_pivot_event_types"] = """
            CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
            CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
     FROM events GROUP BY user_id"""
+
+
+def q_cube_docs(sf_dir: str):
+    """GROUP BY CUBE (source, lang) — all four grouping sets. Same scale
+    shape as q_rollup_docs: the finest level is the ONE distributed exchange;
+    the other three sets ((source), (lang), ()) aggregate from the finest
+    RESULT (group-cardinality-sized), never a second input scan. The CUBE
+    adds the (lang)-only set ROLLUP omits."""
+    import polars as pl
+
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(b)
+            .group_by(["source", "lang"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_chars").sum().alias("n_chars"),
+            )
+            .to_arrow()
+        )
+
+    finest = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+        .take_all()
+    )
+    df = pl.DataFrame(
+        {
+            "source": [r["source"] for r in finest],
+            "lang": [r["lang"] for r in finest],
+            "n_docs": pl.Series([int(r["n_docs"]) for r in finest], dtype=pl.Int64),
+            "n_chars": pl.Series([int(r["n_chars"]) for r in finest], dtype=pl.Int64),
+        }
+    )
+    by_source = (
+        df.group_by("source")
+        .agg(pl.col("n_docs").sum(), pl.col("n_chars").sum())
+        .with_columns(pl.lit(None, dtype=pl.Utf8).alias("lang"))
+    )
+    by_lang = (
+        df.group_by("lang")
+        .agg(pl.col("n_docs").sum(), pl.col("n_chars").sum())
+        .with_columns(pl.lit(None, dtype=pl.Utf8).alias("source"))
+    )
+    total = df.select(
+        pl.lit(None, dtype=pl.Utf8).alias("source"),
+        pl.lit(None, dtype=pl.Utf8).alias("lang"),
+        pl.col("n_docs").sum(),
+        pl.col("n_chars").sum(),
+    )
+    cols = ["source", "lang", "n_docs", "n_chars"]
+    return pl.concat(
+        [df.select(cols), by_source.select(cols), by_lang.select(cols), total.select(cols)]
+    ).to_arrow()
+
+
+ORACLES["q_cube_docs"] = """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY CUBE (source, lang)"""

@@ -190,3 +190,180 @@ def state_folded(state_dir: str, namespaces=None) -> ray.data.Dataset:
     return ray.data.from_items(items).map_batches(
         fold_dir, batch_format="pyarrow", batch_size=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental EXACT-DEDUP state over document fingerprints — the corpus-side
+# twin of the quad state above: dedup each day's delta against everything
+# already ingested without rescanning it.
+# ---------------------------------------------------------------------------
+
+_FP_STATS_SCHEMA = pa.schema(
+    [("bucket", pa.int64()), ("n_old", pa.int64()), ("n_new", pa.int64())]
+)
+
+
+def _fp_bucket_rows(id_col: str, text_col: str, num_buckets: int):
+    """(id, text, fp, bucket) rows — fp = 64-bit polynomial content hash
+    (the SQL-mirrorable family), bucket = fp mod B. Block-local."""
+    import numpy as np
+
+    from ..functions.hashing import poly_hash_arr
+
+    def fn(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        fp = poly_hash_arr(col)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                text_col: col,
+                "fp": pa.array(fp.astype(np.int64), pa.int64()),
+                "bucket": pa.array((fp % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    return fn
+
+
+def _fp_write(state_dir: str, bucket: int, fps: pl.DataFrame) -> None:
+    fps = fps.sort("fp")
+    tbl = fps.to_arrow()
+    tag = block_tag(tbl, cols=("fp",))
+    d = _bucket_dir(state_dir, bucket)
+    fs_makedirs(d)
+    fs_write_table(tbl, f"{d}/fps-{tag}.parquet")
+    for f in fs_list_parquet(d):
+        if not f.endswith(f"fps-{tag}.parquet"):
+            fs_remove(f)
+
+
+def _fp_read(state_dir: str, bucket: int) -> pl.DataFrame | None:
+    d = _bucket_dir(state_dir, bucket)
+    if not fs_exists(d):
+        return None
+    files = fs_list_parquet(d)
+    if not files:
+        return None
+    return pl.concat([pl.from_arrow(fs_read_table(f)) for f in files])
+
+
+def fp_state_build(
+    docs: ray.data.Dataset,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> list[dict]:
+    """Initial fingerprint state: one file of DISTINCT content fingerprints
+    per hash bucket. One exchange over the corpus, then never again."""
+    fs_rmtree(state_dir)
+
+    def write(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        rows = []
+        for key, g in df.partition_by("bucket", as_dict=True).items():
+            b = int(key[0])
+            fps = g.select("fp").unique()
+            _fp_write(state_dir, b, fps)
+            rows.append({"bucket": b, "n_old": 0, "n_new": fps.height})
+        return (
+            pa.Table.from_pylist(rows, schema=_FP_STATS_SCHEMA)
+            if rows
+            else _FP_STATS_SCHEMA.empty_table()
+        )
+
+    return (
+        docs.map_batches(_fp_bucket_rows(id_col, text_col, num_buckets), batch_format="pyarrow")
+        .map_batches(lambda t: t.drop([text_col, id_col]), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(write, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+
+
+def fp_dedup_delta(
+    docs_delta: ray.data.Dataset,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """PHASE 1 (pure read — safe under task retries): the delta's survivors.
+    A delta row survives iff its fingerprint is absent from the state AND it
+    is the delta's first occurrence of that fingerprint (min id). Only the
+    delta crosses the exchange; each bucket's state file is read locally by
+    the task that owns that bucket.
+
+    State is NOT modified here — call :func:`fp_state_append` with the
+    survivors afterwards (the convergent second phase), so a retried phase-1
+    task can never observe its own side effects."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(_decode_dicts(t))
+        outs = []
+        for key, g in df.partition_by("bucket", as_dict=True).items():
+            b = int(key[0])
+            first = (
+                g.sort([id_col])
+                .unique(subset=["fp"], keep="first", maintain_order=True)
+            )
+            st = _fp_read(state_dir, b)
+            if st is not None and st.height:
+                first = first.join(st.select("fp"), on="fp", how="anti")
+            outs.append(first.select([id_col, text_col, "fp"]))
+        if not outs:
+            return pa.schema(
+                [(id_col, pa.int64()), (text_col, pa.string()), ("fp", pa.int64())]
+            ).empty_table()
+        return pl.concat(outs).to_arrow()
+
+    return (
+        docs_delta.map_batches(
+            _fp_bucket_rows(id_col, text_col, num_buckets), batch_format="pyarrow"
+        )
+        .sort("bucket")
+        .map_batches(keep, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def fp_state_append(
+    kept: ray.data.Dataset, state_dir: str, num_buckets: int = 32
+) -> list[dict]:
+    """PHASE 2 (convergent union — idempotent): fold the survivors'
+    fingerprints into the state, one content-tagged generation per touched
+    bucket. Re-running the same survivors rewrites identical files."""
+    import numpy as np
+
+    def bucket(t: pa.Table) -> pa.Table:
+        fp = t["fp"]
+        fp = fp.combine_chunks() if isinstance(fp, pa.ChunkedArray) else fp
+        u = fp.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {"fp": fp, "bucket": pa.array((u % np.uint64(num_buckets)).astype(np.int64))}
+        )
+
+    def write(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        rows = []
+        for key, g in df.partition_by("bucket", as_dict=True).items():
+            b = int(key[0])
+            new = g.select("fp").unique()
+            st = _fp_read(state_dir, b)
+            n_old = st.height if st is not None else 0
+            merged = pl.concat([st, new]).unique() if st is not None else new
+            _fp_write(state_dir, b, merged)
+            rows.append({"bucket": b, "n_old": n_old, "n_new": merged.height - n_old})
+        return (
+            pa.Table.from_pylist(rows, schema=_FP_STATS_SCHEMA)
+            if rows
+            else _FP_STATS_SCHEMA.empty_table()
+        )
+
+    return (
+        kept.select_columns(["fp"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(write, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )

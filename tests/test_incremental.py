@@ -83,3 +83,48 @@ def test_incremental_equals_one_shot_and_converges(ray_session, tmp_path):
     assert len(after) == len(dirs)
     for d in dirs:
         assert len(fs_list_parquet(d)) == 1
+
+
+def test_fp_incremental_dedup_cycle(ray_session, tmp_path):
+    """Fingerprint-state incremental dedup: delta survivors exclude
+    already-ingested texts and in-delta repeats (keep min id); after the
+    phase-2 append, re-running the SAME delta yields zero survivors and the
+    append is convergent (identical state files)."""
+    import glob
+
+    import ray.data
+
+    from r2s2_ray.stages.incremental import (
+        fp_dedup_delta,
+        fp_state_append,
+        fp_state_build,
+    )
+
+    state = str(tmp_path / "fpstate")
+    base = ray.data.from_items(
+        [{"doc_id": 1, "text": "alpha beta"}, {"doc_id": 2, "text": "gamma delta"}]
+    )
+    fp_state_build(base, state, num_buckets=4)
+
+    delta = ray.data.from_items(
+        [
+            {"doc_id": 11, "text": "alpha beta"},  # already ingested -> drop
+            {"doc_id": 12, "text": "epsilon zeta"},  # fresh -> keep
+            {"doc_id": 13, "text": "epsilon zeta"},  # in-delta repeat -> drop
+            {"doc_id": 14, "text": "eta theta"},  # fresh -> keep
+        ]
+    ).repartition(3)
+    kept = fp_dedup_delta(delta, state, num_buckets=4).materialize()
+    got = sorted((r["doc_id"], r["text"]) for r in kept.take_all())
+    assert got == [(12, "epsilon zeta"), (14, "eta theta")]
+
+    fp_state_append(kept, state, num_buckets=4)
+    files1 = sorted(glob.glob(f"{state}/bucket=*/fps-*.parquet"))
+    # the same delta now fully deduplicates...
+    again = fp_dedup_delta(delta, state, num_buckets=4).materialize()
+    assert again.count() == 0
+    # ...and re-appending the (empty) survivors or re-appending the original
+    # kept set leaves the state byte-identical (content-tagged convergence)
+    fp_state_append(kept, state, num_buckets=4)
+    files2 = sorted(glob.glob(f"{state}/bucket=*/fps-*.parquet"))
+    assert files1 == files2
