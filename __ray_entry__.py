@@ -943,6 +943,22 @@ def _txt_classifier_score(sf_dir: str):
     )
 
 
+def _td_filter_chain(sf_dir: str):
+    """Composite corpus-filter decision pass (C4/Gopher-style): five
+    integer rules (length, alpha ratio, word repetition, top-bigram spam,
+    hashed-BoW classifier) evaluated in ONE block-local sweep — per-doc
+    reason bitmask + keep flag, zero exchanges."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import filter_chain
+
+    return filter_chain(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+    )
+
+
 def _io_jsonl_roundtrip(sf_dir: str):
     """JSONL sink -> source roundtrip (the LLM-corpus interchange format):
     documents written as line-delimited JSON shards (one file per block,
@@ -1626,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ann_pq": _sim_ann_pq,
         "txt_hashed_bow": _txt_hashed_bow,
         "txt_classifier_score": _txt_classifier_score,
+        "td_filter_chain": _td_filter_chain,
         "td_weighted_sample": _td_weighted_sample,
     }
 
@@ -1768,6 +1785,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),
         "txt_hashed_bow": oracles_td.hashed_bow_oracle(dim_bits=8),
         "txt_classifier_score": oracles_td.classifier_score_oracle(dim_bits=8),
+        "td_filter_chain": oracles_td.filter_chain_oracle(dim_bits=8),
         "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),

@@ -1228,3 +1228,114 @@ def classifier_score(
         return out.to_arrow()
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def filter_chain(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    dim_bits: int = 8,
+    min_tokens: int = 20,
+) -> ray.data.Dataset:
+    """The composite corpus-filter DECISION pass (C4/Gopher-style): every
+    heuristic evaluated in ONE block-local sweep, emitting an integer reason
+    BITMASK per document plus the final keep flag — the auditability shape a
+    production pipeline needs (why did this doc drop?), without re-scanning
+    the corpus once per rule.
+
+    Bits (all-integer rules, SQL-mirrored by the oracle):
+      1  too_short        n_tokens < min_tokens
+      2  low_alpha        2*n_alpha < n_chars        (alpha ratio < 0.5)
+      4  repetitive       5*n_dup_words > n_words    (dup fraction > 0.2)
+      8  bigram_spam      10*top_bigram_n > n_bigrams AND n_bigrams >= 10
+      16 classifier       hashed-BoW linear score < 0 (see classifier_score)
+
+    keep = reasons == 0. Zero exchanges at any corpus size."""
+    from .hashing import K_A, K_B, poly_hash_arr
+
+    n_buckets = 1 << dim_bits
+    mask = np.uint64(n_buckets - 1)
+    b = np.arange(n_buckets, dtype=np.uint64)
+    weights = (
+        ((b * np.uint64(K_A) + np.uint64(K_B)) >> np.uint64(4)) % np.uint64(17)
+    ).astype(np.int64) - 8
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        base = df.select(
+            pl.col(id_col),
+            pl.col(text_col).str.len_chars().cast(pl.Int64).alias("n_chars"),
+            pl.col(text_col).str.count_matches(r"[a-z0-9]+").cast(pl.Int64).alias("n_tokens"),
+            pl.col(text_col).str.count_matches(r"[A-Za-z]").cast(pl.Int64).alias("n_alpha"),
+        )
+        words = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase().str.split(" ").alias("tok")
+            )
+            .explode("tok")
+            .filter(pl.col("tok").str.len_chars() > 0)
+            .select([id_col, "tok"])
+        )
+        wd = words.group_by(id_col).agg(
+            n_words=pl.len().cast(pl.Int64),
+            n_dup_words=(pl.len() - pl.col("tok").n_unique()).cast(pl.Int64),
+        )
+        bg = (
+            words.with_columns(pl.col("tok").shift(-1).over(id_col).alias("nxt"))
+            .drop_nulls("nxt")
+            .with_columns(
+                pl.concat_str([pl.col("tok"), pl.col("nxt")], separator=" ").alias("bg")
+            )
+            .group_by([id_col, "bg"])
+            .len()
+            .group_by(id_col)
+            .agg(
+                n_bigrams=pl.col("len").sum().cast(pl.Int64),
+                top_bigram_n=pl.col("len").max().cast(pl.Int64),
+            )
+        )
+        ctoks = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase().str.extract_all(r"[a-z0-9]+").alias("ct")
+            )
+            .select([id_col, "ct"])
+            .explode("ct")
+            .drop_nulls("ct")
+        )
+        if ctoks.height:
+            t = ctoks.to_arrow()
+            col = t["ct"]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            dim = (poly_hash_arr(col) & mask).astype(np.int64)
+            cls = (
+                pl.DataFrame({id_col: pl.from_arrow(t[id_col]), "wt": weights[dim]})
+                .group_by(id_col)
+                .agg(pl.col("wt").sum().cast(pl.Int64).alias("score"))
+            )
+        else:
+            cls = pl.DataFrame(
+                {id_col: pl.Series([], dtype=base[id_col].dtype), "score": pl.Series([], dtype=pl.Int64)}
+            )
+        out = (
+            base.join(wd, on=id_col, how="left")
+            .join(bg, on=id_col, how="left")
+            .join(cls, on=id_col, how="left")
+            .fill_null(0)
+        )
+        out = out.with_columns(
+            (
+                (pl.col("n_tokens") < min_tokens).cast(pl.Int64) * 1
+                + (2 * pl.col("n_alpha") < pl.col("n_chars")).cast(pl.Int64) * 2
+                + (5 * pl.col("n_dup_words") > pl.col("n_words")).cast(pl.Int64) * 4
+                + (
+                    (10 * pl.col("top_bigram_n") > pl.col("n_bigrams"))
+                    & (pl.col("n_bigrams") >= 10)
+                ).cast(pl.Int64)
+                * 8
+                + (pl.col("score") < 0).cast(pl.Int64) * 16
+            ).alias("reasons")
+        ).with_columns((pl.col("reasons") == 0).cast(pl.Int64).alias("keep"))
+        return out.select([id_col, "reasons", "keep"]).to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")

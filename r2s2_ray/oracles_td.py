@@ -1239,3 +1239,59 @@ def chunk_dedup_oracle(chunk_size: int = 32, occ_base: int = 1 << 20) -> str:
                CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
                n_total
         FROM tot LEFT JOIN agg USING (doc_id)"""
+
+
+def filter_chain_oracle(dim_bits: int = 8, min_tokens: int = 20) -> str:
+    """SQL mirror of ``textstats.filter_chain``: the same five integer rules
+    composed from the quality / repetition / classifier oracle fragments,
+    reason bitmask + keep flag per document."""
+    from .functions.hashing import K_A, K_B
+
+    d = 1 << dim_bits
+    aff = (
+        f"(({_mulmod('b', str(K_A), str(K_A % 2**32))} + {K_B}) "
+        f"% CAST('{U64}' AS HUGEINT))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+base AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
+         FROM d),
+w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks FROM d),
+wd AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(toks) - len(list_distinct(toks)) AS BIGINT) AS n_dup_words
+       FROM w),
+bgr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b FROM w),
+bgc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS top_bigram_n
+        FROM (SELECT doc_id, b, count(*) AS c FROM bgr GROUP BY doc_id, b) GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM d),
+hx AS (SELECT doc_id, hex(encode(tok)) AS h FROM tok),
+hh AS (SELECT doc_id, {_poly_hash('h')} AS f FROM hx),
+dim AS (SELECT doc_id, {_unsigned('f')} % {d} AS b FROM hh),
+wt AS (SELECT doc_id, CAST((({aff} // 16) % 17) AS BIGINT) - 8 AS wt FROM dim),
+cls AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score FROM wt GROUP BY doc_id),
+j AS (SELECT base.doc_id,
+        n_tokens, n_chars, n_alpha,
+        coalesce(wd.n_words, 0) AS n_words,
+        coalesce(wd.n_dup_words, 0) AS n_dup_words,
+        coalesce(bgc.n_bigrams, 0) AS n_bigrams,
+        coalesce(bgc.top_bigram_n, 0) AS top_bigram_n,
+        coalesce(cls.score, 0) AS score
+      FROM base LEFT JOIN wd USING (doc_id)
+                LEFT JOIN bgc USING (doc_id)
+                LEFT JOIN cls USING (doc_id))
+SELECT doc_id,
+  CAST(CASE WHEN n_tokens < {min_tokens} THEN 1 ELSE 0 END
+     + CASE WHEN 2 * n_alpha < n_chars THEN 2 ELSE 0 END
+     + CASE WHEN 5 * n_dup_words > n_words THEN 4 ELSE 0 END
+     + CASE WHEN 10 * top_bigram_n > n_bigrams AND n_bigrams >= 10 THEN 8 ELSE 0 END
+     + CASE WHEN score < 0 THEN 16 ELSE 0 END AS BIGINT) AS reasons,
+  CAST(CASE WHEN n_tokens < {min_tokens} THEN 1 ELSE 0 END
+     + CASE WHEN 2 * n_alpha < n_chars THEN 2 ELSE 0 END
+     + CASE WHEN 5 * n_dup_words > n_words THEN 4 ELSE 0 END
+     + CASE WHEN 10 * top_bigram_n > n_bigrams AND n_bigrams >= 10 THEN 8 ELSE 0 END
+     + CASE WHEN score < 0 THEN 16 ELSE 0 END = 0 AS BIGINT) AS keep
+FROM j"""

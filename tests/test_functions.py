@@ -1127,3 +1127,52 @@ def test_render_dialogs_cross_block_order(ray_session):
         assert got[conv]["rendered"] == want
         assert got[conv]["n_turns"] == 4
         assert got[conv]["n_chars"] == len(want)
+
+
+def test_filter_chain_bits(ray_session):
+    """filter_chain: each rule's bit fires on a doc crafted to trip exactly
+    it (modulo the classifier, whose sign is data-dependent — asserted via
+    the shared weight contract), and a clean long document keeps."""
+    import re
+
+    import ray.data
+
+    from r2s2_ray.functions.hashing import K_A, K_B, poly_hash_one
+    from r2s2_ray.functions.textstats import filter_chain
+
+    def cls_bit(text: str) -> int:
+        s = 0
+        for t in re.findall(r"[a-z0-9]+", text.lower()):
+            b = poly_hash_one(t) & 255
+            s += int(((b * K_A + K_B) % (1 << 64)) >> 4) % 17 - 8
+        return 16 if s < 0 else 0
+
+    # 30 distinct fully-alphabetic words -> not short, high alpha ratio,
+    # no dups, bigrams all unique
+    al = "abcdefghij"
+    clean = " ".join(f"{al[i // 10]}{al[i % 10]}z" for i in range(30))
+    short = "one two three"
+    low_alpha = "1 2 3 4 5 6 7 8 9 0 " * 4  # digits tokenize but aren't alpha
+    # >20% duplicate words, still 30 tokens
+    repet = " ".join(["dup"] * 12 + [f"u{i}q" for i in range(18)])
+    # one bigram dominating: "ab cd ab cd ..." (top pair > 10% of >= 10)
+    spam = " ".join(["ab", "cd"] * 15)
+
+    docs = [
+        {"doc_id": 1, "text": clean},
+        {"doc_id": 2, "text": short},
+        {"doc_id": 3, "text": low_alpha},
+        {"doc_id": 4, "text": repet},
+        {"doc_id": 5, "text": spam},
+    ]
+    got = {
+        r["doc_id"]: (r["reasons"], r["keep"])
+        for r in filter_chain(ray.data.from_items(docs), "doc_id", "text").take_all()
+    }
+    assert got[1] == (cls_bit(clean), 1 if cls_bit(clean) == 0 else 0)
+    assert got[2][0] & 1  # too short
+    assert got[3][0] & 2  # low alpha ratio
+    assert got[4][0] & 4 and not got[4][0] & 1  # repetitive, not short
+    assert got[5][0] & 8  # bigram spam
+    for did in (2, 3, 4, 5):
+        assert got[did][1] == 0
