@@ -943,6 +943,23 @@ def _txt_classifier_score(sf_dir: str):
     )
 
 
+def _td_interleave_plan(sf_dir: str):
+    """Weighted-fair source interleaving schedule (deterministic data-mixing
+    order): per-source rank + integer virtual time — sources appear in
+    ORDER BY vt proportionally to their affine-hash weights. Dense-rank
+    distribution: driver traffic = one count per (source, id-range
+    bucket)."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import interleave_plan
+
+    return interleave_plan(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+    )
+
+
 def _td_filter_chain(sf_dir: str):
     """Composite corpus-filter decision pass (C4/Gopher-style): five
     integer rules (length, alpha ratio, word repetition, top-bigram spam,
@@ -1576,6 +1593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_cumsum": relational.q_user_cumsum,
         "q_rollup_docs": relational.q_rollup_docs,
         "q_cube_docs": relational.q_cube_docs,
+        "q_funnel": relational.q_funnel,
+        "q_retention_cohorts": relational.q_retention_cohorts,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
         "q_lead_lag_delta": relational.q_lead_lag_delta,
@@ -1643,6 +1662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_hashed_bow": _txt_hashed_bow,
         "txt_classifier_score": _txt_classifier_score,
         "td_filter_chain": _td_filter_chain,
+        "td_interleave_plan": _td_interleave_plan,
         "td_weighted_sample": _td_weighted_sample,
     }
 
@@ -1786,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_hashed_bow": oracles_td.hashed_bow_oracle(dim_bits=8),
         "txt_classifier_score": oracles_td.classifier_score_oracle(dim_bits=8),
         "td_filter_chain": oracles_td.filter_chain_oracle(dim_bits=8),
+        "td_interleave_plan": oracles_td.interleave_plan_oracle(),
         "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),

@@ -1339,3 +1339,99 @@ def filter_chain(
         return out.select([id_col, "reasons", "keep"]).to_arrow()
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def interleave_plan(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    *,
+    scale: int = 840,
+    bucket_shift: int = 10,
+) -> ray.data.Dataset:
+    """Weighted-fair source interleaving plan (the deterministic data-mixing
+    schedule a training job consumes instead of an RNG sampler): every
+    document gets a virtual time ``vt = ((r + 1) * scale) // weight(source)``
+    where ``r`` is its rank WITHIN its source (doc-id order) and the weight
+    is the deterministic ``1 + poly_hash(source) % 4`` — sources with weight
+    w appear w times as often in ``ORDER BY vt`` (weighted fair queueing's
+    virtual-finish-time rule, integer-exact).
+
+    Distribution is the dense-rank shape (see training_shuffle): ranks come
+    from order-preserving doc-id RANGE buckets (``id >> bucket_shift``) —
+    pass 1 aggregates one count per (source, bucket) (metadata-scale for
+    dense ids; the counts table is the only driver traffic), pass 2 sorts on
+    the bucket alone and ranks blocks locally plus their (source, bucket)
+    offset. Output: (id, source, r, vt)."""
+    from ray.data.aggregate import Count
+
+    from .hashing import poly_hash_one
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            b[id_col].combine_chunks().to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                source_col: b[source_col],
+                "bucket": pa.array(ids >> bucket_shift, pa.int64()),
+            }
+        )
+
+    keyed_ds = (
+        ds.select_columns([id_col, source_col])
+        .map_batches(keyed, batch_format="pyarrow")
+        .materialize()
+    )
+    counts = (
+        keyed_ds.groupby([source_col, "bucket"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for r in counts:
+        by_source.setdefault(r[source_col], []).append((int(r["bucket"]), int(r["n"])))
+    off_rows = []
+    for s, pairs in by_source.items():
+        acc = 0
+        for bk, n in sorted(pairs):
+            off_rows.append({source_col: s, "bucket": bk, "off": acc})
+            acc += n
+    offsets = pl.DataFrame(
+        off_rows,
+        schema={source_col: pl.Utf8, "bucket": pl.Int64, "off": pl.Int64},
+    )
+    weights = pl.DataFrame(
+        {
+            source_col: pl.Series(sorted(by_source), dtype=pl.Utf8),
+            "wgt": pl.Series(
+                [1 + int(poly_hash_one(s) % 4) for s in sorted(by_source)],
+                dtype=pl.Int64,
+            ),
+        }
+    )
+
+    def block(b: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(b)
+            .sort([source_col, "bucket", id_col])
+            .with_columns(
+                (pl.col(id_col).cum_count().over([source_col, "bucket"]) - 1)
+                .cast(pl.Int64)
+                .alias("lr")
+            )
+            .join(offsets, on=[source_col, "bucket"], how="left")
+            .join(weights, on=source_col, how="left")
+        )
+        out = df.select(
+            pl.col(id_col),
+            pl.col(source_col),
+            (pl.col("off") + pl.col("lr")).alias("r"),
+            (((pl.col("off") + pl.col("lr") + 1) * scale) // pl.col("wgt")).alias("vt"),
+        )
+        return out.to_arrow()
+
+    return keyed_ds.sort("bucket").map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

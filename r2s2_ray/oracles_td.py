@@ -1295,3 +1295,20 @@ SELECT doc_id,
      + CASE WHEN 10 * top_bigram_n > n_bigrams AND n_bigrams >= 10 THEN 8 ELSE 0 END
      + CASE WHEN score < 0 THEN 16 ELSE 0 END = 0 AS BIGINT) AS keep
 FROM j"""
+
+
+def interleave_plan_oracle(scale: int = 840) -> str:
+    """SQL mirror of ``textstats.interleave_plan``: per-source doc-id-order
+    rank, deterministic weight 1 + poly_hash(source) % 4 via the shared hash
+    family, integer virtual time ((r+1)*scale) // weight."""
+    return f"""
+WITH r AS (SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                  AS BIGINT) AS r
+           FROM documents),
+hx AS (SELECT DISTINCT source, hex(encode(source)) AS h FROM documents),
+fp AS (SELECT source, {_poly_hash('h')} AS f FROM hx),
+wt AS (SELECT source, 1 + CAST({_unsigned('f')} % 4 AS BIGINT) AS wgt FROM fp)
+SELECT r.doc_id, r.source, r.r,
+       CAST(((r.r + 1) * {scale}) // wt.wgt AS BIGINT) AS vt
+FROM r JOIN wt USING (source)"""

@@ -1348,3 +1348,139 @@ ORACLES["q_cube_docs"] = """
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS n_chars
     FROM documents GROUP BY CUBE (source, lang)"""
+
+
+def q_funnel(sf_dir: str, num_buckets: int = 32):
+    """Ordered-event FUNNEL (signup -> view -> purchase): per-stage user
+    counts where each stage must happen strictly AFTER the user's first
+    completion of the previous stage — the product-analytics shape that
+    needs per-user event-time ordering, not plain filters.
+
+    One bucket-sort co-locates each user's events; the per-block pass
+    computes first-signup, first-view-after-signup, first-purchase-after-
+    that-view (three vectorized conditional mins); stage totals are the one
+    tiny aggregate that leaves the blocks."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        s = (
+            df.filter(pl.col("event_type") == "signup")
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("t_signup"))
+        )
+        v = (
+            df.filter(pl.col("event_type") == "view")
+            .join(s, on="user_id", how="inner")
+            .filter(pl.col("ts") > pl.col("t_signup"))
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("t_view"))
+        )
+        p = (
+            df.filter(pl.col("event_type") == "purchase")
+            .join(v, on="user_id", how="inner")
+            .filter(pl.col("ts") > pl.col("t_view"))
+            .group_by("user_id")
+            .agg(pl.col("ts").min().alias("t_purchase"))
+        )
+        return pa.table(
+            {
+                "n_signup": pa.array([s.height], pa.int64()),
+                "n_view_after": pa.array([v.height], pa.int64()),
+                "n_purchase_after": pa.array([p.height], pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    tot = {
+        k: sum(int(r[k]) for r in partials)
+        for k in ("n_signup", "n_view_after", "n_purchase_after")
+    }
+    return pa.table(
+        {
+            "stage": pa.array(["1_signup", "2_view", "3_purchase"], pa.string()),
+            "n_users": pa.array(
+                [tot["n_signup"], tot["n_view_after"], tot["n_purchase_after"]],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q_retention_cohorts(sf_dir: str, num_buckets: int = 32):
+    """Cohort retention: users grouped by FIRST-event day (the cohort), then
+    distinct active users per (cohort_day, day_offset) — the other standard
+    product-analytics table. One bucket-sort co-locates each user's events,
+    so cohort assignment AND per-(cohort, offset, user) dedup are block-local;
+    the only exchange after the sort is the tiny (cohort, offset) count."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).with_columns(pl.col("ts").dt.date().alias("day"))
+        first = df.group_by("user_id").agg(pl.col("day").min().alias("cohort_day"))
+        act = (
+            df.join(first, on="user_id", how="inner")
+            .with_columns(
+                (pl.col("day") - pl.col("cohort_day")).dt.total_days().cast(pl.Int64).alias("day_offset")
+            )
+            .unique(subset=["cohort_day", "day_offset", "user_id"])
+            .group_by(["cohort_day", "day_offset"])
+            .agg(pl.len().cast(pl.Int64).alias("n_users"))
+            .with_columns(pl.col("cohort_day").cast(pl.Utf8).alias("cohort_day"))
+        )
+        return act.to_arrow()
+
+    return (
+        ds.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("n_users"),
+                "n_users",
+                pc.cast(t["n_users"], pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ORACLES["q_funnel"] = """
+    WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+         v AS (SELECT e.user_id, min(e.ts) AS t_view
+               FROM events e JOIN s USING (user_id)
+               WHERE e.event_type = 'view' AND e.ts > s.t_signup
+               GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+               FROM events e JOIN v USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+               GROUP BY e.user_id)
+    SELECT * FROM (VALUES
+      ('1_signup',   (SELECT CAST(count(*) AS BIGINT) FROM s)),
+      ('2_view',     (SELECT CAST(count(*) AS BIGINT) FROM v)),
+      ('3_purchase', (SELECT CAST(count(*) AS BIGINT) FROM p))
+    ) t(stage, n_users)"""
+
+ORACLES["q_retention_cohorts"] = """
+    WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+               FROM events GROUP BY user_id)
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+             AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY f.cohort_day, day_offset"""

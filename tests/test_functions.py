@@ -1176,3 +1176,44 @@ def test_filter_chain_bits(ray_session):
     assert got[5][0] & 8  # bigram spam
     for did in (2, 3, 4, 5):
         assert got[did][1] == 0
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    """q_funnel: stage k counts only users whose stage-k event happens
+    strictly AFTER their first stage-(k-1) completion — crafted users drop
+    out at every stage, including the view-BEFORE-signup trap."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.relational import q_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, uid, offset_min, typ):
+        return {
+            "event_id": i,
+            "ts": t0 + dt.timedelta(minutes=offset_min),
+            "user_id": uid,
+            "event_type": typ,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    rows = [
+        # u1: full funnel in order
+        ev(1, 1, 0, "signup"), ev(2, 1, 10, "view"), ev(3, 1, 20, "purchase"),
+        # u2: view BEFORE signup only -> counts for signup, NOT view
+        ev(4, 2, 0, "view"), ev(5, 2, 10, "signup"),
+        # u3: signup + view, purchase BEFORE view -> not counted at stage 3
+        ev(6, 3, 0, "signup"), ev(7, 3, 5, "purchase"), ev(8, 3, 10, "view"),
+        # u4: never signs up -> appears nowhere
+        ev(9, 4, 0, "view"), ev(10, 4, 5, "purchase"),
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = {r["stage"]: r["n_users"] for r in q_funnel(str(d)).to_pylist()}
+    assert got == {"1_signup": 3, "2_view": 2, "3_purchase": 1}
