@@ -1331,6 +1331,26 @@ def _mm_image_features(sf_dir: str):
     return image_features(docs.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _mm_phash_neardup(sf_dir: str):
+    """Perceptual-hash near-dup canonicalization over the multimodal family's
+    deterministic decode stand-in: average-hash signature per payload (actor
+    pool), exact-signature groups canonicalized by one signature-bucketed
+    sort — the image-dedup shape with real Ray plumbing and a bit-exact SQL
+    oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import phash_neardup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pc.cast(b["text"], pa.binary())}
+        )
+
+    return phash_neardup(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _mm_audio_frames(sf_dir: str):
     import ray.data
 
@@ -1646,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_pack": _td_pack,
         "mm_binary_stats": _mm_binary_stats,
         "mm_image_features": _mm_image_features,
+        "mm_phash_neardup": _mm_phash_neardup,
         "mm_audio_frames": _mm_audio_frames,
         "mm_video_frames": _mm_video_frames,
         "sim_bm25": _sim_bm25,
@@ -1838,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_embedding_lsh": oracles_td.embedding_lsh_oracle(),
         "sim_ann_lsh": oracles_td.ann_lsh_oracle(),
         "mm_image_features": oracles_td.image_features_oracle(),
+        "mm_phash_neardup": oracles_td.phash_neardup_oracle(),
         "mm_audio_frames": oracles_td.audio_frames_oracle(),
         "mm_video_frames": oracles_td.video_frames_oracle(),
         "kg_connected_components": oracles_td.connected_components_oracle(),

@@ -217,3 +217,77 @@ def sample_frames(ds: ray.data.Dataset, stride: int = 10, *, batch_size: int = 6
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class PHash:
+    """Average-hash perceptual signature over the decoded byte stream (the
+    pHash-family image-dedup primitive; the decode is the same deterministic
+    sha-chain STUB as ImageDecode, so the SQL oracle reproduces signatures
+    bit-for-bit): bit i is set iff byte_i > floor(mean(bytes)). Emits one
+    (media_id, phash int64) row per payload."""
+
+    def __init__(self, n_bytes: int = 64):
+        self.n_bytes = n_bytes
+        self._weights = (np.uint64(1) << np.arange(n_bytes % 64 or 64, dtype=np.uint64))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out = []
+        for p in b["payload"].to_pylist():
+            d = _sha_stream(p, self.n_bytes).astype(np.uint64)
+            mean = np.uint64(int(d.sum()) // self.n_bytes)
+            bits = d > mean
+            h = np.uint64(0)
+            for i in np.flatnonzero(bits):
+                h |= np.uint64(1) << np.uint64(int(i) % 64)
+            out.append(np.int64(h))
+        return pa.table(
+            {
+                "media_id": b["media_id"],
+                "phash": pa.array([int(x) for x in out], pa.int64()),
+            }
+        )
+
+
+def phash_neardup(
+    ds: ray.data.Dataset,
+    *,
+    n_bytes: int = 64,
+    num_buckets: int = 32,
+    batch_size: int = 256,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Perceptual-hash near-dup canonicalization: signature per payload
+    (actor pool), then ONE signature-bucketed sort co-locates equal
+    signatures and a block-local group-min assigns every media its canonical
+    id — the exact-dedup shape on the perceptual key. Output
+    (media_id, phash, canon_id)."""
+    import polars as pl
+
+    sigs = ds.map_batches(
+        PHash,
+        fn_constructor_args=(n_bytes,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = b["phash"]
+        h = h.combine_chunks() if isinstance(h, pa.ChunkedArray) else h
+        u = h.to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "bucket", pa.array((u % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def canon(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = df.with_columns(
+            pl.col("media_id").min().over("phash").alias("canon_id")
+        )
+        return out.select(["media_id", "phash", "canon_id"]).to_arrow()
+
+    return (
+        sigs.map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(canon, batch_format="pyarrow", batch_size=None)
+    )

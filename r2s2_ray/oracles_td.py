@@ -1312,3 +1312,33 @@ wt AS (SELECT source, 1 + CAST({_unsigned('f')} % 4 AS BIGINT) AS wgt FROM fp)
 SELECT r.doc_id, r.source, r.r,
        CAST(((r.r + 1) * {scale}) // wt.wgt AS BIGINT) AS vt
 FROM r JOIN wt USING (source)"""
+
+
+def phash_neardup_oracle(n_bytes: int = 64) -> str:
+    """SQL mirror of ``multimodal.phash_neardup``: sha-chain byte stream,
+    average-hash bits (byte > floor(mean)), bit i weighted 2^i (HUGEINT sum
+    wrapped to signed int64), canonical id = min media_id per signature."""
+    n_digests = -(-n_bytes // 32)
+    chain = ["sha256(text)"]
+    for _ in range(n_digests - 1):
+        chain.append(f"sha256({chain[-1]})")
+    hx = f"upper({' || '.join(chain)})"
+    weights = ", ".join(f"CAST('{1 << (i % 64)}' AS HUGEINT)" for i in range(n_bytes))
+    u = (
+        "sum(CASE WHEN l[i + 1] > mean THEN w[i + 1] "
+        "ELSE CAST(0 AS HUGEINT) END)"
+    )
+    return f"""
+WITH hx AS (SELECT doc_id AS media_id, substr({hx}, 1, {2 * n_bytes}) AS h
+            FROM documents),
+b AS (SELECT media_id, {_bytes_of_hex('h')} AS l FROM hx),
+m AS (SELECT media_id, l, list_aggregate(l, 'sum') // {n_bytes} AS mean,
+             [{weights}] AS w
+      FROM b),
+bits AS (SELECT media_id, l, mean, w, unnest(range({n_bytes})) AS i FROM m),
+hv AS (SELECT media_id, {u} % CAST('{U64}' AS HUGEINT) AS hu
+       FROM bits GROUP BY media_id),
+ph AS (SELECT media_id, {_signed('hu')} AS phash FROM hv)
+SELECT media_id, phash,
+       min(media_id) OVER (PARTITION BY phash) AS canon_id
+FROM ph"""

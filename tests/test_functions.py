@@ -1217,3 +1217,24 @@ def test_funnel_strict_ordering(ray_session, tmp_path):
     pq.write_table(tbl, str(d / "events.parquet"))
     got = {r["stage"]: r["n_users"] for r in q_funnel(str(d)).to_pylist()}
     assert got == {"1_signup": 3, "2_view": 2, "3_purchase": 1}
+
+
+def test_phash_neardup_groups(ray_session):
+    """phash_neardup: identical payloads share a signature and canonicalize
+    to the min media_id; distinct payloads keep their own canon."""
+    import pyarrow as pa
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import phash_neardup
+
+    rows = [
+        {"media_id": 1, "payload": b"same-bytes"},
+        {"media_id": 2, "payload": b"other-bytes"},
+        {"media_id": 5, "payload": b"same-bytes"},  # dup of 1
+        {"media_id": 7, "payload": b"third"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = {r["media_id"]: (r["phash"], r["canon_id"]) for r in phash_neardup(ds).take_all()}
+    assert got[1][0] == got[5][0] and got[5][1] == 1 and got[1][1] == 1
+    assert got[2][1] == 2 and got[7][1] == 7
+    assert len({got[1][0], got[2][0], got[7][0]}) == 3
