@@ -859,6 +859,29 @@ def _sim_ann_bruteforce(sf_dir: str):
     )
 
 
+def _sim_knn_classify(sf_dir: str):
+    """kNN label classification: exact cosine top-10 per query vector with
+    labels carried through the scorer (no second scan), driver majority vote
+    (tie -> smallest label) — deterministic, hash-matched vs the window-
+    function SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import knn_classify
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    rows = knn_classify(ds, q, "vec_id", "embedding", "label", k=10)
+    return pa.table(
+        {
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "label_pred": pa.array([r["label_pred"] for r in rows], pa.int64()),
+            "n_votes": pa.array([r["n_votes"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _sim_ann_lsh(sf_dir: str):
     import ray.data
 
@@ -1645,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_ngram_jaccard": _dd_ngram,
         "sim_ann_bruteforce": _sim_ann_bruteforce,
         "sim_ann_lsh": _sim_ann_lsh,
+        "sim_knn_classify": _sim_knn_classify,
         "txt_token_stats": _txt_token_stats,
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
@@ -1858,6 +1882,25 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_pairs": oracles_td.minhash_pairs_oracle(),
         "dd_embedding_lsh": oracles_td.embedding_lsh_oracle(),
         "sim_ann_lsh": oracles_td.ann_lsh_oracle(),
+        "sim_knn_classify": """
+            WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+                 s AS (SELECT q.qid, e.vec_id, e.label,
+                              list_cosine_similarity(q.embedding, e.embedding) AS cos
+                       FROM q CROSS JOIN embeddings e),
+                 top AS (SELECT qid, label FROM (
+                           SELECT qid, label,
+                                  row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, vec_id ASC) AS rn
+                           FROM s) WHERE rn <= 10),
+                 votes AS (SELECT qid, label, count(*) AS n
+                           FROM top GROUP BY qid, label)
+            SELECT CAST(qid AS BIGINT) AS qid,
+                   CAST(label AS BIGINT) AS label_pred,
+                   CAST(n AS BIGINT) AS n_votes
+            FROM (SELECT qid, label, n,
+                         row_number() OVER (PARTITION BY qid
+                             ORDER BY n DESC, label ASC) AS rn
+                  FROM votes) WHERE rn = 1""",
         "mm_image_features": oracles_td.image_features_oracle(),
         "mm_phash_neardup": oracles_td.phash_neardup_oracle(),
         "mm_audio_frames": oracles_td.audio_frames_oracle(),

@@ -557,3 +557,66 @@ def pq_adc_topk(
             "dist": pa.array(out_d, pa.int64()),
         }
     )
+
+
+def knn_classify(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+    concurrency=(1, 8),
+) -> list[dict]:
+    """kNN label classification over the embedding table: exact cosine top-k
+    per query with the LABEL carried through the scorer (no second corpus
+    scan), then a driver-side majority vote over the nq x k winner rows
+    (tie -> smallest label). Returns [{qid, label_pred, n_votes}].
+
+    Same distribution shape as brute_force_topk: broadcast query matrix,
+    per-block local top-k, tiny driver merge — the deterministic tie order
+    (cos DESC, id ASC) matches the SQL oracle's ORDER BY exactly."""
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qnorm = q / qn
+    ref = ray.put(qnorm)
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        Q = ray.get(_ref)
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        labels = np.asarray(b[label_col].to_pylist(), dtype=np.int64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ Q.T
+        kk = min(k, len(ids))
+        qidx, out_id, out_lab, out_sim = [], [], [], []
+        for qi in range(Q.shape[0]):
+            rows = np.lexsort((ids, -sims[:, qi]))[:kk]
+            qidx.extend([qi] * len(rows))
+            out_id.extend(ids[rows])
+            out_lab.extend(labels[rows])
+            out_sim.extend(sims[rows, qi])
+        return pa.table(
+            {
+                "qid": pa.array(qidx, pa.int32()),
+                id_col: pa.array(out_id, pa.int64()),
+                label_col: pa.array(out_lab, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(score, batch_format="pyarrow").take_all()
+    heaps: dict[int, list] = {}
+    for r in local:
+        heaps.setdefault(r["qid"], []).append((-r["cosine"], r[id_col], r[label_col]))
+    out = []
+    for qid, rows in sorted(heaps.items()):
+        best = heapq.nsmallest(k, rows)
+        votes: dict[int, int] = {}
+        for _negsim, _vid, lab in best:
+            votes[lab] = votes.get(lab, 0) + 1
+        pred, n = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append({"qid": qid, "label_pred": pred, "n_votes": n})
+    return out
