@@ -288,6 +288,20 @@ def _kg_sparql_graphgroups(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_describe_where(sf_dir: str):
+    """DESCRIBE with a pattern (DESCRIBE ?e WHERE { ?t ex:mentions ?e }):
+    the body's bindings select the description subjects — the DescribeQuery
+    form the constant-only path couldn't answer."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "DESCRIBE ?e WHERE { ?t ex:mentions ?e }"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_antijoin(sf_dir: str):
     """Round-3 SPARQL widening served end-to-end: VALUES inline data, a
     FILTER NOT EXISTS anti-join, DESC ordering and OFFSET in one query."""
@@ -1602,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql": _kg_sparql,
         "kg_sparql_graph": _kg_sparql_graph,
         "kg_sparql_graphgroups": _kg_sparql_graphgroups,
+        "kg_sparql_describe_where": _kg_sparql_describe_where,
         "kg_sparql_antijoin": _kg_sparql_antijoin,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_path": _kg_sparql_path,
@@ -1730,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql": oracles.sparql_turns_oracle(),
         "kg_sparql_graph": oracles.sparql_graph_oracle(),
         "kg_sparql_graphgroups": oracles.sparql_graphgroups_oracle(),
+        "kg_sparql_describe_where": oracles.sparql_describe_where_oracle(),
         "kg_sparql_path": oracles.sparql_path_oracle(),
         "kg_sparql_construct": oracles.sparql_construct_oracle(),
         "kg_sparql_subselect": oracles.sparql_subselect_oracle(),

@@ -649,3 +649,16 @@ def sparql_graphgroups_oracle() -> str:
         f"LEFT JOIN (SELECT subj, obj, graph FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) m "
         f"ON m.subj = ty.subj AND m.graph = ty.graph"
     )
+
+
+def sparql_describe_where_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_describe_where``:
+    every stored quad whose subject is mentioned by some turn (the DESCRIBE
+    body's binding set), DISTINCT, in (subj, pred, obj, graph) order."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS ({t}) "
+        f"SELECT DISTINCT subj, pred, obj, o_lang, o_dt, graph FROM t "
+        f"WHERE subj IN (SELECT DISTINCT obj FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) "
+        f"ORDER BY subj, pred, obj, graph"
+    )

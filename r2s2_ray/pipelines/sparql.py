@@ -324,6 +324,10 @@ class Query:
     #: closure — the store's bnode ids are stable content hashes, so the
     #: caller can follow them with further DESCRIBEs)
     describe: list[str] | None = None
+    #: DESCRIBE ?v [...] WHERE { body }: the body compiled as a DISTINCT
+    #: SELECT over the described variables; the outer query emits every quad
+    #: whose subject appears in any of those projected columns
+    describe_body: "Query | None" = None
     #: ASK query: compile the same body, return one boolean column ``ask``
     ask: bool = False
 
@@ -1732,6 +1736,23 @@ def parse_sparql(q: str) -> Query:
         if not terms or any(t.kind != "iri" for t in terms):
             raise ValueError("DESCRIBE takes one or more constant IRIs")
         return Query([], False, [], [], [], None, describe=[t.value for t in terms])
+    # DESCRIBE ?v [...] WHERE { body }: the body re-parses as a DISTINCT
+    # SELECT over the described variables; the outer query describes every
+    # subject those columns bind (the SPARQL DescribeQuery form with a
+    # pattern — Ontop answers it; the flat form above only took constants)
+    dm = re.match(
+        r"\s*((?:PREFIX\s+\w*:\s*<[^>]+>\s*)*)DESCRIBE\s+((?:\?\w+\s+)*\?\w+)\s+(WHERE\b.*)$",
+        q,
+        re.I | re.S,
+    )
+    if dm and not re.search(r"\bSELECT\b", q, re.I):
+        dvars = dm.group(2).split()
+        sub = parse_sparql(
+            dm.group(1) + "SELECT DISTINCT " + " ".join(dvars) + " " + dm.group(3)
+        )
+        if sub.ask or sub.construct or sub.describe:
+            raise ValueError("malformed DESCRIBE WHERE body")
+        return Query([], False, [], [], [], None, describe_body=sub)
     # CONSTRUCT { template } WHERE { body }: parse the body as SELECT *, keep
     # the template triples for instantiation in to_sql. Solution modifiers
     # (ORDER BY / LIMIT / OFFSET) apply to the solution sequence BEFORE
@@ -2927,6 +2948,17 @@ def _to_sql_cols(
         return (
             f"SELECT DISTINCT subj, pred, obj, o_lang, o_dt, graph "
             f"FROM {triples_view} WHERE subj IN ({lst}) "
+            f"ORDER BY subj, pred, obj, graph"
+        ), ["subj", "pred", "obj", "o_lang", "o_dt", "graph"]
+    if query.describe_body is not None:
+        sub_sql, sub_cols = _to_sql_cols(query.describe_body, triples_view)
+        conds = " OR ".join(
+            f'subj IN (SELECT "{c}" FROM ({sub_sql}) WHERE "{c}" IS NOT NULL)'
+            for c in sub_cols
+        )
+        return (
+            f"SELECT DISTINCT subj, pred, obj, o_lang, o_dt, graph "
+            f"FROM {triples_view} WHERE {conds} "
             f"ORDER BY subj, pred, obj, graph"
         ), ["subj", "pred", "obj", "o_lang", "o_dt", "graph"]
     if query.construct:

@@ -1979,3 +1979,43 @@ def test_sparql_graph_nested_groups():
     ]:
         with pytest.raises(ValueError):
             run(bad)
+
+
+def test_sparql_describe_where():
+    """DESCRIBE ?v WHERE { body }: the body compiles as a DISTINCT SELECT
+    over the described variables; output = every stored quad whose subject
+    one of those columns binds. Constant DESCRIBE unchanged."""
+    import duckdb
+    import pytest
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('e:a','e:knows','e:b', NULL, NULL, 'g1'),
+          ('e:b','e:knows','e:c', NULL, NULL, 'g1'),
+          ('e:a','e:name','alice', NULL, NULL, 'g1'),
+          ('e:b','e:name','bob', NULL, NULL, 'g2'),
+          ('e:c','e:name','carol', NULL, NULL, 'g1')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return con.execute(to_sql(parse_sparql(q))).fetchall()
+
+    assert run("DESCRIBE ?x WHERE { <e:a> <e:knows> ?x }") == [
+        ("e:b", "e:knows", "e:c", None, None, "g1"),
+        ("e:b", "e:name", "bob", None, None, "g2"),
+    ]
+    # multiple described vars: union of subject sets (s-side and o-side)
+    assert len(run("DESCRIBE ?s ?x WHERE { ?s <e:knows> ?x }")) == 5
+    # body grammar is the full SELECT grammar (OPTIONAL/FILTER legal)
+    assert run(
+        'DESCRIBE ?x WHERE { <e:a> <e:knows> ?x . FILTER(?x != "e:zzz") }'
+    ) == [
+        ("e:b", "e:knows", "e:c", None, None, "g1"),
+        ("e:b", "e:name", "bob", None, None, "g2"),
+    ]
+    with pytest.raises(ValueError):
+        run("DESCRIBE WHERE { ?s ?p ?o }")
