@@ -1033,6 +1033,24 @@ def _io_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _io_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather V2) sink -> source roundtrip: one content-tagged
+    IPC file per block (custom-sink pattern, retry-idempotent), read back
+    one task per file — values identical to the parquet source (identity
+    oracle)."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import read_ipc, write_ipc
+
+    out = tempfile.mkdtemp(prefix="ipc_rt_")
+    write_ipc(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), out)
+    return read_ipc(out).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _sim_pq_codes(sf_dir: str):
     """Product-quantization codes (IVF-PQ compression step): 8 subspaces x
     integer-exact kmeans, (vec_id, subspace, code) — bit-exact vs the
@@ -1653,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube_docs": relational.q_cube_docs,
         "q_funnel": relational.q_funnel,
         "q_retention_cohorts": relational.q_retention_cohorts,
+        "q_cust_without_orders": relational.q_cust_without_orders,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
         "q_lead_lag_delta": relational.q_lead_lag_delta,
@@ -1713,6 +1732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_top_ngrams": _txt_top_ngrams,
         "td_temperature_sample": _td_temperature_sample,
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
+        "io_ipc_roundtrip": _io_ipc_roundtrip,
         "io_csv_roundtrip": _io_csv_roundtrip,
         "sim_quantize": _sim_quantize,
         "q_profile_docs": _q_profile_docs,
@@ -1861,6 +1881,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_top_ngrams": oracles_td.top_ngrams_oracle(n=2, k=20),
         "td_temperature_sample": oracles_td.temperature_sample_oracle(),
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "io_ipc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),

@@ -1484,3 +1484,66 @@ ORACLES["q_retention_cohorts"] = """
            CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
     FROM events e JOIN f USING (user_id)
     GROUP BY f.cohort_day, day_offset"""
+
+
+def q_cust_without_orders(sf_dir: str, num_buckets: int = 32, min_price: float = 450000.0):
+    """Distributed ANTI-JOIN (customers with no order above ``min_price`` —
+    the NOT EXISTS shape): both sides bucket on the key's hash, one sort
+    co-locates each key's rows from both sides, and a block-local polars
+    anti join keeps build-side rows with no probe match. No broadcast:
+    both sides stream, so the probe side may be arbitrarily large."""
+    import polars as pl
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def big(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["o_totalprice"], min_price)).select(["o_custkey"])
+
+    orders = orders.map_batches(big, batch_format="pyarrow")
+
+    def tag(side: int, key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            k = pc.cast(b[key], pa.int64())
+            name = b["c_name"] if side == 0 else pa.nulls(b.num_rows, pa.string())
+            return pa.table(
+                {
+                    "k": k,
+                    "c_name": name,
+                    "side": pa.array(np.full(b.num_rows, side, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    def dedup_probe(b: pa.Table) -> pa.Table:
+        # probe side only needs DISTINCT keys per block (combiner)
+        df = pl.from_arrow(b)
+        probe = df.filter(pl.col("side") == 1).unique(subset=["k"])
+        return pl.concat([df.filter(pl.col("side") == 0), probe]).to_arrow()
+
+    both = (
+        cust.map_batches(tag(0, "c_custkey"), batch_format="pyarrow")
+        .union(orders.map_batches(tag(1, "o_custkey"), batch_format="pyarrow"))
+        .map_batches(dedup_probe, batch_format="pyarrow")
+        .map_batches(_bucket_by("k", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+    def anti(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        build = df.filter(pl.col("side") == 0)
+        probe = df.filter(pl.col("side") == 1).select("k").unique()
+        out = build.join(probe, on="k", how="anti")
+        return out.select(
+            pl.col("k").alias("c_custkey"), pl.col("c_name")
+        ).to_arrow()
+
+    return both.map_batches(anti, batch_format="pyarrow", batch_size=None)
+
+
+ORACLES["q_cust_without_orders"] = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)"""

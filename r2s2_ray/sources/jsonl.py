@@ -42,3 +42,58 @@ def read_csv(paths: str | list[str], **kwargs) -> ray.data.Dataset:
 def write_csv(ds: ray.data.Dataset, out_dir: str, **kwargs) -> None:
     """Dataset -> ``out_dir`` of CSV shards, one per block."""
     ds.write_csv(out_dir, **kwargs)
+
+
+def write_ipc(ds: ray.data.Dataset, out_dir: str) -> list[dict]:
+    """Dataset -> one Arrow IPC (Feather V2) file per block — the zero-copy
+    interchange format for handing blocks to non-parquet consumers (feature
+    stores, local tooling). Ray Data has no IPC datasink, so this is the
+    custom-sink pattern: a map_batches side-effect write with content-tagged
+    file names (a retried task overwrites its own file — idempotent), and
+    only (path, rows) metadata rows return to the driver."""
+    import pyarrow as pa
+
+    from ..stages.fold import block_tag
+    from ..util import fs_makedirs
+
+    fs_makedirs(out_dir)
+
+    def w(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+        tag = block_tag(b, cols=tuple(b.column_names))
+        path = f"{out_dir}/part-{tag}.arrow"
+        with pa.OSFile(path, "wb") as f:
+            with pa.ipc.new_file(f, b.schema) as wr:
+                wr.write_table(b)
+        return pa.table({"path": pa.array([path]), "rows": pa.array([b.num_rows], pa.int64())})
+
+    return ds.map_batches(w, batch_format="pyarrow").take_all()
+
+
+def read_ipc(out_dir: str) -> ray.data.Dataset:
+    """Directory of Arrow IPC files -> streaming Dataset, one read task per
+    file (the custom-source pattern: a tiny work-list Dataset of paths,
+    decode inside map_batches — memory bounded by file size, not corpus)."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+
+    from ..util import fs_for
+
+    fs, root = fs_for(out_dir)
+    files = sorted(
+        f.path
+        for f in fs.get_file_info(pafs.FileSelector(root, recursive=False))
+        if f.path.endswith(".arrow")
+    )
+
+    def rd(b: pa.Table) -> pa.Table:
+        tabs = [
+            pa.ipc.open_file(pa.memory_map(p, "r")).read_all()
+            for p in b["path"].to_pylist()
+        ]
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ray.data.from_items([{"path": p} for p in files]).map_batches(
+        rd, batch_format="pyarrow", batch_size=1
+    )
