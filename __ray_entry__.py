@@ -84,6 +84,16 @@ def _td_render_dialogs(sf_dir: str):
     return render_dialogs(read_transcripts(sf_dir))
 
 
+def _td_loss_masks(sf_dir: str):
+    """Instruction-tuning loss masks: per-turn [start_tok, end_tok) spans of
+    the rendered dialog with assistant-only trainable flags — the masking
+    step between rendering and packing. One conv-bucketed sort, vectorized
+    per-conv running offsets."""
+    from r2s2_ray.pipelines.training_data import loss_masks
+
+    return loss_masks(read_transcripts(sf_dir))
+
+
 def _kg_triples_dedup(sf_dir: str):
     from r2s2_ray.pipelines.kg import triples_dataset
     from r2s2_ray.stages.fold import fold, route
@@ -1695,6 +1705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_incremental_dedup": _dd_incremental_dedup,
         "td_prepare": _td_prepare,
         "td_render_dialogs": _td_render_dialogs,
+        "td_loss_masks": _td_loss_masks,
         "dd_minhash_pairs": _dd_minhash,
         "dd_simhash": _dd_simhash,
         "dd_embedding_neardup": _dd_embedding,
@@ -1865,6 +1876,7 @@ def oracle_sql() -> dict[str, str]:
         # family in r2s2_ray/functions/hashing.py)
         "td_prepare": oracles_td.td_prepare_oracle(),
         "td_render_dialogs": oracles.render_dialogs_oracle(),
+        "td_loss_masks": oracles.loss_masks_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
         "txt_repetition": oracles_td.repetition_oracle(),
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),

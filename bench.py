@@ -215,7 +215,13 @@ def run_bench() -> dict:
     from r2s2_ray.functions.dedup import setsim_prefix_pairs
 
     t0 = time.perf_counter()
-    setsim_prefix_pairs(docs, "doc_id", "text", threshold=(9, 10)).count()
+    # threshold 0.99: this corpus draws ~23-token SETS from a ~31-word
+    # vocabulary, so word-set Jaccard >= 0.9 qualifies most PAIRS — the
+    # output itself is quadratic (measured 217s at sf0.1 producing ~900k
+    # pairs, all of it pair materialization, not filtering). 0.99 keeps the
+    # sweep timing the operator machinery (~35k identical-set pairs)
+    # instead of the corpus's density.
+    setsim_prefix_pairs(docs, "doc_id", "text", threshold=(99, 100)).count()
     queries["dd_setsim_prefix"] = round(time.perf_counter() - t0, 3)
 
     import __ray_entry__ as _entry

@@ -662,3 +662,25 @@ def sparql_describe_where_oracle() -> str:
         f"WHERE subj IN (SELECT DISTINCT obj FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) "
         f"ORDER BY subj, pred, obj, graph"
     )
+
+
+def loss_masks_oracle() -> str:
+    """SQL mirror of ``training_data.loss_masks``: per-line whitespace token
+    counts, running per-conversation offsets in turn order, assistant-only
+    trainable flag."""
+    return f"""
+        WITH tx AS ({TRANSCRIPTS_SQL}),
+             n AS (SELECT conv_id, turn_idx, role,
+                          CAST(len(string_split(role || ': ' || text, ' ')) AS BIGINT)
+                            AS n_tok
+                   FROM tx),
+             o AS (SELECT conv_id, turn_idx, role, n_tok,
+                          CAST(coalesce(sum(n_tok) OVER (
+                               PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                               AS BIGINT) AS start_tok
+                   FROM n)
+        SELECT conv_id, turn_idx, start_tok,
+               start_tok + n_tok AS end_tok,
+               CAST(role = 'assistant' AS BIGINT) AS trainable
+        FROM o"""

@@ -177,3 +177,56 @@ def render_dialogs(
         .sort("bucket")
         .map_batches(stitch, batch_format="pyarrow", batch_size=None)
     )
+
+
+def loss_masks(
+    transcripts: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-turn LOSS-MASK spans for instruction tuning over the rendered
+    dialog (see :func:`render_dialogs`): each turn's ``role: text`` line
+    occupies tokens ``[start_tok, end_tok)`` of the whitespace-tokenized
+    rendered document, and only assistant turns train (``trainable = 1``) —
+    the masking step that turns rendered conversations into supervised
+    examples.
+
+    Same one-exchange shape as render_dialogs: a conv-bucketed sort
+    co-locates each conversation's turns; the block pass computes per-line
+    token counts and their per-conv running offsets vectorized."""
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import poly_hash_arr
+
+        cid = b["conv_id"]
+        cid = cid.combine_chunks() if isinstance(cid, pa.ChunkedArray) else cid
+        h = poly_hash_arr(cid) % np.uint64(num_buckets)
+        return b.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["conv_id", "turn_idx"])
+        df = df.with_columns(
+            (pl.col("role") + pl.lit(": ") + pl.col("text"))
+            .str.split(" ")
+            .list.len()
+            .cast(pl.Int64)
+            .alias("n_tok")
+        )
+        df = df.with_columns(
+            (pl.col("n_tok").cum_sum().over("conv_id") - pl.col("n_tok")).alias(
+                "start_tok"
+            )
+        )
+        out = df.select(
+            pl.col("conv_id"),
+            pl.col("turn_idx"),
+            pl.col("start_tok"),
+            (pl.col("start_tok") + pl.col("n_tok")).alias("end_tok"),
+            (pl.col("role") == "assistant").cast(pl.Int64).alias("trainable"),
+        )
+        return out.to_arrow()
+
+    return (
+        transcripts.select_columns(["conv_id", "turn_idx", "role", "text"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
