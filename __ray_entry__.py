@@ -198,6 +198,38 @@ def _kg_mentions(sf_dir: str):
     return ds.groupby(["turn", "entity"]).count().drop_columns(["count()"])
 
 
+def _kg_entity_cards(sf_dir: str):
+    """Per-entity profile table (entity cards): mention-edge count, distinct
+    conversations reached via hasTurn, and the top co-mentioned entity —
+    every step key-partitioned (turn-bucketed join + pair generation,
+    entity-keyed groupbys, one stitch sort)."""
+    from r2s2_ray.functions.graph import entity_cards
+
+    t = _triples(sf_dir, linked=True)
+
+    def m_rows(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b["pred"], vocab.P_MENTIONS))
+        return pa.table({"turn": keep["subj"], "entity": keep["obj"]})
+
+    def h_rows(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b["pred"], vocab.P_HAS_TURN))
+        return pa.table({"conv": keep["subj"], "turn": keep["obj"]})
+
+    mentions = (
+        t.map_batches(m_rows, batch_format="pyarrow")
+        .groupby(["turn", "entity"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    has_turn = (
+        t.map_batches(h_rows, batch_format="pyarrow")
+        .groupby(["conv", "turn"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    return entity_cards(mentions, has_turn)
+
+
 def _kg_term_dict(sf_dir: str):
     from r2s2_ray.stages.dicts import distinct_with_ids
 
@@ -1637,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_counts": _kg_pred_counts,
         "kg_class_census": _kg_class_census,
         "kg_mentions": _kg_mentions,
+        "kg_entity_cards": _kg_entity_cards,
         "kg_term_dict": _kg_term_dict,
         "kg_subject_functional": _kg_subject_functional,
         "kg_lcs_bounds": _kg_lcs_bounds,
@@ -1769,6 +1802,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pred_counts": oracles.pred_counts_oracle(),
         "kg_class_census": oracles.class_census_oracle(),
         "kg_mentions": oracles.mentions_oracle(),
+        "kg_entity_cards": oracles.entity_cards_oracle(),
         "kg_term_dict": oracles.term_dict_oracle(),
         "kg_subject_functional": oracles.subject_functional_oracle(),
         "kg_lcs_bounds": oracles.lcs_bounds_oracle(),

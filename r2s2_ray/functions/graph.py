@@ -682,3 +682,184 @@ def kcore(
         .groupby("node")
         .aggregate(Count(alias_name="deg"))
     )
+
+
+def entity_cards(
+    mentions: ray.data.Dataset,
+    has_turn: ray.data.Dataset,
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-entity PROFILE materialization (the "entity card" table a KG
+    serves to applications): mention-edge count, distinct conversations
+    reached through hasTurn, and the top co-mentioned entity (count DESC,
+    entity ASC ties). Inputs: DISTINCT mention edges (turn, entity) and
+    hasTurn edges (conv, turn).
+
+    Every step is key-partitioned (no broadcast, no driver materialization):
+    turn-bucketed sort joins mentions<->hasTurn and generates same-turn
+    co-mention pairs block-locally; entity-keyed groupbys aggregate counts;
+    one final entity-bucketed sort stitches the three facets. Output:
+    (entity, n_mentions, n_convs, top_co, top_co_n)."""
+    import polars as pl
+
+    from ray.data.aggregate import Count, Sum
+
+    from .hashing import poly_hash_arr
+
+    def bucket_on(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            c = b[col]
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            h = poly_hash_arr(c) % np.uint64(num_buckets)
+            return b.append_column("bucket", pa.array(h.astype(np.int64)))
+
+        return fn
+
+    # ---- facet 1: mention-edge count per entity (one groupby) -------------
+    n_mentions = (
+        mentions.groupby("entity").aggregate(Count(alias_name="n_mentions"))
+    )
+
+    # ---- facets 2+3 ride ONE turn-keyed exchange ---------------------------
+    def tag_m(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "turn": b["turn"],
+                "entity": b["entity"],
+                "conv": pa.nulls(b.num_rows, pa.string()),
+            }
+        )
+
+    def tag_h(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "turn": b["turn"],
+                "entity": pa.nulls(b.num_rows, pa.string()),
+                "conv": b["conv"],
+            }
+        )
+
+    both = (
+        mentions.map_batches(tag_m, batch_format="pyarrow")
+        .union(has_turn.map_batches(tag_h, batch_format="pyarrow"))
+        .map_batches(bucket_on("turn"), batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+    def per_turn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        m = df.filter(pl.col("entity").is_not_null()).select(["turn", "entity"])
+        h = df.filter(pl.col("conv").is_not_null()).select(["turn", "conv"])
+        ec = (
+            m.join(h, on="turn", how="inner")
+            .unique(subset=["entity", "conv"])
+            .select(["entity", "conv"])
+        )
+        pairs = (
+            m.join(m, on="turn", how="inner", suffix="_b")
+            .filter(pl.col("entity") != pl.col("entity_b"))
+            .group_by(["entity", "entity_b"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        # one union'd output: kind 0 = (entity, conv) rows, kind 1 = co-pairs
+        out = pl.concat(
+            [
+                ec.with_columns(
+                    pl.lit(0, pl.Int8).alias("kind"),
+                    pl.lit(None, pl.String).alias("entity_b"),
+                    pl.lit(0, pl.Int64).alias("n"),
+                ).select(["kind", "entity", "conv", "entity_b", "n"]),
+                pairs.with_columns(
+                    pl.lit(1, pl.Int8).alias("kind"),
+                    pl.lit(None, pl.String).alias("conv"),
+                ).select(["kind", "entity", "conv", "entity_b", "n"]),
+            ]
+        )
+        return out.to_arrow()
+
+    facets = both.map_batches(per_turn, batch_format="pyarrow", batch_size=None)
+
+    def keep_kind(kind: int, cols: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["kind"], kind)).select(cols)
+
+        return fn
+
+    # entity-conv pairs may repeat across turn buckets -> distinct, then count
+    n_convs = (
+        facets.map_batches(keep_kind(0, ["entity", "conv"]), batch_format="pyarrow")
+        .groupby(["entity", "conv"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("entity")
+        .aggregate(Count(alias_name="n_convs"))
+    )
+    # co-mention counts merge across buckets, then per-entity top-1
+    co = (
+        facets.map_batches(
+            keep_kind(1, ["entity", "entity_b", "n"]), batch_format="pyarrow"
+        )
+        .groupby(["entity", "entity_b"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def top1(b: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(b)
+            .sort(["entity", "n", "entity_b"], descending=[False, True, False])
+            .unique(subset=["entity"], keep="first", maintain_order=True)
+        )
+        return df.select(
+            pl.col("entity"),
+            pl.col("entity_b").alias("top_co"),
+            pl.col("n").cast(pl.Int64).alias("top_co_n"),
+        ).to_arrow()
+
+    top_co = (
+        co.map_batches(bucket_on("entity"), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(top1, batch_format="pyarrow", batch_size=None)
+    )
+
+    # ---- final stitch: one entity-bucketed sort over the three facets -----
+    def pad(kind: int, cols: dict):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            out = {"entity": b["entity"], "kind": pa.array(np.full(n, kind, np.int8))}
+            for name, typ in [
+                ("n_mentions", pa.int64()),
+                ("n_convs", pa.int64()),
+                ("top_co", pa.string()),
+                ("top_co_n", pa.int64()),
+            ]:
+                out[name] = (
+                    pc.cast(b[cols[name]], typ) if name in cols else pa.nulls(n, typ)
+                )
+            return pa.table(out)
+
+        return fn
+
+    stitched = (
+        n_mentions.map_batches(pad(0, {"n_mentions": "n_mentions"}), batch_format="pyarrow")
+        .union(n_convs.map_batches(pad(1, {"n_convs": "n_convs"}), batch_format="pyarrow"))
+        .union(
+            top_co.map_batches(
+                pad(2, {"top_co": "top_co", "top_co_n": "top_co_n"}),
+                batch_format="pyarrow",
+            )
+        )
+        .map_batches(bucket_on("entity"), batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+    def merge(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = df.group_by("entity").agg(
+            pl.col("n_mentions").max().fill_null(0).alias("n_mentions"),
+            pl.col("n_convs").max().fill_null(0).alias("n_convs"),
+            pl.col("top_co").drop_nulls().first().alias("top_co"),
+            pl.col("top_co_n").max().fill_null(0).alias("top_co_n"),
+        )
+        return out.to_arrow()
+
+    return stitched.map_batches(merge, batch_format="pyarrow", batch_size=None)

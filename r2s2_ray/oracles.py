@@ -684,3 +684,33 @@ def loss_masks_oracle() -> str:
                start_tok + n_tok AS end_tok,
                CAST(role = 'assistant' AS BIGINT) AS trainable
         FROM o"""
+
+
+def entity_cards_oracle() -> str:
+    """SQL mirror of ``__ray_entry__._kg_entity_cards``: distinct mention /
+    hasTurn edges, per-entity mention count, distinct-conversation count,
+    and the (count DESC, entity ASC) top co-mentioned entity."""
+    t = raw_triples_sql(linked=True)
+    return f"""
+        WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})),
+             m AS (SELECT DISTINCT subj AS turn, obj AS entity FROM t
+                   WHERE pred = {_q(vocab.P_MENTIONS)}),
+             h AS (SELECT DISTINCT subj AS conv, obj AS turn FROM t
+                   WHERE pred = {_q(vocab.P_HAS_TURN)}),
+             nm AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_mentions
+                    FROM m GROUP BY entity),
+             nc AS (SELECT entity, CAST(count(DISTINCT conv) AS BIGINT) AS n_convs
+                    FROM m JOIN h USING (turn) GROUP BY entity),
+             co AS (SELECT a.entity AS e1, b.entity AS e2,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM m a JOIN m b ON a.turn = b.turn AND a.entity != b.entity
+                    GROUP BY 1, 2),
+             top AS (SELECT e1 AS entity, e2 AS top_co, n AS top_co_n FROM (
+                       SELECT e1, e2, n, row_number() OVER (
+                           PARTITION BY e1 ORDER BY n DESC, e2 ASC) AS rn
+                       FROM co) WHERE rn = 1)
+        SELECT nm.entity, nm.n_mentions,
+               coalesce(nc.n_convs, 0) AS n_convs,
+               top.top_co,
+               coalesce(top.top_co_n, 0) AS top_co_n
+        FROM nm LEFT JOIN nc USING (entity) LEFT JOIN top USING (entity)"""
