@@ -198,6 +198,47 @@ def _kg_mentions(sf_dir: str):
     return ds.groupby(["turn", "entity"]).count().drop_columns(["count()"])
 
 
+def _kg_bfs_khop(sf_dir: str):
+    """Bounded-depth BFS (k-hop neighborhood / blast radius) from the
+    lexicographically first conversation over the undirected
+    hasTurn+mentions edge set: only the frontier re-shuffles each round
+    (settled distances stay put), 3 rounds, (node, dist) out."""
+    from ray.data.aggregate import Count, Min
+
+    from r2s2_ray.functions.graph import bfs_distances
+
+    t = _triples(sf_dir, linked=True)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        return (
+            df.filter(pl.col("pred").is_in([vocab.P_HAS_TURN, vocab.P_MENTIONS]))
+            .select(pl.col("subj").alias("src"), pl.col("obj").alias("dst"))
+            .unique()
+            .to_arrow()
+        )
+
+    edges = (
+        t.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+    )
+
+    def ht_subj(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b["pred"], vocab.P_HAS_TURN))
+        return pa.table({"subj": keep["subj"]})
+
+    seed_rows = (
+        t.map_batches(ht_subj, batch_format="pyarrow")
+        .aggregate(Min("subj", alias_name="seed"))
+    )
+    seed = seed_rows["seed"]
+    return bfs_distances(edges, [seed], max_depth=3)
+
+
 def _kg_entity_cards(sf_dir: str):
     """Per-entity profile table (entity cards): mention-edge count, distinct
     conversations reached via hasTurn, and the top co-mentioned entity —
@@ -1670,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_class_census": _kg_class_census,
         "kg_mentions": _kg_mentions,
         "kg_entity_cards": _kg_entity_cards,
+        "kg_bfs_khop": _kg_bfs_khop,
         "kg_term_dict": _kg_term_dict,
         "kg_subject_functional": _kg_subject_functional,
         "kg_lcs_bounds": _kg_lcs_bounds,
@@ -1715,6 +1757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": relational.q_funnel,
         "q_retention_cohorts": relational.q_retention_cohorts,
         "q_cust_without_orders": relational.q_cust_without_orders,
+        "q_quantile_sketch": relational.q_quantile_sketch,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
         "q_lead_lag_delta": relational.q_lead_lag_delta,
@@ -1803,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_class_census": oracles.class_census_oracle(),
         "kg_mentions": oracles.mentions_oracle(),
         "kg_entity_cards": oracles.entity_cards_oracle(),
+        "kg_bfs_khop": oracles.bfs_khop_oracle(max_depth=3),
         "kg_term_dict": oracles.term_dict_oracle(),
         "kg_subject_functional": oracles.subject_functional_oracle(),
         "kg_lcs_bounds": oracles.lcs_bounds_oracle(),

@@ -863,3 +863,83 @@ def entity_cards(
         return out.to_arrow()
 
     return stitched.map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    *,
+    max_depth: int = 3,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Bounded-depth BFS distances from a seed set over an UNDIRECTED edge
+    list (columns ``src``, ``dst``) — the iterative-frontier graph shape
+    (k-hop neighborhoods, blast-radius queries). ``dist(v)`` = fewest hops
+    from any seed, 0 for seeds, capped at ``max_depth``; unreached nodes are
+    absent.
+
+    Scale shape: each round ships ONLY THE FRONTIER through one
+    key-partitioned hash_join against the (symmetrized) edge list — settled
+    distances never re-shuffle — then a groupby-min folds the candidates.
+    The distance table is materialized per round (O(1) lineage, same as
+    pagerank's iteration discipline); rounds are bounded by ``max_depth``,
+    so the plan is static."""
+    import polars as pl
+
+    from ray.data.aggregate import Min as _Min
+
+    from ..relational import hash_join
+
+    def sym(b: pa.Table) -> pa.Table:
+        src = b["src"].combine_chunks() if isinstance(b["src"], pa.ChunkedArray) else b["src"]
+        dst = b["dst"].combine_chunks() if isinstance(b["dst"], pa.ChunkedArray) else b["dst"]
+        return pa.table(
+            {
+                "src": pa.concat_arrays([src, dst]),
+                "dst": pa.concat_arrays([dst, src]),
+            }
+        )
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    dist = ray.data.from_items([{"node": s, "dist": 0} for s in seeds]).materialize()
+    frontier = dist
+    for d in range(1, max_depth + 1):
+        def fsrc(b: pa.Table, _d=d) -> pa.Table:
+            return pa.table({"src": b["node"]})
+
+        cand = hash_join(
+            frontier.map_batches(fsrc, batch_format="pyarrow"),
+            edges_sym,
+            on="src",
+            right_cols=["dst"],
+            num_buckets=num_buckets,
+        )
+
+        def to_dist(b: pa.Table, _d=d) -> pa.Table:
+            dst = b["dst"]
+            return pa.table(
+                {
+                    "node": dst,
+                    "dist": pa.array(np.full(b.num_rows, _d, np.int64)),
+                }
+            )
+
+        dist = (
+            dist.union(cand.map_batches(to_dist, batch_format="pyarrow"))
+            .groupby("node")
+            .aggregate(_Min("dist", alias_name="dist"))
+            .materialize()
+        )
+
+        def at_depth(b: pa.Table, _d=d) -> pa.Table:
+            return b.filter(pc.equal(b["dist"], _d))
+
+        frontier = dist.map_batches(at_depth, batch_format="pyarrow")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"], "dist": pc.cast(b["dist"], pa.int64())}
+        )
+
+    return dist.map_batches(fin, batch_format="pyarrow")

@@ -714,3 +714,29 @@ def entity_cards_oracle() -> str:
                top.top_co,
                coalesce(top.top_co_n, 0) AS top_co_n
         FROM nm LEFT JOIN nc USING (entity) LEFT JOIN top USING (entity)"""
+
+
+def bfs_khop_oracle(max_depth: int = 3) -> str:
+    """SQL mirror of ``__ray_entry__._kg_bfs_khop``: unrolled BFS layers
+    r0..r_k over the symmetrized distinct hasTurn+mentions edges, seed = the
+    lexicographically first conversation; dist = first layer containing the
+    node."""
+    t = raw_triples_sql(linked=True)
+    layers = ["r0 AS (SELECT (SELECT min(subj) FROM t WHERE pred = "
+              f"{_q(vocab.P_HAS_TURN)}) AS node)"]
+    for d in range(1, max_depth + 1):
+        layers.append(
+            f"r{d} AS (SELECT node FROM r{d-1} "
+            f"UNION SELECT e.dst AS node FROM e JOIN r{d-1} ON e.src = r{d-1}.node)"
+        )
+    case = " ".join(
+        f"WHEN node IN (SELECT node FROM r{d}) THEN {d}" for d in range(max_depth + 1)
+    )
+    return f"""
+        WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})),
+             ed AS (SELECT DISTINCT subj AS src, obj AS dst FROM t
+                    WHERE pred IN ({_q(vocab.P_HAS_TURN)}, {_q(vocab.P_MENTIONS)})),
+             e AS (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed),
+             {', '.join(layers)}
+        SELECT node, CAST(CASE {case} END AS BIGINT) AS dist
+        FROM r{max_depth}"""

@@ -1547,3 +1547,55 @@ ORACLES["q_cust_without_orders"] = """
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_totalprice > 450000)"""
+
+
+def q_quantile_sketch(sf_dir: str, bin_cents: int = 50):
+    """Mergeable histogram-quantile SKETCH (the equi-width analog of
+    t-digest/KLL for a bounded-range money column): per-block bin counts are
+    the mergeable partial (the q_value_histogram combiner), quantiles read
+    off the cumulative bin counts on the driver — the estimate is the bin's
+    UPPER cent bound, a deterministic integer contract the SQL oracle
+    reproduces exactly. Error is bounded by bin width; the exact per-group
+    quantile operator (q_user_value_quantiles) is the no-sketch path."""
+    import polars as pl
+
+    hist = q_value_histogram(sf_dir, bin_cents=bin_cents).take_all()
+    df = pl.DataFrame(
+        {
+            "bin": pl.Series([int(r["bin"]) for r in hist], dtype=pl.Int64),
+            "n": pl.Series([int(r["n"]) for r in hist], dtype=pl.Int64),
+        }
+    ).sort("bin")
+    total = int(df["n"].sum())
+    cum = df.with_columns(pl.col("n").cum_sum().alias("c"))
+    rows = []
+    for q in (50, 90, 99):
+        target = (total * q + 99) // 100  # ceil(total*q/100): rank of the quantile
+        hit = cum.filter(pl.col("c") >= target).head(1)
+        est = (int(hit["bin"][0]) + 1) * bin_cents  # upper cent bound of the bin
+        rows.append({"q": q, "est_cents": est})
+    return pa.table(
+        {
+            "q": pa.array([r["q"] for r in rows], pa.int64()),
+            "est_cents": pa.array([r["est_cents"] for r in rows], pa.int64()),
+        }
+    )
+
+
+ORACLES["q_quantile_sketch"] = """
+    WITH h AS (SELECT CAST(round(value * 100) AS BIGINT) // 50 AS bin,
+                      count(*) AS n
+               FROM events GROUP BY bin),
+         c AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS c,
+                      (SELECT sum(n) FROM h) AS total
+               FROM h)
+    SELECT q, CAST(est_cents AS BIGINT) AS est_cents FROM (
+      SELECT 50 AS q,
+             (SELECT min(bin) + 1 FROM c WHERE c >= (total * 50 + 99) // 100) * 50 AS est_cents
+      UNION ALL
+      SELECT 90,
+             (SELECT min(bin) + 1 FROM c WHERE c >= (total * 90 + 99) // 100) * 50
+      UNION ALL
+      SELECT 99,
+             (SELECT min(bin) + 1 FROM c WHERE c >= (total * 99 + 99) // 100) * 50
+    )"""

@@ -1238,3 +1238,29 @@ def test_phash_neardup_groups(ray_session):
     assert got[1][0] == got[5][0] and got[5][1] == 1 and got[1][1] == 1
     assert got[2][1] == 2 and got[7][1] == 7
     assert len({got[1][0], got[2][0], got[7][0]}) == 3
+
+
+def test_bfs_distances_layers(ray_session):
+    """bfs_distances: hop counts over an undirected path + branch, seeds at
+    0, unreached nodes absent, cap at max_depth."""
+    import pyarrow as pa
+    import ray.data
+
+    from r2s2_ray.functions.graph import bfs_distances
+
+    # a - b - c - d - e (path), b - x (branch), isolated: z (via self pair? absent)
+    edges = ray.data.from_arrow(
+        pa.Table.from_pylist(
+            [
+                {"src": "a", "dst": "b"},
+                {"src": "b", "dst": "c"},
+                {"src": "c", "dst": "d"},
+                {"src": "d", "dst": "e"},
+                {"src": "b", "dst": "x"},
+                {"src": "y", "dst": "z"},  # unreachable component
+            ]
+        )
+    ).repartition(3)
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, ["a"], max_depth=3).take_all()}
+    assert got == {"a": 0, "b": 1, "c": 2, "x": 2, "d": 3}
+    # e is 4 hops -> absent at max_depth=3; y/z unreachable -> absent
