@@ -1599,3 +1599,69 @@ ORACLES["q_quantile_sketch"] = """
       SELECT 99,
              (SELECT min(bin) + 1 FROM c WHERE c >= (total * 99 + 99) // 100) * 50
     )"""
+
+
+def q_value_hour_corr(sf_dir: str):
+    """Pearson correlation between event value (cents) and hour-of-day, as
+    an EXACT integer contract: the five sufficient statistics (n, Σx, Σy,
+    Σx², Σy², Σxy) accumulate as per-block int partials (the mergeable
+    statistical-aggregate shape — one tiny exchange), and the output is the
+    covariance/variance NUMERATORS, integer-exact — the caller (and oracle)
+    derive the float only for display, so the hash compare never touches a
+    float. Headroom contract: n * Σx² must stay below 2^63 (holds to ~1e6
+    events at cents scale; beyond that, rescale x or widen to the HUGEINT
+    helpers in oracles_td)."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(
+            (pl.col("value") * 100).round(0).cast(pl.Int64).alias("x"),
+            pl.col("ts").dt.hour().cast(pl.Int64).alias("y"),
+        )
+        s = df.select(
+            pl.len().cast(pl.Int64).alias("n"),
+            pl.col("x").sum().alias("sx"),
+            pl.col("y").sum().alias("sy"),
+            (pl.col("x") * pl.col("x")).sum().alias("sxx"),
+            (pl.col("y") * pl.col("y")).sum().alias("syy"),
+            (pl.col("x") * pl.col("y")).sum().alias("sxy"),
+        )
+        return s.to_arrow()
+
+    parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in parts)
+    sx = sum(int(r["sx"]) for r in parts)
+    sy = sum(int(r["sy"]) for r in parts)
+    sxx = sum(int(r["sxx"]) for r in parts)
+    syy = sum(int(r["syy"]) for r in parts)
+    sxy = sum(int(r["sxy"]) for r in parts)
+    cov_num = n * sxy - sx * sy
+    varx_num = n * sxx - sx * sx
+    vary_num = n * syy - sy * sy
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "cov_num": pa.array([cov_num], pa.int64()),
+            "varx_num": pa.array([varx_num], pa.int64()),
+            "vary_num": pa.array([vary_num], pa.int64()),
+        }
+    )
+
+
+ORACLES["q_value_hour_corr"] = """
+    WITH s AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                      CAST(extract(hour FROM ts) AS BIGINT) AS y
+               FROM events),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy
+               FROM s)
+    SELECT n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+           CAST(n * syy - sy * sy AS BIGINT) AS vary_num
+    FROM a"""
