@@ -239,6 +239,21 @@ def _kg_bfs_khop(sf_dir: str):
     return bfs_distances(edges, [seed], max_depth=3)
 
 
+def _kg_char_sets(sf_dir: str):
+    """Characteristic-set census (per-subject predicate-set shapes + subject
+    counts) — RDF schema discovery over the linked triple stream."""
+    from r2s2_ray.functions.graph import characteristic_sets
+
+    return characteristic_sets(_triples(sf_dir, linked=True))
+
+
+def _kg_degree_hist(sf_dir: str):
+    """Subject out-degree distribution over the linked triple stream."""
+    from r2s2_ray.functions.graph import degree_histogram
+
+    return degree_histogram(_triples(sf_dir, linked=True))
+
+
 def _kg_entity_cards(sf_dir: str):
     """Per-entity profile table (entity cards): mention-edge count, distinct
     conversations reached via hasTurn, and the top co-mentioned entity —
@@ -1712,6 +1727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _kg_mentions,
         "kg_entity_cards": _kg_entity_cards,
         "kg_bfs_khop": _kg_bfs_khop,
+        "kg_char_sets": _kg_char_sets,
+        "kg_degree_hist": _kg_degree_hist,
         "kg_term_dict": _kg_term_dict,
         "kg_subject_functional": _kg_subject_functional,
         "kg_lcs_bounds": _kg_lcs_bounds,
@@ -1848,6 +1865,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_mentions": oracles.mentions_oracle(),
         "kg_entity_cards": oracles.entity_cards_oracle(),
         "kg_bfs_khop": oracles.bfs_khop_oracle(max_depth=3),
+        "kg_char_sets": oracles.characteristic_sets_oracle(),
+        "kg_degree_hist": oracles.degree_histogram_oracle(),
         "kg_term_dict": oracles.term_dict_oracle(),
         "kg_subject_functional": oracles.subject_functional_oracle(),
         "kg_lcs_bounds": oracles.lcs_bounds_oracle(),

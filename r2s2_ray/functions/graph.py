@@ -943,3 +943,73 @@ def bfs_distances(
         )
 
     return dist.map_batches(fin, batch_format="pyarrow")
+
+
+def characteristic_sets(
+    triples: ray.data.Dataset, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Characteristic-set census (Neumann & Moerkotte, ICDE'11): for every
+    subject, the SET of predicates it carries; output one row per distinct
+    predicate set with its subject count. The workhorse of RDF schema
+    discovery and cardinality estimation — the reference's census family
+    (A1-A8, CalculateStatistics.java) counts per-column domains, this counts
+    per-SUBJECT schema shapes.
+
+    Scale shape: subjects are hash-bucketed so equal subjects never straddle
+    a range partition (the fold.py shuffle invariant), each bucket block
+    groups locally (vectorized polars: unique predicates -> sorted ","-join)
+    and emits per-(cset) PARTIAL counts, so the only global exchange after
+    the bucket sort is a groupby over distinct schema shapes — a set whose
+    cardinality is bounded by the vocabulary, not the data (tens to
+    thousands at 10^12 triples).
+    """
+    import polars as pl
+    from ray.data.aggregate import Sum
+
+    sel = triples.select_columns(["subj", "pred"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        bk = (
+            pl.from_arrow(b)
+            .select(pl.col("subj").hash(seed=17).mod(num_buckets).cast(pl.Int32).alias("bucket"))
+        )["bucket"]
+        return b.append_column("bucket", bk.to_arrow())
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.drop_columns(["bucket"]))
+        per_subj = df.group_by("subj").agg(
+            pl.col("pred").unique().sort().str.join(",").alias("cset"),
+            pl.col("pred").n_unique().cast(pl.Int64).alias("n_preds"),
+        )
+        part = per_subj.group_by(["cset", "n_preds"]).agg(
+            pl.len().cast(pl.Int64).alias("n")
+        )
+        return part.to_arrow()
+
+    parts = (
+        sel.map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+    return parts.groupby(["cset", "n_preds"]).aggregate(Sum("n", alias_name="n_subjects"))
+
+
+def degree_histogram(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Subject out-degree distribution: (degree, #subjects with that degree).
+    Two groupbys; the second runs over the distinct-degree set (log-scale
+    cardinality), so the only data-sized exchange is the per-subject count —
+    and that one pre-aggregates inside blocks via Ray's groupby combiner."""
+    from ray.data.aggregate import Count, Sum
+
+    deg = triples.select_columns(["subj"]).groupby("subj").aggregate(Count(alias_name="deg"))
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"deg": pc.cast(b["deg"], pa.int64()), "one": pa.nulls(len(b), pa.int64()).fill_null(1)}
+        )
+
+    return (
+        deg.map_batches(shape, batch_format="pyarrow")
+        .groupby("deg")
+        .aggregate(Sum("one", alias_name="n_subjects"))
+    )

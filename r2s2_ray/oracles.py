@@ -740,3 +740,24 @@ def bfs_khop_oracle(max_depth: int = 3) -> str:
              {', '.join(layers)}
         SELECT node, CAST(CASE {case} END AS BIGINT) AS dist
         FROM r{max_depth}"""
+
+
+def characteristic_sets_oracle() -> str:
+    """Per-subject predicate-set census over the raw linked triple stream
+    (pred-set dedup is inherent to the set semantics, so no DISTINCT on the
+    stream itself — mirrors functions/graph.py:characteristic_sets)."""
+    return (
+        "SELECT cset, n_preds, CAST(count(*) AS BIGINT) AS n_subjects FROM ("
+        "  SELECT subj, array_to_string(list_sort(list(DISTINCT pred)), ',') AS cset,"
+        "         CAST(count(DISTINCT pred) AS BIGINT) AS n_preds"
+        f"  FROM ({raw_triples_sql(linked=True)}) GROUP BY subj"
+        ") GROUP BY cset, n_preds"
+    )
+
+
+def degree_histogram_oracle() -> str:
+    return (
+        "SELECT deg, CAST(count(*) AS BIGINT) AS n_subjects FROM ("
+        f"SELECT subj, CAST(count(*) AS BIGINT) AS deg FROM ({raw_triples_sql(linked=True)}) GROUP BY subj"
+        ") GROUP BY deg"
+    )
