@@ -1285,6 +1285,20 @@ def _txt_top_ngrams(sf_dir: str):
     )
 
 
+def _txt_bpe_pairs(sf_dir: str):
+    """BPE merge-candidate table (iteration 1): corpus-wide adjacent char-pair
+    counts within words, rank 1-based, count DESC / pair ASC."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"]),
+        "text",
+        k=50,
+    )
+
+
 _BM25_QUERIES = ["merge sort window", "customer order line", "spark vector hash join"]
 
 
@@ -1835,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_bm25": _sim_bm25,
         "td_dsir_weights": _td_dsir,
         "txt_top_ngrams": _txt_top_ngrams,
+        "txt_bpe_pairs": _txt_bpe_pairs,
         "td_temperature_sample": _td_temperature_sample,
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
         "io_ipc_roundtrip": _io_ipc_roundtrip,
@@ -1989,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_bm25": oracles_td.bm25_oracle(_BM25_QUERIES, k=10),
         "td_dsir_weights": oracles_td.dsir_oracle(),
         "txt_top_ngrams": oracles_td.top_ngrams_oracle(n=2, k=20),
+        "txt_bpe_pairs": oracles_td.bpe_pairs_oracle(k=50),
         "td_temperature_sample": oracles_td.temperature_sample_oracle(),
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_ipc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",

@@ -1435,3 +1435,76 @@ def interleave_plan(
     return keyed_ds.sort("bucket").map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def bpe_pair_counts(
+    ds: ray.data.Dataset,
+    text_col: str,
+    *,
+    k: int = 50,
+) -> pa.Table:
+    """First iteration of BPE tokenizer training: corpus-wide counts of
+    ADJACENT CHARACTER pairs within words, ranked — the merge-candidate table
+    a byte-pair-encoding trainer (Sennrich et al., 2016) consults each round.
+    At web scale this is the inner loop of training a tokenizer on your own
+    corpus rather than shipping GPT-2's.
+
+    Deterministic contract: words are lowercase ``[a-z]+`` runs; pairs never
+    cross a word boundary; ranking is ``count DESC, pair ASC``, rank 1-based.
+
+    Stage shape mirrors :func:`top_ngrams`: per-batch explode to chars +
+    shift-within-word pair build + partial counts (the exchange carries at
+    most 26x26 rows per block, not character-sized data) -> one groupby-sum
+    -> per-block top-k -> k x nblocks driver merge. Returns a k-row arrow
+    table (rank, pair, count)."""
+    import heapq
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([text_col]))
+        words = (
+            df.select(
+                pl.col(text_col).str.to_lowercase().str.extract_all(r"[a-z]+").alias("w")
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .filter(pl.col("w").str.len_chars() >= 2)
+            .with_row_index("wid")
+        )
+        if words.height == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.large_string()), "c": pa.array([], pa.int64())}
+            )
+        chars = words.select(["wid", pl.col("w").str.extract_all(".").alias("ch")]).explode("ch")
+        out = (
+            chars.with_columns(
+                pl.concat_str([pl.col("ch"), pl.col("ch").shift(-1).over("wid")]).alias("pair")
+            )
+            .drop_nulls("pair")
+            .group_by("pair")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        return out.select(["pair", "c"]).to_arrow()
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("c", alias_name="count"))
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return df.sort(["count", "pair"], descending=[True, False]).head(k).to_arrow()
+
+    rows = counts.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    best = heapq.nsmallest(k, ((-int(r["count"]), r["pair"]) for r in rows))
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(best) + 1), pa.int64()),
+            "pair": pa.array([p for _, p in best], pa.large_string()),
+            "count": pa.array([-c for c, _ in best], pa.int64()),
+        }
+    )

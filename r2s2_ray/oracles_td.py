@@ -1342,3 +1342,21 @@ ph AS (SELECT media_id, {_signed('hu')} AS phash FROM hv)
 SELECT media_id, phash,
        min(media_id) OVER (PARTITION BY phash) AS canon_id
 FROM ph"""
+
+
+def bpe_pairs_oracle(k: int = 50) -> str:
+    """Exact SQL mirror of ``textstats.bpe_pair_counts``: within-word adjacent
+    char pairs via a generate_series lateral, count DESC / pair ASC ranking."""
+    return f"""
+        WITH words AS (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+        ), pairs AS (
+          SELECT substr(w, CAST(i AS INT), 2) AS pair
+          FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+          WHERE length(w) >= 2
+        ), g AS (
+          SELECT pair, CAST(count(*) AS BIGINT) AS count FROM pairs GROUP BY pair
+        )
+        SELECT CAST(row_number() OVER (ORDER BY count DESC, pair) AS BIGINT) AS rank,
+               pair, count
+        FROM g ORDER BY count DESC, pair LIMIT {k}"""
