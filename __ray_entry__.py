@@ -971,6 +971,19 @@ def _sim_ann_bruteforce(sf_dir: str):
     )
 
 
+def _sim_range_search(sf_dir: str):
+    """Radius search: every corpus vector within cosine >= 0.2 of each of the
+    8 query vectors — broadcast queries, per-batch matmul + filter, streaming
+    (qid, vec_id) out (no driver merge; result size is data-dependent)."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import range_search
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return range_search(ds, q, "vec_id", "embedding", radius=0.2)
+
+
 def _sim_knn_classify(sf_dir: str):
     """kNN label classification: exact cosine top-10 per query vector with
     labels carried through the scorer (no second scan), driver majority vote
@@ -1820,6 +1833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_embedding_lsh": _dd_embedding_lsh,
         "dd_ngram_jaccard": _dd_ngram,
         "sim_ann_bruteforce": _sim_ann_bruteforce,
+        "sim_range_search": _sim_range_search,
         "sim_ann_lsh": _sim_ann_lsh,
         "sim_knn_classify": _sim_knn_classify,
         "txt_token_stats": _txt_token_stats,
@@ -1957,6 +1971,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, vec_id
             FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
             WHERE rn <= 5""",
+        "sim_range_search": """
+            WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id < 8)
+            SELECT CAST(q.qid AS BIGINT) AS qid, e2.vec_id
+            FROM q CROSS JOIN embeddings e2
+            WHERE list_cosine_similarity(q.e, CAST(e2.embedding AS DOUBLE[])) >= 0.2""",
         "dd_embedding_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -620,3 +620,56 @@ def knn_classify(
         pred, n = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
         out.append({"qid": qid, "label_pred": pred, "n_votes": n})
     return out
+
+
+class _RangeScorer:
+    """Actor-pool stage: per-batch exact cosine vs the broadcast query matrix,
+    emitting every (qid, id) whose similarity clears the radius. Unlike the
+    top-k scorers there is no per-query state to merge — the output is a plain
+    filtered stream, so range search is embarrassingly parallel end-to-end."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, radius: float):
+        q = np.asarray(ray.get(queries_ref), dtype=np.float64)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        self.q = q / qn
+        self.id_col, self.vec_col, self.radius = id_col, vec_col, radius
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b[self.vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(b[self.id_col].to_pylist(), dtype=np.int64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (vecs / norms) @ self.q.T  # (n, nq)
+        rows, qidx = np.nonzero(sims >= self.radius)
+        return pa.table(
+            {
+                "qid": pa.array(qidx.astype(np.int64), pa.int64()),
+                self.id_col: pa.array(ids[rows], pa.int64()),
+            }
+        )
+
+
+def range_search(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    radius: float,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Radius search: all corpus vectors within cosine ``radius`` of each
+    query. The dual of top-k retrieval (fixed similarity bar instead of fixed
+    result count) — the primitive behind near-duplicate *lookup* (is this new
+    document close to anything indexed?) and density estimation. Returns a
+    streaming (qid, id) Dataset — result size is data-dependent, so nothing
+    is merged on the driver. Scale path: same linear broadcast scan as
+    brute_force_topk; pair with the IVF bucketer when the corpus outgrows a
+    full scan per query batch."""
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    return ds.map_batches(
+        _RangeScorer,
+        fn_constructor_args=(ref, id_col, vec_col, radius),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
