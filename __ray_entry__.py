@@ -1802,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_retention_cohorts": relational.q_retention_cohorts,
         "q_cust_without_orders": relational.q_cust_without_orders,
         "q_quantile_sketch": relational.q_quantile_sketch,
+        "q_ntile_users": relational.q_ntile_users,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,

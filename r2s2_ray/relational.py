@@ -1665,3 +1665,87 @@ ORACLES["q_value_hour_corr"] = """
            CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
            CAST(n * syy - sy * sy AS BIGINT) AS vary_num
     FROM a"""
+
+
+def q_ntile_users(sf_dir: str, tiles: int = 4, num_buckets: int = 32):
+    """NTILE(4) of users by total spend — the quantile-bucketing window
+    function Ray Data lacks, built as a distributed rank: per-user totals
+    (one combiner-backed groupby), then a VALUE-ordered bucket key (monotone
+    affine rescale of total into <=num_buckets range buckets, so bucket
+    order == total order and equal totals can't straddle buckets), per-bucket
+    counts to the driver (num_buckets ints — metadata, not data), and a
+    bucket-sorted whole-block rank + offset. NTILE's remainder rule (first
+    ``n % tiles`` tiles get the extra row) is applied elementwise from the
+    global rank, bit-matching the SQL window function under the deterministic
+    (total_cents, user_id) order."""
+    import polars as pl
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": b["user_id"], "cents": v})
+
+    totals = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+        .materialize()
+    )
+    bounds = totals.aggregate(
+        Min("total_cents", alias_name="lo"), Max("total_cents", alias_name="hi")
+    )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, hi - lo + 1)
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["total_cents"], pa.int64())
+        bk = pc.cast(
+            pc.divide(pc.multiply(pc.subtract(t, lo), num_buckets), span), pa.int32()
+        )
+        return b.append_column("bucket", bk)
+
+    bucketed = totals.map_batches(with_bucket, batch_format="pyarrow").materialize()
+    counts = {
+        int(r["bucket"]): int(r["n"])
+        for r in bucketed.groupby("bucket").aggregate(Count(alias_name="n")).take_all()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for bk in range(num_buckets + 1):
+        offsets[bk] = acc
+        acc += counts.get(bk, 0)
+    size, rem = n // tiles, n % tiles
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["bucket", "total_cents", "user_id"])
+        off = pl.col("bucket").replace_strict(
+            list(offsets.keys()), list(offsets.values()), return_dtype=pl.Int64
+        )
+        rn = (pl.col("bucket").cum_count().over("bucket") - 1 + off).cast(pl.Int64)
+        head = rem * (size + 1)
+        tile = (
+            pl.when(rn < head)
+            .then(rn // (size + 1))
+            .otherwise(rem + (rn - head) // pl.lit(max(size, 1)))
+            + 1
+        )
+        return df.select(
+            pl.col("user_id"),
+            pl.col("total_cents").cast(pl.Int64),
+            tile.cast(pl.Int64).alias("quartile"),
+        ).to_arrow()
+
+    return bucketed.sort("bucket").map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
+ORACLES["q_ntile_users"] = """
+    WITH t AS (SELECT user_id,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+               FROM events GROUP BY user_id)
+    SELECT user_id, total_cents,
+           CAST(ntile(4) OVER (ORDER BY total_cents, user_id) AS BIGINT) AS quartile
+    FROM t"""
