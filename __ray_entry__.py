@@ -1803,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cust_without_orders": relational.q_cust_without_orders,
         "q_quantile_sketch": relational.q_quantile_sketch,
         "q_ntile_users": relational.q_ntile_users,
+        "q_grouping_sets": relational.q_grouping_sets,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,

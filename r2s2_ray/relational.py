@@ -1749,3 +1749,75 @@ ORACLES["q_ntile_users"] = """
     SELECT user_id, total_cents,
            CAST(ntile(4) OVER (ORDER BY total_cents, user_id) AS BIGINT) AS quartile
     FROM t"""
+
+
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((event_type, dow), (event_type), (hour)) over
+    events — arbitrary (non-hierarchical) grouping sets, the general form of
+    ROLLUP/CUBE. Scale design (same as q_rollup_docs): ONE distributed
+    groupby at the finest level (the union of all set columns, with a
+    per-block combiner), then every requested set aggregates from that
+    group-cardinality-sized result on the driver — never a second input scan."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(
+            pl.col("event_type"),
+            pl.col("ts").dt.hour().cast(pl.Int64).alias("hour"),
+            (pl.col("ts").dt.weekday() % 7).cast(pl.Int64).alias("dow"),
+            (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents"),
+        )
+        return (
+            df.group_by(["event_type", "hour", "dow"])
+            .agg(pl.len().cast(pl.Int64).alias("n"), pl.col("cents").sum().alias("value_cents"))
+            .to_arrow()
+        )
+
+    finest = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["event_type", "hour", "dow"])
+        .aggregate(Sum("n", alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .take_all()
+    )
+    df = pl.DataFrame(
+        {
+            "event_type": [r["event_type"] for r in finest],
+            "hour": pl.Series([int(r["hour"]) for r in finest], dtype=pl.Int64),
+            "dow": pl.Series([int(r["dow"]) for r in finest], dtype=pl.Int64),
+            "n": pl.Series([int(r["n"]) for r in finest], dtype=pl.Int64),
+            "value_cents": pl.Series([int(r["value_cents"]) for r in finest], dtype=pl.Int64),
+        }
+    )
+    cols = ["event_type", "hour", "dow", "n", "value_cents"]
+    ni = pl.lit(None, dtype=pl.Int64)
+    s1 = (
+        df.group_by(["event_type", "dow"])
+        .agg(pl.col("n").sum(), pl.col("value_cents").sum())
+        .with_columns(ni.alias("hour"))
+    )
+    s2 = (
+        df.group_by("event_type")
+        .agg(pl.col("n").sum(), pl.col("value_cents").sum())
+        .with_columns(ni.alias("hour"), ni.alias("dow"))
+    )
+    s3 = (
+        df.group_by("hour")
+        .agg(pl.col("n").sum(), pl.col("value_cents").sum())
+        .with_columns(pl.lit(None, dtype=pl.Utf8).alias("event_type"), ni.alias("dow"))
+    )
+    return pl.concat([s.select(cols) for s in (s1, s2, s3)]).to_arrow()
+
+
+ORACLES["q_grouping_sets"] = """
+    WITH base AS (SELECT event_type,
+                         CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                         CAST(extract(dow FROM ts) AS BIGINT) AS dow,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+    SELECT event_type, hour, dow,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, dow), (event_type), (hour))"""
