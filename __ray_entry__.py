@@ -886,6 +886,23 @@ def _dd_neardup_clusters(sf_dir: str):
     )
 
 
+def _dd_cluster_keep_best(sf_dir: str):
+    """Near-dup clusters -> keep-longest representative per cluster
+    (n_chars DESC, doc_id ASC) with cluster sizes — the dedup pipeline's
+    final selection step."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import cluster_keep_best
+
+    return cluster_keep_best(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 def _txt_lm_surprisal(sf_dir: str):
     """Per-document surprisal under the corpus's own unigram LM (the
     CCNet-style quality signal). The driver entry projects the integer-exact
@@ -1847,6 +1864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ann_ivf": _sim_ann_ivf,
         "sim_kmeans": _sim_kmeans,
         "dd_neardup_clusters": _dd_neardup_clusters,
+        "dd_cluster_keep_best": _dd_cluster_keep_best,
         "td_shuffle": _td_shuffle,
         "td_source_mix": _td_source_mix,
         "td_budget_sample": _td_budget_sample,
@@ -2018,6 +2036,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf": oracles_td.ann_ivf_oracle(),
         "sim_kmeans": oracles_td.kmeans_oracle(),
         "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
+        "dd_cluster_keep_best": oracles_td.cluster_keep_best_oracle(),
         "td_shuffle": oracles_td.training_shuffle_oracle(),
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),
         "td_budget_sample": oracles_td.budget_sample_oracle(),

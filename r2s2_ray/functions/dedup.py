@@ -1242,3 +1242,72 @@ def chunk_dedup(
         return out.to_arrow()
 
     return both.map_batches(stitch, batch_format="pyarrow", batch_size=None)
+
+
+def cluster_keep_best(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    len_col: str = "n_chars",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """The step after near-dup clustering that an actual training-data
+    pipeline runs: pick ONE representative per cluster (the longest document,
+    ties to the smallest id — the C4/RefinedWeb "keep longest" rule) and emit
+    (cluster_id, kept_id, n_docs). Composition: neardup_clusters (LSH ->
+    distributed CC) hash-joined with the documents' length column (large x
+    large, one bucketed exchange), then a cluster-bucketed argmax — per-block
+    vectorized sort + first, combiner-less because cluster buckets are
+    already key-complete after the sort."""
+    import polars as pl
+
+    from ..relational import hash_join
+
+    clusters = neardup_clusters(
+        ds.select_columns([id_col, text_col]),
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+    )
+    joined = hash_join(
+        clusters,
+        ds.select_columns([id_col, len_col]),
+        on=id_col,
+        right_cols=[len_col],
+        num_buckets=num_buckets,
+    )
+
+    def bucket(b: pa.Table) -> pa.Table:
+        bk = (
+            pl.from_arrow(b)
+            .select(pl.col("cluster_id").hash(seed=17).mod(num_buckets).cast(pl.Int32).alias("bucket"))
+        )["bucket"]
+        return b.append_column("bucket", bk.to_arrow())
+
+    def best(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.drop_columns(["bucket"]))
+        out = (
+            df.sort(["cluster_id", len_col, id_col], descending=[False, True, False])
+            .group_by("cluster_id", maintain_order=True)
+            .agg(
+                pl.col(id_col).first().alias("kept_id"),
+                pl.len().cast(pl.Int64).alias("n_docs"),
+            )
+        )
+        return out.select(
+            pl.col("cluster_id").cast(pl.Int64),
+            pl.col("kept_id").cast(pl.Int64),
+            pl.col("n_docs"),
+        ).to_arrow()
+
+    return (
+        joined.map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(best, batch_format="pyarrow", batch_size=None)
+    )

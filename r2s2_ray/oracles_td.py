@@ -1360,3 +1360,33 @@ def bpe_pairs_oracle(k: int = 50) -> str:
         SELECT CAST(row_number() OVER (ORDER BY count DESC, pair) AS BIGINT) AS rank,
                pair, count
         FROM g ORDER BY count DESC, pair LIMIT {k}"""
+
+
+def cluster_keep_best_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3) -> str:
+    """Oracle for functions.dedup.cluster_keep_best: the neardup_clusters
+    CTE chain (LSH pairs -> recursive min-label CC) extended with the
+    keep-longest representative rule (n_chars DESC, doc_id ASC)."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(num_perm, bands, shingle_k)},
+        p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM bandkeys x JOIN bandkeys y
+                ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        e AS (SELECT a AS src, b AS dst FROM p UNION SELECT b AS src, a AS dst FROM p),
+        cc AS (
+          SELECT node, node AS label FROM (SELECT DISTINCT src AS node FROM e)
+          UNION
+          SELECT e.dst AS node, cc.label
+          FROM cc JOIN e ON cc.node = e.src
+          WHERE cc.label < e.dst),
+        lab AS (SELECT node, min(label) AS label FROM cc GROUP BY node),
+        asg AS (SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id, d.n_chars
+                FROM documents d LEFT JOIN lab ON lab.node = d.doc_id)
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(doc_id AS BIGINT) AS kept_id,
+               n_docs
+        FROM (SELECT cluster_id, doc_id,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY n_chars DESC, doc_id) AS rn,
+                     CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs
+              FROM asg)
+        WHERE rn = 1"""
