@@ -1179,6 +1179,23 @@ def _io_ipc_roundtrip(sf_dir: str):
     )
 
 
+def _io_orc_roundtrip(sf_dir: str):
+    """ORC sink -> source roundtrip: one content-tagged ORC file per block
+    (custom-sink pattern, retry-idempotent), read back one task per file —
+    identity oracle vs the parquet source."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import read_orc, write_orc
+
+    out = tempfile.mkdtemp(prefix="orc_rt_")
+    write_orc(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), out)
+    return read_orc(out).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _sim_pq_codes(sf_dir: str):
     """Product-quantization codes (IVF-PQ compression step): 8 subspaces x
     integer-exact kmeans, (vec_id, subspace, code) — bit-exact vs the
@@ -1887,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_temperature_sample": _td_temperature_sample,
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
         "io_ipc_roundtrip": _io_ipc_roundtrip,
+        "io_orc_roundtrip": _io_orc_roundtrip,
         "io_csv_roundtrip": _io_csv_roundtrip,
         "sim_quantize": _sim_quantize,
         "q_profile_docs": _q_profile_docs,
@@ -2049,6 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         "td_temperature_sample": oracles_td.temperature_sample_oracle(),
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_ipc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "io_orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),

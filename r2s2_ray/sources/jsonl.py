@@ -97,3 +97,54 @@ def read_ipc(out_dir: str) -> ray.data.Dataset:
     return ray.data.from_items([{"path": p} for p in files]).map_batches(
         rd, batch_format="pyarrow", batch_size=1
     )
+
+
+def write_orc(ds: ray.data.Dataset, out_dir: str) -> list[dict]:
+    """Dataset -> one ORC file per block (the columnar interchange format of
+    the Hadoop/Hive world — the second storage-format surface after parquet,
+    covering the reference's codec breadth S3 on the Ray side). Ray Data has
+    no ORC datasink, so same custom-sink pattern as :func:`write_ipc`:
+    map_batches side-effect write with content-tagged names (retry
+    overwrites its own file — idempotent), metadata rows to the driver."""
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    from ..stages.fold import block_tag
+    from ..util import fs_makedirs
+
+    fs_makedirs(out_dir)
+
+    def w(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+        tag = block_tag(b, cols=tuple(b.column_names))
+        path = f"{out_dir}/part-{tag}.orc"
+        orc.write_table(b, path)
+        return pa.table({"path": pa.array([path]), "rows": pa.array([b.num_rows], pa.int64())})
+
+    return ds.map_batches(w, batch_format="pyarrow").take_all()
+
+
+def read_orc(out_dir: str) -> ray.data.Dataset:
+    """Directory of ORC files -> streaming Dataset, one read task per file
+    (work-list Dataset of paths + decode inside map_batches)."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+    import pyarrow.orc as orc
+
+    from ..util import fs_for
+
+    fs, root = fs_for(out_dir)
+    files = sorted(
+        f.path
+        for f in fs.get_file_info(pafs.FileSelector(root, recursive=False))
+        if f.path.endswith(".orc")
+    )
+
+    def rd(b: pa.Table) -> pa.Table:
+        tabs = [orc.ORCFile(p).read() for p in b["path"].to_pylist()]
+        return pa.concat_tables(tabs, promote_options="default")
+
+    return ray.data.from_items([{"path": p} for p in files]).map_batches(
+        rd, batch_format="pyarrow", batch_size=1
+    )
