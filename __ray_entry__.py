@@ -239,6 +239,17 @@ def _kg_bfs_khop(sf_dir: str):
     return bfs_distances(edges, [seed], max_depth=3)
 
 
+def _kg_void_summary(sf_dir: str):
+    """VoID dataset description over the dedup'd triple view: triple count +
+    distinct subjects/properties/objects/classes in one post-fold exchange."""
+    from r2s2_ray.functions.graph import void_summary
+    from r2s2_ray.pipelines.kg import triples_dataset
+    from r2s2_ray.stages.fold import fold, route
+    from r2s2_ray.terms import RDF_TYPE
+
+    return void_summary(fold(route(triples_dataset(sf_dir))), RDF_TYPE)
+
+
 def _kg_char_sets(sf_dir: str):
     """Characteristic-set census (per-subject predicate-set shapes + subject
     counts) — RDF schema discovery over the linked triple stream."""
@@ -1789,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_cards": _kg_entity_cards,
         "kg_bfs_khop": _kg_bfs_khop,
         "kg_char_sets": _kg_char_sets,
+        "kg_void_summary": _kg_void_summary,
         "kg_degree_hist": _kg_degree_hist,
         "kg_term_dict": _kg_term_dict,
         "kg_subject_functional": _kg_subject_functional,
@@ -1838,6 +1850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_sketch": relational.q_quantile_sketch,
         "q_ntile_users": relational.q_ntile_users,
         "q_grouping_sets": relational.q_grouping_sets,
+        "q_user_outliers": relational.q_user_outliers,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
@@ -1933,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_cards": oracles.entity_cards_oracle(),
         "kg_bfs_khop": oracles.bfs_khop_oracle(max_depth=3),
         "kg_char_sets": oracles.characteristic_sets_oracle(),
+        "kg_void_summary": oracles.void_summary_oracle(),
         "kg_degree_hist": oracles.degree_histogram_oracle(),
         "kg_term_dict": oracles.term_dict_oracle(),
         "kg_subject_functional": oracles.subject_functional_oracle(),

@@ -1013,3 +1013,57 @@ def degree_histogram(triples: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("deg")
         .aggregate(Sum("one", alias_name="n_subjects"))
     )
+
+
+def void_summary(dedup_triples: ray.data.Dataset, rdf_type: str) -> pa.Table:
+    """VoID dataset-description summary (the W3C vocabulary every published
+    RDF dataset ships): triple count plus distinct subjects / properties /
+    objects / classes, over the set-semantics (deduplicated) triple view.
+
+    One pass emits (kind, value) pairs for subj/pred/obj (+ a class pair when
+    pred is rdf:type); one groupby dedups pairs, per-block partial counts per
+    kind follow, and the driver receives <= 4 x nblocks tiny rows. The triple
+    count rides the same stream as a fifth kind (one row per triple, counted
+    without dedup), so the whole summary is a single exchange after the fold."""
+    import polars as pl
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        outs = [
+            df.select(pl.lit("s").alias("kind"), pl.col("subj").alias("v")),
+            df.select(pl.lit("p").alias("kind"), pl.col("pred").alias("v")),
+            df.select(pl.lit("o").alias("kind"), pl.col("obj").alias("v")),
+            df.filter(pl.col("pred") == rdf_type).select(
+                pl.lit("c").alias("kind"), pl.col("obj").alias("v")
+            ),
+        ]
+        return pl.concat(outs).to_arrow()
+
+    distinct = (
+        dedup_triples.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["kind", "v"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def per_kind(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["kind"]))
+        return df.group_by("kind").agg(pl.len().cast(pl.Int64).alias("n")).to_arrow()
+
+    kind_rows = (
+        distinct.map_batches(per_kind, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    counts = {r["kind"]: int(r["n"]) for r in kind_rows}
+    n_triples = dedup_triples.count()
+    return pa.table(
+        {
+            "n_triples": pa.array([n_triples], pa.int64()),
+            "n_subjects": pa.array([counts.get("s", 0)], pa.int64()),
+            "n_properties": pa.array([counts.get("p", 0)], pa.int64()),
+            "n_objects": pa.array([counts.get("o", 0)], pa.int64()),
+            "n_classes": pa.array([counts.get("c", 0)], pa.int64()),
+        }
+    )

@@ -761,3 +761,17 @@ def degree_histogram_oracle() -> str:
         f"SELECT subj, CAST(count(*) AS BIGINT) AS deg FROM ({raw_triples_sql(linked=True)}) GROUP BY subj"
         ") GROUP BY deg"
     )
+
+
+def void_summary_oracle() -> str:
+    """VoID summary over the set-semantics triple view (distinct
+    (subj,pred,obj,o_lang,o_dt), the fold's dedup key)."""
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj, o_lang, o_dt "
+        f"           FROM ({raw_triples_sql(linked=True)})) "
+        f"SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_triples, "
+        f"       CAST((SELECT count(DISTINCT subj) FROM t) AS BIGINT) AS n_subjects, "
+        f"       CAST((SELECT count(DISTINCT pred) FROM t) AS BIGINT) AS n_properties, "
+        f"       CAST((SELECT count(DISTINCT obj) FROM t) AS BIGINT) AS n_objects, "
+        f"       CAST((SELECT count(DISTINCT obj) FROM t WHERE pred = {_q(RDF_TYPE)}) AS BIGINT) AS n_classes"
+    )

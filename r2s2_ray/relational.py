@@ -1821,3 +1821,61 @@ ORACLES["q_grouping_sets"] = """
            CAST(sum(cents) AS BIGINT) AS value_cents
     FROM base
     GROUP BY GROUPING SETS ((event_type, dow), (event_type), (hour))"""
+
+
+def q_user_outliers(sf_dir: str):
+    """Users whose total spend deviates more than 2 population-σ from the
+    mean user total — anomaly flagging as an EXACT integer contract (the
+    q_value_hour_corr trick applied to a z-score): with n users, Σx, Σx²
+    over per-user cent totals, |z| > 2 is equivalent to
+    (n·x − Σx)² > 4·(n·Σx² − (Σx)²), all in int64 — no float ever enters the
+    comparison or the output. Two tiny aggregates after the per-user groupby
+    (driver sees 3 ints), then a broadcast-scalar filter pass. Headroom:
+    n²·x² < 2^63 holds to ~1e5 users at ~1e4-dollar totals; beyond, rescale
+    to whole dollars or widen via the HUGEINT helpers in oracles_td."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": b["user_id"], "cents": v})
+
+    totals = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+        .materialize()
+    )
+
+    def sq(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["total_cents"], pa.int64())
+        return pa.table({"t": t, "t2": pc.multiply(t, t)})
+
+    stats = totals.map_batches(sq, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"), Sum("t", alias_name="sx"), Sum("t2", alias_name="sxx")
+    )
+    n, sx, sxx = int(stats["n"]), int(stats["sx"]), int(stats["sxx"])
+    varx4 = 4 * (n * sxx - sx * sx)
+
+    def flag(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["total_cents"], pa.int64())
+        dev = pc.subtract(pc.multiply(t, n), sx)
+        keep = pc.greater(pc.multiply(dev, dev), varx4)
+        out = pa.table({"user_id": b["user_id"], "total_cents": t, "dev_num": dev})
+        return out.filter(keep)
+
+    return totals.map_batches(flag, batch_format="pyarrow")
+
+
+ORACLES["q_user_outliers"] = """
+    WITH t AS (SELECT user_id,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total
+               FROM events GROUP BY user_id),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(total) AS BIGINT) AS sx,
+                      CAST(sum(total * total) AS BIGINT) AS sxx
+               FROM t)
+    SELECT user_id, total AS total_cents, CAST(n * total - sx AS BIGINT) AS dev_num
+    FROM t, s
+    WHERE (n * total - sx) * (n * total - sx) > 4 * (n * sxx - sx * sx)"""
