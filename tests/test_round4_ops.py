@@ -1,0 +1,119 @@
+"""Edge-case pins for the round-4 session-3 operators (the entry-contract
+sweep covers their oracle equality at sf0.001; these pin the properties the
+sweep can't see: retry idempotency, the NTILE remainder rule, bucket-boundary
+exactness, and range-search/brute-force consistency)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def test_orc_sink_retry_is_idempotent(tmp_path):
+    """A retried write task must overwrite its own file (content-tagged
+    names), so writing the same dataset twice yields the identical file set."""
+    import os
+
+    from r2s2_ray.sources.jsonl import read_orc, write_orc
+
+    ds = ray.data.from_arrow(
+        pa.table({"a": list(range(100)), "b": [f"x{i}" for i in range(100)]})
+    )
+    out = str(tmp_path / "orc")
+    write_orc(ds, out)
+    first = sorted(os.listdir(out))
+    write_orc(ds, out)  # simulated retry / re-run
+    assert sorted(os.listdir(out)) == first
+    back = read_orc(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(back["a"]) == list(range(100))
+
+
+def test_ntile_remainder_rule_matches_sql_semantics():
+    """NTILE(k) with n % k != 0 gives the FIRST n%k tiles the extra row —
+    pin the elementwise formula against a tiny explicit case."""
+    n, tiles = 10, 4
+    size, rem = n // tiles, n % tiles
+    head = rem * (size + 1)
+    got = [
+        (rn // (size + 1) if rn < head else rem + (rn - head) // max(size, 1)) + 1
+        for rn in range(n)
+    ]
+    # 10 rows into 4 tiles -> sizes 3,3,2,2
+    assert got == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_characteristic_sets_micro():
+    """Crafted micro triple set: subject schema shapes counted exactly, pred
+    sets sorted and deduplicated, subjects straddling input blocks."""
+    from r2s2_ray.functions.graph import characteristic_sets
+
+    rows = {
+        "subj": ["s1", "s1", "s1", "s2", "s2", "s3", "s3", "s3"],
+        "pred": ["p", "q", "p", "q", "p", "p", "q", "q"],
+        "obj": ["x"] * 8,
+    }
+    # split so s1/s3 straddle two blocks — the bucket sort must reunite them
+    t = pa.table(rows)
+    ds = ray.data.from_arrow([t.slice(0, 4), t.slice(4)])
+    out = {
+        (r["cset"], int(r["n_preds"])): int(r["n_subjects"])
+        for r in characteristic_sets(ds, num_buckets=8).take_all()
+    }
+    assert out == {("p,q", 2): 3}
+
+
+def test_void_summary_micro():
+    from r2s2_ray.functions.graph import void_summary
+
+    t = pa.table(
+        {
+            "subj": ["s1", "s1", "s2"],
+            "pred": ["rt", "p", "rt"],
+            "obj": ["ClassA", "lit", "ClassB"],
+        }
+    )
+    out = void_summary(ray.data.from_arrow(t), rdf_type="rt").to_pylist()[0]
+    assert out == {
+        "n_triples": 3,
+        "n_subjects": 2,
+        "n_properties": 2,
+        "n_objects": 3,
+        "n_classes": 2,
+    }
+
+
+def test_range_search_agrees_with_bruteforce_membership():
+    """Every (qid, id) the radius search emits at radius r must appear in the
+    exact top-k list when k is large enough, and vice versa for sims >= r."""
+    from r2s2_ray.functions.similarity import range_search
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 8)).astype(np.float64)
+    ids = np.arange(50, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]})
+    )
+    q = vecs[:3]
+    got = {
+        (int(r["qid"]), int(r["vec_id"]))
+        for r in range_search(ds, q, "vec_id", "embedding", radius=0.5).take_all()
+    }
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ qn.T
+    want = {(qi, vi) for vi, qi in zip(*[x.tolist() for x in np.nonzero(sims >= 0.5)])}
+    assert got == want
+
+
+def test_bpe_pairs_word_boundary():
+    """Pairs never cross word boundaries and ranking is count DESC, pair ASC."""
+    from r2s2_ray.functions.textstats import bpe_pair_counts
+
+    ds = ray.data.from_arrow(pa.table({"text": ["ab cd ab", "zz zz"]}))
+    t = bpe_pair_counts(ds, "text", k=10)
+    rows = {r["pair"]: (int(r["rank"]), int(r["count"])) for r in t.to_pylist()}
+    # "b c" / "d a" must not appear (boundary), zz twice, ab twice
+    assert set(rows) == {"ab", "cd", "zz"}
+    assert rows["ab"][1] == 2 and rows["zz"][1] == 2 and rows["cd"][1] == 1
+    assert rows["ab"][0] == 1  # tie with zz broken lexicographically
