@@ -250,6 +250,14 @@ def _kg_void_summary(sf_dir: str):
     return void_summary(fold(route(triples_dataset(sf_dir))), RDF_TYPE)
 
 
+def _kg_literal_stats(sf_dir: str):
+    """Per-(datatype, lang) literal census: count + min/max lexical length —
+    the T3/T4 datatype-profiling pass as a queryable table."""
+    from r2s2_ray.functions.graph import literal_stats
+
+    return literal_stats(_triples(sf_dir, linked=True))
+
+
 def _kg_char_sets(sf_dir: str):
     """Characteristic-set census (per-subject predicate-set shapes + subject
     counts) — RDF schema discovery over the linked triple stream."""
@@ -1801,6 +1809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs_khop": _kg_bfs_khop,
         "kg_char_sets": _kg_char_sets,
         "kg_void_summary": _kg_void_summary,
+        "kg_literal_stats": _kg_literal_stats,
         "kg_degree_hist": _kg_degree_hist,
         "kg_term_dict": _kg_term_dict,
         "kg_subject_functional": _kg_subject_functional,
@@ -1851,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ntile_users": relational.q_ntile_users,
         "q_grouping_sets": relational.q_grouping_sets,
         "q_user_outliers": relational.q_user_outliers,
+        "q_ship_priority": relational.q_ship_priority,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
@@ -1947,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs_khop": oracles.bfs_khop_oracle(max_depth=3),
         "kg_char_sets": oracles.characteristic_sets_oracle(),
         "kg_void_summary": oracles.void_summary_oracle(),
+        "kg_literal_stats": oracles.literal_stats_oracle(),
         "kg_degree_hist": oracles.degree_histogram_oracle(),
         "kg_term_dict": oracles.term_dict_oracle(),
         "kg_subject_functional": oracles.subject_functional_oracle(),

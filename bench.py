@@ -230,6 +230,19 @@ def run_bench() -> dict:
     _entry._kg_pagerank(sf_dir).count()
     queries["kg_pagerank"] = round(time.perf_counter() - t0, 3)
 
+    from r2s2_ray.functions.dedup import cluster_keep_best
+
+    t0 = time.perf_counter()
+    docs3 = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    cluster_keep_best(docs3, "doc_id", "text").count()
+    queries["dd_cluster_keep_best"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _entry._kg_char_sets(sf_dir).count()
+    queries["kg_char_sets"] = round(time.perf_counter() - t0, 3)
+
     n_dedup = sum(t.row_count for t in manifest.tables)
     result = {
         "metric": "kg_pipeline_e2e",

@@ -1067,3 +1067,43 @@ def void_summary(dedup_triples: ray.data.Dataset, rdf_type: str) -> pa.Table:
             "n_classes": pa.array([counts.get("c", 0)], pa.int64()),
         }
     )
+
+
+def literal_stats(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-datatype literal census over the triple stream: for every
+    (datatype, language) class of literal objects, the count plus min/max
+    lexical length — the datatype-profiling pass behind the reference's T3/T4
+    narrowing decisions (OptimizeForDatatype.java:27-147), surfaced as a
+    queryable table instead of an optimizer internal. Per-block partials
+    (count/min/max are all mergeable) keep the exchange at
+    #distinct-(dt,lang) rows per block."""
+    import polars as pl
+    from ray.data.aggregate import Max, Min, Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["o_kind", "obj", "o_lang", "o_dt"]))
+        lit = df.filter(pl.col("o_kind") == 2)
+        out = (
+            lit.with_columns(
+                pl.col("o_dt").fill_null("").alias("dt"),
+                pl.col("o_lang").fill_null("").alias("lang"),
+                pl.col("obj").str.len_chars().cast(pl.Int64).alias("len"),
+            )
+            .group_by(["dt", "lang"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("len").min().alias("min_len"),
+                pl.col("len").max().alias("max_len"),
+            )
+        )
+        return out.select(["dt", "lang", "n", "min_len", "max_len"]).to_arrow()
+
+    return (
+        triples.map_batches(part, batch_format="pyarrow")
+        .groupby(["dt", "lang"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_len", alias_name="min_len"),
+            Max("max_len", alias_name="max_len"),
+        )
+    )

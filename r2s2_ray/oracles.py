@@ -775,3 +775,14 @@ def void_summary_oracle() -> str:
         f"       CAST((SELECT count(DISTINCT obj) FROM t) AS BIGINT) AS n_objects, "
         f"       CAST((SELECT count(DISTINCT obj) FROM t WHERE pred = {_q(RDF_TYPE)}) AS BIGINT) AS n_classes"
     )
+
+
+def literal_stats_oracle() -> str:
+    return (
+        "SELECT coalesce(o_dt, '') AS dt, coalesce(o_lang, '') AS lang, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(min(length(obj)) AS BIGINT) AS min_len, "
+        "CAST(max(length(obj)) AS BIGINT) AS max_len "
+        f"FROM ({raw_triples_sql(linked=True)}) WHERE o_kind = 2 "
+        "GROUP BY 1, 2"
+    )

@@ -1879,3 +1879,106 @@ ORACLES["q_user_outliers"] = """
     SELECT user_id, total AS total_cents, CAST(n * total - sx AS BIGINT) AS dev_num
     FROM t, s
     WHERE (n * total - sx) * (n * total - sx) > 4 * (n * sxx - sx * sx)"""
+
+
+def q_ship_priority(sf_dir: str, k: int = 10, num_buckets: int = 32):
+    """TPC-H Q3 shape (shipping priority): lineitem x orders x customer with
+    segment + two date filters, revenue per order, global top-k. The classic
+    multi-join benchmark composition, done scale-honest: BOTH joins are
+    large x large hash-bucket joins (at 100 TB customer and orders are
+    data-sized too — no broadcast anywhere), filters pushed to the reads so
+    only qualifying rows enter either exchange, revenue in integer micros
+    (cents x (100 - discount_pct)) so the aggregate is order-free exact,
+    and top-k as per-block (revenue DESC, orderkey ASC) heads merged on the
+    driver — k x nblocks rows, never the full group result."""
+    import datetime as _dt
+    import heapq
+
+    import polars as pl
+
+    cutoff = _dt.datetime(1998, 1, 1)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b["c_mktsegment"], "BUILDING"))
+        return pa.table({"o_custkey": keep["c_custkey"]})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+
+    orders_f = hash_join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        on="o_custkey",
+        right_cols=[],
+    )
+
+    def as_l(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"]}
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def prep_l(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+        cents = pc.cast(pc.round(pc.multiply(keep["l_extendedprice"], 100.0)), pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(keep["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        return pa.table({"l_orderkey": keep["l_orderkey"], "rev": rev})
+
+    joined = hash_join(
+        line.map_batches(prep_l, batch_format="pyarrow"),
+        orders_f.map_batches(as_l, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_cols=["o_orderdate"],
+    )
+    grouped = joined.groupby("l_orderkey").aggregate(
+        Sum("rev", alias_name="revenue_micros"),
+        Max("o_orderdate", alias_name="o_orderdate"),
+    )
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return (
+            df.sort(["revenue_micros", "l_orderkey"], descending=[True, False])
+            .head(k)
+            .to_arrow()
+        )
+
+    rows = grouped.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    best = heapq.nsmallest(
+        k, ((-int(r["revenue_micros"]), int(r["l_orderkey"]), r["o_orderdate"]) for r in rows)
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array([ok for _, ok, _ in best], pa.int64()),
+            "o_orderdate": pa.array([d for _, _, d in best], pa.timestamp("us")),
+            "revenue_micros": pa.array([-rv for rv, _, _ in best], pa.int64()),
+        }
+    )
+
+
+ORACLES["q_ship_priority"] = """
+    SELECT l_orderkey, o_orderdate, revenue_micros FROM (
+      SELECT l.l_orderkey, o.o_orderdate,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+               AS revenue_micros
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    )
+    ORDER BY revenue_micros DESC, l_orderkey
+    LIMIT 10"""
