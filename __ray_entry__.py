@@ -1604,6 +1604,66 @@ def _mm_audio_frames(sf_dir: str):
     return audio_frames(docs.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _mm_wav_energy(sf_dir: str):
+    """REAL audio decode path: every document synthesizes a deterministic
+    PCM-16 mono waveform (s_k = ((a·k + c) mod 65536) − 32768 with a, c
+    derived from doc_id), encodes it into an actual RIFF/WAVE container
+    (stdlib wave writer), and the OPERATOR parses the container back and
+    emits per-window integer energies. The SQL oracle reproduces the sample
+    recurrence directly — so a decode bug (header offsets, endianness,
+    sample width) breaks the hash match. Closes the audio-decode stand-in
+    for the one audio container the standard library really parses."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import wav_encode, wav_energy
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for did in b["doc_id"].to_pylist():
+            a = 2 * (did % 32747) + 1
+            c = did % 65536
+            k = np.arange(1600, dtype=np.int64)
+            samples = (a * k + c) % 65536 - 32768
+            payloads.append(wav_encode(samples))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return wav_energy(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
+def _mm_png_pixels(sf_dir: str):
+    """REAL image decode path: every document synthesizes a 16x16 8-bit
+    grayscale image (p_k = (a·k + c) mod 256), encodes it into an actual PNG
+    (chunked, CRC'd, zlib-deflated, scanlines filtered with None/Sub/Up),
+    and the OPERATOR decodes the container — CRC-checked chunk walk,
+    inflate, unfilter — and emits integer pixel stats. SQL oracle = the
+    pixel formula, so any parser/unfilter bug breaks the hash match."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import png_encode_gray, png_pixel_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for did in b["doc_id"].to_pylist():
+            a = 2 * (did % 127) + 1
+            c = did % 251
+            k = np.arange(256, dtype=np.int64)
+            px = ((a * k + c) % 256).astype(np.uint8).reshape(16, 16)
+            payloads.append(png_encode_gray(px))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return png_pixel_stats(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _mm_video_frames(sf_dir: str):
     """Video frame sampling (stride row-expansion) over synthetic media rows:
     each document declares a DATA-DEPENDENT frame count (len(text) % 97 + 4)
@@ -1919,6 +1979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_image_features": _mm_image_features,
         "mm_phash_neardup": _mm_phash_neardup,
         "mm_audio_frames": _mm_audio_frames,
+        "mm_wav_energy": _mm_wav_energy,
+        "mm_png_pixels": _mm_png_pixels,
         "mm_video_frames": _mm_video_frames,
         "sim_bm25": _sim_bm25,
         "td_dsir_weights": _td_dsir,
@@ -2152,6 +2214,27 @@ def oracle_sql() -> dict[str, str]:
         "mm_image_features": oracles_td.image_features_oracle(),
         "mm_phash_neardup": oracles_td.phash_neardup_oracle(),
         "mm_audio_frames": oracles_td.audio_frames_oracle(),
+        "mm_wav_energy": """
+            WITH d AS (SELECT doc_id, 2 * (doc_id % 32747) + 1 AS a, doc_id % 65536 AS c
+                       FROM documents),
+                 fr AS (SELECT doc_id, a, c, CAST(f AS BIGINT) AS frame_idx
+                        FROM d, unnest(generate_series(0, 7)) t(f)),
+                 s AS (SELECT doc_id, frame_idx,
+                              (a * (frame_idx * 160 + j) + c) % 65536 - 32768 AS v
+                       FROM fr, unnest(generate_series(0, 399)) u(j))
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST(sum(v * v) AS BIGINT) AS energy
+            FROM s GROUP BY 1, 2""",
+        "mm_png_pixels": """
+            WITH d AS (SELECT doc_id, 2 * (doc_id % 127) + 1 AS a, doc_id % 251 AS c
+                       FROM documents),
+                 px AS (SELECT doc_id, (a * k + c) % 256 AS p
+                        FROM d, unnest(generate_series(0, 255)) t(k))
+            SELECT doc_id AS media_id,
+                   CAST(sum(p) AS BIGINT) AS pixel_sum,
+                   CAST(min(p) AS BIGINT) AS pixel_min,
+                   CAST(max(p) AS BIGINT) AS pixel_max
+            FROM px GROUP BY doc_id""",
         "mm_video_frames": oracles_td.video_frames_oracle(),
         "kg_connected_components": oracles_td.connected_components_oracle(),
     }

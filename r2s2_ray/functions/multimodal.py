@@ -291,3 +291,220 @@ def phash_neardup(
         .sort("bucket")
         .map_batches(canon, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode kernels (no external libs): WAV via the stdlib wave module,
+# PNG via a chunk parser + zlib inflate + scanline unfiltering. These close
+# the "decode is a stand-in" gap for the two container formats the standard
+# library can genuinely parse; JPEG/MP3/MP4 still need external codecs and
+# keep the stand-in path.
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples -> a real RIFF/WAVE container (stdlib wave writer).
+    Fixture-side helper: the DECODER below is the operator under test."""
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+class WavDecode:
+    """REAL audio decode: parses the RIFF/WAVE container (stdlib ``wave``),
+    decodes PCM-16 mono to samples, and emits per-window INTEGER energies
+    (sum of squared samples at (win, hop)) — same output contract as the
+    AudioFrames stand-in, but the waveform comes from an actual format
+    parse, so a corrupted container raises instead of producing rows."""
+
+    def __init__(self, win: int = 400, hop: int = 160):
+        self.win, self.hop = win, hop
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import io
+        import wave as _wave
+
+        ids, idxs, energies = [], [], []
+        for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
+            with _wave.open(io.BytesIO(p), "rb") as w:
+                if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                    raise ValueError(f"media {mid}: expected PCM-16 mono")
+                raw = w.readframes(w.getnframes())
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            sq = s * s
+            n = len(s)
+            for fi, start in enumerate(range(0, max(1, n - self.win + 1), self.hop)):
+                ids.append(mid)
+                idxs.append(fi)
+                energies.append(int(sq[start : start + self.win].sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "energy": pa.array(energies, pa.int64()),
+            }
+        )
+
+
+def png_encode_gray(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale -> a real PNG (8-bit, colortype 0). Rows are
+    filtered with type y % 3 in {None, Sub, Up} so decoding genuinely
+    exercises unfiltering, not just inflate. Fixture-side helper."""
+    import struct
+    import zlib
+
+    h, w = pixels.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    lines = []
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = pixels[y].astype(np.int64)
+        f = y % 3
+        if f == 0:
+            enc = row
+        elif f == 1:  # Sub: delta vs left neighbor
+            enc = (row - np.concatenate(([0], row[:-1]))) % 256
+        else:  # Up: delta vs row above
+            enc = (row - prev) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    idat = zlib.compress(b"".join(lines), 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Reverse PNG scanline filters (types 0-4) for 8-bit grayscale (bpp=1)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    stride = w + 1
+    for y in range(h):
+        f = int(raw[y * stride])
+        line = raw[y * stride + 1 : (y + 1) * stride].astype(np.int64)
+        above = out[y - 1].astype(np.int64) if y else np.zeros(w, dtype=np.int64)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub
+            cur = np.zeros(w, dtype=np.int64)
+            acc = 0
+            # running prefix (left neighbor is the RECONSTRUCTED byte)
+            for x in range(w):
+                acc = (line[x] + acc) % 256
+                cur[x] = acc
+        elif f == 2:  # Up
+            cur = (line + above) % 256
+        elif f == 3:  # Average
+            cur = np.zeros(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                left = (line[x] + (left + above[x]) // 2) % 256
+                cur[x] = left
+        elif f == 4:  # Paeth
+            cur = np.zeros(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                ul = above[x - 1] if x else 0
+                p = left + above[x] - ul
+                pr = min(
+                    (abs(p - left), 0, left),
+                    (abs(p - above[x]), 1, above[x]),
+                    (abs(p - ul), 2, ul),
+                )[2]
+                left = (line[x] + pr) % 256
+                cur[x] = left
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def png_decode_gray(data: bytes) -> np.ndarray:
+    """REAL PNG decode for 8-bit grayscale: signature + chunk walk with CRC
+    verification, IHDR validation, IDAT concat + zlib inflate, scanline
+    unfiltering. Raises on any malformed container."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r}: CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if (depth, ctype, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError("only 8-bit non-interlaced grayscale supported")
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    if len(raw) != h * (w + 1):
+        raise ValueError("PNG payload size mismatch")
+    return _png_unfilter(raw, h, w)
+
+
+class PngPixelStats:
+    """Actor-pool stage over REAL PNG payloads: decode (CRC-checked parse +
+    inflate + unfilter) and emit integer pixel statistics per image."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, sums, mins, maxs = [], [], [], []
+        for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
+            px = png_decode_gray(p).astype(np.int64)
+            ids.append(mid)
+            sums.append(int(px.sum()))
+            mins.append(int(px.min()))
+            maxs.append(int(px.max()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "pixel_min": pa.array(mins, pa.int64()),
+                "pixel_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
+def wav_energy(ds: ray.data.Dataset, *, win: int = 400, hop: int = 160, batch_size: int = 64, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        WavDecode,
+        fn_constructor_args=(win, hop),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def png_pixel_stats(ds: ray.data.Dataset, *, batch_size: int = 64, concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        PngPixelStats, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

@@ -117,3 +117,87 @@ def test_bpe_pairs_word_boundary():
     assert set(rows) == {"ab", "cd", "zz"}
     assert rows["ab"][1] == 2 and rows["zz"][1] == 2 and rows["cd"][1] == 1
     assert rows["ab"][0] == 1  # tie with zz broken lexicographically
+
+
+def test_png_decoder_inverts_all_filter_types():
+    """Hand-encode scanlines with every filter type (0-4, including Average
+    and Paeth which the fixture writer never emits) and assert the decoder
+    reconstructs the exact pixel matrix."""
+    import struct
+    import zlib
+
+    from r2s2_ray.functions.multimodal import png_decode_gray
+
+    rng = np.random.default_rng(3)
+    h, w = 5, 7
+    px = rng.integers(0, 256, size=(h, w), dtype=np.int64)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        cands = [(abs(p - a), 0, a), (abs(p - b), 1, b), (abs(p - c), 2, c)]
+        return min(cands)[2]
+
+    lines = []
+    for y in range(h):
+        f = y % 5
+        row = px[y]
+        above = px[y - 1] if y else np.zeros(w, dtype=np.int64)
+        enc = np.zeros(w, dtype=np.int64)
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            ul = above[x - 1] if x else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = above[x]
+            elif f == 3:
+                pred = (left + above[x]) // 2
+            else:
+                pred = paeth(left, above[x], ul)
+            enc[x] = (row[x] - pred) % 256
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    got = png_decode_gray(png)
+    assert (got.astype(np.int64) == px).all()
+
+
+def test_png_decoder_rejects_corruption():
+    import pytest as _pytest
+
+    from r2s2_ray.functions.multimodal import png_decode_gray, png_encode_gray
+
+    good = png_encode_gray(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside a chunk body -> CRC mismatch
+    with _pytest.raises(ValueError):
+        png_decode_gray(bytes(bad))
+
+
+def test_wav_roundtrip_exact():
+    from r2s2_ray.functions.multimodal import wav_encode
+
+    import io
+    import wave as _wave
+
+    s = ((np.arange(1000, dtype=np.int64) * 37 + 11) % 65536 - 32768).astype("<i2")
+    payload = wav_encode(s.astype(np.int64))
+    with _wave.open(io.BytesIO(payload), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth()) == (1, 2)
+        back = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert (back == s).all()
