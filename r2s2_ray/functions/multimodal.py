@@ -1,8 +1,11 @@
 """Multimodal column plumbing: image/audio/video payloads are opaque ``binary``
 columns with typed metadata; decode/feature stages are actor-pool ``map_batches``
-callables. The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment — clearly marked below); the Ray-side plumbing — schema, batch
-sizing, actor signatures, output layout — is real and tested.
+callables. Decode status by format: WAV and PNG decode are REAL (stdlib wave
+parser; chunk-walking CRC-checked PNG parser with full filter support — see
+:class:`WavDecode` / :func:`png_decode_gray` at the bottom); JPEG/MP3/MP4 need
+external codecs absent from this environment, so those paths keep the clearly
+marked deterministic stand-ins. The Ray-side plumbing — schema, batch sizing,
+actor signatures, output layout — is real and tested on every path.
 
 Scale notes: binary payloads force SMALL batch sizes (batch bytes ~= payload x
 batch_size must fit the worker heap; pass batch_size explicitly). Stages stay in
