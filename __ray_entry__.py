@@ -437,6 +437,26 @@ def _kg_sparql_antijoin(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_boundexpr(sf_dir: str):
+    """BOUND inside boolean connectives (round-4 widening): the classic
+    'unmatched OR matched-with-property' disjunction —
+    FILTER(!BOUND(?e) || CONTAINS(?e, "ray")) over an OPTIONAL mentions
+    group. The filter defers to after the LEFT JOIN (Filter(LeftJoin(...))
+    placement), so unmatched turns survive the NULL test."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT DISTINCT ?turn ?e WHERE {\n"
+        "  ?turn a ex:Turn .\n"
+        "  OPTIONAL { ?turn ex:mentions ?e }\n"
+        '  FILTER(!BOUND(?e) || CONTAINS(?e, "ray"))\n'
+        "}"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_agg(sf_dir: str):
     """SPARQL aggregates served end-to-end: per-class instance counts via
     (COUNT(?s) AS ?n) + GROUP BY over the loaded store."""
@@ -1880,6 +1900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_graphgroups": _kg_sparql_graphgroups,
         "kg_sparql_describe_where": _kg_sparql_describe_where,
         "kg_sparql_antijoin": _kg_sparql_antijoin,
+        "kg_sparql_boundexpr": _kg_sparql_boundexpr,
         "kg_sparql_agg": _kg_sparql_agg,
         "kg_sparql_path": _kg_sparql_path,
         "kg_sparql_construct": _kg_sparql_construct,
@@ -2034,6 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_subselect": oracles.sparql_subselect_oracle(),
         "kg_sparql_groupconcat": oracles.sparql_groupconcat_oracle(),
         "kg_sparql_antijoin": oracles.sparql_antijoin_oracle(),
+        "kg_sparql_boundexpr": oracles.sparql_boundexpr_oracle(),
         "kg_sparql_agg": oracles.sparql_agg_oracle(),
         "kg_sparql_proplist": oracles.sparql_proplist_oracle(),
         "kg_sparql_optnested": oracles.sparql_optnested_oracle(),

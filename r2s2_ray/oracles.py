@@ -786,3 +786,18 @@ def literal_stats_oracle() -> str:
         f"FROM ({raw_triples_sql(linked=True)}) WHERE o_kind = 2 "
         "GROUP BY 1, 2"
     )
+
+
+def sparql_boundexpr_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_boundexpr``:
+    { ?turn a ex:Turn . OPTIONAL { ?turn ex:mentions ?e }
+      FILTER(!BOUND(?e) || CONTAINS(?e, "ray")) } — LEFT JOIN then the
+    disjunction over the nullable column."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS ({t}) "
+        f"SELECT DISTINCT ty.subj AS turn, m.obj AS e "
+        f"FROM (SELECT DISTINCT subj FROM t WHERE pred = {_q(RDF_TYPE)} AND obj = {_q(vocab.C_TURN)}) ty "
+        f"LEFT JOIN (SELECT DISTINCT subj, obj FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) m ON m.subj = ty.subj "
+        f"WHERE (m.obj IS NULL OR contains(m.obj, 'ray'))"
+    )

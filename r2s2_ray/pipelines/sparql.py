@@ -59,8 +59,9 @@ expression grammar on either side (STRLEN/UCASE/CONCAT/arithmetic;
 numeric coercion when either side is numeric-valued),
 boolean connectives ``&&`` / ``||`` / ``!`` over comparison and
 REGEX/STRSTARTS/STRENDS/CONTAINS atoms (SQL three-valued logic matches the SPARQL
-EBV error table; BOUND inside connectives is rejected — it must evaluate
-after OPTIONAL joins),
+EBV error table; ``BOUND(?v)`` is a first-class atom — a connective filter
+holding one, or referencing OPTIONAL-only variables, defers to AFTER the
+LEFT JOINs, the spec's Filter(LeftJoin(...)) placement),
 string-function FILTERs ``REGEX(?v, "pat")`` / ``STRSTARTS(?v, "s")`` /
 ``STRENDS(?v, "s")`` / ``CONTAINS(?v, "s")`` (RE2 regex — DuckDB and SPARQL both; the optional
 REGEX flags argument accepts ``i``/``s``/``m``/``x``),
@@ -1122,11 +1123,11 @@ _SFUNC_ATOM_RE = re.compile(
 def _parse_bool(src: str, restore, prefixes: dict[str, str]):
     """A (masked) FILTER body with boolean connectives -> bool AST:
     ("or"|"and", [nodes]) | ("not", node) | ("sfunc", var, func, Term) |
-    ("cmp", lhs AST, op, rhs AST). SQL three-valued logic mirrors the SPARQL
-    error semantics here (error||true = true, error&&false = false, and a
-    non-true filter eliminates the row). BOUND inside connectives is NOT
-    supported — it must evaluate after OPTIONAL joins; use a standalone
-    FILTER((!)BOUND(?v))."""
+    ("bound", var) | ("cmp", lhs AST, op, rhs AST). SQL three-valued logic
+    mirrors the SPARQL error semantics here (error||true = true,
+    error&&false = false, and a non-true filter eliminates the row). A
+    filter containing a BOUND atom (or referencing OPTIONAL-only variables)
+    is deferred to the post-LEFT-JOIN namespace at the compile site."""
     parts = _split_top(src, "||")
     if len(parts) > 1:
         return ("or", [_parse_bool(p, restore, prefixes) for p in parts])
@@ -1155,11 +1156,12 @@ def _parse_bool(src: str, restore, prefixes: dict[str, str]):
             m.group(1), m.group(2), m.group(3), m.group(4), restore, prefixes
         )
         return ("sfunc", var, func, arg)
-    if re.match(r"BOUND\s*\(", s, re.I):
-        raise ValueError(
-            "BOUND inside &&/|| is not supported (it must evaluate after "
-            "OPTIONAL joins — use a standalone FILTER((!)BOUND(?v)))"
-        )
+    mb = re.fullmatch(r"BOUND\s*\(\s*\?(\w+)\s*\)", s, re.I)
+    if mb:
+        # BOUND as a boolean atom: compiles to IS NOT NULL; a filter holding
+        # one is DEFERRED to after the OPTIONAL left joins (where the tested
+        # column is genuinely nullable) by the main compile site
+        return ("bound", mb.group(1))
     split = _top_cmp(s)
     if split is None:
         raise ValueError(
@@ -2875,7 +2877,9 @@ def _bool_sql(node, binds: dict[str, str]) -> str:
     """Boolean FILTER AST (:func:`_parse_bool`) -> SQL condition. SQL
     three-valued logic mirrors SPARQL's error semantics: an error (NULL)
     short-circuits through || / && exactly like the spec's EBV table, and a
-    non-TRUE result eliminates the row."""
+    non-TRUE result eliminates the row. BOUND compiles to IS NOT NULL —
+    correct only over the post-LEFT-JOIN namespace, which the deferral at
+    the compile site guarantees whenever OPTIONALs exist."""
     tag = node[0]
     if tag == "or":
         return "(" + " OR ".join(_bool_sql(x, binds) for x in node[1]) + ")"
@@ -2883,11 +2887,47 @@ def _bool_sql(node, binds: dict[str, str]) -> str:
         return "(" + " AND ".join(_bool_sql(x, binds) for x in node[1]) + ")"
     if tag == "not":
         return f"NOT ({_bool_sql(node[1], binds)})"
+    if tag == "bound":
+        v = node[1]
+        if v not in binds:
+            raise ValueError(f"BOUND on unbound variable ?{v}")
+        return f"({binds[v]} IS NOT NULL)"
     if tag == "sfunc":
         _, var, func, arg = node
         return _filter_cond(var, func, arg, binds)
     _, lhs, opc, rhs = node
     return _cmp_sql(lhs, opc, rhs, binds)
+
+
+def _bool_vars(node) -> set[str]:
+    """Variables a boolean FILTER AST references (deferral decision)."""
+    tag = node[0]
+    if tag in ("or", "and"):
+        out: set[str] = set()
+        for x in node[1]:
+            out |= _bool_vars(x)
+        return out
+    if tag == "not":
+        return _bool_vars(node[1])
+    if tag == "bound":
+        return {node[1]}
+    if tag == "sfunc":
+        _, var, _func, arg = node
+        vs = {var}
+        if getattr(arg, "kind", None) == "var":
+            vs.add(arg.value)
+        return vs
+    _, lhs, _opc, rhs = node
+    return _expr_vars(lhs) | _expr_vars(rhs)
+
+
+def _bool_has_bound(node) -> bool:
+    tag = node[0]
+    if tag in ("or", "and"):
+        return any(_bool_has_bound(x) for x in node[1])
+    if tag == "not":
+        return _bool_has_bound(node[1])
+    return tag == "bound"
 
 
 
@@ -3107,7 +3147,18 @@ def _to_sql_cols(
         binds[bv] = f"({_expr_sql(node, binds)})"
     for lhs, opc, rhs in query.expr_filters or []:
         conds.append(_cmp_sql(lhs, opc, rhs, binds))
+    deferred_bools: list[object] = []
     for node in query.bool_filters or []:
+        # Filter(LeftJoin(...)) placement: a connective filter that tests
+        # BOUND or references OPTIONAL-only variables evaluates AFTER the
+        # left joins (same deferral rule as BINDs over OPTIONAL variables);
+        # filters over required-only variables stay in the required WHERE —
+        # equivalent, and they prune before the joins
+        if query.optionals and (
+            _bool_has_bound(node) or not (_bool_vars(node) <= set(binds))
+        ):
+            deferred_bools.append(node)
+            continue
         conds.append(_bool_sql(node, binds))
     for k, (negated, e_quads) in enumerate(query.exists_filters or []):
         # correlated semi/anti-join: group-local variables are scoped to the
@@ -3380,6 +3431,8 @@ def _to_sql_cols(
             if v not in outer:
                 raise ValueError(f"BOUND on unbound variable ?{v}")
             outer_conds.append(f"{outer[v]} IS {'NOT NULL' if positive else 'NULL'}")
+        for node in deferred_bools:
+            outer_conds.append(_bool_sql(node, outer))
         where = " WHERE " + " AND ".join(outer_conds) if outer_conds else ""
         if _is_agg_query(query):
             proj, group, out_cols = _agg_projection(query, outer)
