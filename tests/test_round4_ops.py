@@ -201,3 +201,44 @@ def test_wav_roundtrip_exact():
         assert (w.getnchannels(), w.getsampwidth()) == (1, 2)
         back = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
     assert (back == s).all()
+
+
+def test_sparql_bound_inside_connectives():
+    """BOUND as a boolean atom inside &&/||: the whole filter defers to
+    after the OPTIONAL left join, so unmatched rows survive a !BOUND arm
+    and a BOUND && <test> arm prunes NULLs before the comparison."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        """CREATE TABLE all_triples AS SELECT * FROM (VALUES
+          ('t1','e:type','Turn', NULL, NULL, 'g'),
+          ('t2','e:type','Turn', NULL, NULL, 'g'),
+          ('t3','e:type','Turn', NULL, NULL, 'g'),
+          ('t1','e:m','xray', NULL, NULL, 'g'),
+          ('t2','e:m','foo', NULL, NULL, 'g')
+        ) t(subj, pred, obj, o_lang, o_dt, graph)"""
+    )
+
+    def run(q):
+        return sorted(con.execute(to_sql(parse_sparql(q))).fetchall())
+
+    got = run(
+        "SELECT ?t ?e WHERE { ?t <e:type> \"Turn\" . OPTIONAL { ?t <e:m> ?e } "
+        'FILTER(!BOUND(?e) || CONTAINS(?e, "ray")) }'
+    )
+    assert got == [("t1", "xray"), ("t3", None)]
+
+    got = run(
+        "SELECT ?t WHERE { ?t <e:type> \"Turn\" . OPTIONAL { ?t <e:m> ?e } "
+        'FILTER(BOUND(?e) && ?e != "foo") }'
+    )
+    assert got == [("t1",)]
+
+    # no OPTIONAL: BOUND over a required variable is constant-true
+    got = run(
+        "SELECT ?t WHERE { ?t <e:m> ?e . FILTER(BOUND(?e) && ?e != \"foo\") }"
+    )
+    assert got == [("t1",)]
