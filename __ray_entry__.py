@@ -1235,6 +1235,36 @@ def _io_orc_roundtrip(sf_dir: str):
     )
 
 
+def _io_hive_partition(sf_dir: str):
+    """Hive-partitioned write + partition-PRUNED read-back: documents written
+    partitioned by lang (one directory per partition — the resumable-output
+    layout), then ONLY the lang=en directory is read (path-level pruning: no
+    other partition's bytes leave storage) and aggregated per source. The
+    oracle filters WHERE lang = 'en', so the hash match proves the pruned
+    read saw exactly the right rows."""
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    out = tempfile.mkdtemp(prefix="hive_part_")
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").write_parquet(
+        out, partition_cols=["lang"]
+    )
+    en = ray.data.read_parquet(f"{out}/lang=en")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": b["source"], "n_chars": pc.cast(b["n_chars"], pa.int64())}
+        )
+
+    return (
+        en.map_batches(shape, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+    )
+
+
 def _sim_pq_codes(sf_dir: str):
     """Product-quantization codes (IVF-PQ compression step): 8 subspaces x
     integer-exact kmeans, (vec_id, subspace, code) — bit-exact vs the
@@ -1942,6 +1972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouping_sets": relational.q_grouping_sets,
         "q_user_outliers": relational.q_user_outliers,
         "q_ship_priority": relational.q_ship_priority,
+        "q_dau_wau": relational.q_dau_wau,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
@@ -2011,6 +2042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
         "io_ipc_roundtrip": _io_ipc_roundtrip,
         "io_orc_roundtrip": _io_orc_roundtrip,
+        "io_hive_partition": _io_hive_partition,
         "io_csv_roundtrip": _io_csv_roundtrip,
         "sim_quantize": _sim_quantize,
         "q_profile_docs": _q_profile_docs,
@@ -2177,6 +2209,10 @@ def oracle_sql() -> dict[str, str]:
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_ipc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "io_hive_partition": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents WHERE lang = 'en' GROUP BY source""",
         "io_csv_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "sim_quantize": oracles_td.quantize_embeddings_oracle(),
         "dd_setsim_prefix": oracles_td.setsim_prefix_oracle(9, 10),

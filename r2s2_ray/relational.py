@@ -1982,3 +1982,76 @@ ORACLES["q_ship_priority"] = """
     )
     ORDER BY revenue_micros DESC, l_orderkey
     LIMIT 10"""
+
+
+def q_dau_wau(sf_dir: str):
+    """DAU/WAU: per-day distinct active users and the 7-day trailing
+    distinct-user count — the rolling-DISTINCT window SQL window functions
+    cannot express (COUNT(DISTINCT) OVER RANGE is illegal) and Ray Data has
+    no operator for. Design: one (day, user) dedup exchange; DAU is a tiny
+    per-day count; WAU EXPLODES each active (day, user) to its 7 target days
+    (a x7 fan-out of the DEDUP'D pairs, not the raw events) and dedups
+    (target_day, user) — turning a rolling distinct into two plain groupbys.
+    Day domain = days observed in the data (driver-side calendar-sized set).
+    Output (day, dau, wau) is #days rows — driver-safe by construction."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).select(
+            pl.col("ts").cast(pl.Date).cast(pl.Int32).cast(pl.Int64).alias("day"),
+            pl.col("user_id"),
+        )
+        return df.unique().to_arrow()
+
+    pairs = (
+        ds.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    dau = {int(r["day"]): int(r["n"]) for r in pairs.groupby("day").aggregate(Count(alias_name="n")).take_all()}
+
+    def fan(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = (
+            df.with_columns(pl.int_ranges(pl.col("day"), pl.col("day") + 7).alias("t"))
+            .explode("t")
+            .select(pl.col("t").alias("day"), pl.col("user_id"))
+        )
+        return out.to_arrow()
+
+    wau_rows = (
+        pairs.map_batches(fan, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .groupby("day")
+        .aggregate(Count(alias_name="wau"))
+        .take_all()
+    )
+    wau = {int(r["day"]): int(r["wau"]) for r in wau_rows}
+    days = sorted(dau)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "dau": pa.array([dau[d] for d in days], pa.int64()),
+            "wau": pa.array([wau[d] for d in days], pa.int64()),
+        }
+    )
+
+
+ORACLES["q_dau_wau"] = """
+    WITH a AS (SELECT DISTINCT
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                 user_id AS u
+               FROM events),
+         days AS (SELECT DISTINCT d FROM a)
+    SELECT days.d AS day,
+           CAST((SELECT count(*) FROM a WHERE a.d = days.d) AS BIGINT) AS dau,
+           CAST((SELECT count(DISTINCT u) FROM a
+                 WHERE a.d BETWEEN days.d - 6 AND days.d) AS BIGINT) AS wau
+    FROM days"""
