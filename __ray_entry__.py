@@ -1079,6 +1079,36 @@ def _sim_ann_lsh(sf_dir: str):
     )
 
 
+def _sim_lsh_recall(sf_dir: str):
+    """Recall meta-metric: per-query overlap of the LSH top-k with the exact
+    top-k (the 'measure, don't guess' gauge for every approximate index —
+    run it after any nprobe/planes change). Both sides already exist as
+    operators; the recall is an integer contract (hits, 100·hits//k)."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import brute_force_topk, lsh_topk
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, q, "vec_id", "embedding", k=5)
+    approx = lsh_topk(ds, q, "vec_id", "embedding", k=5)
+    ex: dict[int, set[int]] = {}
+    for r in exact:
+        ex.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    ap: dict[int, set[int]] = {}
+    for r in approx:
+        ap.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    qids = sorted(ex)
+    hits = [len(ex[i] & ap.get(i, set())) for i in qids]
+    return pa.table(
+        {
+            "qid": pa.array(qids, pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+            "recall_pct": pa.array([100 * h // 5 for h in hits], pa.int64()),
+        }
+    )
+
+
 def _td_dsir(sf_dir: str):
     """DSIR-style importance weights: hashed unigram+bigram features, target
     (lang='en') vs raw corpus, whole-bit log-likelihood-ratio — integer-exact
@@ -1904,6 +1934,15 @@ def _td_prepare(sf_dir: str):
     return prepare_corpus(sf_dir)
 
 
+_BF_TOPK_SQL = """(WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+                 s AS (SELECT q.qid, e.vec_id,
+                              list_cosine_similarity(q.embedding, e.embedding) AS cos
+                       FROM q CROSS JOIN embeddings e)
+            SELECT qid, vec_id
+            FROM (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn FROM s)
+            WHERE rn <= 5)"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline (SURVEY.md §2 operators)
@@ -2006,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ann_bruteforce": _sim_ann_bruteforce,
         "sim_range_search": _sim_range_search,
         "sim_ann_lsh": _sim_ann_lsh,
+        "sim_lsh_recall": _sim_lsh_recall,
         "sim_knn_classify": _sim_knn_classify,
         "txt_token_stats": _txt_token_stats,
         "txt_quality": _txt_quality,
@@ -2250,6 +2290,13 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_pairs": oracles_td.minhash_pairs_oracle(),
         "dd_embedding_lsh": oracles_td.embedding_lsh_oracle(),
         "sim_ann_lsh": oracles_td.ann_lsh_oracle(),
+        "sim_lsh_recall": f"""
+            WITH x AS {_BF_TOPK_SQL},
+                 l AS ({oracles_td.ann_lsh_oracle()})
+            SELECT x.qid, CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+                   CAST(100 * count(l.vec_id) // 5 AS BIGINT) AS recall_pct
+            FROM x LEFT JOIN l ON l.qid = x.qid AND l.vec_id = x.vec_id
+            GROUP BY x.qid""",
         "sim_knn_classify": """
             WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
                  s AS (SELECT q.qid, e.vec_id, e.label,
