@@ -167,6 +167,52 @@ def _kg_incremental(sf_dir: str):
     return state_folded(state).map_batches(fmt, batch_format="pyarrow")
 
 
+_FORGET_GRAPHS = [
+    "https://graphs.example.org/g1",
+    "https://graphs.example.org/g3",
+]
+
+
+def _kg_retract(sf_dir: str):
+    """Named-graph retraction (right-to-be-forgotten), served end-to-end:
+    build the per-bucket quad state from the FULL corpus, retract two named
+    graphs (no exchange — each bucket anti-filters its own files; the forget
+    set ships once via ray.put), fold what remains. The oracle is a
+    from-scratch dedup over the corpus MINUS those graphs, so the hash match
+    proves retract == rebuild-without."""
+    import tempfile
+
+    from r2s2_ray.extract.batch import extract_triples
+    from r2s2_ray.linking import canonicalize
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import (
+        quad_state_build,
+        quad_state_retract,
+        state_folded,
+    )
+
+    routed = route(canonicalize(extract_triples(read_transcripts(sf_dir))))
+    state = tempfile.mkdtemp(prefix="kg_retract_state_")
+    quad_state_build(routed, state, num_buckets=32)
+    stats = quad_state_retract(state, _FORGET_GRAPHS)
+    assert sum(r["n_removed"] for r in stats) > 0, "retraction removed nothing"
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "o_lang": b["o_lang"],
+                "o_dt": b["o_dt"],
+                "graphs_s": pc.binary_join(b["graphs"], pa.scalar(",", pa.large_string())),
+                "n_graphs": pc.cast(pc.list_value_length(b["graphs"]), pa.int64()),
+            }
+        )
+
+    return state_folded(state).map_batches(fmt, batch_format="pyarrow")
+
+
 def _kg_pred_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -1951,6 +1997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_linked": lambda sf: _triples(sf, linked=True),
         "kg_triples_dedup": _kg_triples_dedup,
         "kg_incremental": _kg_incremental,
+        "kg_retract": _kg_retract,
         "kg_pred_counts": _kg_pred_counts,
         "kg_class_census": _kg_class_census,
         "kg_mentions": _kg_mentions,
@@ -2105,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_dedup": oracles.dedup_triples_oracle(),
         # incremental two-phase load must equal the ONE-SHOT dedup SQL
         "kg_incremental": oracles.dedup_triples_oracle(),
+        "kg_retract": oracles.retract_oracle(_FORGET_GRAPHS),
         "kg_pred_counts": oracles.pred_counts_oracle(),
         "kg_class_census": oracles.class_census_oracle(),
         "kg_mentions": oracles.mentions_oracle(),

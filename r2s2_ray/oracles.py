@@ -801,3 +801,18 @@ def sparql_boundexpr_oracle() -> str:
         f"LEFT JOIN (SELECT DISTINCT subj, obj FROM t WHERE pred = {_q(vocab.P_MENTIONS)}) m ON m.subj = ty.subj "
         f"WHERE (m.obj IS NULL OR contains(m.obj, 'ray'))"
     )
+
+
+def retract_oracle(forget: list[str]) -> str:
+    """Dedup/fold SQL over the triple stream EXCLUDING the forgotten named
+    graphs — the ground truth for quad_state_retract (incremental.py):
+    state_folded after retraction must hash-match a from-scratch load of the
+    corpus minus those graphs."""
+    lst = ", ".join(_q(g) for g in forget)
+    return (
+        f"SELECT subj, pred, obj, o_lang, o_dt, "
+        f"array_to_string(list_sort(list(DISTINCT graph)), ',') AS graphs_s, "
+        f"CAST(count(DISTINCT graph) AS BIGINT) AS n_graphs "
+        f"FROM ({raw_triples_sql(linked=True)}) WHERE graph NOT IN ({lst}) "
+        f"GROUP BY subj, pred, obj, o_lang, o_dt"
+    )

@@ -367,3 +367,79 @@ def fp_state_append(
         .map_batches(write, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
+
+
+_RETRACT_STATS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("n_before", pa.int64()),
+        ("n_removed", pa.int64()),
+        ("n_after", pa.int64()),
+    ]
+)
+
+
+def quad_state_retract(state_dir: str, graphs) -> list[dict]:
+    """Retraction / right-to-be-forgotten over the quad state: remove every
+    quad whose ``graph`` is in the forget set (one graph per conversation, so
+    deleting a user's conversations = deleting their graphs). The reference
+    has no delete at all (read-only store, Loader.java:151-159); at 10^12
+    turns a GDPR request cannot mean a full rebuild.
+
+    Scale shape: NO exchange. The forget set ships once via ``ray.put``
+    (deletion batches are request-sized, not corpus-sized); one task per
+    bucket reads ITS OWN files, anti-filters, and rewrites one content-tagged
+    generation (convergent — rerunning the same retraction is a no-op that
+    produces the same file name). A bucket left empty drops its directory.
+    Returns per-bucket stats rows — the lineage record of the deletion."""
+    import pyarrow.compute as pc
+    import pyarrow.fs as pafs
+    import ray
+
+    from ..util import fs_for
+
+    ref = ray.put(pa.array(sorted(set(graphs)), pa.large_string()))
+    fs, root = fs_for(state_dir)
+    sel = pafs.FileSelector(root, recursive=False)
+    dirs = sorted(
+        f.path for f in fs.get_file_info(sel) if f.type == pafs.FileType.Directory
+    )
+
+    def retract_dir(t: pa.Table) -> pa.Table:
+        forget = ray.get(ref)
+        rows = []
+        for d in t["dir"].to_pylist():
+            files = fs_list_parquet(d)
+            if not files:
+                continue
+            quads = pa.concat_tables([fs_read_table(f) for f in files])
+            n_before = quads.num_rows
+            keep = pc.invert(
+                pc.is_in(
+                    pc.cast(quads["graph"], pa.large_string()), value_set=forget
+                )
+            )
+            kept = quads.filter(keep)
+            bucket = int(d.rstrip("/").rsplit("=", 1)[1])
+            if kept.num_rows == 0:
+                fs_rmtree(d)
+            elif kept.num_rows != n_before:
+                _write_bucket(state_dir, bucket, pl.from_arrow(kept))
+            rows.append(
+                {
+                    "bucket": bucket,
+                    "n_before": n_before,
+                    "n_removed": n_before - kept.num_rows,
+                    "n_after": kept.num_rows,
+                }
+            )
+        if not rows:
+            return _RETRACT_STATS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=_RETRACT_STATS_SCHEMA)
+
+    items = [{"dir": d} for d in dirs]
+    return (
+        ray.data.from_items(items)
+        .map_batches(retract_dir, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
