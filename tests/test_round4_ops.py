@@ -242,3 +242,45 @@ def test_sparql_bound_inside_connectives():
         "SELECT ?t WHERE { ?t <e:m> ?e . FILTER(BOUND(?e) && ?e != \"foo\") }"
     )
     assert got == [("t1",)]
+
+
+def test_quad_state_retract_idempotent_and_convergent(tmp_path):
+    """Retracting the same graphs twice: second pass removes nothing and
+    leaves the exact same file set (content-tagged convergence); retracted
+    graphs never reappear in the folded view."""
+    import glob
+
+    from r2s2_ray.extract.batch import extract_triples
+    from r2s2_ray.linking import canonicalize
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import (
+        quad_state_build,
+        quad_state_retract,
+        state_folded,
+    )
+    from r2s2_ray.transcripts import read_transcripts
+
+    state = str(tmp_path / "state")
+    routed = route(canonicalize(extract_triples(read_transcripts("/root/testdata/sf0.001"))))
+    quad_state_build(routed, state, num_buckets=8)
+    forget = ["https://graphs.example.org/g0"]
+    s1 = quad_state_retract(state, forget)
+    assert sum(r["n_removed"] for r in s1) > 0
+    files1 = sorted(glob.glob(f"{state}/bucket=*/quads-*.parquet"))
+    s2 = quad_state_retract(state, forget)
+    assert sum(r["n_removed"] for r in s2) == 0
+    assert sorted(glob.glob(f"{state}/bucket=*/quads-*.parquet")) == files1
+    folded = state_folded(state)
+    import pyarrow.compute as pc2
+
+    def any_forgotten(b):
+        flat = pc2.list_flatten(b["graphs"])
+        bad = pc2.sum(
+            pc2.cast(pc2.is_in(flat, value_set=pa.array(forget, pa.string())), pa.int64())
+        ).as_py() or 0
+        return pa.table({"bad": pa.array([bad], pa.int64())})
+
+    total_bad = sum(
+        r["bad"] for r in folded.map_batches(any_forgotten, batch_format="pyarrow").take_all()
+    )
+    assert total_bad == 0
