@@ -74,6 +74,20 @@ def _kg_transcripts(sf_dir: str):
     return ds.map_batches(fmt, batch_format="pyarrow")
 
 
+def _td_conv_stats(sf_dir: str):
+    """Per-conversation profile: turns, roles, chars, tool calls, span."""
+    from r2s2_ray.pipelines.training_data import conv_stats
+
+    return conv_stats(read_transcripts(sf_dir))
+
+
+def _td_role_transitions(sf_dir: str):
+    """Dialog-structure census: (role -> next_role) transition counts."""
+    from r2s2_ray.pipelines.training_data import role_transitions
+
+    return role_transitions(read_transcripts(sf_dir))
+
+
 def _td_render_dialogs(sf_dir: str):
     """Chat-template rendering: each conversation becomes ONE training
     document (turns joined in turn_idx order as 'role: text' lines) —
@@ -2083,6 +2097,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_incremental_dedup": _dd_incremental_dedup,
         "td_prepare": _td_prepare,
         "td_render_dialogs": _td_render_dialogs,
+        "td_conv_stats": _td_conv_stats,
+        "td_role_transitions": _td_role_transitions,
         "td_loss_masks": _td_loss_masks,
         "dd_minhash_pairs": _dd_minhash,
         "dd_simhash": _dd_simhash,
@@ -2276,6 +2292,8 @@ def oracle_sql() -> dict[str, str]:
         # family in r2s2_ray/functions/hashing.py)
         "td_prepare": oracles_td.td_prepare_oracle(),
         "td_render_dialogs": oracles.render_dialogs_oracle(),
+        "td_conv_stats": oracles.conv_stats_oracle(),
+        "td_role_transitions": oracles.role_transitions_oracle(),
         "td_loss_masks": oracles.loss_masks_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
         "txt_repetition": oracles_td.repetition_oracle(),

@@ -816,3 +816,23 @@ def retract_oracle(forget: list[str]) -> str:
         f"FROM ({raw_triples_sql(linked=True)}) WHERE graph NOT IN ({lst}) "
         f"GROUP BY subj, pred, obj, o_lang, o_dt"
     )
+
+
+def conv_stats_oracle() -> str:
+    return (
+        f"SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+        f"CAST(count(DISTINCT role) AS BIGINT) AS n_roles, "
+        f"CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+        f"CAST(count(tool) AS BIGINT) AS n_tool_calls, "
+        f"CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_s "
+        f"FROM ({TRANSCRIPTS_SQL}) GROUP BY conv_id"
+    )
+
+
+def role_transitions_oracle() -> str:
+    return (
+        f"WITH tx AS ({TRANSCRIPTS_SQL}), "
+        f"nx AS (SELECT role, lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role FROM tx) "
+        f"SELECT role, next_role, CAST(count(*) AS BIGINT) AS n "
+        f"FROM nx WHERE next_role IS NOT NULL GROUP BY role, next_role"
+    )

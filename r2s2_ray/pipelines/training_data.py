@@ -230,3 +230,81 @@ def loss_masks(
         .sort("bucket")
         .map_batches(block, batch_format="pyarrow", batch_size=None)
     )
+
+
+def conv_stats(transcripts: ray.data.Dataset, *, num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-conversation profile — n_turns, distinct roles, total chars,
+    tool-call count, wall-clock span in seconds — the first table every
+    transcript-corpus audit builds. One conv-bucketed sort + whole-block
+    grouped aggregation (turns can span input files; the bucket co-locates
+    them), metadata-free and exchange-minimal like render_dialogs."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import poly_hash_arr
+
+        cid = b["conv_id"]
+        cid = cid.combine_chunks() if isinstance(cid, pa.ChunkedArray) else cid
+        h = poly_hash_arr(cid) % np.uint64(num_buckets)
+        return b.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    def prof(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.drop_columns(["bucket"]))
+        out = df.group_by("conv_id").agg(
+            pl.len().cast(pl.Int64).alias("n_turns"),
+            pl.col("role").n_unique().cast(pl.Int64).alias("n_roles"),
+            pl.col("text").str.len_chars().sum().cast(pl.Int64).alias("n_chars"),
+            pl.col("tool").is_not_null().sum().cast(pl.Int64).alias("n_tool_calls"),
+            (
+                (pl.col("ts").max() - pl.col("ts").min()).dt.total_seconds()
+            ).cast(pl.Int64).alias("span_s"),
+        )
+        return out.to_arrow()
+
+    return (
+        transcripts.map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(prof, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def role_transitions(transcripts: ray.data.Dataset, *, num_buckets: int = 32) -> ray.data.Dataset:
+    """Role-transition counts (role_i -> role_{i+1} within a conversation,
+    turn_idx order): the dialog-structure census behind turn-taking QA
+    (assistant-after-assistant, orphaned tool turns). Conv-bucketed sort +
+    vectorized shift-within-conv, then a tiny (role, role) groupby —
+    transition rows per block are |roles|² bounded, not turn-sized."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import poly_hash_arr
+
+        cid = b["conv_id"]
+        cid = cid.combine_chunks() if isinstance(cid, pa.ChunkedArray) else cid
+        h = poly_hash_arr(cid) % np.uint64(num_buckets)
+        return b.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    def trans(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["conv_id", "turn_idx", "role"])).sort(
+            ["conv_id", "turn_idx"]
+        )
+        out = (
+            df.with_columns(pl.col("role").shift(-1).over("conv_id").alias("next_role"))
+            .drop_nulls("next_role")
+            .group_by(["role", "next_role"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return out.to_arrow()
+
+    return (
+        transcripts.map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(trans, batch_format="pyarrow", batch_size=None)
+        .groupby(["role", "next_role"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
