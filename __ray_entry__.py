@@ -88,6 +88,14 @@ def _td_role_transitions(sf_dir: str):
     return role_transitions(read_transcripts(sf_dir))
 
 
+def _td_turn_dedup(sf_dir: str):
+    """Turn-level exact dedup across conversations: keep-first survivor per
+    distinct turn text + duplicate count (text-bucketed sort, block-local)."""
+    from r2s2_ray.pipelines.training_data import turn_dedup
+
+    return turn_dedup(read_transcripts(sf_dir))
+
+
 def _td_render_dialogs(sf_dir: str):
     """Chat-template rendering: each conversation becomes ONE training
     document (turns joined in turn_idx order as 'role: text' lines) —
@@ -2098,6 +2106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_prepare": _td_prepare,
         "td_render_dialogs": _td_render_dialogs,
         "td_conv_stats": _td_conv_stats,
+        "td_turn_dedup": _td_turn_dedup,
         "td_role_transitions": _td_role_transitions,
         "td_loss_masks": _td_loss_masks,
         "dd_minhash_pairs": _dd_minhash,
@@ -2293,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
         "td_prepare": oracles_td.td_prepare_oracle(),
         "td_render_dialogs": oracles.render_dialogs_oracle(),
         "td_conv_stats": oracles.conv_stats_oracle(),
+        "td_turn_dedup": oracles.turn_dedup_oracle(),
         "td_role_transitions": oracles.role_transitions_oracle(),
         "td_loss_masks": oracles.loss_masks_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),

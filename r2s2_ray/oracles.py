@@ -836,3 +836,14 @@ def role_transitions_oracle() -> str:
         f"SELECT role, next_role, CAST(count(*) AS BIGINT) AS n "
         f"FROM nx WHERE next_role IS NOT NULL GROUP BY role, next_role"
     )
+
+
+def turn_dedup_oracle() -> str:
+    return (
+        f"SELECT conv_id, turn_idx, n_dups FROM ("
+        f"  SELECT conv_id, turn_idx, "
+        f"         row_number() OVER (PARTITION BY text ORDER BY conv_id, turn_idx) AS rn, "
+        f"         CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS n_dups "
+        f"  FROM ({TRANSCRIPTS_SQL})"
+        f") WHERE rn = 1"
+    )

@@ -308,3 +308,40 @@ def role_transitions(transcripts: ray.data.Dataset, *, num_buckets: int = 32) ->
         .groupby(["role", "next_role"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+def turn_dedup(transcripts: ray.data.Dataset, *, num_buckets: int = 32) -> ray.data.Dataset:
+    """Turn-LEVEL exact dedup across conversations (templated assistant
+    replies, canned tool outputs): one survivor per distinct turn text —
+    keep-first under (conv_id, turn_idx) order — plus its duplicate count.
+    Text-bucketed sort co-locates equal texts; per-block grouped first+count
+    is exact because buckets are key-complete. The survivor set feeds
+    loss-mask zeroing of duplicated turns (train on a canned reply once)."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    def bucket(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import poly_hash_arr
+
+        txt = b["text"]
+        txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+        h = poly_hash_arr(txt) % np.uint64(num_buckets)
+        return b.append_column("bucket", pa.array(h.astype(np.int64)))
+
+    def first(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["conv_id", "turn_idx", "text"])).sort(
+            ["text", "conv_id", "turn_idx"]
+        )
+        out = df.group_by("text", maintain_order=True).agg(
+            pl.col("conv_id").first(),
+            pl.col("turn_idx").first(),
+            pl.len().cast(pl.Int64).alias("n_dups"),
+        )
+        return out.select(["conv_id", "turn_idx", "n_dups"]).to_arrow()
+
+    return (
+        transcripts.map_batches(bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(first, batch_format="pyarrow", batch_size=None)
+    )
