@@ -1010,6 +1010,21 @@ def _dd_cluster_keep_best(sf_dir: str):
     )
 
 
+def _dd_ngram_containment(sf_dir: str):
+    """Directed n-gram containment pairs (asymmetric near-dup: short doc
+    embedded in long doc) over the shared inverted-index core."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+        threshold=0.98,
+    )
+
+
 def _txt_lm_surprisal(sf_dir: str):
     """Per-document surprisal under the corpus's own unigram LM (the
     CCNet-style quality signal). The driver entry projects the integer-exact
@@ -2114,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_embedding_neardup": _dd_embedding,
         "dd_embedding_lsh": _dd_embedding_lsh,
         "dd_ngram_jaccard": _dd_ngram,
+        "dd_ngram_containment": _dd_ngram_containment,
         "sim_ann_bruteforce": _sim_ann_bruteforce,
         "sim_range_search": _sim_range_search,
         "sim_ann_lsh": _sim_ann_lsh,
@@ -2276,6 +2292,32 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        "dd_ngram_containment": """
+            WITH sh AS (
+              SELECT DISTINCT doc_id, s FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                FROM (SELECT doc_id,
+                             list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+                      FROM documents)
+              )
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            directed AS (
+              SELECT a AS src, b AS dst, c * 1.0 / na.n AS cont
+              FROM common JOIN cnt na ON na.doc_id = a
+              UNION ALL
+              SELECT b AS src, a AS dst, c * 1.0 / nb.n AS cont
+              FROM common JOIN cnt nb ON nb.doc_id = b
+            )
+            SELECT src, dst, round(cont, 6) AS containment
+            FROM directed WHERE cont >= 0.98""",
         "dd_ngram_jaccard": """
             WITH sh AS (
               SELECT DISTINCT doc_id, s FROM (

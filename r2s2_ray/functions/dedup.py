@@ -253,17 +253,16 @@ def jaccard_pairs(
     return out
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_stats(
     ds: ray.data.Dataset,
     id_col: str,
     text_col: str,
-    *,
-    threshold: float = 0.8,
-    shingle_k: int = 3,
-    max_bucket: int | None = None,
+    shingle_k: int,
+    max_bucket: int | None,
 ) -> ray.data.Dataset:
-    """EXACT n-gram (word k-shingle) Jaccard near-duplicate pairs via a
-    distributed inverted index — one shuffle, no all-pairs scan:
+    """Shared inverted-index core of the n-gram similarity family: folded
+    (a, b, c, na, nb) candidate-pair stats — c common shingles, na/nb per-doc
+    shingle counts. One shuffle, no all-pairs scan:
 
       explode unique (doc, shingle, n_doc) -> groupby(shingle) -> pairs within
       each posting list -> groupby(a, b) sums common shingles -> jaccard.
@@ -274,9 +273,7 @@ def ngram_jaccard_pairs(
     drops hotter-than-cap shingles (recall loss, logged in the column contract);
     leave ``None`` for exact semantics — stopword-like shingles are rare at k>=3.
 
-    Output: (a, b, jaccard) with jaccard >= threshold, a < b, distinct.
-    Reference parity: exact-dedup family analog of ReintroduceRdfSetSemantics
-    (set semantics), extended to near-dup per the training-data charter."""
+    Jaccard and directed containment both finish from these stats."""
 
     def explode(b: pa.Table) -> pa.Table:
         sh = _shingle_rows(pl.from_arrow(b.select([id_col, text_col])), id_col, text_col, shingle_k)
@@ -333,7 +330,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    pairs = _fold_pairs(
+    return _fold_pairs(
         ds.select_columns([id_col, text_col])
         .map_batches(explode, batch_format="pyarrow")
         .sort("sh")
@@ -344,6 +341,23 @@ def ngram_jaccard_pairs(
             "nb": pl.col("nb").min(),
         },
     )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard near-duplicate pairs over the shared inverted
+    index (:func:`_ngram_pair_stats`). Output: (a, b, jaccard) with
+    jaccard >= threshold, a < b, distinct. Reference parity: exact-dedup
+    family analog of ReintroduceRdfSetSemantics (set semantics), extended to
+    near-dup per the training-data charter."""
+    pairs = _ngram_pair_stats(ds, id_col, text_col, shingle_k, max_bucket)
 
     def finish(b: pa.Table) -> pa.Table:
         c = np.asarray(b["c"].to_pylist(), dtype=np.float64)
@@ -1311,3 +1325,42 @@ def cluster_keep_best(
         .sort("bucket")
         .map_batches(best, batch_format="pyarrow", batch_size=None)
     )
+
+
+def ngram_containment_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.9,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """DIRECTED n-gram containment C(src -> dst) = |src ∩ dst| / |src| — the
+    asymmetric near-dup relation Jaccard misses: a short document wholly
+    embedded in a long one scores containment ~1 while its Jaccard can be
+    arbitrarily low (quote farms, boilerplate wrappers, page-of-pages).
+    Same single-shuffle inverted-index core as Jaccard; each undirected
+    candidate pair emits up to two directed rows. Output:
+    (src, dst, containment) with containment >= threshold."""
+    pairs = _ngram_pair_stats(ds, id_col, text_col, shingle_k, max_bucket)
+
+    def finish(b: pa.Table) -> pa.Table:
+        a = np.asarray(b["a"].to_pylist(), dtype=np.int64)
+        bb = np.asarray(b["b"].to_pylist(), dtype=np.int64)
+        c = np.asarray(b["c"].to_pylist(), dtype=np.float64)
+        na = np.asarray(b["na"].to_pylist(), dtype=np.float64)
+        nb = np.asarray(b["nb"].to_pylist(), dtype=np.float64)
+        src = np.concatenate([a, bb])
+        dst = np.concatenate([bb, a])
+        cont = np.concatenate([c / na, c / nb])
+        keep = cont >= threshold
+        return pa.table(
+            {
+                "src": pa.array(src[keep], pa.int64()),
+                "dst": pa.array(dst[keep], pa.int64()),
+                "containment": pa.array(np.round(cont[keep], 6), pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
