@@ -2096,6 +2096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_outliers": relational.q_user_outliers,
         "q_ship_priority": relational.q_ship_priority,
         "q_dau_wau": relational.q_dau_wau,
+        "q_late_orders": relational.q_late_orders,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,

@@ -2055,3 +2055,63 @@ ORACLES["q_dau_wau"] = """
            CAST((SELECT count(DISTINCT u) FROM a
                  WHERE a.d BETWEEN days.d - 6 AND days.d) AS BIGINT) AS wau
     FROM days"""
+
+
+def q_late_orders(sf_dir: str, late_days: int = 90, num_buckets: int = 32):
+    """TPC-H Q4 shape (order priority checking): count orders per priority
+    having AT LEAST ONE line item shipped more than ``late_days`` after the
+    order date — the predicated SEMI-join (EXISTS with a correlated
+    comparison) the bloom semi-join can't express. Scale design: one
+    large x large hash-bucket join ships only the 2+2 needed columns, the
+    late predicate filters inside the join blocks, the distinct-order
+    reduction is a combiner-backed groupby over (order, priority) — order
+    keys, not line items, cross the second exchange — and the final
+    per-priority count is vocabulary-sized."""
+    import polars as pl
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def as_o(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": b["l_orderkey"], "l_shipdate": b["l_shipdate"]}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_join(
+        line.map_batches(as_o, batch_format="pyarrow"),
+        orders,
+        on="o_orderkey",
+        right_cols=["o_orderdate", "o_orderpriority"],
+        num_buckets=num_buckets,
+    )
+
+    def late(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = (
+            df.filter(
+                pl.col("l_shipdate") > pl.col("o_orderdate") + pl.duration(days=late_days)
+            )
+            .select(["o_orderkey", "o_orderpriority"])
+            .unique()
+        )
+        return out.to_arrow()
+
+    distinct_orders = (
+        joined.map_batches(late, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+    )
+    return (
+        distinct_orders.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_late_orders"))
+    )
+
+
+ORACLES["q_late_orders"] = """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority"""
