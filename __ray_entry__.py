@@ -235,6 +235,60 @@ def _kg_retract(sf_dir: str):
     return state_folded(state).map_batches(fmt, batch_format="pyarrow")
 
 
+#: SPARQL 1.1 UPDATE request served by kg_sparql_update — two exchange-free
+#: DELETE WHERE passes (one graph-scoped) and a request-sized INSERT DATA
+#: merge over the per-bucket quad state (pipelines/update.py). The oracle
+#: (oracles.sparql_update_oracle) mirrors these constants verbatim.
+_KG_UPDATE_SRC = """
+PREFIX ex: <https://ex.org/vocab/>
+DELETE WHERE { ?t ex:tool ?name } ;
+DELETE WHERE { GRAPH <https://graphs.example.org/g2> { ?t ex:role "tool" } } ;
+INSERT DATA {
+  GRAPH <https://graphs.example.org/g0> {
+    <https://ex.org/conv/manual-0> a ex:Conversation ;
+        ex:source <https://ex.org/source/manual> .
+    <https://ex.org/conv/manual-0> ex:charCount "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+  }
+}
+"""
+
+
+def _kg_sparql_update(sf_dir: str):
+    """SPARQL UPDATE end-to-end: build the per-bucket quad state from the full
+    corpus, run _KG_UPDATE_SRC against it (deletes = per-bucket anti-filters,
+    no exchange; insert = delta merge, only the inserted quads shuffle), fold
+    what remains. Hash-matching the rebuild-with-edits SQL proves the applied
+    state equals a from-scratch load of the edited corpus."""
+    import tempfile
+
+    from r2s2_ray.extract.batch import extract_triples
+    from r2s2_ray.linking import canonicalize
+    from r2s2_ray.pipelines.update import apply_update
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import quad_state_build, state_folded
+
+    routed = route(canonicalize(extract_triples(read_transcripts(sf_dir))))
+    state = tempfile.mkdtemp(prefix="kg_update_state_")
+    quad_state_build(routed, state, num_buckets=32)
+    stats = apply_update(state, _KG_UPDATE_SRC, num_buckets=32)
+    assert sum(r.get("n_removed", 0) for r in stats) > 0, "update removed nothing"
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "o_lang": b["o_lang"],
+                "o_dt": b["o_dt"],
+                "graphs_s": pc.binary_join(b["graphs"], pa.scalar(",", pa.large_string())),
+                "n_graphs": pc.cast(pc.list_value_length(b["graphs"]), pa.int64()),
+            }
+        )
+
+    return state_folded(state).map_batches(fmt, batch_format="pyarrow")
+
+
 def _kg_pred_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -2035,6 +2089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_dedup": _kg_triples_dedup,
         "kg_incremental": _kg_incremental,
         "kg_retract": _kg_retract,
+        "kg_sparql_update": _kg_sparql_update,
         "kg_pred_counts": _kg_pred_counts,
         "kg_class_census": _kg_class_census,
         "kg_mentions": _kg_mentions,
@@ -2195,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         # incremental two-phase load must equal the ONE-SHOT dedup SQL
         "kg_incremental": oracles.dedup_triples_oracle(),
         "kg_retract": oracles.retract_oracle(_FORGET_GRAPHS),
+        "kg_sparql_update": oracles.sparql_update_oracle(),
         "kg_pred_counts": oracles.pred_counts_oracle(),
         "kg_class_census": oracles.class_census_oracle(),
         "kg_mentions": oracles.mentions_oracle(),

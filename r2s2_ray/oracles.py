@@ -818,6 +818,39 @@ def retract_oracle(forget: list[str]) -> str:
     )
 
 
+def sparql_update_oracle() -> str:
+    """Ground truth for the ``kg_sparql_update`` entry (__ray_entry__._KG_UPDATE_SRC):
+    a from-scratch fold of the corpus with the two DELETE WHERE constraint sets
+    filtered out and the three INSERT DATA quads unioned in — the hash match
+    proves apply_update == rebuild-with-edits. Constants here mirror the entry's
+    UPDATE script verbatim."""
+    g2 = _q("https://graphs.example.org/g2")
+    g0 = _q("https://graphs.example.org/g0")
+    manual = _q("https://ex.org/conv/manual-0")
+    kept = (
+        f"SELECT * FROM ({raw_triples_sql(linked=True)}) "
+        f"WHERE NOT (pred = {_q(vocab.P_TOOL)}) "
+        f"AND NOT (pred = {_q(vocab.P_ROLE)} AND obj = 'tool' AND o_lang IS NULL "
+        f"AND o_dt = {_q(XSD_STRING)} AND graph = {g2})"
+    )
+    ins = (
+        f"SELECT {manual} AS subj, 1 AS s_kind, {_q(RDF_TYPE)} AS pred, "
+        f"{_q(vocab.C_CONVERSATION)} AS obj, 1 AS o_kind, "
+        f"CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_dt, {g0} AS graph "
+        f"UNION ALL SELECT {manual}, 1, {_q(vocab.P_SOURCE)}, "
+        f"{_q(vocab.SRC + 'manual')}, 1, NULL, NULL, {g0} "
+        f"UNION ALL SELECT {manual}, 1, {_q(vocab.P_CHAR_COUNT)}, "
+        f"'42', 2, NULL, {_q(XSD_INTEGER)}, {g0}"
+    )
+    return (
+        f"SELECT subj, pred, obj, o_lang, o_dt, "
+        f"array_to_string(list_sort(list(DISTINCT graph)), ',') AS graphs_s, "
+        f"CAST(count(DISTINCT graph) AS BIGINT) AS n_graphs "
+        f"FROM ({kept} UNION ALL {ins}) "
+        f"GROUP BY subj, pred, obj, o_lang, o_dt"
+    )
+
+
 def conv_stats_oracle() -> str:
     return (
         f"SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
