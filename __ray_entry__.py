@@ -1662,6 +1662,17 @@ def _dd_embedding(sf_dir: str):
     return embedding_cosine_pairs_exact(ds, "vec_id", "embedding", threshold=0.4)
 
 
+def _dd_semdedup(sf_dir: str):
+    """SemDeDup: integer-exact k-means buckets, exact cosine only within each
+    cluster — the cluster structure bounds the quadratic term (dedup.py)."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import semdedup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semdedup_pairs(ds, "vec_id", "embedding", k=8, n_iters=2, threshold=0.4)
+
+
 def _dd_embedding_lsh(sf_dir: str):
     import ray.data
 
@@ -2183,6 +2194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_minhash_pairs": _dd_minhash,
         "dd_simhash": _dd_simhash,
         "dd_embedding_neardup": _dd_embedding,
+        "dd_semdedup": _dd_semdedup,
         "dd_embedding_lsh": _dd_embedding_lsh,
         "dd_ngram_jaccard": _dd_ngram,
         "dd_ngram_containment": _dd_ngram_containment,
@@ -2349,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        "dd_semdedup": oracles_td.semdedup_oracle(k=8, n_iters=2, threshold=0.4),
         "dd_ngram_containment": """
             WITH sh AS (
               SELECT DISTINCT doc_id, s FROM (

@@ -659,6 +659,120 @@ def embedding_cosine_pairs_exact(
     )
 
 
+def semdedup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    n_iters: int = 2,
+    threshold: float = 0.95,
+    scale_bits: int = 20,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then find
+    near-duplicate pairs by EXACT cosine only WITHIN each cluster — the
+    clusters bound the quadratic blowup (sum of per-cluster squares, not
+    corpus squared), which is what makes semantic dedup tractable at corpus
+    scale. Output: (a, b, cluster, cosine) with a < b, cosine >= threshold.
+
+    Scale shape: the integer-exact :func:`~r2s2_ray.functions.similarity.kmeans`
+    drives the centroids (per-iteration driver traffic = k*(dim+1) ints); the
+    final k x dim centroid matrix broadcasts ONCE via ``ray.put`` and every
+    batch re-derives its own assignments inline (no id->cluster join — the
+    assignment is a pure function of the broadcast centroids), so the only
+    exchange is the sort that co-locates clusters. Within-cluster verification
+    is one numpy matmul per cluster run. Determinism: assignments are int64
+    arithmetic (bit-exact vs the SQL oracle's unrolled-CTE k-means) and the
+    reported cosine rounds to 6 (the repo-wide float compare contract)."""
+    import ray as _ray
+
+    from .similarity import kmeans
+
+    _, cent = kmeans(
+        ds.select_columns([id_col, vec_col]),
+        id_col,
+        vec_col,
+        k=k,
+        n_iters=n_iters,
+        scale_bits=scale_bits,
+        return_centroids=True,
+    )
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if not len(cent):
+        return ray.data.from_arrow(empty)
+    cref = _ray.put(cent)
+
+    def assign(b: pa.Table) -> pa.Table:
+        C = _ray.get(cref)
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        if not len(vecs):
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "cluster": pa.array([], pa.int64()),
+                    vec_col: b[vec_col],
+                }
+            )
+        X = np.floor(vecs * float(1 << scale_bits) + 0.5).astype(np.int64)
+        d2 = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64), pa.int64()),
+                vec_col: b[vec_col],
+            }
+        )
+
+    def verify_block(t: pa.Table) -> pa.Table:
+        """Sorted by cluster: exact cosine within each cluster run."""
+        if t.num_rows < 2:
+            return empty
+        cl = np.asarray(t["cluster"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        vecs = np.asarray(t[vec_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        nv = vecs / norms
+        bounds = _run_bounds(cl)
+        a_l, b_l, k_l, c_l = [], [], [], []
+        sizes = np.diff(bounds)
+        for s, e in zip(bounds[:-1][sizes >= 2], bounds[:-1][sizes >= 2] + sizes[sizes >= 2]):
+            sim = nv[s:e] @ nv[s:e].T
+            iu, ju = np.triu_indices(e - s, k=1)
+            mask = sim[iu, ju] >= threshold
+            if not mask.any():
+                continue
+            x, y = ids[s:e][iu[mask]], ids[s:e][ju[mask]]
+            a_l.append(np.minimum(x, y))
+            b_l.append(np.maximum(x, y))
+            k_l.append(np.full(mask.sum(), cl[s], dtype=np.int64))
+            c_l.append(np.round(sim[iu, ju][mask], 6))
+        if not a_l:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_l), pa.int64()),
+                "b": pa.array(np.concatenate(b_l), pa.int64()),
+                "cluster": pa.array(np.concatenate(k_l), pa.int64()),
+                "cosine": pa.array(np.concatenate(c_l), pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .sort("cluster")
+        .map_batches(verify_block, batch_format="pyarrow", batch_size=None)
+    )
+
+
 #: broadcast guard for the benchmark shingle set in contamination_flags —
 #: a real benchmark suite is fixed-size (metadata-scale), but the mod-derived
 #: stand-in grows with the corpus, so the distributed join path takes over

@@ -846,6 +846,28 @@ def kmeans_oracle(
     return "".join(out)
 
 
+def semdedup_oracle(
+    k: int = 8, n_iters: int = 2, threshold: float = 0.95, scale_bits: int = 20
+) -> str:
+    """Exact SQL mirror of ``dedup.semdedup_pairs``: the unrolled-CTE integer
+    k-means (kmeans_oracle) gives the bit-exact final assignment; pairs are the
+    within-cluster cosines >= threshold (filter on the unrounded value, report
+    round-6 — the repo-wide float compare contract)."""
+    cos = (
+        "list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+        "CAST(eb.embedding AS DOUBLE[]))"
+    )
+    return f"""
+        WITH asn AS ({kmeans_oracle(k, n_iters, scale_bits)})
+        SELECT ea.vec_id AS a, eb.vec_id AS b, xa.cluster AS cluster,
+               round({cos}, 6) AS cosine
+        FROM asn xa JOIN asn xb
+               ON xb.cluster = xa.cluster AND xa.vec_id < xb.vec_id
+             JOIN embeddings ea ON ea.vec_id = xa.vec_id
+             JOIN embeddings eb ON eb.vec_id = xb.vec_id
+        WHERE {cos} >= {threshold}"""
+
+
 def bm25_oracle(queries: list[str], k: int = 10, idf_scale_bits: int = 10) -> str:
     """Exact SQL mirror of ``retrieval.bm25_topk``'s integer contract: the
     scaled multiplicative idf ``(N << bits) // df`` and the rational BM25

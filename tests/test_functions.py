@@ -1264,3 +1264,52 @@ def test_bfs_distances_layers(ray_session):
     got = {r["node"]: r["dist"] for r in bfs_distances(edges, ["a"], max_depth=3).take_all()}
     assert got == {"a": 0, "b": 1, "c": 2, "x": 2, "d": 3}
     # e is 4 hops -> absent at max_depth=3; y/z unreachable -> absent
+
+
+def test_semdedup_pairs_matches_composed_reference():
+    """semdedup_pairs == (reference kmeans assignment) x (within-cluster exact
+    cosine >= threshold), on a multi-block input — the pair set must contain
+    exactly the within-cluster near-dups and nothing cross-cluster."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.dedup import semdedup_pairs
+    from r2s2_ray.functions.similarity import kmeans
+
+    rng = np.random.default_rng(11)
+    n, dim, k, iters, thr = 90, 6, 4, 2, 0.8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs[30] = vecs[10] * 2.0  # same direction, different norm -> cosine 1
+    vecs[55] = vecs[54] + 0.01 * rng.normal(size=dim).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    got = {
+        (r["a"], r["b"]): (r["cluster"], r["cosine"])
+        for r in semdedup_pairs(
+            ds, "vec_id", "embedding", k=k, n_iters=iters, threshold=thr
+        ).take_all()
+    }
+
+    asn = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans(ds, "vec_id", "embedding", k=k, n_iters=iters).take_all()
+    }
+    V = vecs.astype(np.float64)
+    nv = V / np.linalg.norm(V, axis=1, keepdims=True)
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if asn[i] == asn[j]:
+                c = float(nv[i] @ nv[j])
+                if c >= thr:
+                    want[(i, j)] = (asn[i], round(c, 6))
+    assert got == want
+    assert (10, 30) in got  # collinear pair must cluster together and hit 1.0
