@@ -803,6 +803,23 @@ def _kg_sparql_having(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_aggexpr(sf_dir: str):
+    """SELECT expressions over aggregates served end-to-end: inline aggregate
+    calls inside the expression ((SUM(?i)/COUNT(?t)) AS ?avgidx) extract into
+    internal projections and evaluate in an outer wrapper over the grouped
+    result, alongside a string expression over the grouping key."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT ?role (COUNT(?t) AS ?n) ((SUM(?i) / COUNT(?t)) AS ?avgidx) "
+        "(CONCAT(?role, \"!\") AS ?tag)\n"
+        "WHERE { ?t ex:role ?role . ?t ex:turnIndex ?i } GROUP BY ?role"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_dates(sf_dir: str):
     """dateTime component accessors served end-to-end: per (day, hour) turn
     counts from BIND(DAY/HOURS(?ts)) grouped over the bind targets."""
@@ -2134,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_undef": _kg_sparql_undef,
         "kg_sparql_bool": _kg_sparql_bool,
         "kg_sparql_having": _kg_sparql_having,
+        "kg_sparql_aggexpr": _kg_sparql_aggexpr,
         "kg_sparql_dates": _kg_sparql_dates,
         "kg_sparql_union": _kg_sparql_union,
         "kg_sparql_expr": _kg_sparql_expr,
@@ -2301,6 +2319,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_undef": oracles.sparql_undef_oracle(),
         "kg_sparql_bool": oracles.sparql_bool_oracle(),
         "kg_sparql_having": oracles.sparql_having_oracle(),
+        "kg_sparql_aggexpr": oracles.sparql_aggexpr_oracle(),
         "kg_sparql_dates": oracles.sparql_dates_oracle(),
         "kg_sparql_union": oracles.sparql_union_oracle(),
         "kg_sparql_expr": oracles.sparql_expr_oracle(),

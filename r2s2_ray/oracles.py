@@ -387,6 +387,23 @@ def sparql_having_oracle() -> str:
     )
 
 
+def sparql_aggexpr_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_aggexpr``: per-role
+    turn counts with a SELECT expression over inline aggregates
+    (SUM(?i)/COUNT(?t) — the average turn index) and a string expression over
+    the grouping key."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"r AS (SELECT subj, obj AS role FROM t WHERE pred = {_q(vocab.P_ROLE)}), "
+        f"i AS (SELECT subj, obj AS idx FROM t WHERE pred = {_q(vocab.P_TURN_INDEX)}) "
+        f"SELECT role, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"SUM(TRY_CAST(idx AS DOUBLE)) / COUNT(*) AS avgidx, "
+        f"role || '!' AS tag "
+        f"FROM r JOIN i USING (subj) GROUP BY role"
+    )
+
+
 def sparql_dates_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_dates``: per
     (day, hour) counts of turn timestamps — the dateTime component accessors

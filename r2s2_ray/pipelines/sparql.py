@@ -301,6 +301,12 @@ class Query:
     #: BIND(expr AS ?v) assignments in textual order (later ones may
     #: reference earlier ones): (expression AST, target variable)
     bind_exprs: list[tuple[object, str]] | None = None
+    #: SELECT expressions in an AGGREGATE query (``(SUM(?x)/COUNT(?x) AS
+    #: ?avg)``): inline aggregates were extracted into ``aggs`` under
+    #: internal ``__agg<n>`` aliases at parse time, so each expression AST
+    #: references only grouping keys and aggregate aliases; compiled as an
+    #: outer SELECT wrapped around the grouped subquery
+    agg_binds: list[tuple[object, str]] | None = None
     #: CONSTRUCT template triples (var/iri/lit terms only); the result is the
     #: DISTINCT instantiated (subj, pred, obj) set — an RDF graph
     construct: list[tuple[Term, Term, Term]] | None = None
@@ -341,6 +347,11 @@ _GCONCAT_RE = re.compile(
     r"\(\s*GROUP_CONCAT\s*\(\s*(DISTINCT\s+)?(\?\w+)\s*"
     r'(?:;\s*SEPARATOR\s*=\s*"((?:[^"\\]|\\.)*)"\s*)?\)\s+AS\s+\?(\w+)\s*\)',
     re.I,
+)
+#: aggregate call INSIDE a SELECT expression (``(SUM(?x)/COUNT(?x) AS ?v)``)
+#: — extracted into internal ``__agg<n>`` projections at parse time
+_INLINE_AGG_RE = re.compile(
+    r"\b(COUNT|SUM|MIN|MAX|AVG|SAMPLE)\s*\(\s*(DISTINCT\s+)?(\?\w+|\*)\s*\)", re.I
 )
 _GROUPBY_RE = re.compile(r"GROUP\s+BY\s+((?:\?\w+\s*)+)", re.I)
 _HAVING_ALIAS_RE = re.compile(r"\?(\w+)\s*(=|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)")
@@ -1837,6 +1848,29 @@ def parse_sparql(q: str) -> Query:
     sel_binds: list[tuple[object, str]] = []
     if "(" in sel_text:
         sel_masked, sel_restore = _mask_literals(sel_text)
+        inline_n = [0]
+
+        def _extract_inline(txt: str) -> str:
+            """Aggregate calls inside a SELECT expression become internal
+            ``__agg<n>`` projections; the expression references the alias."""
+
+            def rep(m: re.Match) -> str:
+                func = m.group(1).upper()
+                if m.group(3) == "*" and func != "COUNT":
+                    raise ValueError(f"{func}(*) is not valid SPARQL")
+                if m.group(3) == "*" and m.group(2):
+                    raise ValueError(
+                        "COUNT(DISTINCT *) is not supported (distinct SOLUTIONS "
+                        "— name the variables instead)"
+                    )
+                inline_n[0] += 1
+                alias = f"__agg{inline_n[0]}"
+                v = None if m.group(3) == "*" else m.group(3)[1:]
+                aggs.append((func, bool(m.group(2)), v, alias))
+                return f" ?{alias} "
+
+            return _INLINE_AGG_RE.sub(rep, txt)
+
         out_parts: list[str] = []
         i = 0
         while i < len(sel_masked):
@@ -1850,7 +1884,10 @@ def parse_sparql(q: str) -> Query:
                         f"{sel_restore(seg)!r}"
                     )
                 sel_binds.append(
-                    (_parse_expr(sel_restore(seg[: am.start()])), am.group(1))
+                    (
+                        _parse_expr(sel_restore(_extract_inline(seg[: am.start()]))),
+                        am.group(1),
+                    )
                 )
                 out_parts.append(f" ?{am.group(1)} ")
                 i = j
@@ -1858,10 +1895,11 @@ def parse_sparql(q: str) -> Query:
                 out_parts.append(sel_masked[i])
                 i += 1
         sel_text = sel_restore("".join(out_parts))
+    agg_binds: list[tuple[object, str]] = []
     if sel_binds and aggs:
-        raise ValueError(
-            "SELECT expressions combined with aggregate projections are not supported"
-        )
+        # an aggregate query: SELECT expressions evaluate over the GROUPED
+        # result (grouping keys + aggregate aliases), as an outer wrapper
+        agg_binds, sel_binds = sel_binds, []
     from_graphs: list[str] = []
     from_named: list[str] = []
     for m in _FROM_RE.finditer(q[: q.find("{") if "{" in q else len(q)]):
@@ -1872,6 +1910,10 @@ def parse_sparql(q: str) -> Query:
             t = _parse_term(m.group(2), prefixes)
             target.append(t.value)
     sel_vars = [] if sel_text.strip() == "*" else re.findall(r"\?(\w+)", sel_text)
+    if agg_binds:
+        # expression targets are computed by the outer wrapper, not grouped
+        _ab = {v for _, v in agg_binds}
+        sel_vars = [v for v in sel_vars if v not in _ab]
     # literals are masked during ALL structural rewrites below and restored
     # per-fragment right before term parsing: "_:b1" / "[]" / "FILTER(...)"
     # inside a quoted constant is data, not syntax. The WHERE body itself is
@@ -1938,7 +1980,7 @@ def parse_sparql(q: str) -> Query:
 
     branch_srcs = _split_union_branches(inner)
     if branch_srcs is not None:
-        if sel_binds:
+        if sel_binds or agg_binds:
             raise ValueError(
                 "SELECT expressions over a whole-body UNION are not supported"
             )
@@ -2215,6 +2257,15 @@ def parse_sparql(q: str) -> Query:
         if stray:
             raise ValueError(f"non-grouped variables in aggregate SELECT: {stray}")
         group_by = keys
+        if agg_binds:
+            allowed = set(group_by) | {a for _, _, _, a in aggs}
+            for node, v in agg_binds:
+                bad = sorted(_expr_vars(node) - allowed)
+                if bad:
+                    raise ValueError(
+                        f"SELECT expression for ?{v} references non-grouped, "
+                        f"non-aggregate variables: {bad}"
+                    )
     return Query(
         sel_vars,
         distinct,
@@ -2236,6 +2287,7 @@ def parse_sparql(q: str) -> Query:
         kind_filters=kind_filters or None,
         sameterm_filters=sameterm_filters or None,
         bind_exprs=(bind_exprs + sel_binds) or None,
+        agg_binds=agg_binds or None,
         construct=_parse_construct(construct_src, prefixes) if construct_src else None,
         expr_filters=expr_filters or None,
         bool_filters=bool_filters or None,
@@ -3093,7 +3145,9 @@ def _to_sql_cols(
         sub_sql = to_sql(sq, triples_view)
         a = f"sq{k}"
         aliases.append(f"({sub_sql}) {a}")
-        sub_vars = list(sq.select) + [al for _, _, _, al in (sq.aggs or [])]
+        sub_vars = list(sq.select) + [
+            al for _, _, _, al in (sq.aggs or []) if not al.startswith("__")
+        ] + [al for _, al in (sq.agg_binds or [])]
         sub_nullable = bool(sq.optionals or sq.union_branches)
         for v in sub_vars:
             if v in binds:
@@ -3452,6 +3506,18 @@ def _to_sql_cols(
             f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
             f"FROM ({req}) r {' '.join(joins)}{where}{group}{_having_sql(query, outer)}"
         )
+    if query.agg_binds:
+        # SELECT expressions over an aggregate query: evaluate in an OUTER
+        # select over the grouped subquery — the namespace is the grouped
+        # output itself (grouping keys + aggregate aliases, incl. the
+        # internal __agg<n> projections, which the wrapper then hides)
+        ns = {c: c for c in out_cols}
+        visible = [c for c in out_cols if not c.startswith("__")]
+        exprs = [f"({_expr_sql(node, ns)}) AS {v}" for node, v in query.agg_binds]
+        sql = f"SELECT {', '.join(visible + exprs)} FROM ({sql}) __gx"
+        out_cols = visible + [v for _, v in query.agg_binds]
+        projected = set(out_cols)
+        colmap = {c: c for c in out_cols}
     if query.ask:
         return _with(f"SELECT EXISTS (SELECT * FROM ({sql}) __a) AS ask"), ["ask"]
     return _with(sql + _order_limit(query, projected, colmap)), out_cols

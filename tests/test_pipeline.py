@@ -2019,3 +2019,47 @@ def test_sparql_describe_where():
     ]
     with pytest.raises(ValueError):
         run("DESCRIBE WHERE { ?s ?p ?o }")
+
+
+def test_sparql_select_expressions_over_aggregates(kg_out):
+    """(expr AS ?v) combined with aggregate projections: inline aggregates
+    extract into internal projections, the expression evaluates in an outer
+    wrapper over the grouped result — consistent with the plain-aggregate
+    rendering of the same query, and key/alias expressions both work."""
+    from r2s2_ray.pipelines.sparql import parse_sparql, run_sparql
+
+    out, _ = kg_out
+    pfx = "PREFIX ex: <https://ex.org/vocab/>\n"
+    got = run_sparql(
+        out,
+        pfx + "SELECT ?role (COUNT(?t) AS ?n) ((SUM(?i) / COUNT(?t)) AS ?avg) "
+        '(CONCAT(?role, "!") AS ?tag) '
+        "WHERE { ?t ex:role ?role . ?t ex:turnIndex ?i } GROUP BY ?role",
+    ).to_pandas().set_index("role")
+    ref = run_sparql(
+        out,
+        pfx + "SELECT ?role (COUNT(?t) AS ?n) (SUM(?i) AS ?s) "
+        "WHERE { ?t ex:role ?role . ?t ex:turnIndex ?i } GROUP BY ?role",
+    ).to_pandas().set_index("role")
+    assert sorted(got.index) == sorted(ref.index) and len(got) > 1
+    for role in ref.index:
+        assert got.loc[role, "n"] == ref.loc[role, "n"]
+        assert got.loc[role, "avg"] == ref.loc[role, "s"] / ref.loc[role, "n"]
+        assert got.loc[role, "tag"] == role + "!"
+    # whole-set aggregation (no GROUP BY): one row, expression over two aggs
+    one = run_sparql(
+        out, pfx + "SELECT ((SUM(?i) - COUNT(*)) AS ?x) WHERE { ?t ex:turnIndex ?i }"
+    ).to_pandas()
+    assert len(one) == 1 and one.iloc[0]["x"] == ref["s"].sum() - ref["n"].sum()
+    # unsupported placements still reject loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="whole-body UNION"):
+        parse_sparql(
+            pfx + "SELECT ((COUNT(*) + 1) AS ?x) WHERE "
+            "{ { ?t ex:role ?r } UNION { ?t ex:tool ?r } }"
+        )
+    with _pytest.raises(ValueError, match="DISTINCT [*]"):
+        parse_sparql(
+            pfx + "SELECT ((COUNT(DISTINCT *) + 1) AS ?x) WHERE { ?t ex:role ?r }"
+        )
