@@ -1679,6 +1679,39 @@ def _dd_embedding(sf_dir: str):
     return embedding_cosine_pairs_exact(ds, "vec_id", "embedding", threshold=0.4)
 
 
+def _dd_incremental_minhash(sf_dir: str):
+    """Incremental NEAR-dup detection against persisted LSH state: band keys
+    of the even-doc half persist per bucket; the odd-doc delta finds every
+    candidate pair touching it without rescanning the history (phase 1 pure
+    read), then appends its own band rows convergently (phase 2). Oracle =
+    the full-corpus minhash pair SQL restricted to pairs touching the delta,
+    so the hash match proves incremental == one-shot."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.stages.incremental import (
+        lsh_pairs_delta,
+        lsh_state_append,
+        lsh_state_build,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            par = pc.bit_wise_and(b["doc_id"], 1)
+            return b.filter(pc.equal(par, parity))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    state = tempfile.mkdtemp(prefix="dd_lsh_state_")
+    lsh_state_build(half(0), state)
+    pairs = lsh_pairs_delta(half(1), state).materialize()
+    lsh_state_append(half(1), state)
+    return pairs
+
+
 def _dd_semdedup(sf_dir: str):
     """SemDeDup: integer-exact k-means buckets, exact cosine only within each
     cluster — the cluster structure bounds the quadratic term (dedup.py)."""
@@ -2213,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_simhash": _dd_simhash,
         "dd_embedding_neardup": _dd_embedding,
         "dd_semdedup": _dd_semdedup,
+        "dd_incremental_minhash": _dd_incremental_minhash,
         "dd_embedding_lsh": _dd_embedding_lsh,
         "dd_ngram_jaccard": _dd_ngram,
         "dd_ngram_containment": _dd_ngram_containment,
@@ -2381,6 +2415,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
         "dd_semdedup": oracles_td.semdedup_oracle(k=8, n_iters=2, threshold=0.4),
+        "dd_incremental_minhash": (
+            f"SELECT a, b FROM ({oracles_td.minhash_pairs_oracle()}) "
+            f"WHERE a % 2 = 1 OR b % 2 = 1"
+        ),
         "dd_ngram_containment": """
             WITH sh AS (
               SELECT DISTINCT doc_id, s FROM (

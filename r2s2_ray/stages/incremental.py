@@ -369,6 +369,224 @@ def fp_state_append(
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental MinHash-LSH NEAR-DUP state — the near-duplicate twin of the
+# exact fingerprint state above: which docs of today's delta near-duplicate
+# anything already ingested (or earlier in the same delta), WITHOUT ever
+# rescanning the historical corpus. State = the LSH band keys themselves,
+# bucketed by (band, bh) hash, so a delta band row only ever meets the state
+# rows that could collide with it. Same two-phase retry discipline as the
+# fingerprint state: phase 1 (pairs) is a pure read, phase 2 (append) is a
+# convergent content-tagged union.
+# ---------------------------------------------------------------------------
+
+_LSH_STATS_SCHEMA = pa.schema(
+    [("bucket", pa.int64()), ("n_old", pa.int64()), ("n_new", pa.int64())]
+)
+
+_LSH_PAIRS_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+
+def _lsh_band_rows(id_col: str, text_col: str, num_perm: int, bands: int,
+                   shingle_k: int, num_buckets: int):
+    """(doc, band, bh, bucket) long rows — the MinHasher signature exploded to
+    one row per band, bucketed by a band-salted hash of the band key so a hot
+    band value still spreads across band indexes. Hasher built once per task
+    process (closure memo), work fully vectorized."""
+    import numpy as np
+
+    from ..functions.dedup import MinHasher
+
+    memo: dict = {}
+
+    def fn(b: pa.Table) -> pa.Table:
+        mh = memo.setdefault(
+            "mh", MinHasher(id_col, text_col, num_perm, bands, shingle_k)
+        )
+        sig = pl.from_arrow(mh(b))
+        longs = [
+            sig.select(
+                pl.col(id_col).alias("doc"),
+                pl.lit(bi, dtype=pl.Int64).alias("band"),
+                pl.col(f"band{bi}").alias("bh"),
+            )
+            for bi in range(bands)
+        ]
+        out = pl.concat(longs)
+        with np.errstate(over="ignore"):
+            bkt = (
+                out["bh"].to_numpy().astype(np.uint64) * np.uint64(1315423911)
+                + out["band"].to_numpy().astype(np.uint64)
+            ) % np.uint64(num_buckets)
+        return out.to_arrow().append_column(
+            "bucket", pa.array(bkt.astype(np.int64), pa.int64())
+        )
+
+    return fn
+
+
+def _lsh_write(state_dir: str, bucket: int, rows: pl.DataFrame) -> None:
+    rows = rows.unique().sort(["band", "bh", "doc"])
+    tbl = rows.to_arrow()
+    tag = block_tag(tbl, cols=("doc", "band", "bh"))
+    d = _bucket_dir(state_dir, bucket)
+    fs_makedirs(d)
+    fs_write_table(tbl, f"{d}/bands-{tag}.parquet")
+    for f in fs_list_parquet(d):
+        if not f.endswith(f"bands-{tag}.parquet"):
+            fs_remove(f)
+
+
+def _lsh_read(state_dir: str, bucket: int) -> pl.DataFrame | None:
+    d = _bucket_dir(state_dir, bucket)
+    if not fs_exists(d):
+        return None
+    files = fs_list_parquet(d)
+    if not files:
+        return None
+    return pl.concat([pl.from_arrow(fs_read_table(f)) for f in files])
+
+
+def lsh_state_build(
+    docs: ray.data.Dataset,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_buckets: int = 32,
+) -> list[dict]:
+    """Initial LSH state: one file of DISTINCT (doc, band, bh) rows per
+    bucket. One exchange over the corpus, then never again."""
+    fs_rmtree(state_dir)
+
+    def write(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        rows = []
+        for key, g in df.partition_by("bucket", as_dict=True).items():
+            b = int(key[0])
+            body = g.drop("bucket")
+            _lsh_write(state_dir, b, body)
+            rows.append({"bucket": b, "n_old": 0, "n_new": body.unique().height})
+        return (
+            pa.Table.from_pylist(rows, schema=_LSH_STATS_SCHEMA)
+            if rows
+            else _LSH_STATS_SCHEMA.empty_table()
+        )
+
+    return (
+        docs.map_batches(
+            _lsh_band_rows(id_col, text_col, num_perm, bands, shingle_k, num_buckets),
+            batch_format="pyarrow",
+        )
+        .sort("bucket")
+        .map_batches(write, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+
+
+def lsh_pairs_delta(
+    docs_delta: ray.data.Dataset,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """PHASE 1 (pure read): near-dup candidate pairs TOUCHING the delta —
+    delta x state collisions plus delta x delta collisions, (a, b) with
+    a < b, distinct. Only the delta crosses the exchange; each bucket's
+    state files are read locally by the task that owns the bucket. State is
+    NOT modified — call :func:`lsh_state_append` afterwards."""
+    from ..functions.dedup import _fold_pairs
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(_decode_dicts(t))
+        outs = []
+        for key, g in df.partition_by("bucket", as_dict=True).items():
+            b = int(key[0])
+            g = g.drop("bucket").unique()
+            st = _lsh_read(state_dir, b)
+            cands = [
+                g.join(g, on=["band", "bh"], suffix="_r").filter(
+                    pl.col("doc") < pl.col("doc_r")
+                )
+            ]
+            if st is not None and st.height:
+                cands.append(
+                    g.join(st, on=["band", "bh"], suffix="_r").filter(
+                        pl.col("doc") != pl.col("doc_r")
+                    )
+                )
+            cand = pl.concat([c.select(["doc", "doc_r"]) for c in cands])
+            outs.append(
+                cand.select(
+                    pl.min_horizontal("doc", "doc_r").alias("a"),
+                    pl.max_horizontal("doc", "doc_r").alias("b"),
+                ).unique()
+            )
+        if not outs:
+            return _LSH_PAIRS_SCHEMA.empty_table()
+        return pl.concat(outs).to_arrow()
+
+    raw = (
+        docs_delta.map_batches(
+            _lsh_band_rows(id_col, text_col, num_perm, bands, shingle_k, num_buckets),
+            batch_format="pyarrow",
+        )
+        .sort("bucket")
+        .map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    )
+    # a pair can collide in several (band, bh) buckets -> global distinct
+    return _fold_pairs(raw)
+
+
+def lsh_state_append(
+    docs_delta: ray.data.Dataset,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_buckets: int = 32,
+) -> list[dict]:
+    """PHASE 2 (convergent union — idempotent): fold the delta's band rows
+    into the state, one content-tagged generation per touched bucket.
+    ``lsh_state_build(A); lsh_state_append(B)`` leaves byte-identical files
+    to ``lsh_state_build(A ∪ B)`` (pinned by test)."""
+
+    def write(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(_decode_dicts(t))
+        rows = []
+        for key, g in df.partition_by("bucket", as_dict=True).items():
+            b = int(key[0])
+            new = g.drop("bucket").unique()
+            st = _lsh_read(state_dir, b)
+            n_old = st.unique().height if st is not None else 0
+            merged = pl.concat([st, new]).unique() if st is not None else new
+            _lsh_write(state_dir, b, merged)
+            rows.append({"bucket": b, "n_old": n_old, "n_new": merged.height - n_old})
+        return (
+            pa.Table.from_pylist(rows, schema=_LSH_STATS_SCHEMA)
+            if rows
+            else _LSH_STATS_SCHEMA.empty_table()
+        )
+
+    return (
+        docs_delta.map_batches(
+            _lsh_band_rows(id_col, text_col, num_perm, bands, shingle_k, num_buckets),
+            batch_format="pyarrow",
+        )
+        .sort("bucket")
+        .map_batches(write, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+
+
 _RETRACT_STATS_SCHEMA = pa.schema(
     [
         ("bucket", pa.int64()),

@@ -128,3 +128,70 @@ def test_fp_incremental_dedup_cycle(ray_session, tmp_path):
     fp_state_append(kept, state, num_buckets=4)
     files2 = sorted(glob.glob(f"{state}/bucket=*/fps-*.parquet"))
     assert files1 == files2
+
+
+def test_lsh_incremental_neardup_cycle(ray_session, tmp_path):
+    """Incremental MinHash-LSH state: pairs(delta) == one-shot pairs touching
+    the delta; build(A)+append(B) leaves byte-identical files to build(A∪B);
+    re-appending the same delta is a no-op."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from r2s2_ray.functions.dedup import minhash_lsh_pairs
+    from r2s2_ray.stages.incremental import (
+        lsh_pairs_delta,
+        lsh_state_append,
+        lsh_state_build,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), parity))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    state = str(tmp_path / "lsh_state")
+    lsh_state_build(half(0), state, num_buckets=8)
+    got = {
+        (r["a"], r["b"])
+        for r in lsh_pairs_delta(half(1), state, num_buckets=8).take_all()
+    }
+    want = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").take_all()
+        if r["a"] % 2 == 1 or r["b"] % 2 == 1
+    }
+    assert got == want and got
+
+    def files(d):
+        return {
+            f: os.path.getsize(f) for f in sorted(glob.glob(f"{d}/bucket=*/bands-*.parquet"))
+        }
+
+    lsh_state_append(half(1), state, num_buckets=8)
+    after_append = files(state)
+    # convergence: appending the same delta again is a byte-identical no-op
+    stats2 = lsh_state_append(half(1), state, num_buckets=8)
+    assert files(state) == after_append
+    assert all(r["n_new"] == 0 for r in stats2)
+    # equivalence: the incremental state == a from-scratch build of the union
+    state2 = str(tmp_path / "lsh_state_oneshot")
+    lsh_state_build(docs, state2, num_buckets=8)
+    a, b = files(state), files(state2)
+    assert [os.path.relpath(f, state) for f in a] == [
+        os.path.relpath(f, state2) for f in b
+    ]
+    assert list(a.values()) == list(b.values())
+    # pairs against the APPENDED state still dedup to the same touching set
+    got2 = {
+        (r["a"], r["b"])
+        for r in lsh_pairs_delta(half(1), state, num_buckets=8).take_all()
+    }
+    assert got2 == want
