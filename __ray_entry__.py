@@ -2214,6 +2214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ship_priority": relational.q_ship_priority,
         "q_dau_wau": relational.q_dau_wau,
         "q_late_orders": relational.q_late_orders,
+        "q_nation_revenue": relational.q_nation_revenue,
+        "q_user_spend_rank": relational.q_user_spend_rank,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,

@@ -2115,3 +2115,238 @@ ORACLES["q_late_orders"] = """
                   WHERE l.l_orderkey = o.o_orderkey
                     AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
     GROUP BY o_orderpriority"""
+
+
+def q_nation_revenue(sf_dir: str, region: str = "ASIA", num_buckets: int = 32):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation where the
+    CUSTOMER's and the SUPPLIER's nation coincide inside one region, over a
+    two-year order window. Scale shape: the two data-sized joins
+    (orders x region-customers, lineitem x qualified-orders) are hash-bucket
+    exchanges; region/nation are constant-sized and the supplier->nation map
+    broadcasts once via ray.put (supplier is TPC-H's smallest fact table —
+    1/15th of customer; swap the lookup for a third hash_join on l_suppkey
+    if suppliers ever become data-sized). The co-location condition
+    c_nationkey = s_nationkey evaluates block-locally after the joins;
+    revenue is integer micros (order-free exact sums)."""
+    import datetime as _dt
+
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+
+    nat = {
+        int(r["n_nationkey"]): str(r["n_name"])
+        for r in _read(sf_dir, "nation").take_all()
+    }
+    reg = {
+        int(r["r_regionkey"]): str(r["r_name"])
+        for r in _read(sf_dir, "region").take_all()
+    }
+    region_nations = {
+        int(r["n_nationkey"])
+        for r in _read(sf_dir, "nation").take_all()
+        if reg[int(r["n_regionkey"])] == region
+    }
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        keep = b.filter(
+            pc.is_in(
+                pc.cast(b["c_nationkey"], pa.int64()),
+                value_set=pa.array(sorted(region_nations), pa.int64()),
+            )
+        )
+        return pa.table(
+            {
+                "o_custkey": keep["c_custkey"],
+                "c_nationkey": pc.cast(keep["c_nationkey"], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        keep = b.filter(
+            pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+        )
+        return keep.drop_columns(["o_orderdate"])
+
+    orders_f = hash_join(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        on="o_custkey",
+        right_cols=["c_nationkey"],
+    )
+
+    def as_l(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": b["o_orderkey"], "c_nationkey": b["c_nationkey"]}
+        )
+
+    line = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+
+    def prep_l(b: pa.Table) -> pa.Table:
+        cents = _cents(b["l_extendedprice"])
+        dpct = _cents(b["l_discount"])  # discount fraction -> integer percent
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), dpct))
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_suppkey": b["l_suppkey"], "rev": rev}
+        )
+
+    joined = hash_join(
+        line.map_batches(prep_l, batch_format="pyarrow"),
+        orders_f.map_batches(as_l, batch_format="pyarrow"),
+        on="l_orderkey",
+        right_cols=["c_nationkey"],
+    )
+
+    sup = sorted(
+        (int(r["s_suppkey"]), int(r["s_nationkey"]))
+        for r in _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    )
+    skeys = np.asarray([k for k, _ in sup], dtype=np.int64)
+    snats = np.asarray([v for _, v in sup], dtype=np.int64)
+    sref = ray.put((skeys, snats))
+
+    def local_supplier(b: pa.Table) -> pa.Table:
+        keys, nats = ray.get(sref)
+        lk = np.asarray(b["l_suppkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pos = np.searchsorted(keys, lk)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        s_nat = np.where(keys[pos] == lk, nats[pos], -1)
+        c_nat = np.asarray(b["c_nationkey"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = s_nat == c_nat
+        return pa.table(
+            {
+                "nationkey": pa.array(c_nat[keep], pa.int64()),
+                "rev": pa.array(
+                    np.asarray(b["rev"].to_numpy(zero_copy_only=False), dtype=np.int64)[keep],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    grouped = (
+        joined.map_batches(local_supplier, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("rev", alias_name="revenue_micros"))
+    )
+
+    def name(b: pa.Table) -> pa.Table:
+        nk = b["nationkey"].to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([nat[int(k)] for k in nk], pa.string()),
+                "revenue_micros": b["revenue_micros"],
+            }
+        )
+
+    return grouped.map_batches(name, batch_format="pyarrow")
+
+
+ORACLES["q_nation_revenue"] = """
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS revenue_micros
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name"""
+
+
+def q_user_spend_rank(sf_dir: str, num_buckets: int = 32):
+    """DENSE_RANK() of users by total spend (ties share a rank, no gaps) —
+    the rank-family window function, distributed with the same monotone
+    range-bucket pattern as q_ntile_users: per-user totals, a VALUE-ordered
+    bucket key (equal totals can't straddle buckets), ONE bucket sort, then
+    two block-local passes over the materialized sorted data — per-bucket
+    DISTINCT-total counts to the driver (num_buckets ints), suffix offsets,
+    and an elementwise dense rank (descending) + offset per block."""
+    import polars as pl
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "cents": _cents(b["value"])})
+
+    totals = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="total_cents"))
+        .materialize()
+    )
+    bounds = totals.aggregate(
+        Min("total_cents", alias_name="lo"), Max("total_cents", alias_name="hi")
+    )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, hi - lo + 1)
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        t = pc.cast(b["total_cents"], pa.int64())
+        bk = pc.cast(
+            pc.divide(pc.multiply(pc.subtract(t, lo), num_buckets), span), pa.int32()
+        )
+        return b.append_column("bucket", bk)
+
+    sorted_ds = (
+        totals.map_batches(with_bucket, batch_format="pyarrow")
+        .sort("bucket")
+        .materialize()
+    )
+
+    def bucket_stats(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        return (
+            df.group_by("bucket")
+            .agg(pl.col("total_cents").n_unique().alias("nd"))
+            .to_arrow()
+        )
+
+    nd = {
+        int(r["bucket"]): int(r["nd"])
+        for r in sorted_ds.map_batches(
+            bucket_stats, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    }
+    # descending rank: a bucket's offset = distinct totals in HIGHER buckets
+    offsets, acc = {}, 0
+    for bk in sorted(nd, reverse=True):
+        offsets[bk] = acc
+        acc += nd[bk]
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        off = pl.col("bucket").replace_strict(
+            list(offsets.keys()), list(offsets.values()), return_dtype=pl.Int64
+        )
+        local = pl.col("total_cents").rank("dense", descending=True).over("bucket")
+        return df.select(
+            pl.col("user_id"),
+            pl.col("total_cents").cast(pl.Int64),
+            (local.cast(pl.Int64) + off).alias("spend_rank"),
+        ).to_arrow()
+
+    return sorted_ds.map_batches(block, batch_format="pyarrow", batch_size=None)
+
+
+ORACLES["q_user_spend_rank"] = """
+    SELECT user_id, total_cents,
+           CAST(dense_rank() OVER (ORDER BY total_cents DESC) AS BIGINT) AS spend_rank
+    FROM (SELECT user_id,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+          FROM events GROUP BY user_id)"""
