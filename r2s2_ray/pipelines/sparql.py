@@ -2882,22 +2882,26 @@ def _compile_opt_group(
         ga = f"{prefix}g{k}"
         on_parts: list[str] = []
         for v in sorted(c_exposed):
-            if v in from_child:
-                raise ValueError(
-                    f"?{v} bound in two OPTIONAL groups is not supported"
-                )
             if v in outer:
-                if v in c_required:
-                    on_parts.append(f"{ga}.{v} = {outer[v]}")
-                else:
-                    # the child may leave v unbound (its own nested group):
-                    # unbound is compatible with anything
-                    on_parts.append(f"({ga}.{v} = {outer[v]} OR {ga}.{v} IS NULL)")
+                # unbound (NULL) is compatible with anything — on the child
+                # side when it may leave v unbound, and on the outer side
+                # when an EARLIER sibling optional bound it (sequential
+                # LeftJoin: the later group joins the running solution)
+                alts = []
+                if v not in c_required:
+                    alts.append(f"{ga}.{v} IS NULL")
+                if v in from_child:
+                    alts.append(f"{outer[v]} IS NULL")
+                eq = f"{ga}.{v} = {outer[v]}"
+                on_parts.append("(" + " OR ".join([eq] + alts) + ")" if alts else eq)
         joins.append(f"LEFT JOIN ({c_sql}) {ga} ON {' AND '.join(on_parts) or 'TRUE'}")
         for v in c_exposed:
             if v not in outer:
                 outer[v] = f"{ga}.{v}"
                 from_child.add(v)
+            elif v in from_child:
+                # merged binding = the bound side (earlier sibling or this)
+                outer[v] = f"COALESCE({outer[v]}, {ga}.{v})"
     proj = ", ".join(f"{c} AS {v}" for v, c in outer.items())
     return (
         f"SELECT {proj} FROM ({req}) r {' '.join(joins)}",
@@ -3442,19 +3446,18 @@ def _to_sql_cols(
             )
             on_parts: list[str] = []
             for v in sorted(g_exposed):
-                if v in opt_bound:
-                    raise ValueError(
-                        f"?{v} bound in two OPTIONAL groups is not supported"
-                    )
                 if v in outer:
                     # unbound (NULL) is compatible with anything — on the
                     # group side when the group may leave v unbound, AND on
-                    # the outer side when the required part's binding is
-                    # nullable (union_join / UNDEF / subselect)
+                    # the outer side when the running binding is nullable
+                    # (union_join / UNDEF / subselect, or bound by an
+                    # EARLIER OPTIONAL — sequential LeftJoin semantics: the
+                    # later group joins the running solution, not just the
+                    # required part)
                     alts = []
                     if v not in g_required:
                         alts.append(f"g{k}.{v} IS NULL")
-                    if v in nullable:
+                    if v in nullable or v in opt_bound:
                         alts.append(f"{outer[v]} IS NULL")
                     eq = f"g{k}.{v} = {outer[v]}"
                     on_parts.append(
@@ -3467,9 +3470,10 @@ def _to_sql_cols(
                 if v not in outer:
                     outer[v] = f"g{k}.{v}"
                     opt_bound.add(v)
-                elif v in nullable:
+                elif v in nullable or v in opt_bound:
                     # the merged solution takes the bound side: a row where
-                    # the outer left v unbound adopts the group's binding
+                    # the running solution left v unbound adopts the group's
+                    # binding
                     outer[v] = f"COALESCE({outer[v]}, g{k}.{v})"
         # deferred BINDs (referencing OPTIONAL-only variables) compute over
         # the post-join namespace — an unmatched group's NULL flows into the

@@ -1220,3 +1220,32 @@ def test_sparql_negated_set_closure_matches_naive(store, members, mod, subj, obj
     cols, rows = _run_sql(store, f"SELECT * WHERE {{ {sterm} {pstr} {oterm} }}")
     assert cols == sorted({t[1] for t in (subj, obj) if t[0] == "var"})
     assert Counter(rows) == sols
+
+
+@settings(max_examples=50, deadline=None)
+@given(_store, _patterns, _patterns, _patterns)
+def test_sparql_sibling_optionals_share_vars_matches_naive(store, req, a, b):
+    """{ REQ . OPTIONAL { A } OPTIONAL { B } } == LeftJoin(LeftJoin(REQ, A), B)
+    — the spec's sequential translation: the SECOND optional joins the RUNNING
+    solution, so a variable bound by the first optional constrains (and is
+    NULL-compatible with) the second; the merged binding is the bound side.
+    The 3-var alphabet makes cross-optional shared variables frequent."""
+
+    def render(ps):
+        return " . ".join(
+            " ".join(f"?{v}" if k == "var" else f"<{v}>" for k, v in p) for p in ps
+        )
+
+    q = (
+        f"SELECT * WHERE {{ {render(req)} . "
+        f"OPTIONAL {{ {render(a)} }} OPTIONAL {{ {render(b)} }} }}"
+    )
+    cols, rows = _run_sql(store, q)
+    want_sols = _naive_leftjoin(
+        _naive_leftjoin(_naive_eval(store, req), _naive_eval(store, a)),
+        _naive_eval(store, b),
+    )
+    used = sorted({v for ps in (req, a, b) for p in ps for k, v in p if k == "var"})
+    assert cols == used
+    want = [tuple(s.get(v) for v in used) for s in want_sols]
+    assert Counter(rows) == Counter(want)
