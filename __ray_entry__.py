@@ -1679,6 +1679,17 @@ def _dd_embedding(sf_dir: str):
     return embedding_cosine_pairs_exact(ds, "vec_id", "embedding", threshold=0.4)
 
 
+def _txt_winnow_fp(sf_dir: str):
+    """Winnowing (MOSS) fingerprints: per-window minimum shingle hash —
+    position-robust local fingerprinting, block-local, no exchange."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import winnow_fingerprints
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_fingerprints(docs, "doc_id", "text", shingle_k=3, window=4)
+
+
 def _dd_incremental_minhash(sf_dir: str):
     """Incremental NEAR-dup detection against persisted LSH state: band keys
     of the even-doc half persist per bucket; the odd-doc delta finds every
@@ -2261,6 +2272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
         "txt_fingerprint": _txt_fingerprint,
+        "txt_winnow_fp": _txt_winnow_fp,
         "txt_repetition": _txt_repetition,
         "dd_substring_pairs": _dd_substring_pairs,
         "sim_ann_ivf": _sim_ann_ivf,
@@ -2477,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "td_role_transitions": oracles.role_transitions_oracle(),
         "td_loss_masks": oracles.loss_masks_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
+        "txt_winnow_fp": oracles_td.winnow_oracle(shingle_k=3, window=4),
         "txt_repetition": oracles_td.repetition_oracle(),
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),
         "sim_ann_ivf": oracles_td.ann_ivf_oracle(),

@@ -1508,3 +1508,69 @@ def bpe_pair_counts(
             "count": pa.array([-c for c, _ in best], pa.int64()),
         }
     )
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    window: int = 4,
+) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS local fingerprinting scheme): hash every ORDERED word k-shingle,
+    slide a window of ``window`` consecutive hashes over the document, keep
+    each window's MINIMUM — the selected set is position-robust (any match
+    of at least w+k-1 tokens shares a fingerprint) and ~1/w the size of the
+    full shingle set. Output: DISTINCT (id, fp) rows, fp int64 (the uint64
+    polynomial hash viewed signed — the SQL-mirrorable family).
+
+    Scale shape: entirely block-local (a document lives in one row) — one
+    explode + shifted concat, one byte-buffer poly hash pass, one per-doc
+    rolling min; NO exchange. Downstream dedup joins group on fp."""
+    from .hashing import poly_hash_arr
+
+    def fn(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        toks = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase().str.split(" ").alias("tok")
+            )
+            .select([id_col, "tok"])
+            .explode("tok")
+            .filter(pl.col("tok").str.len_chars() > 0)
+        )
+        parts = [pl.col("tok")]
+        for i in range(1, shingle_k):
+            parts.append(pl.col("tok").shift(-i).over(id_col))
+        sh = (
+            toks.with_columns(
+                pl.concat_str(parts, separator=" ", ignore_nulls=False).alias("sh")
+            )
+            .drop_nulls("sh")
+            .select([id_col, "sh"])
+        )
+        if not sh.height:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+            )
+        h = poly_hash_arr(sh["sh"].to_arrow())  # ordered uint64 per shingle
+        out = (
+            sh.with_columns(pl.Series("h", h, dtype=pl.UInt64))
+            .with_columns(
+                pl.col("h")
+                .rolling_min(window_size=window, min_samples=window)
+                .over(id_col)
+                .alias("m")
+            )
+            .drop_nulls("m")
+            .select(
+                pl.col(id_col),
+                pl.col("m").reinterpret(signed=True).cast(pl.Int64).alias("fp"),
+            )
+            .unique()
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -846,6 +846,32 @@ def kmeans_oracle(
     return "".join(out)
 
 
+def winnow_oracle(shingle_k: int = 3, window: int = 4) -> str:
+    """Exact SQL mirror of ``textstats.winnow_fingerprints``: ordered word
+    k-shingles with positions, the poly-hash family, a leading window MIN in
+    the UNSIGNED uint64 domain (full windows only), DISTINCT (doc_id, fp)."""
+    concat = " || ' ' || ".join(f"toks[i + {j}]" for j in range(shingle_k))
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          list_filter(string_split(lower(text), ' '),
+                                      x -> len(x) > 0) AS toks
+                   FROM documents),
+        pos AS (SELECT doc_id, i, {concat} AS s
+                FROM (SELECT doc_id, toks,
+                             unnest(range(1, len(toks) - {shingle_k - 2})) AS i
+                      FROM d)),
+        base AS (SELECT doc_id, i,
+                        {_unsigned(_poly_hash("hex(encode(s))"))} AS bh
+                 FROM pos),
+        wins AS (SELECT doc_id,
+                        min(bh) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+                        count(*) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS c
+                 FROM base)
+        SELECT DISTINCT doc_id, {_signed('m')} AS fp FROM wins WHERE c = {window}"""
+
+
 def semdedup_oracle(
     k: int = 8, n_iters: int = 2, threshold: float = 0.95, scale_bits: int = 20
 ) -> str:

@@ -1313,3 +1313,43 @@ def test_semdedup_pairs_matches_composed_reference():
                     want[(i, j)] = (asn[i], round(c, 6))
     assert got == want
     assert (10, 30) in got  # collinear pair must cluster together and hit 1.0
+
+
+def test_winnow_guarantee_and_density():
+    """Winnowing guarantee: two documents sharing a run of >= window+k-1
+    tokens share at least one fingerprint; and the selected set is a subset
+    of the full shingle-hash set, ~1/window the size."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.hashing import poly_hash_arr
+    from r2s2_ray.functions.textstats import winnow_fingerprints
+
+    common = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= w+k-1 = 6
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "one two " + common + " three four five six seven",
+                    "nine ten eleven " + common + " twelve",
+                    "totally different words everywhere here now then always",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(2)
+    rows = winnow_fingerprints(ds, "doc_id", "text", shingle_k=3, window=4).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared >= w+k-1 token run must share a fp"
+    assert not (by_doc[3] & (by_doc[1] | by_doc[2]))
+    # subset of the full shingle-hash set, and smaller
+    toks = docs["text"][0].as_py().lower().split()
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    full = set(
+        np.asarray(poly_hash_arr(pa.array(shingles, pa.string()))).astype(np.int64).tolist()
+    )
+    assert by_doc[1] <= full and len(by_doc[1]) < len(full)
