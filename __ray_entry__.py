@@ -2043,6 +2043,35 @@ def _kg_copmi(sf_dir: str):
     return comention_pmi(ds.map_batches(mention_rows, batch_format="pyarrow"))
 
 
+def _kg_link_predict(sf_dir: str):
+    """Link prediction (Resource-Allocation index — the integer-exact
+    Adamic-Adar cousin) over the STRONG entity co-mention graph (pairs
+    co-mentioned >= 300 times; the raw gazetteer graph is complete, so the
+    thresholded graph is where missing links exist): for every non-edge pair
+    with common neighbors, ra_scaled = sum_w 2^20 // deg(w)."""
+    import polars as pl
+
+    from r2s2_ray.functions.graph import comention_pmi, link_predict
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+
+    def mention_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        return (
+            df.filter(pl.col("pred") == vocab.P_MENTIONS)
+            .select(pl.col("subj").alias("turn"), pl.col("obj").alias("ent"))
+            .unique()
+            .to_arrow()
+        )
+
+    edges = comention_pmi(ds.map_batches(mention_rows, batch_format="pyarrow"))
+    strong = edges.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_ab"], 300)),
+        batch_format="pyarrow",
+    )
+    return link_predict(strong)
+
+
 def _kg_triangles(sf_dir: str):
     """Distributed triangle enumeration over the entity co-mention graph:
     the PMI operator's distinct ordered pairs feed two key-partitioned
@@ -2203,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_connected_components": _kg_connected_components,
         "kg_pagerank": _kg_pagerank,
         "kg_copmi": _kg_copmi,
+        "kg_link_predict": _kg_link_predict,
         "kg_triangles": _kg_triangles,
         "kg_clustering": _kg_clustering,
         "kg_kcore": _kg_kcore,
@@ -2360,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_mixedpath": oracles.sparql_mixedpath_oracle(),
         "kg_pagerank": oracles.pagerank_oracle(n_iters=3),
         "kg_copmi": oracles.comention_pmi_oracle(),
+        "kg_link_predict": oracles.link_predict_oracle(),
         "kg_triangles": oracles.triangles_oracle(),
         "kg_clustering": oracles.clustering_oracle(),
         "kg_kcore": oracles.kcore_oracle(k=2, rounds=4),

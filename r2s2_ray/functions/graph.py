@@ -1107,3 +1107,103 @@ def literal_stats(triples: ray.data.Dataset) -> ray.data.Dataset:
             Max("max_len", alias_name="max_len"),
         )
     )
+
+
+def link_predict(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    scale_bits: int = 20,
+) -> ray.data.Dataset:
+    """Link prediction over an undirected edge set (ordered pairs a < b) via
+    the Resource-Allocation index (Zhou et al. 2009, the integer-exact cousin
+    of Adamic-Adar): for every NON-edge pair (u, v) with common neighbors,
+    ``ra_scaled = sum_w 2^scale_bits // deg(w)`` over the common neighbors w,
+    plus the common-neighbor count. Floor division keeps the score an exact
+    integer contract across engines (Adamic-Adar's 1/log deg is float-fuzzy;
+    RA's 1/deg needs no log and predicts at least as well in the literature).
+
+    Scale shape: wedges via ONE key-partitioned hash_join of the
+    symmetrized edge list with itself (the triangles pattern); existing
+    edges removed by a LEFT hash_join anti-filter on the composite pair key;
+    one pair-keyed fold sums the scores. The degree map broadcasts once via
+    ray.put (entity vocabularies are gazetteer-sized here — swap for a
+    deg-attaching hash_join when nodes are data-sized)."""
+    import polars as pl
+    import ray as _ray
+
+    from ..relational import hash_join
+    from .dedup import _fold_pairs
+
+    edges = edges.select_columns([a_col, b_col]).materialize()
+    deg: dict = {}
+    for r in edges.take_all():
+        deg[r[a_col]] = deg.get(r[a_col], 0) + 1
+        deg[r[b_col]] = deg.get(r[b_col], 0) + 1
+    dref = _ray.put(deg)
+    scale = 1 << scale_bits
+
+    def symm(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"u": b[a_col], "w": b[b_col]})
+        rev = pa.table({"u": b[b_col], "w": b[a_col]})
+        return pa.concat_tables([fwd, rev])
+
+    s = edges.map_batches(symm, batch_format="pyarrow")
+    left = s.map_batches(
+        lambda b: pa.table({"u": b["u"], "k": b["w"]}), batch_format="pyarrow"
+    )
+    right = s.map_batches(
+        lambda b: pa.table({"k": b["u"], "v": b["w"]}), batch_format="pyarrow"
+    )
+    wedges = hash_join(left, right, on="k", right_cols=["v"])
+
+    def score_rows(b: pa.Table) -> pa.Table:
+        d = _ray.get(dref)
+        df = pl.from_arrow(b).filter(pl.col("u") < pl.col("v"))
+        if not df.height:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.large_string()),
+                    "b": pa.array([], pa.large_string()),
+                    "kk": pa.array([], pa.large_string()),
+                    "ra": pa.array([], pa.int64()),
+                }
+            )
+        w = np.asarray(
+            [scale // d[x] for x in df["k"].to_list()], dtype=np.int64
+        )
+        out = df.select(
+            pl.col("u").alias("a"),
+            pl.col("v").alias("b"),
+            pl.concat_str([pl.col("u"), pl.col("v")], separator="\x1f").alias("kk"),
+        ).with_columns(pl.Series("ra", w, dtype=pl.Int64))
+        return out.to_arrow()
+
+    def edge_key(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({"x": b[a_col], "y": b[b_col]}))
+        return (
+            df.select(
+                pl.concat_str([pl.col("x"), pl.col("y")], separator="\x1f").alias("kk"),
+                pl.lit(1, dtype=pl.Int64).alias("hit"),
+            )
+            .to_arrow()
+        )
+
+    non_edges = hash_join(
+        wedges.map_batches(score_rows, batch_format="pyarrow"),
+        edges.map_batches(edge_key, batch_format="pyarrow"),
+        on="kk",
+        right_cols=["hit"],
+        how="left",
+    ).map_batches(
+        lambda b: b.filter(pc.is_null(b["hit"])).drop_columns(["kk", "hit"]),
+        batch_format="pyarrow",
+    )
+    return _fold_pairs(
+        non_edges,
+        {
+            "ra_scaled": pl.col("ra").sum().cast(pl.Int64),
+            "n_common": pl.len().cast(pl.Int64),
+        },
+    )

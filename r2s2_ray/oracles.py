@@ -565,6 +565,33 @@ def comention_pmi_oracle() -> str:
     )
 
 
+def link_predict_oracle(scale_bits: int = 20, min_count: int = 300) -> str:
+    """Relational rendering of ``__ray_entry__._kg_link_predict``: the
+    Resource-Allocation index over the STRONG co-mention graph (pairs
+    co-mentioned >= min_count times) — for every non-edge pair, sum over
+    common neighbors of 2^scale_bits // deg(w) plus the common-neighbor
+    count (all integer floor arithmetic, bit-exact)."""
+    t = raw_triples_sql(linked=True)
+    scale = 1 << scale_bits
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"m AS (SELECT DISTINCT subj AS turn, obj AS ent FROM t "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)}), "
+        f"e AS (SELECT x.ent AS a, y.ent AS b "
+        f"FROM m x JOIN m y ON x.turn = y.turn AND x.ent < y.ent "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count}), "
+        f"s AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e), "
+        f"deg AS (SELECT u AS w, CAST(count(*) AS BIGINT) AS d FROM s GROUP BY u), "
+        f"wedge AS (SELECT s1.u AS a, s2.w AS b, s1.w AS c "
+        f"FROM s s1 JOIN s s2 ON s1.w = s2.u AND s1.u < s2.w), "
+        f"cand AS (SELECT w.a, w.b, deg.d FROM wedge w JOIN deg ON deg.w = w.c "
+        f"WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)) "
+        f"SELECT a, b, CAST(sum({scale} // d) AS BIGINT) AS ra_scaled, "
+        f"CAST(count(*) AS BIGINT) AS n_common "
+        f"FROM cand GROUP BY a, b"
+    )
+
+
 def triangles_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_triangles``: distinct
     ordered co-mention pairs, wedge join + closing-edge join — each triangle
