@@ -1402,6 +1402,47 @@ def _io_ipc_roundtrip(sf_dir: str):
     )
 
 
+def _io_tar_roundtrip(sf_dir: str):
+    """WebDataset-style tar-shard sink -> source roundtrip: each document
+    becomes adjacent ``<key>.txt`` + ``<key>.cls`` members of a
+    content-tagged shard (deterministic bytes, retry-idempotent), read back
+    one task per shard and regrouped to one row per sample — values
+    identical to the parquet source (identity oracle)."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import read_tar, write_tar
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 12, "0")
+        return pa.table({"key": key, "text": b["text"], "lang": b["lang"]})
+
+    out = tempfile.mkdtemp(prefix="tar_rt_")
+    write_tar(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        out,
+        "key",
+        {"txt": "text", "cls": "lang"},
+    )
+    rt = read_tar(out, {"txt": "text", "cls": "lang"})
+
+    def unkey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(b["key"], pa.int64()),
+                "text": b["text"],
+                "lang": b["lang"],
+            }
+        )
+
+    return rt.map_batches(unkey, batch_format="pyarrow")
+
+
 def _io_orc_roundtrip(sf_dir: str):
     """ORC sink -> source roundtrip: one content-tagged ORC file per block
     (custom-sink pattern, retry-idempotent), read back one task per file —
@@ -2333,6 +2374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_temperature_sample": _td_temperature_sample,
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
         "io_ipc_roundtrip": _io_ipc_roundtrip,
+        "io_tar_roundtrip": _io_tar_roundtrip,
         "io_orc_roundtrip": _io_orc_roundtrip,
         "io_hive_partition": _io_hive_partition,
         "io_csv_roundtrip": _io_csv_roundtrip,
@@ -2539,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "td_temperature_sample": oracles_td.temperature_sample_oracle(),
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_ipc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "io_tar_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "io_orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_hive_partition": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

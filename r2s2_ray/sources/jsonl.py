@@ -148,3 +148,103 @@ def read_orc(out_dir: str) -> ray.data.Dataset:
     return ray.data.from_items([{"path": p} for p in files]).map_batches(
         rd, batch_format="pyarrow", batch_size=1
     )
+
+
+def write_tar(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    key_col: str,
+    payload_cols: dict[str, str],
+) -> list[dict]:
+    """Dataset -> WebDataset-style tar shards, one ``shard-<tag>.tar`` per
+    block: each row becomes members ``<key>.<ext>`` (one per entry of
+    ``payload_cols``, mapping extension -> column; string columns encode
+    UTF-8, binary pass through). The tar-of-samples layout is THE interchange
+    format multimodal training loaders stream (WebDataset et al.) — members
+    of one sample are adjacent, so a reader never seeks. Same custom-sink
+    contract as write_ipc: content-tagged shard names (a retried task
+    overwrites its own shard — idempotent), fixed mtime/uid so the bytes are
+    deterministic, only (path, rows) metadata back to the driver."""
+    import io
+    import tarfile
+
+    import pyarrow as pa
+
+    from ..stages.fold import block_tag
+    from ..util import fs_makedirs
+
+    fs_makedirs(out_dir)
+    exts = sorted(payload_cols)
+
+    def w(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())}
+            )
+        tag = block_tag(b, cols=tuple(sorted({key_col, *payload_cols.values()})))
+        path = f"{out_dir}/shard-{tag}.tar"
+        buf = io.BytesIO()
+        keys = b[key_col].to_pylist()
+        cols = {e: b[payload_cols[e]].to_pylist() for e in exts}
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for i, k in enumerate(keys):
+                for e in exts:
+                    v = cols[e][i]
+                    data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+                    info = tarfile.TarInfo(name=f"{k}.{e}")
+                    info.size = len(data)
+                    info.mtime = 0  # deterministic bytes: content tags must
+                    info.uid = info.gid = 0  # not depend on wall clock / uid
+                    tf.addfile(info, io.BytesIO(data))
+        with open(path, "wb") as f:
+            f.write(buf.getvalue())
+        return pa.table(
+            {"path": pa.array([path]), "rows": pa.array([b.num_rows], pa.int64())}
+        )
+
+    return ds.map_batches(w, batch_format="pyarrow").take_all()
+
+
+def read_tar(out_dir: str, payload_cols: dict[str, str], key_col: str = "key") -> ray.data.Dataset:
+    """Directory of WebDataset-style tar shards -> streaming Dataset: one
+    read task per shard (work-list custom source), samples regrouped from
+    adjacent ``<key>.<ext>`` members, one output row per key with the columns
+    named by ``payload_cols`` (extension -> column; values decode UTF-8).
+    Memory is bounded by shard size, not corpus size."""
+    import tarfile
+
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+
+    from ..util import fs_for
+
+    fs, root = fs_for(out_dir)
+    files = sorted(
+        f.path
+        for f in fs.get_file_info(pafs.FileSelector(root, recursive=False))
+        if f.path.endswith(".tar")
+    )
+    exts = sorted(payload_cols)
+
+    def rd(b: pa.Table) -> pa.Table:
+        rows: dict[str, dict] = {}
+        for p in b["path"].to_pylist():
+            with tarfile.open(p, mode="r") as tf:
+                for m in tf:
+                    key, dot, ext = m.name.rpartition(".")
+                    if not dot or ext not in payload_cols:
+                        raise ValueError(f"unexpected tar member: {m.name!r}")
+                    data = tf.extractfile(m).read()
+                    rows.setdefault(key, {})[ext] = data.decode("utf-8")
+        keys = sorted(rows)
+        cols = {key_col: pa.array(keys, pa.string())}
+        for e in exts:
+            missing = [k for k in keys if e not in rows[k]]
+            if missing:
+                raise ValueError(f"samples missing .{e} member: {missing[:3]}")
+            cols[payload_cols[e]] = pa.array([rows[k][e] for k in keys], pa.string())
+        return pa.table(cols)
+
+    return ray.data.from_items([{"path": p} for p in files]).map_batches(
+        rd, batch_format="pyarrow", batch_size=1
+    )

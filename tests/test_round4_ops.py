@@ -284,3 +284,52 @@ def test_quad_state_retract_idempotent_and_convergent(tmp_path):
         r["bad"] for r in folded.map_batches(any_forgotten, batch_format="pyarrow").take_all()
     )
     assert total_bad == 0
+
+
+def test_tar_shard_roundtrip_deterministic_and_strict(tmp_path):
+    """WebDataset tar shards: deterministic bytes (re-running writes the
+    identical file set — mtime/uid pinned inside the archive), multi-member
+    samples regroup to one row per key, and a shard with a sample missing a
+    declared member rejects loudly."""
+    import hashlib
+    import os
+
+    import pytest
+
+    from r2s2_ray.sources.jsonl import read_tar, write_tar
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": [f"{i:04d}" for i in range(40)],
+                "text": [f"body {i}" for i in range(40)],
+                "lang": ["en" if i % 2 else "fr" for i in range(40)],
+            }
+        )
+    ).repartition(3)
+    out = str(tmp_path / "shards")
+    write_tar(ds, out, "key", {"txt": "text", "cls": "lang"})
+
+    def digest(d):
+        return {
+            f: hashlib.sha256(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+        }
+
+    first = digest(out)
+    write_tar(ds, out, "key", {"txt": "text", "cls": "lang"})  # simulated retry
+    assert digest(out) == first
+
+    back = read_tar(out, {"txt": "text", "cls": "lang"}).to_pandas()
+    back = back.sort_values("key").reset_index(drop=True)
+    assert len(back) == 40
+    assert back.loc[7, "text"] == "body 7" and back.loc[7, "lang"] == "en"
+
+    # a sample missing a declared member rejects loudly at read
+    with pytest.raises(Exception, match="missing .cls member|unexpected tar member"):
+        bad = ray.data.from_arrow(
+            pa.table({"key": ["0001"], "text": ["x"], "lang": ["en"]})
+        )
+        out2 = str(tmp_path / "bad")
+        write_tar(bad, out2, "key", {"txt": "text"})
+        read_tar(out2, {"txt": "text", "cls": "lang"}).take_all()
