@@ -1720,6 +1720,20 @@ def _dd_embedding(sf_dir: str):
     return embedding_cosine_pairs_exact(ds, "vec_id", "embedding", threshold=0.4)
 
 
+def _sim_rrf(sf_dir: str):
+    """Reciprocal Rank Fusion of BM25 relevance with the query-independent
+    quality ranking — hybrid retrieval, all-floor-division integer contract;
+    the quality rank of each candidate computes distributed via the
+    rank-of-selected-rows pattern (broadcast candidates, per-block
+    count-above partials)."""
+    import ray.data
+
+    from r2s2_ray.functions.retrieval import rrf_fuse
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return rrf_fuse(docs, "doc_id", "text", _BM25_QUERIES, k=10)
+
+
 def _txt_winnow_fp(sf_dir: str):
     """Winnowing (MOSS) fingerprints: per-window minimum shingle hash —
     position-robust local fingerprinting, block-local, no exchange."""
@@ -2368,6 +2382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_png_pixels": _mm_png_pixels,
         "mm_video_frames": _mm_video_frames,
         "sim_bm25": _sim_bm25,
+        "sim_rrf": _sim_rrf,
         "td_dsir_weights": _td_dsir,
         "txt_top_ngrams": _txt_top_ngrams,
         "txt_bpe_pairs": _txt_bpe_pairs,
@@ -2575,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_rare_terms": oracles_td.rare_terms_oracle(),
         "txt_lm_surprisal": oracles_td.lm_surprisal_oracle(),
         "sim_bm25": oracles_td.bm25_oracle(_BM25_QUERIES, k=10),
+        "sim_rrf": oracles_td.rrf_oracle(_BM25_QUERIES, k=10),
         "td_dsir_weights": oracles_td.dsir_oracle(),
         "txt_top_ngrams": oracles_td.top_ngrams_oracle(n=2, k=20),
         "txt_bpe_pairs": oracles_td.bpe_pairs_oracle(k=50),

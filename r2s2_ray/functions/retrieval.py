@@ -247,3 +247,118 @@ def bm25_topk(
             "rank": pa.array(ranks, pa.int64()),
         }
     )
+
+
+def rrf_fuse(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    queries: list[str],
+    *,
+    k: int = 10,
+    rrf_k: int = 60,
+    scale_bits: int = 20,
+) -> pa.Table:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. SIGIR'09):
+    fuse the per-query BM25 ranking with a query-independent document-quality
+    ranking (the hashed-BoW linear classifier — the static-rank signal web
+    search fuses with relevance). Integer contract: ``rrf_scaled =
+    2^scale_bits // (rrf_k + r_bm25) + 2^scale_bits // (rrf_k + r_quality)``
+    — floor divisions only, bit-exact across engines.
+
+    The quality rank of a candidate is its row_number in the FULL corpus
+    ordering (score DESC, id ASC), computed distributed: the <= k*|queries|
+    candidate (score, id) pairs broadcast once, every block counts its
+    documents ranked strictly above each candidate (vectorized comparison
+    matrix), and the driver sums nblocks x ncand partial counts — the
+    rank-of-selected-rows pattern, no global sort. Returns a driver-safe
+    (query_id, doc_id, rrf_scaled, fused_rank) table."""
+    import ray as _ray
+
+    from .textstats import classifier_score
+
+    bm = bm25_topk(ds, id_col, text_col, queries, k=k)
+    if bm.num_rows == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "rrf_scaled": pa.array([], pa.int64()),
+                "fused_rank": pa.array([], pa.int64()),
+            }
+        )
+    scores = classifier_score(ds, id_col, text_col).select_columns(
+        [id_col, "score"]
+    ).materialize()
+
+    cand_ids = sorted(set(bm[id_col].to_pylist()))
+    cand_scores = {
+        int(r[id_col]): int(r["score"])
+        for batch in scores.map_batches(
+            lambda b, _c=pa.array(cand_ids, pa.int64()): b.filter(
+                pc.is_in(pc.cast(b[id_col], pa.int64()), value_set=_c)
+            ),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        for r in batch.to_pylist()
+    }
+    missing = [d for d in cand_ids if d not in cand_scores]
+    if missing:
+        raise ValueError(f"candidates without a quality score: {missing[:3]}")
+    cs = np.asarray([cand_scores[d] for d in cand_ids], dtype=np.int64)
+    cd = np.asarray(cand_ids, dtype=np.int64)
+    ref = _ray.put((cs, cd))
+
+    def above_partials(b: pa.Table) -> pa.Table:
+        s, d = _ray.get(ref)
+        S = np.asarray(b["score"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        D = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if not len(S):
+            return pa.table(
+                {"i": pa.array([], pa.int64()), "n_above": pa.array([], pa.int64())}
+            )
+        gt = (S[:, None] > s[None, :]).sum(axis=0)
+        tie = ((S[:, None] == s[None, :]) & (D[:, None] < d[None, :])).sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(s)), pa.int64()),
+                "n_above": pa.array((gt + tie).astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    parts = (
+        scores.map_batches(above_partials, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(_Sum("n_above", alias_name="n_above"))
+        .take_all()
+    )
+    qrank = {int(cd[int(r["i"])]): int(r["n_above"]) + 1 for r in parts}
+    scale = 1 << scale_bits
+
+    rows = sorted(
+        (
+            int(r["query_id"]),
+            -(scale // (rrf_k + int(r["rank"])) + scale // (rrf_k + qrank[int(r[id_col])])),
+            int(r[id_col]),
+        )
+        for r in bm.to_pylist()
+    )
+    qids, dids, fs, fr = [], [], [], []
+    prev_q, rank = None, 0
+    for q, negf, d in rows:
+        rank = rank + 1 if q == prev_q else 1
+        prev_q = q
+        qids.append(q)
+        dids.append(d)
+        fs.append(-negf)
+        fr.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            id_col: pa.array(dids, pa.int64()),
+            "rrf_scaled": pa.array(fs, pa.int64()),
+            "fused_rank": pa.array(fr, pa.int64()),
+        }
+    )

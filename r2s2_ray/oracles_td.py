@@ -846,6 +846,29 @@ def kmeans_oracle(
     return "".join(out)
 
 
+def rrf_oracle(
+    queries: list[str], k: int = 10, rrf_k: int = 60, scale_bits: int = 20
+) -> str:
+    """Exact SQL mirror of ``retrieval.rrf_fuse``: the BM25 top-k oracle
+    joined with the full-corpus quality row_number (classifier score DESC,
+    doc_id ASC), fused with floor divisions only."""
+    scale = 1 << scale_bits
+    return f"""
+        WITH bm AS ({bm25_oracle(queries, k)}),
+        cls AS ({classifier_score_oracle()}),
+        qr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY score DESC, doc_id) AS r
+               FROM cls),
+        f AS (SELECT bm.query_id, bm.doc_id,
+                     CAST({scale} // ({rrf_k} + bm.rank)
+                          + {scale} // ({rrf_k} + qr.r) AS BIGINT) AS rrf_scaled
+              FROM bm JOIN qr USING (doc_id))
+        SELECT query_id, doc_id, rrf_scaled,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS fused_rank
+        FROM f"""
+
+
 def winnow_oracle(shingle_k: int = 3, window: int = 4) -> str:
     """Exact SQL mirror of ``textstats.winnow_fingerprints``: ordered word
     k-shingles with positions, the poly-hash family, a leading window MIN in
