@@ -2098,6 +2098,28 @@ def _kg_copmi(sf_dir: str):
     return comention_pmi(ds.map_batches(mention_rows, batch_format="pyarrow"))
 
 
+#: SHACL-lite shapes validated by kg_shacl: sh:minCount/sh:maxCount per
+#: (class, predicate). role/text are clean (no violations); tool and
+#: mentions surface the real absences; hasTurn >= 5 fails for every typed
+#: conversation (they have 4) — exercising min, max-satisfied and absence.
+_SHACL_SHAPES = [
+    {"cls": vocab.C_TURN, "pred": vocab.P_ROLE, "min": 1, "max": 1},
+    {"cls": vocab.C_TURN, "pred": vocab.P_TEXT, "min": 1, "max": 1},
+    {"cls": vocab.C_TURN, "pred": vocab.P_TOOL, "min": 1, "max": 1},
+    {"cls": vocab.C_TURN, "pred": vocab.P_MENTIONS, "min": 1, "max": None},
+    {"cls": vocab.C_CONVERSATION, "pred": vocab.P_HAS_TURN, "min": 5, "max": None},
+]
+
+
+def _kg_shacl(sf_dir: str):
+    """SHACL-lite validation over the extracted triples: cardinality shapes
+    per (class, predicate), violations out (absence = count 0 included)."""
+    from r2s2_ray.functions.graph import shacl_validate
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+    return shacl_validate(ds, _SHACL_SHAPES)
+
+
 def _kg_link_predict(sf_dir: str):
     """Link prediction (Resource-Allocation index — the integer-exact
     Adamic-Adar cousin) over the STRONG entity co-mention graph (pairs
@@ -2288,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _kg_pagerank,
         "kg_copmi": _kg_copmi,
         "kg_link_predict": _kg_link_predict,
+        "kg_shacl": _kg_shacl,
         "kg_triangles": _kg_triangles,
         "kg_clustering": _kg_clustering,
         "kg_kcore": _kg_kcore,
@@ -2448,6 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": oracles.pagerank_oracle(n_iters=3),
         "kg_copmi": oracles.comention_pmi_oracle(),
         "kg_link_predict": oracles.link_predict_oracle(),
+        "kg_shacl": oracles.shacl_oracle(_SHACL_SHAPES),
         "kg_triangles": oracles.triangles_oracle(),
         "kg_clustering": oracles.clustering_oracle(),
         "kg_kcore": oracles.kcore_oracle(k=2, rounds=4),

@@ -24,6 +24,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Min
 
+from ..terms import RDF_TYPE
+
 _HASH_SEED = 0x9E3779B97F4A7C15
 
 
@@ -1206,4 +1208,111 @@ def link_predict(
             "ra_scaled": pl.col("ra").sum().cast(pl.Int64),
             "n_common": pl.len().cast(pl.Int64),
         },
+    )
+
+
+def shacl_validate(
+    triples: ray.data.Dataset,
+    shapes: list[dict],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SHACL-lite node-shape validation — the KG-construction QA pass the
+    reference's read-only store has no analog of: each shape constrains the
+    cardinality of one predicate on subjects of one class,
+    ``{"cls": C, "pred": p, "min": lo, "max": hi}`` (``max`` None =
+    unbounded, sh:minCount / sh:maxCount semantics). Output: one row per
+    violation — (subj, cls, pred, n, kind) with kind "min" / "max"; a
+    subject of class C with ZERO p-triples violates a min >= 1 shape (the
+    absence case most validators get wrong under distribution).
+
+    Scale shape: only the shape-relevant predicates (plus rdf:type rows of
+    the shaped classes) are selected at the read; subjects hash-bucket so a
+    subject's rows never straddle a partition, and validation is one
+    vectorized polars pass per block — counts, the class join, and BOTH
+    violation directions, absence included, entirely block-local. No
+    exchange after the bucket sort; output is violation-sized."""
+    import polars as pl
+
+    for s in shapes:
+        if s.get("min", 0) < 0 or (s.get("max") is not None and s["max"] < s.get("min", 0)):
+            raise ValueError(f"malformed shape: {s}")
+    shaped_cls = sorted({s["cls"] for s in shapes})
+    shaped_pred = sorted({s["pred"] for s in shapes})
+    shape_df_rows = [
+        {
+            "cls": s["cls"],
+            "pred": s["pred"],
+            "lo": int(s.get("min", 0)),
+            "hi": -1 if s.get("max") is None else int(s["max"]),
+        }
+        for s in shapes
+    ]
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.is_in(b["pred"], value_set=pa.array(shaped_pred, pa.string())),
+            pc.and_(
+                pc.equal(b["pred"], RDF_TYPE),
+                pc.is_in(b["obj"], value_set=pa.array(shaped_cls, pa.string())),
+            ),
+        )
+        t = b.select(["subj", "pred", "obj"]).filter(keep)
+        bk = (
+            pl.from_arrow(t)
+            .select(
+                pl.col("subj").hash(seed=17).mod(num_buckets).cast(pl.Int32).alias("bucket")
+            )
+        )["bucket"]
+        return t.append_column("bucket", bk.to_arrow())
+
+    empty = pa.table(
+        {
+            "subj": pa.array([], pa.large_string()),
+            "cls": pa.array([], pa.large_string()),
+            "pred": pa.array([], pa.large_string()),
+            "n": pa.array([], pa.int64()),
+            "kind": pa.array([], pa.large_string()),
+        }
+    )
+
+    def block(b: pa.Table) -> pa.Table:
+        # RDF set semantics: cardinalities count DISTINCT triples; a subject's
+        # rows are bucket-complete, so the local unique() is the global one
+        df = pl.from_arrow(b.drop_columns(["bucket"])).unique()
+        if not df.height:
+            return empty
+        sh = pl.DataFrame(shape_df_rows)
+        typ = (
+            df.filter(pl.col("pred") == RDF_TYPE)
+            .select(pl.col("subj"), pl.col("obj").alias("cls"))
+            .unique()
+        )
+        if not typ.height:
+            return empty
+        cnt = (
+            df.filter(pl.col("pred") != RDF_TYPE)
+            .group_by(["subj", "pred"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        # every (shaped subject, shape) pair — LEFT join so absence counts 0
+        full = (
+            typ.join(sh, on="cls")
+            .join(cnt, on=["subj", "pred"], how="left")
+            .with_columns(pl.col("n").fill_null(0))
+        )
+        out = full.with_columns(
+            pl.when(pl.col("n") < pl.col("lo"))
+            .then(pl.lit("min"))
+            .when((pl.col("hi") >= 0) & (pl.col("n") > pl.col("hi")))
+            .then(pl.lit("max"))
+            .otherwise(pl.lit(None))
+            .alias("kind")
+        ).drop_nulls("kind")
+        return out.select(["subj", "cls", "pred", "n", "kind"]).to_arrow()
+
+    return (
+        triples.map_batches(prep, batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
     )

@@ -565,6 +565,34 @@ def comention_pmi_oracle() -> str:
     )
 
 
+def shacl_oracle(shapes: list[dict]) -> str:
+    """Relational rendering of ``__ray_entry__._kg_shacl``: cardinality
+    shapes as a VALUES table, per-(subject, pred) DISTINCT-triple counts,
+    LEFT join so absence counts 0, both violation directions."""
+    t = raw_triples_sql(linked=True)
+    rows = ", ".join(
+        f"({_q(s['cls'])}, {_q(s['pred'])}, {int(s.get('min', 0))}, "
+        f"{-1 if s.get('max') is None else int(s['max'])})"
+        for s in shapes
+    )
+    preds = ", ".join(_q(s["pred"]) for s in shapes)
+    classes = ", ".join(_q(c) for c in sorted({s["cls"] for s in shapes}))
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"typ AS (SELECT DISTINCT subj, obj AS cls FROM t "
+        f"WHERE pred = {_q(RDF_TYPE)} AND obj IN ({classes})), "
+        f"sh(cls, pred, lo, hi) AS (VALUES {rows}), "
+        f"cnt AS (SELECT subj, pred, CAST(count(*) AS BIGINT) AS n FROM t "
+        f"WHERE pred IN ({preds}) GROUP BY subj, pred), "
+        f"f AS (SELECT typ.subj, typ.cls, sh.pred, sh.lo, sh.hi, "
+        f"COALESCE(cnt.n, 0) AS n FROM typ JOIN sh ON sh.cls = typ.cls "
+        f"LEFT JOIN cnt ON cnt.subj = typ.subj AND cnt.pred = sh.pred) "
+        f"SELECT subj, cls, pred, n, "
+        f"CASE WHEN n < lo THEN 'min' ELSE 'max' END AS kind "
+        f"FROM f WHERE n < lo OR (hi >= 0 AND n > hi)"
+    )
+
+
 def link_predict_oracle(scale_bits: int = 20, min_count: int = 300) -> str:
     """Relational rendering of ``__ray_entry__._kg_link_predict``: the
     Resource-Allocation index over the STRONG co-mention graph (pairs
