@@ -2008,6 +2008,35 @@ def _mm_png_pixels(sf_dir: str):
     return png_pixel_stats(docs.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _mm_bmp_channels(sf_dir: str):
+    """REAL image decode path #2 (BMP): every document synthesizes an 8x10
+    RGB image (channel c pixel k = ((3+2c)*k + doc_id + c) mod 256), encodes
+    it into an actual 24bpp BMP (bottom-up rows, BGR order, 4-byte row
+    padding — width 10 makes the padding non-zero), and the OPERATOR decodes
+    the container and emits per-channel integer sums. SQL oracle = the pixel
+    formula, so a padding/BGR/row-order bug breaks the hash match."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import bmp_channel_stats, bmp_encode_rgb
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    h, w = 8, 10
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        k = np.arange(h * w, dtype=np.int64)
+        for did in b["doc_id"].to_pylist():
+            chans = [((3 + 2 * c) * k + did + c) % 256 for c in range(3)]
+            px = np.stack(chans, axis=1).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(bmp_encode_rgb(px))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return bmp_channel_stats(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _mm_video_frames(sf_dir: str):
     """Video frame sampling (stride row-expansion) over synthetic media rows:
     each document declares a DATA-DEPENDENT frame count (len(text) % 97 + 4)
@@ -2403,6 +2432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_frames": _mm_audio_frames,
         "mm_wav_energy": _mm_wav_energy,
         "mm_png_pixels": _mm_png_pixels,
+        "mm_bmp_channels": _mm_bmp_channels,
         "mm_video_frames": _mm_video_frames,
         "sim_bm25": _sim_bm25,
         "sim_rrf": _sim_rrf,
@@ -2713,6 +2743,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(p) AS BIGINT) AS pixel_sum,
                    CAST(min(p) AS BIGINT) AS pixel_min,
                    CAST(max(p) AS BIGINT) AS pixel_max
+            FROM px GROUP BY doc_id""",
+        "mm_bmp_channels": """
+            WITH px AS (SELECT doc_id, k FROM documents,
+                        unnest(generate_series(0, 79)) t(k))
+            SELECT doc_id AS media_id,
+                   CAST(sum((3 * k + doc_id) % 256) AS BIGINT) AS sum_r,
+                   CAST(sum((5 * k + doc_id + 1) % 256) AS BIGINT) AS sum_g,
+                   CAST(sum((7 * k + doc_id + 2) % 256) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id""",
         "mm_video_frames": oracles_td.video_frames_oracle(),
         "kg_connected_components": oracles_td.connected_components_oracle(),

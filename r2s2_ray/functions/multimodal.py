@@ -511,3 +511,81 @@ def png_pixel_stats(ds: ray.data.Dataset, *, batch_size: int = 64, concurrency=(
     return ds.map_batches(
         PngPixelStats, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+def bmp_encode_rgb(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> a REAL 24bpp uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, rows padded to 4 bytes) — the fixture
+    encoder for the decode kernel below."""
+    import struct
+
+    h, w, c = px.shape
+    assert c == 3 and px.dtype == np.uint8
+    row_size = (3 * w + 3) & ~3
+    img = np.zeros((h, row_size), dtype=np.uint8)
+    img[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up + BGR
+    data = img.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data
+
+
+def bmp_decode_rgb(data: bytes) -> np.ndarray:
+    """REAL BMP decode (stdlib + numpy only): validates the magic, header
+    size, 24bpp, BI_RGB compression; reads the pixel-array offset; inverts
+    bottom-up row order, strips the 4-byte row padding and the BGR byte
+    order. Returns (h, w, 3) uint8 RGB. Malformed containers raise."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    off = struct.unpack_from("<I", data, 10)[0]
+    hsize, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp, comp = struct.unpack_from("<HHI", data, 26)
+    if hsize < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down or empty BMP not supported")
+    row_size = (3 * w + 3) & ~3
+    need = off + row_size * h
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel array")
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=off)
+    rows = arr.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    return rows[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
+
+
+class BmpChannelStats:
+    """Actor-pool stage over REAL BMP payloads: decode (header validation,
+    padding strip, row/byte-order inversion) and emit per-channel integer
+    sums — a decode bug (padding, BGR, bottom-up) breaks the oracle hash."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, sr, sg, sb = [], [], [], []
+        for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
+            px = bmp_decode_rgb(p).astype(np.int64)
+            ids.append(mid)
+            sr.append(int(px[:, :, 0].sum()))
+            sg.append(int(px[:, :, 1].sum()))
+            sb.append(int(px[:, :, 2].sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "sum_r": pa.array(sr, pa.int64()),
+                "sum_g": pa.array(sg, pa.int64()),
+                "sum_b": pa.array(sb, pa.int64()),
+            }
+        )
+
+
+def bmp_channel_stats(
+    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency=(1, 8)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        BmpChannelStats, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )

@@ -333,3 +333,24 @@ def test_tar_shard_roundtrip_deterministic_and_strict(tmp_path):
         out2 = str(tmp_path / "bad")
         write_tar(bad, out2, "key", {"txt": "text"})
         read_tar(out2, {"txt": "text", "cls": "lang"}).take_all()
+
+
+def test_bmp_decoder_rejects_malformed_and_inverts_layout(tmp_path):
+    """BMP kernel: roundtrip inverts bottom-up rows + BGR + padding exactly;
+    truncated pixel arrays, bad magic and unsupported bpp reject loudly."""
+    import pytest
+
+    from r2s2_ray.functions.multimodal import bmp_decode_rgb, bmp_encode_rgb
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)  # 7*3=21 -> 3 pad bytes
+    data = bmp_encode_rgb(px)
+    assert (bmp_decode_rgb(data) == px).all()
+    with pytest.raises(ValueError, match="bad magic"):
+        bmp_decode_rgb(b"XX" + data[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_decode_rgb(data[:-4])
+    bad_bpp = bytearray(data)
+    bad_bpp[28] = 8  # bpp field
+    with pytest.raises(ValueError, match="bpp=8"):
+        bmp_decode_rgb(bytes(bad_bpp))
