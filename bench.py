@@ -243,6 +243,18 @@ def run_bench() -> dict:
     _entry._kg_char_sets(sf_dir).count()
     queries["kg_char_sets"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    _entry._dd_incremental_minhash(sf_dir).count()
+    queries["dd_incremental_minhash"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _entry._dd_semdedup(sf_dir).count()
+    queries["dd_semdedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _entry._kg_shacl(sf_dir).count()
+    queries["kg_shacl"] = round(time.perf_counter() - t0, 3)
+
     n_dedup = sum(t.row_count for t in manifest.tables)
     result = {
         "metric": "kg_pipeline_e2e",

@@ -128,3 +128,19 @@ def test_delete_where_literal_exactness(ray_session, tmp_path):
     assert sum(r["n_removed"] for r in stats) == 1
     left = state_folded(state).to_pandas()
     assert sorted(left["subj"]) == ["a:s2", "a:s3"]
+
+
+def test_delete_where_graph_variable_is_union_semantics():
+    """GRAPH ?g { pattern } in DELETE WHERE constrains nothing about the
+    graph (union semantics, matching the serving path): the parsed
+    constraint set must equal the plain-pattern form."""
+    from r2s2_ray.pipelines.update import _quads_to_constraints, parse_update
+
+    plain = parse_update("DELETE WHERE { ?s <a:p> ?o }")
+    wrapped = parse_update("DELETE WHERE { GRAPH ?g { ?s <a:p> ?o } }")
+    assert _quads_to_constraints(plain[0][1], exact=False) == _quads_to_constraints(
+        wrapped[0][1], exact=False
+    )
+    pinned = parse_update("DELETE WHERE { GRAPH <g:1> { ?s <a:p> ?o } }")
+    cons = _quads_to_constraints(pinned[0][1], exact=False)
+    assert cons[0]["graph"] == "g:1"
