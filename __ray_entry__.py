@@ -1734,6 +1734,18 @@ def _sim_rrf(sf_dir: str):
     return rrf_fuse(docs, "doc_id", "text", _BM25_QUERIES, k=10)
 
 
+def _txt_bigram_surprisal(sf_dir: str):
+    """Bigram LM surprisal (add-1 smoothed, whole-bit integer contract) —
+    the sequential-context quality signal; both count-attach paths
+    (broadcast / distributed hash_join) are equality-pinned in pytest."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import bigram_surprisal
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_surprisal(docs, "doc_id", "text")
+
+
 def _txt_winnow_fp(sf_dir: str):
     """Winnowing (MOSS) fingerprints: per-window minimum shingle hash —
     position-robust local fingerprinting, block-local, no exchange."""
@@ -2364,6 +2376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_late_orders": relational.q_late_orders,
         "q_nation_revenue": relational.q_nation_revenue,
         "q_user_spend_rank": relational.q_user_spend_rank,
+        "q_user_median": relational.q_user_median,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,
@@ -2410,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_langid": _txt_langid,
         "txt_fingerprint": _txt_fingerprint,
         "txt_winnow_fp": _txt_winnow_fp,
+        "txt_bigram_surprisal": _txt_bigram_surprisal,
         "txt_repetition": _txt_repetition,
         "dd_substring_pairs": _dd_substring_pairs,
         "sim_ann_ivf": _sim_ann_ivf,
@@ -2632,6 +2646,7 @@ def oracle_sql() -> dict[str, str]:
         "td_loss_masks": oracles.loss_masks_oracle(),
         "txt_fingerprint": oracles_td.fingerprint_oracle(),
         "txt_winnow_fp": oracles_td.winnow_oracle(shingle_k=3, window=4),
+        "txt_bigram_surprisal": oracles_td.bigram_surprisal_oracle(),
         "txt_repetition": oracles_td.repetition_oracle(),
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),
         "sim_ann_ivf": oracles_td.ann_ivf_oracle(),

@@ -1574,3 +1574,132 @@ def winnow_fingerprints(
         return out.to_arrow()
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_surprisal(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    broadcast_max: int = LM_VOCAB_BROADCAST_MAX,
+) -> ray.data.Dataset:
+    """Per-document surprisal under an add-1-smoothed BIGRAM language model
+    estimated from the corpus itself — the sequential-context upgrade of
+    :func:`lm_surprisal` (a doc of common words in an unusual ORDER now
+    scores high). Whole-bit contract per bigram position i:
+    ``floor(log2(c1(w_{i-1}) + V)) - floor(log2(c2(w_{i-1}, w_i) + 1))``
+    with c1 = corpus unigram count, c2 = corpus bigram count, V = vocabulary
+    size (the add-1 denominator), summed over the document. Output:
+    (id, n_bigrams, surprisal_bits) for docs with >= 2 tokens — integer-exact
+    vs the SQL oracle on both engines.
+
+    Stage shape: ONE ordered token explode (block-local shift-within-doc
+    builds the bigram rows), a bigram-count exchange and a unigram-count
+    exchange (both vocabulary-bounded), counts attached back to the bigram
+    rows — broadcast under ``broadcast_max``, distributed ``hash_join``
+    beyond (both paths equality-pinned) — then the per-doc sort + block fold."""
+    _SEP = "\x1f"
+
+    def tok_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        return (
+            df.with_columns(
+                pl.col(text_col)
+                .str.to_lowercase()
+                .str.extract_all(r"[a-z0-9]+")
+                .alias("tok")
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+            .select([id_col, "tok"])
+            .to_arrow()
+        )
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow").materialize()
+
+    def bigram_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = (
+            df.with_columns(prev=pl.col("tok").shift(1).over(id_col))
+            .drop_nulls("prev")
+            .select(
+                pl.col(id_col),
+                pl.col("prev"),
+                pl.concat_str([pl.col("prev"), pl.col("tok")], separator=_SEP).alias(
+                    "bg"
+                ),
+            )
+        )
+        return out.to_arrow()
+
+    bg = toks.map_batches(bigram_rows, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count
+
+    uni = toks.groupby("tok").aggregate(Count(alias_name="c1")).materialize()
+    bgc = bg.groupby("bg").aggregate(Count(alias_name="c2")).materialize()
+    vocab_n = uni.count()
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.large_string()),
+            "n_bigrams": pa.array([], pa.int64()),
+            "surprisal_bits": pa.array([], pa.int64()),
+        }
+    )
+    if vocab_n == 0 or bgc.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    if max(vocab_n, bgc.count()) <= broadcast_max:
+        urows = uni.take_all()
+        brows = bgc.take_all()
+        ref = ray.put(
+            (
+                pa.array([r["tok"] for r in urows], pa.large_string()),
+                pa.array([int(r["c1"]) for r in urows], pa.int64()),
+                pa.array([r["bg"] for r in brows], pa.large_string()),
+                pa.array([int(r["c2"]) for r in brows], pa.int64()),
+            )
+        )
+
+        def attach(b: pa.Table, _ref=ref) -> pa.Table:
+            uk, uv, bk, bv = ray.get(_ref)
+            ui = pc.index_in(pc.cast(b["prev"], pa.large_string()), value_set=uk)
+            bi = pc.index_in(pc.cast(b["bg"], pa.large_string()), value_set=bk)
+            return b.append_column("c1", pc.take(uv, ui)).append_column(
+                "c2", pc.take(bv, bi)
+            )
+
+        joined = bg.map_batches(attach, batch_format="pyarrow")
+    else:
+        from ..relational import hash_join
+
+        uni_k = uni.map_batches(
+            lambda t: pa.table({"prev": t["tok"], "c1": t["c1"]}),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            hash_join(bg, bgc, on="bg", right_cols=["c2"]),
+            uni_k,
+            on="prev",
+            right_cols=["c1"],
+        )
+
+    def fold(b: pa.Table) -> pa.Table:
+        if not b.num_rows:
+            return empty
+        c1 = np.asarray(b["c1"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        c2 = np.asarray(b["c2"].to_numpy(zero_copy_only=False), dtype=np.int64)
+
+        def flog2(x: np.ndarray) -> np.ndarray:
+            return (np.frexp(x.astype(np.float64))[1] - 1).astype(np.int64)
+
+        bits = flog2(c1 + vocab_n) - flog2(c2 + 1)
+        df = pl.from_arrow(b.select([id_col])).with_columns(
+            pl.Series("bits", bits, dtype=pl.Int64)
+        )
+        out = df.group_by(id_col, maintain_order=True).agg(
+            pl.len().cast(pl.Int64).alias("n_bigrams"),
+            pl.col("bits").sum().cast(pl.Int64).alias("surprisal_bits"),
+        )
+        return out.to_arrow()
+
+    return joined.sort(id_col).map_batches(fold, batch_format="pyarrow", batch_size=None)

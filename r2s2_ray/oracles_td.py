@@ -846,6 +846,37 @@ def kmeans_oracle(
     return "".join(out)
 
 
+def bigram_surprisal_oracle() -> str:
+    """Exact SQL mirror of ``textstats.bigram_surprisal``: ordered token
+    positions via generate_subscripts, adjacent-position self-join for the
+    bigram rows, corpus unigram/bigram counts, and the whole-bit add-1
+    contract ``(length(bin(c1 + V)) - 1) - (length(bin(c2 + 1)) - 1)``."""
+    return """
+        WITH t AS (
+          SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                FROM documents)
+        ), bg AS (
+          SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+          FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        ), uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM t GROUP BY tok),
+        bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+               FROM bg GROUP BY prev, cur),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+        sc AS (
+          SELECT bg.doc_id,
+                 (length(bin(uc.c1 + v.v)) - 1)
+                 - (length(bin(bc.c2 + 1)) - 1) AS bits
+          FROM bg JOIN bc ON bc.prev = bg.prev AND bc.cur = bg.cur
+                  JOIN uc ON uc.tok = bg.prev
+                  CROSS JOIN v
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(bits) AS BIGINT) AS surprisal_bits
+        FROM sc GROUP BY doc_id"""
+
+
 def rrf_oracle(
     queries: list[str], k: int = 10, rrf_k: int = 60, scale_bits: int = 20
 ) -> str:

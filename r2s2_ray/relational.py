@@ -2350,3 +2350,62 @@ ORACLES["q_user_spend_rank"] = """
     FROM (SELECT user_id,
                  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
           FROM events GROUP BY user_id)"""
+
+
+def q_user_median(sf_dir: str, num_buckets: int = 32):
+    """Per-user CONTINUOUS median of event values (the PERCENTILE_CONT(0.5)
+    window shape) as an EXACT integer: median2x_cents = the sum of the two
+    middle elements of the user's sorted cents (equal elements when n is
+    odd) — twice the interpolated median, so no float ever enters the
+    contract. One user-bucketed sort (a user's rows never straddle a
+    partition), block-local vectorized middle-element selection."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["user_id"], "cents": _cents(b["value"])})
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).drop("bucket")
+        if not df.height:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "median2x_cents": pa.array([], pa.int64()),
+                }
+            )
+        out = (
+            df.sort(["user_id", "cents"])
+            .group_by("user_id", maintain_order=True)
+            .agg(
+                (
+                    pl.col("cents").get((pl.len() - 1) // 2)
+                    + pl.col("cents").get(pl.len() // 2)
+                )
+                .cast(pl.Int64)
+                .alias("median2x_cents")
+            )
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+ORACLES["q_user_median"] = """
+    WITH c AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    r AS (SELECT user_id, cents,
+                 row_number() OVER (PARTITION BY user_id ORDER BY cents) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM c)
+    SELECT user_id,
+           CAST(sum(cents * (CAST(rn = (n + 1) // 2 AS INT)
+                             + CAST(rn = n // 2 + 1 AS INT))) AS BIGINT)
+             AS median2x_cents
+    FROM r GROUP BY user_id"""

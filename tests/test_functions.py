@@ -1353,3 +1353,35 @@ def test_winnow_guarantee_and_density():
         np.asarray(poly_hash_arr(pa.array(shingles, pa.string()))).astype(np.int64).tolist()
     )
     assert by_doc[1] <= full and len(by_doc[1]) < len(full)
+
+
+def test_bigram_surprisal_paths_agree_and_rewards_common_order():
+    """bigram_surprisal: the broadcast and distributed count-attach paths are
+    bit-identical (broadcast_max=0 forces the hash_join path), and a document
+    of corpus-common words in an UNSEEN order scores strictly higher per
+    bigram than the order every other document uses."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import bigram_surprisal
+
+    texts = ["alpha beta gamma delta"] * 9 + ["delta gamma beta alpha"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"])
+        for r in bigram_surprisal(ds, "doc_id", "text").take_all()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"])
+        for r in bigram_surprisal(ds, "doc_id", "text", broadcast_max=0).take_all()
+    }
+    assert a == b and len(a) == 10
+    assert all(n == 3 for n, _ in a.values())
+    common_bits = a[0][1]
+    assert all(a[i] == a[0] for i in range(9))
+    assert a[9][1] > common_bits  # unseen order -> higher surprisal
