@@ -1402,6 +1402,24 @@ def _io_ipc_roundtrip(sf_dir: str):
     )
 
 
+def _io_jsonl_gz_roundtrip(sf_dir: str):
+    """Gzip JSONL shard sink -> source roundtrip (the .jsonl.gz layout open
+    corpora ship): deterministic shard bytes (gzip mtime pinned), one read
+    task per shard, values identical to the parquet source."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import read_jsonl_gz, write_jsonl_gz
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    out = tempfile.mkdtemp(prefix="jsonlgz_rt_")
+    write_jsonl_gz(docs, out)
+    return read_jsonl_gz(out).select_columns(["doc_id", "text", "lang", "n_chars"])
+
+
 def _io_tar_roundtrip(sf_dir: str):
     """WebDataset-style tar-shard sink -> source roundtrip: each document
     becomes adjacent ``<key>.txt`` + ``<key>.cls`` members of a
@@ -2049,6 +2067,49 @@ def _mm_bmp_channels(sf_dir: str):
     return bmp_channel_stats(docs.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _mm_media_meta(sf_dir: str):
+    """Heterogeneous media sniffing: each document's payload is a REAL
+    container chosen by doc_id % 3 (PNG 16x16 / BMP 8x10 / WAV with
+    doc_id%50+20 samples) plus junk bytes for doc_id % 31 == 0; the operator
+    sniffs magic bytes and extracts typed metadata from the real headers.
+    SQL oracle = the synthesis rule."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import (
+        bmp_encode_rgb,
+        media_meta,
+        png_encode_gray,
+        wav_encode,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        for did in b["doc_id"].to_pylist():
+            if did % 31 == 0:
+                payloads.append(b"\x00junk" + bytes([did % 256]) * 16)
+            elif did % 3 == 0:
+                k = np.arange(256, dtype=np.int64)
+                payloads.append(
+                    png_encode_gray(((3 * k + did) % 256).astype(np.uint8).reshape(16, 16))
+                )
+            elif did % 3 == 1:
+                k = np.arange(80, dtype=np.int64)
+                px = np.stack([((3 + 2 * c) * k + did) % 256 for c in range(3)], axis=1)
+                payloads.append(bmp_encode_rgb(px.astype(np.uint8).reshape(8, 10, 3)))
+            else:
+                n = did % 50 + 20
+                s = (np.arange(n, dtype=np.int64) * 7 + did) % 2048 - 1024
+                payloads.append(wav_encode(s.astype(np.int16)))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return media_meta(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _mm_video_frames(sf_dir: str):
     """Video frame sampling (stride row-expansion) over synthetic media rows:
     each document declares a DATA-DEPENDENT frame count (len(text) % 97 + 4)
@@ -2447,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_wav_energy": _mm_wav_energy,
         "mm_png_pixels": _mm_png_pixels,
         "mm_bmp_channels": _mm_bmp_channels,
+        "mm_media_meta": _mm_media_meta,
         "mm_video_frames": _mm_video_frames,
         "sim_bm25": _sim_bm25,
         "sim_rrf": _sim_rrf,
@@ -2457,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_jsonl_roundtrip": _io_jsonl_roundtrip,
         "io_ipc_roundtrip": _io_ipc_roundtrip,
         "io_tar_roundtrip": _io_tar_roundtrip,
+        "io_jsonl_gz_roundtrip": _io_jsonl_gz_roundtrip,
         "io_orc_roundtrip": _io_orc_roundtrip,
         "io_hive_partition": _io_hive_partition,
         "io_csv_roundtrip": _io_csv_roundtrip,
@@ -2667,6 +2730,7 @@ def oracle_sql() -> dict[str, str]:
         "io_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_ipc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_tar_roundtrip": "SELECT doc_id, text, lang FROM documents",
+        "io_jsonl_gz_roundtrip": "SELECT doc_id, text, lang, n_chars FROM documents",
         "io_orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
         "io_hive_partition": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2767,6 +2831,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((5 * k + doc_id + 1) % 256) AS BIGINT) AS sum_g,
                    CAST(sum((7 * k + doc_id + 2) % 256) AS BIGINT) AS sum_b
             FROM px GROUP BY doc_id""",
+        "mm_media_meta": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 31 = 0 THEN 'unknown'
+                        WHEN doc_id % 3 = 0 THEN 'png'
+                        WHEN doc_id % 3 = 1 THEN 'bmp'
+                        ELSE 'wav' END AS kind,
+                   CAST(CASE WHEN doc_id % 31 = 0 THEN -1
+                        WHEN doc_id % 3 = 0 THEN 16
+                        WHEN doc_id % 3 = 1 THEN 10
+                        ELSE -1 END AS BIGINT) AS width,
+                   CAST(CASE WHEN doc_id % 31 = 0 THEN -1
+                        WHEN doc_id % 3 = 0 THEN 16
+                        WHEN doc_id % 3 = 1 THEN 8
+                        ELSE -1 END AS BIGINT) AS height,
+                   CAST(CASE WHEN doc_id % 31 = 0 OR doc_id % 3 < 2 THEN -1
+                        ELSE doc_id % 50 + 20 END AS BIGINT) AS n_samples
+            FROM documents""",
         "mm_video_frames": oracles_td.video_frames_oracle(),
         "kg_connected_components": oracles_td.connected_components_oracle(),
     }

@@ -589,3 +589,56 @@ def bmp_channel_stats(
     return ds.map_batches(
         BmpChannelStats, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
+
+
+class MediaMeta:
+    """Actor-pool stage over a HETEROGENEOUS binary media column: sniff the
+    container by magic bytes and extract typed metadata from REAL headers —
+    the "opaque binary column with typed metadata" front door every
+    multimodal pipeline needs before routing payloads to format-specific
+    decoders. PNG -> IHDR dims (signature-checked), BMP -> header dims
+    (validated 24bpp), RIFF/WAVE -> frame count + sample rate via the stdlib
+    reader. Unknown magic is reported, not raised (a corpus crawl always
+    contains junk); per-row absent fields are -1."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import io
+        import struct
+        import wave as _wave
+
+        ids, kinds, ws, hs, ns = [], [], [], [], []
+        for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
+            kind, w, h, n = "unknown", -1, -1, -1
+            data = bytes(p)
+            if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+                kind = "png"
+                w, h = struct.unpack(">II", data[16:24])
+            elif data[:2] == b"BM":
+                kind = "bmp"
+                _, w, h = struct.unpack_from("<Iii", data, 14)
+            elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+                kind = "wav"
+                with _wave.open(io.BytesIO(data), "rb") as r:
+                    n = r.getnframes()
+            ids.append(mid)
+            kinds.append(kind)
+            ws.append(int(w))
+            hs.append(int(h))
+            ns.append(int(n))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+            }
+        )
+
+
+def media_meta(
+    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency=(1, 8)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MediaMeta, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
