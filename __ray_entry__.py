@@ -2438,6 +2438,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_nation_revenue": relational.q_nation_revenue,
         "q_user_spend_rank": relational.q_user_spend_rank,
         "q_user_median": relational.q_user_median,
+        "q_cusum_alerts": relational.q_cusum_alerts,
         "q_value_hour_corr": relational.q_value_hour_corr,
         "q_value_histogram": relational.q_value_histogram,
         "q_sliding_user_count": relational.q_sliding_user_count,

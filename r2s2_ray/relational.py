@@ -2409,3 +2409,79 @@ ORACLES["q_user_median"] = """
                              + CAST(rn = n // 2 + 1 AS INT))) AS BIGINT)
              AS median2x_cents
     FROM r GROUP BY user_id"""
+
+
+def q_cusum_alerts(
+    sf_dir: str,
+    target_cents: int = 5000,
+    h_cents: int = 50_000,
+    num_buckets: int = 32,
+):
+    """Per-user CUSUM change-point detection (Page 1954): the sequential
+    recurrence ``S_i = max(0, S_{i-1} + (x_i - target))`` looks
+    unvectorizable, but the closed form ``S_i = P_i - min(0, min_{j<=i} P_j)``
+    (P = running sum of deviations) turns it into one cum_sum + one cum_min —
+    fully vectorized per user. Emits the events where the statistic crosses
+    ``h_cents`` (the upward-shift alarms), deterministic (ts, event_id)
+    order. One user-bucketed sort; a user's events never straddle a block."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        d = pc.subtract(_cents(b["value"]), pa.scalar(target_cents, pa.int64()))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "event_id": b["event_id"],
+                "ts": b["ts"],
+                "d": d,
+            }
+        )
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).drop("bucket")
+        if not df.height:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "cusum_cents": pa.array([], pa.int64()),
+                }
+            )
+        out = (
+            df.sort(["user_id", "ts", "event_id"])
+            .with_columns(P=pl.col("d").cum_sum().over("user_id"))
+            .with_columns(
+                S=pl.col("P")
+                - pl.min_horizontal(pl.col("P").cum_min().over("user_id"), pl.lit(0))
+            )
+            .filter(pl.col("S") > h_cents)
+            .select(
+                pl.col("user_id"),
+                pl.col("event_id"),
+                pl.col("S").cast(pl.Int64).alias("cusum_cents"),
+            )
+        )
+        return out.to_arrow()
+
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+ORACLES["q_cusum_alerts"] = """
+    WITH c AS (SELECT user_id, event_id, ts,
+                      CAST(round(value * 100) AS BIGINT) - 5000 AS d
+               FROM events),
+    p AS (SELECT user_id, event_id, ts,
+                 sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS P
+          FROM c),
+    m AS (SELECT user_id, event_id, P,
+                 min(P) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS mn
+          FROM p)
+    SELECT user_id, event_id, CAST(P - least(mn, 0) AS BIGINT) AS cusum_cents
+    FROM m WHERE P - least(mn, 0) > 50000"""
