@@ -2200,6 +2200,41 @@ def _kg_copmi(sf_dir: str):
     return comention_pmi(ds.map_batches(mention_rows, batch_format="pyarrow"))
 
 
+#: RDFS ontology for kg_rdfs_infer: domain/range typing + a subclass chain.
+_RDFS_DOMAINS = {
+    vocab.P_HAS_TURN: vocab.C_CONVERSATION,
+    vocab.P_ROLE: vocab.C_TURN,
+    vocab.P_TURN_INDEX: vocab.C_TURN,
+    vocab.P_MENTIONS: vocab.C_TURN,
+    vocab.P_ABOUT: vocab.C_CONVERSATION,
+}
+_RDFS_RANGES = {
+    vocab.P_HAS_TURN: vocab.C_TURN,
+    vocab.P_MENTIONS: vocab.C_ENTITY,
+    vocab.P_ABOUT: vocab.C_DOCUMENT,
+}
+_RDFS_SUBCLASS = {
+    vocab.C_TURN: vocab.EX + "Utterance",
+    vocab.EX + "Utterance": vocab.EX + "Resource",
+    vocab.C_CONVERSATION: vocab.EX + "Resource",
+    vocab.C_DOCUMENT: vocab.EX + "Resource",
+    vocab.C_ENTITY: vocab.EX + "Resource",
+}
+
+
+def _kg_rdfs_infer(sf_dir: str):
+    """RDFS entailment materialization (rdfs2/3/9/11): the complete entailed
+    rdf:type set — asserted + domain/range-inferred, closed over subClassOf.
+    The ontology ships in the task closure (schema-sized); entailment is a
+    vectorized map + one distinct exchange, never a data-sized join."""
+    from r2s2_ray.functions.graph import rdfs_infer_types
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+    return rdfs_infer_types(
+        ds, domains=_RDFS_DOMAINS, ranges=_RDFS_RANGES, subclass_of=_RDFS_SUBCLASS
+    )
+
+
 #: SHACL-lite shapes validated by kg_shacl: sh:minCount/sh:maxCount per
 #: (class, predicate). role/text are clean (no violations); tool and
 #: mentions surface the real absences; hasTurn >= 5 fails for every typed
@@ -2413,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_copmi": _kg_copmi,
         "kg_link_predict": _kg_link_predict,
         "kg_shacl": _kg_shacl,
+        "kg_rdfs_infer": _kg_rdfs_infer,
         "kg_triangles": _kg_triangles,
         "kg_clustering": _kg_clustering,
         "kg_kcore": _kg_kcore,
@@ -2580,6 +2616,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_copmi": oracles.comention_pmi_oracle(),
         "kg_link_predict": oracles.link_predict_oracle(),
         "kg_shacl": oracles.shacl_oracle(_SHACL_SHAPES),
+        "kg_rdfs_infer": oracles.rdfs_infer_oracle(
+            _RDFS_DOMAINS, _RDFS_RANGES, _RDFS_SUBCLASS
+        ),
         "kg_triangles": oracles.triangles_oracle(),
         "kg_clustering": oracles.clustering_oracle(),
         "kg_kcore": oracles.kcore_oracle(k=2, rounds=4),

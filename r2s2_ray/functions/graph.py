@@ -1316,3 +1316,109 @@ def shacl_validate(
         .sort("bucket")
         .map_batches(block, batch_format="pyarrow", batch_size=None)
     )
+
+
+def rdfs_infer_types(
+    triples: ray.data.Dataset,
+    *,
+    domains: dict[str, str],
+    ranges: dict[str, str],
+    subclass_of: dict[str, str],
+) -> ray.data.Dataset:
+    """RDFS entailment for the type system (rules rdfs2/rdfs3/rdfs9/rdfs11):
+    materialize the COMPLETE entailed ``rdf:type`` set — asserted types,
+    domain/range-inferred types (``(s p o)`` with ``domain(p)=C`` entails
+    ``s rdf:type C``; ``range(p)=C`` entails it for the object), all closed
+    upward over the ``subClassOf`` hierarchy. Output: DISTINCT (node, type).
+
+    Scale shape: the ontology is schema-sized — the subclass TRANSITIVE
+    closure is computed once on the driver (cycle-checked) and shipped in the
+    task closure together with the domain/range maps; per block one
+    vectorized pyarrow pass emits candidate (node, class) rows and explodes
+    them through the closure (take-gather, no Python per row); ONE distinct
+    exchange (groupby on the pair) finishes. The data never joins the
+    ontology — entailment here is a map, not a join."""
+    import polars as pl
+
+    # driver-side transitive closure over the (tiny) class hierarchy
+    closure: dict[str, list[str]] = {}
+    classes = set(subclass_of) | set(subclass_of.values()) | set(domains.values()) | set(ranges.values())
+    for c in classes:
+        seen, cur = [c], subclass_of.get(c)
+        while cur is not None:
+            if cur in seen:
+                raise ValueError(f"subClassOf cycle through {cur!r}")
+            seen.append(cur)
+            cur = subclass_of.get(cur)
+        closure[c] = seen
+
+    dom_k = pa.array(sorted(domains), pa.large_string())
+    dom_v = pa.array([domains[k] for k in sorted(domains)], pa.large_string())
+    rng_k = pa.array(sorted(ranges), pa.large_string())
+    rng_v = pa.array([ranges[k] for k in sorted(ranges)], pa.large_string())
+
+    def infer(b: pa.Table) -> pa.Table:
+        pred = pc.cast(b["pred"], pa.large_string())
+        subj = pc.cast(b["subj"], pa.large_string())
+        obj = pc.cast(b["obj"], pa.large_string())
+        outs = []
+        # asserted types
+        is_type = pc.equal(pred, RDF_TYPE)
+        outs.append(
+            pa.table({"node": subj.filter(is_type), "cls": obj.filter(is_type)})
+        )
+        # rdfs2: domain typing of subjects
+        di = pc.index_in(pred, value_set=dom_k)
+        has_d = pc.is_valid(di)
+        outs.append(
+            pa.table(
+                {"node": subj.filter(has_d), "cls": pc.take(dom_v, di.filter(has_d))}
+            )
+        )
+        # rdfs3: range typing of IRI/bnode objects (literals have no type here)
+        ri = pc.index_in(pred, value_set=rng_k)
+        has_r = pc.and_(
+            pc.is_valid(ri), pc.not_equal(pc.cast(b["o_kind"], pa.int32()), 2)
+        )
+        outs.append(
+            pa.table(
+                {"node": obj.filter(has_r), "cls": pc.take(rng_v, ri.filter(has_r))}
+            )
+        )
+        cand = pa.concat_tables(outs)
+        if cand.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.large_string()), "cls": pa.array([], pa.large_string())}
+            )
+        # rdfs9/rdfs11: explode through the precomputed subclass closure
+        df = pl.from_arrow(cand)
+        cl = pl.DataFrame(
+            {
+                "cls": list(closure),
+                "anc": [closure[c] for c in closure],
+            }
+        )
+        out = (
+            df.join(cl, on="cls", how="left")
+            .with_columns(pl.col("anc").fill_null([]))
+            .with_columns(
+                # a class outside the ontology still entails itself
+                pl.when(pl.col("anc").list.len() == 0)
+                .then(pl.concat_list(pl.col("cls")))
+                .otherwise(pl.col("anc"))
+                .alias("anc")
+            )
+            .explode("anc")
+            .select(pl.col("node"), pl.col("anc").alias("cls"))
+            .unique()
+        )
+        return out.to_arrow()
+
+    from ray.data.aggregate import Count
+
+    return (
+        triples.map_batches(infer, batch_format="pyarrow")
+        .groupby(["node", "cls"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+    )

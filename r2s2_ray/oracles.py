@@ -565,6 +565,42 @@ def comention_pmi_oracle() -> str:
     )
 
 
+def rdfs_infer_oracle(
+    domains: dict[str, str], ranges: dict[str, str], subclass_of: dict[str, str]
+) -> str:
+    """Relational rendering of ``__ray_entry__._kg_rdfs_infer``: candidate
+    (node, class) rows from asserted types + domain/range rules, exploded
+    through the subclass transitive closure (computed here in Python and
+    embedded as VALUES — the ontology is schema-sized), DISTINCT out."""
+    closure_pairs = []
+    classes = (
+        set(subclass_of) | set(subclass_of.values())
+        | set(domains.values()) | set(ranges.values())
+    )
+    for c in sorted(classes):
+        cur: str | None = c
+        while cur is not None:
+            closure_pairs.append((c, cur))
+            cur = subclass_of.get(cur)
+    t = raw_triples_sql(linked=True)
+    dom = ", ".join(f"({_q(p)}, {_q(c)})" for p, c in sorted(domains.items()))
+    rng = ", ".join(f"({_q(p)}, {_q(c)})" for p, c in sorted(ranges.items()))
+    cl = ", ".join(f"({_q(a)}, {_q(b)})" for a, b in closure_pairs)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj, o_kind FROM ({t})), "
+        f"dom(pred, cls) AS (VALUES {dom}), "
+        f"rng(pred, cls) AS (VALUES {rng}), "
+        f"cl(cls, anc) AS (VALUES {cl}), "
+        f"cand AS ("
+        f"  SELECT subj AS node, obj AS cls FROM t WHERE pred = {_q(RDF_TYPE)} "
+        f"  UNION ALL SELECT t.subj, dom.cls FROM t JOIN dom ON dom.pred = t.pred "
+        f"  UNION ALL SELECT t.obj, rng.cls FROM t JOIN rng ON rng.pred = t.pred "
+        f"  AND t.o_kind != 2) "
+        f"SELECT DISTINCT cand.node, COALESCE(cl.anc, cand.cls) AS cls "
+        f"FROM cand LEFT JOIN cl ON cl.cls = cand.cls"
+    )
+
+
 def shacl_oracle(shapes: list[dict]) -> str:
     """Relational rendering of ``__ray_entry__._kg_shacl``: cardinality
     shapes as a VALUES table, per-(subject, pred) DISTINCT-triple counts,
