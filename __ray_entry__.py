@@ -1752,6 +1752,19 @@ def _sim_rrf(sf_dir: str):
     return rrf_fuse(docs, "doc_id", "text", _BM25_QUERIES, k=10)
 
 
+def _td_bernoulli_sample(sf_dir: str):
+    """Deterministic Bernoulli sample at 1/8: affine64(doc_id) below the
+    rate threshold — reproducible across runs/partitionings/engines."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import bernoulli_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return bernoulli_sample(docs, "doc_id", rate_num=1, rate_den=8)
+
+
 def _txt_bigram_surprisal(sf_dir: str):
     """Bigram LM surprisal (add-1 smoothed, whole-bit integer contract) —
     the sequential-context quality signal; both count-attach paths
@@ -2570,6 +2583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_filter_chain": _td_filter_chain,
         "td_interleave_plan": _td_interleave_plan,
         "td_weighted_sample": _td_weighted_sample,
+        "td_bernoulli_sample": _td_bernoulli_sample,
+        "q_users_retained": relational.q_users_retained,
+        "q_morning_only_days": relational.q_morning_only_days,
     }
 
 
@@ -2784,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
         "td_filter_chain": oracles_td.filter_chain_oracle(dim_bits=8),
         "td_interleave_plan": oracles_td.interleave_plan_oracle(),
         "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
+        "td_bernoulli_sample": oracles_td.bernoulli_sample_oracle(1, 8),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),
         "q_profile_docs": " UNION ALL ".join(

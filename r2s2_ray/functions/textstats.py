@@ -1703,3 +1703,34 @@ def bigram_surprisal(
         return out.to_arrow()
 
     return joined.sort(id_col).map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
+def bernoulli_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    *,
+    rate_num: int = 1,
+    rate_den: int = 8,
+) -> ray.data.Dataset:
+    """Deterministic Bernoulli sampling at rate num/den: keep a row iff
+    ``affine64(id) * den < num * 2^64`` — the RNG-free per-row coin flip
+    every corpus pipeline needs to be REPRODUCIBLE across runs, partitionings
+    and engines (same affine family as weighted_sample; re-running the
+    pipeline keeps the identical subset, which is what makes ablations
+    comparable). Shuffle-free, one vectorized filter per block."""
+    from .hashing import K_A, K_B
+
+    if not (0 < rate_num <= rate_den):
+        raise ValueError(f"rate {rate_num}/{rate_den} out of (0, 1]")
+    # threshold in the uint64 draw domain: floor(num * 2^64 / den)
+    thr = np.uint64((rate_num << 64) // rate_den) if rate_num < rate_den else None
+
+    def keep(b: pa.Table) -> pa.Table:
+        if thr is None:
+            return b
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(K_A) + np.uint64(K_B)
+        return b.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

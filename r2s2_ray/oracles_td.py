@@ -877,6 +877,20 @@ def bigram_surprisal_oracle() -> str:
         FROM sc GROUP BY doc_id"""
 
 
+def bernoulli_sample_oracle(rate_num: int = 1, rate_den: int = 8) -> str:
+    """Exact SQL mirror of ``textstats.bernoulli_sample``: the affine64 draw
+    (HUGEINT helpers) below floor(num * 2^64 / den)."""
+    from .functions.hashing import K_A, K_B
+
+    u = _unsigned("doc_id")
+    h = f"(({_mulmod(u, str(K_A), str(K_A % 2**32))} + {K_B}) % CAST('{U64}' AS HUGEINT))"
+    thr = (rate_num << 64) // rate_den
+    return (
+        f"SELECT doc_id, lang, n_chars FROM documents "
+        f"WHERE {h} < CAST('{thr}' AS HUGEINT)"
+    )
+
+
 def rrf_oracle(
     queries: list[str], k: int = 10, rrf_k: int = 60, scale_bits: int = 20
 ) -> str:

@@ -2485,3 +2485,87 @@ ORACLES["q_cusum_alerts"] = """
           FROM p)
     SELECT user_id, event_id, CAST(P - least(mn, 0) AS BIGINT) AS cusum_cents
     FROM m WHERE P - least(mn, 0) > 50000"""
+
+
+def _user_half_counts(sf_dir: str):
+    """Per-user event counts in the two halves of the observation window —
+    one combiner-backed groupby over (pre-aggregated) per-block partials."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    split = _dt.datetime(2024, 1, 16)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        first = pc.less(b["ts"], pa.scalar(split))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "n_a": pc.cast(first, pa.int64()),
+                "n_b": pc.cast(pc.invert(first), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+    )
+
+
+def q_users_retained(sf_dir: str):
+    """INTERSECT shape: users active in BOTH halves of the window, with both
+    counts — the retention set as one groupby, no self-join."""
+    g = _user_half_counts(sf_dir)
+    return g.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater(b["n_a"], 0), pc.greater(b["n_b"], 0))),
+        batch_format="pyarrow",
+    )
+
+
+def q_morning_only_days(sf_dir: str):
+    """EXCEPT shape at (user, day) grain: days where a user was active in the
+    morning and silent in the afternoon — one groupby over per-block flag
+    partials, the set-difference without a self-join (the user-level churn
+    variant is empty on this corpus; the finer key keeps the shape honest)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def flags(b: pa.Table) -> pa.Table:
+        day = pc.strftime(b["ts"], format="%Y-%m-%d")
+        am = pc.less(pc.hour(b["ts"]), 12)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "day": day,
+                "n_am": pc.cast(am, pa.int64()),
+                "n_pm": pc.cast(pc.invert(am), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n_am", alias_name="n_am"), Sum("n_pm", alias_name="n_pm"))
+    )
+    out = g.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater(b["n_am"], 0), pc.equal(b["n_pm"], 0))),
+        batch_format="pyarrow",
+    )
+    return out.drop_columns(["n_pm"])
+
+
+ORACLES["q_users_retained"] = """
+    SELECT user_id,
+           CAST(sum(CAST(ts < TIMESTAMP '2024-01-16' AS INT)) AS BIGINT) AS n_a,
+           CAST(sum(CAST(ts >= TIMESTAMP '2024-01-16' AS INT)) AS BIGINT) AS n_b
+    FROM events GROUP BY user_id
+    HAVING n_a > 0 AND n_b > 0"""
+
+ORACLES["q_morning_only_days"] = """
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(sum(CAST(extract(hour FROM ts) < 12 AS INT)) AS BIGINT) AS n_am
+    FROM events GROUP BY user_id, day
+    HAVING n_am > 0 AND sum(CAST(extract(hour FROM ts) >= 12 AS INT)) = 0"""
