@@ -2261,6 +2261,33 @@ _SHACL_SHAPES = [
 ]
 
 
+def _kg_lpa_communities(sf_dir: str):
+    """Bounded-round deterministic label propagation over the strong
+    co-mention graph — labels ship to edges via hash_join each round, argmax
+    folds block-locally; oracle = the same two rounds unrolled in SQL."""
+    import polars as pl
+
+    from r2s2_ray.functions.graph import comention_pmi, lpa_communities
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+
+    def mention_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        return (
+            df.filter(pl.col("pred") == vocab.P_MENTIONS)
+            .select(pl.col("subj").alias("turn"), pl.col("obj").alias("ent"))
+            .unique()
+            .to_arrow()
+        )
+
+    edges = comention_pmi(ds.map_batches(mention_rows, batch_format="pyarrow"))
+    strong = edges.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_ab"], 300)),
+        batch_format="pyarrow",
+    )
+    return lpa_communities(strong, rounds=2)
+
+
 def _kg_shacl(sf_dir: str):
     """SHACL-lite validation over the extracted triples: cardinality shapes
     per (class, predicate), violations out (absence = count 0 included)."""
@@ -2462,6 +2489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_predict": _kg_link_predict,
         "kg_shacl": _kg_shacl,
         "kg_rdfs_infer": _kg_rdfs_infer,
+        "kg_lpa_communities": _kg_lpa_communities,
         "kg_triangles": _kg_triangles,
         "kg_clustering": _kg_clustering,
         "kg_kcore": _kg_kcore,
@@ -2632,6 +2660,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_copmi": oracles.comention_pmi_oracle(),
         "kg_link_predict": oracles.link_predict_oracle(),
         "kg_shacl": oracles.shacl_oracle(_SHACL_SHAPES),
+        "kg_lpa_communities": oracles.lpa_oracle(rounds=2),
         "kg_rdfs_infer": oracles.rdfs_infer_oracle(
             _RDFS_DOMAINS, _RDFS_RANGES, _RDFS_SUBCLASS
         ),

@@ -1422,3 +1422,91 @@ def rdfs_infer_types(
         .aggregate(Count(alias_name="_m"))
         .drop_columns(["_m"])
     )
+
+
+def lpa_communities(
+    edges: ray.data.Dataset,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    rounds: int = 2,
+) -> ray.data.Dataset:
+    """Community detection via synchronous label propagation (Raghavan et al.
+    2007), run for a FIXED number of rounds with a deterministic update rule
+    — new label = the most frequent label among neighbors, ties to the
+    smallest label — so the iterative result is a reproducible contract
+    (free-running LPA oscillates; a bounded-round deterministic variant is
+    the oracle-comparable form, like the engine's fixed-iteration PageRank).
+    Returns (node, label) after ``rounds`` updates from label(v) = v.
+
+    Scale shape per round: one ``hash_join`` ships each node's current label
+    to its incident edges (labels and edges both stay distributed), one
+    (node, label) groupby counts neighbor labels, and the argmax folds
+    block-locally after a node-bucketed sort. State materializes per round —
+    O(1) lineage, no driver materialization at any point."""
+    import polars as pl
+
+    from ..relational import hash_join
+
+    def symm(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"u": b[a_col], "w": b[b_col]}),
+                pa.table({"u": b[b_col], "w": b[a_col]}),
+            ]
+        )
+
+    s = edges.select_columns([a_col, b_col]).map_batches(
+        symm, batch_format="pyarrow"
+    ).materialize()
+    labels = (
+        s.groupby("u")
+        .aggregate(Min("w", alias_name="_m"))
+        .map_batches(
+            lambda b: pa.table({"node": b["u"], "label": b["u"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    from ray.data.aggregate import Count
+
+    for _ in range(rounds):
+        contribs = hash_join(
+            s.map_batches(
+                lambda b: pa.table({"node": b["w"], "u": b["u"]}),
+                batch_format="pyarrow",
+            ),
+            labels,
+            on="node",
+            right_cols=["label"],
+        )
+        counted = (
+            contribs.select_columns(["u", "label"])
+            .groupby(["u", "label"])
+            .aggregate(Count(alias_name="c"))
+        )
+
+        def argmax(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b)
+            if not df.height:
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.large_string()),
+                        "label": pa.array([], pa.large_string()),
+                    }
+                )
+            out = (
+                df.sort(["u", "c", "label"], descending=[False, True, False])
+                .group_by("u", maintain_order=True)
+                .agg(pl.col("label").first())
+                .rename({"u": "node"})
+            )
+            return out.to_arrow()
+
+        labels = (
+            counted.sort("u")
+            .map_batches(argmax, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+    return labels

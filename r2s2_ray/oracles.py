@@ -601,6 +601,33 @@ def rdfs_infer_oracle(
     )
 
 
+def lpa_oracle(rounds: int = 2, min_count: int = 300) -> str:
+    """Relational rendering of ``__ray_entry__._kg_lpa_communities``: the
+    bounded-round deterministic LPA unrolled — per round, most-frequent
+    neighbor label with ties to the smallest label."""
+    t = raw_triples_sql(linked=True)
+    out = [
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"m AS (SELECT DISTINCT subj AS turn, obj AS ent FROM t "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)}), "
+        f"e AS (SELECT x.ent AS a, y.ent AS b "
+        f"FROM m x JOIN m y ON x.turn = y.turn AND x.ent < y.ent "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count}), "
+        f"s AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e), "
+        f"l0 AS (SELECT DISTINCT u AS node, u AS label FROM s)"
+    ]
+    for i in range(1, rounds + 1):
+        out.append(
+            f", n{i} AS (SELECT s.u, l.label, count(*) AS c "
+            f"FROM s JOIN l{i - 1} l ON l.node = s.w GROUP BY s.u, l.label), "
+            f"l{i} AS (SELECT u AS node, label FROM ("
+            f"SELECT u, label, row_number() OVER (PARTITION BY u "
+            f"ORDER BY c DESC, label) AS rn FROM n{i}) WHERE rn = 1)"
+        )
+    out.append(f" SELECT node, label FROM l{rounds}")
+    return "".join(out)
+
+
 def shacl_oracle(shapes: list[dict]) -> str:
     """Relational rendering of ``__ray_entry__._kg_shacl``: cardinality
     shapes as a VALUES table, per-(subject, pred) DISTINCT-triple counts,
