@@ -1752,6 +1752,17 @@ def _sim_rrf(sf_dir: str):
     return rrf_fuse(docs, "doc_id", "text", _BM25_QUERIES, k=10)
 
 
+def _dd_cdc_chunks(sf_dir: str):
+    """Content-defined chunking: boundaries where the k-gram poly hash has
+    zero low bits — edit-stable chunk identities, block-local, no exchange."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import cdc_chunks
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cdc_chunks(docs, "doc_id", "text", k=8, mask_bits=6)
+
+
 def _td_bernoulli_sample(sf_dir: str):
     """Deterministic Bernoulli sample at 1/8: affine64(doc_id) below the
     rate threshold — reproducible across runs/partitionings/engines."""
@@ -2549,6 +2560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_embedding_neardup": _dd_embedding,
         "dd_semdedup": _dd_semdedup,
         "dd_incremental_minhash": _dd_incremental_minhash,
+        "dd_cdc_chunks": _dd_cdc_chunks,
         "dd_embedding_lsh": _dd_embedding_lsh,
         "dd_ngram_jaccard": _dd_ngram,
         "dd_ngram_containment": _dd_ngram_containment,
@@ -2830,6 +2842,7 @@ def oracle_sql() -> dict[str, str]:
         "td_interleave_plan": oracles_td.interleave_plan_oracle(),
         "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
         "td_bernoulli_sample": oracles_td.bernoulli_sample_oracle(1, 8),
+        "dd_cdc_chunks": oracles_td.cdc_chunks_oracle(k=8, mask_bits=6),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),
         "q_profile_docs": " UNION ALL ".join(

@@ -1478,3 +1478,81 @@ def ngram_containment_pairs(
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def cdc_chunks(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    mask_bits: int = 6,
+) -> ray.data.Dataset:
+    """Content-defined chunking (the rsync / LBFS / FastCDC family): a chunk
+    boundary falls after character j when the k-gram ENDING at j hashes to
+    0 mod 2^mask_bits — boundaries depend only on LOCAL content, so an
+    insertion or deletion shifts boundaries near the edit and every other
+    chunk's identity survives (the dedup property fixed-size blocks lack;
+    expected chunk length = 2^mask_bits). Emits one row per chunk:
+    (id, chunk_idx, start, len) with 1-based char starts; a document with no
+    interior boundary is one whole-document chunk.
+
+    Scale shape: entirely block-local (one offset explode + one byte-buffer
+    poly-hash pass + per-doc boundary fold, all vectorized) — NO exchange;
+    downstream exact dedup groups on the chunk fingerprint."""
+    from .hashing import poly_hash_arr
+
+    mask = np.uint64((1 << mask_bits) - 1)
+
+    def fn(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "start": pa.array([], pa.int64()),
+                "len": pa.array([], pa.int64()),
+            }
+        )
+        df = pl.from_arrow(b.select([id_col, text_col])).with_columns(
+            n=pl.col(text_col).str.len_chars().cast(pl.Int64)
+        )
+        if not df.height:
+            return empty
+        kg = (
+            df.with_columns(
+                off=pl.int_ranges(0, pl.col("n") - (k - 1))
+            )
+            .explode("off")
+            .drop_nulls("off")
+            .with_columns(sub=pl.col(text_col).str.slice(pl.col("off"), k))
+        )
+        if kg.height:
+            h = poly_hash_arr(kg["sub"].to_arrow())
+            bounds = (
+                kg.with_columns(pl.Series("hit", (h & mask) == 0))
+                .filter(pl.col("hit") & (pl.col("off") + k < pl.col("n")))
+                .select(pl.col(id_col), (pl.col("off") + k + 1).alias("start"))
+            )
+        else:
+            bounds = df.head(0).select(pl.col(id_col), pl.lit(0, pl.Int64).alias("start"))
+        firsts = df.filter(pl.col("n") > 0).select(
+            pl.col(id_col), pl.lit(1, dtype=pl.Int64).alias("start")
+        )
+        starts = pl.concat([firsts, bounds.with_columns(pl.col("start").cast(pl.Int64))])
+        out = (
+            starts.join(df.select([id_col, "n"]), on=id_col)
+            .sort([id_col, "start"])
+            .with_columns(
+                nxt=pl.col("start").shift(-1).over(id_col),
+                chunk_idx=pl.col("start").cum_count().over(id_col).cast(pl.Int64) - 1,
+            )
+            .with_columns(
+                len=(pl.col("nxt").fill_null(pl.col("n") + 1) - pl.col("start")).cast(
+                    pl.Int64
+                )
+            )
+            .select([id_col, "chunk_idx", "start", "len"])
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -877,6 +877,36 @@ def bigram_surprisal_oracle() -> str:
         FROM sc GROUP BY doc_id"""
 
 
+def cdc_chunks_oracle(k: int = 8, mask_bits: int = 6) -> str:
+    """Exact SQL mirror of ``dedup.cdc_chunks``: positional k-gram poly
+    hashes (substr + the hex-bytes Horner fold), boundary after char i+k-1
+    when the low ``mask_bits`` bits are zero (two's-complement low bits of
+    the signed hash == the unsigned mod), chunk rows via lead()."""
+    m = 1 << mask_bits
+    h = _poly_hash("hex(encode(sub))")
+    return f"""
+        WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+                   FROM documents),
+        pos AS (SELECT doc_id, i, substr(text, CAST(i AS INT), {k}) AS sub
+                FROM d, unnest(range(1, n - {k} + 2)) t(i)),
+        hh AS (SELECT doc_id, i, {h} AS hv FROM pos),
+        bnd AS (SELECT doc_id, CAST(i + {k} AS BIGINT) AS start
+                FROM hh JOIN d USING (doc_id)
+                WHERE ((hv % {m}) + {m}) % {m} = 0 AND i + {k} - 1 < d.n),
+        starts AS (SELECT doc_id, CAST(1 AS BIGINT) AS start FROM d WHERE n > 0
+                   UNION ALL SELECT doc_id, start FROM bnd),
+        c AS (SELECT s.doc_id, s.start,
+                     lead(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start)
+                       AS nxt,
+                     d.n,
+                     row_number() OVER (PARTITION BY s.doc_id ORDER BY s.start)
+                       - 1 AS chunk_idx
+              FROM starts s JOIN d USING (doc_id))
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start,
+               CAST(COALESCE(nxt, n + 1) - start AS BIGINT) AS len
+        FROM c"""
+
+
 def bernoulli_sample_oracle(rate_num: int = 1, rate_den: int = 8) -> str:
     """Exact SQL mirror of ``textstats.bernoulli_sample``: the affine64 draw
     (HUGEINT helpers) below floor(num * 2^64 / den)."""

@@ -1385,3 +1385,38 @@ def test_bigram_surprisal_paths_agree_and_rewards_common_order():
     common_bits = a[0][1]
     assert all(a[i] == a[0] for i in range(9))
     assert a[9][1] > common_bits  # unseen order -> higher surprisal
+
+
+def test_cdc_chunks_edit_stability():
+    """The CDC property: a PREFIX insertion shifts every boundary by the
+    edit length, so the chunk LENGTH sequence after the first boundary is
+    unchanged — fixed-size blocks would re-key everything."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import cdc_chunks
+
+    base = " ".join(f"tok{i % 37}x{i % 11}" for i in range(400))
+    edited = "INSERTED PREAMBLE " + base
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()),
+         "text": pa.array([base, edited], pa.string())}
+    )
+    rows = cdc_chunks(ray.data.from_arrow(t), "doc_id", "text").take_all()
+    by = {1: [], 2: []}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by[r["doc_id"]].append((r["start"], r["len"]))
+    lens1 = [l for _, l in by[1]]
+    lens2 = [l for _, l in by[2]]
+    assert len(lens1) > 3, "corpus fixture must produce interior boundaries"
+    # every interior boundary of the base doc reappears in the edited doc,
+    # shifted by exactly the insertion length (the insertion may ADD an
+    # early boundary of its own, so containment — not equality — is the law)
+    shift = len("INSERTED PREAMBLE ")
+    assert {s + shift for s, _ in by[1][1:]} <= {s for s, _ in by[2]}
+    # the chunk-length tail (far from the edit) is identical
+    assert lens1[-3:] == lens2[-3:]
+    # coverage: chunks tile each document exactly
+    for did, chunks in by.items():
+        total = sum(l for _, l in chunks)
+        n = len(base) if did == 1 else len(edited)
+        assert total == n and chunks[0][0] == 1
