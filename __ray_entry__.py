@@ -2626,6 +2626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_bernoulli_sample": _td_bernoulli_sample,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
+        "q_decayed_counts": relational.q_decayed_counts,
+        "q_pushdown_lang": relational.q_pushdown_lang,
     }
 
 

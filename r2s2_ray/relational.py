@@ -2569,3 +2569,66 @@ ORACLES["q_morning_only_days"] = """
            CAST(sum(CAST(extract(hour FROM ts) < 12 AS INT)) AS BIGINT) AS n_am
     FROM events GROUP BY user_id, day
     HAVING n_am > 0 AND sum(CAST(extract(hour FROM ts) >= 12 AS INT)) = 0"""
+
+
+def q_decayed_counts(sf_dir: str, half_life_days: int = 1, window_days: int = 10):
+    """Time-decayed popularity per event type (the streaming-analytics
+    "recent counts matter more" aggregate) as an EXACT integer: each event
+    contributes ``2^(window - age_days)`` where age_days counts back from
+    the corpus max day (events older than the window contribute 1 — the
+    floor keeps every event scored). Power-of-two decay makes the sum
+    order-free integer-exact — no float EWMA drift, same result on any
+    partitioning. Two passes: a metadata-scale max-ts reduce, then one
+    combiner-backed groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    hi = ds.aggregate(Max("ts", alias_name="hi"))["hi"]
+
+    def score(b: pa.Table) -> pa.Table:
+        age_us = pc.subtract(pa.scalar(hi), b["ts"])
+        age_days = pc.cast(
+            pc.divide(pc.cast(age_us, pa.int64()), 86_400_000_000), pa.int64()
+        )
+        exp = pc.max_element_wise(
+            pc.subtract(pa.scalar(window_days, pa.int64()), age_days),
+            pa.scalar(0, pa.int64()),
+        )
+        w = pc.shift_left(pa.scalar(1, pa.int64()), exp)
+        return pa.table({"event_type": b["event_type"], "w": w})
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("w", alias_name="decayed_weight"))
+    )
+
+
+ORACLES["q_decayed_counts"] = """
+    WITH hi AS (SELECT max(ts) AS hi FROM events),
+    s AS (SELECT event_type,
+                 CAST(1 AS BIGINT) << GREATEST(
+                   10 - CAST(date_diff('microseconds', ts, hi.hi)
+                             // 86400000000 AS BIGINT), 0) AS w
+          FROM events CROSS JOIN hi)
+    SELECT event_type, CAST(sum(w) AS BIGINT) AS decayed_weight
+    FROM s GROUP BY event_type"""
+
+
+def q_pushdown_lang(sf_dir: str):
+    """Predicate-pushdown read: the filter rides INTO read_parquet, so only
+    row groups whose stats can match leave storage (the "prune at the read"
+    rule as an explicit operator — a filter AFTER the read would ship every
+    row). Returns English docs' (doc_id, n_chars)."""
+    import pyarrow.dataset as pads
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=pads.field("lang") == "en",
+    ).drop_columns(["lang"])
+
+
+ORACLES["q_pushdown_lang"] = (
+    "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"
+)
