@@ -687,6 +687,27 @@ def _kg_sparql_optnested(sf_dir: str):
     return run_sparql(out, q)
 
 
+def _kg_sparql_optsubselect(sf_dir: str):
+    """Subselect nested inside OPTIONAL plus a bare group-graph-pattern,
+    served end-to-end: each (turn, role) row — the required part is a BARE
+    ``{ ?turn ex:role ?r }`` group (SPARQL group join) — LEFT JOINed to an
+    aggregate subquery counting the turn's mentions; turns that mention
+    nothing keep ?n unbound (NULL)."""
+    out = _pipeline_out(sf_dir)
+    from r2s2_ray.pipelines.sparql import run_sparql
+
+    q = (
+        "PREFIX ex: <https://ex.org/vocab/>\n"
+        "SELECT ?turn ?r ?n WHERE {\n"
+        "  { ?turn ex:role ?r }\n"
+        "  OPTIONAL { { SELECT ?turn (COUNT(?e) AS ?n) WHERE {\n"
+        "      ?turn ex:mentions ?e\n"
+        "    } GROUP BY ?turn } }\n"
+        "}"
+    )
+    return run_sparql(out, q)
+
+
 def _kg_sparql_star(sf_dir: str):
     """Zero-or-more closure served end-to-end: ex:hasTurn/ex:mentions* pairs
     every turn with itself (zero-length path) plus its mentioned entities —
@@ -2482,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_groupconcat": _kg_sparql_groupconcat,
         "kg_sparql_proplist": _kg_sparql_proplist,
         "kg_sparql_optnested": _kg_sparql_optnested,
+        "kg_sparql_optsubselect": _kg_sparql_optsubselect,
         "kg_sparql_star": _kg_sparql_star,
         "kg_sparql_seqpath": _kg_sparql_seqpath,
         "kg_sparql_mixedpath": _kg_sparql_mixedpath,
@@ -2667,6 +2689,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_agg": oracles.sparql_agg_oracle(),
         "kg_sparql_proplist": oracles.sparql_proplist_oracle(),
         "kg_sparql_optnested": oracles.sparql_optnested_oracle(),
+        "kg_sparql_optsubselect": oracles.sparql_optsubselect_oracle(),
         "kg_sparql_star": oracles.sparql_star_oracle(),
         "kg_sparql_seqpath": oracles.sparql_seqpath_oracle(),
         "kg_sparql_mixedpath": oracles.sparql_mixedpath_oracle(),

@@ -272,6 +272,23 @@ def sparql_proplist_oracle() -> str:
     )
 
 
+def sparql_optsubselect_oracle() -> str:
+    """Relational rendering of ``__ray_entry__._kg_sparql_optsubselect``:
+    the bare ``{ ?turn ex:role ?r }`` group is just the role pairs (group
+    join over the shared store), and ``OPTIONAL { { SELECT ?turn (COUNT(?e)
+    AS ?n) ... GROUP BY ?turn } }`` is a LEFT JOIN against the per-turn
+    mention counts over the deduplicated (set-semantics) triple store."""
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"agg AS (SELECT subj AS turn, CAST(count(*) AS BIGINT) AS n "
+        f"FROM t WHERE pred = {_q(vocab.P_MENTIONS)} GROUP BY subj) "
+        f"SELECT r.subj AS turn, r.obj AS r, agg.n "
+        f"FROM (SELECT subj, obj FROM t WHERE pred = {_q(vocab.P_ROLE)}) r "
+        f"LEFT JOIN agg ON agg.turn = r.subj"
+    )
+
+
 def sparql_optnested_oracle() -> str:
     """Relational rendering of ``__ray_entry__._kg_sparql_optnested``:
     { ?conv a ex:Conversation . OPTIONAL { ?conv ex:hasTurn ?turn .

@@ -86,8 +86,13 @@ allowed, no alias or aggregate projection required — grouped keys alone
 may be selected; conjuncts ``&&``-join and the two forms mix), ORDER BY
 over whole-key aggregates — ``ORDER BY DESC(COUNT(?v))`` — with or
 without a matching projected alias, nested ``{ SELECT ... }`` subqueries
-(one level, explicit projection required; joined to the outer pattern on
-shared projected variables) (plain projected variables must be grouping keys; COUNT
+(explicit projection required; joined to the outer pattern on shared
+projected variables; legal INSIDE other groups too — OPTIONAL/UNION
+branches/GRAPH/bare groups — via each group's sub-parse, and subqueries
+inherit the outer dataset clause transitively), bare group-graph-patterns
+``{ body }`` (SPARQL group join: desugared to a plain-SELECT subselect over
+the group's visible variables — bag multiplicity kept, group-scoped
+FILTERs stay inside; ``{ { SELECT … } }`` unwraps) (plain projected variables must be grouping keys; COUNT
 works on lexical forms, the numeric aggregates cast to DOUBLE and skip
 non-numeric forms — SPARQL error-skipping),
 ``VALUES ?v { ... }`` / ``VALUES (?a ?b) { (..) (..) }`` inline-data groups
@@ -1603,6 +1608,65 @@ def _scrub_nonbinding(body: str) -> str:
     return body
 
 
+def _sub_proj_vars(sub: str) -> set[str]:
+    """Projection variables of a subselect SOURCE (text between its braces,
+    starting at SELECT): bare ``?v`` tokens in the SELECT clause plus the
+    ``AS ?alias`` of each parenthesized expression (the expression's input
+    variables are NOT projected — subselect scope hides them). ``SELECT *``
+    projects the visible variables of its own WHERE group (recursion)."""
+    hm = re.search(r"\bSELECT\s+(?:DISTINCT\s+|REDUCED\s+)?", sub, re.I)
+    if not hm:
+        raise ValueError("subselect without a SELECT clause")
+    rest, out, i = sub[hm.end() :], set(), 0
+    stop = re.compile(r"\b(?:FROM|WHERE)\b|\{", re.I)
+    while i < len(rest):
+        c = rest[i]
+        if c == "(":
+            depth, j = 1, i + 1
+            while j < len(rest) and depth:
+                if rest[j] == "(":
+                    depth += 1
+                elif rest[j] == ")":
+                    depth -= 1
+                j += 1
+            am = re.search(r"\bAS\s+\?(\w+)\s*\)\s*$", rest[i:j], re.I)
+            if am:
+                out.add(am.group(1))
+            i = j
+        elif c == "?":
+            vm = re.match(r"\?(\w+)", rest[i:])
+            out.add(vm.group(1))
+            i += vm.end()
+        elif c == "*":
+            wm = re.search(r"\{", rest)
+            out |= set(_visible_vars(rest[wm.end() : _close_brace(rest, wm.start()) - 1]))
+            break
+        elif stop.match(rest, i):
+            break
+        else:
+            i += 1
+    return out
+
+
+def _visible_vars(body: str) -> list[str]:
+    """In-scope (joinable) variables of a group body over MASKED text:
+    variables in binding positions, where a nested ``{ SELECT ... }``
+    contributes ONLY its projection (subselect scope hides its interior) and
+    MINUS / EXISTS / FILTER spans contribute nothing (via
+    :func:`_scrub_nonbinding`)."""
+    pat = re.compile(r"\{\s*SELECT\b", re.I)
+    out: set[str] = set()
+    while True:
+        m = pat.search(body)
+        if not m:
+            break
+        j = _close_brace(body, m.start())
+        out |= _sub_proj_vars(body[m.start() + 1 : j - 1])
+        body = body[: m.start()] + " " + body[j:]
+    out |= set(re.findall(r"\?(\w+)", _scrub_nonbinding(body)))
+    return sorted(out)
+
+
 def _distribute_graph_var(gtok: str, body: str) -> str:
     """Distribute a variable-GRAPH group's braced children out of the group
     (spec-equivalent rewrites — the graph variable joins the pieces back):
@@ -1695,8 +1759,9 @@ def _rewrite_graph_groups(inner: str, prefixes: dict[str, str]) -> str:
             # the body BINDS (anon/path vars included — they are
             # query-unique, so exposing them joins nothing by accident).
             # MINUS / FILTER (NOT) EXISTS / FILTER(...) interiors do not
-            # bind, so their spans are scrubbed before collecting
-            body_vars = sorted(set(re.findall(r"\?(\w+)", _scrub_nonbinding(body))))
+            # bind, and a nested subselect exposes only its projection —
+            # _visible_vars handles both
+            body_vars = _visible_vars(body)
             if not body_vars:
                 raise ValueError("GRAPH group with nested groups binds no variables")
             proj = " ".join(f"?{v}" for v in body_vars)
@@ -2042,9 +2107,25 @@ def parse_sparql(q: str) -> Query:
             "unsupported UNION placement (supported: { group } UNION { group } "
             "as the whole body or joined with other top-level patterns)"
         )
+    # bare groups `{ body }` (no owning keyword) desugar to subselects over
+    # their visible variables — SPARQL group-join semantics — so the
+    # subselect extractor below picks them up
+    inner = _desugar_bare_groups(inner)
     # nested { SELECT ... } subqueries next: their bodies contain braces that
-    # every later single-level group regex would trip over
-    inner, subselects = _extract_subselects(inner, restore, prefixes)
+    # every later single-level group regex would trip over. Subqueries inherit
+    # the outer dataset (SPARQL: FROM is top-level-only syntax), so the outer
+    # clause is injected into any subselect that does not pin its own — this
+    # is what scopes a GRAPH-desugared FROM-pinned subselect's nested
+    # subselects to the same graph, transitively.
+    inner, subselects = _extract_subselects(
+        inner,
+        restore,
+        prefixes,
+        " ".join(
+            [f"FROM <{g}>" for g in from_graphs]
+            + [f"FROM NAMED <{g}>" for g in from_named]
+        ),
+    )
     # GRAPH groups come out first (non-nested, plain triples inside): each
     # group's patterns carry the graph term — a constant restricts to that
     # named graph, a variable binds the graph column (joins when shared).
@@ -2298,25 +2379,87 @@ def parse_sparql(q: str) -> Query:
     )
 
 
-def _extract_subselects(inner: str, restore, prefixes: dict[str, str]):
-    """Pull every top-level ``{ SELECT ... }`` group out of the masked body via
-    balanced-brace scanning and recursively parse it (one nesting level: a
-    subselect inside a subselect recurses naturally, but groups other than the
-    subselect's own WHERE cannot contain further subselects). Outer PREFIX
-    declarations are re-prepended — SPARQL subqueries inherit the prologue."""
+#: text immediately before a depth-0 ``{`` that means some keyword OWNS the
+#: group (it is not a bare group-graph-pattern)
+_GROUP_OWNER_RE = re.compile(
+    r"(?:\bOPTIONAL\s*|\bMINUS\s*|\bUNION\s*|\bEXISTS\s*|"
+    r"\bGRAPH\s+(?:\?\w+|<[^>]+>|\w*:\w[\w.-]*)\s*|"
+    r"\bVALUES\s+(?:\?\w+|\([^)]*\))\s*)$",
+    re.I | re.S,
+)
+
+
+def _desugar_bare_groups(inner: str) -> str:
+    """SPARQL group-graph-pattern join: a depth-0 bare braced group — one no
+    OPTIONAL/GRAPH/MINUS/UNION/EXISTS/VALUES keyword owns — joins its siblings
+    on its visible variables. A group whose whole content is one subselect
+    unwraps in place (redundant braces); any other bare group becomes the
+    subselect ``{ SELECT <visible vars> WHERE { body } }`` — plain SELECT, so
+    bag multiplicity is preserved, and the projection is exactly the group's
+    in-scope variables, which is group-join semantics. A group-scoped FILTER
+    stays inside the subselect; one referencing a variable the group does not
+    bind fails the sub-parse loudly (spec: out-of-scope -> unbound)."""
+    pos = 0
+    while True:
+        m = re.compile(r"\{").search(inner, pos)
+        if not m:
+            return inner
+        if not _at_depth0(inner, m.start()) or _GROUP_OWNER_RE.search(
+            inner[: m.start()]
+        ):
+            pos = m.start() + 1
+            continue
+        j = _close_brace(inner, m.start())
+        body = inner[m.start() + 1 : j - 1]
+        if re.match(r"\s*SELECT\b", body, re.I):
+            pos = j  # a subselect: _extract_subselects owns it
+            continue
+        bs = body.strip()
+        if (
+            bs.startswith("{")
+            and re.match(r"\{\s*SELECT\b", bs, re.I)
+            and _close_brace(bs, 0) == len(bs)
+        ):
+            rep = " " + bs + " "  # { { SELECT ... } } -> { SELECT ... }
+        else:
+            vv = _visible_vars(body)
+            if not vv:
+                raise ValueError("bare group binds no variables")
+            rep = (
+                " { SELECT "
+                + " ".join(f"?{v}" for v in vv)
+                + " WHERE { "
+                + body
+                + " } } "
+            )
+        inner = inner[: m.start()] + rep + inner[j:]
+        pos = m.start() + 1  # rescan: the unwrap may expose another layer
+
+
+def _extract_subselects(
+    inner: str, restore, prefixes: dict[str, str], dataset_clause: str = ""
+):
+    """Pull every depth-0 ``{ SELECT ... }`` group out of the masked body via
+    balanced-brace scanning and recursively parse it; deeper-nested subselects
+    are left for their enclosing group's parser. Outer PREFIX declarations are
+    re-prepended and the outer dataset clause is injected (before the
+    subselect's first depth-0 WHERE) when the subselect does not carry its own
+    FROM — SPARQL subqueries inherit prologue and dataset."""
     decls = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in prefixes.items())
     out = []
     pat = re.compile(r"\{\s*SELECT\b", re.I)
+    pos = 0
     while True:
-        m = pat.search(inner)
+        m = pat.search(inner, pos)
         if not m:
             return inner, out
         if not _at_depth0(inner, m.start()):
-            # inside another group's braces (OPTIONAL/GRAPH/EXISTS/...):
-            # lifting it would silently re-scope it to the top level
-            raise ValueError(
-                "subselects nested inside other groups are not supported"
-            )
+            # inside another group's braces: that group's own parser handles
+            # it (OPTIONAL routes through the sub-Query fallback; groups with
+            # no subselect path keep leftover braces that fail the final
+            # tokenization loudly). Lifting it here would re-scope it.
+            pos = m.end()
+            continue
         depth, j = 1, m.start() + 1
         while j < len(inner) and depth:
             if inner[j] == "{":
@@ -2326,7 +2469,19 @@ def _extract_subselects(inner: str, restore, prefixes: dict[str, str]):
             j += 1
         if depth:
             raise ValueError("unbalanced braces in subselect")
-        sub_src = restore(inner[m.start() + 1 : j - 1])
+        sub_masked = inner[m.start() + 1 : j - 1]
+        if dataset_clause and not re.search(r"\bFROM\b", sub_masked, re.I):
+            # masked text: a literal containing "WHERE"/"FROM" cannot
+            # false-positive; the first depth-0 WHERE is the subselect's own
+            wm = next(
+                w
+                for w in re.finditer(r"\bWHERE\b", sub_masked, re.I)
+                if _at_depth0(sub_masked, w.start())
+            )
+            sub_masked = (
+                sub_masked[: wm.start()] + dataset_clause + " " + sub_masked[wm.start() :]
+            )
+        sub_src = restore(sub_masked)
         sq = parse_sparql(decls + sub_src)
         if sq.ask or sq.construct:
             raise ValueError("only SELECT subqueries are supported")

@@ -2063,3 +2063,59 @@ def test_sparql_select_expressions_over_aggregates(kg_out):
         parse_sparql(
             pfx + "SELECT ((COUNT(DISTINCT *) + 1) AS ?x) WHERE { ?t ex:role ?r }"
         )
+
+
+def test_sparql_nested_subselects_and_bare_groups():
+    """Subselects nested inside groups and bare group-graph-patterns:
+
+    * ``OPTIONAL { { SELECT ... } }`` — the aggregate subselect LEFT JOINs on
+      its projection (unmatched outer rows keep NULL);
+    * a bare ``{ body }`` group joins its siblings on its visible variables
+      with bag multiplicity (desugared to a plain-SELECT subselect);
+    * ``{ { SELECT ... } }`` unwraps the redundant braces;
+    * ``GRAPH <g> { { SELECT ... } }`` scopes the subselect to <g> and hides
+      the subselect's interior variables from the GRAPH projection;
+    * a FILTER inside a bare group scopes to that group only.
+    """
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE all_triples AS SELECT * FROM (VALUES "
+        "('s1','knows','o1', NULL, NULL, 'g1'),"
+        "('s2','knows','o2', NULL, NULL, 'g1'),"
+        "('s1','likes','a', NULL, NULL, 'g1'),"
+        "('s1','likes','b', NULL, NULL, 'g2'),"
+        "('s2','likes','c', NULL, NULL, 'g2'),"
+        "('s3','knows','o3', NULL, NULL, 'g2')"
+        ") t(subj, pred, obj, o_lang, o_dt, graph)"
+    )
+
+    def run(q):
+        cur = con.execute(to_sql(parse_sparql(q)))
+        return [d[0] for d in cur.description], sorted(cur.fetchall())
+
+    cols, got = run(
+        "SELECT ?s ?c WHERE { ?s <knows> ?o . OPTIONAL { { SELECT ?s "
+        "(COUNT(?l) AS ?c) WHERE { ?s <likes> ?l } GROUP BY ?s } } }"
+    )
+    assert cols == ["s", "c"]
+    assert got == [("s1", 2), ("s2", 1), ("s3", None)]
+
+    assert run("SELECT ?s ?o WHERE { ?s <knows> ?x . { ?s <likes> ?o } }")[1] == [
+        ("s1", "a"),
+        ("s1", "b"),
+        ("s2", "c"),
+    ]
+    # bag multiplicity through the double-brace unwrap (s1 likes twice)
+    assert run("SELECT ?s WHERE { { { SELECT ?s WHERE { ?s <likes> ?l } } } }")[
+        1
+    ] == [("s1",), ("s1",), ("s2",)]
+    assert run(
+        "SELECT ?s WHERE { GRAPH <g2> { { SELECT ?s WHERE { ?s <likes> ?l } } } }"
+    )[1] == [("s1",), ("s2",)]
+    assert run(
+        'SELECT ?s ?o WHERE { ?s <knows> ?x . { ?s <likes> ?o . FILTER(?o != "a") } }'
+    )[1] == [("s1", "b"), ("s2", "c")]
