@@ -80,10 +80,14 @@ join applies after the required part regardless of textual position),
 aggregate projections ``(COUNT|SUM|MIN|MAX|AVG|SAMPLE(DISTINCT? ?v|*) AS
 ?alias)`` and ``GROUP_CONCAT(?v; SEPARATOR="..")`` (deterministic ascending
 element order; SAMPLE = deterministic MIN) with ``GROUP BY`` and
-``HAVING(?aggAlias <op> number)`` and the direct aggregate form
+``HAVING(?aggAlias <op> number)``, the direct aggregate form
 ``HAVING(COUNT(?v) > n)`` (COUNT/SUM/MIN/MAX/AVG, DISTINCT and ``*``
 allowed, no alias or aggregate projection required — grouped keys alone
-may be selected; conjuncts ``&&``-join and the two forms mix), ORDER BY
+may be selected) and general HAVING expression comparisons over aggregate
+calls and grouping keys (``HAVING(SUM(?x)/COUNT(?x) > 2)``, compiled as a
+post-grouping filter wrapper; conjuncts ``&&``-join and all forms mix),
+``GROUP BY (expr AS ?k)`` expression keys (desugared to pre-grouping
+BINDs), ORDER BY
 over whole-key aggregates — ``ORDER BY DESC(COUNT(?v))`` — with or
 without a matching projected alias, nested ``{ SELECT ... }`` subqueries
 (explicit projection required; joined to the outer pattern on shared
@@ -101,10 +105,15 @@ inside the WHERE body AND as the trailing post-solution-modifier clause
 same join semantics; terms constrain/bind lexical forms; ``UNDEF`` cells
 constrain nothing on their row and leave otherwise-unbound variables
 unbound),
-``FILTER (NOT) EXISTS { BGP }`` (correlated semi/anti-join; group-local
-variables are scoped, shared variables correlate — standard SPARQL),
-``MINUS { BGP }`` (anti-join on the shared variables; a group sharing no
-variable removes nothing — the SPARQL MINUS/NOT-EXISTS divergence),
+``FILTER (NOT) EXISTS { group }`` (correlated semi/anti-join; group-local
+variables are scoped, shared variables correlate — standard SPARQL; a body
+holding more than a plain BGP — FILTER/OPTIONAL/VALUES/GRAPH/UNION/BIND/
+subselects/nested EXISTS — re-parses whole as a select-* sub-Query with
+group-scoped semantics),
+``MINUS { group }`` (anti-join with SPARQL compatibility on the shared
+variables; a group sharing no variable removes nothing — the SPARQL
+MINUS/NOT-EXISTS divergence; complex bodies re-parse as sub-Queries like
+EXISTS, with the disjoint-domain rule on both sides' bound variables),
 ``FILTER(BOUND(?v))`` / ``FILTER(!BOUND(?v))`` (evaluated AFTER OPTIONAL
 joins — the classic OPTIONAL+!BOUND anti-join idiom works),
 ``FILTER(LANG(?v) =/!= "en")`` (case-insensitive, ``""`` = untagged),
@@ -124,7 +133,10 @@ bindings),
 ``BIND(expr AS ?v)`` assignments (CONCAT/STR/UCASE/LCASE/STRLEN/SUBSTR/
 REPLACE/STRBEFORE/STRAFTER/ABS/ROUND/CEIL/FLOOR/COALESCE/MD5/SHA256/
 YEAR/MONTH/DAY/HOURS/MINUTES/SECONDS over dateTime lexicals, IRI/URI
-as the identity on the lexical form,
+as the identity on the lexical form, the nondeterministic builtins
+UUID/STRUUID/BNODE/RAND/NOW (serving-side only — no value oracle), and
+STRLANG/STRDT as the lexical identity on their first argument (the
+annotation is not carried into the value model),
 ``IF(cond, then, else)`` with an ``expr <op> expr`` condition, LANG/DATATYPE
 as expressions over object bindings, and +,-,*,/ arithmetic with
 TRY_CAST numeric coercion; later BINDs may reference earlier ones, BIND
@@ -290,6 +302,14 @@ class Query:
     exists_filters: list[tuple[bool, list[tuple[Term, Term, Term, Term | None]]]] | None = None
     #: MINUS { BGP } groups (anti-join on shared vars; no-op when disjoint)
     minus_groups: list[list[tuple[Term, Term, Term, Term | None]]] | None = None
+    #: FILTER (NOT) EXISTS { complex body }: (negated, select-* sub-Query) —
+    #: bodies holding more than a plain BGP (FILTER/OPTIONAL/VALUES/GRAPH/
+    #: UNION/BIND/subselects/nested groups) re-parse whole and compile as a
+    #: correlated semi/anti-join on the shared visible variables
+    exists_subqueries: list[tuple[bool, "Query"]] | None = None
+    #: MINUS { complex body }: select-* sub-Queries, SPARQL MINUS
+    #: compatibility semantics on the shared visible variables
+    minus_subqueries: list["Query"] | None = None
     #: FILTER(LANG/DATATYPE(?v) =/!= const): (func, var, op, constant)
     langdt_filters: list[tuple[str, str, str, Term]] | None = None
     #: FILTER(BOUND(?v)) / FILTER(!BOUND(?v)): (var, positive) — applied
@@ -371,10 +391,15 @@ _FROM_RE = re.compile(r"\bFROM\s+(NAMED\s+)?(<([^>]+)>|\w*:\w[\w.-]*)", re.I)
 
 def _parse_having(tail: str, aggs, group_by) -> list[tuple] | None:
     """Parse the HAVING clause from the query tail into a conjunct list.
-    Each ``&&``-joined conjunct is either the alias form
-    ``?aggAlias <op> number`` or the direct aggregate form
-    ``COUNT(DISTINCT? ?v|*) <op> number``; HAVING bodies carry only numbers
-    so balanced-paren extraction needs no literal masking."""
+    Each ``&&``-joined conjunct is the alias form ``?aggAlias <op> number``,
+    the direct aggregate form ``COUNT(DISTINCT? ?v|*) <op> number``, or a
+    general EXPRESSION comparison over aggregate calls and grouping keys
+    (``SUM(?x)/COUNT(?x) > 2``) — aggregate calls inside the expression
+    become internal ``__hvagg<n>`` projections (appended to ``aggs``, the
+    same desugar SELECT expressions use) and the conjunct compiles as a
+    post-grouping filter wrapper. HAVING bodies carry only numbers/strings
+    through the BIND grammar, so balanced-paren extraction needs no literal
+    masking."""
     m = re.search(r"\bHAVING\s*\(", tail, re.I)
     if m is None:
         if re.search(r"\bHAVING\b", tail, re.I):
@@ -390,6 +415,21 @@ def _parse_having(tail: str, aggs, group_by) -> list[tuple] | None:
     if depth:
         raise ValueError("unbalanced parentheses in HAVING")
     conds: list[tuple] = []
+    hv_n = [0]
+
+    def _inline_hv(txt: str) -> str:
+        def rep(am: re.Match) -> str:
+            func = am.group(1).upper()
+            if am.group(3) == "*" and func != "COUNT":
+                raise ValueError(f"{func}(*) is not valid SPARQL")
+            hv_n[0] += 1
+            alias = f"__hvagg{hv_n[0]}"
+            v = None if am.group(3) == "*" else am.group(3)[1:]
+            aggs.append((func, bool(am.group(2)), v, alias))
+            return f" ?{alias} "
+
+        return _INLINE_AGG_RE.sub(rep, txt)
+
     for part in _split_top(tail[m.end() : j - 1], "&&"):
         part = part.strip()
         hv = _HAVING_ALIAS_RE.fullmatch(part)
@@ -417,9 +457,28 @@ def _parse_having(tail: str, aggs, group_by) -> list[tuple] | None:
                 ("agg", func, bool(ha.group(2)), var, ha.group(4), ha.group(5))
             )
             continue
-        raise ValueError(
-            "unsupported HAVING form (supported: ?aggAlias <op> number and "
-            f"AGG(?var) <op> number, &&-joined): {part!r}"
+        # general expression conjunct: desugar aggregate calls to internal
+        # projections, split on the depth-0 comparison, parse both sides
+        # with the BIND grammar — compiled by the post-grouping wrapper
+        cut = _top_cmp(part)
+        if cut is None:
+            raise ValueError(
+                "unsupported HAVING form (supported: ?aggAlias <op> number, "
+                "AGG(?var) <op> number, and expression comparisons over "
+                f"aggregates, &&-joined): {part!r}"
+            )
+        pos, opc = cut
+        if not (aggs or group_by):
+            raise ValueError(
+                "HAVING(expression) needs a GROUP BY or aggregate projection"
+            )
+        conds.append(
+            (
+                "exprcmp",
+                _parse_expr(_inline_hv(part[:pos])),
+                opc,
+                _parse_expr(_inline_hv(part[pos + len(opc) :])),
+            )
         )
     return conds
 _ANON_RE = re.compile(r"\[\s*\]")
@@ -803,6 +862,7 @@ _ETOK_RE = re.compile(
     r"""\s*(?: (?P<var>\?\w+)
              | (?P<str>"(?:[^"\\]|\\.)*")
              | (?P<num>\d+(?:\.\d+)?)
+             | (?P<iri><[^<>\s]*>)
              | (?P<name>[A-Za-z_]\w*)
              | (?P<op><=|>=|!=|[-+*/(),=<>])
          )""",
@@ -855,6 +915,21 @@ _BIND_FUNCS = {
     # an IRI from a string is the identity on that form (no re-validation)
     "IRI": ("({})", False),
     "URI": ("({})", False),
+    # nondeterministic builtins (special-cased in _expr_sql; no oracle by
+    # value — serving-side only): UUID/STRUUID mint fresh ids per row, RAND
+    # is uniform [0,1), NOW is the query-time dateTime lexical
+    "UUID": ("", False),
+    "STRUUID": ("", False),
+    "RAND": ("", True),
+    "NOW": ("", False),
+    # BNODE() mints a fresh label per row; BNODE(str) derives a stable label
+    # from the string (same arg -> same label). STRLANG/STRDT return the
+    # plain lexical form of their first argument — the store binds lexical
+    # forms, so the tag/datatype annotation is not carried into the value
+    # (LANG()/DATATYPE() over a STRLANG/STRDT result will NOT see it)
+    "BNODE": ("", False),
+    "STRLANG": ("", False),
+    "STRDT": ("", False),
     # xsd:dateTime / xsd:date component accessors — operate on the lexical
     # form (a non-castable lexical yields NULL, the SPARQL error)
     "YEAR": ("year(TRY_CAST({} AS TIMESTAMP))", True),
@@ -881,7 +956,7 @@ def _parse_expr(src: str):
         if not m:
             raise ValueError(f"unsupported BIND expression syntax at: {src[pos:]!r}")
         pos = m.end()
-        for k in ("var", "str", "num", "name", "op"):
+        for k in ("var", "str", "num", "iri", "name", "op"):
             if m.group(k) is not None:
                 toks.append((k, m.group(k)))
                 break
@@ -908,15 +983,23 @@ def _parse_expr(src: str):
         if k == "num":
             eat()
             return ("num", v)
+        if k == "iri":
+            # an IRI term in expression position (STRDT datatype, IRI
+            # comparison) evaluates to its lexical form — the store's
+            # representation of IRIs
+            eat()
+            return ("str", v[1:-1])
         if k == "name":
             name = eat().upper()
             if name not in _BIND_FUNCS:
                 raise ValueError(f"unsupported BIND function: {name}")
             eat("op", "(")
-            args = [cmpexpr()]
-            while peek() == ("op", ","):
-                eat()
+            args = []
+            if peek() != ("op", ")"):  # zero-arg builtins: UUID()/NOW()/...
                 args.append(cmpexpr())
+                while peek() == ("op", ","):
+                    eat()
+                    args.append(cmpexpr())
             eat("op", ")")
             return ("func", name, args)
         if k == "op" and v == "(":
@@ -1011,6 +1094,25 @@ def _expr_sql(node, binds: dict[str, str]) -> str:
             f"THEN {_q(rdf_langstring)} ELSE {_q(xsd_string)} END)"
         )
     sql_args = [_expr_sql(a, binds) for a in args]
+    if name in ("UUID", "STRUUID", "RAND", "NOW"):
+        if sql_args:
+            raise ValueError(f"{name} takes no arguments")
+        return {
+            "UUID": "('urn:uuid:' || CAST(uuid() AS VARCHAR))",
+            "STRUUID": "CAST(uuid() AS VARCHAR)",
+            "RAND": "random()",
+            "NOW": "strftime(CAST(now() AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S')",
+        }[name]
+    if name == "BNODE":
+        if len(sql_args) > 1:
+            raise ValueError("BNODE takes zero or one argument")
+        if not sql_args:
+            return "('_:' || CAST(uuid() AS VARCHAR))"
+        return f"('_:b' || md5({sql_args[0]}))"
+    if name in ("STRLANG", "STRDT"):
+        if len(sql_args) != 2:
+            raise ValueError(f"{name} takes exactly two arguments")
+        return f"({sql_args[0]})"
     if name == "ENCODE_FOR_URI":
         if len(sql_args) != 1:
             raise ValueError("ENCODE_FOR_URI takes exactly one argument")
@@ -1427,6 +1529,59 @@ def _parse_values(
             if t is not None and t.kind == "var":
                 raise ValueError("VALUES data must be constant terms")
     return vars_, rows
+
+
+def _parse_groupby(tail: str) -> tuple[list[str], list[tuple[object, str]]] | None:
+    """GROUP BY clause -> (ordered key names, desugared BINDs). Plain ``?v``
+    keys pass through; ``(expr AS ?k)`` keys parse the expression with the
+    BIND grammar and desugar to a pre-grouping BIND on ``?k`` (the SPARQL
+    GroupBy-with-expression algebra). Returns None when there is no GROUP BY.
+    Balanced-paren scanning — expressions nest parens freely."""
+    m = re.search(r"GROUP\s+BY\s+", tail, re.I)
+    if not m:
+        return None
+    keys: list[str] = []
+    binds: list[tuple[object, str]] = []
+    i, n = m.end(), len(tail)
+    stop = re.compile(r"(?:HAVING|ORDER|LIMIT|OFFSET|VALUES)\b", re.I)
+    while i < n:
+        if tail[i].isspace():
+            i += 1
+            continue
+        if stop.match(tail, i):
+            break
+        if tail[i] == "?":
+            vm = re.match(r"\?(\w+)", tail[i:])
+            keys.append(vm.group(1))
+            i += vm.end()
+        elif tail[i] == "(":
+            depth, j = 1, i + 1
+            while j < n and depth:
+                if tail[j] == "(":
+                    depth += 1
+                elif tail[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError("unbalanced parentheses in GROUP BY")
+            chunk = tail[i + 1 : j - 1]
+            k = chunk.upper().rfind(" AS ")
+            if k < 0:
+                raise ValueError("GROUP BY expression keys need (expr AS ?alias)")
+            am = re.fullmatch(r"\s*\?(\w+)\s*", chunk[k + 4 :])
+            if not am:
+                raise ValueError("GROUP BY (expr AS ?alias): alias must be ?name")
+            binds.append((_parse_expr(chunk[:k]), am.group(1)))
+            keys.append(am.group(1))
+            i = j
+        else:
+            raise ValueError(
+                f"unsupported GROUP BY key at: {tail[i:i+30]!r} "
+                "(supported: ?var and (expr AS ?alias))"
+            )
+    if not keys:
+        raise ValueError("empty GROUP BY clause")
+    return keys, binds
 
 
 def _parse_order(text: str) -> list[tuple[object, bool]]:
@@ -2054,9 +2209,19 @@ def parse_sparql(q: str) -> Query:
         lim = _LIMIT_RE.search(tail)
         off = _OFFSET_RE.search(tail)
         order = _ORDER_RE.search(tail)
-        gb = _GROUPBY_RE.search(tail)
-        group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
+        gb_parsed = _parse_groupby(tail)
+        group_by, gb_binds = gb_parsed if gb_parsed else ([], [])
+        if gb_binds:
+            raise ValueError(
+                "GROUP BY expressions over a whole-body UNION are not supported"
+            )
         having = _parse_having(tail, aggs, group_by)
+        if any(c[0] == "exprcmp" for c in having or []):
+            # the union compile path returns before the post-grouping
+            # wrapper — reject instead of silently dropping the condition
+            raise ValueError(
+                "HAVING expressions over a whole-body UNION are not supported"
+            )
         order_by = _parse_order(order.group(1)) if order else []
         agg_order = any(isinstance(k, tuple) and k[0] == "agg" for k, _ in order_by)
         if group_by and not aggs and not having and not agg_order:
@@ -2117,14 +2282,17 @@ def parse_sparql(q: str) -> Query:
     # clause is injected into any subselect that does not pin its own — this
     # is what scopes a GRAPH-desugared FROM-pinned subselect's nested
     # subselects to the same graph, transitively.
-    inner, subselects = _extract_subselects(
-        inner,
-        restore,
-        prefixes,
-        " ".join(
-            [f"FROM <{g}>" for g in from_graphs]
-            + [f"FROM NAMED <{g}>" for g in from_named]
-        ),
+    _ds_clause = " ".join(
+        [f"FROM <{g}>" for g in from_graphs]
+        + [f"FROM NAMED <{g}>" for g in from_named]
+    )
+    inner, subselects = _extract_subselects(inner, restore, prefixes, _ds_clause)
+    # complex-bodied FILTER (NOT) EXISTS / MINUS groups re-parse whole as
+    # select-* sub-Queries; extracted BEFORE the OPTIONAL scan so an OPTIONAL
+    # inside such a body stays group-scoped (plain-BGP bodies fall through to
+    # the flat extractors below)
+    inner, exists_subqueries, minus_subqueries = _extract_group_subqueries(
+        inner, restore, prefixes, _ds_clause
     )
     # GRAPH groups come out first (non-nested, plain triples inside): each
     # group's patterns carry the graph term — a constant restricts to that
@@ -2166,10 +2334,6 @@ def parse_sparql(q: str) -> Query:
     # remove the outer row): the comparison and string-function forms compile
     # into the group's subquery; other FILTER forms there are rejected loudly
     inner, _opt_srcs = _extract_braced(inner, _OPT_OPEN_RE)
-    _ds_clause = " ".join(
-        [f"FROM <{g}>" for g in from_graphs]
-        + [f"FROM NAMED <{g}>" for g in from_named]
-    )
     optionals = [
         _parse_opt_group(src, restore, prefixes, fresh, _ds_clause)
         for src in _opt_srcs
@@ -2317,15 +2481,18 @@ def parse_sparql(q: str) -> Query:
     ) + graph_quads
     if not patterns and not values_groups and not subselects and not union_joins:
         raise ValueError("empty WHERE clause")
-    if exists_filters and not patterns and not union_joins:
+    if (exists_filters or exists_subqueries) and not patterns and not union_joins:
         raise ValueError("FILTER EXISTS needs a basic graph pattern to correlate with")
     tail = _query_tail(q)
     lim = _LIMIT_RE.search(tail)
     off = _OFFSET_RE.search(tail)
     order = _ORDER_RE.search(tail)
     order_by = _parse_order(order.group(1)) if order else []
-    gb = _GROUPBY_RE.search(tail)
-    group_by = re.findall(r"\?(\w+)", gb.group(1)) if gb else []
+    gb_parsed = _parse_groupby(tail)
+    group_by, gb_binds = gb_parsed if gb_parsed else ([], [])
+    # GROUP BY (expr AS ?k) desugars to a pre-grouping BIND — the key is
+    # computed per solution, then grouped like a plain variable
+    bind_exprs = bind_exprs + gb_binds
     having = _parse_having(tail, aggs, group_by)
     agg_order = any(isinstance(k, tuple) and k[0] == "agg" for k, _ in order_by)
     if group_by and not aggs and not having and not agg_order:
@@ -2363,6 +2530,8 @@ def parse_sparql(q: str) -> Query:
         values_groups=values_groups or None,
         exists_filters=exists_filters or None,
         minus_groups=minus_groups or None,
+        exists_subqueries=exists_subqueries or None,
+        minus_subqueries=minus_subqueries or None,
         langdt_filters=langdt_filters or None,
         bound_filters=bound_filters or None,
         kind_filters=kind_filters or None,
@@ -2434,6 +2603,56 @@ def _desugar_bare_groups(inner: str) -> str:
             )
         inner = inner[: m.start()] + rep + inner[j:]
         pos = m.start() + 1  # rescan: the unwrap may expose another layer
+
+
+#: body content beyond a plain BGP — routes an EXISTS/MINUS group through the
+#: sub-Query re-parse instead of the flat quad compile
+_CPLX_BODY_RE = re.compile(
+    r"[{}]|\b(?:FILTER|OPTIONAL|VALUES|GRAPH|UNION|MINUS|BIND|SELECT)\b", re.I
+)
+_EXISTS_MINUS_OPEN_RE = re.compile(
+    r"(?:FILTER\s+(NOT\s+)?EXISTS|\b(MINUS))\s*\{", re.I
+)
+
+
+def _extract_group_subqueries(
+    inner: str, restore, prefixes: dict[str, str], dataset_clause: str
+):
+    """Depth-0 ``FILTER (NOT) EXISTS { body }`` / ``MINUS { body }`` whose
+    body holds more than a plain BGP: re-parse the WHOLE body as a select-*
+    sub-Query (group-scoped semantics for every form inside — FILTER/
+    OPTIONAL/VALUES/GRAPH/UNION/BIND/subselects) for the correlated
+    semi/anti-join compile in ``to_sql``. Plain-BGP bodies are left in place
+    for the cheaper flat quad compile (and its property-path support).
+    Runs BEFORE the OPTIONAL scan so an OPTIONAL inside an EXISTS body stays
+    in the body; depth-0 only, so an EXISTS inside an OPTIONAL body still
+    belongs to that OPTIONAL's sub-parse."""
+    decls = "".join(f"PREFIX {p}: <{iri}>\n" for p, iri in prefixes.items())
+    exq: list[tuple[bool, Query]] = []
+    mnq: list[Query] = []
+    pos = 0
+    while True:
+        m = None
+        for cand in _EXISTS_MINUS_OPEN_RE.finditer(inner, pos):
+            if _at_depth0(inner, cand.start()):
+                m = cand
+                break
+        if not m:
+            return inner, exq, mnq
+        j = _close_brace(inner, m.end() - 1)
+        body = inner[m.end() : j - 1]
+        if not _CPLX_BODY_RE.search(body):
+            pos = j  # plain BGP: the flat extractor owns it
+            continue
+        sq = parse_sparql(
+            decls + "SELECT * " + dataset_clause + " WHERE {" + restore(body) + "}"
+        )
+        if m.group(2):
+            mnq.append(sq)
+        else:
+            exq.append((bool(m.group(1)), sq))
+        inner = inner[: m.start()] + " " + inner[j:]
+        pos = m.start()
 
 
 def _extract_subselects(
@@ -3157,6 +3376,8 @@ def _having_sql(query: Query, vmap: dict[str, str]) -> str:
         return ""
     parts = []
     for cond in query.having:
+        if cond[0] == "exprcmp":
+            continue  # compiled by the post-grouping wrapper in _to_sql_cols
         if cond[0] == "alias":
             _, alias, op, val = cond
             parts.append(f"{alias} {'<>' if op == '!=' else op} {val}")
@@ -3172,7 +3393,7 @@ def _having_sql(query: Query, vmap: dict[str, str]) -> str:
         else:
             expr = f"{func}({d}TRY_CAST({vmap[var]} AS DOUBLE))"
         parts.append(f"{expr} {'<>' if op == '!=' else op} {val}")
-    return " HAVING " + " AND ".join(parts)
+    return " HAVING " + " AND ".join(parts) if parts else ""
 
 
 def to_sql(query: Query, triples_view: str = "all_triples") -> str:
@@ -3358,7 +3579,17 @@ def _to_sql_cols(
             deferred_binds.append((node, bv))
             continue
         binds[bv] = f"({_expr_sql(node, binds)})"
+    deferred_cmps: list[tuple[object, str, object]] = []
     for lhs, opc, rhs in query.expr_filters or []:
+        # same Filter(LeftJoin(...)) deferral as bool filters/BINDs: an
+        # expression filter referencing OPTIONAL-only variables (or deferred
+        # BIND targets — COALESCE(?opt, d) is the idiom) evaluates after the
+        # LEFT JOINs
+        if query.optionals and not (
+            (_expr_vars(lhs) | _expr_vars(rhs)) <= set(binds)
+        ):
+            deferred_cmps.append((lhs, opc, rhs))
+            continue
         conds.append(_cmp_sql(lhs, opc, rhs, binds))
     deferred_bools: list[object] = []
     for node in query.bool_filters or []:
@@ -3423,6 +3654,52 @@ def _to_sql_cols(
             )
         conds.append(
             f"NOT EXISTS (SELECT 1 FROM {', '.join(m_aliases)} WHERE "
+            + " AND ".join(m_conds)
+            + ")"
+        )
+    for k, (negated, sq) in enumerate(query.exists_subqueries or []):
+        # complex-bodied EXISTS: the body's select-* sub-Query nests as a
+        # correlated (NOT) EXISTS. Correlation on every shared visible
+        # variable; a NULL on either side means that solution leaves the
+        # variable unbound — EXISTS substitutes nothing for it, so the
+        # equality is waived (substitution-style semantics, matching the
+        # flat-BGP EXISTS path)
+        sub_sql, sub_cols = _to_sql_cols(sq, triples_view, allow_empty_projection=True)
+        a = f"exq{k}"
+        corr = []
+        for v in sub_cols:
+            if v in binds:
+                c = f"{a}.{v} IS NULL OR {a}.{v} = {binds[v]}"
+                if v in nullable:
+                    c = f"{binds[v]} IS NULL OR " + c
+                corr.append(f"({c})")
+        sub = f"SELECT 1 FROM ({sub_sql}) {a}"
+        if corr:
+            sub += " WHERE " + " AND ".join(corr)
+        conds.append(f"{'NOT ' if negated else ''}EXISTS ({sub})")
+    for k, sq in enumerate(query.minus_subqueries or []):
+        # complex-bodied MINUS: remove solutions with a COMPATIBLE minus-side
+        # solution sharing at least one BOUND variable (the SPARQL MINUS
+        # disjoint-domain rule). Either side NULL = unbound = compatible;
+        # the overlap clause requires some shared variable bound on BOTH.
+        sub_sql, sub_cols = _to_sql_cols(sq, triples_view, allow_empty_projection=True)
+        shared = [v for v in sub_cols if v in binds]
+        if not shared:
+            continue
+        a = f"mnq{k}"
+        m_conds = [
+            f"({binds[v]} IS NULL OR {a}.{v} IS NULL OR {a}.{v} = {binds[v]})"
+            for v in shared
+        ]
+        m_conds.append(
+            "("
+            + " OR ".join(
+                f"({binds[v]} IS NOT NULL AND {a}.{v} IS NOT NULL)" for v in shared
+            )
+            + ")"
+        )
+        conds.append(
+            f"NOT EXISTS (SELECT 1 FROM ({sub_sql}) {a} WHERE "
             + " AND ".join(m_conds)
             + ")"
         )
@@ -3646,6 +3923,8 @@ def _to_sql_cols(
             outer_conds.append(f"{outer[v]} IS {'NOT NULL' if positive else 'NULL'}")
         for node in deferred_bools:
             outer_conds.append(_bool_sql(node, outer))
+        for lhs, opc, rhs in deferred_cmps:
+            outer_conds.append(_cmp_sql(lhs, opc, rhs, outer))
         where = " WHERE " + " AND ".join(outer_conds) if outer_conds else ""
         if _is_agg_query(query):
             proj, group, out_cols = _agg_projection(query, outer)
@@ -3665,16 +3944,25 @@ def _to_sql_cols(
             f"SELECT {'DISTINCT ' if query.distinct else ''}{proj} "
             f"FROM ({req}) r {' '.join(joins)}{where}{group}{_having_sql(query, outer)}"
         )
-    if query.agg_binds:
-        # SELECT expressions over an aggregate query: evaluate in an OUTER
-        # select over the grouped subquery — the namespace is the grouped
-        # output itself (grouping keys + aggregate aliases, incl. the
-        # internal __agg<n> projections, which the wrapper then hides)
+    having_exprs = [c for c in (query.having or []) if c[0] == "exprcmp"]
+    if query.agg_binds or having_exprs:
+        # SELECT expressions over an aggregate query, and HAVING expression
+        # conjuncts: evaluate in an OUTER select over the grouped subquery —
+        # the namespace is the grouped output itself (grouping keys +
+        # aggregate aliases, incl. the internal __agg<n>/__hvagg<n>
+        # projections, which the wrapper then hides)
         ns = {c: c for c in out_cols}
         visible = [c for c in out_cols if not c.startswith("__")]
-        exprs = [f"({_expr_sql(node, ns)}) AS {v}" for node, v in query.agg_binds]
-        sql = f"SELECT {', '.join(visible + exprs)} FROM ({sql}) __gx"
-        out_cols = visible + [v for _, v in query.agg_binds]
+        hconds = [
+            f"({_expr_sql(l, ns)}) {'<>' if op == '!=' else op} ({_expr_sql(r, ns)})"
+            for _, l, op, r in having_exprs
+        ]
+        where = " WHERE " + " AND ".join(hconds) if hconds else ""
+        exprs = [
+            f"({_expr_sql(node, ns)}) AS {v}" for node, v in (query.agg_binds or [])
+        ]
+        sql = f"SELECT {', '.join(visible + exprs)} FROM ({sql}) __gx{where}"
+        out_cols = visible + [v for _, v in (query.agg_binds or [])]
         projected = set(out_cols)
         colmap = {c: c for c in out_cols}
     if query.ask:

@@ -1827,26 +1827,24 @@ def test_sparql_optional_bind():
         run("SELECT ?s WHERE { ?s <e:name> ?n . OPTIONAL { ?s <e:age> ?a . BIND(1 AS ?n) } }")
 
 
-def test_sparql_nested_group_misscope_rejected():
-    """Round-4 hardening: a group construct nested inside ANOTHER group's
-    body (subselect in OPTIONAL, OPTIONAL in EXISTS, VALUES in MINUS, GRAPH
-    in EXISTS, ...) must raise — the extraction passes only lift DEPTH-0
-    matches, so a nested match can never be silently re-scoped to the top
-    level. Legal top-level combinations keep compiling."""
-    import pytest
-
+def test_sparql_nested_group_scoping():
+    """Group constructs nested inside ANOTHER group's body (subselect in
+    OPTIONAL, OPTIONAL in EXISTS, FILTER/VALUES in MINUS, GRAPH in EXISTS)
+    compile via each group's own sub-parse with GROUP-SCOPED semantics —
+    the extraction passes lift only DEPTH-0 matches, so a nested construct
+    is never silently re-scoped to the top level: it either compiles inside
+    its group or raises. Formerly-rejected forms that now compile:"""
     from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
 
-    bad = [
+    now_supported = [
         "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?v . { SELECT ?s WHERE { ?s <r> ?w } } } }",
         "SELECT ?s WHERE { ?s <p> ?o . FILTER EXISTS { ?s <q> ?v . OPTIONAL { ?s <r> ?w } } }",
         "SELECT ?s WHERE { ?s <p> ?o . MINUS { ?s <q> ?v . FILTER(?v > 3) } }",
         "SELECT ?s WHERE { ?s <p> ?o . FILTER EXISTS { GRAPH <g> { ?s <q> ?v } } }",
         'SELECT ?s WHERE { ?s <p> ?o . MINUS { ?s <q> ?v . VALUES ?v { "1" } } }',
     ]
-    for q in bad:
-        with pytest.raises(ValueError):
-            to_sql(parse_sparql(q))
+    for q in now_supported:
+        to_sql(parse_sparql(q))
     good = [
         "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?v } . FILTER EXISTS { ?s <r> ?w } }",
         "SELECT ?s ?n WHERE { ?s <p> ?o . { SELECT ?s (COUNT(?w) AS ?n) WHERE { ?s <r> ?w } GROUP BY ?s } }",
@@ -2119,3 +2117,146 @@ def test_sparql_nested_subselects_and_bare_groups():
     assert run(
         'SELECT ?s ?o WHERE { ?s <knows> ?x . { ?s <likes> ?o . FILTER(?o != "a") } }'
     )[1] == [("s1", "b"), ("s2", "c")]
+
+
+def test_sparql_complex_exists_and_minus_bodies():
+    """FILTER (NOT) EXISTS / MINUS bodies holding more than a plain BGP
+    (inner FILTERs, OPTIONAL, nested EXISTS, subselects) compile via the
+    select-* sub-Query re-parse as correlated semi/anti-joins; plain-BGP
+    bodies keep the flat quad path. MINUS keeps the disjoint-domain rule."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE all_triples AS SELECT * FROM (VALUES "
+        "('s1','a','1', NULL, NULL, 'g'),"
+        "('s2','a','2', NULL, NULL, 'g'),"
+        "('s3','a','3', NULL, NULL, 'g'),"
+        "('s1','b','5', NULL, NULL, 'g'),"
+        "('s2','b','2', NULL, NULL, 'g'),"
+        "('s2','c','x', NULL, NULL, 'g'),"
+        "('s3','c','y', NULL, NULL, 'g')"
+        ") t(subj, pred, obj, o_lang, o_dt, graph)"
+    )
+
+    def run(q):
+        return sorted(con.execute(to_sql(parse_sparql(q))).fetchall())
+
+    base = "SELECT ?s WHERE { ?s <a> ?o . %s }"
+    assert run(base % "FILTER EXISTS { ?s <b> ?x . FILTER(?x > 3) }") == [("s1",)]
+    assert run(base % "FILTER NOT EXISTS { ?s <b> ?x . FILTER(?x > 3) }") == [
+        ("s2",),
+        ("s3",),
+    ]
+    # OPTIONAL inside EXISTS never unmatches the body
+    assert run(
+        base % "FILTER EXISTS { ?s <b> ?x . OPTIONAL { ?x <z> ?y } }"
+    ) == [("s1",), ("s2",)]
+    assert run(
+        base % "FILTER EXISTS { ?s <b> ?x . FILTER EXISTS { ?s <c> ?y } }"
+    ) == [("s2",)]
+    assert run(
+        base % "FILTER EXISTS { { SELECT ?s WHERE { ?s <c> ?x } } }"
+    ) == [("s2",), ("s3",)]
+    assert run(base % "MINUS { ?s <b> ?x . FILTER(?x > 3) }") == [("s2",), ("s3",)]
+    # disjoint-variable MINUS removes nothing even when its body matches
+    assert run(base % "MINUS { ?q <b> ?x . FILTER(?x > 3) }") == [
+        ("s1",),
+        ("s2",),
+        ("s3",),
+    ]
+
+
+def test_sparql_groupby_expression_and_deferred_expr_filter():
+    """GROUP BY (expr AS ?k) desugars to a pre-grouping BIND; an expression
+    FILTER referencing OPTIONAL-only variables defers to after the LEFT JOINs
+    (Filter(LeftJoin) placement) — COALESCE over an unmatched group works."""
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE all_triples AS SELECT * FROM (VALUES "
+        "('s1','a','xx', NULL, NULL, 'g'),"
+        "('s2','a','yy', NULL, NULL, 'g'),"
+        "('s3','a','zzz', NULL, NULL, 'g'),"
+        "('s1','b','p', NULL, NULL, 'g'),"
+        "('s2','b','q', NULL, NULL, 'g')"
+        ") t(subj, pred, obj, o_lang, o_dt, graph)"
+    )
+
+    def run(q):
+        return sorted(con.execute(to_sql(parse_sparql(q))).fetchall())
+
+    assert run(
+        "SELECT ?k (COUNT(*) AS ?n) WHERE { ?s <a> ?o } GROUP BY (STRLEN(?o) AS ?k)"
+    ) == [(2, 2), (3, 1)]
+    # mixed expression + plain keys, HAVING over the aggregate
+    assert run(
+        "SELECT ?k (COUNT(*) AS ?n) WHERE { ?s <a> ?o } "
+        "GROUP BY (STRLEN(?o) AS ?k) HAVING(?n >= 2)"
+    ) == [(2, 2)]
+    # deferred COALESCE filter: only the OPTIONAL-unmatched row survives
+    assert run(
+        'SELECT ?s WHERE { ?s <a> ?o . OPTIONAL { ?s <b> ?y } '
+        'FILTER(COALESCE(?y, "z") = "z") }'
+    ) == [("s3",)]
+
+
+def test_sparql_having_expressions_and_builtins():
+    """General HAVING expression comparisons over aggregate calls compile via
+    the post-grouping wrapper (internal __hvagg projections, hidden in the
+    output); the nondeterministic builtins UUID/STRUUID/BNODE/RAND/NOW and
+    the STRLANG/STRDT lexical identities evaluate per row."""
+    import re as _re
+
+    import duckdb
+
+    from r2s2_ray.pipelines.sparql import parse_sparql, to_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE all_triples AS SELECT * FROM (VALUES "
+        "('s1','a','1', NULL, NULL, 'g'),"
+        "('s1','a','5', NULL, NULL, 'g'),"
+        "('s2','a','2', NULL, NULL, 'g'),"
+        "('s2','a','2', NULL, NULL, 'g'),"
+        "('s3','a','10', NULL, NULL, 'g')"
+        ") t(subj, pred, obj, o_lang, o_dt, graph)"
+    )
+
+    def run(q):
+        cur = con.execute(to_sql(parse_sparql(q)))
+        return [d[0] for d in cur.description], sorted(cur.fetchall())
+
+    assert run(
+        "SELECT ?s WHERE { ?s <a> ?o } GROUP BY ?s HAVING(SUM(?o) / COUNT(?o) > 2)"
+    )[1] == [("s1",), ("s3",)]
+    # mixed general-expression + alias conjuncts; __hvagg stays hidden
+    cols, got = run(
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s <a> ?o } GROUP BY ?s "
+        "HAVING(SUM(?o) / COUNT(?o) > 2 && ?n >= 2)"
+    )
+    assert cols == ["s", "n"] and got == [("s1", 2)]
+    assert run(
+        "SELECT ?s WHERE { ?s <a> ?o } GROUP BY ?s HAVING(MAX(?o) - MIN(?o) >= 4)"
+    )[1] == [("s1",)]
+
+    _, u = run("SELECT (UUID() AS ?u) WHERE { ?s <a> ?o }")
+    assert all(v[0].startswith("urn:uuid:") for v in u)
+    _, b = run("SELECT (BNODE(?o) AS ?b) WHERE { ?s <a> ?o }")
+    assert all(v[0].startswith("_:b") for v in b)
+    _, r = run("SELECT (RAND() AS ?r) WHERE { ?s <a> ?o }")
+    assert all(0 <= v[0] < 1 for v in r)
+    _, n = run("SELECT (NOW() AS ?t) WHERE { ?s <a> ?o } LIMIT 1")
+    assert _re.match(r"\d{4}-\d\d-\d\dT\d\d:\d\d:\d\d", n[0][0])
+    _, sl = run('SELECT (STRLANG(?o, "en") AS ?l) WHERE { ?s <a> ?o }')
+    assert sorted(v[0] for v in sl) == ["1", "10", "2", "2", "5"]
+    _, sd = run(
+        "SELECT (STRDT(?o, <http://www.w3.org/2001/XMLSchema#token>) AS ?l) "
+        "WHERE { ?s <a> ?o } LIMIT 1"
+    )
+    assert sd[0][0] in {"1", "10", "2", "5"}
