@@ -2192,6 +2192,16 @@ def _kg_connected_components(sf_dir: str):
     return connected_components_distributed(cc_demo_edges(sf_dir))
 
 
+def _kg_scc(sf_dir: str):
+    from r2s2_ray.functions.graph import scc_demo_edges, scc_distributed
+
+    # strongly connected components (directed): trim + forward-MAX coloring +
+    # within-class backward sweep, all state in key-partitioned Datasets;
+    # oracle: DuckDB transitive closure (SCC by definition) over the same
+    # synthetic cycles-plus-tails construction
+    return scc_distributed(scc_demo_edges(sf_dir))
+
+
 def _kg_pagerank(sf_dir: str):
     """Integer-exact distributed PageRank over the distinct hasTurn+mentions
     edge set (3 iterations, scale 1e6, d = 85/100): per-iteration rank
@@ -2517,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_expr": _kg_sparql_expr,
         "kg_sparql_kinds": _kg_sparql_kinds,
         "kg_connected_components": _kg_connected_components,
+        "kg_scc": _kg_scc,
         "kg_pagerank": _kg_pagerank,
         "kg_copmi": _kg_copmi,
         "kg_link_predict": _kg_link_predict,
@@ -2974,4 +2985,5 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "mm_video_frames": oracles_td.video_frames_oracle(),
         "kg_connected_components": oracles_td.connected_components_oracle(),
+        "kg_scc": oracles_td.scc_oracle(),
     }

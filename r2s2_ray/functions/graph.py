@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Max, Min
 
 from ..terms import RDF_TYPE
 
@@ -1510,3 +1510,403 @@ def lpa_communities(
             .materialize()
         )
     return labels
+
+
+def scc_distributed(
+    edges: ray.data.Dataset,
+    nodes: ray.data.Dataset | None = None,
+    max_outer: int = 32,
+    max_inner: int = 64,
+) -> ray.data.Dataset:
+    """Strongly connected components over a DIRECTED edge list (string
+    columns ``src``, ``dst``). Returns (node, scc) with scc = the component's
+    lexicographic-MAX node id. Coloring algorithm (Orzan 2004 / the MultiStep
+    family -- public literature; the reference has no graph algorithms):
+
+    per outer round, on the remaining subgraph:
+
+    1. **trim** to a fixpoint: a node with no remaining in-edge or no
+       remaining out-edge is a singleton SCC (peels DAG tails/chains fast);
+    2. **color**: forward MAX-label propagation to a fixpoint --
+       ``color(v)`` = the largest node id that reaches v (v included);
+    3. a node with ``color(v) == v`` is a color ROOT r; r's SCC is exactly
+       the backward-reachable set of r along edges whose two endpoints share
+       color r (any member m reaches r and r reaches m; m <= r because
+       color(r) = r). All roots resolve in parallel in one backward
+       fixpoint;
+    4. emit those SCCs, drop their nodes/edges, repeat on the remainder.
+
+    Fully distributed: per-round state (edges, nodes, labels) stays in
+    Datasets co-located by one sort exchange per step -- the driver sees only
+    8-byte fingerprints and counts. Rounds are BFS-like: inner fixpoints cost
+    O(diameter), outer rounds O(nesting depth of non-root color classes);
+    both RAISE on exhaustion rather than returning a partial labeling. At
+    web scale prefer per-partition-key scoping (this engine's
+    conversation-scoped transition graphs keep every fixpoint
+    conversation-local) or FW-BW pivoting for one giant component."""
+    import polars as pl
+
+    # ---- schema-free sort-based primitives. NO .schema() probes and NO
+    # generic hash_join here: building a join plan must never execute
+    # upstream lineage (hash_join probes schemas eagerly), because a fixpoint
+    # loop over an eager-probing join re-executes its whole lazy prefix every
+    # round — measured super-linear blowup. Instead: tag + union + one
+    # sort(key) exchange + per-key-run polars window, the same message-
+    # passing shape as connected_components_distributed above.
+
+    def _i8(n: int, v: int) -> pa.Array:
+        return pa.array(np.full(n, v, dtype=np.int8))
+
+    # Every sort emits ~one block per input block and every union adds them,
+    # so the nested fixpoint loops compound the block count geometrically and
+    # per-exchange scheduling cost follows (measured: 3 -> 1815 blocks and
+    # 0.04s -> 163s per materialize on a 10-edge graph). Re-bin each
+    # materialized round state to the INPUT edge list's own block count —
+    # data-derived, so the same plan holds at toy and web scale.
+    block_cap = 1 << 62  # seed materializations are uncapped
+
+    def _mat(ds) -> ray.data.Dataset:
+        m = ds.materialize()
+        if m.num_blocks() > block_cap:
+            m = m.repartition(block_cap).materialize()
+        return m
+
+    def _semi_sort(base, base_cols, keys, key_col, on, anti=False):
+        """``base`` rows whose ``on`` value appears (anti: does not appear)
+        in ``keys[key_col]``. One sort exchange; duplicate keys are fine."""
+
+        def wb(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in base_cols}
+            cols["_t"] = _i8(t.num_rows, 0)
+            return pa.table(cols)
+
+        def wk(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                c: (t[key_col] if c == on else pa.nulls(n, pa.string()))
+                for c in base_cols
+            }
+            cols["_t"] = _i8(n, 1)
+            return pa.table(cols)
+
+        def blk(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            hit = pl.col("_t").max().over(on) == 1
+            keep = hit.not_() if anti else hit
+            return df.filter((pl.col("_t") == 0) & keep).drop("_t").to_arrow()
+
+        return (
+            base.map_batches(wb, batch_format="pyarrow")
+            .union(keys.map_batches(wk, batch_format="pyarrow"))
+            .sort(on)
+            .map_batches(blk, batch_format="pyarrow", batch_size=None)
+        )
+
+    def _attach(ds, ds_cols, labels, key):
+        """``ds`` rows + a ``label`` column looked up from ``labels`` (node,
+        label) by ``ds[key] == labels.node``; NULL where the key has no
+        label row. One sort exchange (equal keys never straddle blocks)."""
+
+        def wd(t: pa.Table) -> pa.Table:
+            cols = {c: t[c] for c in ds_cols}
+            cols["label"] = pa.nulls(t.num_rows, pa.string())
+            cols["_t"] = _i8(t.num_rows, 0)
+            return pa.table(cols)
+
+        def wl(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {
+                c: (t["node"] if c == key else pa.nulls(n, pa.string()))
+                for c in ds_cols
+            }
+            cols["label"] = t["label"]
+            cols["_t"] = _i8(n, 1)
+            return pa.table(cols)
+
+        def blk(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            return (
+                df.with_columns(pl.col("label").max().over(key).alias("label"))
+                .filter(pl.col("_t") == 0)
+                .drop("_t")
+                .to_arrow()
+            )
+
+        return (
+            ds.map_batches(wd, batch_format="pyarrow")
+            .union(labels.map_batches(wl, batch_format="pyarrow"))
+            .sort(key)
+            .map_batches(blk, batch_format="pyarrow", batch_size=None)
+        )
+
+    def _self_labeled(ds):
+        return ds.map_batches(
+            lambda t: pa.table({"node": t["node"], "scc": t["node"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    if nodes is None:
+        nodes = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.unique(
+                        pa.concat_arrays(
+                            [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).groupby("node").aggregate(Min("node", alias_name="__d")).map_batches(
+            lambda t: t.drop_columns("__d"), batch_format="pyarrow"
+        )
+    E = edges.materialize()
+    block_cap = max(8, E.num_blocks())
+    N = _mat(nodes)
+    done: list[ray.data.Dataset] = []
+
+    for _ in range(max_outer):
+        if N.count() == 0:
+            if not done:
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "node": pa.array([], pa.string()),
+                            "scc": pa.array([], pa.string()),
+                        }
+                    )
+                )
+            out = done[0]
+            for d in done[1:]:
+                out = out.union(d)
+            return out
+        # ---- 1. trim fixpoint: a node missing a remaining in-edge or
+        # out-edge is a singleton SCC (peels DAG tails/chains). One sort
+        # exchange per pass computes both degree flags.
+        for _t in range(max_inner):
+            if E.count() == 0:
+                done.append(_self_labeled(N))
+                N = ray.data.from_arrow(
+                    pa.table({"node": pa.array([], pa.string())})
+                ).materialize()
+                break
+
+            def flag_blk(t: pa.Table) -> pa.Table:
+                df = pl.from_arrow(t)
+                return (
+                    df.with_columns(
+                        (
+                            (pl.col("_o").max().over("node") == 1)
+                            & (pl.col("_i").max().over("node") == 1)
+                        )
+                        .cast(pl.Int8)
+                        .alias("alive")
+                    )
+                    .filter(pl.col("_n") == 1)
+                    .select("node", "alive")
+                    .to_arrow()
+                )
+
+            flags = (
+                N.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "node": t["node"],
+                            "_n": _i8(t.num_rows, 1),
+                            "_o": _i8(t.num_rows, 0),
+                            "_i": _i8(t.num_rows, 0),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                .union(
+                    E.map_batches(
+                        lambda t: pa.table(
+                            {
+                                "node": t["src"],
+                                "_n": _i8(t.num_rows, 0),
+                                "_o": _i8(t.num_rows, 1),
+                                "_i": _i8(t.num_rows, 0),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                    )
+                )
+                .union(
+                    E.map_batches(
+                        lambda t: pa.table(
+                            {
+                                "node": t["dst"],
+                                "_n": _i8(t.num_rows, 0),
+                                "_o": _i8(t.num_rows, 0),
+                                "_i": _i8(t.num_rows, 1),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                    )
+                )
+                .sort("node")
+                .map_batches(flag_blk, batch_format="pyarrow", batch_size=None)
+            )
+            flags = _mat(flags)
+            keep = _mat(
+                flags.map_batches(
+                    lambda t: t.filter(pc.equal(t["alive"], 1)).drop_columns("alive"),
+                    batch_format="pyarrow",
+                )
+            )
+            if keep.count() == N.count():
+                break
+            done.append(
+                _self_labeled(
+                    flags.map_batches(
+                        lambda t: t.filter(pc.equal(t["alive"], 0)).drop_columns(
+                            "alive"
+                        ),
+                        batch_format="pyarrow",
+                    )
+                )
+            )
+            N = keep
+            E = _mat(
+                _semi_sort(
+                    _semi_sort(E, ("src", "dst"), N, "node", on="src"),
+                    ("src", "dst"),
+                    N,
+                    "node",
+                    on="dst",
+                )
+            )
+        else:
+            raise RuntimeError(f"SCC trim did not converge in {max_inner} passes")
+        if N.count() == 0:
+            continue
+        # ---- 2. forward MAX-coloring fixpoint: color(v) = max id reaching v
+        labels = _mat(
+            N.map_batches(
+                lambda t: pa.table({"node": t["node"], "label": t["node"]}),
+                batch_format="pyarrow",
+            )
+        )
+        fp = _label_fingerprint(labels)
+        for _c in range(max_inner):
+            msgs = _attach(E, ("src", "dst"), labels, key="src").map_batches(
+                lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+            labels = _mat(
+                labels.union(msgs)
+                .groupby("node")
+                .aggregate(Max("label", alias_name="label"))
+            )
+            fp2 = _label_fingerprint(labels)
+            if fp2 == fp:
+                break
+            fp = fp2
+        else:
+            raise RuntimeError(f"SCC coloring did not converge in {max_inner} rounds")
+        # ---- 3. backward reachability from each color root, restricted to
+        # edges whose endpoints share the color (sufficient: every vertex on
+        # a v->root path inside a color class keeps that class's color)
+        e1 = _attach(E, ("src", "dst"), labels, key="src").map_batches(
+            lambda t: pa.table({"src": t["src"], "dst": t["dst"], "c_src": t["label"]}),
+            batch_format="pyarrow",
+        )
+        ec = _mat(
+            _attach(e1, ("src", "dst", "c_src"), labels, key="dst").map_batches(
+                lambda t: t.filter(pc.equal(t["c_src"], t["label"])).select(
+                    ["src", "dst"]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        reached = _mat(
+            labels.map_batches(
+                lambda t: t.filter(pc.equal(t["node"], t["label"])),
+                batch_format="pyarrow",
+            )
+        )
+        fp = _label_fingerprint(reached)
+        for _b in range(max_inner):
+            msgs = _attach(ec, ("src", "dst"), reached, key="dst").map_batches(
+                lambda t: pa.table(
+                    {"node": t["src"], "label": t["label"]}
+                ).filter(pc.is_valid(t["label"])),
+                batch_format="pyarrow",
+            )
+            reached = _mat(
+                reached.union(msgs)
+                .groupby("node")
+                .aggregate(Max("label", alias_name="label"))
+            )
+            fp2 = _label_fingerprint(reached)
+            if fp2 == fp:
+                break
+            fp = fp2
+        else:
+            raise RuntimeError(
+                f"SCC backward pass did not converge in {max_inner} rounds"
+            )
+        done.append(
+            reached.map_batches(
+                lambda t: pa.table({"node": t["node"], "scc": t["label"]}),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        # ---- 4. drop resolved nodes and their edges; iterate on the rest
+        N = _mat(_semi_sort(N, ("node",), reached, "node", on="node", anti=True))
+        E = _mat(
+            _semi_sort(
+                _semi_sort(E, ("src", "dst"), reached, "node", on="src", anti=True),
+                ("src", "dst"),
+                reached,
+                "node",
+                on="dst",
+                anti=True,
+            )
+        )
+    raise RuntimeError(f"SCC did not resolve every node in {max_outer} outer rounds")
+
+
+def scc_demo_edges(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic DIRECTED edge list for the driver-contract SCC query:
+    every document spawns one directed cycle of length ``3 + doc_id % 5``
+    (nodes ``c<doc8>x<j>``, a genuine multi-node SCC whose max node is
+    ``c<doc8>x<k-1>``) plus a 2-node directed tail hanging off cycle node 0
+    (``t<doc8>x0 -> t<doc8>x1``, singleton SCCs that exercise the trim
+    phase). Mirrored exactly by oracles_td.scc_oracle's transitive-closure
+    definition of SCC."""
+    import polars as pl
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def gen(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = 3 + (d % 5)
+        # ragged per-doc arange 0..k-1 (vectorized, no Python loop)
+        total = int(k.sum())
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(k)[:-1]])
+        j = np.arange(total, dtype=np.int64) - np.repeat(offs, k)
+        doc_rep = np.repeat(d, k)
+        k_rep = np.repeat(k, k)
+        df = pl.DataFrame({"d": doc_rep, "j": j, "jn": (j + 1) % k_rep})
+        d8 = pl.col("d").cast(pl.Utf8).str.zfill(8)
+        cyc = df.select(
+            ("c" + d8 + "x" + pl.col("j").cast(pl.Utf8)).alias("src"),
+            ("c" + d8 + "x" + pl.col("jn").cast(pl.Utf8)).alias("dst"),
+        )
+        td = pl.DataFrame({"d": d})
+        d8t = pl.col("d").cast(pl.Utf8).str.zfill(8)
+        tails = pl.concat(
+            [
+                td.select(
+                    ("c" + d8t + "x0").alias("src"), ("t" + d8t + "x0").alias("dst")
+                ),
+                td.select(
+                    ("t" + d8t + "x0").alias("src"), ("t" + d8t + "x1").alias("dst")
+                ),
+            ]
+        )
+        return pl.concat([cyc, tails]).to_arrow()
+
+    return ds.map_batches(gen, batch_format="pyarrow").repartition(8)

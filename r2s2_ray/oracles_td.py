@@ -1536,3 +1536,37 @@ def cluster_keep_best_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int
                      CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_docs
               FROM asg)
         WHERE rn = 1"""
+
+
+def scc_oracle() -> str:
+    """Oracle for functions.graph.scc_distributed over scc_demo_edges:
+    SCC BY DEFINITION via a recursive transitive closure — scc(v) =
+    greatest(v, max u with v->*u and u->*v) — independent of the engine's
+    trim/color/backward decomposition. Closure size stays small because
+    mutual reachability is cycle-local in the synthetic graph."""
+    return """
+        WITH RECURSIVE base AS (
+          SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS d8,
+                 3 + (doc_id % 5) AS k
+          FROM documents),
+        e0 AS (
+          SELECT 'c' || d8 || 'x' || CAST(j.j AS VARCHAR) AS src,
+                 'c' || d8 || 'x' || CAST((j.j + 1) % k AS VARCHAR) AS dst
+          FROM base CROSS JOIN (SELECT unnest(range(0, 7)) AS j) j
+          WHERE j.j < k
+          UNION ALL
+          SELECT 'c' || d8 || 'x0', 't' || d8 || 'x0' FROM base
+          UNION ALL
+          SELECT 't' || d8 || 'x0', 't' || d8 || 'x1' FROM base),
+        nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        reach AS (
+          SELECT src, dst FROM e0
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN e0 e ON r.dst = e.src),
+        mutual AS (
+          SELECT a.src AS node, a.dst AS m
+          FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src)
+        SELECT n.node AS node,
+               greatest(n.node, coalesce(max(m.m), n.node)) AS scc
+        FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+        GROUP BY n.node"""

@@ -354,3 +354,40 @@ def test_bmp_decoder_rejects_malformed_and_inverts_layout(tmp_path):
     bad_bpp[28] = 8  # bpp field
     with pytest.raises(ValueError, match="bpp=8"):
         bmp_decode_rgb(bytes(bad_bpp))
+
+
+def test_scc_distributed_matches_kosaraju():
+    """Handcrafted digraph covering every phase of the coloring SCC: two
+    multi-node cycles bridged by a one-way edge out of the larger-labeled
+    SCC (a DAG of SCCs, forcing a second outer round), a 2-node tail (trim
+    peeling), and an isolated 2-cycle. Expected labels hand-derived
+    (Kosaraju on paper)."""
+    from r2s2_ray.functions.graph import scc_distributed
+
+    edges = [
+        # cycle A: a0 -> a1 -> a2 -> a0
+        ("a0", "a1"), ("a1", "a2"), ("a2", "a0"),
+        # bridge B -> A (one-way): the a-nodes take color b1 in round 1 but
+        # are NOT backward-reachable from b1, so they resolve only in outer
+        # round 2 — pins the multi-round path
+        ("b1", "a0"),
+        # cycle B: b0 -> b1 -> b0
+        ("b0", "b1"), ("b1", "b0"),
+        # tail off A (singletons, peeled by trim)
+        ("a1", "t0"), ("t0", "t1"),
+        # isolated 2-cycle
+        ("z0", "z1"), ("z1", "z0"),
+    ]
+    expect = {
+        "a0": "a2", "a1": "a2", "a2": "a2",
+        "b0": "b1", "b1": "b1",
+        "t0": "t0", "t1": "t1",
+        "z0": "z1", "z1": "z1",
+    }
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": [e[0] for e in edges], "dst": [e[1] for e in edges]}
+        )
+    )
+    got = {r["node"]: r["scc"] for r in scc_distributed(ds).take_all()}
+    assert got == expect
