@@ -1797,6 +1797,21 @@ def _td_bernoulli_sample(sf_dir: str):
     return bernoulli_sample(docs, "doc_id", rate_num=1, rate_den=8)
 
 
+def _td_cap_per_source(sf_dir: str):
+    """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
+    source ranking first under (affine64(doc_id), doc_id) — deterministic,
+    RNG-free; per-block top-k combiner then ONE sort exchange, so a hot
+    source exchanges at most k rows per input block regardless of its size."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import cap_per_source
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return cap_per_source(docs, "doc_id", "source", k=5)
+
+
 def _txt_bigram_surprisal(sf_dir: str):
     """Bigram LM surprisal (add-1 smoothed, whole-bit integer contract) —
     the sequential-context quality signal; both count-attach paths
@@ -2657,6 +2672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_interleave_plan": _td_interleave_plan,
         "td_weighted_sample": _td_weighted_sample,
         "td_bernoulli_sample": _td_bernoulli_sample,
+        "td_cap_per_source": _td_cap_per_source,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -2878,6 +2894,7 @@ def oracle_sql() -> dict[str, str]:
         "td_interleave_plan": oracles_td.interleave_plan_oracle(),
         "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
         "td_bernoulli_sample": oracles_td.bernoulli_sample_oracle(1, 8),
+        "td_cap_per_source": oracles_td.cap_per_source_oracle(5),
         "dd_cdc_chunks": oracles_td.cdc_chunks_oracle(k=8, mask_bits=6),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),

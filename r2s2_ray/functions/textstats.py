@@ -1734,3 +1734,72 @@ def bernoulli_sample(
         return b.filter(pa.array(h < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def cap_per_source(
+    ds: ray.data.Dataset,
+    id_col: str,
+    source_col: str,
+    *,
+    k: int = 5,
+) -> ray.data.Dataset:
+    """Deterministic per-source document cap — the domain/source capping step
+    of C4/Dolma-style corpus curation (no single domain may contribute more
+    than ``k`` documents): within each source keep the ``k`` rows that rank
+    first under the RNG-free uniform order ``(affine64(id), id)``, and emit
+    ``(id, source, keep_rank)`` with keep_rank 1..k.
+
+    Two-phase, shuffle-light: each input block first reduces to its OWN
+    per-source top-k (a combiner — at most k rows per source leave any
+    block, so exchange traffic is O(k * sources_per_block * blocks), not
+    O(rows)), then one sort exchange on the source co-locates survivors
+    (equal keys never straddle block boundaries after ``Dataset.sort``) and
+    a block-local vectorized rank finalizes. No driver materialization; a
+    hot source costs at most k * nblocks exchanged rows regardless of its
+    row count."""
+    from .hashing import K_A, K_B
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            b[id_col].combine_chunks().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        with np.errstate(over="ignore"):
+            h = ids.astype(np.uint64) * np.uint64(K_A) + np.uint64(K_B)
+        df = pl.DataFrame(
+            {
+                id_col: ids,
+                source_col: pl.Series(b[source_col].to_pylist(), dtype=pl.Utf8),
+                "h": h,
+            }
+        ).sort([source_col, "h", id_col])
+        return (
+            df.with_columns(
+                pl.col(id_col).cum_count().over(source_col).alias("rk")
+            )
+            .filter(pl.col("rk") <= k)
+            .drop("rk")
+            .to_arrow()
+        )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort([source_col, "h", id_col])
+        return (
+            df.with_columns(
+                pl.col(id_col)
+                .cum_count()
+                .over(source_col)
+                .cast(pl.Int64)
+                .alias("keep_rank")
+            )
+            .filter(pl.col("keep_rank") <= k)
+            .select([id_col, source_col, "keep_rank"])
+            .to_arrow()
+        )
+
+    return (
+        ds.select_columns([id_col, source_col])
+        .map_batches(local_topk, batch_format="pyarrow")
+        .sort(source_col)
+        .map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    )

@@ -1570,3 +1570,20 @@ def scc_oracle() -> str:
                greatest(n.node, coalesce(max(m.m), n.node)) AS scc
         FROM nodes n LEFT JOIN mutual m ON m.node = n.node
         GROUP BY n.node"""
+
+
+def cap_per_source_oracle(k: int = 5) -> str:
+    """Oracle for functions.textstats.cap_per_source: per-source row_number
+    under the identical (affine64(doc_id), doc_id) order — same K_A/K_B
+    constants, unsigned 64-bit arithmetic via the HUGEINT helpers."""
+    from .functions.hashing import K_A, K_B
+
+    u = _unsigned("doc_id")
+    h = f"(({_mulmod(u, str(K_A), str(K_A % 2**32))} + {K_B}) % CAST('{U64}' AS HUGEINT))"
+    return f"""
+        WITH h AS (SELECT doc_id, source, {h} AS h FROM documents)
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                    AS BIGINT) AS keep_rank
+        FROM h
+        QUALIFY keep_rank <= {k}"""

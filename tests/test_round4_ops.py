@@ -391,3 +391,29 @@ def test_scc_distributed_matches_kosaraju():
     )
     got = {r["node"]: r["scc"] for r in scc_distributed(ds).take_all()}
     assert got == expect
+
+
+def test_cap_per_source_partitioning_invariant():
+    """The per-block top-k combiner must not change the result: capping a
+    1-block dataset and a 16-block dataset of the same rows yields the same
+    survivors with the same ranks (the combiner only drops rows that can
+    never rank <= k globally)."""
+    from r2s2_ray.functions.textstats import cap_per_source
+
+    n = 400
+    t = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "source": [f"s{i % 7}" for i in range(n)],
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        out = cap_per_source(ds, "doc_id", "source", k=5).to_pandas()
+        return out.sort_values(["source", "keep_rank"]).reset_index(drop=True)
+
+    one, many = run(1), run(16)
+    assert one.equals(many)
+    assert len(one) == 7 * 5
+    assert set(one["keep_rank"]) == {1, 2, 3, 4, 5}
