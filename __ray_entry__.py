@@ -2217,6 +2217,15 @@ def _kg_scc(sf_dir: str):
     return scc_distributed(scc_demo_edges(sf_dir))
 
 
+def _kg_sssp(sf_dir: str):
+    from r2s2_ray.functions.graph import sssp_demo_edges, sssp_distances
+
+    # weighted shortest paths (directed, integer weights): Bellman-Ford with
+    # the improved-only frontier — settled regions stop shuffling; oracle:
+    # recursive-CTE path enumeration + min over the same synthetic DAG
+    return sssp_distances(sssp_demo_edges(sf_dir), ["R"])
+
+
 def _kg_pagerank(sf_dir: str):
     """Integer-exact distributed PageRank over the distinct hasTurn+mentions
     edge set (3 iterations, scale 1e6, d = 85/100): per-iteration rank
@@ -2543,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_kinds": _kg_sparql_kinds,
         "kg_connected_components": _kg_connected_components,
         "kg_scc": _kg_scc,
+        "kg_sssp": _kg_sssp,
         "kg_pagerank": _kg_pagerank,
         "kg_copmi": _kg_copmi,
         "kg_link_predict": _kg_link_predict,
@@ -3003,4 +3013,5 @@ def oracle_sql() -> dict[str, str]:
         "mm_video_frames": oracles_td.video_frames_oracle(),
         "kg_connected_components": oracles_td.connected_components_oracle(),
         "kg_scc": oracles_td.scc_oracle(),
+        "kg_sssp": oracles_td.sssp_oracle(),
     }

@@ -1910,3 +1910,168 @@ def scc_demo_edges(sf_dir: str) -> ray.data.Dataset:
         return pl.concat([cyc, tails]).to_arrow()
 
     return ds.map_batches(gen, batch_format="pyarrow").repartition(8)
+
+
+def sssp_distances(
+    edges: ray.data.Dataset,
+    seeds: list[str],
+    *,
+    max_rounds: int = 24,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Weighted single-source(-set) shortest paths over a DIRECTED edge list
+    (columns ``src``, ``dst``, integer ``w`` >= 0) — distributed Bellman-Ford
+    with the frontier optimization: per round only the nodes whose distance
+    IMPROVED last round re-send ``dist + w`` along their out-edges, so
+    settled regions stop shuffling (the delta-stepping family's
+    message-passing core; the reference has no graph algorithms —
+    this extends :func:`bfs_distances` from hop counts to weights).
+
+    Per round: ONE key-partitioned hash_join ships the frontier to its
+    out-edges, one tag+union+sort(node) exchange folds candidates into the
+    distance table and flags improvements block-locally (equal keys never
+    straddle blocks after ``Dataset.sort``); the table materializes per round
+    (O(1) lineage, pagerank's iteration discipline) and the driver sees only
+    a row count per round. Terminates when no distance improves; RAISES on
+    round exhaustion rather than returning a partial relaxation. Unreached
+    nodes are absent; integer weights keep the min-fold exact."""
+    import polars as pl
+
+    # per-round states re-bin to the edge list's own block count — the sort
+    # and hash_join exchanges otherwise compound the block count round over
+    # round (the lesson scc_distributed pins above)
+    E = edges.materialize()
+    block_cap = max(8, E.num_blocks())
+
+    def _mat(ds) -> ray.data.Dataset:
+        m = ds.materialize()
+        if m.num_blocks() > block_cap:
+            m = m.repartition(block_cap).materialize()
+        return m
+
+    dist = ray.data.from_items(
+        [{"node": s, "dist": 0} for s in seeds]
+    ).materialize()
+    frontier = dist
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            return dist.map_batches(
+                lambda b: pa.table(
+                    {"node": b["node"], "dist": pc.cast(b["dist"], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+
+        from ..relational import hash_join
+
+        cand = hash_join(
+            frontier.map_batches(
+                lambda b: pa.table({"src": b["node"], "d0": b["dist"]}),
+                batch_format="pyarrow",
+            ),
+            E,
+            on="src",
+            right_cols=["dst", "w"],
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"],
+                    "dist": pc.add_checked(
+                        pc.cast(b["d0"], pa.int64()), pc.cast(b["w"], pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def tag(side: int):
+            def fn(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": b["node"],
+                        "dist": pc.cast(b["dist"], pa.int64()),
+                        "_t": pa.array(np.full(b.num_rows, side, np.int8)),
+                    }
+                )
+
+            return fn
+
+        def fold(b: pa.Table) -> pa.Table:
+            df = pl.from_arrow(b)
+            cand_min = pl.col("dist").filter(pl.col("_t") == 1).min()
+            old_min = pl.col("dist").filter(pl.col("_t") == 0).min()
+            return (
+                df.group_by("node")
+                .agg(
+                    pl.col("dist").min().alias("dist"),
+                    # improved: newly reached (no old row) or a strictly
+                    # smaller candidate; an untouched settled node (no
+                    # candidate this round) must NOT re-enter the frontier
+                    pl.when(old_min.is_null())
+                    .then(pl.lit(True))
+                    .otherwise((cand_min < old_min).fill_null(False))
+                    .cast(pl.Int8)
+                    .alias("improved"),
+                )
+                .to_arrow()
+            )
+
+        both = (
+            dist.map_batches(tag(0), batch_format="pyarrow")
+            .union(cand.map_batches(tag(1), batch_format="pyarrow"))
+            .sort("node")
+            .map_batches(fold, batch_format="pyarrow", batch_size=None)
+        )
+        both = _mat(both)
+        dist = _mat(both.map_batches(
+            lambda b: pa.table({"node": b["node"], "dist": b["dist"]}),
+            batch_format="pyarrow",
+        ))
+        frontier = _mat(both.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "dist": b["dist"]}
+            ).filter(pc.equal(b["improved"], 1)),
+            batch_format="pyarrow",
+        ))
+    raise RuntimeError(f"SSSP did not converge in {max_rounds} rounds")
+
+
+def sssp_demo_edges(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted DIRECTED DAG for the driver-contract SSSP
+    query: a global root ``R`` fans out to one 5-node chain per document
+    (``R -> n<doc8>x0 -> ... -> x4``; root-edge weight ``doc %% 13 + 1``,
+    chain weights ``(doc + j) %% 5 + 2``) plus a weight-7 shortcut
+    ``x0 -> x2`` that beats the two-hop chain path for some documents and
+    loses for others — the min-relaxation is exercised both ways. Depth <= 5
+    so Bellman-Ford settles in <= 6 rounds at every scale factor. Mirrored
+    exactly by oracles_td.sssp_oracle (recursive CTE over the same DAG)."""
+    import polars as pl
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def gen(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        base = pl.DataFrame({"d": d})
+        d8 = pl.col("d").cast(pl.Utf8).str.zfill(8)
+        root = base.select(
+            pl.lit("R").alias("src"),
+            ("n" + d8 + "x0").alias("dst"),
+            (pl.col("d") % 13 + 1).alias("w"),
+        )
+        chain_parts = [
+            base.select(
+                ("n" + d8 + f"x{j}").alias("src"),
+                ("n" + d8 + f"x{j + 1}").alias("dst"),
+                ((pl.col("d") + j) % 5 + 2).alias("w"),
+            )
+            for j in range(4)
+        ]
+        short = base.select(
+            ("n" + d8 + "x0").alias("src"),
+            ("n" + d8 + "x2").alias("dst"),
+            pl.lit(7, dtype=pl.Int64).alias("w"),
+        )
+        return pl.concat([root, *chain_parts, short]).to_arrow()
+
+    return ds.map_batches(gen, batch_format="pyarrow").repartition(8)

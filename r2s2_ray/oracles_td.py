@@ -1587,3 +1587,34 @@ def cap_per_source_oracle(k: int = 5) -> str:
                     AS BIGINT) AS keep_rank
         FROM h
         QUALIFY keep_rank <= {k}"""
+
+
+def sssp_oracle() -> str:
+    """Oracle for functions.graph.sssp_distances over sssp_demo_edges: the
+    same DAG built in SQL, then a recursive-CTE walk enumerating every
+    root-to-node path cost (terminates: the graph is acyclic) folded with
+    min() — shortest path by definition, independent of the engine's
+    Bellman-Ford frontier scheme."""
+    return """
+        WITH RECURSIVE base AS (
+          SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS d8,
+                 doc_id AS d
+          FROM documents),
+        e AS (
+          SELECT 'R' AS src, 'n' || d8 || 'x0' AS dst,
+                 CAST(d % 13 + 1 AS BIGINT) AS w
+          FROM base
+          UNION ALL
+          SELECT 'n' || d8 || 'x' || CAST(j.j AS VARCHAR),
+                 'n' || d8 || 'x' || CAST(j.j + 1 AS VARCHAR),
+                 CAST((d + j.j) % 5 + 2 AS BIGINT)
+          FROM base CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+          UNION ALL
+          SELECT 'n' || d8 || 'x0', 'n' || d8 || 'x2', CAST(7 AS BIGINT)
+          FROM base),
+        walk AS (
+          SELECT 'R' AS node, CAST(0 AS BIGINT) AS dist
+          UNION ALL
+          SELECT e.dst, walk.dist + e.w FROM walk JOIN e ON e.src = walk.node)
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node"""

@@ -417,3 +417,29 @@ def test_cap_per_source_partitioning_invariant():
     assert one.equals(many)
     assert len(one) == 7 * 5
     assert set(one["keep_rank"]) == {1, 2, 3, 4, 5}
+
+
+def test_sssp_matches_dijkstra_and_frontier_settles():
+    """Handcrafted weighted digraph where the direct edge loses to a longer
+    cheaper path (relaxation must override) and one node is unreachable
+    (must be absent); multi-seed: dist = min over seeds."""
+    from r2s2_ray.functions.graph import sssp_distances
+
+    edges = [
+        ("R", "a", 1), ("a", "b", 2), ("b", "c", 3),
+        ("R", "c", 9),              # direct, loses to R->a->b->c = 6
+        ("c", "d", 1),
+        ("S", "d", 2),              # second seed shortcuts d
+        ("x", "y", 1),              # unreachable island
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": [e[0] for e in edges],
+                "dst": [e[1] for e in edges],
+                "w": [e[2] for e in edges],
+            }
+        )
+    )
+    got = {r["node"]: r["dist"] for r in sssp_distances(ds, ["R", "S"]).take_all()}
+    assert got == {"R": 0, "S": 0, "a": 1, "b": 3, "c": 6, "d": 2}
