@@ -2687,6 +2687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
         "q_pushdown_lang": relational.q_pushdown_lang,
+        "q_global_rank": relational.q_global_rank,
     }
 
 

@@ -2632,3 +2632,73 @@ def q_pushdown_lang(sf_dir: str):
 ORACLES["q_pushdown_lang"] = (
     "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"
 )
+
+
+def q_global_rank(sf_dir: str, num_buckets: int = 64):
+    """Global order statistics without a global sort bottleneck: every
+    document gets its exact global ``rnk`` (row_number under
+    (n_chars, doc_id)) and ``pct`` (percent_rank) — the calibration step
+    that turns a raw quality score into a corpus percentile at 100 TB.
+
+    Mechanism (the sequence_pack metadata-prefix-sum shape, keyed by VALUE
+    RANGE instead of id range): min/max of the column reach the driver (2
+    ints), rows bucket by value range, pass 1 ships ONE count per bucket to
+    the driver (metadata scale), the driver folds exclusive offsets, pass 2
+    sorts on the bucket key alone and each block ranks its runs locally plus
+    the bucket offset. A pathologically hot VALUE lands in one bucket (ties
+    must co-locate to rank); skew in the value distribution — not in any
+    key — is the only hazard, and the bucket count is a free dial.
+
+    pct = (rnk-1)/(n-1) computed in float64 identically on both sides."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"]).materialize()
+    lo, hi = int(ds.min("n_chars")), int(ds.max("n_chars"))
+    span = max(1, -(-(hi - lo + 1) // num_buckets))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        bk = pc.cast(
+            pc.divide(pc.subtract(b["n_chars"], lo), span), pa.int32()
+        )
+        return b.append_column("bucket", bk)
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow")
+    counts = {
+        r["bucket"]: r["count()"]
+        for r in bucketed.groupby("bucket").aggregate(Count()).take_all()
+    }
+    n = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for bk in range(num_buckets + 1):
+        offsets[bk] = acc
+        acc += int(counts.get(bk, 0))
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["bucket", "n_chars", "doc_id"])
+        off = pl.col("bucket").replace_strict(
+            list(offsets.keys()), list(offsets.values()), return_dtype=pl.Int64
+        )
+        rnk = pl.col("doc_id").cum_count().over("bucket").cast(pl.Int64) + off
+        return (
+            df.with_columns(rnk.alias("rnk"))
+            .select(
+                pl.col("doc_id"),
+                pl.col("n_chars"),
+                pl.col("rnk"),
+                ((pl.col("rnk") - 1) / max(n - 1, 1)).alias("pct"),
+            )
+            .to_arrow()
+        )
+
+    return bucketed.sort("bucket").map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
+ORACLES["q_global_rank"] = """
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+           percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct
+    FROM documents"""

@@ -443,3 +443,28 @@ def test_sssp_matches_dijkstra_and_frontier_settles():
     )
     got = {r["node"]: r["dist"] for r in sssp_distances(ds, ["R", "S"]).take_all()}
     assert got == {"R": 0, "S": 0, "a": 1, "b": 3, "c": 6, "d": 2}
+
+
+def test_global_rank_partitioning_and_tie_colocate():
+    """Global rank must be exact under any partitioning, including when one
+    value dominates (all ties land in one bucket and rank contiguously)."""
+    from r2s2_ray.relational import q_global_rank
+    import pandas as pd
+
+    # write a skewed documents.parquet: 80% of rows share n_chars=42
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    n = 500
+    vals = [42 if i % 5 else 7 + i % 3 for i in range(n)]
+    t = pa.table({"doc_id": list(range(n)), "n_chars": vals})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        out = q_global_rank(d, num_buckets=16).to_pandas()
+    out = out.sort_values("rnk").reset_index(drop=True)
+    want = (
+        out.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == list(want["doc_id"])
+    assert list(out["rnk"]) == list(range(1, n + 1))
+    assert abs(out["pct"].iloc[-1] - 1.0) < 1e-12 and out["pct"].iloc[0] == 0.0
