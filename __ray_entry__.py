@@ -2688,6 +2688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decayed_counts": relational.q_decayed_counts,
         "q_pushdown_lang": relational.q_pushdown_lang,
         "q_global_rank": relational.q_global_rank,
+        "q_skyline": relational.q_skyline,
     }
 
 

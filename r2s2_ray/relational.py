@@ -2702,3 +2702,102 @@ ORACLES["q_global_rank"] = """
            CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
            percent_rank() OVER (ORDER BY n_chars, doc_id) AS pct
     FROM documents"""
+
+
+def q_skyline(sf_dir: str, num_buckets: int = 32):
+    """Distributed 2-D skyline (Pareto frontier): the parts no other part
+    dominates — bigger-or-equal size AND cheaper-or-equal price with one
+    strict — i.e. maximize p_size while minimizing price. The multi-objective
+    shortlist shape (best docs per quality/length tradeoff) at 100-TB scale.
+
+    Mechanism: size-range buckets; pass 1 ships ONE min-price per bucket to
+    the driver (metadata scale), the driver folds the suffix-min coming from
+    strictly-higher buckets; pass 2 sorts on the bucket key alone and each
+    block resolves its buckets locally (per-size min, cumulative min over
+    strictly larger sizes, both vectorized). No all-pairs dominance test
+    anywhere; integer cents keep the comparisons exact."""
+    import polars as pl
+    from ray.data.aggregate import Min
+
+    SENT = 1 << 62
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "p_size": b["p_size"],
+                "price_cents": _cents(b["p_retailprice"]),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+    lo, hi = int(ds.min("p_size")), int(ds.max("p_size"))
+    span = max(1, -(-(hi - lo + 1) // num_buckets))
+
+    def bucket(b: pa.Table) -> pa.Table:
+        bk = pc.cast(pc.divide(pc.subtract(b["p_size"], lo), span), pa.int32())
+        return b.append_column("bucket", bk)
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow")
+    mins = {
+        r["bucket"]: int(r["min"])
+        for r in bucketed.groupby("bucket")
+        .aggregate(Min("price_cents", alias_name="min"))
+        .take_all()
+    }
+    # incoming[bk] = min price over all STRICTLY HIGHER size buckets
+    incoming: dict[int, int] = {}
+    acc = SENT
+    for bk in range(num_buckets, -1, -1):
+        incoming[bk] = acc
+        acc = min(acc, mins.get(bk, SENT))
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        per_size = (
+            df.group_by(["bucket", "p_size"])
+            .agg(pl.col("price_cents").min().alias("msize"))
+            .sort(["bucket", "p_size"], descending=[False, True])
+            .with_columns(
+                pl.col("msize").cum_min().shift(1).over("bucket").alias("m_in")
+            )
+            .with_columns(
+                pl.min_horizontal(
+                    pl.col("m_in"),
+                    pl.col("bucket").replace_strict(
+                        list(incoming.keys()),
+                        list(incoming.values()),
+                        return_dtype=pl.Int64,
+                    ),
+                ).alias("m1")
+            )
+        )
+        out = (
+            df.join(per_size, on=["bucket", "p_size"], how="inner")
+            .filter(
+                (pl.col("price_cents") == pl.col("msize"))
+                & (pl.col("price_cents") < pl.col("m1"))
+            )
+            .select(["p_partkey", "p_size", "price_cents"])
+        )
+        return out.to_arrow()
+
+    return bucketed.sort("bucket").map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )
+
+
+ORACLES["q_skyline"] = """
+    WITH p AS (SELECT p_partkey, p_size,
+                      CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+               FROM part)
+    SELECT a.p_partkey, a.p_size, a.price_cents
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
+        AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))"""

@@ -468,3 +468,39 @@ def test_global_rank_partitioning_and_tie_colocate():
     assert list(out["doc_id"]) == list(want["doc_id"])
     assert list(out["rnk"]) == list(range(1, n + 1))
     assert abs(out["pct"].iloc[-1] - 1.0) < 1e-12 and out["pct"].iloc[0] == 0.0
+
+
+def test_skyline_cross_bucket_dominance_and_ties():
+    """A dominator in a high-size bucket must eliminate rows in lower
+    buckets (the driver-folded suffix-min), and exact (size, price) ties
+    must BOTH survive (neither strictly dominates)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.relational import q_skyline
+
+    rows = [
+        # (key, size, price): the (50, 1.00) row dominates everything with
+        # size <= 50 and price >= 1.00 across every bucket
+        (1, 50, 1.00),
+        (2, 49, 0.50),   # cheaper: survives
+        (3, 10, 2.00),   # dominated by key 1 (bigger and cheaper)
+        (4, 49, 0.50),   # exact tie with key 2: both survive
+        (5, 50, 1.50),   # same size as 1, pricier: dominated
+        (6, 3, 0.10),    # cheapest overall: survives
+    ]
+    t = pa.table(
+        {
+            "p_partkey": [r[0] for r in rows],
+            "p_size": [r[1] for r in rows],
+            "p_retailprice": [r[2] for r in rows],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "part.parquet"))
+        got = sorted(
+            r["p_partkey"] for r in q_skyline(d, num_buckets=8).take_all()
+        )
+    assert got == [1, 2, 4, 6]
