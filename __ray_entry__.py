@@ -2257,6 +2257,54 @@ def _kg_pagerank(sf_dir: str):
     return pagerank(edges, n_iters=3)
 
 
+def _kg_ppr(sf_dir: str):
+    """Personalized (topic-sensitive) PageRank: identical integer recurrence
+    to _kg_pagerank but r0 and the restart term are paid only to the SEED
+    set (conversation nodes) — rank concentrates around conversations and
+    flows to turns/entities. Seeds join the node set via one left hash_join;
+    bit-exact vs the seeded unrolled-CTE oracle."""
+    import polars as pl
+
+    from ray.data.aggregate import Count
+
+    from r2s2_ray.functions.graph import pagerank
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        return (
+            df.filter(pl.col("pred").is_in([vocab.P_HAS_TURN, vocab.P_MENTIONS]))
+            .select(pl.col("subj").alias("src"), pl.col("obj").alias("dst"))
+            .unique()
+            .to_arrow()
+        )
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred"]))
+        return (
+            df.filter(pl.col("pred") == vocab.P_HAS_TURN)
+            .select(pl.col("subj").alias("v"))
+            .unique()
+            .to_arrow()
+        )
+
+    tri = ds.materialize()
+    edges = (
+        tri.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["src", "dst"])
+    )
+    seeds = (
+        tri.map_batches(seed_rows, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["v"])
+    )
+    return pagerank(edges, n_iters=3, seeds=seeds)
+
+
 def _kg_copmi(sf_dir: str):
     """Entity co-mention PMI (whole-bit quantized — the lm_surprisal integer
     log2 contract): turn-keyed pair generation + pair fold + gazetteer-sized
@@ -2554,6 +2602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _kg_scc,
         "kg_sssp": _kg_sssp,
         "kg_pagerank": _kg_pagerank,
+        "kg_ppr": _kg_ppr,
         "kg_copmi": _kg_copmi,
         "kg_link_predict": _kg_link_predict,
         "kg_shacl": _kg_shacl,
@@ -2733,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_seqpath": oracles.sparql_seqpath_oracle(),
         "kg_sparql_mixedpath": oracles.sparql_mixedpath_oracle(),
         "kg_pagerank": oracles.pagerank_oracle(n_iters=3),
+        "kg_ppr": oracles.pagerank_oracle(n_iters=3, personalized=True),
         "kg_copmi": oracles.comention_pmi_oracle(),
         "kg_link_predict": oracles.link_predict_oracle(),
         "kg_shacl": oracles.shacl_oracle(_SHACL_SHAPES),

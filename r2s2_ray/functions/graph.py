@@ -265,10 +265,19 @@ def pagerank(
     d_num: int = 85,
     d_den: int = 100,
     broadcast_max: int = 2_000_000,
+    seeds: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Distributed PageRank in EXACT integer arithmetic (fixed iteration
     count, scaled ranks): deterministic across block orders and engines, so
     the SQL oracle unrolls the identical iterations.
+
+    ``seeds`` (a Dataset with one column ``v``) switches to PERSONALIZED
+    PageRank: ``r_0(v) = scale * 1[seed]`` and the restart term
+    ``(d_den - d_num) * scale // d_den`` is paid only to seed nodes — rank
+    concentrates around the seed set (topic-sensitive PageRank, Haveliwala
+    2002). ``seeds=None`` keeps the classic uniform restart. The seed flag
+    joins the node set via one left hash_join (or a set lookup under the
+    broadcast guard); everything else is the identical recurrence.
 
     Contract: ``r_0(v) = scale``; each iteration a node receives
     ``floor(r(u) / outdeg(u))`` from every in-edge and
@@ -326,7 +335,15 @@ def pagerank(
         # dst-keyed groupby-sum, pull the node-scale sums (guarded) back
         od = {r["v"]: int(r["outdeg"]) for r in outdeg.take_all()}
         node_list = [r["v"] for r in nodes.take_all()]
-        ranks_d = {v: scale for v in node_list}
+        seed_set = (
+            None
+            if seeds is None
+            else {r["v"] for r in seeds.take_all()}
+        )
+        ranks_d = {
+            v: (scale if seed_set is None or v in seed_set else 0)
+            for v in node_list
+        }
         e_small = edges.map_batches(
             lambda b: pa.table({"src": b[src_col], "dst": b[dst_col]}),
             batch_format="pyarrow",
@@ -359,7 +376,9 @@ def pagerank(
                 .take_all()
             }
             ranks_d = {
-                v: base + (d_num * sums.get(v, 0)) // d_den for v in node_list
+                v: (base if seed_set is None or v in seed_set else 0)
+                + (d_num * sums.get(v, 0)) // d_den
+                for v in node_list
             }
         return ray.data.from_arrow(
             pa.table(
@@ -383,9 +402,35 @@ def pagerank(
         right_cols=["outdeg"],
     ).materialize()
 
-    ranks = nodes.map_batches(
+    if seeds is None:
+        nodesf = nodes.map_batches(
+            lambda b: pa.table(
+                {"v": b["v"], "sd": pa.array(np.ones(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        nodesf = hash_join(
+            nodes,
+            seeds.map_batches(
+                lambda b: pa.table(
+                    {"v": b["v"], "sd": pa.array(np.ones(b.num_rows, np.int64))}
+                ),
+                batch_format="pyarrow",
+            ),
+            on="v",
+            right_cols=["sd"],
+            how="left",
+        ).map_batches(
+            lambda b: pa.table(
+                {"v": b["v"], "sd": pc.coalesce(b["sd"], pa.scalar(0, pa.int64()))}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    ranks = nodesf.map_batches(
         lambda b: pa.table(
-            {"v": b["v"], "r": pa.array(np.full(b.num_rows, scale, np.int64))}
+            {"v": b["v"], "r": pc.multiply(b["sd"], pa.scalar(scale, pa.int64()))}
         ),
         batch_format="pyarrow",
     ).materialize()
@@ -411,14 +456,15 @@ def pagerank(
                 batch_format="pyarrow",
             )
         )
-        joined = hash_join(nodes, sums, on="v", right_cols=["c"], how="left")
+        joined = hash_join(nodesf, sums, on="v", right_cols=["c"], how="left")
 
         def rebase(b: pa.Table) -> pa.Table:
             df = pl.from_arrow(b)
             return df.select(
                 pl.col("v"),
                 (
-                    base + (d_num * pl.col("c").fill_null(0)) // d_den
+                    pl.col("sd") * base
+                    + (d_num * pl.col("c").fill_null(0)) // d_den
                 ).cast(pl.Int64).alias("r"),
             ).to_arrow()
 

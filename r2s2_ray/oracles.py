@@ -531,21 +531,41 @@ def sparql_mixedpath_oracle() -> str:
 
 
 def pagerank_oracle(
-    n_iters: int = 3, scale: int = 1_000_000, d_num: int = 85, d_den: int = 100
+    n_iters: int = 3,
+    scale: int = 1_000_000,
+    d_num: int = 85,
+    d_den: int = 100,
+    personalized: bool = False,
 ) -> str:
-    """Relational rendering of ``__ray_entry__._kg_pagerank``: the integer
-    PageRank recurrence unrolled as chained CTEs over the distinct
-    hasTurn+mentions edge set — floor divisions at exactly the two points the
-    Ray operator floors, so the comparison is bit-exact despite iteration."""
+    """Relational rendering of ``__ray_entry__._kg_pagerank`` /
+    ``_kg_ppr``: the integer PageRank recurrence unrolled as chained CTEs
+    over the distinct hasTurn+mentions edge set — floor divisions at exactly
+    the two points the Ray operator floors, so the comparison is bit-exact
+    despite iteration. ``personalized=True`` restricts r0 and the restart
+    term to the seed set (conversation nodes = distinct hasTurn subjects),
+    mirroring pagerank(seeds=...)."""
     t = raw_triples_sql(linked=True)
     base = (d_den - d_num) * scale // d_den
+    seed_flag = (
+        "CASE WHEN v IN (SELECT v FROM seeds) THEN 1 ELSE 0 END"
+        if personalized
+        else "1"
+    )
+    seed_flag_n = (
+        "CASE WHEN n.v IN (SELECT v FROM seeds) THEN 1 ELSE 0 END"
+        if personalized
+        else "1"
+    )
     parts = [
         f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
         f"e AS (SELECT DISTINCT subj AS s, obj AS d FROM t "
         f"WHERE pred IN ({_q(vocab.P_HAS_TURN)}, {_q(vocab.P_MENTIONS)})), "
         f"nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e), "
+        f"seeds AS (SELECT DISTINCT subj AS v FROM t "
+        f"WHERE pred = {_q(vocab.P_HAS_TURN)}), "
         f"od AS (SELECT s, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY s), "
-        f"r0 AS (SELECT v, CAST({scale} AS BIGINT) AS r FROM nodes)"
+        f"r0 AS (SELECT v, CAST({scale} * ({seed_flag}) AS BIGINT) AS r "
+        f"FROM nodes)"
     ]
     for i in range(1, n_iters + 1):
         parts.append(
@@ -553,8 +573,9 @@ def pagerank_oracle(
             f"FROM e JOIN r{i - 1} r ON r.v = e.s JOIN od ON od.s = e.s "
             f"GROUP BY e.d), "
             f"r{i} AS (SELECT n.v, "
-            f"CAST({base} + ({d_num} * COALESCE(c.c, 0)) // {d_den} AS BIGINT) AS r "
-            f"FROM nodes n LEFT JOIN c{i} c USING (v))"
+            f"CAST({base} * ({seed_flag_n}) "
+            f"+ ({d_num} * COALESCE(c.c, 0)) // {d_den} AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{i} c ON c.v = n.v)"
         )
     parts.append(f" SELECT v AS node, r AS rank_scaled FROM r{n_iters}")
     return "".join(parts)

@@ -504,3 +504,27 @@ def test_skyline_cross_bucket_dominance_and_ties():
             r["p_partkey"] for r in q_skyline(d, num_buckets=8).take_all()
         )
     assert got == [1, 2, 4, 6]
+
+
+def test_ppr_broadcast_and_distributed_paths_agree():
+    """Seeded (personalized) PageRank: the broadcast and distributed paths
+    must produce identical integer ranks, and non-seed source-only nodes
+    must hold rank 0 at every iteration (no restart mass)."""
+    from r2s2_ray.functions.graph import pagerank
+
+    edges = [
+        ("s", "a"), ("a", "b"), ("b", "s"), ("x", "a"), ("x", "y"),
+    ]
+    eds = ray.data.from_arrow(
+        pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    )
+    seeds = ray.data.from_arrow(pa.table({"v": ["s"]}))
+    bc = {r["node"]: r["rank_scaled"] for r in pagerank(eds, seeds=seeds).take_all()}
+    dist = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(eds, seeds=seeds, broadcast_max=0).take_all()
+    }
+    assert bc == dist
+    # x has no in-edges and is not a seed: rank stays 0
+    assert bc["x"] == 0
+    assert bc["s"] > 0 and bc["a"] > 0
