@@ -302,6 +302,64 @@ def hash_join(
     )
 
 
+def hash_join_salted(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_cols: list[str],
+    n_salt: int = 8,
+    suffix: str = "",
+    num_buckets: int = 32,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """:func:`hash_join` for HOT-KEY SKEW: a pathologically hot key in plain
+    hash_join lands every one of its rows in ONE bucket (equi-join semantics
+    demand co-location), so one reducer carries a double-digit share of the
+    probe side. The standard fix, packaged: the LEFT (probe/large) side takes
+    a deterministic round-robin salt 0..n_salt-1, the RIGHT (build/smaller)
+    side REPLICATES each row n_salt times — so a hot key's probe rows spread
+    over n_salt buckets at the cost of shipping the build side n_salt times.
+    Composite join key = key + salt (joined via one widened key column);
+    results are identical to the unsalted join for every ``how`` this
+    supports (inner/left — the replicate side must be the non-preserved
+    side). Use when one key carries a double-digit row share and the build
+    side is small enough to ship n_salt x; otherwise plain hash_join wins."""
+
+    def salt_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        s = (np.arange(n, dtype=np.int64) % n_salt).astype(np.int64)
+        k = pc.binary_join_element_wise(
+            pc.cast(b[on], pa.string()),
+            pa.array(s.astype("U"), pa.string()),
+            "\x1f",
+        )
+        return b.append_column("_sk", k)
+
+    def salt_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), n_salt)
+        rep = b.take(pa.array(idx))
+        s = np.tile(np.arange(n_salt, dtype=np.int64), n)
+        k = pc.binary_join_element_wise(
+            pc.cast(rep[on], pa.string()),
+            pa.array(s.astype("U"), pa.string()),
+            "\x1f",
+        )
+        return rep.append_column("_sk", k)
+
+    joined = hash_join(
+        left.map_batches(salt_left, batch_format="pyarrow"),
+        right.map_batches(salt_right, batch_format="pyarrow").drop_columns([on]),
+        on="_sk",
+        right_cols=right_cols,
+        suffix=suffix,
+        num_buckets=num_buckets,
+        how=how,
+    )
+    return joined.drop_columns(["_sk"])
+
+
 def q_hash_join_orders(sf_dir: str, num_buckets: int = 32):
     """orders ⋈ customer as a LARGE x LARGE hash-bucket join (no broadcast):
     every order row annotated with its customer's name and nation key."""
@@ -2801,3 +2859,43 @@ ORACLES["q_skyline"] = """
       SELECT 1 FROM p b
       WHERE b.p_size >= a.p_size AND b.price_cents <= a.price_cents
         AND (b.p_size > a.p_size OR b.price_cents < a.price_cents))"""
+
+
+def q_hash_join_salted(sf_dir: str, num_buckets: int = 32, n_salt: int = 8):
+    """q_hash_join_orders through the SALTED join — identical semantics and
+    oracle, with the hot-key spread active: probe rows take a round-robin
+    salt, the customer build side ships n_salt x. The driver's value-hash
+    comparison against the same SQL proves salting is result-invariant."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": b["o_custkey"],
+                "price_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+
+    def prep_c(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["c_custkey"],
+                "c_name": b["c_name"],
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        )
+
+    return hash_join_salted(
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        cust.map_batches(prep_c, batch_format="pyarrow"),
+        on="o_custkey",
+        right_cols=["c_name", "c_nationkey"],
+        n_salt=n_salt,
+        num_buckets=num_buckets,
+    )
+
+
+ORACLES["q_hash_join_salted"] = ORACLES["q_hash_join_orders"]

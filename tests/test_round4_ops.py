@@ -528,3 +528,42 @@ def test_ppr_broadcast_and_distributed_paths_agree():
     # x has no in-edges and is not a seed: rank stays 0
     assert bc["x"] == 0
     assert bc["s"] > 0 and bc["a"] > 0
+
+
+def test_salted_join_equals_plain_on_hot_key():
+    """One key carrying 60% of the probe side: the salted join must return
+    exactly the plain join's multiset, including left-join NULL preservation
+    for unmatched keys."""
+    import pandas as pd
+
+    from r2s2_ray.relational import hash_join, hash_join_salted
+
+    n = 3000
+    left = pa.table(
+        {
+            "k": [7 if i % 5 < 3 else i % 40 for i in range(n)],
+            "lv": list(range(n)),
+        }
+    )
+    right = pa.table(
+        {"k": list(range(30)), "rv": [f"r{i}" for i in range(30)]}
+    )  # keys 30..39 unmatched on the left-join side
+    lds = ray.data.from_arrow(left).repartition(8)
+    rds = ray.data.from_arrow(right).repartition(4)
+
+    for how in ("inner", "left"):
+        plain = (
+            hash_join(lds, rds, on="k", right_cols=["rv"], how=how)
+            .to_pandas()
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        salted = (
+            hash_join_salted(
+                lds, rds, on="k", right_cols=["rv"], n_salt=4, how=how
+            )
+            .to_pandas()[plain.columns.tolist()]
+            .sort_values(["k", "lv"])
+            .reset_index(drop=True)
+        )
+        assert plain.equals(salted), how
