@@ -2899,3 +2899,70 @@ def q_hash_join_salted(sf_dir: str, num_buckets: int = 32, n_salt: int = 8):
 
 
 ORACLES["q_hash_join_salted"] = ORACLES["q_hash_join_orders"]
+
+
+def q_zorder_cluster(sf_dir: str, bits: int = 16):
+    """Z-order (Morton) clustering keys over events (user_id x value): each
+    dimension quantizes to ``bits`` bits against the corpus min/max (driver
+    traffic: 4 ints — metadata scale), the two are bit-interleaved into one
+    int64 ``zkey``, and sorting/partitioning the table by zkey co-locates
+    2-D range neighborhoods — the layout step behind Delta/Iceberg
+    OPTIMIZE ZORDER, as an oracled operator. The interleave is the classic
+    Part1By1 spread (5 shift-mask steps, vectorized in numpy; the SQL oracle
+    runs the identical steps with BIGINT bit ops, so keys are bit-exact).
+
+    Returns (event_id, zkey); downstream layout = sort by zkey + ranged
+    Parquet writes."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"]).materialize()
+
+    lo_u, hi_u = int(ds.min("user_id")), int(ds.max("user_id"))
+    vmin, vmax = ds.min("value"), ds.max("value")
+    lo_v, hi_v = int(round(vmin * 100)), int(round(vmax * 100))
+    top = (1 << bits) - 1
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        # Part1By1: 16-bit -> even bit positions of a 32-bit lane
+        x = x.astype(np.int64) & 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    def zkeys(b: pa.Table) -> pa.Table:
+        u = np.asarray(b["user_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        v = np.asarray(
+            pc.round(pc.multiply(b["value"], 100.0)).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        qu = (u - lo_u) * top // max(1, hi_u - lo_u)
+        qv = (v - lo_v) * top // max(1, hi_v - lo_v)
+        z = spread(qu) | (spread(qv) << 1)
+        return pa.table(
+            {"event_id": b["event_id"], "zkey": pa.array(z, pa.int64())}
+        )
+
+    return ds.map_batches(zkeys, batch_format="pyarrow")
+
+
+def _sql_spread(x: str) -> str:
+    """The Part1By1 bit spread as SQL over a BIGINT expression — the exact
+    numpy steps in q_zorder_cluster."""
+    s = f"(({x}) & 65535)"
+    for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        s = f"((({s}) | (({s}) << {sh})) & {mask})"
+    return s
+
+
+ORACLES["q_zorder_cluster"] = f"""
+    WITH b AS (SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+                      CAST(round(min(value) * 100) AS BIGINT) AS lo_v,
+                      CAST(round(max(value) * 100) AS BIGINT) AS hi_v
+               FROM events),
+    q AS (SELECT event_id,
+                 (user_id - b.lo_u) * 65535 // greatest(1, b.hi_u - b.lo_u) AS qu,
+                 (CAST(round(value * 100) AS BIGINT) - b.lo_v) * 65535
+                   // greatest(1, b.hi_v - b.lo_v) AS qv
+          FROM events CROSS JOIN b)
+    SELECT event_id,
+           CAST({_sql_spread('qu')} | ({_sql_spread('qv')} << 1) AS BIGINT) AS zkey
+    FROM q"""

@@ -567,3 +567,43 @@ def test_salted_join_equals_plain_on_hot_key():
             .reset_index(drop=True)
         )
         assert plain.equals(salted), how
+
+
+def test_zorder_interleave_matches_hand_computed():
+    """Pin the Morton interleave itself: a 4x4 grid whose quantized coords
+    equal the raw coords must produce the classic z-curve order 0,1,...,15
+    when sorted by zkey (hand-derivable: z = interleave(x, y))."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.relational import q_zorder_cluster
+
+    # user_id = x in 0..3, value = y in 0..3 (cents = y*100); quantization
+    # maps 0..3 onto 0..65535 with steps of 21845 — the LOW bits of the
+    # spread differ but ORDER is preserved, so assert relative z-order
+    rows = [(4 * y + x, x, float(y)) for x in range(4) for y in range(4)]
+    t = pa.table(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = {r["event_id"]: r["zkey"] for r in q_zorder_cluster(d).take_all()}
+
+    def spread16(v):
+        x = v & 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    for (eid, x, yf) in rows:
+        qx = x * 65535 // 3
+        qy = int(yf) * 65535 // 3
+        assert got[eid] == spread16(qx) | (spread16(qy) << 1)
