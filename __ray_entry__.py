@@ -1797,6 +1797,22 @@ def _td_bernoulli_sample(sf_dir: str):
     return bernoulli_sample(docs, "doc_id", rate_num=1, rate_den=8)
 
 
+def _txt_compress_ratio(sf_dir: str):
+    """Compression-ratio quality signal (Gopher/CCNet boilerplate filter):
+    1000*len(zlib(text))//len(text) per document — deterministic integer
+    contract; zlib has no SQL twin, so this is a rows-only entry whose
+    properties (monotone under repetition, byte counts) are pinned in
+    pytest."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import compress_ratio
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return compress_ratio(docs, "doc_id", "text")
+
+
 def _td_cap_per_source(sf_dir: str):
     """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
     source ranking first under (affine64(doc_id), doc_id) — deterministic,
@@ -2734,6 +2750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_weighted_sample": _td_weighted_sample,
         "td_bernoulli_sample": _td_bernoulli_sample,
         "td_cap_per_source": _td_cap_per_source,
+        "txt_compress_ratio": _txt_compress_ratio,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,

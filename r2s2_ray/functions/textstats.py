@@ -1803,3 +1803,46 @@ def cap_per_source(
         .sort(source_col)
         .map_batches(finalize, batch_format="pyarrow", batch_size=None)
     )
+
+
+def compress_ratio(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    level: int = 6,
+) -> ray.data.Dataset:
+    """Compression-ratio quality signal (the Gopher/CCNet duplication-and-
+    boilerplate filter): ``ratio_x1000 = 1000 * len(zlib(text)) //
+    len(utf8(text))`` — repetitive/templated documents compress far below
+    natural prose, so a low ratio flags boilerplate and a very high one
+    flags noise. zlib level is pinned and zlib output is deterministic for
+    a given (input, level), so the integer contract is stable across runs
+    and machines; NOT SQL-expressible (no DEFLATE in DuckDB) — rows-only
+    driver entry, properties pinned in pytest.
+
+    The per-row zlib.compress call is C-dominated (the Python loop is
+    dispatch only); emitted columns stay integer-exact."""
+    import zlib
+
+    def block(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        n_raw = np.empty(len(texts), np.int64)
+        n_z = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            raw = (t or "").encode("utf-8")
+            n_raw[i] = len(raw)
+            n_z[i] = len(zlib.compress(raw, level))
+        ratio = np.where(n_raw > 0, 1000 * n_z // np.maximum(n_raw, 1), 0)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_bytes": pa.array(n_raw, pa.int64()),
+                "n_zbytes": pa.array(n_z, pa.int64()),
+                "ratio_x1000": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow"
+    )

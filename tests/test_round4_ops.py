@@ -607,3 +607,25 @@ def test_zorder_interleave_matches_hand_computed():
         qx = x * 65535 // 3
         qy = int(yf) * 65535 // 3
         assert got[eid] == spread16(qx) | (spread16(qy) << 1)
+
+
+def test_compress_ratio_flags_repetition():
+    """Integer contract + the property the filter exists for: a highly
+    repetitive document must compress far below unique prose, and byte
+    counts must be exact."""
+    from r2s2_ray.functions.textstats import compress_ratio
+
+    boiler = "click here to subscribe " * 50
+    prose = " ".join(f"w{i}token{i * 7 % 13}" for i in range(200))
+    t = pa.table({"doc_id": [1, 2, 3], "text": [boiler, prose, ""]})
+    rows = {
+        r["doc_id"]: r
+        for r in compress_ratio(ray.data.from_arrow(t), "doc_id", "text").take_all()
+    }
+    assert rows[1]["n_bytes"] == len(boiler.encode())
+    assert rows[1]["ratio_x1000"] < rows[2]["ratio_x1000"] / 3
+    assert rows[3]["n_bytes"] == 0 and rows[3]["ratio_x1000"] == 0
+    # determinism: zlib at a pinned level
+    import zlib
+
+    assert rows[2]["n_zbytes"] == len(zlib.compress(prose.encode(), 6))
