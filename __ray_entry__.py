@@ -1813,6 +1813,21 @@ def _txt_compress_ratio(sf_dir: str):
     return compress_ratio(docs, "doc_id", "text")
 
 
+def _sim_jl_project(sf_dir: str):
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 16 dims: integer-
+    exact (floor-quantized coords x +-1 planes, int64 sums) so the oracle is
+    bit-exact with no float-accumulation drift."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import jl_project
+
+    return jl_project(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+    )
+
+
 def _td_cap_per_source(sf_dir: str):
     """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
     source ranking first under (affine64(doc_id), doc_id) — deterministic,
@@ -2751,6 +2766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_bernoulli_sample": _td_bernoulli_sample,
         "td_cap_per_source": _td_cap_per_source,
         "txt_compress_ratio": _txt_compress_ratio,
+        "sim_jl_project": _sim_jl_project,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -2976,6 +2992,7 @@ def oracle_sql() -> dict[str, str]:
         "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
         "td_bernoulli_sample": oracles_td.bernoulli_sample_oracle(1, 8),
         "td_cap_per_source": oracles_td.cap_per_source_oracle(5),
+        "sim_jl_project": oracles_td.jl_project_oracle(),
         "dd_cdc_chunks": oracles_td.cdc_chunks_oracle(k=8, mask_bits=6),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),

@@ -673,3 +673,57 @@ def range_search(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def jl_project(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    out_dims: int = 16,
+    quant: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Johnson-Lindenstrauss dimensionality reduction with the Rademacher
+    (+-1) construction (Achlioptas 2003): project each embedding onto
+    ``out_dims`` deterministic sign planes — the cheap dense projection that
+    preserves pairwise distances within (1 +- eps) and shrinks the ANN
+    working set. INTEGER-EXACT contract: coordinates quantize by
+    ``floor(x * quant)`` (float64 ops identical in numpy and SQL) and the
+    projection is an int64 matvec against the SQL-expressible plane matrix
+    (hashing.plane_matrix table 0), so sums are order-independent and the
+    oracle is bit-exact — no float-accumulation drift anywhere.
+
+    Embarrassingly parallel: one vectorized int matmul per batch, planes
+    built once per actor in the closure. Returns long-format
+    (id, dim, proj)."""
+    from .hashing import plane_matrix
+
+    planes: dict[int, np.ndarray] = {}
+
+    def block(b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        if not len(ids):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "proj": pa.array([], pa.int64()),
+                }
+            )
+        if 0 not in planes:
+            planes[0] = plane_matrix(0, out_dims, vecs.shape[1]).astype(np.int64)
+        q = np.floor(vecs * quant).astype(np.int64)
+        proj = q @ planes[0]  # exact int64 matmul, any summation order
+        n = len(ids)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, out_dims), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(out_dims, dtype=np.int64), n)),
+                "proj": pa.array(proj.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        block, batch_format="pyarrow"
+    )

@@ -1618,3 +1618,17 @@ def sssp_oracle() -> str:
           SELECT e.dst, walk.dist + e.w FROM walk JOIN e ON e.src = walk.node)
         SELECT node, CAST(min(dist) AS BIGINT) AS dist
         FROM walk GROUP BY node"""
+
+
+def jl_project_oracle(out_dims: int = 16, quant: int = 1_000_000, dim: int = 64) -> str:
+    """Oracle for functions.similarity.jl_project: the identical Rademacher
+    planes (table 0) against floor-quantized coordinates, summed as BIGINTs —
+    order-independent, bit-exact."""
+    return f"""
+        WITH {_planes_cte(1, out_dims, dim)}
+        SELECT e.vec_id, CAST(pl.p AS BIGINT) AS dim,
+               CAST(sum(CAST(pl.s AS BIGINT)
+                        * CAST(floor(CAST(e.embedding[pl.d + 1] AS DOUBLE)
+                                     * {quant}) AS BIGINT)) AS BIGINT) AS proj
+        FROM embeddings e JOIN planes pl ON pl.t = 0 AND pl.d < len(e.embedding)
+        GROUP BY e.vec_id, pl.p"""

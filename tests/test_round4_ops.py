@@ -629,3 +629,30 @@ def test_compress_ratio_flags_repetition():
     import zlib
 
     assert rows[2]["n_zbytes"] == len(zlib.compress(prose.encode(), 6))
+
+
+def test_jl_projection_preserves_relative_distance():
+    """The JL property the op exists for: after 64->16 Rademacher
+    projection, a pair of near-identical vectors stays far closer than an
+    orthogonal-ish pair (quantized-integer distances, scale-free check)."""
+    from r2s2_ray.functions.similarity import jl_project
+
+    rng_free = np.zeros((3, 64), dtype=np.float64)
+    rng_free[0, :] = np.sin(np.arange(64) * 0.37)
+    rng_free[1, :] = rng_free[0, :] + 0.01  # near-dup of 0
+    rng_free[2, ::2] = np.cos(np.arange(32) * 1.13)  # unrelated
+    t = pa.table(
+        {
+            "vec_id": [0, 1, 2],
+            "embedding": [list(map(float, v)) for v in rng_free],
+        }
+    )
+    out = jl_project(ray.data.from_arrow(t)).to_pandas()
+    mat = (
+        out.pivot(index="vec_id", columns="dim", values="proj")
+        .to_numpy()
+        .astype(np.float64)
+    )
+    d01 = np.linalg.norm(mat[0] - mat[1])
+    d02 = np.linalg.norm(mat[0] - mat[2])
+    assert d01 * 5 < d02
