@@ -1828,6 +1828,55 @@ def _sim_jl_project(sf_dir: str):
     )
 
 
+def _io_schema_evolution(sf_dir: str):
+    """Schema-evolution read (union-by-name): documents split into two
+    parquet files with DIFFERENT schemas — evens carry (doc_id, text, lang),
+    odds carry (doc_id, lang, source, n_chars) — then read back through
+    read_parquet_unified, which probes footers only (metadata scale) and
+    pads typed nulls. The oracle rebuilds the same null pattern from
+    documents, so the hash match proves column alignment and null padding."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import read_parquet_unified
+
+    out = tempfile.mkdtemp(prefix="schema_evo_")
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def evens(b: pa.Table) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)
+        return b.filter(m).select(["doc_id", "text", "lang"])
+
+    def odds(b: pa.Table) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)
+        t = b.filter(m)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": t["source"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    docs.map_batches(evens, batch_format="pyarrow").repartition(1).write_parquet(
+        f"{out}/v1"
+    )
+    docs.map_batches(odds, batch_format="pyarrow").repartition(1).write_parquet(
+        f"{out}/v2"
+    )
+    import os
+
+    paths = [
+        os.path.join(d, f)
+        for d in (f"{out}/v1", f"{out}/v2")
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return read_parquet_unified(paths)
+
+
 def _td_cap_per_source(sf_dir: str):
     """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
     source ranking first under (affine64(doc_id), doc_id) — deterministic,
@@ -2767,6 +2816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_cap_per_source": _td_cap_per_source,
         "txt_compress_ratio": _txt_compress_ratio,
         "sim_jl_project": _sim_jl_project,
+        "io_schema_evolution": _io_schema_evolution,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -2993,6 +3043,13 @@ def oracle_sql() -> dict[str, str]:
         "td_bernoulli_sample": oracles_td.bernoulli_sample_oracle(1, 8),
         "td_cap_per_source": oracles_td.cap_per_source_oracle(5),
         "sim_jl_project": oracles_td.jl_project_oracle(),
+        "io_schema_evolution": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN text END AS text,
+                   lang,
+                   CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+                   CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+            FROM documents""",
         "dd_cdc_chunks": oracles_td.cdc_chunks_oracle(k=8, mask_bits=6),
         "sim_pq_codes": oracles_td.pq_codes_oracle(m=8, dim=64, k=8, n_iters=2),
         "sim_ann_pq": oracles_td.pq_adc_oracle(m=8, dim=64, k_codes=8, n_iters=2, nq=8, k=5),

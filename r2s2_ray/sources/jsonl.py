@@ -16,6 +16,7 @@ materialization) and pyarrow's JSON reader parses each shard vectorized;
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 
 
@@ -319,3 +320,50 @@ def read_jsonl_gz(out_dir: str) -> ray.data.Dataset:
     return ray.data.from_items([{"path": p} for p in files]).map_batches(
         rd, batch_format="pyarrow", batch_size=1
     )
+
+
+def read_parquet_unified(paths: list[str]) -> ray.data.Dataset:
+    """Schema-evolution-tolerant Parquet read: files written across pipeline
+    versions drift (columns added, dropped, reordered); a plain multi-file
+    read_parquet requires one schema. This reader probes each file's FOOTER
+    (metadata-scale driver work — a few KB per file, no data bytes), takes
+    the UNION of the schemas in first-seen column order with per-column type
+    agreement enforced loudly, then reads every file normally and pads the
+    missing columns with typed nulls in a vectorized map — the
+    union-by-name contract (DuckDB's read_parquet(union_by_name=true),
+    Iceberg/Delta schema evolution) as a Ray Data source. Each file keeps
+    its own parallel read; the pad is O(1) per batch."""
+    import pyarrow.parquet as pq
+
+    cols: dict[str, pa.DataType] = {}
+    file_schemas: list[pa.Schema] = []
+    for p in paths:
+        s = pq.read_schema(p)
+        file_schemas.append(s)
+        for f in s:
+            if f.name in cols:
+                if cols[f.name] != f.type:
+                    raise ValueError(
+                        f"schema evolution type conflict on {f.name!r}: "
+                        f"{cols[f.name]} vs {f.type} ({p})"
+                    )
+            else:
+                cols[f.name] = f.type
+
+    def pad_to_union(b: pa.Table) -> pa.Table:
+        out = {}
+        for name, typ in cols.items():
+            if name in b.column_names:
+                out[name] = b[name]
+            else:
+                out[name] = pa.nulls(b.num_rows, typ)
+        return pa.table(out)
+
+    parts = [
+        ray.data.read_parquet(p).map_batches(pad_to_union, batch_format="pyarrow")
+        for p in paths
+    ]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds

@@ -656,3 +656,28 @@ def test_jl_projection_preserves_relative_distance():
     d01 = np.linalg.norm(mat[0] - mat[1])
     d02 = np.linalg.norm(mat[0] - mat[2])
     assert d01 * 5 < d02
+
+
+def test_read_parquet_unified_pads_and_rejects_conflicts(tmp_path):
+    """Union-by-name: missing columns pad as typed nulls in first-seen
+    order; a TYPE conflict on a shared column must raise, not coerce."""
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.sources.jsonl import read_parquet_unified
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    pq.write_table(pa.table({"id": [1, 2], "x": ["p", "q"]}), a)
+    pq.write_table(pa.table({"id": [3], "y": [9.5]}), b)
+    out = read_parquet_unified([str(a), str(b)]).to_pandas()
+    assert list(out.columns) == ["id", "x", "y"]
+    assert sorted(out["id"]) == [1, 2, 3]
+    assert out.loc[out["id"] == 3, "x"].isna().all()
+    assert out.loc[out["id"] == 1, "y"].isna().all()
+
+    c = tmp_path / "c.parquet"
+    pq.write_table(pa.table({"id": ["not-an-int"]}), c)
+    import pytest
+
+    with pytest.raises(ValueError, match="type conflict"):
+        read_parquet_unified([str(a), str(c)])
