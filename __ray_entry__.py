@@ -1877,6 +1877,24 @@ def _io_schema_evolution(sf_dir: str):
     return read_parquet_unified(paths)
 
 
+def _dd_edit_neardup(sf_dir: str):
+    """Levenshtein verification of MinHash-LSH candidates (fuzzy-dedup final
+    gate): banded LSH recall, texts attached to the candidate-scale pair
+    list via two hash_joins, row-vectorized DP per pair — oracle = identical
+    band keys + DuckDB levenshtein()."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import edit_neardup_pairs
+
+    return edit_neardup_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 def _td_cap_per_source(sf_dir: str):
     """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
     source ranking first under (affine64(doc_id), doc_id) — deterministic,
@@ -2817,6 +2835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "txt_compress_ratio": _txt_compress_ratio,
         "sim_jl_project": _sim_jl_project,
         "io_schema_evolution": _io_schema_evolution,
+        "dd_edit_neardup": _dd_edit_neardup,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -3042,6 +3061,7 @@ def oracle_sql() -> dict[str, str]:
         "td_weighted_sample": oracles_td.weighted_sample_oracle(k=100),
         "td_bernoulli_sample": oracles_td.bernoulli_sample_oracle(1, 8),
         "td_cap_per_source": oracles_td.cap_per_source_oracle(5),
+        "dd_edit_neardup": oracles_td.edit_neardup_oracle(),
         "sim_jl_project": oracles_td.jl_project_oracle(),
         "io_schema_evolution": """
             SELECT doc_id,

@@ -1556,3 +1556,95 @@ def cdc_chunks(
         return out.to_arrow()
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _levenshtein_row_dp(s: str, t: str) -> int:
+    """Unit-cost Levenshtein distance, one numpy-vectorized DP row per byte
+    of ``s`` (the sequential insert dependency closes via the classic
+    ``cummin(cur - j) + j`` running-min trick, so no per-cell Python).
+    UTF-8 BYTE-based — DuckDB's levenshtein() counts byte edits (a non-ASCII
+    substitution costs its byte width), and the oracle contract follows it."""
+    if s == t:
+        return 0
+    sb, tb = s.encode("utf-8"), t.encode("utf-8")
+    n, m = len(sb), len(tb)
+    if n == 0 or m == 0:
+        return n or m
+    ta = np.frombuffer(tb, dtype=np.uint8).astype(np.int64)
+    ar = np.arange(m + 1, dtype=np.int64)
+    prev = ar.copy()
+    for ch in sb:
+        sub = prev[:-1] + (ta != ch)
+        dele = prev[1:] + 1
+        cur = np.empty(m + 1, np.int64)
+        cur[0] = prev[0] + 1
+        cur[1:] = np.minimum(sub, dele)
+        cur = np.minimum.accumulate(cur - ar) + ar  # close insertions
+        prev = cur
+    return int(prev[-1])
+
+
+def edit_neardup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Edit-distance verification of MinHash-LSH candidates — the fuzzy-dedup
+    final gate (token-set signatures recall candidates; CHARACTER-level
+    Levenshtein scores how editable one doc is into the other, catching
+    near-dups that token sets over- or under-state). Candidate generation is
+    the banded LSH (sub-quadratic); texts attach to the candidate-scale pair
+    list via two key-partitioned hash_joins (never pair x corpus); the DP is
+    row-vectorized numpy per pair, O(|a|·|b|) only on candidates, UTF-8
+    byte-level to match DuckDB. Output (a, b, edit_dist), a < b — the SQL
+    oracle recomputes the identical band keys and DuckDB's levenshtein()."""
+    from ..relational import hash_join
+
+    pairs = minhash_lsh_pairs(
+        ds, id_col, text_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    ).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "edit_dist": pa.array([], pa.int64()),
+                }
+            )
+        )
+    docs = ds.select_columns([id_col, text_col])
+    p_a = docs.map_batches(
+        lambda b: pa.table({"a": b[id_col], "ta": b[text_col]}),
+        batch_format="pyarrow",
+    )
+    p_b = docs.map_batches(
+        lambda b: pa.table({"b": b[id_col], "tb": b[text_col]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        hash_join(pairs, p_a, on="a", right_cols=["ta"], num_buckets=num_buckets),
+        p_b,
+        on="b",
+        right_cols=["tb"],
+        num_buckets=num_buckets,
+    )
+
+    def lev_block(b: pa.Table) -> pa.Table:
+        ta = b["ta"].to_pylist()
+        tb = b["tb"].to_pylist()
+        d = np.fromiter(
+            (_levenshtein_row_dp(x or "", y or "") for x, y in zip(ta, tb)),
+            np.int64,
+            count=len(ta),
+        )
+        return pa.table(
+            {"a": b["a"], "b": b["b"], "edit_dist": pa.array(d, pa.int64())}
+        )
+
+    return j.map_batches(lev_block, batch_format="pyarrow")

@@ -1632,3 +1632,20 @@ def jl_project_oracle(out_dims: int = 16, quant: int = 1_000_000, dim: int = 64)
                                      * {quant}) AS BIGINT)) AS BIGINT) AS proj
         FROM embeddings e JOIN planes pl ON pl.t = 0 AND pl.d < len(e.embedding)
         GROUP BY e.vec_id, pl.p"""
+
+
+def edit_neardup_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3) -> str:
+    """Oracle for functions.dedup.edit_neardup_pairs: the identical MinHash
+    band keys (same CTEs as minhash_pairs_oracle) + DuckDB's character-level
+    levenshtein() on the candidate pairs."""
+    return f"""
+        WITH {_minhash_ctes(num_perm, bands, shingle_k)},
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bandkeys x JOIN bandkeys y
+            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+        SELECT p.a, p.b,
+               CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.a
+        JOIN documents db ON db.doc_id = p.b"""

@@ -681,3 +681,24 @@ def test_read_parquet_unified_pads_and_rejects_conflicts(tmp_path):
 
     with pytest.raises(ValueError, match="type conflict"):
         read_parquet_unified([str(a), str(c)])
+
+
+def test_levenshtein_dp_matches_duckdb():
+    """Fuzz the row-vectorized DP against DuckDB's levenshtein (unit costs,
+    character level), including empty and unicode inputs."""
+    import duckdb
+
+    from r2s2_ray.functions.dedup import _levenshtein_row_dp as lev
+
+    import random
+
+    rng = random.Random(11)
+    cases = [("", ""), ("", "abc"), ("héllo wörld", "hello world")]
+    for _ in range(150):
+        a = "".join(rng.choice("abxy ") for _ in range(rng.randint(0, 25)))
+        b = "".join(rng.choice("abxy ") for _ in range(rng.randint(0, 25)))
+        cases.append((a, b))
+    con = duckdb.connect()
+    for a, b in cases:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert lev(a, b) == want, (a, b)
