@@ -2324,6 +2324,16 @@ def _kg_sssp(sf_dir: str):
     return sssp_distances(sssp_demo_edges(sf_dir), ["R"])
 
 
+def _kg_topo_layers(sf_dir: str):
+    """DAG layer assignment (topological levels = longest hop path from the
+    in-degree-0 roots) over the synthetic SSSP DAG: sssp with unit negative
+    weights from the distributed root set; oracle = recursive-CTE walk from
+    roots + max(layer)."""
+    from r2s2_ray.functions.graph import sssp_demo_edges, topo_layers
+
+    return topo_layers(sssp_demo_edges(sf_dir))
+
+
 def _kg_pagerank(sf_dir: str):
     """Integer-exact distributed PageRank over the distinct hasTurn+mentions
     edge set (3 iterations, scale 1e6, d = 85/100): per-iteration rank
@@ -2699,6 +2709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_connected_components": _kg_connected_components,
         "kg_scc": _kg_scc,
         "kg_sssp": _kg_sssp,
+        "kg_topo_layers": _kg_topo_layers,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
         "kg_copmi": _kg_copmi,
@@ -3179,4 +3190,5 @@ def oracle_sql() -> dict[str, str]:
         "kg_connected_components": oracles_td.connected_components_oracle(),
         "kg_scc": oracles_td.scc_oracle(),
         "kg_sssp": oracles_td.sssp_oracle(),
+        "kg_topo_layers": oracles_td.topo_layers_oracle(),
     }

@@ -1960,7 +1960,7 @@ def scc_demo_edges(sf_dir: str) -> ray.data.Dataset:
 
 def sssp_distances(
     edges: ray.data.Dataset,
-    seeds: list[str],
+    seeds: list[str] | ray.data.Dataset,
     *,
     max_rounds: int = 24,
     num_buckets: int = 32,
@@ -1980,7 +1980,11 @@ def sssp_distances(
     (O(1) lineage, pagerank's iteration discipline) and the driver sees only
     a row count per round. Terminates when no distance improves; RAISES on
     round exhaustion rather than returning a partial relaxation. Unreached
-    nodes are absent; integer weights keep the min-fold exact."""
+    nodes are absent; integer weights keep the min-fold exact. ``seeds``
+    may be a list or a Dataset with column ``node`` (kept distributed —
+    large seed sets never reach the driver). Negative weights are legal on
+    a DAG (rounds bounded by depth): ``topo_layers`` runs this with w = -1
+    to get longest-path layers."""
     import polars as pl
 
     # per-round states re-bin to the edge list's own block count — the sort
@@ -1995,9 +1999,23 @@ def sssp_distances(
             m = m.repartition(block_cap).materialize()
         return m
 
-    dist = ray.data.from_items(
-        [{"node": s, "dist": 0} for s in seeds]
-    ).materialize()
+    if isinstance(seeds, ray.data.Dataset):
+        # seed Dataset (column "node"): stays distributed — no driver list
+        dist = _mat(
+            seeds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "dist": pa.array(np.zeros(b.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    else:
+        dist = ray.data.from_items(
+            [{"node": s, "dist": 0} for s in seeds]
+        ).materialize()
     frontier = dist
     for _ in range(max_rounds):
         if frontier.count() == 0:
@@ -2121,3 +2139,78 @@ def sssp_demo_edges(sf_dir: str) -> ray.data.Dataset:
         return pl.concat([root, *chain_parts, short]).to_arrow()
 
     return ds.map_batches(gen, batch_format="pyarrow").repartition(8)
+
+
+def topo_layers(
+    edges: ray.data.Dataset,
+    *,
+    max_rounds: int = 24,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """DAG layer assignment (topological levels): ``layer(v)`` = the LONGEST
+    hop distance from any root (in-degree-0 node) — the stage schedule of a
+    dependency DAG (every node's inputs live in strictly earlier layers, so
+    layer k can execute as one parallel wave after k-1). Implemented as
+    :func:`sssp_distances` over unit NEGATIVE weights (longest path = shortest
+    negated path; legal on a DAG, rounds bounded by depth) from the
+    distributed root set (distinct src anti-joined against distinct dst —
+    roots never reach the driver). Raises via sssp on round exhaustion,
+    which on a cyclic input manifests as non-convergence rather than a wrong
+    answer. Returns (node, layer); unreachable-from-roots nodes (cycle
+    members) are absent."""
+    from ray.data.aggregate import Min as _Min
+
+    from ..relational import hash_join
+
+    def side(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            arr = (
+                b[col].combine_chunks()
+                if isinstance(b[col], pa.ChunkedArray)
+                else b[col]
+            )
+            return pa.table({"node": pc.unique(arr)})
+
+        return fn
+
+    srcs = (
+        edges.map_batches(side("src"), batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(_Min("node", alias_name="_d"))
+        .select_columns(["node"])
+    )
+    def dst_side(b: pa.Table) -> pa.Table:
+        arr = (
+            b["dst"].combine_chunks()
+            if isinstance(b["dst"], pa.ChunkedArray)
+            else b["dst"]
+        )
+        u = pc.unique(arr)  # block-level dedup keeps the join input lean
+        return pa.table({"node": u, "f": pa.array(np.ones(len(u), np.int64))})
+
+    dsts = edges.map_batches(dst_side, batch_format="pyarrow")
+    roots = hash_join(
+        srcs, dsts, on="node", right_cols=["f"], how="left", num_buckets=num_buckets
+    ).map_batches(
+        lambda b: b.filter(pc.is_null(b["f"])).select(["node"]),
+        batch_format="pyarrow",
+    )
+    neg = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b["src"],
+                "dst": b["dst"],
+                "w": pa.array(np.full(b.num_rows, -1, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dist = sssp_distances(
+        neg, roots, max_rounds=max_rounds, num_buckets=num_buckets
+    )
+    return dist.map_batches(
+        lambda b: pa.table(
+            {"node": b["node"], "layer": pc.negate_checked(b["dist"])}
+        ),
+        batch_format="pyarrow",
+    )

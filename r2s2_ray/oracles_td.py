@@ -1649,3 +1649,30 @@ def edit_neardup_oracle(num_perm: int = 64, bands: int = 16, shingle_k: int = 3)
         FROM pairs p
         JOIN documents da ON da.doc_id = p.a
         JOIN documents db ON db.doc_id = p.b"""
+
+
+def topo_layers_oracle() -> str:
+    """Oracle for functions.graph.topo_layers over sssp_demo_edges: the same
+    DAG in SQL, roots = srcs EXCEPT dsts, recursive walk, layer = max path
+    length — longest path by definition."""
+    return """
+        WITH RECURSIVE base AS (
+          SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS d8,
+                 doc_id AS d
+          FROM documents),
+        e AS (
+          SELECT 'R' AS src, 'n' || d8 || 'x0' AS dst FROM base
+          UNION ALL
+          SELECT 'n' || d8 || 'x' || CAST(j.j AS VARCHAR),
+                 'n' || d8 || 'x' || CAST(j.j + 1 AS VARCHAR)
+          FROM base CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+          UNION ALL
+          SELECT 'n' || d8 || 'x0', 'n' || d8 || 'x2' FROM base),
+        roots AS (SELECT DISTINCT src AS node FROM e
+                  WHERE src NOT IN (SELECT dst FROM e)),
+        walk AS (
+          SELECT node, CAST(0 AS BIGINT) AS layer FROM roots
+          UNION ALL
+          SELECT e.dst, walk.layer + 1 FROM walk JOIN e ON e.src = walk.node)
+        SELECT node, CAST(max(layer) AS BIGINT) AS layer
+        FROM walk GROUP BY node"""

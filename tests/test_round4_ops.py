@@ -702,3 +702,31 @@ def test_levenshtein_dp_matches_duckdb():
     for a, b in cases:
         want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert lev(a, b) == want, (a, b)
+
+
+def test_topo_layers_longest_path_and_cycle_raises():
+    """Layers are LONGEST paths (diamond: the long arm wins) with multiple
+    roots; a cycle must raise (non-convergence), never return a layering."""
+    import pytest
+
+    from r2s2_ray.functions.graph import topo_layers
+
+    # two roots r1, r2; diamond a->(b|c)->d with the c-arm longer
+    edges = [
+        ("r1", "a"), ("r2", "a"),
+        ("a", "b"), ("b", "d"),
+        ("a", "c1"), ("c1", "c2"), ("c2", "d"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"src": [e[0] for e in edges], "dst": [e[1] for e in edges]})
+    )
+    got = {r["node"]: r["layer"] for r in topo_layers(ds).take_all()}
+    assert got == {
+        "r1": 0, "r2": 0, "a": 1, "b": 2, "c1": 2, "c2": 3, "d": 4,
+    }
+
+    cyc = ray.data.from_arrow(
+        pa.table({"src": ["r", "x", "y"], "dst": ["x", "y", "x"]})
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        topo_layers(cyc, max_rounds=6).take_all()
