@@ -2966,3 +2966,37 @@ ORACLES["q_zorder_cluster"] = f"""
     SELECT event_id,
            CAST({_sql_spread('qu')} | ({_sql_spread('qv')} << 1) AS BIGINT) AS zkey
     FROM q"""
+
+
+def q_meta_count(sf_dir: str):
+    """COUNT(*) answered from Parquet FOOTERS only — zero data bytes read
+    (the planner shortcut every lakehouse applies; at 100 TB the difference
+    between a footer sweep and a table scan is the whole job). File paths
+    fan out as a Dataset and each task reads just its files' metadata
+    blocks; the oracle's count(*) over the data proves the footers tell the
+    truth."""
+    import glob
+
+    paths = sorted(
+        glob.glob(f"{sf_dir}/lineitem.parquet")
+        + glob.glob(f"{sf_dir}/lineitem.parquet/*.parquet")
+    )
+
+    def footer_counts(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        n = np.int64(0)
+        for p in b["path"].to_pylist():
+            n += pq.ParquetFile(p).metadata.num_rows
+        return pa.table({"n_rows": pa.array([int(n)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    per_file = ray.data.from_items([{"path": p} for p in paths]).map_batches(
+        footer_counts, batch_format="pyarrow"
+    )
+    total = per_file.aggregate(Sum("n_rows", alias_name="n_rows"))
+    return pa.table({"n_rows": pa.array([int(total["n_rows"])], pa.int64())})
+
+
+ORACLES["q_meta_count"] = "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"
