@@ -1895,6 +1895,23 @@ def _dd_edit_neardup(sf_dir: str):
     )
 
 
+def _td_bucket_batches(sf_dir: str):
+    """Length-bucketed batch formation (padding-efficient dynamic batching):
+    length bands x greedy fixed-budget packing in id order — the composite
+    (band, id-range) metadata prefix-sum keeps driver traffic at cell scale."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import bucket_batches
+
+    return bucket_batches(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 def _td_cap_per_source(sf_dir: str):
     """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
     source ranking first under (affine64(doc_id), doc_id) — deterministic,
@@ -2848,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_jl_project": _sim_jl_project,
         "io_schema_evolution": _io_schema_evolution,
         "dd_edit_neardup": _dd_edit_neardup,
+        "td_bucket_batches": _td_bucket_batches,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -3074,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
         "td_bernoulli_sample": oracles_td.bernoulli_sample_oracle(1, 8),
         "td_cap_per_source": oracles_td.cap_per_source_oracle(5),
         "dd_edit_neardup": oracles_td.edit_neardup_oracle(),
+        "td_bucket_batches": oracles_td.bucket_batches_oracle(),
         "sim_jl_project": oracles_td.jl_project_oracle(),
         "io_schema_evolution": """
             SELECT doc_id,

@@ -1846,3 +1846,104 @@ def compress_ratio(
     return ds.select_columns([id_col, text_col]).map_batches(
         block, batch_format="pyarrow"
     )
+
+
+def bucket_batches(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    band: int = 16,
+    budget: int = 256,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Length-bucketed training-batch formation: documents group into
+    LENGTH BANDS (``lband = n_tokens // band``) and, within a band in id
+    order, pack greedily into fixed-token-budget batches — homogeneous-length
+    batches minimize padding waste, the standard dynamic-batching move.
+    Output (id, n_tokens, lband, batch_id) with batch_id dense within band.
+
+    Distribution is the sequence_pack metadata-prefix-sum shape over the
+    COMPOSITE (lband, id-range bucket) key: pass 1 ships one token sum per
+    cell to the driver (cells = bands x num_buckets — metadata scale), the
+    driver folds per-band exclusive offsets in id-bucket order, pass 2 sorts
+    on the cell key alone and each block adds its cell offset to a local
+    cumulative sum. Bit-exact against the SQL window oracle."""
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        return df.select(
+            pl.col(id_col),
+            pl.col(text_col)
+            .str.split(" ")
+            .list.len()
+            .cast(pl.Int64)
+            .alias("n_tokens"),
+        ).to_arrow()
+
+    with_counts = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    if with_counts.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "lband": pa.array([], pa.int64()),
+                    "batch_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    n_ids = int(with_counts.max(id_col)) + 1
+    span = -(-n_ids // num_buckets)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        lb = pc.divide(b["n_tokens"], band)
+        ib = pc.divide(b[id_col], span)
+        cell = pc.add(
+            pc.multiply(pc.cast(lb, pa.int64()), num_buckets),
+            pc.cast(ib, pa.int64()),
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": b["n_tokens"],
+                "lband": pc.cast(lb, pa.int64()),
+                "cell": cell,
+            }
+        )
+
+    cells = with_counts.map_batches(keyed, batch_format="pyarrow")
+    sums = {
+        int(r["cell"]): int(r["sum(n_tokens)"])
+        for r in cells.groupby("cell").aggregate(Sum("n_tokens")).take_all()
+    }
+    offsets: dict[int, int] = {}
+    for cell in sorted(sums):
+        b_band = cell // num_buckets
+        prev = offsets.get(("acc", b_band), 0)  # type: ignore[arg-type]
+        offsets[cell] = prev
+        offsets[("acc", b_band)] = prev + sums[cell]  # type: ignore[index]
+    cell_off = {c: v for c, v in offsets.items() if isinstance(c, int)}
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["cell", id_col])
+        off = pl.col("cell").replace_strict(
+            list(cell_off.keys()), list(cell_off.values()), return_dtype=pl.Int64
+        )
+        prefix = (
+            pl.col("n_tokens").cum_sum().over("cell") - pl.col("n_tokens") + off
+        )
+        return (
+            df.select(
+                pl.col(id_col),
+                pl.col("n_tokens"),
+                pl.col("lband"),
+                (prefix // budget).cast(pl.Int64).alias("batch_id"),
+            )
+            .to_arrow()
+        )
+
+    return cells.sort("cell").map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

@@ -1676,3 +1676,21 @@ def topo_layers_oracle() -> str:
           SELECT e.dst, walk.layer + 1 FROM walk JOIN e ON e.src = walk.node)
         SELECT node, CAST(max(layer) AS BIGINT) AS layer
         FROM walk GROUP BY node"""
+
+
+def bucket_batches_oracle(band: int = 16, budget: int = 256) -> str:
+    """Oracle for functions.textstats.bucket_batches: the same whitespace
+    token count, length band, and per-band running prefix sum in id order —
+    batch_id = exclusive prefix // budget."""
+    return f"""
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(n_tokens // {band} AS BIGINT) AS lband,
+               CAST(coalesce(sum(n_tokens) OVER (
+                      PARTITION BY n_tokens // {band} ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // {budget} AS BIGINT) AS batch_id
+        FROM c"""

@@ -730,3 +730,35 @@ def test_topo_layers_longest_path_and_cycle_raises():
     )
     with pytest.raises(RuntimeError, match="converge"):
         topo_layers(cyc, max_rounds=6).take_all()
+
+
+def test_bucket_batches_partitioning_invariant_and_budget():
+    """Batch assignment must be partitioning-invariant (metadata offsets, not
+    block order) and no batch may exceed the budget except via a single
+    oversized document."""
+    from r2s2_ray.functions.textstats import bucket_batches
+
+    n = 300
+    t = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": [" ".join(["w"] * (5 + (i * 13) % 40)) for i in range(n)],
+        }
+    )
+
+    def run(nblocks):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        return (
+            bucket_batches(ds, "doc_id", "text", band=8, budget=64)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    one, many = run(1), run(12)
+    assert one.equals(many)
+    g = one.groupby(["lband", "batch_id"])["n_tokens"].sum()
+    # a batch only exceeds the budget by less than one trailing document
+    assert (g < 64 + one["n_tokens"].max()).all()
+    # bands are honest
+    assert (one["n_tokens"] // 8 == one["lband"]).all()
