@@ -1912,6 +1912,23 @@ def _td_bucket_batches(sf_dir: str):
     )
 
 
+def _dd_simhash_pairs(sf_dir: str):
+    """SimHash Hamming-ball near-dup pairs (Manku et al. 2007): pigeonhole
+    chunk buckets (lossless for hamming <= 3) + in-bucket popcount verify —
+    the brute-force SQL oracle proves the recall."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        "doc_id",
+        "text",
+    )
+
+
 def _td_cap_per_source(sf_dir: str):
     """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
     source ranking first under (affine64(doc_id), doc_id) — deterministic,
@@ -2866,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_schema_evolution": _io_schema_evolution,
         "dd_edit_neardup": _dd_edit_neardup,
         "td_bucket_batches": _td_bucket_batches,
+        "dd_simhash_pairs": _dd_simhash_pairs,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -3093,6 +3111,7 @@ def oracle_sql() -> dict[str, str]:
         "td_cap_per_source": oracles_td.cap_per_source_oracle(5),
         "dd_edit_neardup": oracles_td.edit_neardup_oracle(),
         "td_bucket_batches": oracles_td.bucket_batches_oracle(),
+        "dd_simhash_pairs": oracles_td.simhash_pairs_oracle(),
         "sim_jl_project": oracles_td.jl_project_oracle(),
         "io_schema_evolution": """
             SELECT doc_id,

@@ -1648,3 +1648,96 @@ def edit_neardup_pairs(
         )
 
     return j.map_batches(lev_block, batch_format="pyarrow")
+
+
+def simhash_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """SimHash near-dup PAIRS within a Hamming ball (Manku et al. 2007, the
+    Google web-dedup construction): split each 64-bit signature into
+    ``max_hamming + 1`` chunks — by pigeonhole, two signatures within
+    ``max_hamming`` bits MUST agree on at least one whole chunk, so
+    chunk-equality buckets are a LOSSLESS candidate filter; the exact
+    popcount(xor) runs only within buckets. The SQL oracle computes ALL
+    pairs with hamming <= max_hamming by brute force, so the hash match
+    proves the pigeonhole recall, not just the verifier. Output
+    (a, b, hamming), a < b, distinct."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    pop16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.int64)
+
+    sigs = simhash(ds, id_col, text_col, concurrency=concurrency).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sg = np.asarray(
+            b["simhash"].to_numpy(zero_copy_only=False), dtype=np.int64
+        ).astype(np.uint64)
+        parts = []
+        for band in range(bands):
+            chunk = ((sg >> np.uint64(band * width)) & mask).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(len(ids), band, np.int32)),
+                        "chunk": pa.array(chunk, pa.int64()),
+                        id_col: pa.array(ids, pa.int64()),
+                        "sig": pa.array(sg.astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def popcount64(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64)
+        total = np.zeros(len(x), np.int64)
+        for s in range(0, 64, 16):
+            total += pop16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+        return total
+
+    def pair_block(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n < 2:
+            return empty
+        t = t.sort_by(
+            [("band", "ascending"), ("chunk", "ascending"), (id_col, "ascending")]
+        )
+        band = np.asarray(t["band"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        chunk = np.asarray(t["chunk"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        sg = np.asarray(t["sig"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        neq = (band[1:] != band[:-1]) | (chunk[1:] != chunk[:-1])
+        bounds = np.concatenate([[0], np.flatnonzero(neq) + 1, [n]]).astype(np.int64)
+        ia, jb = _group_pair_indices(bounds)
+        if not len(ia):
+            return empty
+        h = popcount64(
+            np.bitwise_xor(sg[ia].astype(np.uint64), sg[jb].astype(np.uint64))
+        )
+        keep = h <= max_hamming
+        x, y = ids[ia][keep], ids[jb][keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(x, y), pa.int64()),
+                "b": pa.array(np.maximum(x, y), pa.int64()),
+                "hamming": pa.array(h[keep], pa.int64()),
+            }
+        )
+
+    pairs = sigs.map_batches(explode, batch_format="pyarrow").sort(
+        ["band", "chunk"]
+    ).map_batches(pair_block, batch_format="pyarrow", batch_size=None)
+    return _fold_pairs(pairs, {"hamming": pl.col("hamming").min()})

@@ -1694,3 +1694,15 @@ def bucket_batches_oracle(band: int = 16, budget: int = 256) -> str:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                     // {budget} AS BIGINT) AS batch_id
         FROM c"""
+
+
+def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    """Oracle for functions.dedup.simhash_pairs: ALL pairs within the
+    Hamming ball by brute force over the identical signatures — proves the
+    pigeonhole chunk filter lossless, not just the verifier."""
+    return f"""
+        WITH sigs AS ({simhash_oracle()})
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""

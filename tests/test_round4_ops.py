@@ -762,3 +762,35 @@ def test_bucket_batches_partitioning_invariant_and_budget():
     assert (g < 64 + one["n_tokens"].max()).all()
     # bands are honest
     assert (one["n_tokens"] // 8 == one["lband"]).all()
+
+
+def test_simhash_pairs_match_bruteforce():
+    """The banded pair set must equal a brute-force popcount sweep over the
+    module's own signatures (pigeonhole completeness + band dedup), with
+    exact duplicates surfacing at hamming 0."""
+    from r2s2_ray.functions.dedup import simhash, simhash_pairs
+
+    texts = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(20):
+        texts.append(base if i < 3 else f"{base} variant {i} " + "pad " * i)
+    t = pa.table({"doc_id": list(range(20)), "text": texts})
+    ds = ray.data.from_arrow(t)
+
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_pairs(ds, "doc_id", "text", max_hamming=3).take_all()
+    }
+    sigs = {
+        r["doc_id"]: r["simhash"] & 0xFFFFFFFFFFFFFFFF
+        for r in simhash(ds, "doc_id", "text").take_all()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 0  # exact dups
