@@ -1929,6 +1929,45 @@ def _dd_simhash_pairs(sf_dir: str):
     )
 
 
+def _io_compact(sf_dir: str):
+    """Small-file compaction (lakehouse OPTIMIZE): documents scattered into
+    16 tiny parquet files, bin-packed (first-fit-decreasing over footer
+    sizes — driver sees metadata only) and rewritten one task per bin, then
+    read back — the oracle equality proves zero rows lost or duplicated."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import compact_parquet
+
+    base = tempfile.mkdtemp(prefix="compact_")
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    docs.repartition(16).write_parquet(f"{base}/small")
+    # target sized to force real bin-packing (several files per bin, >1 bin)
+    import os
+
+    sizes = [
+        os.path.getsize(f"{base}/small/{f}")
+        for f in os.listdir(f"{base}/small")
+        if f.endswith(".parquet")
+    ]
+    target = max(max(sizes) + 1, sum(sizes) // 3)
+    out = compact_parquet(f"{base}/small", f"{base}/big", target_bytes=target)
+    assert 1 < len(out) < 16, (len(out), len(sizes))
+    return ray.data.read_parquet(out).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _td_cap_per_source(sf_dir: str):
     """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
     source ranking first under (affine64(doc_id), doc_id) — deterministic,
@@ -2884,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_edit_neardup": _dd_edit_neardup,
         "td_bucket_batches": _td_bucket_batches,
         "dd_simhash_pairs": _dd_simhash_pairs,
+        "io_compact": _io_compact,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -3112,6 +3152,9 @@ def oracle_sql() -> dict[str, str]:
         "dd_edit_neardup": oracles_td.edit_neardup_oracle(),
         "td_bucket_batches": oracles_td.bucket_batches_oracle(),
         "dd_simhash_pairs": oracles_td.simhash_pairs_oracle(),
+        "io_compact": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents""",
         "sim_jl_project": oracles_td.jl_project_oracle(),
         "io_schema_evolution": """
             SELECT doc_id,

@@ -367,3 +367,67 @@ def read_parquet_unified(paths: list[str]) -> ray.data.Dataset:
     for p in parts[1:]:
         ds = ds.union(p)
     return ds
+
+
+def compact_parquet(
+    in_dir: str,
+    out_dir: str,
+    *,
+    target_bytes: int = 128 << 20,
+) -> list[str]:
+    """Small-file compaction (the lakehouse OPTIMIZE/compact maintenance
+    job): bin-pack a directory of Parquet files into ~``target_bytes``
+    outputs — footer/size metadata only on the driver (first-fit-decreasing
+    over file sizes, metadata scale), then each bin rewrites ITS OWN files
+    in one task (`read_parquet(bin).repartition(1).write` per bin would
+    re-exchange; instead the bin's rows stream through a single map task) —
+    no global shuffle, resumable per bin (content-stable bin ids). Returns
+    the output file list."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(in_dir, f)
+        for f in os.listdir(in_dir)
+        if f.endswith(".parquet")
+    )
+    sizes = {f: os.path.getsize(f) for f in files}
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for f in sorted(files, key=lambda x: -sizes[x]):  # first-fit-decreasing
+        for i, ld in enumerate(loads):
+            if ld + sizes[f] <= target_bytes:
+                bins[i].append(f)
+                loads[i] += sizes[f]
+                break
+        else:
+            bins.append([f])
+            loads.append(sizes[f])
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bin(b: pa.Table) -> pa.Table:
+        i = int(b["bin"][0].as_py())
+        tabs = [pq.read_table(p) for p in bins[i]]
+        out = pa.concat_tables(tabs)
+        pq.write_table(out, os.path.join(out_dir, f"compact-{i:05d}.parquet"))
+        return pa.table({"bin": pa.array([i], pa.int64()),
+                         "n_rows": pa.array([out.num_rows], pa.int64())})
+
+    stats = (
+        ray.data.from_items([{"bin": i} for i in range(len(bins))])
+        .repartition(max(1, len(bins)))
+        .map_batches(write_bin, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    assert sum(r["n_rows"] for r in stats) == sum(
+        pq.ParquetFile(f).metadata.num_rows for f in files
+    ), "compaction lost rows"
+    import os as _os
+
+    return sorted(
+        _os.path.join(out_dir, f)
+        for f in _os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
