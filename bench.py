@@ -255,6 +255,18 @@ def run_bench() -> dict:
     _entry._kg_shacl(sf_dir).count()
     queries["kg_shacl"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    _entry._kg_scc(sf_dir).count()
+    queries["kg_scc"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _entry._kg_sssp(sf_dir).count()
+    queries["kg_sssp"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    _entry._dd_simhash_pairs(sf_dir).count()
+    queries["dd_simhash_pairs"] = round(time.perf_counter() - t0, 3)
+
     n_dedup = sum(t.row_count for t in manifest.tables)
     result = {
         "metric": "kg_pipeline_e2e",
