@@ -3000,3 +3000,113 @@ def q_meta_count(sf_dir: str):
 
 
 ORACLES["q_meta_count"] = "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem"
+
+
+def table_diff(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key_col: str,
+    value_cols: list[str],
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Snapshot diff / change-data-capture between two keyed table versions:
+    emits (key, change) with change ∈ {'added','removed','modified'} —
+    unchanged rows emit nothing (the sparse CDC contract). One tag + union +
+    bucketed-sort exchange; each block resolves its key runs with a
+    vectorized polars fold (no driver materialization, no full outer join
+    operator needed). Keys must be unique per side; duplicate keys raise."""
+    import polars as pl
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {key_col: b[key_col]}
+            for c in value_cols:
+                cols[c] = pc.cast(b[c], pa.string())
+            cols["_s"] = pa.array(np.full(b.num_rows, side, np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        g = df.group_by(key_col).agg(
+            pl.col("_s").n_unique().alias("sides"),
+            pl.col("_s").count().alias("n"),
+            pl.col("_s").min().alias("smin"),
+            *[pl.col(c).n_unique().alias(f"u_{c}") for c in value_cols],
+        )
+        if (g["n"] > g["sides"]).any():
+            raise ValueError(f"duplicate {key_col} within one side")
+        changed = pl.any_horizontal(
+            *[pl.col(f"u_{c}") > 1 for c in value_cols]
+        )
+        out = g.with_columns(
+            pl.when(pl.col("sides") == 2)
+            .then(pl.when(changed).then(pl.lit("modified")).otherwise(pl.lit(None)))
+            .otherwise(
+                pl.when(pl.col("smin") == 0)
+                .then(pl.lit("removed"))
+                .otherwise(pl.lit("added"))
+            )
+            .alias("change")
+        )
+        return (
+            out.filter(pl.col("change").is_not_null())
+            .select([key_col, "change"])
+            .to_arrow()
+        )
+
+    unioned = old.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return (
+        unioned.map_batches(_bucket_by(key_col, num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(
+            lambda t: block(t.drop_columns("bucket")),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+
+def q_table_diff(sf_dir: str):
+    """CDC diff between documents and a deterministically edited v2 (drop
+    doc_id%7==0, edit text of the %5==0 survivors, add fresh ids for
+    %11==0): emits only changed keys — oracled by the same derivation plus
+    a FULL OUTER JOIN in SQL."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def v2(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b)
+        keep = df.filter(pl.col("doc_id") % 7 != 0).with_columns(
+            pl.when(pl.col("doc_id") % 5 == 0)
+            .then(pl.col("text") + pl.lit(" [edited]"))
+            .otherwise(pl.col("text"))
+            .alias("text")
+        )
+        added = df.filter(pl.col("doc_id") % 11 == 0).select(
+            (pl.col("doc_id") + 10_000_000).alias("doc_id"),
+            pl.lit("fresh row").alias("text"),
+        )
+        return pl.concat([keep, added]).to_arrow()
+
+    return table_diff(docs, docs.map_batches(v2, batch_format="pyarrow"), "doc_id", ["text"])
+
+
+ORACLES["q_table_diff"] = """
+    WITH v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 10000000, 'fresh row' FROM documents WHERE doc_id % 11 = 0)
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.doc_id IS NULL THEN 'added'
+                ELSE 'modified' END AS change
+    FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text != b.text"""

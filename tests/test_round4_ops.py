@@ -794,3 +794,24 @@ def test_simhash_pairs_match_bruteforce():
                 want[(a, b)] = h
     assert got == want
     assert got[(0, 1)] == 0 and got[(0, 2)] == 0  # exact dups
+
+
+def test_table_diff_kinds_and_duplicate_key_raises():
+    """All three change kinds surface, unchanged rows stay silent, and a
+    duplicate key within one side raises instead of guessing."""
+    import pytest
+
+    from r2s2_ray.relational import table_diff
+
+    old = ray.data.from_arrow(
+        pa.table({"k": [1, 2, 3, 4], "v": ["a", "b", "c", "d"]})
+    )
+    new = ray.data.from_arrow(
+        pa.table({"k": [2, 3, 4, 5], "v": ["B", "c", "d", "e"]})
+    )
+    got = {r["k"]: r["change"] for r in table_diff(old, new, "k", ["v"]).take_all()}
+    assert got == {1: "removed", 2: "modified", 5: "added"}
+
+    dup = ray.data.from_arrow(pa.table({"k": [1, 1], "v": ["x", "y"]}))
+    with pytest.raises(Exception, match="duplicate"):
+        table_diff(dup, new, "k", ["v"]).take_all()
