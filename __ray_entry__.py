@@ -1968,6 +1968,21 @@ def _io_compact(sf_dir: str):
     )
 
 
+def _sim_label_centroids(sf_dir: str):
+    """Per-label centroid prototypes as exact rationals (int64 sums/counts
+    over floor-quantized coordinates — order-independent, no float-mean
+    drift): block-level partials ride the groupby combiner."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import label_centroids
+
+    return label_centroids(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+        )
+    )
+
+
 def _td_cap_per_source(sf_dir: str):
     """Per-source document cap (C4/Dolma domain capping): keep the 5 rows per
     source ranking first under (affine64(doc_id), doc_id) — deterministic,
@@ -2925,6 +2940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_bucket_batches": _td_bucket_batches,
         "dd_simhash_pairs": _dd_simhash_pairs,
         "io_compact": _io_compact,
+        "sim_label_centroids": _sim_label_centroids,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -3157,6 +3173,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents""",
         "sim_jl_project": oracles_td.jl_project_oracle(),
+        "sim_label_centroids": oracles_td.label_centroids_oracle(),
         "io_schema_evolution": """
             SELECT doc_id,
                    CASE WHEN doc_id % 2 = 0 THEN text END AS text,

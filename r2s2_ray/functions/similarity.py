@@ -727,3 +727,59 @@ def jl_project(
     return ds.select_columns([id_col, vec_col]).map_batches(
         block, batch_format="pyarrow"
     )
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    *,
+    quant: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Per-label centroid prototypes (class means — nearest-prototype
+    classification, SemDeDup seeds, drift monitoring) with an INTEGER-EXACT
+    contract: coordinates quantize by floor(x * quant), per-(label, dim)
+    SUMS and COUNTS are int64 (order-independent — no float-mean drift), and
+    the mean stays a rational (sum, n) pair the caller divides as needed.
+    One vectorized expand per batch (label, dim, qx) with block-level
+    pre-aggregation riding the groupby's combiner; output long-format
+    (label, dim, qsum, n)."""
+    from ray.data.aggregate import Count, Sum
+
+    def expand(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        labels = np.asarray(
+            b[label_col].to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        if not len(labels):
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "qx": pa.array([], pa.int64()),
+                }
+            )
+        n, d = vecs.shape
+        q = np.floor(vecs * quant).astype(np.int64)
+        df = pl.DataFrame(
+            {
+                "label": np.repeat(labels, d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), n),
+                "qx": q.reshape(-1),
+            }
+        )
+        # block-level partial: one (label, dim) row per block leaves the map
+        return (
+            df.group_by(["label", "dim"])
+            .agg(pl.col("qx").sum(), pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    return (
+        ds.select_columns([label_col, vec_col])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("qx", alias_name="qsum"), Sum("n", alias_name="n"))
+    )

@@ -1706,3 +1706,17 @@ def simhash_pairs_oracle(max_hamming: int = 3) -> str:
                CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
         FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
         WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""
+
+
+def label_centroids_oracle(quant: int = 1_000_000) -> str:
+    """Oracle for functions.similarity.label_centroids: identical floor
+    quantization, BIGINT sums per (label, dim)."""
+    return f"""
+        SELECT CAST(e.label AS BIGINT) AS label,
+               CAST(d.d AS BIGINT) AS dim,
+               CAST(sum(CAST(floor(CAST(e.embedding[d.d + 1] AS DOUBLE)
+                                   * {quant}) AS BIGINT)) AS BIGINT) AS qsum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM embeddings e
+        JOIN (SELECT unnest(range(64)) AS d) d ON d.d < len(e.embedding)
+        GROUP BY e.label, d.d"""
