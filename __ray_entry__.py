@@ -1732,6 +1732,33 @@ def _sim_ann_ivf(sf_dir: str):
     )
 
 
+def _sim_ivf_persist(sf_dir: str):
+    """Persisted IVF index: build writes the codebook + HIVE-partitioned
+    inverted lists to parquet (the index IS the directory layout); the query
+    cold-starts from those files and reads ONLY the probed partitions —
+    shares sim_ann_ivf's oracle, so the hash match proves the persisted
+    path returns the identical top-k."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.functions.similarity import ivf_persist, ivf_persist_topk
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    ivf_persist(ds, "vec_id", "embedding", idx, n_centroids=16)
+    rows = ivf_persist_topk(idx, q, "vec_id", "embedding", k=5, nprobe=2)
+    return pa.table(
+        {
+            "qid": pa.array([r["qid"] for r in rows], pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+        }
+    )
+
+
 def _dd_minhash(sf_dir: str):
     import ray.data
 
@@ -2941,6 +2968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_simhash_pairs": _dd_simhash_pairs,
         "io_compact": _io_compact,
         "sim_label_centroids": _sim_label_centroids,
+        "sim_ivf_persist": _sim_ivf_persist,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -3133,6 +3161,7 @@ def oracle_sql() -> dict[str, str]:
         "txt_repetition": oracles_td.repetition_oracle(),
         "dd_substring_pairs": oracles_td.substring_pairs_oracle(),
         "sim_ann_ivf": oracles_td.ann_ivf_oracle(),
+        "sim_ivf_persist": oracles_td.ann_ivf_oracle(),
         "sim_kmeans": oracles_td.kmeans_oracle(),
         "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
         "dd_cluster_keep_best": oracles_td.cluster_keep_best_oracle(),

@@ -783,3 +783,104 @@ def label_centroids(
         .groupby(["label", "dim"])
         .aggregate(Sum("qx", alias_name="qsum"), Sum("n", alias_name="n"))
     )
+
+
+def ivf_persist(
+    ds: ray.data.Dataset,
+    id_col: str,
+    vec_col: str,
+    index_dir: str,
+    *,
+    n_centroids: int = 16,
+) -> None:
+    """BUILD phase of the persisted IVF index: the deterministic coarse
+    codebook (same smallest-id rule as :func:`ivf_topk`) lands in
+    ``index_dir/centroids.parquet`` (codebook-sized); every vector's
+    nearest-centroid assignment is computed vectorized per batch and the
+    corpus is written HIVE-PARTITIONED BY CENTROID
+    (``index_dir/lists/centroid=<c>/``) — the inverted lists ARE the
+    directory layout, so a query later touches only its probed partitions'
+    bytes (path-level pruning, no index process to keep alive). Rebuild is
+    idempotent (same inputs → same files)."""
+    import pyarrow.parquet as pq
+
+    from ..util import fs_makedirs
+
+    def local_min(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)[:n_centroids]
+        return b.select([id_col, vec_col]).take(pa.array(order, pa.int64()))
+
+    rows = ds.map_batches(local_min, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    cent = rows[:n_centroids]
+    c_mat = np.asarray([r[vec_col] for r in cent], dtype=np.float64)
+    cn = np.linalg.norm(c_mat, axis=1)
+    cn[cn == 0] = 1.0
+    fs_makedirs(index_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "centroid": pa.array(np.arange(len(cent), dtype=np.int64)),
+                "vector": pa.array([list(map(float, v)) for v in c_mat]),
+            }
+        ),
+        f"{index_dir}/centroids.parquet",
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        if not len(vecs):
+            return b.append_column("centroid", pa.array([], pa.int64()))
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = 1.0
+        sims = (vecs @ c_mat.T) / np.outer(vn, cn)
+        a = np.argmax(sims, axis=1).astype(np.int64)  # first max = low index
+        return b.select([id_col, vec_col]).append_column(
+            "centroid", pa.array(a, pa.int64())
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        f"{index_dir}/lists", partition_cols=["centroid"]
+    )
+
+
+def ivf_persist_topk(
+    index_dir: str,
+    queries: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> list[dict]:
+    """QUERY phase over a :func:`ivf_persist` index, cold-start: load the
+    codebook parquet (codebook-sized), pick each query's ``nprobe`` nearest
+    lists, and ``read_parquet`` ONLY those ``centroid=<c>`` partition
+    directories — unprobed lists' bytes never leave storage. Scoring reuses
+    brute_force_topk, so results are bit-identical to the in-memory
+    :func:`ivf_topk` with the same codebook (the driver oracle is shared)."""
+    import pyarrow.parquet as pq
+
+    q = np.asarray(queries, dtype=np.float64)
+    ct = pq.read_table(f"{index_dir}/centroids.parquet")
+    c_mat = np.asarray(ct["vector"].to_pylist(), dtype=np.float64)
+    if not len(c_mat):
+        return []
+    cn = np.linalg.norm(c_mat, axis=1)
+    cn[cn == 0] = 1.0
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qs = (q @ c_mat.T) / np.outer(qn, cn)
+    probed: set[int] = set()
+    for qi in range(qs.shape[0]):
+        order = np.lexsort((np.arange(len(c_mat)), -qs[qi]))[:nprobe]
+        probed.update(int(x) for x in order)
+    import glob
+
+    paths = [
+        f
+        for c in sorted(probed)
+        for f in sorted(glob.glob(f"{index_dir}/lists/centroid={c}/*.parquet"))
+    ]
+    cand = ray.data.read_parquet(paths, columns=[id_col, vec_col])
+    return brute_force_topk(cand, q, id_col, vec_col, k)
