@@ -2874,6 +2874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zorder_cluster": relational.q_zorder_cluster,
         "q_meta_count": relational.q_meta_count,
         "q_table_diff": relational.q_table_diff,
+        "q_running_distinct": relational.q_running_distinct,
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_part_brand_stats": relational.q_part_brand_stats,
         "q_json_props": relational.q_json_props,

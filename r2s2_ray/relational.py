@@ -3110,3 +3110,51 @@ ORACLES["q_table_diff"] = """
                 ELSE 'modified' END AS change
     FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
     WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text != b.text"""
+
+
+def q_running_distinct(sf_dir: str, num_buckets: int = 32):
+    """Cumulative DISTINCT users per day (the growth-curve query): running
+    distinct is exact without any running state — a user counts exactly on
+    their FIRST-SEEN day, so the curve is a prefix sum over per-day
+    first-seen counts. One user-keyed groupby-min (pre-aggregated per block
+    by the combiner), one day-level count (days = metadata scale), and the
+    prefix sum folds on the driver over day rows only."""
+    import polars as pl
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))
+        return pa.table({"user_id": b["user_id"], "day": day})
+
+    first_seen = (
+        ds.map_batches(to_day, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+    )
+    per_day = (
+        first_seen.groupby("first_day").aggregate(Count(alias_name="n_new")).take_all()
+    )
+    per_day.sort(key=lambda r: r["first_day"])
+    days, cum = [], []
+    acc = 0
+    for r in per_day:
+        acc += int(r["n_new"])
+        days.append(r["first_day"])
+        cum.append(acc)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.timestamp("us")),
+            "cum_users": pa.array(cum, pa.int64()),
+        }
+    )
+
+
+ORACLES["q_running_distinct"] = """
+    WITH fs AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY user_id),
+    pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM fs GROUP BY day)
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM pd"""
