@@ -1441,6 +1441,41 @@ def _io_jsonl_gz_roundtrip(sf_dir: str):
     return read_jsonl_gz(out).select_columns(["doc_id", "text", "lang", "n_chars"])
 
 
+def _mm_tar_index(sf_dir: str):
+    """Random-access index over WebDataset tar shards (the .idx sidecar):
+    header-walk only, (key, ext, offset, size) per member — one ranged read
+    serves any sample. Oracle: two index rows (txt + cls) per document with
+    honest member names and payload sizes."""
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import tar_index, write_tar
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def keyed(b: pa.Table) -> pa.Table:
+        key = pc.utf8_lpad(pc.cast(b["doc_id"], pa.string()), 12, "0")
+        return pa.table({"key": key, "text": b["text"], "lang": b["lang"]})
+
+    out = tempfile.mkdtemp(prefix="tar_idx_")
+    write_tar(
+        docs.map_batches(keyed, batch_format="pyarrow"),
+        out,
+        "key",
+        {"txt": "text", "cls": "lang"},
+    )
+    idx = tar_index(out)
+    return idx.map_batches(
+        lambda b: pa.table(
+            {"key": b["key"], "ext": b["ext"], "size": b["size"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _io_tar_roundtrip(sf_dir: str):
     """WebDataset-style tar-shard sink -> source roundtrip: each document
     becomes adjacent ``<key>.txt`` + ``<key>.cls`` members of a
@@ -2970,6 +3005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_compact": _io_compact,
         "sim_label_centroids": _sim_label_centroids,
         "sim_ivf_persist": _sim_ivf_persist,
+        "mm_tar_index": _mm_tar_index,
         "q_users_retained": relational.q_users_retained,
         "q_morning_only_days": relational.q_morning_only_days,
         "q_decayed_counts": relational.q_decayed_counts,
@@ -3199,6 +3235,14 @@ def oracle_sql() -> dict[str, str]:
         "dd_edit_neardup": oracles_td.edit_neardup_oracle(),
         "td_bucket_batches": oracles_td.bucket_batches_oracle(),
         "dd_simhash_pairs": oracles_td.simhash_pairs_oracle(),
+        "mm_tar_index": """
+            SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key, 'txt' AS ext,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS size
+            FROM documents
+            UNION ALL
+            SELECT lpad(CAST(doc_id AS VARCHAR), 12, '0'), 'cls',
+                   CAST(octet_length(encode(lang)) AS BIGINT)
+            FROM documents""",
         "io_compact": """
             SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents""",

@@ -431,3 +431,52 @@ def compact_parquet(
         for f in _os.listdir(out_dir)
         if f.endswith(".parquet")
     )
+
+
+def tar_index(out_dir: str) -> ray.data.Dataset:
+    """Random-access INDEX over WebDataset tar shards: (shard, member, key,
+    ext, offset, size) — offset is the payload's absolute byte position, so
+    a loader can serve sample i with ONE ranged read (seek + read size) and
+    no tar walk; this is the .idx sidecar pattern of streaming multimodal
+    loaders. One index task per shard (work-list Dataset of paths), header
+    walking only — payload bytes are never read. Pair with a pyarrow
+    ranged-read to fetch members; `test_tar_index_random_access` pins that
+    (offset, size) slices reproduce the exact member bytes."""
+    import os
+    import tarfile
+
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".tar")
+    )
+
+    def index_shard(b: pa.Table) -> pa.Table:
+        shards, members, keys, exts, offs, sizes = [], [], [], [], [], []
+        for p in b["path"].to_pylist():
+            with tarfile.open(p, "r") as tf:
+                for m in tf:
+                    if not m.isfile():
+                        continue
+                    name = m.name
+                    key, _, ext = name.rpartition(".")
+                    shards.append(os.path.basename(p))
+                    members.append(name)
+                    keys.append(key)
+                    exts.append(ext)
+                    offs.append(m.offset_data)
+                    sizes.append(m.size)
+        return pa.table(
+            {
+                "shard": pa.array(shards, pa.string()),
+                "member": pa.array(members, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "ext": pa.array(exts, pa.string()),
+                "offset": pa.array(offs, pa.int64()),
+                "size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return ray.data.from_items([{"path": p} for p in files]).map_batches(
+        index_shard, batch_format="pyarrow", batch_size=1
+    )

@@ -840,3 +840,31 @@ def test_ivf_persist_prunes_partitions_and_matches_inmemory(tmp_path):
     ]
     n_parts = len(glob.glob(f"{idx}/lists/centroid=*"))
     assert n_parts > 2  # enough lists that pruning is meaningful
+
+
+def test_tar_index_random_access(tmp_path):
+    """(offset, size) slices from the index must reproduce the exact member
+    bytes — the one-ranged-read loader contract."""
+    from r2s2_ray.sources.jsonl import tar_index, write_tar
+
+    t = pa.table(
+        {
+            "key": [f"{i:04d}" for i in range(6)],
+            "text": [f"payload {i} " + "x" * i for i in range(6)],
+        }
+    )
+    out = str(tmp_path / "shards")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    write_tar(ray.data.from_arrow(t), out, "key", {"txt": "text"})
+    rows = tar_index(out).take_all()
+    assert len(rows) == 6
+    texts = {r["key"]: r for r in rows}
+    for i in range(6):
+        r = texts[f"{i:04d}"]
+        shard = os.path.join(out, r["shard"])
+        with open(shard, "rb") as f:
+            f.seek(r["offset"])
+            got = f.read(r["size"])
+        assert got.decode() == f"payload {i} " + "x" * i
