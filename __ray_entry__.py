@@ -2910,6 +2910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_meta_count": relational.q_meta_count,
         "q_table_diff": relational.q_table_diff,
         "q_running_distinct": relational.q_running_distinct,
+        "q_user_top_event": relational.q_user_top_event,
+        "q_user_streaks": relational.q_user_streaks,
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_part_brand_stats": relational.q_part_brand_stats,
         "q_json_props": relational.q_json_props,

@@ -3158,3 +3158,120 @@ ORACLES["q_running_distinct"] = """
     SELECT CAST(day AS TIMESTAMP) AS day,
            CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_users
     FROM pd"""
+
+
+def q_user_top_event(sf_dir: str, num_buckets: int = 32):
+    """Per-group argmax (each user's most frequent event type, ties to the
+    lexicographically smallest type): two-phase — (user, type) counts
+    pre-aggregate inside blocks and ride the groupby combiner, then ONE
+    user-bucketed sort co-locates each user's handful of type rows and a
+    vectorized block argmax picks the winner. The mode/argmax shape without
+    shipping raw events twice."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    counts = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(
+            ["user_id", "n", "event_type"], descending=[False, True, False]
+        )
+        return (
+            df.group_by("user_id", maintain_order=True)
+            .agg(
+                pl.col("event_type").first().alias("top_event"),
+                pl.col("n").first().cast(pl.Int64).alias("n"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        counts.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(
+            lambda t: block(t.drop_columns("bucket")),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+
+ORACLES["q_user_top_event"] = """
+    SELECT user_id, event_type AS top_event, n FROM (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type) AS rk
+      FROM events GROUP BY user_id, event_type)
+    WHERE rk = 1"""
+
+
+def q_user_streaks(sf_dir: str, num_buckets: int = 32):
+    """Gaps-and-islands: each user's maximal runs of CONSECUTIVE active days
+    (streaks) — the retention-analysis shape. Per user the classic
+    row_number difference (day_rank - dense_day_index is constant within an
+    island) runs vectorized per block after one user-bucketed sort of the
+    DISTINCT (user, day) rows (pre-deduped per block so the exchange ships
+    days, not events). Output: (user_id, streak_start, streak_days)."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def days(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        day = pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))
+        ed = pc.divide(pc.cast(day, pa.int64()), 86_400_000_000)
+        df = pl.from_arrow(pa.table({"user_id": b["user_id"], "ed": ed}))
+        # integer epoch-day key: exchange keys stay int64 (timestamp groupby
+        # keys are the hazard class), block-level dedup shrinks the exchange
+        return df.unique().to_arrow()
+
+    distinct_days = (
+        ds.map_batches(days, batch_format="pyarrow")
+        .groupby(["user_id", "ed"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["user_id", "ed"])
+        idx = pl.col("ed").cum_count().over("user_id").cast(pl.Int64)
+        df = df.with_columns((pl.col("ed") - idx).alias("island"))
+        return (
+            df.group_by(["user_id", "island"])
+            .agg(
+                (pl.col("ed").min() * 86_400_000_000)
+                .cast(pl.Datetime("us"))
+                .alias("streak_start"),
+                pl.len().cast(pl.Int64).alias("streak_days"),
+            )
+            .select(["user_id", "streak_start", "streak_days"])
+            .to_arrow()
+        )
+
+    return (
+        distinct_days.map_batches(
+            _bucket_by("user_id", num_buckets), batch_format="pyarrow"
+        )
+        .sort("bucket")
+        .map_batches(
+            lambda t: block(t.drop_columns(["bucket", "_n"])),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+
+
+ORACLES["q_user_streaks"] = """
+    WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    r AS (SELECT user_id, day,
+                 CAST(epoch(day) // 86400 AS BIGINT)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+          FROM d)
+    SELECT user_id, CAST(min(day) AS TIMESTAMP) AS streak_start,
+           CAST(count(*) AS BIGINT) AS streak_days
+    FROM r GROUP BY user_id, island"""

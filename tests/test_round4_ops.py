@@ -868,3 +868,44 @@ def test_tar_index_random_access(tmp_path):
             f.seek(r["offset"])
             got = f.read(r["size"])
         assert got.decode() == f"payload {i} " + "x" * i
+
+
+def test_user_streaks_islands():
+    """Hand-built activity days: islands split exactly at gaps, streak
+    lengths and starts exact, multiple events per day collapse."""
+    from datetime import datetime
+
+    from r2s2_ray.relational import q_user_streaks
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in (1, 2, 3, 5, 6, 9):
+        rows += [("2026-01-%02d" % d, 1)] * 2  # duplicate events per day
+    for d in (2, 4):
+        rows.append(("2026-01-%02d" % d, 2))
+    t = pa.table(
+        {
+            "event_id": list(range(len(rows))),
+            "user_id": [r[1] for r in rows],
+            "ts": pa.array(
+                [datetime.fromisoformat(r[0] + "T08:30:00") for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = sorted(
+            (r["user_id"], str(r["streak_start"])[:10], r["streak_days"])
+            for r in q_user_streaks(d).take_all()
+        )
+    assert got == [
+        (1, "2026-01-01", 3),
+        (1, "2026-01-05", 2),
+        (1, "2026-01-09", 1),
+        (2, "2026-01-02", 1),
+        (2, "2026-01-04", 1),
+    ]
