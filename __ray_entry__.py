@@ -932,6 +932,20 @@ def _dd_exact_docs(sf_dir: str):
     return exact_dedup(docs, ["text"], "doc_id")
 
 
+def _dd_dup_rate(sf_dir: str):
+    """Per-source exact-duplicate rate (corpus-health ingest gate): docs
+    reduced per batch to (source, 64-bit text fingerprint), one count
+    exchange + one fingerprint-keyed join back, tiny per-source fold."""
+    import ray.data
+
+    from r2s2_ray.functions.dedup import dup_rate_by_source
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return dup_rate_by_source(docs, "text", "source")
+
+
 def _dd_chunk_dedup(sf_dir: str):
     """Segment-level exact dedup with reassembly (C4/paragraph-dedup shape
     over fixed 32-token windows): global keep-first per exact chunk text,
@@ -1561,6 +1575,90 @@ def _io_hive_partition(sf_dir: str):
         en.map_batches(shape, batch_format="pyarrow")
         .groupby("source")
         .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+    )
+
+
+def _io_bucket_join(sf_dir: str, num_buckets: int = 8):
+    """Co-partitioned BUCKETED-STORAGE join — the zero-shuffle join layout
+    for repeated large x large joins at 100 TB: both sides are written ONCE
+    bucketed by the join key (hash-partitioned directories), then every join
+    over that key reads bucket-pairwise — task i joins orders/bucket=i with
+    lineitem/bucket=i locally, NO exchange ever touches the fact tables
+    again. Only the per-bucket partial aggregates (num_buckets x 5 rows)
+    meet in the final combine. The plain-SQL join oracle proves the
+    bucket-pairwise union IS the join."""
+    import tempfile
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    root = tempfile.mkdtemp(prefix="bucket_join_")
+    mask = num_buckets - 1  # power of two
+
+    def bucketed(key):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "bucket",
+                pc.cast(pc.bit_wise_and(pc.cast(b[key], pa.int64()), mask), pa.int32()),
+            )
+
+        return fn
+
+    ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(bucketed("o_orderkey"), batch_format="pyarrow").write_parquet(
+        f"{root}/orders", partition_cols=["bucket"]
+    )
+    ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    ).map_batches(bucketed("l_orderkey"), batch_format="pyarrow").write_parquet(
+        f"{root}/lineitem", partition_cols=["bucket"]
+    )
+
+    def join_one(b: pa.Table) -> pa.Table:
+        import polars as pl
+        import pyarrow.parquet as pq
+
+        import os
+
+        outs = []
+        for i in b["id"].to_pylist():
+            od, ld = f"{root}/orders/bucket={i}", f"{root}/lineitem/bucket={i}"
+            if not (os.path.isdir(od) and os.path.isdir(ld)):
+                continue  # empty bucket on either side joins to nothing
+            o = pl.from_arrow(pq.read_table(od))
+            l = pl.from_arrow(pq.read_table(ld))
+            j = l.join(o, left_on="l_orderkey", right_on="o_orderkey", how="inner")
+            outs.append(
+                j.group_by("o_orderpriority")
+                .agg(
+                    pl.len().cast(pl.Int64).alias("n_items"),
+                    (pl.col("l_extendedprice") * 100)
+                    .round(0)
+                    .cast(pl.Int64)
+                    .sum()
+                    .alias("sum_price_cents"),
+                )
+                .to_arrow()
+            )
+        if not outs:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.large_string()),
+                    "n_items": pa.array([], pa.int64()),
+                    "sum_price_cents": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    return (
+        ray.data.range(num_buckets)
+        .map_batches(join_one, batch_format="pyarrow", batch_size=1)
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+        )
     )
 
 
@@ -2912,6 +3010,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_running_distinct": relational.q_running_distinct,
         "q_user_top_event": relational.q_user_top_event,
         "q_user_streaks": relational.q_user_streaks,
+        "q_moving_window": relational.q_moving_window,
+        "q_interval_union": relational.q_interval_union,
         "q_supplier_by_region": relational.q_supplier_by_region,
         "q_part_brand_stats": relational.q_part_brand_stats,
         "q_json_props": relational.q_json_props,
@@ -2920,6 +3020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semijoin": relational.q_bloom_semijoin,
         # training-data ops
         "dd_exact_docs": _dd_exact_docs,
+        "dd_dup_rate": _dd_dup_rate,
         "dd_chunk_dedup": _dd_chunk_dedup,
         "dd_incremental_dedup": _dd_incremental_dedup,
         "td_prepare": _td_prepare,
@@ -2985,6 +3086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "io_jsonl_gz_roundtrip": _io_jsonl_gz_roundtrip,
         "io_orc_roundtrip": _io_orc_roundtrip,
         "io_hive_partition": _io_hive_partition,
+        "io_bucket_join": _io_bucket_join,
         "io_csv_roundtrip": _io_csv_roundtrip,
         "sim_quantize": _sim_quantize,
         "q_profile_docs": _q_profile_docs,
@@ -3081,6 +3183,7 @@ def oracle_sql() -> dict[str, str]:
         **relational.ORACLES,
         "dd_exact_docs": "SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dd_chunk_dedup": oracles_td.chunk_dedup_oracle(chunk_size=32),
+        "dd_dup_rate": oracles_td.dup_rate_oracle(),
         # delta survivors: odd-id docs whose text is absent from the even
         # half, first occurrence (min id) within the delta
         "dd_incremental_dedup": """
@@ -3220,6 +3323,12 @@ def oracle_sql() -> dict[str, str]:
         "io_tar_roundtrip": "SELECT doc_id, text, lang FROM documents",
         "io_jsonl_gz_roundtrip": "SELECT doc_id, text, lang, n_chars FROM documents",
         "io_orc_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "io_bucket_join": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
         "io_hive_partition": """
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS n_chars

@@ -1741,3 +1741,56 @@ def simhash_pairs(
         ["band", "chunk"]
     ).map_batches(pair_block, batch_format="pyarrow", batch_size=None)
     return _fold_pairs(pairs, {"hamming": pl.col("hamming").min()})
+
+
+def dup_rate_by_source(
+    ds: ray.data.Dataset,
+    text_col: str,
+    source_col: str,
+    *,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Per-source exact-duplicate report — the corpus-health dashboard number
+    that gates ingest at web scale (a crawl slice whose duplicate share spikes
+    is quarantined before it ever reaches training). A doc is a duplicate iff
+    its exact text occurs more than once ANYWHERE in the corpus (cross-source
+    on purpose: mirrors count).
+
+    Scale shape: rows are reduced per batch to (source, fp) with the
+    SQL-expressible 64-bit polynomial fingerprint — full text never enters an
+    exchange. One groupby counts per-fingerprint totals; a fingerprint-keyed
+    hash join ships those counts back; one small groupby folds to
+    (source, n_docs, n_dup_docs). At 64 bits a corpus-scale collision is
+    ~birthday(2^32) — the same contract every hash op in this family pins,
+    and the oracle groups by the SAME fingerprint so the two sides cannot
+    disagree on a collision."""
+    from ray.data.aggregate import Count, Sum
+
+    from .hashing import poly_hash_arr
+
+    def fp(b: pa.Table) -> pa.Table:
+        h = poly_hash_arr(b[text_col]).view(np.int64)
+        return pa.table({source_col: b[source_col], "h": pa.array(h)})
+
+    hashed = ds.map_batches(fp, batch_format="pyarrow")
+    counts = hashed.groupby("h").aggregate(Count(alias_name="n_total"))
+
+    from r2s2_ray.relational import hash_join
+
+    joined = hash_join(
+        hashed.select_columns([source_col, "h"]),
+        counts,
+        on="h",
+        right_cols=["n_total"],
+        num_buckets=num_buckets,
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater(b["n_total"], 1), pa.int64())
+        return pa.table({source_col: b[source_col], "dup": dup})
+
+    return (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Count(alias_name="n_docs"), Sum("dup", alias_name="n_dup_docs"))
+    )

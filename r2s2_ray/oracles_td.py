@@ -1720,3 +1720,17 @@ def label_centroids_oracle(quant: int = 1_000_000) -> str:
         FROM embeddings e
         JOIN (SELECT unnest(range(64)) AS d) d ON d.d < len(e.embedding)
         GROUP BY e.label, d.d"""
+
+
+def dup_rate_oracle() -> str:
+    """Per-source exact-duplicate report, grouped by the SAME 64-bit
+    polynomial text fingerprint the Ray operator exchanges (collision
+    behavior therefore identical on both sides)."""
+    h = _poly_hash("hex(encode(text))")
+    return f"""
+        WITH d AS (SELECT source, {h} AS h FROM documents),
+        c AS (SELECT h, count(*) AS n_total FROM d GROUP BY h)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_total > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+        FROM d JOIN c USING (h)
+        GROUP BY source"""

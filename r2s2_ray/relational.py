@@ -3275,3 +3275,121 @@ ORACLES["q_user_streaks"] = """
     SELECT user_id, CAST(min(day) AS TIMESTAMP) AS streak_start,
            CAST(count(*) AS BIGINT) AS streak_days
     FROM r GROUP BY user_id, island"""
+
+
+def q_moving_window(sf_dir: str, frame: int = 3, num_buckets: int = 32):
+    """Per-event ROWS-frame moving aggregate (trailing ``frame``-row sum +
+    actual frame size, ordered by (ts, event_id) within each user) — the
+    ROWS BETWEEN k PRECEDING window shape, distinct from the RANGE/time
+    window in q_sliding_user_count. Same sort(bucket) + whole-block pattern:
+    the bucketed sort co-locates each user's full history, and the in-block
+    kernel is a cum-sum difference (cs - cs.shift(frame)) — exact integer
+    arithmetic, no rolling-kernel float drift, one vectorized pass per
+    block regardless of user count."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents")
+        ).with_columns(pl.col("cents").cum_sum().over("user_id").alias("cs"))
+        out = df.with_columns(
+            (
+                pl.col("cs")
+                - pl.col("cs").shift(frame).over("user_id").fill_null(0)
+            ).alias("mov_sum_cents"),
+            pl.min_horizontal(
+                pl.col("cents").cum_count().over("user_id").cast(pl.Int64),
+                pl.lit(frame, pl.Int64),
+            ).alias("frame_n"),
+        )
+        return out.select(
+            ["event_id", "user_id", "mov_sum_cents", "frame_n"]
+        ).to_arrow()
+
+    return (
+        ds.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+ORACLES["q_moving_window"] = """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS mov_sum_cents,
+           CAST(count(*) OVER w AS BIGINT) AS frame_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+
+def q_interval_union(sf_dir: str, span_minutes: int = 30, num_buckets: int = 32):
+    """Per-user interval-union coverage: each event opens a [ts, ts+span)
+    interval; overlapping intervals merge into islands and the output is
+    (user_id, n_islands, covered_us) — the coverage/uptime shape (ad
+    exposure, sensor on-time, session coverage). Classic running-max
+    gaps-and-islands, vectorized per block after one user-bucketed sort:
+    an interval starts a new island iff its start exceeds the cumulative
+    max end of all earlier intervals. Tie-safe by construction: equal
+    timestamps yield identical intervals, so cum-max and the break flag
+    are order-invariant within ties."""
+    import polars as pl
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["user_id", "ts"])
+        df = df.with_columns(
+            pl.col("ts").alias("s"),
+            (pl.col("ts") + pl.duration(minutes=span_minutes)).alias("e"),
+        ).with_columns(
+            pl.col("e").cum_max().shift(1).over("user_id").alias("prev_max")
+        )
+        df = df.with_columns(
+            (pl.col("prev_max").is_null() | (pl.col("s") > pl.col("prev_max")))
+            .cast(pl.Int64)
+            .alias("brk")
+        ).with_columns(pl.col("brk").cum_sum().over("user_id").alias("island"))
+        g = df.group_by(["user_id", "island"]).agg(
+            pl.col("s").min().alias("s0"), pl.col("e").max().alias("e1")
+        )
+        return (
+            g.group_by("user_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_islands"),
+                (pl.col("e1") - pl.col("s0"))
+                .dt.total_microseconds()
+                .sum()
+                .cast(pl.Int64)
+                .alias("covered_us"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(_bucket_by("user_id", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(block, batch_format="pyarrow", batch_size=None)
+    )
+
+
+ORACLES["q_interval_union"] = """
+    WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e FROM events),
+    o AS (SELECT user_id, s, e,
+            max(e) OVER (PARTITION BY user_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+          FROM iv),
+    b AS (SELECT user_id, s, e,
+            CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS brk
+          FROM o),
+    i AS (SELECT user_id, s, e,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+          FROM b),
+    g AS (SELECT user_id, island, min(s) AS s0, max(e) AS e1
+          FROM i GROUP BY user_id, island)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(date_diff('microsecond', s0, e1)) AS BIGINT) AS covered_us
+    FROM g GROUP BY user_id"""

@@ -909,3 +909,112 @@ def test_user_streaks_islands():
         (2, "2026-01-02", 1),
         (2, "2026-01-04", 1),
     ]
+
+
+def test_moving_window_frame():
+    """Hand-built per-user event log: trailing 3-row sums and frame sizes
+    exact, ordering by (ts, event_id) inside each user."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.relational import q_moving_window
+
+    vals = [(1, 1.0), (1, 2.0), (1, 3.0), (1, 4.0), (2, 10.0)]
+    t = pa.table(
+        {
+            "event_id": list(range(len(vals))),
+            "user_id": [u for u, _ in vals],
+            "ts": pa.array(
+                [datetime(2026, 1, 1, 8, i) for i in range(len(vals))],
+                pa.timestamp("us"),
+            ),
+            "value": [v for _, v in vals],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = sorted(
+            (r["event_id"], r["mov_sum_cents"], r["frame_n"])
+            for r in q_moving_window(d).take_all()
+        )
+    assert got == [
+        (0, 100, 1),
+        (1, 300, 2),
+        (2, 600, 3),
+        (3, 900, 3),  # frame slides: 2+3+4
+        (4, 1000, 1),  # other user: fresh frame
+    ]
+
+
+def test_interval_union_merges_overlaps():
+    """Intervals that overlap or touch merge into one island; disjoint ones
+    count separately; covered time is the union length."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.relational import q_interval_union
+
+    # user 1: events at 08:00, 08:10 (overlap, 30-min span), 10:00 (disjoint)
+    # -> 2 islands, covered = 40min + 30min = 70min
+    ts = [
+        (1, datetime(2026, 1, 1, 8, 0)),
+        (1, datetime(2026, 1, 1, 8, 10)),
+        (1, datetime(2026, 1, 1, 10, 0)),
+        (2, datetime(2026, 1, 1, 9, 0)),
+    ]
+    t = pa.table(
+        {
+            "event_id": list(range(len(ts))),
+            "user_id": [u for u, _ in ts],
+            "ts": pa.array([x for _, x in ts], pa.timestamp("us")),
+            "event_type": ["click"] * len(ts),
+            "value": [1.0] * len(ts),
+            "props": ["{}"] * len(ts),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = sorted(
+            (r["user_id"], r["n_islands"], r["covered_us"])
+            for r in q_interval_union(d).take_all()
+        )
+    assert got == [
+        (1, 2, 70 * 60 * 1_000_000),
+        (2, 1, 30 * 60 * 1_000_000),
+    ]
+
+
+def test_dup_rate_cross_source():
+    """A text duplicated ACROSS sources marks both copies as duplicates;
+    unique texts do not."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from r2s2_ray.functions.dedup import dup_rate_by_source
+
+    import ray.data
+
+    t = pa.table(
+        {
+            "text": ["aaa", "bbb", "aaa", "ccc", "bbb", "bbb"],
+            "source": ["s1", "s1", "s2", "s2", "s1", "s3"],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "docs.parquet")
+        pq.write_table(t, p)
+        got = sorted(
+            (r["source"], r["n_docs"], r["n_dup_docs"])
+            for r in dup_rate_by_source(
+                ray.data.read_parquet(p), "text", "source"
+            ).take_all()
+        )
+    assert got == [("s1", 3, 3), ("s2", 2, 1), ("s3", 1, 1)]
