@@ -2473,6 +2473,34 @@ def _mm_bmp_channels(sf_dir: str):
     return bmp_channel_stats(docs.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _mm_bmp_resize(sf_dir: str):
+    """REAL decode + RESIZE plumbing: the same synthesized 8x10 24bpp BMPs
+    as mm_bmp_channels, decoded for real, nearest-neighbor downsampled with
+    integer stride 2 (out[r,c] = in[2r,2c] -> 4x5), per-channel sums of the
+    RESIZED pixels. The oracle enumerates the surviving source pixels
+    (k = 2r*10 + 2c), so a stride/offset bug in the resize breaks the hash."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import bmp_encode_rgb, bmp_resize_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    h, w = 8, 10
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        k = np.arange(h * w, dtype=np.int64)
+        for did in b["doc_id"].to_pylist():
+            chans = [((3 + 2 * c) * k + did + c) % 256 for c in range(3)]
+            px = np.stack(chans, axis=1).astype(np.uint8).reshape(h, w, 3)
+            payloads.append(bmp_encode_rgb(px))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return bmp_resize_stats(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _mm_media_meta(sf_dir: str):
     """Heterogeneous media sniffing: each document's payload is a REAL
     container chosen by doc_id % 3 (PNG 16x16 / BMP 8x10 / WAV with
@@ -3072,6 +3100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_wav_energy": _mm_wav_energy,
         "mm_png_pixels": _mm_png_pixels,
         "mm_bmp_channels": _mm_bmp_channels,
+        "mm_bmp_resize": _mm_bmp_resize,
         "mm_media_meta": _mm_media_meta,
         "mm_video_frames": _mm_video_frames,
         "sim_bm25": _sim_bm25,
@@ -3446,6 +3475,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(p) AS BIGINT) AS pixel_min,
                    CAST(max(p) AS BIGINT) AS pixel_max
             FROM px GROUP BY doc_id""",
+        "mm_bmp_resize": """
+            WITH rc AS (SELECT doc_id, 2 * (i // 5) * 10 + 2 * (i % 5) AS k
+                        FROM documents, unnest(generate_series(0, 19)) t(i))
+            SELECT doc_id AS media_id,
+                   CAST(4 AS BIGINT) AS out_h, CAST(5 AS BIGINT) AS out_w,
+                   CAST(sum((3 * k + doc_id) % 256) AS BIGINT) AS sum_r,
+                   CAST(sum((5 * k + doc_id + 1) % 256) AS BIGINT) AS sum_g,
+                   CAST(sum((7 * k + doc_id + 2) % 256) AS BIGINT) AS sum_b
+            FROM rc GROUP BY doc_id""",
         "mm_bmp_channels": """
             WITH px AS (SELECT doc_id, k FROM documents,
                         unnest(generate_series(0, 79)) t(k))

@@ -591,6 +591,57 @@ def bmp_channel_stats(
     )
 
 
+class BmpResizeStats:
+    """Actor-pool stage: REAL BMP decode + nearest-neighbor DOWNSAMPLE
+    (integer stride sampling, ``out[r, c] = in[r*sy, c*sx]`` — the pinned
+    resize contract, so the SQL oracle can enumerate exactly which source
+    pixels survive) + per-channel integer sums of the RESIZED image. The
+    resize step is where a real vision pipeline normalizes crawl images
+    before feature extraction; here the kernel is a zero-copy numpy stride
+    view, decode bugs and off-by-one stride bugs both break the hash."""
+
+    def __init__(self, sy: int = 2, sx: int = 2):
+        self.sy, self.sx = sy, sx
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, ohs, ows, sr, sg, sb = [], [], [], [], [], []
+        for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
+            px = bmp_decode_rgb(p)[:: self.sy, :: self.sx].astype(np.int64)
+            ids.append(mid)
+            ohs.append(px.shape[0])
+            ows.append(px.shape[1])
+            sr.append(int(px[:, :, 0].sum()))
+            sg.append(int(px[:, :, 1].sum()))
+            sb.append(int(px[:, :, 2].sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "out_h": pa.array(ohs, pa.int64()),
+                "out_w": pa.array(ows, pa.int64()),
+                "sum_r": pa.array(sr, pa.int64()),
+                "sum_g": pa.array(sg, pa.int64()),
+                "sum_b": pa.array(sb, pa.int64()),
+            }
+        )
+
+
+def bmp_resize_stats(
+    ds: ray.data.Dataset,
+    *,
+    sy: int = 2,
+    sx: int = 2,
+    batch_size: int = 64,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        BmpResizeStats,
+        fn_constructor_kwargs={"sy": sy, "sx": sx},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class MediaMeta:
     """Actor-pool stage over a HETEROGENEOUS binary media column: sniff the
     container by magic bytes and extract typed metadata from REAL headers —

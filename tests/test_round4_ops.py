@@ -1018,3 +1018,16 @@ def test_dup_rate_cross_source():
             ).take_all()
         )
     assert got == [("s1", 3, 3), ("s2", 2, 1), ("s3", 1, 1)]
+
+
+def test_bmp_resize_stride_contract():
+    """Nearest-neighbor stride resize on a real encoded BMP: odd dims (5x7)
+    keep ceil(n/stride) pixels, and the survivors are exactly in[r*2, c*2]."""
+    from r2s2_ray.functions.multimodal import bmp_decode_rgb, bmp_encode_rgb
+
+    h, w = 5, 7
+    px = (np.arange(h * w * 3).reshape(h, w, 3) * 11 % 256).astype(np.uint8)
+    back = bmp_decode_rgb(bmp_encode_rgb(px))
+    small = back[::2, ::2]
+    assert small.shape == (3, 4, 3)
+    assert (small == px[::2, ::2]).all()
