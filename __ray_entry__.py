@@ -1045,6 +1045,22 @@ def _txt_rare_terms(sf_dir: str):
     )
 
 
+def _txt_vocab_coverage(sf_dir: str):
+    """Per-document OOV rate against the corpus's own top-V vocabulary — the
+    tokenizer-coverage signal (one token exchange, V-row driver traffic,
+    vocabulary broadcast into a vectorized is_in pass)."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import vocab_coverage
+
+    return vocab_coverage(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        "doc_id",
+        "text",
+        vocab_size=16,
+    )
+
+
 def _td_budget_sample(sf_dir: str):
     """Token-budget corpus selection in deterministic shuffle order."""
     import ray.data
@@ -2689,6 +2705,55 @@ def _kg_ppr(sf_dir: str):
     return pagerank(edges, n_iters=3, seeds=seeds)
 
 
+def _kg_random_walks(sf_dir: str):
+    """Deterministic hash-guided random walks (DeepWalk corpus generation
+    without RNG) over the symmetrized hasTurn+mentions graph, one walk per
+    conversation node, 4 steps: per step the frontier joins the edge list
+    once and the per-walk argmin folds in one groupby via an order-encoding
+    Min — bit-exact vs the unrolled-CTE SQL oracle that replays every hash
+    choice."""
+    import polars as pl
+
+    from ray.data.aggregate import Count
+
+    from r2s2_ray.functions.graph import random_walks
+
+    ds = canonicalize(extract_triples(read_transcripts(sf_dir)))
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred", "obj"]))
+        return (
+            df.filter(pl.col("pred").is_in([vocab.P_HAS_TURN, vocab.P_MENTIONS]))
+            .select(pl.col("subj").alias("src"), pl.col("obj").alias("dst"))
+            .unique()
+            .to_arrow()
+        )
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["subj", "pred"]))
+        return (
+            df.filter(pl.col("pred") == vocab.P_HAS_TURN)
+            .select(pl.col("subj").alias("node"))
+            .unique()
+            .to_arrow()
+        )
+
+    tri = ds.materialize()
+    edges = (
+        tri.map_batches(edge_rows, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["src", "dst"])
+    )
+    seeds = (
+        tri.map_batches(seed_rows, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["node"])
+    )
+    return random_walks(edges, seeds, n_steps=4)
+
+
 def _kg_copmi(sf_dir: str):
     """Entity co-mention PMI (whole-bit quantized — the lm_surprisal integer
     log2 contract): turn-keyed pair generation + pair fold + gazetteer-sized
@@ -2988,6 +3053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_topo_layers": _kg_topo_layers,
         "kg_pagerank": _kg_pagerank,
         "kg_ppr": _kg_ppr,
+        "kg_random_walks": _kg_random_walks,
         "kg_copmi": _kg_copmi,
         "kg_link_predict": _kg_link_predict,
         "kg_shacl": _kg_shacl,
@@ -3087,6 +3153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_source_mix": _td_source_mix,
         "td_budget_sample": _td_budget_sample,
         "txt_rare_terms": _txt_rare_terms,
+        "txt_vocab_coverage": _txt_vocab_coverage,
         "txt_lm_surprisal": _txt_lm_surprisal,
         "td_contamination": _td_contamination,
         "txt_pii_scrub": _txt_pii_scrub,
@@ -3190,6 +3257,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_mixedpath": oracles.sparql_mixedpath_oracle(),
         "kg_pagerank": oracles.pagerank_oracle(n_iters=3),
         "kg_ppr": oracles.pagerank_oracle(n_iters=3, personalized=True),
+        "kg_random_walks": oracles.random_walks_oracle(n_steps=4),
         "kg_copmi": oracles.comention_pmi_oracle(),
         "kg_link_predict": oracles.link_predict_oracle(),
         "kg_shacl": oracles.shacl_oracle(_SHACL_SHAPES),
@@ -3340,6 +3408,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),
         "td_budget_sample": oracles_td.budget_sample_oracle(),
         "txt_rare_terms": oracles_td.rare_terms_oracle(),
+        "txt_vocab_coverage": oracles_td.vocab_coverage_oracle(vocab_size=16),
         "txt_lm_surprisal": oracles_td.lm_surprisal_oracle(),
         "sim_bm25": oracles_td.bm25_oracle(_BM25_QUERIES, k=10),
         "sim_rrf": oracles_td.rrf_oracle(_BM25_QUERIES, k=10),

@@ -2214,3 +2214,120 @@ def topo_layers(
         ),
         batch_format="pyarrow",
     )
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    *,
+    n_steps: int = 4,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Deterministic hash-guided random walks over an UNDIRECTED edge list
+    (columns ``src``, ``dst``) — the DeepWalk/node2vec corpus-generation
+    shape with the RNG replaced by the repo's SQL-expressible hash family:
+    a walk seeded at ``s`` sitting on node ``v`` moves at step ``t`` to the
+    neighbor ``u`` minimizing ``(fp(s)*K_A + t*K_B + fp(u)*P) mod 2^64``
+    (ties: ``u`` ASC), ``fp`` = the polynomial byte hash from
+    :mod:`r2s2_ray.functions.hashing`. Every choice is a pure function of
+    (seed, step, candidate), so re-runs and the DuckDB oracle replay the
+    walks bit-for-bit — resume-safe corpus generation at 100 TB.
+
+    Output: one row per visited position ``(walk, step, node)``; step 0 is
+    the seed; a walk whose node has no neighbor simply stops (inner join).
+
+    Scale shape: per step, ONLY the frontier (one row per live walk) ships
+    through a key-partitioned :func:`hash_join` against the symmetrized edge
+    list, and the per-walk argmin folds inside ONE groupby via an
+    order-encoding ``hex16(h) || u`` Min aggregate — lexicographic min of
+    the zero-padded hex prefix IS the numeric min of ``h`` with ties broken
+    by ``u`` ASC. No map_groups, no driver materialization: walk count never
+    touches the driver.
+
+    ``seeds``: Dataset with one ``node`` column (one walk per seed)."""
+    import binascii
+
+    from ..relational import hash_join
+    from .hashing import K_A, K_B, P, poly_hash_arr
+
+    def sym(b: pa.Table) -> pa.Table:
+        src = b["src"].combine_chunks() if isinstance(b["src"], pa.ChunkedArray) else b["src"]
+        dst = b["dst"].combine_chunks() if isinstance(b["dst"], pa.ChunkedArray) else b["dst"]
+        return pa.table(
+            {"src": pa.concat_arrays([src, dst]), "dst": pa.concat_arrays([dst, src])}
+        )
+
+    edges_sym = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def _hex16(h: np.ndarray) -> pa.Array:
+        # big-endian raw bytes -> lowercase hex; fixed 16-char prefix keeps
+        # string order == uint64 order (matches the oracle's printf('%08x%08x'))
+        be = np.ascontiguousarray(h.astype(">u8")).tobytes()
+        fsb = pa.Array.from_buffers(
+            pa.binary(16), len(h), [None, pa.py_buffer(binascii.hexlify(be))]
+        )
+        return fsb.cast(pa.string())
+
+    def step0(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "walk": b["node"],
+                "step": pa.array(np.zeros(n, np.int64)),
+                "node": b["node"],
+            }
+        )
+
+    frontier = seeds.map_batches(
+        lambda b: pa.table({"walk": b["node"], "node": b["node"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    parts = [frontier.map_batches(step0, batch_format="pyarrow")]
+
+    for t in range(1, n_steps + 1):
+        tb = np.uint64((t * K_B) % (1 << 64))
+
+        cand = hash_join(
+            frontier.map_batches(
+                lambda b: pa.table({"walk": b["walk"], "src": b["node"]}),
+                batch_format="pyarrow",
+            ),
+            edges_sym,
+            on="src",
+            right_cols=["dst"],
+            num_buckets=num_buckets,
+        )
+
+        def score(b: pa.Table, _tb=tb) -> pa.Table:
+            walk = pc.cast(b["walk"], pa.string())
+            dst = pc.cast(b["dst"], pa.string())
+            fw = poly_hash_arr(walk)
+            fd = poly_hash_arr(dst)
+            h = fw * np.uint64(K_A) + _tb + fd * P
+            k = pc.binary_join_element_wise(_hex16(h), dst, "")
+            return pa.table({"walk": walk, "k": k})
+
+        nxt = (
+            cand.map_batches(score, batch_format="pyarrow")
+            .groupby("walk")
+            .aggregate(Min("k", alias_name="k"))
+        )
+
+        def decode(b: pa.Table, _t=t) -> pa.Table:
+            node = pc.utf8_slice_codeunits(pc.cast(b["k"], pa.string()), 16)
+            return pa.table(
+                {
+                    "walk": b["walk"],
+                    "step": pa.array(np.full(b.num_rows, _t, np.int64)),
+                    "node": node,
+                }
+            )
+
+        stepped = nxt.map_batches(decode, batch_format="pyarrow").materialize()
+        parts.append(stepped)
+        frontier = stepped.select_columns(["walk", "node"])
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

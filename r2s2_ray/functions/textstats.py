@@ -1947,3 +1947,78 @@ def bucket_batches(
     return cells.sort("cell").map_batches(
         block, batch_format="pyarrow", batch_size=None
     )
+
+
+def vocab_coverage(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab_size: int = 16,
+) -> ray.data.Dataset:
+    """Per-document OOV rate against the corpus's own top-``vocab_size``
+    vocabulary (occurrence count DESC, token ASC at ties) — the tokenizer
+    coverage signal used to size vocabularies before training: ``(id,
+    n_tokens, n_oov, oov_ppm)`` with ``oov_ppm = n_oov * 1_000_000 //
+    n_tokens`` (0 for token-less docs). Integer-only, so the SQL oracle is
+    exact.
+
+    Stage shape: per-batch token-count combiner -> one token-keyed groupby
+    sum -> V-row sort+limit (the only driver traffic; V is the vocabulary
+    budget, metadata-scale by construction) -> vocabulary broadcast into the
+    per-batch vectorized ``is_in`` pass. Empty documents are kept by joining
+    the per-doc aggregate back onto the batch's id column."""
+    from ray.data.aggregate import Sum
+
+    def tok_counts(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([text_col]))
+        out = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase().str.split(" ").alias("tok")
+            )
+            .explode("tok")
+            .filter(pl.col("tok").str.len_chars() > 0)
+            .group_by("tok")
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        return out.to_arrow()
+
+    cnt = (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    top = cnt.sort(["c", "tok"], descending=[True, False]).limit(vocab_size).take_all()
+    vocab = sorted(r["tok"] for r in top)
+
+    def cover(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select([id_col, text_col]))
+        toks = (
+            df.with_columns(
+                pl.col(text_col).str.to_lowercase().str.split(" ").alias("tok")
+            )
+            .explode("tok")
+            .filter(pl.col("tok").str.len_chars() > 0)
+        )
+        agg = toks.group_by(id_col).agg(
+            pl.len().cast(pl.Int64).alias("n_tokens"),
+            (~pl.col("tok").is_in(vocab)).sum().cast(pl.Int64).alias("n_oov"),
+        )
+        out = (
+            df.select(pl.col(id_col))
+            .join(agg, on=id_col, how="left")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("n_oov").fill_null(0),
+            )
+            .with_columns(
+                pl.when(pl.col("n_tokens") == 0)
+                .then(0)
+                .otherwise(pl.col("n_oov") * 1_000_000 // pl.col("n_tokens"))
+                .cast(pl.Int64)
+                .alias("oov_ppm")
+            )
+        )
+        return out.to_arrow()
+
+    return ds.map_batches(cover, batch_format="pyarrow")

@@ -1053,3 +1053,54 @@ def turn_dedup_oracle() -> str:
         f"  FROM ({TRANSCRIPTS_SQL})"
         f") WHERE rn = 1"
     )
+
+
+def random_walks_oracle(n_steps: int = 4) -> str:
+    """Relational rendering of ``__ray_entry__._kg_random_walks``: the
+    deterministic hash-guided walk recurrence unrolled as chained CTEs over
+    the symmetrized hasTurn+mentions edge set. Step choice =
+    min over neighbors of ``(fp(seed)*K_A + t*K_B + fp(u)*P) mod 2^64``
+    (ties: u ASC) — realized, exactly as the Ray side does, as the string
+    min of ``printf('%08x%08x', h) || u``; fp is the polynomial byte hash
+    shared with the dedup oracle family (constants imported, cannot drift)."""
+    from .functions import hashing as H
+    from .oracles_td import U64, _mulmod, _poly_hash, _unsigned
+
+    ka, kb, pp = H.K_A, H.K_B, int(H.P)
+    t = raw_triples_sql(linked=True)
+    parts = [
+        f"WITH t AS (SELECT DISTINCT subj, pred, obj FROM ({t})), "
+        f"e AS (SELECT DISTINCT subj AS s, obj AS d FROM t "
+        f"WHERE pred IN ({_q(vocab.P_HAS_TURN)}, {_q(vocab.P_MENTIONS)})), "
+        f"sym AS (SELECT s AS a, d AS b FROM e UNION SELECT d, s FROM e), "
+        f"nodes AS (SELECT a AS v FROM sym UNION SELECT b FROM sym), "
+        f"fp AS (SELECT v, {_poly_hash('hex(encode(v))')} AS f FROM nodes), "
+        f"w0 AS (SELECT DISTINCT subj AS walk, subj AS node FROM t "
+        f"WHERE pred = {_q(vocab.P_HAS_TURN)})"
+    ]
+    for i in range(1, n_steps + 1):
+        tb = (i * kb) % (1 << 64)
+        h = (
+            f"(({_mulmod(_unsigned('fw.f'), str(ka), str(ka % 2**32))} "
+            f"+ CAST('{tb}' AS HUGEINT) "
+            f"+ {_mulmod(_unsigned('fd.f'), str(pp), str(pp % 2**32))}) "
+            f"% CAST('{U64}' AS HUGEINT))"
+        )
+        hex16 = (
+            f"printf('%08x%08x', CAST({h} // 4294967296 AS BIGINT), "
+            f"CAST({h} % 4294967296 AS BIGINT))"
+        )
+        parts.append(
+            f", c{i} AS (SELECT w.walk, sym.b AS dst FROM w{i - 1} w "
+            f"JOIN sym ON sym.a = w.node), "
+            f"h{i} AS (SELECT c.walk, {hex16} || c.dst AS k FROM c{i} c "
+            f"JOIN fp fw ON fw.v = c.walk JOIN fp fd ON fd.v = c.dst), "
+            f"w{i} AS (SELECT walk, substr(min(k), 17) AS node FROM h{i} "
+            f"GROUP BY walk)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT walk, CAST({i} AS BIGINT) AS step, node FROM w{i}"
+        for i in range(0, n_steps + 1)
+    )
+    parts.append(f" {sel}")
+    return "".join(parts)

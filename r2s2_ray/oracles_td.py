@@ -1734,3 +1734,27 @@ def dup_rate_oracle() -> str:
                CAST(sum(CASE WHEN n_total > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
         FROM d JOIN c USING (h)
         GROUP BY source"""
+
+
+def vocab_coverage_oracle(vocab_size: int = 16) -> str:
+    """Exact SQL mirror of ``textstats.vocab_coverage``: top-V vocabulary by
+    (count DESC, token ASC), per-doc OOV counts, ppm via integer floor
+    division, empty documents kept at zero via the LEFT JOIN."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                x -> len(x) > 0)) AS tok
+          FROM documents),
+        cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+        vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {vocab_size}),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN tok IN (SELECT tok FROM vocab)
+                                THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+                FROM tok GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(per.n_tokens, 0) AS n_tokens,
+               COALESCE(per.n_oov, 0) AS n_oov,
+               CAST(CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0
+                    ELSE per.n_oov * 1000000 // per.n_tokens END AS BIGINT)
+                 AS oov_ppm
+        FROM documents d LEFT JOIN per USING (doc_id)"""
