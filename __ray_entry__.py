@@ -1245,6 +1245,19 @@ def _sim_range_search(sf_dir: str):
     return range_search(ds, q, "vec_id", "embedding", radius=0.2)
 
 
+def _sim_mmr(sf_dir: str):
+    """MMR diversified top-5 per query (lambda=1/2): distributed exact
+    top-32 candidate pool + pool-budget greedy re-rank — integer output,
+    hash-matched vs the unrolled greedy-CTE SQL oracle."""
+    import ray.data
+
+    from r2s2_ray.functions.similarity import mmr_topk
+
+    q = _queries_matrix(sf_dir)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return mmr_topk(ds, q, "vec_id", "embedding", k=5, pool=32)
+
+
 def _sim_knn_classify(sf_dir: str):
     """kNN label classification: exact cosine top-10 per query vector with
     labels carried through the scorer (no second scan), driver majority vote
@@ -3137,6 +3150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ann_lsh": _sim_ann_lsh,
         "sim_lsh_recall": _sim_lsh_recall,
         "sim_knn_classify": _sim_knn_classify,
+        "sim_mmr": _sim_mmr,
         "txt_token_stats": _txt_token_stats,
         "txt_quality": _txt_quality,
         "txt_langid": _txt_langid,
@@ -3335,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
         "dd_semdedup": oracles_td.semdedup_oracle(k=8, n_iters=2, threshold=0.4),
+        "sim_mmr": oracles_td.mmr_oracle(nq=8, k=5, pool=32),
         "dd_incremental_minhash": (
             f"SELECT a, b FROM ({oracles_td.minhash_pairs_oracle()}) "
             f"WHERE a % 2 = 1 OR b % 2 = 1"

@@ -884,3 +884,114 @@ def ivf_persist_topk(
     ]
     cand = ray.data.read_parquet(paths, columns=[id_col, vec_col])
     return brute_force_topk(cand, q, id_col, vec_col, k)
+
+
+def mmr_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    pool: int = 32,
+    concurrency=(1, 8),
+) -> pa.Table:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein
+    '98) — the retrieval re-ranking shape: stage 1 generates the exact
+    top-``pool`` candidates per query with the distributed brute-force
+    scorer (per-batch local top-pool, one intermediate fold, pool x nq rows
+    to the driver); stage 2 re-ranks the pool greedily with lambda = 1/2:
+
+        pick argmax over remaining c of round(0.5*rel(c) - 0.5*maxsim(c), 9)
+
+    where rel = cos(query, c), maxsim = max cosine against the already
+    selected set (0 for the first pick), ties by id ASC. The greedy loop
+    runs on the driver over the POOL (metadata-scale by construction — the
+    pool is the re-rank budget; the corpus scan is not). Integer output
+    (qid, rank, id), so the unrolled-CTE SQL oracle hash-matches; the
+    round-to-9 contract absorbs <=1-ulp numpy/DuckDB dot disagreement."""
+    import polars as pl
+
+    q = np.asarray(queries, dtype=np.float64)
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    ref = ray.put(q / qn)
+
+    def local_pool(b: pa.Table) -> pa.Table:
+        qm = ray.get(ref)
+        vecs = np.asarray(b[vec_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms
+        sims = vn @ qm.T
+        kk = min(pool, len(ids))
+        qidx: list[int] = []
+        out_id: list[int] = []
+        out_rel: list[float] = []
+        out_vec: list[list[float]] = []
+        for qi in range(qm.shape[0]):
+            rows = np.lexsort((ids, -sims[:, qi]))[:kk]
+            qidx.extend([qi] * len(rows))
+            out_id.extend(ids[rows].tolist())
+            out_rel.extend(sims[rows, qi].tolist())
+            out_vec.extend(vn[rows].tolist())
+        return pa.table(
+            {
+                "qid": pa.array(qidx, pa.int64()),
+                "id": pa.array(out_id, pa.int64()),
+                "rel": pa.array(out_rel, pa.float64()),
+                "vec": pa.array(out_vec, pa.list_(pa.float64())),
+            }
+        )
+
+    def fold_pool(b: pa.Table) -> pa.Table:
+        # already-scored rows -> per-qid top-pool again (tree fold: bounds
+        # driver traffic to n_blocks_after_fold * pool * nq rows)
+        return (
+            pl.from_arrow(b)
+            .sort(["qid", "rel", "id"], descending=[False, True, False])
+            .group_by("qid", maintain_order=True)
+            .head(pool)
+            .to_arrow()
+        )
+
+    rows = (
+        ds.map_batches(local_pool, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(fold_pool, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+
+    byq: dict[int, list] = {}
+    for r in rows:
+        byq.setdefault(int(r["qid"]), []).append(
+            (float(r["rel"]), int(r["id"]), np.asarray(r["vec"], dtype=np.float64))
+        )
+    out_q: list[int] = []
+    out_rank: list[int] = []
+    out_id: list[int] = []
+    for qid in sorted(byq):
+        cand = sorted(byq[qid], key=lambda x: (-x[0], x[1]))[:pool]
+        selvecs: list[np.ndarray] = []
+        remaining = list(cand)
+        for rank in range(min(k, len(cand))):
+            best = None
+            for rel, vid, v in remaining:
+                ms = max((float(v @ s) for s in selvecs), default=0.0)
+                score = round(0.5 * rel - 0.5 * ms, 9)
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, v)
+            out_q.append(qid)
+            out_rank.append(rank)
+            out_id.append(best[1])
+            selvecs.append(best[2])
+            remaining = [c for c in remaining if c[1] != best[1]]
+    return pa.table(
+        {
+            "qid": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_rank, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+        }
+    )

@@ -1758,3 +1758,48 @@ def vocab_coverage_oracle(vocab_size: int = 16) -> str:
                     ELSE per.n_oov * 1000000 // per.n_tokens END AS BIGINT)
                  AS oov_ppm
         FROM documents d LEFT JOIN per USING (doc_id)"""
+
+
+def mmr_oracle(nq: int = 8, k: int = 5, pool: int = 32) -> str:
+    """Exact SQL mirror of ``similarity.mmr_topk``: top-``pool`` candidates
+    per query by (cos DESC, vec_id), then the lambda=1/2 greedy unrolled as
+    ``k``-1 chained CTEs — score = round(0.5*rel - 0.5*maxsim, 9), maxsim =
+    max cosine against the selected set, ties by vec_id ASC. The round-to-9
+    contract is shared with the Ray side."""
+    parts = [
+        f"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < {nq}),
+        s AS (SELECT q.qid, v.vec_id, CAST(v.embedding AS DOUBLE[]) AS e,
+                     list_cosine_similarity(q.e, CAST(v.embedding AS DOUBLE[])) AS rel
+              FROM q CROSS JOIN embeddings v),
+        pool AS (SELECT qid, vec_id, e, rel FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY rel DESC, vec_id) AS rn FROM s)
+              WHERE rn <= {pool}),
+        selall0 AS (SELECT qid, vec_id, 0 AS rank, e FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY round(0.5 * rel, 9) DESC, vec_id) AS rn
+              FROM pool) WHERE rn = 1)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f""",
+        sc{i} AS (SELECT c.qid, c.vec_id, c.e,
+                         round(0.5 * c.rel - 0.5 *
+                               (SELECT max(list_cosine_similarity(c.e, x.e))
+                                FROM selall{i - 1} x WHERE x.qid = c.qid), 9)
+                           AS score
+                  FROM pool c
+                  WHERE NOT EXISTS (SELECT 1 FROM selall{i - 1} x
+                                    WHERE x.qid = c.qid
+                                      AND x.vec_id = c.vec_id)),
+        selall{i} AS (SELECT * FROM selall{i - 1} UNION ALL
+              SELECT qid, vec_id, {i} AS rank, e FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) AS rn FROM sc{i})
+              WHERE rn = 1)"""
+        )
+    parts.append(
+        f" SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM selall{k - 1}"
+    )
+    return "".join(parts)
