@@ -253,6 +253,50 @@ INSERT DATA {
 """
 
 
+_KG_INSERTWHERE_SRC = """
+PREFIX ex: <https://ex.org/vocab/>
+INSERT { ?e ex:mentionedIn ?c . ?t ex:inConversation ?c }
+WHERE { ?c ex:hasTurn ?t . ?t ex:mentions ?e }
+"""
+
+
+def _kg_sparql_insertwhere(sf_dir: str):
+    """SPARQL UPDATE INSERT..WHERE end-to-end: the WHERE BGP (a two-pattern
+    join on ?t) is evaluated distributed against the quad state, the
+    two-triple template is instantiated per solution, and only the inserted
+    delta crosses the merge exchange. Hash-matching the rebuild-with-derived
+    SQL proves the pattern-driven insert equals a from-scratch load of the
+    corpus plus the SQL-derived triples."""
+    import tempfile
+
+    from r2s2_ray.extract.batch import extract_triples
+    from r2s2_ray.linking import canonicalize
+    from r2s2_ray.pipelines.update import apply_update
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import quad_state_build, state_folded
+
+    routed = route(canonicalize(extract_triples(read_transcripts(sf_dir))))
+    state = tempfile.mkdtemp(prefix="kg_iw_state_")
+    quad_state_build(routed, state, num_buckets=32)
+    stats = apply_update(state, _KG_INSERTWHERE_SRC, num_buckets=32)
+    assert sum(r.get("n_delta", 0) for r in stats) > 0, "insert-where inserted nothing"
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "o_lang": b["o_lang"],
+                "o_dt": b["o_dt"],
+                "graphs_s": pc.binary_join(b["graphs"], pa.scalar(",", pa.large_string())),
+                "n_graphs": pc.cast(pc.list_value_length(b["graphs"]), pa.int64()),
+            }
+        )
+
+    return state_folded(state).map_batches(fmt, batch_format="pyarrow")
+
+
 def _kg_sparql_update(sf_dir: str):
     """SPARQL UPDATE end-to-end: build the per-bucket quad state from the full
     corpus, run _KG_UPDATE_SRC against it (deletes = per-bucket anti-filters,
@@ -3021,6 +3065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _kg_incremental,
         "kg_retract": _kg_retract,
         "kg_sparql_update": _kg_sparql_update,
+        "kg_sparql_insertwhere": _kg_sparql_insertwhere,
         "kg_pred_counts": _kg_pred_counts,
         "kg_class_census": _kg_class_census,
         "kg_mentions": _kg_mentions,
@@ -3239,6 +3284,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": oracles.dedup_triples_oracle(),
         "kg_retract": oracles.retract_oracle(_FORGET_GRAPHS),
         "kg_sparql_update": oracles.sparql_update_oracle(),
+        "kg_sparql_insertwhere": oracles.sparql_insertwhere_oracle(),
         "kg_pred_counts": oracles.pred_counts_oracle(),
         "kg_class_census": oracles.class_census_oracle(),
         "kg_mentions": oracles.mentions_oracle(),

@@ -1104,3 +1104,34 @@ def random_walks_oracle(n_steps: int = 4) -> str:
     )
     parts.append(f" {sel}")
     return "".join(parts)
+
+
+def sparql_insertwhere_oracle() -> str:
+    """Ground truth for ``kg_sparql_insertwhere``
+    (__ray_entry__._KG_INSERTWHERE_SRC): the WHERE BGP { ?c ex:hasTurn ?t .
+    ?t ex:mentions ?e } rendered as a distinct join, the two template
+    triples derived per solution into the default graph, unioned with the
+    corpus and folded — the hash match proves the pattern-driven insert
+    equals rebuild-with-derived-triples."""
+    dg = _q("https://graphs.example.org/default")
+    mi = _q(vocab.EX + "mentionedIn")
+    ic = _q(vocab.EX + "inConversation")
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH raw AS ({t}), "
+        f"h AS (SELECT DISTINCT subj AS c, obj AS tn FROM raw "
+        f"WHERE pred = {_q(vocab.P_HAS_TURN)}), "
+        f"m AS (SELECT DISTINCT subj AS tn, obj AS e FROM raw "
+        f"WHERE pred = {_q(vocab.P_MENTIONS)}), "
+        f"j AS (SELECT DISTINCT c, tn, e FROM h JOIN m USING (tn)), "
+        f"ins AS (SELECT DISTINCT e AS subj, {mi} AS pred, c AS obj, "
+        f"CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_dt, "
+        f"{dg} AS graph FROM j "
+        f"UNION SELECT DISTINCT tn, {ic}, c, NULL, NULL, {dg} FROM j), "
+        f"uni AS (SELECT subj, pred, obj, o_lang, o_dt, graph FROM raw "
+        f"UNION ALL SELECT * FROM ins) "
+        f"SELECT subj, pred, obj, o_lang, o_dt, "
+        f"array_to_string(list_sort(list(DISTINCT graph)), ',') AS graphs_s, "
+        f"CAST(count(DISTINCT graph) AS BIGINT) AS n_graphs "
+        f"FROM uni GROUP BY subj, pred, obj, o_lang, o_dt"
+    )

@@ -30,6 +30,12 @@ Supported grammar (anything else raises loudly, never misparses):
       INSERT DATA  '{' quad-block '}'
       DELETE DATA  '{' quad-block '}'         (constants only)
       DELETE WHERE '{' quad-block '}'         (vars allowed)
+      INSERT '{' quad-block '}' WHERE '{' quad-block '}'
+                                              (pattern-driven insert: the
+                                              WHERE BGP joins on shared vars
+                                              against the state, the template
+                                              instantiates per solution;
+                                              see quad_state_insert_where)
     quad-block := ( triples | GRAPH (<g>|?g) '{' triples '}' )*
     triples    := s p o ( ';' p o )* '.'      (``a`` = rdf:type)
 
@@ -42,6 +48,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -61,8 +68,9 @@ from .sparql import _PREFIX_RE, _TERM_RE, Term, _parse_term
 DEFAULT_GRAPH = "https://graphs.example.org/default"
 
 _OP_RE = re.compile(
-    r"(INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE)\s*\{", re.I
+    r"(INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE|INSERT)\s*\{", re.I
 )
+_WHERE_RE = re.compile(r"\s*WHERE\s*\{", re.I)
 _GRAPH_RE = re.compile(r"GRAPH\s+(<[^>]+>|\?\w+)\s*\{", re.I)
 
 
@@ -183,6 +191,18 @@ def parse_update(src: str):
         end = _match_brace(body, m.end() - 1)
         kind = re.sub(r"\s+", "_", m.group(1).lower())
         quads = _split_quad_block(body[m.end() : end - 1], prefixes)
+        if kind == "insert":
+            w = _WHERE_RE.match(body, end)
+            if not w:
+                raise ValueError(
+                    "bare INSERT { ... } must be followed by WHERE { ... } "
+                    "(use INSERT DATA for constant quads)"
+                )
+            wend = _match_brace(body, w.end() - 1)
+            where = _split_quad_block(body[w.end() : wend - 1], prefixes)
+            ops.append(("insert_where", (quads, where)))
+            pos = wend
+            continue
         ops.append((kind, quads))
         pos = end
     if not ops:
@@ -381,9 +401,319 @@ def apply_update(
             stats = quad_state_merge(
                 route(ray.data.from_arrow(tbl), namespaces), state_dir, num_buckets
             )
+        elif kind == "insert_where":
+            tmpl, where = quads
+            stats = quad_state_insert_where(
+                state_dir, tmpl, where, num_buckets, namespaces
+            )
         else:
             cons = _quads_to_constraints(quads, exact=(kind == "delete_data"))
             stats = quad_state_delete(state_dir, cons)
         for r in stats:
             out.append({"op": i, "kind": kind, **r})
     return out
+
+
+# ---------------------------------------------------------------------------
+# INSERT { template } WHERE { BGP } — pattern-driven insert over the state.
+# ---------------------------------------------------------------------------
+
+#: the template/WHERE var binding encoding: kind SEP lang SEP dt SEP value —
+#: the three fixed-vocabulary fields lead, so splitn(3 seps) recovers the
+#: value exactly even if it contains U+001F
+def _enc_cols(kind, lang, dt, value) -> pa.Array:
+    ls = pa.large_string()
+    return pc.binary_join_element_wise(
+        pc.cast(kind, ls),
+        pc.cast(lang, ls),
+        pc.cast(dt, ls),
+        pc.cast(value, ls),
+        pa.scalar(_SEP, ls),
+    )
+
+
+def state_quads(state_dir: str) -> ray.data.Dataset:
+    """The state's DISTINCT quads re-expanded to the extract schema + graph
+    (combo -> pred/s_kind/o_kind/o_lang/o_dt) — one task per bucket, no
+    exchange; the WHERE side of INSERT..WHERE matches against this."""
+    import pyarrow.fs as pafs
+
+    from ..util import fs_for
+
+    fs, root = fs_for(state_dir)
+    sel = pafs.FileSelector(root, recursive=False)
+    dirs = sorted(
+        f.path for f in fs.get_file_info(sel) if f.type == pafs.FileType.Directory
+    )
+
+    def read_dir(b: pa.Table) -> pa.Table:
+        outs = []
+        for d in b["dir"].to_pylist():
+            files = fs_list_parquet(d)
+            if not files:
+                continue
+            quads = pa.concat_tables([fs_read_table(f) for f in files])
+            df = pl.from_arrow(quads)
+            df = (
+                df.with_columns(
+                    pl.col("combo")
+                    .cast(pl.Utf8)
+                    .str.splitn(_SEP, 6)
+                    .struct.rename_fields(
+                        ["pred", "s_kind", "o_kind", "o_lang", "o_dt", "_cls"]
+                    )
+                    .alias("_c")
+                )
+                .unnest("_c")
+                .select(
+                    pl.col("subj").cast(pl.Utf8),
+                    pl.col("s_kind").cast(pl.Int8),
+                    pl.col("pred"),
+                    pl.col("obj").cast(pl.Utf8),
+                    pl.col("o_kind").cast(pl.Int8),
+                    pl.when(pl.col("o_lang") == "")
+                    .then(None)
+                    .otherwise(pl.col("o_lang"))
+                    .alias("o_lang"),
+                    pl.when(pl.col("o_dt") == "")
+                    .then(None)
+                    .otherwise(pl.col("o_dt"))
+                    .alias("o_dt"),
+                    pl.col("graph").cast(pl.Utf8),
+                )
+            )
+            outs.append(df.to_arrow())
+        if not outs:
+            return pa.schema(
+                [
+                    ("subj", pa.string()),
+                    ("s_kind", pa.int8()),
+                    ("pred", pa.string()),
+                    ("obj", pa.string()),
+                    ("o_kind", pa.int8()),
+                    ("o_lang", pa.string()),
+                    ("o_dt", pa.string()),
+                    ("graph", pa.string()),
+                ]
+            ).empty_table()
+        return pa.concat_tables(outs, promote_options="default")
+
+    items = [{"dir": d} for d in dirs]
+    return ray.data.from_items(items).map_batches(
+        read_dir, batch_format="pyarrow", batch_size=1
+    )
+
+
+def _pat_vars(pat) -> set[str]:
+    s, p, o, _g = pat
+    return {t.value for t in (s, p, o) if t.kind == "var"}
+
+
+def _match_pattern(quads: ray.data.Dataset, pat) -> ray.data.Dataset:
+    """One triple pattern -> DISTINCT binding rows, columns ``b_<var>``
+    (term-encoded). Constants become vectorized equality filters; a variable
+    repeated within the pattern becomes an equality filter between its two
+    positions. A pattern with graph=None ranges over the union of graphs."""
+    from ray.data.aggregate import Count
+
+    s, p, o, g = pat
+    names = sorted(_pat_vars(pat))
+    if not names:
+        raise ValueError("WHERE pattern with no variables is unsupported")
+
+    def fn(b: pa.Table) -> pa.Table:
+        mask = pa.array(np.ones(b.num_rows, np.bool_))
+        if s.kind != "var":
+            mask = pc.and_(mask, pc.equal(b["subj"], s.value))
+            mask = pc.and_(mask, pc.equal(b["s_kind"], _term_kind(s)))
+        if p.kind != "var":
+            mask = pc.and_(mask, pc.equal(b["pred"], p.value))
+        if o.kind != "var":
+            mask = pc.and_(mask, pc.equal(b["obj"], o.value))
+            mask = pc.and_(mask, pc.equal(b["o_kind"], _term_kind(o)))
+            if o.kind == "lit":
+                lang, dt = _lit_fields(o)
+                mask = pc.and_(
+                    mask, pc.equal(pc.coalesce(b["o_lang"], ""), lang or "")
+                )
+                mask = pc.and_(mask, pc.equal(pc.coalesce(b["o_dt"], ""), dt or ""))
+        if g is not None:
+            mask = pc.and_(mask, pc.equal(b["graph"], g.value))
+        t = b.filter(mask)
+        empty = pa.array([""] * t.num_rows, pa.string())
+        enc: dict[str, pa.Array] = {}
+        for term, kind_col, val_col, lang_col, dt_col in (
+            (s, t["s_kind"], t["subj"], empty, empty),
+            (p, None, t["pred"], empty, empty),
+            (o, t["o_kind"], t["obj"], pc.coalesce(t["o_lang"], ""), pc.coalesce(t["o_dt"], "")),
+        ):
+            if term.kind != "var":
+                continue
+            kind = kind_col if kind_col is not None else pa.array(
+                np.full(t.num_rows, KIND_IRI, np.int8)
+            )
+            e = _enc_cols(kind, lang_col, dt_col, val_col)
+            key = f"b_{term.value}"
+            if key in enc:  # ?x p ?x — equality within the pattern
+                keep = pc.equal(enc[key], e)
+                t2 = pa.table(enc).filter(keep)
+                enc = {k: t2[k] for k in t2.column_names}
+            else:
+                enc[key] = e
+        return pa.table({k: enc[k] for k in sorted(enc)})
+
+    cols = [f"b_{v}" for v in names]
+    return (
+        quads.map_batches(fn, batch_format="pyarrow")
+        .groupby(cols)
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(cols)
+    )
+
+
+def _solutions(quads: ray.data.Dataset, body) -> tuple[ray.data.Dataset, set[str]]:
+    """Join the body patterns' binding tables on shared variables (first
+    shared var through one key-partitioned hash_join, further shared vars as
+    post-join equality filters). Patterns are joined in request order; a
+    pattern sharing NO variable with the running solution would be a
+    cartesian product and is rejected."""
+    from ..relational import hash_join
+
+    sol = _match_pattern(quads, body[0])
+    bound = _pat_vars(body[0])
+    for pat in body[1:]:
+        vs = _pat_vars(pat)
+        shared = sorted(bound & vs)
+        new = sorted(vs - bound)
+        if not shared:
+            raise ValueError(
+                "WHERE patterns must chain on shared variables "
+                f"(pattern with vars {sorted(vs)} shares none with {sorted(bound)})"
+            )
+        right = _match_pattern(quads, pat)
+        sol = hash_join(
+            sol,
+            right,
+            on=f"b_{shared[0]}",
+            right_cols=[f"b_{v}" for v in shared[1:] + new],
+            suffix="_r",
+        )
+
+        def post(
+            b: pa.Table, _extra=tuple(shared[1:]), _new=tuple(new)
+        ) -> pa.Table:
+            # extra shared vars: equality filter, drop the right copy;
+            # new vars: strip hash_join's disambiguation suffix
+            m = pa.array(np.ones(b.num_rows, np.bool_))
+            for v in _extra:
+                m = pc.and_(m, pc.equal(b[f"b_{v}"], b[f"b_{v}_r"]))
+            t = b.filter(m).drop_columns([f"b_{v}_r" for v in _extra])
+            return t.rename_columns(
+                [
+                    c[: -len("_r")] if c.endswith("_r") and c[: -len("_r")] in
+                    {f"b_{v}" for v in _new} else c
+                    for c in t.column_names
+                ]
+            )
+
+        sol = sol.map_batches(post, batch_format="pyarrow")
+        bound |= vs
+    return sol, bound
+
+
+def quad_state_insert_where(
+    state_dir: str, tmpl, body, num_buckets: int = 64, namespaces=None
+) -> list[dict]:
+    """INSERT { template } WHERE { BGP }: evaluate the BGP against the
+    current state (distributed binding joins, union-of-graphs semantics per
+    pattern, GRAPH <g> pins a pattern), instantiate the template per
+    solution (vectorized decode; ill-formed instantiations — literal
+    subjects, non-IRI predicates — are skipped per SPARQL 1.1), and merge
+    the resulting delta with the usual only-the-delta-shuffles contract.
+    Template GRAPH must be constant; template triples outside GRAPH land in
+    the default graph. Set semantics make re-runs byte-identical no-ops."""
+    from ray.data.aggregate import Count
+
+    tvars: set[str] = set()
+    for q in tmpl:
+        tvars |= _pat_vars(q)
+    sol, bound = _solutions(state_quads(state_dir), body)
+    missing = tvars - bound
+    if missing:
+        raise ValueError(f"template variables unbound in WHERE: {sorted(missing)}")
+    proj = [f"b_{v}" for v in sorted(tvars)]
+    if proj:
+        sol = sol.groupby(proj).aggregate(Count(alias_name="_m")).select_columns(proj)
+
+    def inst(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        for v in sorted(tvars):
+            df = df.with_columns(
+                pl.col(f"b_{v}")
+                .cast(pl.Utf8)
+                .str.splitn(_SEP, 4)
+                .struct.rename_fields([f"k_{v}", f"l_{v}", f"d_{v}", f"v_{v}"])
+                .alias(f"s_{v}")
+            ).unnest(f"s_{v}")
+        outs = []
+        for s, p, o, g in tmpl:
+            def val(t, dflt_kind):
+                if t.kind == "var":
+                    return (
+                        pl.col(f"v_{t.value}"),
+                        pl.col(f"k_{t.value}").cast(pl.Int8),
+                        pl.when(pl.col(f"l_{t.value}") == "")
+                        .then(None)
+                        .otherwise(pl.col(f"l_{t.value}")),
+                        pl.when(pl.col(f"d_{t.value}") == "")
+                        .then(None)
+                        .otherwise(pl.col(f"d_{t.value}")),
+                    )
+                lang, dt = _lit_fields(t)
+                return (
+                    pl.lit(t.value),
+                    pl.lit(_term_kind(t)).cast(pl.Int8),
+                    pl.lit(lang, dtype=pl.Utf8),
+                    pl.lit(dt, dtype=pl.Utf8),
+                )
+
+            sv, sk, _sl, _sd = val(s, KIND_IRI)
+            pv, pk, _pl_, _pd = val(p, KIND_IRI)
+            ov, ok, olang, odt = val(o, KIND_IRI)
+            graph = g.value if g is not None else DEFAULT_GRAPH
+            row = df.select(
+                sv.alias("subj"),
+                sk.alias("s_kind"),
+                pv.alias("pred"),
+                ov.alias("obj"),
+                ok.alias("o_kind"),
+                olang.cast(pl.Utf8).alias("o_lang"),
+                odt.cast(pl.Utf8).alias("o_dt"),
+                pl.lit(graph).alias("graph"),
+                pk.alias("_pk"),
+            )
+            # SPARQL 1.1: skip ill-formed instantiations rather than failing
+            row = row.filter(
+                (pl.col("s_kind") != KIND_LITERAL) & (pl.col("_pk") == KIND_IRI)
+            ).drop("_pk")
+            outs.append(row.to_arrow())
+        out = pa.concat_tables(outs, promote_options="default")
+        # polars emits large_string; the route encoder's combo kernel expects
+        # the extract path's plain-string schema
+        return out.cast(
+            pa.schema(
+                [
+                    ("subj", pa.string()),
+                    ("s_kind", pa.int8()),
+                    ("pred", pa.string()),
+                    ("obj", pa.string()),
+                    ("o_kind", pa.int8()),
+                    ("o_lang", pa.string()),
+                    ("o_dt", pa.string()),
+                    ("graph", pa.string()),
+                ]
+            )
+        )
+
+    delta = sol.map_batches(inst, batch_format="pyarrow")
+    return quad_state_merge(route(delta, namespaces), state_dir, num_buckets)
