@@ -2162,6 +2162,59 @@ def _dd_simhash_pairs(sf_dir: str):
     )
 
 
+def _io_rowgroup_prune(sf_dir: str):
+    """Row-group data skipping (the Iceberg/Delta pushdown shape): lineitem
+    key-sorted into small row groups, then a range predicate answered by
+    probing footers only and reading the surviving groups — the run asserts
+    real skipping (n_scanned < n_groups) and the SQL equality proves the
+    pruned read loses nothing at the edges."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    from r2s2_ray.sources.jsonl import rowgroup_prune
+
+    base = tempfile.mkdtemp(prefix="rgprune_")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    ds.sort("l_orderkey").write_parquet(f"{base}/sorted", row_group_size=2048)
+    paths = [
+        f"{base}/sorted/{f}"
+        for f in sorted(os.listdir(f"{base}/sorted"))
+        if f.endswith(".parquet")
+    ]
+    # scale-independent 20% key band derived from the source FOOTER max
+    # (the oracle derives the same bounds with a SQL max)
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    mx = max(
+        next(
+            md.row_group(i).column(j).statistics.max
+            for j in range(md.row_group(i).num_columns)
+            if md.row_group(i).column(j).path_in_schema == "l_orderkey"
+        )
+        for i in range(md.num_row_groups)
+    )
+    lo, hi = mx // 5, (2 * mx) // 5
+    out, stats = rowgroup_prune(
+        paths, "l_orderkey", lo, hi, ["l_orderkey", "l_quantity"]
+    )
+    assert 0 < stats["n_scanned"] < stats["n_groups"], stats
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "qty": pc.cast(b["l_quantity"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def _io_compact(sf_dir: str):
     """Small-file compaction (lakehouse OPTIMIZE): documents scattered into
     16 tiny parquet files, bin-packed (first-fit-decreasing over footer
@@ -3148,6 +3201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sliding_user_count": relational.q_sliding_user_count,
         "q_lead_lag_delta": relational.q_lead_lag_delta,
         "q_pivot_event_types": relational.q_pivot_event_types,
+        "q_unpivot": relational.q_unpivot,
         "q_sessions": relational.q_sessions,
         "q_hourly_window": relational.q_hourly_window,
         "q_asof_clicks": relational.q_asof_clicks,
@@ -3262,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "td_bucket_batches": _td_bucket_batches,
         "dd_simhash_pairs": _dd_simhash_pairs,
         "io_compact": _io_compact,
+        "io_rowgroup_prune": _io_rowgroup_prune,
         "sim_label_centroids": _sim_label_centroids,
         "sim_ivf_persist": _sim_ivf_persist,
         "mm_tar_index": _mm_tar_index,
@@ -3516,6 +3571,11 @@ def oracle_sql() -> dict[str, str]:
         "io_compact": """
             SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
             FROM documents""",
+        "io_rowgroup_prune": """
+            SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem
+            WHERE l_orderkey BETWEEN (SELECT max(l_orderkey) // 5 FROM lineitem)
+                                 AND (SELECT (2 * max(l_orderkey)) // 5 FROM lineitem)""",
         "sim_jl_project": oracles_td.jl_project_oracle(),
         "sim_label_centroids": oracles_td.label_centroids_oracle(),
         "io_schema_evolution": """

@@ -3393,3 +3393,50 @@ ORACLES["q_interval_union"] = """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
            CAST(sum(date_diff('microsecond', s0, e1)) AS BIGINT) AS covered_us
     FROM g GROUP BY user_id"""
+
+
+def q_unpivot(sf_dir: str):
+    """UNPIVOT (wide -> long melt): the per-user event-type count matrix of
+    q_pivot_event_types melted back to (user_id, event_type, n) rows, zeros
+    KEPT — so this is the crosstab-inverse shape, not a plain groupby (a
+    user contributes one row per pinned type whether or not they fired it).
+    Scale shape: the pivot's single narrow exchange, then a per-block
+    vectorized melt (5x row expansion happens post-aggregate, at user
+    cardinality, never at event cardinality)."""
+    import polars as pl
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = q_pivot_event_types(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b)
+        out = (
+            df.unpivot(
+                on=[f"n_{t}" for t in types],
+                index="user_id",
+                variable_name="event_type",
+                value_name="n",
+            )
+            .with_columns(
+                pl.col("event_type").str.strip_prefix("n_"),
+                pl.col("n").cast(pl.Int64),
+            )
+        )
+        return out.to_arrow()
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+ORACLES["q_unpivot"] = """
+    WITH wide AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+             CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+             CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+      FROM events GROUP BY user_id)
+    SELECT user_id, replace(event_type, 'n_', '') AS event_type, n
+    FROM (UNPIVOT wide
+          ON n_click, n_error, n_purchase, n_signup, n_view
+          INTO NAME event_type VALUE n)"""
