@@ -1145,6 +1145,21 @@ def _td_shuffle(sf_dir: str):
     )
 
 
+def _td_epoch_plan(sf_dir: str):
+    """Multi-epoch training-order plan: a distinct deterministic permutation
+    per epoch (per-epoch affine constants), one exchange for all epochs,
+    driver traffic = epochs x buckets counts."""
+    import ray.data
+
+    from r2s2_ray.functions.textstats import epoch_plan
+
+    return epoch_plan(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        "doc_id",
+        n_epochs=3,
+    )
+
+
 def _dd_neardup_clusters(sf_dir: str):
     """Near-dup clusters: MinHash-LSH pairs -> distributed connected
     components -> per-doc cluster_id (min doc id of the component)."""
@@ -3263,6 +3278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_neardup_clusters": _dd_neardup_clusters,
         "dd_cluster_keep_best": _dd_cluster_keep_best,
         "td_shuffle": _td_shuffle,
+        "td_epoch_plan": _td_epoch_plan,
         "td_source_mix": _td_source_mix,
         "td_budget_sample": _td_budget_sample,
         "txt_rare_terms": _txt_rare_terms,
@@ -3521,6 +3537,7 @@ def oracle_sql() -> dict[str, str]:
         "dd_neardup_clusters": oracles_td.neardup_clusters_oracle(),
         "dd_cluster_keep_best": oracles_td.cluster_keep_best_oracle(),
         "td_shuffle": oracles_td.training_shuffle_oracle(),
+        "td_epoch_plan": oracles_td.epoch_plan_oracle(n_epochs=3),
         "q_hll_distinct": oracles_td.hll_distinct_oracle(),
         "td_budget_sample": oracles_td.budget_sample_oracle(),
         "txt_rare_terms": oracles_td.rare_terms_oracle(),

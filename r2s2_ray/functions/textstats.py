@@ -2022,3 +2022,82 @@ def vocab_coverage(
         return out.to_arrow()
 
     return ds.map_batches(cover, batch_format="pyarrow")
+
+
+def epoch_plan(
+    ds: ray.data.Dataset,
+    id_col: str,
+    *,
+    n_epochs: int = 3,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Multi-epoch training-order plan: each epoch gets its OWN deterministic
+    permutation — rank under (affine64(id; a_e, b_e), id) with the per-epoch
+    MinHash constants — so repeated-epoch training sees a different document
+    order every epoch with zero RNG state and bit-reproducible resume.
+    Output: one (id, epoch, rank) row per document x epoch.
+
+    Distribution is training_shuffle's metadata-prefix-sum generalized over
+    the epoch axis: hash top-bits bucket within each epoch, ONE exchange for
+    all epochs keyed (epoch, bucket), driver traffic = n_epochs x
+    num_buckets counts."""
+    from ray.data.aggregate import Count
+
+    from .hashing import perm_constants
+
+    shift = np.uint64(64 - max(1, (num_buckets - 1).bit_length()))
+    n_buckets = 1 << (64 - int(shift))
+    consts = [perm_constants(e) for e in range(n_epochs)]
+
+    def hashed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(
+            b[id_col].combine_chunks().to_numpy(zero_copy_only=False), dtype=np.int64
+        ).astype(np.uint64)
+        n = len(ids)
+        out_id = np.tile(ids, n_epochs)
+        out_e = np.repeat(np.arange(n_epochs, dtype=np.int64), n)
+        hs = np.concatenate(
+            [ids * np.uint64(a) + np.uint64(bb) for a, bb in consts]
+        ) if n else np.zeros(0, np.uint64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id.astype(np.int64)),
+                "epoch": pa.array(out_e),
+                "h": pa.array(hs, pa.uint64()),
+                "bucket": pa.array((hs >> shift).astype(np.int32), pa.int32()),
+            }
+        )
+
+    hashed_ds = (
+        ds.select_columns([id_col]).map_batches(hashed, batch_format="pyarrow").materialize()
+    )
+    counts = {
+        (r["epoch"], r["bucket"]): r["n"]
+        for r in hashed_ds.groupby(["epoch", "bucket"])
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }
+    offsets: dict[tuple[int, int], int] = {}
+    for e in range(n_epochs):
+        acc = 0
+        for bk in range(n_buckets):
+            offsets[(e, bk)] = acc
+            acc += int(counts.get((e, bk), 0))
+
+    keys = [e * n_buckets + bk for (e, bk) in offsets]
+    vals = [offsets[k] for k in offsets]
+
+    def block(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).sort(["epoch", "bucket", "h", id_col])
+        cell = pl.col("epoch") * n_buckets + pl.col("bucket")
+        off = cell.replace_strict(keys, vals, return_dtype=pl.Int64)
+        rank = cell.cum_count().over("epoch", "bucket") - 1 + off
+        return df.select(
+            pl.col(id_col),
+            pl.col("epoch").cast(pl.Int64),
+            rank.cast(pl.Int64).alias("rank"),
+        ).to_arrow()
+
+    return hashed_ds.sort(["epoch", "bucket"]).map_batches(
+        block, batch_format="pyarrow", batch_size=None
+    )

@@ -1803,3 +1803,25 @@ def mmr_oracle(nq: int = 8, k: int = 5, pool: int = 32) -> str:
         f" SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id FROM selall{k - 1}"
     )
     return "".join(parts)
+
+
+def epoch_plan_oracle(n_epochs: int = 3) -> str:
+    """Exact SQL mirror of ``textstats.epoch_plan``: per-epoch dense rank
+    under (affine64(doc_id; a_e, b_e), doc_id) with the same perm_constants
+    the Ray side imports — one UNION ALL branch per epoch."""
+    from .functions.hashing import perm_constants
+
+    qs = []
+    for e in range(n_epochs):
+        a, b = perm_constants(e)
+        u = _unsigned("doc_id")
+        h = (
+            f"(({_mulmod(u, str(a), str(a % 2**32))} + CAST('{b}' AS HUGEINT))"
+            f" % CAST('{U64}' AS HUGEINT))"
+        )
+        qs.append(
+            f"SELECT doc_id, CAST({e} AS BIGINT) AS epoch, "
+            f"CAST(row_number() OVER (ORDER BY {h}, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM documents"
+        )
+    return " UNION ALL ".join(qs)
