@@ -260,6 +260,19 @@ WHERE { ?c ex:hasTurn ?t . ?t ex:mentions ?e }
 """
 
 
+#: Full SPARQL 1.1 Modify served by kg_sparql_modify: a graph-preserving
+#: in-place rename (role "user" -> "human" in WHATEVER named graph the quad
+#: lives in, via GRAPH ?g binding + template re-targeting) plus a provenance
+#: triple into the default graph. Both templates instantiate from the SAME
+#: pre-state solution set (pipelines/update.py quad_state_modify).
+_KG_MODIFY_SRC = """
+PREFIX ex: <https://ex.org/vocab/>
+DELETE { GRAPH ?g { ?t ex:role "user" } }
+INSERT { GRAPH ?g { ?t ex:role "human" } . ?t ex:renamedFrom "user" }
+WHERE  { GRAPH ?g { ?t ex:role "user" } }
+"""
+
+
 def _kg_sparql_insertwhere(sf_dir: str):
     """SPARQL UPDATE INSERT..WHERE end-to-end: the WHERE BGP (a two-pattern
     join on ?t) is evaluated distributed against the quad state, the
@@ -280,6 +293,45 @@ def _kg_sparql_insertwhere(sf_dir: str):
     quad_state_build(routed, state, num_buckets=32)
     stats = apply_update(state, _KG_INSERTWHERE_SRC, num_buckets=32)
     assert sum(r.get("n_delta", 0) for r in stats) > 0, "insert-where inserted nothing"
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "o_lang": b["o_lang"],
+                "o_dt": b["o_dt"],
+                "graphs_s": pc.binary_join(b["graphs"], pa.scalar(",", pa.large_string())),
+                "n_graphs": pc.cast(pc.list_value_length(b["graphs"]), pa.int64()),
+            }
+        )
+
+    return state_folded(state).map_batches(fmt, batch_format="pyarrow")
+
+
+def _kg_sparql_modify(sf_dir: str):
+    """Full SPARQL 1.1 Modify (DELETE{..}INSERT{..}WHERE{..}) end-to-end:
+    GRAPH ?g in the WHERE binds the named graph of each match, the delete
+    template removes the matched quad from exactly that graph, and the insert
+    template writes the renamed quad back into the SAME bound graph (plus a
+    default-graph provenance triple). Both deltas derive from one pre-state
+    solution set; only request-derived quads cross an exchange. Hash-matching
+    the rebuild-with-rename SQL proves modify == from-scratch edited load."""
+    import tempfile
+
+    from r2s2_ray.extract.batch import extract_triples
+    from r2s2_ray.linking import canonicalize
+    from r2s2_ray.pipelines.update import apply_update
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import quad_state_build, state_folded
+
+    routed = route(canonicalize(extract_triples(read_transcripts(sf_dir))))
+    state = tempfile.mkdtemp(prefix="kg_modify_state_")
+    quad_state_build(routed, state, num_buckets=32)
+    stats = apply_update(state, _KG_MODIFY_SRC, num_buckets=32)
+    assert sum(r.get("n_removed", 0) for r in stats) > 0, "modify removed nothing"
+    assert sum(r.get("n_delta", 0) for r in stats) > 0, "modify inserted nothing"
 
     def fmt(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -3134,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_retract": _kg_retract,
         "kg_sparql_update": _kg_sparql_update,
         "kg_sparql_insertwhere": _kg_sparql_insertwhere,
+        "kg_sparql_modify": _kg_sparql_modify,
         "kg_pred_counts": _kg_pred_counts,
         "kg_class_census": _kg_class_census,
         "kg_mentions": _kg_mentions,
@@ -3356,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_retract": oracles.retract_oracle(_FORGET_GRAPHS),
         "kg_sparql_update": oracles.sparql_update_oracle(),
         "kg_sparql_insertwhere": oracles.sparql_insertwhere_oracle(),
+        "kg_sparql_modify": oracles.sparql_modify_oracle(),
         "kg_pred_counts": oracles.pred_counts_oracle(),
         "kg_class_census": oracles.class_census_oracle(),
         "kg_mentions": oracles.mentions_oracle(),

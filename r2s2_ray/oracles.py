@@ -1024,6 +1024,36 @@ def sparql_update_oracle() -> str:
     )
 
 
+def sparql_modify_oracle() -> str:
+    """Ground truth for ``kg_sparql_modify`` (__ray_entry__._KG_MODIFY_SRC):
+    the WHERE { GRAPH ?g { ?t ex:role "user" } } matches are exactly the
+    role='user' quads, so rebuild-with-edits = corpus with those quads
+    dropped, the renamed quad re-inserted into the SAME graph each match came
+    from, and one default-graph provenance triple per matched turn. The hash
+    match proves quad_state_modify's pre-state-instantiated delete+insert
+    equals a from-scratch load of the edited corpus."""
+    dg = _q("https://graphs.example.org/default")
+    role = _q(vocab.P_ROLE)
+    rf = _q(vocab.EX + "renamedFrom")
+    xs = _q(XSD_STRING)
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH raw AS ({t}), "
+        f"m AS (SELECT DISTINCT subj AS t, graph AS g FROM raw "
+        f"WHERE pred = {role} AND obj = 'user' AND o_lang IS NULL AND o_dt = {xs}), "
+        f"kept AS (SELECT subj, pred, obj, o_lang, o_dt, graph FROM raw "
+        f"WHERE NOT (pred = {role} AND obj = 'user' AND o_lang IS NULL AND o_dt = {xs})), "
+        f"ins AS (SELECT DISTINCT t AS subj, {role} AS pred, 'human' AS obj, "
+        f"CAST(NULL AS VARCHAR) AS o_lang, {xs} AS o_dt, g AS graph FROM m "
+        f"UNION SELECT DISTINCT t, {rf}, 'user', NULL, {xs}, {dg} FROM m), "
+        f"uni AS (SELECT * FROM kept UNION ALL SELECT * FROM ins) "
+        f"SELECT subj, pred, obj, o_lang, o_dt, "
+        f"array_to_string(list_sort(list(DISTINCT graph)), ',') AS graphs_s, "
+        f"CAST(count(DISTINCT graph) AS BIGINT) AS n_graphs "
+        f"FROM uni GROUP BY subj, pred, obj, o_lang, o_dt"
+    )
+
+
 def conv_stats_oracle() -> str:
     return (
         f"SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "

@@ -36,6 +36,13 @@ Supported grammar (anything else raises loudly, never misparses):
                                               against the state, the template
                                               instantiates per solution;
                                               see quad_state_insert_where)
+      DELETE '{' quad-block '}' [ INSERT '{' quad-block '}' ]
+             WHERE '{' quad-block '}'         (the full Modify form: both
+                                              templates instantiate from the
+                                              SAME pre-state solutions;
+                                              GRAPH ?g binds in WHERE and
+                                              re-targets template quads;
+                                              see quad_state_modify)
     quad-block := ( triples | GRAPH (<g>|?g) '{' triples '}' )*
     triples    := s p o ( ';' p o )* '.'      (``a`` = rdf:type)
 
@@ -68,9 +75,10 @@ from .sparql import _PREFIX_RE, _TERM_RE, Term, _parse_term
 DEFAULT_GRAPH = "https://graphs.example.org/default"
 
 _OP_RE = re.compile(
-    r"(INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE|INSERT)\s*\{", re.I
+    r"(INSERT\s+DATA|DELETE\s+DATA|DELETE\s+WHERE|INSERT|DELETE)\s*\{", re.I
 )
 _WHERE_RE = re.compile(r"\s*WHERE\s*\{", re.I)
+_INSERT_RE = re.compile(r"\s*INSERT\s*\{", re.I)
 _GRAPH_RE = re.compile(r"GRAPH\s+(<[^>]+>|\?\w+)\s*\{", re.I)
 
 
@@ -169,7 +177,9 @@ def _split_quad_block(block: str, prefixes: dict[str, str]):
         quads.extend(_parse_triples(block[pos : m.start()], None, prefixes))
         end = _match_brace(block, m.end() - 1)
         gtok = m.group(1)
-        gterm = None if gtok.startswith("?") else Term("iri", gtok[1:-1])
+        gterm = (
+            Term("var", gtok[1:]) if gtok.startswith("?") else Term("iri", gtok[1:-1])
+        )
         quads.extend(_parse_triples(block[m.end() : end - 1], gterm, prefixes))
         pos = end
     return quads
@@ -201,6 +211,25 @@ def parse_update(src: str):
             wend = _match_brace(body, w.end() - 1)
             where = _split_quad_block(body[w.end() : wend - 1], prefixes)
             ops.append(("insert_where", (quads, where)))
+            pos = wend
+            continue
+        if kind == "delete":
+            ins: list = []
+            im = _INSERT_RE.match(body, end)
+            if im:
+                iend = _match_brace(body, im.end() - 1)
+                ins = _split_quad_block(body[im.end() : iend - 1], prefixes)
+                end = iend
+            w = _WHERE_RE.match(body, end)
+            if not w:
+                raise ValueError(
+                    "bare DELETE { ... } must be followed by "
+                    "[INSERT { ... }] WHERE { ... } "
+                    "(use DELETE DATA / DELETE WHERE for constant forms)"
+                )
+            wend = _match_brace(body, w.end() - 1)
+            where = _split_quad_block(body[w.end() : wend - 1], prefixes)
+            ops.append(("modify", (quads, ins, where)))
             pos = wend
             continue
         ops.append((kind, quads))
@@ -239,6 +268,8 @@ def _quads_to_table(quads) -> pa.Table:
         rows["o_kind"].append(_term_kind(o))
         rows["o_lang"].append(lang)
         rows["o_dt"].append(dt)
+        if g is not None and g.kind == "var":
+            raise ValueError(f"variable graph ?{g.value} illegal in a DATA block")
         rows["graph"].append(g.value if g is not None else DEFAULT_GRAPH)
     return pa.table(
         {
@@ -286,7 +317,7 @@ def _quads_to_constraints(quads, exact: bool):
             if o.kind == "lit":
                 lang, dt = _lit_fields(o)
                 c["o_lang"], c["o_dt"] = lang or "", dt or ""
-        if g is not None:
+        if g is not None and g.kind != "var":
             c["graph"] = g.value
         if not c:
             raise ValueError("refusing DELETE WHERE { ?s ?p ?o } — unconstrained "
@@ -406,6 +437,11 @@ def apply_update(
             stats = quad_state_insert_where(
                 state_dir, tmpl, where, num_buckets, namespaces
             )
+        elif kind == "modify":
+            del_tmpl, ins_tmpl, where = quads
+            stats = quad_state_modify(
+                state_dir, del_tmpl, ins_tmpl, where, num_buckets, namespaces
+            )
         else:
             cons = _quads_to_constraints(quads, exact=(kind == "delete_data"))
             stats = quad_state_delete(state_dir, cons)
@@ -505,8 +541,9 @@ def state_quads(state_dir: str) -> ray.data.Dataset:
 
 
 def _pat_vars(pat) -> set[str]:
-    s, p, o, _g = pat
-    return {t.value for t in (s, p, o) if t.kind == "var"}
+    s, p, o, g = pat
+    terms = (s, p, o) if g is None else (s, p, o, g)
+    return {t.value for t in terms if t.kind == "var"}
 
 
 def _match_pattern(quads: ray.data.Dataset, pat) -> ray.data.Dataset:
@@ -537,16 +574,19 @@ def _match_pattern(quads: ray.data.Dataset, pat) -> ray.data.Dataset:
                     mask, pc.equal(pc.coalesce(b["o_lang"], ""), lang or "")
                 )
                 mask = pc.and_(mask, pc.equal(pc.coalesce(b["o_dt"], ""), dt or ""))
-        if g is not None:
+        if g is not None and g.kind != "var":
             mask = pc.and_(mask, pc.equal(b["graph"], g.value))
         t = b.filter(mask)
         empty = pa.array([""] * t.num_rows, pa.string())
         enc: dict[str, pa.Array] = {}
-        for term, kind_col, val_col, lang_col, dt_col in (
+        terms = [
             (s, t["s_kind"], t["subj"], empty, empty),
             (p, None, t["pred"], empty, empty),
             (o, t["o_kind"], t["obj"], pc.coalesce(t["o_lang"], ""), pc.coalesce(t["o_dt"], "")),
-        ):
+        ]
+        if g is not None and g.kind == "var":
+            terms.append((g, None, t["graph"], empty, empty))
+        for term, kind_col, val_col, lang_col, dt_col in terms:
             if term.kind != "var":
                 continue
             kind = kind_col if kind_col is not None else pa.array(
@@ -621,29 +661,11 @@ def _solutions(quads: ray.data.Dataset, body) -> tuple[ray.data.Dataset, set[str
     return sol, bound
 
 
-def quad_state_insert_where(
-    state_dir: str, tmpl, body, num_buckets: int = 64, namespaces=None
-) -> list[dict]:
-    """INSERT { template } WHERE { BGP }: evaluate the BGP against the
-    current state (distributed binding joins, union-of-graphs semantics per
-    pattern, GRAPH <g> pins a pattern), instantiate the template per
-    solution (vectorized decode; ill-formed instantiations — literal
-    subjects, non-IRI predicates — are skipped per SPARQL 1.1), and merge
-    the resulting delta with the usual only-the-delta-shuffles contract.
-    Template GRAPH must be constant; template triples outside GRAPH land in
-    the default graph. Set semantics make re-runs byte-identical no-ops."""
-    from ray.data.aggregate import Count
-
-    tvars: set[str] = set()
-    for q in tmpl:
-        tvars |= _pat_vars(q)
-    sol, bound = _solutions(state_quads(state_dir), body)
-    missing = tvars - bound
-    if missing:
-        raise ValueError(f"template variables unbound in WHERE: {sorted(missing)}")
-    proj = [f"b_{v}" for v in sorted(tvars)]
-    if proj:
-        sol = sol.groupby(proj).aggregate(Count(alias_name="_m")).select_columns(proj)
+def _instantiate(sol: ray.data.Dataset, tmpl, tvars: set[str]) -> ray.data.Dataset:
+    """Template x solutions -> extract-schema quad rows (vectorized decode;
+    ill-formed instantiations — literal subjects, non-IRI predicates — are
+    skipped per SPARQL 1.1). Template GRAPH may be a constant or a bound
+    variable; triples outside GRAPH land in the default graph."""
 
     def inst(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
@@ -680,7 +702,12 @@ def quad_state_insert_where(
             sv, sk, _sl, _sd = val(s, KIND_IRI)
             pv, pk, _pl_, _pd = val(p, KIND_IRI)
             ov, ok, olang, odt = val(o, KIND_IRI)
-            graph = g.value if g is not None else DEFAULT_GRAPH
+            if g is None:
+                gexpr = pl.lit(DEFAULT_GRAPH)
+            elif g.kind == "var":
+                gexpr = pl.col(f"v_{g.value}")
+            else:
+                gexpr = pl.lit(g.value)
             row = df.select(
                 sv.alias("subj"),
                 sk.alias("s_kind"),
@@ -689,7 +716,7 @@ def quad_state_insert_where(
                 ok.alias("o_kind"),
                 olang.cast(pl.Utf8).alias("o_lang"),
                 odt.cast(pl.Utf8).alias("o_dt"),
-                pl.lit(graph).alias("graph"),
+                gexpr.alias("graph"),
                 pk.alias("_pk"),
             )
             # SPARQL 1.1: skip ill-formed instantiations rather than failing
@@ -715,5 +742,132 @@ def quad_state_insert_where(
             )
         )
 
-    delta = sol.map_batches(inst, batch_format="pyarrow")
-    return quad_state_merge(route(delta, namespaces), state_dir, num_buckets)
+    return sol.map_batches(inst, batch_format="pyarrow")
+
+
+_MODIFY_STATS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("n_before", pa.int64()),
+        ("n_removed", pa.int64()),
+        ("n_after", pa.int64()),
+    ]
+)
+
+
+def quad_state_delete_quads(
+    state_dir: str, routed_delta: ray.data.Dataset, num_buckets: int = 64
+) -> list[dict]:
+    """Exact-quad deletion of a request-derived quad SET (the delete side of
+    a Modify): the delete delta is routed with the SAME bucket function as
+    the state build, so each bucket's removals arrive at the one task that
+    owns its files; per-bucket polars ANTI-join + convergent content-tagged
+    rewrite. Only the delete delta crosses the exchange; untouched buckets
+    are never read. Quads in the delta that are absent from the state are
+    no-ops (SPARQL set semantics)."""
+    from ..stages.fold import _decode_dicts
+    from ..stages.incremental import QUAD_COLS, _add_bucket, _bucket_dir
+    from ..util import fs_exists
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = _decode_dicts(t)
+        df = pl.from_arrow(t)
+        rows = []
+        for key, grp in df.partition_by("bucket", as_dict=True).items():
+            b = int(key[0])
+            dels = grp.select(QUAD_COLS).unique()
+            d = _bucket_dir(state_dir, b)
+            if not fs_exists(d):
+                continue
+            files = fs_list_parquet(d)
+            if not files:
+                continue
+            old = pl.concat(
+                [pl.from_arrow(fs_read_table(f)) for f in files]
+            )
+            kept = old.join(dels, on=QUAD_COLS, how="anti")
+            if kept.height == 0:
+                fs_rmtree(d)
+            elif kept.height != old.height:
+                _write_bucket(state_dir, b, kept)
+            rows.append(
+                {
+                    "bucket": b,
+                    "n_before": old.height,
+                    "n_removed": old.height - kept.height,
+                    "n_after": kept.height,
+                }
+            )
+        if not rows:
+            return _MODIFY_STATS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=_MODIFY_STATS_SCHEMA)
+
+    return (
+        routed_delta.map_batches(_add_bucket(num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(apply, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+
+
+def quad_state_modify(
+    state_dir: str,
+    del_tmpl,
+    ins_tmpl,
+    body,
+    num_buckets: int = 64,
+    namespaces=None,
+) -> list[dict]:
+    """The SPARQL 1.1 Modify operation — ``DELETE { t } INSERT { t } WHERE
+    { BGP }`` (either template may be empty): the WHERE BGP is evaluated
+    ONCE against the pre-state (distributed binding joins; GRAPH ?g binds
+    the graph), BOTH templates are instantiated from the same solution set
+    and MATERIALIZED before any mutation (spec semantics: deletes and
+    inserts are computed against the state as it was), then deletes apply
+    as per-bucket anti-joins and inserts as a delta merge — in both
+    directions only request-derived quads cross an exchange.
+
+    Idempotency caveat (documented, matches the spec): a Modify whose
+    delete side consumes its own WHERE matches converges after one run;
+    re-running finds no solutions and is a no-op."""
+    from ray.data.aggregate import Count
+
+    tvars: set[str] = set()
+    for q in list(del_tmpl) + list(ins_tmpl):
+        tvars |= _pat_vars(q)
+    sol, bound = _solutions(state_quads(state_dir), body)
+    missing = tvars - bound
+    if missing:
+        raise ValueError(f"template variables unbound in WHERE: {sorted(missing)}")
+    proj = [f"b_{v}" for v in sorted(tvars)]
+    if proj:
+        sol = sol.groupby(proj).aggregate(Count(alias_name="_m")).select_columns(proj)
+    # materialize BOTH deltas before mutating: the instantiation pipelines
+    # read the state's bucket files lazily — mutating first would race the
+    # reads (and break pre-state semantics)
+    del_delta = (
+        route(_instantiate(sol, del_tmpl, tvars), namespaces).materialize()
+        if del_tmpl
+        else None
+    )
+    ins_delta = (
+        route(_instantiate(sol, ins_tmpl, tvars), namespaces).materialize()
+        if ins_tmpl
+        else None
+    )
+    out: list[dict] = []
+    if del_delta is not None:
+        for r in quad_state_delete_quads(state_dir, del_delta, num_buckets):
+            out.append({"phase": "delete", **r})
+    if ins_delta is not None:
+        for r in quad_state_merge(ins_delta, state_dir, num_buckets):
+            out.append({"phase": "insert", **r})
+    return out
+
+
+def quad_state_insert_where(
+    state_dir: str, tmpl, body, num_buckets: int = 64, namespaces=None
+) -> list[dict]:
+    """INSERT { template } WHERE { BGP } — Modify with an empty delete side
+    (see :func:`quad_state_modify`)."""
+    return quad_state_modify(state_dir, [], tmpl, body, num_buckets, namespaces)
