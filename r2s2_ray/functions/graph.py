@@ -482,6 +482,7 @@ def comention_pmi(
     turn_col: str = "turn",
     ent_col: str = "ent",
     num_buckets: int = 32,
+    broadcast_max: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Entity co-mention pointwise mutual information, whole-bit quantized:
     for every entity pair co-mentioned in a turn,
@@ -491,14 +492,17 @@ def comention_pmi(
     iterative-free statistic is bit-exact across engines.
 
     Stage shape: one turn-keyed bucket sort + block pair generation (the
-    fold.py shuffle pattern), one (a, b) pair fold, and a tiny entity-count
-    broadcast (the entity vocabulary is gazetteer-sized; at web scale swap
-    the broadcast for the rare_terms hash_join path). Emits
+    fold.py shuffle pattern), one (a, b) pair fold; the entity-count table
+    broadcasts once via ``ray.put`` under ``broadcast_max`` entities
+    (vectorized lookup) and beyond the guard attaches to the pair stream by
+    two key-partitioned hash_joins (n_a on ``a``, n_b on ``b``) — the
+    pagerank dual path, equality-pinned in tests. Emits
     (a, b, n_ab, pmi_bits)."""
     import polars as pl
+    import ray as _ray
     from ray.data.aggregate import Count
 
-    from ..relational import _bucket_by
+    from ..relational import _bucket_by, hash_join
     from .dedup import _fold_pairs, _group_pair_indices
 
     m = (
@@ -507,10 +511,11 @@ def comention_pmi(
         .select_columns([turn_col, ent_col])
         .materialize()
     )
-    n_e = {
-        r[ent_col]: int(r["count()"])
-        for r in m.groupby(ent_col).aggregate(Count()).take_all()
-    }
+    ecounts = (
+        m.groupby(ent_col)
+        .aggregate(Count(alias_name="n"))
+        .materialize()
+    )
     n_turns = m.groupby(turn_col).aggregate(Count()).count()
 
     def pair_block(t: pa.Table) -> pa.Table:
@@ -543,6 +548,43 @@ def comention_pmi(
         {"n_ab": pl.len().cast(pl.Int64)},
     )
 
+    if ecounts.count() <= broadcast_max:
+        # broadcast path: vocabulary-scale {ent: n} ships once
+        n_e = {r[ent_col]: int(r["n"]) for r in ecounts.take_all()}
+        eref = _ray.put(n_e)
+
+        def attach_counts(b: pa.Table, _ref=eref) -> pa.Table:
+            ne = _ray.get(_ref)
+            ks, vs = list(ne.keys()), list(ne.values())
+            return (
+                pl.from_arrow(b)
+                .with_columns(
+                    pl.col("a").replace_strict(ks, vs, return_dtype=pl.Int64)
+                    .alias("n_a"),
+                    pl.col("b").replace_strict(ks, vs, return_dtype=pl.Int64)
+                    .alias("n_b"),
+                )
+                .to_arrow()
+            )
+
+        counted = pairs.map_batches(attach_counts, batch_format="pyarrow")
+    else:
+        # data-sized entity set: two key-partitioned count-attaching joins
+        ca = ecounts.map_batches(
+            lambda b: pa.table({"a": b[ent_col], "n_a": b["n"]}),
+            batch_format="pyarrow",
+        )
+        cb = ecounts.map_batches(
+            lambda b: pa.table({"b": b[ent_col], "n_b": b["n"]}),
+            batch_format="pyarrow",
+        )
+        counted = hash_join(
+            hash_join(pairs, ca, on="a", right_cols=["n_a"]),
+            cb,
+            on="b",
+            right_cols=["n_b"],
+        )
+
     def finish(b: pa.Table) -> pa.Table:
         if not b.num_rows:
             return pa.table(
@@ -554,8 +596,8 @@ def comention_pmi(
                 }
             )
         n_ab = np.asarray(b["n_ab"].to_pylist(), dtype=np.int64)
-        na = np.asarray([n_e[x] for x in b["a"].to_pylist()], dtype=np.int64)
-        nb = np.asarray([n_e[x] for x in b["b"].to_pylist()], dtype=np.int64)
+        na = np.asarray(b["n_a"].to_pylist(), dtype=np.int64)
+        nb = np.asarray(b["n_b"].to_pylist(), dtype=np.int64)
 
         def flog2(x: np.ndarray) -> np.ndarray:
             # exact for x < 2**53: frexp exponents of exactly-representable ints
@@ -571,7 +613,7 @@ def comention_pmi(
             }
         )
 
-    return pairs.map_batches(finish, batch_format="pyarrow")
+    return counted.map_batches(finish, batch_format="pyarrow")
 
 
 def triangles(
@@ -1163,6 +1205,7 @@ def link_predict(
     a_col: str = "a",
     b_col: str = "b",
     scale_bits: int = 20,
+    broadcast_max: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Link prediction over an undirected edge set (ordered pairs a < b) via
     the Resource-Allocation index (Zhou et al. 2009, the integer-exact cousin
@@ -1175,22 +1218,21 @@ def link_predict(
     Scale shape: wedges via ONE key-partitioned hash_join of the
     symmetrized edge list with itself (the triangles pattern); existing
     edges removed by a LEFT hash_join anti-filter on the composite pair key;
-    one pair-keyed fold sums the scores. The degree map broadcasts once via
-    ray.put (entity vocabularies are gazetteer-sized here — swap for a
-    deg-attaching hash_join when nodes are data-sized)."""
+    one pair-keyed fold sums the scores. Degrees come from a distributed
+    groupby on the symmetrized list; with at most ``broadcast_max`` nodes
+    the 2^bits//deg share table ships once via ``ray.put`` (vectorized
+    lookup), beyond the guard it attaches to the wedge stream by one
+    key-partitioned hash_join on the wedge-center key — the pagerank dual
+    path, equality-pinned in tests."""
     import polars as pl
     import ray as _ray
+    from ray.data.aggregate import Count
 
     from ..relational import hash_join
     from .dedup import _fold_pairs
 
-    edges = edges.select_columns([a_col, b_col]).materialize()
-    deg: dict = {}
-    for r in edges.take_all():
-        deg[r[a_col]] = deg.get(r[a_col], 0) + 1
-        deg[r[b_col]] = deg.get(r[b_col], 0) + 1
-    dref = _ray.put(deg)
     scale = 1 << scale_bits
+    edges = edges.select_columns([a_col, b_col]).materialize()
 
     def symm(b: pa.Table) -> pa.Table:
         fwd = pa.table({"u": b[a_col], "w": b[b_col]})
@@ -1198,6 +1240,15 @@ def link_predict(
         return pa.concat_tables([fwd, rev])
 
     s = edges.map_batches(symm, batch_format="pyarrow")
+    # deg(v) = symmetrized-endpoint count, distributed (never a driver loop)
+    deg_ds = (
+        s.map_batches(
+            lambda b: pa.table({"k": b["u"]}), batch_format="pyarrow"
+        )
+        .groupby("k")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
     left = s.map_batches(
         lambda b: pa.table({"u": b["u"], "k": b["w"]}), batch_format="pyarrow"
     )
@@ -1206,27 +1257,46 @@ def link_predict(
     )
     wedges = hash_join(left, right, on="k", right_cols=["v"])
 
-    def score_rows(b: pa.Table) -> pa.Table:
-        d = _ray.get(dref)
-        df = pl.from_arrow(b).filter(pl.col("u") < pl.col("v"))
-        if not df.height:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.large_string()),
-                    "b": pa.array([], pa.large_string()),
-                    "kk": pa.array([], pa.large_string()),
-                    "ra": pa.array([], pa.int64()),
-                }
+    if deg_ds.count() <= broadcast_max:
+        # broadcast path: node-scale {center: scale // deg} ships once
+        share = {r["k"]: scale // int(r["deg"]) for r in deg_ds.take_all()}
+        sref = _ray.put(share)
+
+        def attach_ra(b: pa.Table, _ref=sref) -> pa.Table:
+            sh = _ray.get(_ref)
+            return (
+                pl.from_arrow(b)
+                .with_columns(
+                    pl.col("k")
+                    .replace_strict(
+                        list(sh.keys()), list(sh.values()), return_dtype=pl.Int64
+                    )
+                    .alias("ra")
+                )
+                .to_arrow()
             )
-        w = np.asarray(
-            [scale // d[x] for x in df["k"].to_list()], dtype=np.int64
+
+        scored_in = wedges.map_batches(attach_ra, batch_format="pyarrow")
+    else:
+        # data-sized node set: key-partitioned deg-attaching join instead
+        scored_in = hash_join(
+            wedges, deg_ds, on="k", right_cols=["deg"]
+        ).map_batches(
+            lambda b: pl.from_arrow(b)
+            .with_columns((scale // pl.col("deg")).cast(pl.Int64).alias("ra"))
+            .drop("deg")
+            .to_arrow(),
+            batch_format="pyarrow",
         )
-        out = df.select(
+
+    def score_rows(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b).filter(pl.col("u") < pl.col("v"))
+        return df.select(
             pl.col("u").alias("a"),
             pl.col("v").alias("b"),
             pl.concat_str([pl.col("u"), pl.col("v")], separator="\x1f").alias("kk"),
-        ).with_columns(pl.Series("ra", w, dtype=pl.Int64))
-        return out.to_arrow()
+            pl.col("ra").cast(pl.Int64),
+        ).to_arrow()
 
     def edge_key(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(pa.table({"x": b[a_col], "y": b[b_col]}))
@@ -1239,7 +1309,7 @@ def link_predict(
         )
 
     non_edges = hash_join(
-        wedges.map_batches(score_rows, batch_format="pyarrow"),
+        scored_in.map_batches(score_rows, batch_format="pyarrow"),
         edges.map_batches(edge_key, batch_format="pyarrow"),
         on="kk",
         right_cols=["hit"],

@@ -909,7 +909,9 @@ def mmr_topk(
     runs on the driver over the POOL (metadata-scale by construction — the
     pool is the re-rank budget; the corpus scan is not). Integer output
     (qid, rank, id), so the unrolled-CTE SQL oracle hash-matches; the
-    round-to-9 contract absorbs <=1-ulp numpy/DuckDB dot disagreement."""
+    round-to-9 contract applies at BOTH the rel computation (pinning pool
+    membership at the pool-th boundary) and the greedy score, absorbing
+    <=1-ulp numpy/DuckDB dot disagreement on each."""
     import polars as pl
 
     q = np.asarray(queries, dtype=np.float64)
@@ -924,7 +926,11 @@ def mmr_topk(
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         vn = vecs / norms
-        sims = vn @ qm.T
+        # round-to-9 at rel computation: pool membership (here, in fold_pool,
+        # and at the driver cut) then ranks on the SAME value the SQL oracle
+        # ranks on — a sub-ulp numpy/DuckDB cosine disagreement at the
+        # pool-th boundary can no longer flip membership
+        sims = np.round(vn @ qm.T, 9)
         kk = min(pool, len(ids))
         qidx: list[int] = []
         out_id: list[int] = []

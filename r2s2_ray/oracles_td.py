@@ -1762,15 +1762,18 @@ def vocab_coverage_oracle(vocab_size: int = 16) -> str:
 
 def mmr_oracle(nq: int = 8, k: int = 5, pool: int = 32) -> str:
     """Exact SQL mirror of ``similarity.mmr_topk``: top-``pool`` candidates
-    per query by (cos DESC, vec_id), then the lambda=1/2 greedy unrolled as
-    ``k``-1 chained CTEs — score = round(0.5*rel - 0.5*maxsim, 9), maxsim =
-    max cosine against the selected set, ties by vec_id ASC. The round-to-9
-    contract is shared with the Ray side."""
+    per query by (round(cos, 9) DESC, vec_id) — rel is rounded at
+    computation, matching the Ray side, so pool membership is pinned — then
+    the lambda=1/2 greedy unrolled as ``k``-1 chained CTEs — score =
+    round(0.5*rel - 0.5*maxsim, 9), maxsim = max cosine against the selected
+    set, ties by vec_id ASC. The round-to-9 contract is shared with the Ray
+    side."""
     parts = [
         f"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings WHERE vec_id < {nq}),
         s AS (SELECT q.qid, v.vec_id, CAST(v.embedding AS DOUBLE[]) AS e,
-                     list_cosine_similarity(q.e, CAST(v.embedding AS DOUBLE[])) AS rel
+                     round(list_cosine_similarity(
+                         q.e, CAST(v.embedding AS DOUBLE[])), 9) AS rel
               FROM q CROSS JOIN embeddings v),
         pool AS (SELECT qid, vec_id, e, rel FROM (
               SELECT *, row_number() OVER (PARTITION BY qid

@@ -23,6 +23,16 @@ union again. ``INSERT DATA`` triples outside a ``GRAPH`` block land in
 ``DEFAULT_GRAPH``. RDF set semantics make inserts of already-present quads
 no-ops by construction (the state stores DISTINCT quads).
 
+**DELIBERATE DIVERGENCE from strict SPARQL 1.1 dataset semantics** (pinned
+here, not just in helper docstrings): per the spec, a pattern outside
+``GRAPH`` matches the *default graph only* and ``GRAPH ?g`` binds *named
+graphs only*. This engine uses the *union default graph* convention instead
+(common in triple stores: bare patterns see the union of ALL graphs, and
+``GRAPH ?g`` also binds ``DEFAULT_GRAPH``), consistently across serving and
+UPDATE and across every oracle. Requests ported from a strict-spec store
+that rely on the bare-pattern/default-graph distinction must add explicit
+``GRAPH`` blocks.
+
 Supported grammar (anything else raises loudly, never misparses):
 
     PREFIX decls
@@ -586,6 +596,11 @@ def _match_pattern(quads: ray.data.Dataset, pat) -> ray.data.Dataset:
         ]
         if g is not None and g.kind == "var":
             terms.append((g, None, t["graph"], empty, empty))
+        # Build ALL encodings from the unfiltered t first; within-pattern
+        # repeated-variable equalities accumulate into one row mask applied
+        # at the end. (Filtering enc in place mid-loop would desync lengths
+        # against encodings built later — e.g. GRAPH ?g { ?x <p> ?x }.)
+        keep = None
         for term, kind_col, val_col, lang_col, dt_col in terms:
             if term.kind != "var":
                 continue
@@ -595,12 +610,12 @@ def _match_pattern(quads: ray.data.Dataset, pat) -> ray.data.Dataset:
             e = _enc_cols(kind, lang_col, dt_col, val_col)
             key = f"b_{term.value}"
             if key in enc:  # ?x p ?x — equality within the pattern
-                keep = pc.equal(enc[key], e)
-                t2 = pa.table(enc).filter(keep)
-                enc = {k: t2[k] for k in t2.column_names}
+                cond = pc.equal(enc[key], e)
+                keep = cond if keep is None else pc.and_(keep, cond)
             else:
                 enc[key] = e
-        return pa.table({k: enc[k] for k in sorted(enc)})
+        out = pa.table({k: enc[k] for k in sorted(enc)})
+        return out if keep is None else out.filter(keep)
 
     cols = [f"b_{v}" for v in names]
     return (
@@ -842,6 +857,10 @@ def quad_state_modify(
     proj = [f"b_{v}" for v in sorted(tvars)]
     if proj:
         sol = sol.groupby(proj).aggregate(Count(alias_name="_m")).select_columns(proj)
+    # Pin the solution set once: both templates instantiate from it, and
+    # without this the whole WHERE evaluation (state scan + joins) would
+    # re-execute inside each delta's materialize().
+    sol = sol.materialize()
     # materialize BOTH deltas before mutating: the instantiation pipelines
     # read the state's bucket files lazily — mutating first would race the
     # reads (and break pre-state semantics)

@@ -503,6 +503,14 @@ def rowgroup_prune(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # The residual filter reads t[key_col], so the key column must come back
+    # from the row-group read even if the caller didn't list it.
+    read_cols = list(columns) if key_col in columns else [*columns, key_col]
+    # Typed empty-table schema for the all-pruned case: a null-typed
+    # pa.table({c: []}) would fail unification against typed blocks.
+    file_schema = pq.ParquetFile(sorted(paths)[0]).schema_arrow
+    empty_schema = pa.schema([file_schema.field(c) for c in columns])
+
     def probe(b: pa.Table) -> pa.Table:
         out_p: list[str] = []
         out_rg: list[int] = []
@@ -542,17 +550,21 @@ def rowgroup_prune(
         batch_format="pyarrow",
     ).materialize()
     stats = {"n_groups": n_groups, "n_scanned": kept.count()}
+    if stats["n_scanned"] == 0:
+        # zero blocks downstream would leave the dataset schema-less; hand
+        # back a typed empty table instead so consumers can still unify
+        return ray.data.from_arrow(empty_schema.empty_table()), stats
 
     def read_groups(b: pa.Table) -> pa.Table:
         outs = []
         for p, rg in zip(b["path"].to_pylist(), b["rg"].to_pylist()):
-            t = pq.ParquetFile(p).read_row_group(rg, columns=columns)
+            t = pq.ParquetFile(p).read_row_group(rg, columns=read_cols)
             m = pc.and_(
                 pc.greater_equal(t[key_col], lo), pc.less_equal(t[key_col], hi)
             )
-            outs.append(t.filter(m))
+            outs.append(t.filter(m).select(columns))
         if not outs:
-            return pa.table({c: [] for c in columns})
+            return empty_schema.empty_table()
         return pa.concat_tables(outs, promote_options="default")
 
     return (

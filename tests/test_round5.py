@@ -1,0 +1,192 @@
+"""Round-5 pins: the ADVICE fixes (Modify repeated-var + graph-var pattern,
+rowgroup_prune typed empty/implicit key) and the guarded dual paths for
+link_predict / comention_pmi (VERDICT round-4 "weak" items)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray
+import ray.data
+
+
+# ------------------------------------------------- update: repeated variables
+def _selfloop_state(tmp_path):
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import quad_state_build
+
+    # one self-loop (a:s1 a:p a:s1) that survives the within-pattern equality
+    # filter plus rows it must DROP — pre-fix, dropping rows desynced the
+    # graph-var encoding length and raised ArrowInvalid
+    tbl = pa.table(
+        {
+            "subj": pa.array(["a:s1", "a:s2", "a:s3"], pa.string()),
+            "s_kind": pa.array([1, 1, 1], pa.int8()),
+            "pred": pa.array(["a:p"] * 3, pa.string()),
+            "obj": pa.array(["a:s1", "a:zzz", "a:s3"], pa.string()),
+            "o_kind": pa.array([1, 1, 1], pa.int8()),
+            "o_lang": pa.array([None, None, None], pa.string()),
+            "o_dt": pa.array([None, None, None], pa.string()),
+            "graph": pa.array(["g1", "g1", "g2"], pa.string()),
+        }
+    )
+    state = str(tmp_path / "state")
+    quad_state_build(route(ray.data.from_arrow(tbl)), state, num_buckets=4)
+    return state
+
+
+def test_modify_repeated_var_under_graph_var(ray_session, tmp_path):
+    """GRAPH ?g { ?x <a:p> ?x } — a repeated variable whose equality filter
+    drops rows, with a variable (the graph var) encoded after it. Pre-fix
+    this raised ArrowInvalid (arrays of different length); post-fix it binds
+    exactly the two self-loops and re-targets the insert per graph."""
+    from r2s2_ray.pipelines.update import apply_update, state_quads
+
+    state = _selfloop_state(tmp_path)
+    apply_update(
+        state,
+        "INSERT { GRAPH ?g { ?x <a:loop> <a:yes> } } "
+        "WHERE { GRAPH ?g { ?x <a:p> ?x } }",
+        num_buckets=4,
+    )
+    got = sorted(
+        (r["subj"], r["graph"])
+        for r in state_quads(state).take_all()
+        if r["pred"] == "a:loop"
+    )
+    assert got == [("a:s1", "g1"), ("a:s3", "g2")]
+
+
+def test_delete_where_repeated_var(ray_session, tmp_path):
+    """DELETE of self-loops via the Modify path must remove exactly the rows
+    where subject == object, leaving the non-loop rows intact."""
+    from r2s2_ray.pipelines.update import apply_update, state_quads
+
+    state = _selfloop_state(tmp_path)
+    apply_update(
+        state,
+        "DELETE { GRAPH ?g { ?x <a:p> ?x } } WHERE { GRAPH ?g { ?x <a:p> ?x } }",
+        num_buckets=4,
+    )
+    left = sorted(r["subj"] for r in state_quads(state).take_all())
+    assert left == ["a:s2"]
+
+
+# ---------------------------------------------------- rowgroup_prune hardening
+def test_rowgroup_prune_all_pruned_typed_schema(ray_session, tmp_path):
+    """A range that prunes every row group must yield an EMPTY dataset whose
+    schema keeps the parquet types (not null-typed columns)."""
+    from r2s2_ray.sources.jsonl import rowgroup_prune
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "v": pa.array([f"s{i}" for i in range(100)], pa.string()),
+        }
+    )
+    p = str(tmp_path / "a.parquet")
+    pq.write_table(t, p, row_group_size=10)
+    ds, stats = rowgroup_prune([p], "k", 10_000, 20_000, ["k", "v"])
+    out = ds.materialize()
+    assert out.count() == 0 and stats["n_scanned"] == 0
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["k"] == pa.int64() and types["v"] == pa.string()
+
+
+def test_rowgroup_prune_key_col_not_in_columns(ray_session, tmp_path):
+    """The residual filter needs key_col even when the caller's column list
+    omits it — it must be read internally and NOT appear in the output."""
+    from r2s2_ray.sources.jsonl import rowgroup_prune
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "v": pa.array(list(range(100, 200)), pa.int64()),
+        }
+    )
+    p = str(tmp_path / "a.parquet")
+    pq.write_table(t, p, row_group_size=10)
+    ds, _ = rowgroup_prune([p], "k", 25, 34, ["v"])
+    rows = ds.take_all()
+    assert sorted(r["v"] for r in rows) == list(range(125, 135))
+    assert all(set(r) == {"v"} for r in rows)
+
+
+# ------------------------------------------ graph analytics guarded dual paths
+def _pmi_rows(ds):
+    return sorted(
+        (r["a"], r["b"], r["n_ab"], r["pmi_bits"]) for r in ds.take_all()
+    )
+
+
+def test_comention_pmi_paths_agree(ray_session):
+    """comention_pmi's broadcast and count-attaching-join paths must be
+    bit-identical (broadcast_max=0 forces the hash_join branch)."""
+    from r2s2_ray.functions.graph import comention_pmi
+
+    turns = ["t1", "t1", "t1", "t2", "t2", "t3", "t3", "t3", "t4"]
+    ents = ["A", "B", "C", "A", "B", "B", "C", "D", "A"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "turn": pa.array(turns, pa.large_string()),
+                "ent": pa.array(ents, pa.large_string()),
+            }
+        )
+    ).repartition(3)
+    bc = _pmi_rows(comention_pmi(ds))
+    dist = _pmi_rows(comention_pmi(ds, broadcast_max=0))
+    assert bc == dist and len(bc) == 5  # AB x2, AC, BC x2 folded, BD, CD
+
+
+def _lp_rows(ds):
+    return sorted(
+        (r["a"], r["b"], r["ra_scaled"], r["n_common"]) for r in ds.take_all()
+    )
+
+
+def test_link_predict_paths_agree(ray_session):
+    """link_predict's broadcast share table and the deg-attaching hash_join
+    path must score identically (broadcast_max=0 forces the join branch)."""
+    from r2s2_ray.functions.graph import link_predict
+
+    # square n1-n2-n3-n4-n1 plus chord n1-n3: predicts (n2, n4)
+    edges = [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n1", "n4"), ("n1", "n3")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.large_string()),
+                "b": pa.array([b for _, b in edges], pa.large_string()),
+            }
+        )
+    ).repartition(2)
+    bc = _lp_rows(link_predict(ds))
+    dist = _lp_rows(link_predict(ds, broadcast_max=0))
+    assert bc == dist
+    got = {(a, b): (ra, nc) for a, b, ra, nc in bc}
+    # n2/n4's common neighbors are n1 (deg 3) and n3 (deg 3)
+    assert got[("n2", "n4")] == (2 * ((1 << 20) // 3), 2)
+
+
+def test_link_predict_distributed_branch_at_volume(ray_session):
+    """The join branch on multi-block REAL volume: a 600-node ring (every
+    node degree 2) with broadcast_max=100 — the distributed branch IS the one
+    taken (600 > 100) — must produce the exact ring prediction set: each
+    (i-1, i+1) skip pair scored 2^20 // 2 with one common neighbor."""
+    from r2s2_ray.functions.graph import link_predict
+
+    n = 600
+    guard = 100
+    assert n > guard
+    a = [f"v{min(i, (i + 1) % n):04d}" for i in range(n)]
+    b = [f"v{max(i, (i + 1) % n):04d}" for i in range(n)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"a": pa.array(a, pa.large_string()), "b": pa.array(b, pa.large_string())}
+        )
+    ).repartition(8)
+    rows = _lp_rows(link_predict(ds, broadcast_max=guard))
+    assert len(rows) == n  # one skip pair per centre vertex
+    assert all(ra == (1 << 20) // 2 and nc == 1 for _, _, ra, nc in rows)
