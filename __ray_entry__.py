@@ -273,6 +273,81 @@ WHERE  { GRAPH ?g { ?t ex:role "user" } }
 """
 
 
+#: Graph-management script served by kg_sparql_manage — every verb class:
+#: COPY (dst absent = plain copy), ADD (set-semantics union), MOVE (source
+#: gone), SILENT no-ops, CREATE on a store with no empty-graph registry, and
+#: CLEAR. All exchange-free per-bucket rewrites (pipelines/update.py
+#: _graph_rewrite). The oracle (oracles.sparql_manage_oracle) mirrors these
+#: constants verbatim.
+_KG_MANAGE_SRC = """
+COPY GRAPH <https://graphs.example.org/g0> TO GRAPH <urn:work> ;
+ADD GRAPH <https://graphs.example.org/g1> TO GRAPH <urn:work> ;
+MOVE GRAPH <https://graphs.example.org/g2> TO GRAPH <urn:archive> ;
+DROP SILENT GRAPH <urn:nothing> ;
+CREATE SILENT GRAPH <urn:work> ;
+CLEAR GRAPH <https://graphs.example.org/g3>
+"""
+
+
+def _kg_sparql_manage(sf_dir: str):
+    """SPARQL UPDATE graph management end-to-end: build the quad state, run
+    COPY/ADD/MOVE/DROP SILENT/CREATE SILENT/CLEAR (each an exchange-free
+    per-bucket rewrite — the bucket key is graph-independent), then LOAD a
+    two-row parquet delta INTO a fresh graph (routed delta merge). Hash-
+    matching the rebuild-with-graph-edits SQL proves the in-place graph ops
+    equal a from-scratch load of the re-graphed corpus."""
+    import tempfile
+
+    import pyarrow.parquet as _pq
+
+    from r2s2_ray.extract.batch import extract_triples
+    from r2s2_ray.linking import canonicalize
+    from r2s2_ray.pipelines.update import apply_update
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import quad_state_build, state_folded
+
+    routed = route(canonicalize(extract_triples(read_transcripts(sf_dir))))
+    state = tempfile.mkdtemp(prefix="kg_manage_state_")
+    quad_state_build(routed, state, num_buckets=32)
+    stats = apply_update(state, _KG_MANAGE_SRC, num_buckets=32)
+    assert sum(r.get("n_retagged", 0) for r in stats) > 0, "manage retagged nothing"
+
+    delta = pa.table(
+        {
+            "subj": pa.array(
+                ["https://ex.org/loaded/1", "https://ex.org/loaded/2"], pa.string()
+            ),
+            "s_kind": pa.array([1, 1], pa.int8()),
+            "pred": pa.array([vocab.P_SOURCE] * 2, pa.string()),
+            "obj": pa.array([vocab.SRC + "load"] * 2, pa.string()),
+            "o_kind": pa.array([1, 1], pa.int8()),
+            "o_lang": pa.array([None, None], pa.string()),
+            "o_dt": pa.array([None, None], pa.string()),
+        }
+    )
+    src = tempfile.mktemp(prefix="kg_manage_load_", suffix=".parquet")
+    _pq.write_table(delta, src)
+    lstats = apply_update(
+        state, f"LOAD <file://{src}> INTO GRAPH <urn:loaded>", num_buckets=32
+    )
+    assert sum(r.get("n_delta", 0) for r in lstats) == 2, "LOAD merged nothing"
+
+    def fmt(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": b["subj"],
+                "pred": b["pred"],
+                "obj": b["obj"],
+                "o_lang": b["o_lang"],
+                "o_dt": b["o_dt"],
+                "graphs_s": pc.binary_join(b["graphs"], pa.scalar(",", pa.large_string())),
+                "n_graphs": pc.cast(pc.list_value_length(b["graphs"]), pa.int64()),
+            }
+        )
+
+    return state_folded(state).map_batches(fmt, batch_format="pyarrow")
+
+
 def _kg_sparql_insertwhere(sf_dir: str):
     """SPARQL UPDATE INSERT..WHERE end-to-end: the WHERE BGP (a two-pattern
     join on ?t) is evaluated distributed against the quad state, the
@@ -3187,6 +3262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_update": _kg_sparql_update,
         "kg_sparql_insertwhere": _kg_sparql_insertwhere,
         "kg_sparql_modify": _kg_sparql_modify,
+        "kg_sparql_manage": _kg_sparql_manage,
         "kg_pred_counts": _kg_pred_counts,
         "kg_class_census": _kg_class_census,
         "kg_mentions": _kg_mentions,
@@ -3408,6 +3484,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": oracles.dedup_triples_oracle(),
         "kg_retract": oracles.retract_oracle(_FORGET_GRAPHS),
         "kg_sparql_update": oracles.sparql_update_oracle(),
+        "kg_sparql_manage": oracles.sparql_manage_oracle(),
         "kg_sparql_insertwhere": oracles.sparql_insertwhere_oracle(),
         "kg_sparql_modify": oracles.sparql_modify_oracle(),
         "kg_pred_counts": oracles.pred_counts_oracle(),

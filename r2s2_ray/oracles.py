@@ -1024,6 +1024,41 @@ def sparql_update_oracle() -> str:
     )
 
 
+def sparql_manage_oracle() -> str:
+    """Ground truth for ``kg_sparql_manage`` (__ray_entry__._KG_MANAGE_SRC +
+    the LOAD step): rebuild-with-graph-edits — COPY g0 -> urn:work, ADD g1
+    into urn:work, MOVE g2 -> urn:archive (g2 gone), CLEAR g3, plus the two
+    constant LOADed quads in urn:loaded. The hash match proves the per-bucket
+    exchange-free graph rewrites equal a from-scratch load of the re-graphed
+    corpus. Constants mirror the entry's management script verbatim."""
+    g0 = _q("https://graphs.example.org/g0")
+    g1 = _q("https://graphs.example.org/g1")
+    g2 = _q("https://graphs.example.org/g2")
+    g3 = _q("https://graphs.example.org/g3")
+    t = raw_triples_sql(linked=True)
+    return (
+        f"WITH raw AS ({t}), "
+        f"kept AS (SELECT subj, pred, obj, o_lang, o_dt, graph FROM raw "
+        f"WHERE graph NOT IN ({g2}, {g3})), "
+        f"work AS (SELECT subj, pred, obj, o_lang, o_dt, 'urn:work' AS graph "
+        f"FROM raw WHERE graph IN ({g0}, {g1})), "
+        f"arch AS (SELECT subj, pred, obj, o_lang, o_dt, 'urn:archive' "
+        f"FROM raw WHERE graph = {g2}), "
+        f"loaded AS (SELECT 'https://ex.org/loaded/1' AS subj, "
+        f"{_q(vocab.P_SOURCE)} AS pred, {_q(vocab.SRC + 'load')} AS obj, "
+        f"CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_dt, "
+        f"'urn:loaded' AS graph "
+        f"UNION ALL SELECT 'https://ex.org/loaded/2', {_q(vocab.P_SOURCE)}, "
+        f"{_q(vocab.SRC + 'load')}, NULL, NULL, 'urn:loaded'), "
+        f"uni AS (SELECT * FROM kept UNION ALL SELECT * FROM work "
+        f"UNION ALL SELECT * FROM arch UNION ALL SELECT * FROM loaded) "
+        f"SELECT subj, pred, obj, o_lang, o_dt, "
+        f"array_to_string(list_sort(list(DISTINCT graph)), ',') AS graphs_s, "
+        f"CAST(count(DISTINCT graph) AS BIGINT) AS n_graphs "
+        f"FROM uni GROUP BY subj, pred, obj, o_lang, o_dt"
+    )
+
+
 def sparql_modify_oracle() -> str:
     """Ground truth for ``kg_sparql_modify`` (__ray_entry__._KG_MODIFY_SRC):
     the WHERE { GRAPH ?g { ?t ex:role "user" } } matches are exactly the

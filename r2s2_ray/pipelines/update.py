@@ -53,8 +53,26 @@ Supported grammar (anything else raises loudly, never misparses):
                                               GRAPH ?g binds in WHERE and
                                               re-targets template quads;
                                               see quad_state_modify)
+      CLEAR  (SILENT)? ( GRAPH iri | DEFAULT | NAMED | ALL )
+      DROP   (SILENT)? ( GRAPH iri | DEFAULT | NAMED | ALL )
+      CREATE (SILENT)? GRAPH iri
+      ADD | MOVE | COPY (SILENT)?
+             ( (GRAPH)? iri | DEFAULT ) TO ( (GRAPH)? iri | DEFAULT )
+      LOAD   (SILENT)? iri ( INTO GRAPH iri )?
     quad-block := ( triples | GRAPH (<g>|?g) '{' triples '}' )*
     triples    := s p o ( ';' p o )* '.'      (``a`` = rdf:type)
+
+Graph-management semantics (SPARQL 1.1 Update §3.2, adapted to a store that
+records NO empty graphs — a graph "exists" iff it holds at least one quad,
+the spec-sanctioned reading for such stores): ``CREATE`` is a no-op that
+errors if the graph already holds quads (unless SILENT); ``DROP`` and
+``CLEAR`` coincide; ``CLEAR/DROP GRAPH g`` on an absent graph, and
+``ADD/MOVE/COPY`` from an absent source, error unless SILENT. All of them
+are EXCHANGE-FREE: the bucket key is hash(combo, subj) — graph-independent —
+so retagging or dropping a graph is one task per bucket rewriting its own
+files (`_graph_rewrite`). ``LOAD`` reads a local parquet / JSONL(.gz) file
+in the extract schema (``file://`` URIs accepted) and merges it as a routed
+delta, optionally re-targeted by ``INTO GRAPH``.
 
 ``DELETE WHERE`` with multiple triple patterns is supported only when the
 patterns share no variables (each then deletes its own matches exactly);
@@ -195,19 +213,99 @@ def _split_quad_block(block: str, prefixes: dict[str, str]):
     return quads
 
 
+_MANAGE_HEAD_RE = re.compile(r"(CLEAR|DROP|CREATE|ADD|MOVE|COPY|LOAD)\b", re.I)
+_WS_RE = re.compile(r"\s*")
+
+
+def _iri_at(body: str, pos: int, prefixes: dict[str, str]):
+    """Parse ``<iri>`` or ``pfx:local`` at pos -> (iri, new_pos) or (None, pos)."""
+    pos = _WS_RE.match(body, pos).end()
+    m = re.compile(r"<([^<>\s]+)>").match(body, pos)
+    if m:
+        return m.group(1), m.end()
+    m = re.compile(r"(\w[\w-]*):([\w.\-/]+)").match(body, pos)
+    if m:
+        if m.group(1) not in prefixes:
+            raise ValueError(f"unknown prefix {m.group(1)!r} in UPDATE request")
+        return prefixes[m.group(1)] + m.group(2), m.end()
+    return None, pos
+
+
+def _graph_ref_at(body: str, pos: int, prefixes: dict[str, str]):
+    """``(GRAPH)? iri | DEFAULT`` -> (iri, new_pos); DEFAULT -> DEFAULT_GRAPH."""
+    pos = _WS_RE.match(body, pos).end()
+    m = re.compile(r"DEFAULT\b", re.I).match(body, pos)
+    if m:
+        return DEFAULT_GRAPH, m.end()
+    m = re.compile(r"GRAPH\s+", re.I).match(body, pos)
+    if m:
+        pos = m.end()
+    iri, pos2 = _iri_at(body, pos, prefixes)
+    if iri is None:
+        raise ValueError(f"expected graph reference at: {body[pos:pos + 40]!r}")
+    return iri, pos2
+
+
+def _parse_manage(body: str, m, prefixes: dict[str, str]):
+    """One graph-management op starting at match ``m`` -> (spec dict, end)."""
+    verb = m.group(1).upper()
+    pos = m.end()
+    sm = re.compile(r"\s*SILENT\b", re.I).match(body, pos)
+    silent = sm is not None
+    if sm:
+        pos = sm.end()
+    spec: dict = {"verb": verb, "silent": silent}
+    if verb in ("CLEAR", "DROP"):
+        p = _WS_RE.match(body, pos).end()
+        kw = re.compile(r"(DEFAULT|NAMED|ALL)\b", re.I).match(body, p)
+        if kw:
+            spec["target"] = kw.group(1).upper()
+            return spec, kw.end()
+        spec["target"], pos = _graph_ref_at(body, pos, prefixes)
+        return spec, pos
+    if verb == "CREATE":
+        spec["target"], pos = _graph_ref_at(body, pos, prefixes)
+        return spec, pos
+    if verb == "LOAD":
+        uri, pos = _iri_at(body, pos, prefixes)
+        if uri is None:
+            raise ValueError("LOAD requires a <source-uri>")
+        spec["uri"] = uri
+        im = re.compile(r"\s*INTO\b", re.I).match(body, pos)
+        if im:
+            spec["into"], pos = _graph_ref_at(body, im.end(), prefixes)
+        else:
+            spec["into"] = None
+        return spec, pos
+    # ADD / MOVE / COPY
+    spec["src"], pos = _graph_ref_at(body, pos, prefixes)
+    tm = re.compile(r"\s*TO\b", re.I).match(body, pos)
+    if not tm:
+        raise ValueError(f"{verb} requires 'TO' between source and destination")
+    spec["dst"], pos = _graph_ref_at(body, tm.end(), prefixes)
+    return spec, pos
+
+
 def parse_update(src: str):
-    """UPDATE request -> list of ('insert_data'|'delete_data'|'delete_where',
-    quad list) ops in request order."""
+    """UPDATE request -> list of ('insert_data'|'delete_data'|'delete_where'|
+    'insert_where'|'modify'|'manage', payload) ops in request order."""
     prefixes = dict(_PREFIX_RE.findall(src))
     body = _PREFIX_RE.sub(" ", src)
     ops, pos = [], 0
     while True:
-        m = _OP_RE.search(body, pos)
-        if not m:
+        pos = re.compile(r"[\s;]*").match(body, pos).end()
+        if pos >= len(body):
             break
-        gap = body[pos : m.start()]
-        if gap.strip(" \t\n;") != "":
-            raise ValueError(f"unsupported syntax in UPDATE request: {gap!r}")
+        m = _OP_RE.match(body, pos)
+        if not m:
+            mm = _MANAGE_HEAD_RE.match(body, pos)
+            if mm:
+                spec, pos = _parse_manage(body, mm, prefixes)
+                ops.append(("manage", spec))
+                continue
+            raise ValueError(
+                f"unsupported syntax in UPDATE request: {body[pos:pos + 60]!r}"
+            )
         end = _match_brace(body, m.end() - 1)
         kind = re.sub(r"\s+", "_", m.group(1).lower())
         quads = _split_quad_block(body[m.end() : end - 1], prefixes)
@@ -245,9 +343,8 @@ def parse_update(src: str):
         ops.append((kind, quads))
         pos = end
     if not ops:
-        raise ValueError("no INSERT DATA / DELETE DATA / DELETE WHERE op found")
-    if body[pos:].strip(" \t\n;") != "":
-        raise ValueError(f"trailing syntax after last UPDATE op: {body[pos:]!r}")
+        raise ValueError("no UPDATE op found (INSERT/DELETE/Modify or "
+                         "CLEAR/DROP/CREATE/ADD/MOVE/COPY/LOAD)")
     return ops
 
 
@@ -428,6 +525,250 @@ def quad_state_delete(state_dir: str, constraints: list[dict]) -> list[dict]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Graph management: CLEAR / DROP / CREATE / ADD / MOVE / COPY / LOAD
+# ---------------------------------------------------------------------------
+
+_MANAGE_STATS_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int64()),
+        ("n_before", pa.int64()),
+        ("n_after", pa.int64()),
+        ("n_retagged", pa.int64()),
+    ]
+)
+
+
+def _state_dirs(state_dir: str) -> list[str]:
+    import pyarrow.fs as pafs
+
+    fs, root = fs_for(state_dir)
+    sel = pafs.FileSelector(root, recursive=False)
+    try:
+        infos = fs.get_file_info(sel)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        f.path for f in infos if f.type == pafs.FileType.Directory
+    )
+
+
+def quad_state_graphs(state_dir: str) -> set[str]:
+    """Distinct graph IRIs in the state — per-bucket DISTINCT, enum-scale
+    driver traffic (graph names only, never quads)."""
+    dirs = _state_dirs(state_dir)
+    if not dirs:
+        return set()
+
+    def uniq(b: pa.Table) -> pa.Table:
+        gs: set[str] = set()
+        for d in b["dir"].to_pylist():
+            for f in fs_list_parquet(d):
+                col = fs_read_table(f).column("graph")
+                gs.update(pc.unique(pc.cast(col, pa.large_string())).to_pylist())
+        return pa.table({"graph": pa.array(sorted(gs), pa.large_string())})
+
+    rows = (
+        ray.data.from_items([{"dir": d} for d in dirs])
+        .map_batches(uniq, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+    return {r["graph"] for r in rows}
+
+
+def _graph_rewrite(
+    state_dir: str,
+    kind: str,
+    graphs: set[str] | None = None,
+    src: str | None = None,
+    dst: str | None = None,
+) -> list[dict]:
+    """Per-bucket graph retag / drop — the exchange-free shape shared with
+    quad_state_retract: the bucket key is hash(combo, subj), independent of
+    graph, so every graph op is local to a bucket's own files. ``kind`` is
+    'clear' (drop ``graphs``; None = everything), 'add' (union src rows
+    retagged to dst), 'copy' (dst := src) or 'move' (copy + drop src).
+    Convergent: rerunning writes the identical content-tagged generation."""
+    from ..stages.incremental import QUAD_COLS
+
+    spec = {
+        "kind": kind,
+        "graphs": sorted(graphs) if graphs is not None else None,
+        "src": src,
+        "dst": dst,
+    }
+    ref = ray.put(spec)
+    dirs = _state_dirs(state_dir)
+    if not dirs:
+        return []
+
+    def rewrite_dir(t: pa.Table) -> pa.Table:
+        sp = ray.get(ref)
+        rows = []
+        for d in t["dir"].to_pylist():
+            files = fs_list_parquet(d)
+            if not files:
+                continue
+            quads = pa.concat_tables([fs_read_table(f) for f in files])
+            n_before = quads.num_rows
+            df = pl.from_arrow(quads)
+            g = pl.col("graph").cast(pl.Utf8)
+            n_retag = 0
+            if sp["kind"] == "clear":
+                new = (
+                    df.filter(~g.is_in(sp["graphs"]))
+                    if sp["graphs"] is not None
+                    else df.clear()
+                )
+            else:
+                s, t2 = sp["src"], sp["dst"]
+                retag = df.filter(g == s).with_columns(
+                    pl.lit(t2).cast(df.schema["graph"]).alias("graph")
+                )
+                n_retag = retag.height
+                if sp["kind"] == "add":
+                    base = df
+                elif sp["kind"] == "copy":
+                    base = df.filter(g != t2)
+                else:  # move
+                    base = df.filter(~g.is_in([s, t2]))
+                new = pl.concat(
+                    [base, retag.select(base.columns)]
+                ).unique(subset=QUAD_COLS)
+            bucket = int(d.rstrip("/").rsplit("=", 1)[1])
+            changed = new.height != n_before or n_retag > 0
+            if changed and new.height == 0:
+                fs_rmtree(d)
+            elif changed:
+                _write_bucket(state_dir, bucket, new)
+            rows.append(
+                {
+                    "bucket": bucket,
+                    "n_before": n_before,
+                    "n_after": new.height,
+                    "n_retagged": n_retag,
+                }
+            )
+        if not rows:
+            return _MANAGE_STATS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=_MANAGE_STATS_SCHEMA)
+
+    return (
+        ray.data.from_items([{"dir": d} for d in dirs])
+        .map_batches(rewrite_dir, batch_format="pyarrow", batch_size=1)
+        .take_all()
+    )
+
+
+def _load_graph(
+    state_dir: str, spec: dict, num_buckets: int, namespaces
+) -> list[dict]:
+    """LOAD <uri> (INTO GRAPH g): read a local parquet / JSONL(.gz) file in
+    the extract schema and merge it as a routed delta — only the loaded
+    quads cross the exchange (quad_state_merge semantics)."""
+    import os
+
+    uri = spec["uri"]
+    path = uri[len("file://"):] if uri.startswith("file://") else uri
+    if not os.path.exists(path):
+        if spec["silent"]:
+            return []
+        raise ValueError(f"LOAD <{uri}>: source not found (use LOAD SILENT)")
+    if path.endswith(".parquet"):
+        ds = ray.data.read_parquet(path)
+    elif path.endswith((".jsonl", ".jsonl.gz", ".json")):
+        from ..sources.jsonl import read_jsonl
+
+        ds = read_jsonl(path)
+    else:
+        raise ValueError(
+            f"LOAD <{uri}>: unsupported format (parquet / jsonl / jsonl.gz)"
+        )
+    into = spec["into"]
+
+    def norm(b: pa.Table) -> pa.Table:
+        cols = set(b.column_names)
+        need = {"subj", "pred", "obj"}
+        if not need <= cols:
+            raise ValueError(
+                f"LOAD source must carry the extract schema columns {sorted(need)}"
+            )
+        n = b.num_rows
+
+        def col(name, default, typ):
+            if name in cols:
+                return pc.cast(b[name], typ)
+            return pa.array([default] * n, typ)
+
+        if into is not None:
+            graph = pa.array([into] * n, pa.string())
+        else:
+            graph = col("graph", DEFAULT_GRAPH, pa.string())
+        return pa.table(
+            {
+                "subj": pc.cast(b["subj"], pa.string()),
+                "s_kind": col("s_kind", KIND_IRI, pa.int8()),
+                "pred": pc.cast(b["pred"], pa.string()),
+                "obj": pc.cast(b["obj"], pa.string()),
+                "o_kind": col("o_kind", KIND_IRI, pa.int8()),
+                "o_lang": col("o_lang", None, pa.string()),
+                "o_dt": col("o_dt", None, pa.string()),
+                "graph": graph,
+            }
+        )
+
+    delta = ds.map_batches(norm, batch_format="pyarrow")
+    return quad_state_merge(route(delta, namespaces), state_dir, num_buckets)
+
+
+def quad_state_manage(
+    state_dir: str, spec: dict, num_buckets: int = 64, namespaces=None
+) -> list[dict]:
+    """Execute one graph-management op (see the module docstring for the
+    exact existence/SILENT semantics of this no-empty-graphs store)."""
+    verb, silent = spec["verb"], spec["silent"]
+    if verb == "LOAD":
+        return _load_graph(state_dir, spec, num_buckets, namespaces)
+    existing = quad_state_graphs(state_dir)
+    if verb == "CREATE":
+        g = spec["target"]
+        if g in existing and not silent:
+            raise ValueError(
+                f"CREATE GRAPH <{g}>: graph already exists (use CREATE SILENT)"
+            )
+        return []  # the store records no empty graphs — documented no-op
+    if verb in ("CLEAR", "DROP"):
+        t = spec["target"]
+        if t == "ALL":
+            return _graph_rewrite(state_dir, "clear", graphs=None)
+        if t == "DEFAULT":
+            gset = {DEFAULT_GRAPH} & existing
+        elif t == "NAMED":
+            gset = existing - {DEFAULT_GRAPH}
+        else:
+            if t not in existing:
+                if silent:
+                    return []
+                raise ValueError(
+                    f"{verb} GRAPH <{t}>: no such graph (use {verb} SILENT)"
+                )
+            gset = {t}
+        if not gset:
+            return []
+        return _graph_rewrite(state_dir, "clear", graphs=gset)
+    # ADD / COPY / MOVE
+    src, dst = spec["src"], spec["dst"]
+    if src == dst:
+        return []
+    if src not in existing:
+        if silent:
+            return []
+        raise ValueError(
+            f"{verb}: source graph <{src}> does not exist (use {verb} SILENT)"
+        )
+    return _graph_rewrite(state_dir, verb.lower(), src=src, dst=dst)
+
+
 def apply_update(
     state_dir: str, src: str, num_buckets: int = 64, namespaces=None
 ) -> list[dict]:
@@ -452,11 +793,16 @@ def apply_update(
             stats = quad_state_modify(
                 state_dir, del_tmpl, ins_tmpl, where, num_buckets, namespaces
             )
+        elif kind == "manage":
+            stats = quad_state_manage(state_dir, quads, num_buckets, namespaces)
         else:
             cons = _quads_to_constraints(quads, exact=(kind == "delete_data"))
             stats = quad_state_delete(state_dir, cons)
+        tag = (
+            f"manage_{quads['verb'].lower()}" if kind == "manage" else kind
+        )
         for r in stats:
-            out.append({"op": i, "kind": kind, **r})
+            out.append({"op": i, "kind": tag, **r})
     return out
 
 

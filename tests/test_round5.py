@@ -114,6 +114,122 @@ def test_rowgroup_prune_key_col_not_in_columns(ray_session, tmp_path):
     assert all(set(r) == {"v"} for r in rows)
 
 
+# ------------------------------------------------ UPDATE graph management ops
+def _mgmt_state(tmp_path):
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import quad_state_build
+
+    def q(s, p, o, g):
+        return (s, p, o, g)
+
+    data = [
+        q("a:s1", "a:p", "a:o1", "g1"),
+        q("a:s2", "a:p", "a:o2", "g1"),
+        q("a:s3", "a:p", "a:o3", "g2"),
+        q("a:s1", "a:p", "a:o1", "g3"),  # same triple as g1's in another graph
+    ]
+    tbl = pa.table(
+        {
+            "subj": pa.array([d[0] for d in data], pa.string()),
+            "s_kind": pa.array([1] * 4, pa.int8()),
+            "pred": pa.array([d[1] for d in data], pa.string()),
+            "obj": pa.array([d[2] for d in data], pa.string()),
+            "o_kind": pa.array([1] * 4, pa.int8()),
+            "o_lang": pa.array([None] * 4, pa.string()),
+            "o_dt": pa.array([None] * 4, pa.string()),
+            "graph": pa.array([d[3] for d in data], pa.string()),
+        }
+    )
+    state = str(tmp_path / "state")
+    quad_state_build(route(ray.data.from_arrow(tbl)), state, num_buckets=4)
+    return state
+
+
+def _quad_set(state):
+    from r2s2_ray.pipelines.update import state_quads
+
+    return {
+        (r["subj"], r["pred"], r["obj"], r["graph"])
+        for r in state_quads(state).take_all()
+    }
+
+
+def test_manage_clear_drop_create(ray_session, tmp_path):
+    from r2s2_ray.pipelines.update import apply_update
+
+    state = _mgmt_state(tmp_path)
+    apply_update(state, "CLEAR GRAPH <g2>", num_buckets=4)
+    assert {g for *_, g in _quad_set(state)} == {"g1", "g3"}
+    # absent graph: loud without SILENT, no-op with
+    with pytest.raises(ValueError, match="no such graph"):
+        apply_update(state, "DROP GRAPH <g2>", num_buckets=4)
+    apply_update(state, "DROP SILENT GRAPH <g2>", num_buckets=4)
+    # CREATE errors on an existing (non-empty) graph, SILENT passes
+    with pytest.raises(ValueError, match="already exists"):
+        apply_update(state, "CREATE GRAPH <g1>", num_buckets=4)
+    apply_update(state, "CREATE SILENT GRAPH <g1> ; CREATE GRAPH <g9>", num_buckets=4)
+    assert {g for *_, g in _quad_set(state)} == {"g1", "g3"}
+    apply_update(state, "CLEAR NAMED", num_buckets=4)
+    assert _quad_set(state) == set()
+
+
+def test_manage_add_copy_move_sequencing(ray_session, tmp_path):
+    """ADD unions (set semantics), COPY replaces the destination, MOVE
+    removes the source; ops in one request apply in order."""
+    from r2s2_ray.pipelines.update import apply_update
+
+    state = _mgmt_state(tmp_path)
+    apply_update(state, "ADD <g1> TO <g3> ; ADD <g2> TO <g3>", num_buckets=4)
+    got = _quad_set(state)
+    assert {(s, o) for s, _, o, g in got if g == "g3"} == {
+        ("a:s1", "a:o1"),  # already there — set semantics, no dup
+        ("a:s2", "a:o2"),
+        ("a:s3", "a:o3"),
+    }
+    # COPY replaces: g3 := g2 exactly
+    apply_update(state, "COPY <g2> TO <g3>", num_buckets=4)
+    got = _quad_set(state)
+    assert {(s, o) for s, _, o, g in got if g == "g3"} == {("a:s3", "a:o3")}
+    # MOVE drops the source and replaces the destination
+    apply_update(state, "MOVE <g1> TO <g3>", num_buckets=4)
+    got = _quad_set(state)
+    assert {g for *_, g in got} == {"g2", "g3"}
+    assert {(s, o) for s, _, o, g in got if g == "g3"} == {
+        ("a:s1", "a:o1"),
+        ("a:s2", "a:o2"),
+    }
+    with pytest.raises(ValueError, match="does not exist"):
+        apply_update(state, "ADD <g1> TO <g3>", num_buckets=4)
+    apply_update(state, "ADD SILENT <g1> TO <g3>", num_buckets=4)  # no-op
+
+
+def test_manage_load(ray_session, tmp_path):
+    from r2s2_ray.pipelines.update import apply_update
+
+    state = _mgmt_state(tmp_path)
+    extra = pa.table(
+        {
+            "subj": pa.array(["a:new1", "a:new2"], pa.string()),
+            "pred": pa.array(["a:p", "a:p"], pa.string()),
+            "obj": pa.array(["a:oX", "a:oY"], pa.string()),
+        }
+    )
+    src = str(tmp_path / "delta.parquet")
+    pq.write_table(extra, src)
+    stats = apply_update(
+        state, f"LOAD <file://{src}> INTO GRAPH <g9>", num_buckets=4
+    )
+    assert sum(r.get("n_delta", 0) for r in stats) == 2
+    got = _quad_set(state)
+    assert {(s, o) for s, _, o, g in got if g == "g9"} == {
+        ("a:new1", "a:oX"),
+        ("a:new2", "a:oY"),
+    }
+    with pytest.raises(ValueError, match="not found"):
+        apply_update(state, "LOAD <file:///nope/missing.parquet>", num_buckets=4)
+    apply_update(state, "LOAD SILENT <file:///nope/missing.parquet>", num_buckets=4)
+
+
 # ------------------------------------------ graph analytics guarded dual paths
 def _pmi_rows(ds):
     return sorted(

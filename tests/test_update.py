@@ -34,8 +34,10 @@ def _state_files(state: str) -> dict[str, int]:
 def test_parse_update_rejects():
     from r2s2_ray.pipelines.update import parse_update, _quads_to_constraints
 
-    with pytest.raises(ValueError, match="no INSERT DATA"):
+    with pytest.raises(ValueError, match="unsupported syntax"):
         parse_update("SELECT * WHERE { ?s ?p ?o }")
+    with pytest.raises(ValueError, match="no UPDATE op"):
+        parse_update("   ;  ")
     with pytest.raises(ValueError, match="missing '.' between triples"):
         parse_update(f"INSERT DATA {{ <a:s> <a:p> <a:o> <a:s2> <a:p> <a:o> }}")
     with pytest.raises(ValueError, match="illegal in a DATA block"):
