@@ -427,12 +427,14 @@ def run_pipeline(
 
         serve.write_views_sql(out_dir, m5)
         serve.write_r2rml(out_dir, m5)
+        serve.write_capabilities(out_dir)
     if m5 is None:
         with StageTimer(metrics, "step4_s"):
             from . import serve
 
             serve.write_views_sql(out_dir, m4)
             serve.write_r2rml(out_dir, m4)
+            serve.write_capabilities(out_dir)
         # manifest built AFTER the timer exits so its own duration is recorded
         m5 = Manifest(
             stage="serve",

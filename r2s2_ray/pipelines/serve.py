@@ -127,6 +127,48 @@ def write_views_sql(out_dir: str, m: Manifest) -> str:
     return p
 
 
+#: what the SPARQL front end (pipelines/sparql.py + update.py) answers —
+#: machine-readable so a client can probe the store instead of trial-running
+#: queries; the unsupported list names the LOUD rejections (each raises with
+#: this feature name, pinned by tests) rather than generic parse errors.
+CAPABILITIES = {
+    "query_forms": ["SELECT", "ASK", "CONSTRUCT", "DESCRIBE"],
+    "update_forms": [
+        "INSERT DATA", "DELETE DATA", "DELETE WHERE", "INSERT WHERE",
+        "DELETE/INSERT/WHERE (Modify)",
+        "CLEAR", "DROP", "CREATE", "ADD", "MOVE", "COPY", "LOAD",
+    ],
+    "features": [
+        "BGP joins", "OPTIONAL (nested)", "UNION", "MINUS", "VALUES (UNDEF)",
+        "GRAPH (constant and variable)", "FROM / FROM NAMED",
+        "FILTER (comparisons, IN, EXISTS, BOUND, REGEX, string/date fns)",
+        "BIND / expressions", "property paths (sequences, inverse, "
+        "alternation, negated sets, +/*/? closures incl. sequence closures)",
+        "aggregates + GROUP BY / HAVING", "subselects", "ORDER BY expr",
+        "LIMIT / OFFSET", "blank-node property lists",
+    ],
+    "unsupported": {
+        "SERVICE": "federated query needs network calls at evaluation time; "
+                   "this store is local-only (loud rejection by name)",
+        "RDF-star": "quoted triples are rejected at load (reference parity)",
+    },
+    "graph_semantics": "union default graph (bare patterns match all graphs; "
+                       "GRAPH ?g also binds the default graph)",
+}
+
+
+def write_capabilities(out_dir: str) -> str:
+    """Emit the capabilities manifest next to views.sql so a consumer of the
+    served store can discover the supported SPARQL surface without probing."""
+    import json
+
+    from ..util import fs_write_text
+
+    p = os.path.join(out_dir, "capabilities.json")
+    fs_write_text(p, json.dumps(CAPABILITIES, indent=2) + "\n")
+    return p
+
+
 # ---------------------------------------------------------------------------
 # R2RML (Turtle)
 # ---------------------------------------------------------------------------

@@ -1958,6 +1958,19 @@ def _split_union_branches(inner: str) -> list[str] | None:
 
 
 def parse_sparql(q: str) -> Query:
+    # SERVICE (federated query, SPARQL 1.1 §Federation) is the one query
+    # feature this engine deliberately does not implement — it requires
+    # network calls to remote endpoints at evaluation time, outside the
+    # batch store's scope. Reject it by NAME up front (outside literals)
+    # rather than letting it surface as a generic group-structure error.
+    mq0, _r0 = _mask_literals(q)
+    if re.search(r"\bSERVICE\b", mq0, re.I):
+        raise ValueError(
+            "SERVICE (federated query) is not supported: this engine "
+            "evaluates against the local materialized store only and makes "
+            "no network calls; materialize the remote data as a table and "
+            "join locally instead"
+        )
     # DESCRIBE <iri> [...]: no WHERE grammar needed — resolve PREFIXes and
     # return the subject-rows query directly
     if re.match(r"\s*(PREFIX\s+\w*:\s*<[^>]+>\s*)*DESCRIBE\b", q, re.I) and not re.search(

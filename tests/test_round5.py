@@ -114,6 +114,35 @@ def test_rowgroup_prune_key_col_not_in_columns(ray_session, tmp_path):
     assert all(set(r) == {"v"} for r in rows)
 
 
+# ---------------------------------------- SERVICE rejection + capabilities
+def test_service_rejected_by_name():
+    """SERVICE (federation) must be rejected with a message that NAMES the
+    feature and says why — not a generic group-structure error — including
+    when nested; a literal containing the word must NOT trigger it."""
+    from r2s2_ray.pipelines.sparql import parse_sparql
+
+    q = """SELECT ?x WHERE {
+        ?x <a:p> ?y .
+        SERVICE <https://remote.example.org/sparql> { ?y <a:q> ?z }
+    }"""
+    with pytest.raises(ValueError, match="SERVICE.*federated.*local"):
+        parse_sparql(q)
+    # the word inside a literal is data, not syntax
+    parse_sparql('SELECT ?x WHERE { ?x <a:p> "SERVICE desk" }')
+
+
+def test_capabilities_manifest(tmp_path):
+    import json
+
+    from r2s2_ray.pipelines.serve import write_capabilities
+
+    p = write_capabilities(str(tmp_path))
+    caps = json.loads(open(p).read())
+    assert "SERVICE" in caps["unsupported"]
+    assert "CLEAR" in caps["update_forms"] and "LOAD" in caps["update_forms"]
+    assert "SELECT" in caps["query_forms"]
+
+
 # ------------------------------------------------ UPDATE graph management ops
 def _mgmt_state(tmp_path):
     from r2s2_ray.stages.fold import route
