@@ -1984,6 +1984,196 @@ def scc_distributed(
     raise RuntimeError(f"SCC did not resolve every node in {max_outer} outer rounds")
 
 
+def _tarjan_iter(si: np.ndarray, di: np.ndarray, n: int) -> np.ndarray:
+    """Iterative Tarjan over an integer-encoded edge list — component id per
+    node. Explicit call stack (no recursion limit), CSR adjacency from one
+    argsort; O(V + E) per partition."""
+    order = np.argsort(si, kind="stable")
+    d_sorted = di[order]
+    starts = np.searchsorted(si[order], np.arange(n + 1))
+    index = np.full(n, -1, np.int64)
+    low = np.zeros(n, np.int64)
+    onstack = np.zeros(n, bool)
+    comp = np.full(n, -1, np.int64)
+    it = starts[:-1].copy()
+    stack: list[int] = []
+    counter = 0
+    ncomp = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        onstack[root] = True
+        call = [root]
+        while call:
+            v = call[-1]
+            if it[v] < starts[v + 1]:
+                w = int(d_sorted[it[v]])
+                it[v] += 1
+                if index[w] == -1:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    onstack[w] = True
+                    call.append(w)
+                elif onstack[w] and index[w] < low[v]:
+                    low[v] = index[w]
+            else:
+                call.pop()
+                if call and low[v] < low[call[-1]]:
+                    low[call[-1]] = low[v]
+                if low[v] == index[v]:
+                    while True:
+                        w = stack.pop()
+                        onstack[w] = False
+                        comp[w] = ncomp
+                        if w == v:
+                            break
+                    ncomp += 1
+    return comp
+
+
+def scc_partition_scoped(
+    edges: ray.data.Dataset,
+    *,
+    part_col: str = "part",
+    num_buckets: int = 32,
+    stats: dict | None = None,
+    max_outer: int = 32,
+    max_inner: int = 64,
+) -> ray.data.Dataset:
+    """SCCs over a DIRECTED edge list (``src``, ``dst``) carrying a
+    partition key per edge (``part_col`` — e.g. the conversation id of a
+    conversation-scoped transition graph). Output contract identical to
+    :func:`scc_distributed`: (node, scc), scc = the component's
+    lexicographic-MAX node id.
+
+    This is the job-floor amortization the scc_distributed docstring
+    promises: a partition whose node set touches NO other partition is
+    closed under reachability in both directions, so its SCCs resolve
+    entirely inside ONE ``map_batches`` job — each bucket-sorted block runs
+    iterative Tarjan per partition locally, no per-round driver
+    coordination. Only the residue — partitions that SHARE a node with
+    another partition, where an SCC could genuinely span the key — goes
+    through the distributed trim+color fixpoints, and only when it is
+    non-empty. Cost: three metadata-scale exchanges to find boundary nodes
+    and split the edge set, one bucket sort for the local pass, plus the
+    distributed rounds on the (normally tiny or empty) residue.
+
+    ``stats`` (optional dict) receives ``n_clean_edges`` / ``n_dirty_edges``
+    / ``dirty_ran`` so tests can assert which path fired at volume."""
+    import polars as pl
+    from ray.data.aggregate import Count
+
+    from ..relational import _bucket_by, hash_join
+
+    E = edges.select_columns(["src", "dst", part_col]).materialize()
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+                ),
+                part_col: pa.concat_arrays(
+                    [b[part_col].combine_chunks(), b[part_col].combine_chunks()]
+                ),
+            }
+        )
+
+    endpoints_ds = E.map_batches(endpoints, batch_format="pyarrow")
+    # boundary node ⟺ it appears under >1 distinct partition key ⟺
+    # min(part) != max(part) — ONE combiner-aggregated exchange, no
+    # distinct-pairs shuffle; the common all-clean case pays exactly this
+    # plus the bucket sort below.
+    boundary = (
+        endpoints_ds.groupby("node")
+        .aggregate(
+            Min(part_col, alias_name="_pmin"), Max(part_col, alias_name="_pmax")
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.not_equal(b["_pmin"], b["_pmax"])
+            ).select(["node"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    if boundary.count():
+        dirty_parts = (
+            hash_join(endpoints_ds, boundary, on="node", right_cols=[])
+            .groupby(part_col)
+            .aggregate(Count(alias_name="_m"))
+            .select_columns([part_col])
+            .materialize()
+        )
+        flagged = hash_join(
+            E,
+            dirty_parts.map_batches(
+                lambda b: pa.table(
+                    {
+                        part_col: b[part_col],
+                        "_dirty": pa.array(np.ones(b.num_rows, np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=part_col,
+            right_cols=["_dirty"],
+            how="left",
+        ).materialize()
+        clean = flagged.map_batches(
+            lambda b: b.filter(pc.is_null(b["_dirty"])).drop_columns(["_dirty"]),
+            batch_format="pyarrow",
+        )
+        dirty = flagged.map_batches(
+            lambda b: b.filter(pc.is_valid(b["_dirty"])).select(["src", "dst"]),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        clean, dirty = E, None
+
+    def local_scc(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {"node": pa.array([], pa.string()), "scc": pa.array([], pa.string())}
+            )
+        df = pl.from_arrow(t)
+        outs = []
+        for g in df.partition_by(part_col):
+            src = g["src"].to_list()
+            dst = g["dst"].to_list()
+            nodes = sorted(set(src) | set(dst))
+            idx = {x: i for i, x in enumerate(nodes)}
+            si = np.fromiter((idx[x] for x in src), np.int64, len(src))
+            di = np.fromiter((idx[x] for x in dst), np.int64, len(dst))
+            comp = _tarjan_iter(si, di, len(nodes))
+            outs.append(
+                pl.DataFrame({"node": nodes, "_c": comp}).select(
+                    pl.col("node"),
+                    pl.col("node").max().over("_c").alias("scc"),
+                )
+            )
+        return pl.concat(outs).to_arrow()
+
+    local = (
+        clean.map_batches(_bucket_by(part_col, num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(local_scc, batch_format="pyarrow", batch_size=None)
+    )
+    if stats is not None:
+        stats["n_dirty_edges"] = dirty.count() if dirty is not None else 0
+        stats["dirty_ran"] = dirty is not None
+        stats["n_clean_edges"] = E.count() - stats["n_dirty_edges"]
+    if dirty is None:
+        return local
+    residue = scc_distributed(dirty, max_outer=max_outer, max_inner=max_inner)
+    return local.union(residue)
+
+
 def scc_demo_edges(sf_dir: str) -> ray.data.Dataset:
     """Deterministic DIRECTED edge list for the driver-contract SCC query:
     every document spawns one directed cycle of length ``3 + doc_id % 5``

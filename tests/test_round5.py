@@ -315,6 +315,109 @@ def test_link_predict_paths_agree(ray_session):
     assert got[("n2", "n4")] == (2 * ((1 << 20) // 3), 2)
 
 
+# ----------------------------------------------------- partition-scoped SCC
+def _scc_rows(ds):
+    return sorted((r["node"], r["scc"]) for r in ds.take_all())
+
+
+def test_scc_partition_scoped_clean_matches_distributed(ray_session):
+    """Partition-closed graph (no node shared across partitions): the local
+    Tarjan path must equal scc_distributed exactly and never run the
+    distributed residue."""
+    from r2s2_ray.functions.graph import scc_distributed, scc_partition_scoped
+
+    # p1: 3-cycle + tail; p2: 2-cycle; p3: pure DAG chain
+    edges = [
+        ("a1", "a2", "p1"), ("a2", "a3", "p1"), ("a3", "a1", "p1"),
+        ("a1", "t1", "p1"),
+        ("b1", "b2", "p2"), ("b2", "b1", "p2"),
+        ("d1", "d2", "p3"), ("d2", "d3", "p3"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.string()),
+                "dst": pa.array([e[1] for e in edges], pa.string()),
+                "part": pa.array([e[2] for e in edges], pa.string()),
+            }
+        )
+    ).repartition(3)
+    stats: dict = {}
+    got = _scc_rows(scc_partition_scoped(ds, stats=stats))
+    want = _scc_rows(scc_distributed(ds.select_columns(["src", "dst"])))
+    assert got == want
+    assert stats["dirty_ran"] is False and stats["n_dirty_edges"] == 0
+
+
+def test_scc_partition_scoped_residue_fires(ray_session):
+    """A cross-partition cycle (two partitions sharing nodes) must route
+    those partitions' edges through the distributed residue — and still
+    label the spanning SCC correctly — while untouched partitions stay on
+    the local path."""
+    from r2s2_ray.functions.graph import scc_distributed, scc_partition_scoped
+
+    edges = [
+        # clean partition p0: a 3-cycle
+        ("a1", "a2", "p0"), ("a2", "a3", "p0"), ("a3", "a1", "p0"),
+        # cross-partition SCC: x1 -> x2 in p1, x2 -> x1 in p2
+        ("x1", "x2", "p1"), ("x2", "x1", "p2"),
+        # p1 also holds a local singleton edge
+        ("x1", "y1", "p1"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edges], pa.string()),
+                "dst": pa.array([e[1] for e in edges], pa.string()),
+                "part": pa.array([e[2] for e in edges], pa.string()),
+            }
+        )
+    ).repartition(2)
+    stats: dict = {}
+    got = _scc_rows(scc_partition_scoped(ds, stats=stats))
+    want = _scc_rows(scc_distributed(ds.select_columns(["src", "dst"])))
+    assert got == want
+    assert stats["dirty_ran"] is True and stats["n_dirty_edges"] == 3
+    assert stats["n_clean_edges"] == 3
+    assert ("x1", "x2") in got and ("x2", "x2") in got
+
+
+def test_scc_partition_scoped_volume(ray_session):
+    """300 partition-local cycles plus one cross-partition 2-cycle at
+    multi-block volume: local fixpoints resolve in one job, the residue path
+    fires for exactly the two dirty partitions, labels are exact."""
+    from r2s2_ray.functions.graph import scc_partition_scoped
+
+    src, dst, part = [], [], []
+    for p in range(300):
+        k = 3 + p % 4
+        for j in range(k):
+            src.append(f"n{p:04d}x{j}")
+            dst.append(f"n{p:04d}x{(j + 1) % k}")
+            part.append(f"p{p:04d}")
+    # the spanning SCC: q0000 <-> q0001 via two partitions
+    src += ["zza", "zzb"]
+    dst += ["zzb", "zza"]
+    part += ["q0000", "q0001"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.string()),
+                "dst": pa.array(dst, pa.string()),
+                "part": pa.array(part, pa.string()),
+            }
+        )
+    ).repartition(8)
+    stats: dict = {}
+    rows = dict(_scc_rows(scc_partition_scoped(ds, stats=stats)))
+    assert stats["dirty_ran"] is True and stats["n_dirty_edges"] == 2
+    assert rows["zza"] == "zzb" and rows["zzb"] == "zzb"
+    for p in range(300):
+        k = 3 + p % 4
+        mx = f"n{p:04d}x{k - 1}"
+        assert all(rows[f"n{p:04d}x{j}"] == mx for j in range(k))
+
+
 def test_link_predict_distributed_branch_at_volume(ray_session):
     """The join branch on multi-block REAL volume: a 600-node ring (every
     node degree 2) with broadcast_max=100 — the distributed branch IS the one
