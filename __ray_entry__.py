@@ -2712,6 +2712,36 @@ def _mm_png_pixels(sf_dir: str):
     return png_pixel_stats(docs.map_batches(to_media, batch_format="pyarrow"))
 
 
+def _mm_jpeg_pixels(sf_dir: str):
+    """REAL compressed-photo decode path: every document synthesizes a 16x16
+    grayscale image of four FLAT 8x8 tiles (tile i = (7*doc_id + 59*i) mod
+    256), encodes it into an actual baseline JFIF/JPEG (DCT + flat
+    quantization + standard Annex K Huffman + byte stuffing), and the
+    OPERATOR decodes the container — marker walk, file-defined Huffman
+    tables, DC DPCM, dequant, IDCT — and emits integer pixel stats.
+    DC-only blocks reconstruct bit-exactly, so the SQL oracle is the tile
+    formula: any Huffman/DPCM/zigzag/IDCT bug breaks the hash match."""
+    import numpy as np
+    import ray.data
+
+    from r2s2_ray.functions.multimodal import jpeg_encode_gray, jpeg_pixel_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        payloads = []
+        ones = np.ones((8, 8), dtype=np.uint8)
+        for did in b["doc_id"].to_pylist():
+            v = [(7 * did + 59 * i) % 256 for i in range(4)]
+            tiles = np.array([[v[0], v[1]], [v[2], v[3]]], dtype=np.uint8)
+            payloads.append(jpeg_encode_gray(np.kron(tiles, ones)))
+        return pa.table(
+            {"media_id": b["doc_id"], "payload": pa.array(payloads, pa.binary())}
+        )
+
+    return jpeg_pixel_stats(docs.map_batches(to_media, batch_format="pyarrow"))
+
+
 def _mm_bmp_channels(sf_dir: str):
     """REAL image decode path #2 (BMP): every document synthesizes an 8x10
     RGB image (channel c pixel k = ((3+2c)*k + doc_id + c) mod 256), encodes
@@ -3431,6 +3461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_frames": _mm_audio_frames,
         "mm_wav_energy": _mm_wav_energy,
         "mm_png_pixels": _mm_png_pixels,
+        "mm_jpeg_pixels": _mm_jpeg_pixels,
         "mm_bmp_channels": _mm_bmp_channels,
         "mm_bmp_resize": _mm_bmp_resize,
         "mm_media_meta": _mm_media_meta,
@@ -3829,6 +3860,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((5 * k + doc_id + 1) % 256) AS BIGINT) AS sum_g,
                    CAST(sum((7 * k + doc_id + 2) % 256) AS BIGINT) AS sum_b
             FROM rc GROUP BY doc_id""",
+        "mm_jpeg_pixels": """
+            WITH tv AS (SELECT doc_id, (7 * doc_id + 59 * i) % 256 AS v
+                        FROM documents, unnest(generate_series(0, 3)) t(i))
+            SELECT doc_id AS media_id,
+                   CAST(64 * sum(v) AS BIGINT) AS pixel_sum,
+                   CAST(min(v) AS BIGINT) AS pixel_min,
+                   CAST(max(v) AS BIGINT) AS pixel_max
+            FROM tv GROUP BY doc_id""",
         "mm_bmp_channels": """
             WITH px AS (SELECT doc_id, k FROM documents,
                         unnest(generate_series(0, 79)) t(k))

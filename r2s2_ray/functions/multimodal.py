@@ -671,6 +671,23 @@ class MediaMeta:
                 kind = "wav"
                 with _wave.open(io.BytesIO(data), "rb") as r:
                     n = r.getnframes()
+            elif data[:2] == b"\xff\xd8":
+                kind = "jpeg"
+                # walk markers to the first SOF for dims (frame header dims
+                # are authoritative; APPn/DQT/DHT are skipped by length)
+                q = 2
+                while q + 4 <= len(data):
+                    if data[q] != 0xFF:
+                        break
+                    m = data[q + 1]
+                    if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                        h, w = struct.unpack(">HH", data[q + 5 : q + 9])
+                        break
+                    if m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7:
+                        q += 2
+                        continue
+                    (ln,) = struct.unpack(">H", data[q + 2 : q + 4])
+                    q += 2 + ln
             ids.append(mid)
             kinds.append(kind)
             ws.append(int(w))
@@ -692,4 +709,370 @@ def media_meta(
 ) -> ray.data.Dataset:
     return ds.map_batches(
         MediaMeta, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, grayscale, stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order (T.81 Figure 5) — index i of the scan holds block
+#: position ZIGZAG[i] in row-major order
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+#: standard luminance Huffman tables (T.81 Annex K.3) — (bits, huffval)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """The 8x8 DCT-II basis A with A[u, x] = C(u)/2 * cos((2x+1) u pi / 16):
+    forward F = A f A^T, inverse f = A^T F A (orthonormal)."""
+    a = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        c = np.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return a
+
+
+_JPEG_A = _jpeg_dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 Annex C): value -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # T.81 byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def jpeg_encode_gray(px: np.ndarray, quant: int = 1) -> bytes:
+    """(h, w) uint8 grayscale -> a REAL baseline JFIF/JPEG (SOF0, one
+    component, standard Annex K Huffman tables, flat quantization table of
+    ``quant``): level shift, 8x8 float DCT, round-quantize, zigzag, DC DPCM
+    + AC run-length, canonical Huffman, 0xFF byte stuffing. ``quant=1``
+    keeps DC-only (flat-tile) blocks bit-exact through decode — the pinned
+    fixture contract; larger values behave like a real quality knob.
+    Fixture-side helper; the decoder below is the shipped operator kernel."""
+    import struct
+
+    h, w = px.shape
+    q = np.full(64, int(quant), dtype=np.int64)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    padded = np.empty((hb * 8, wb * 8), dtype=np.float64)
+    padded[:h, :w] = px.astype(np.float64)
+    padded[h:, :w] = px[h - 1 :, :].astype(np.float64)  # edge replicate
+    padded[:, w:] = padded[:, w - 1 : w]
+    padded -= 128.0
+    for by in range(hb):
+        for bx in range(wb):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _JPEG_A @ blk @ _JPEG_A.T
+            zz = np.round(coef.reshape(-1)[_JPEG_ZIGZAG] / q).astype(np.int64)
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _jpeg_category(diff)
+            c, ln = dc_codes[s]
+            bw.write(c, ln)
+            if s:
+                bits = diff if diff >= 0 else diff + (1 << s) - 1
+                bw.write(bits, s)
+            run = 0
+            last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(c, ln)
+                    run -= 16
+                s = _jpeg_category(v)
+                c, ln = ac_codes[(run << 4) | s]
+                bw.write(c, ln)
+                bits = v if v >= 0 else v + (1 << s) - 1
+                bw.write(bits, s)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]  # EOB
+                bw.write(c, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(int(q[i]) for i in range(64)))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data exhausted mid-symbol")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside JPEG scan data")
+                self.pos += 1  # unstuff
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) -> value lookup dict keyed by (length, code)."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, s: int) -> int:
+    # T.81 F.12: magnitude-category decode of a signed value
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def jpeg_decode_gray(data: bytes) -> np.ndarray:
+    """REAL baseline JPEG decode for 8-bit single-component (grayscale)
+    images: full marker walk (APPn/COM skipped, DQT/DHT accumulated, SOF0
+    validated — progressive/multi-component/subsampled streams REJECTED
+    loudly), entropy decode with byte unstuffing against the file's OWN
+    Huffman tables, DC DPCM, dequantize, inverse zigzag, float IDCT, level
+    shift + clamp, edge-crop to the declared dims. Baseline-lossy in
+    general; DC-only blocks (flat 8x8 tiles) reconstruct bit-exactly, which
+    is the sweep fixture's oracle contract."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    qsel = 0
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                qt[tq] = np.frombuffer(
+                    body[b + 1 : b + 65], dtype=np.uint8
+                ).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    "only 8-bit single-component baseline JPEG supported"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            qsel = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline (progressive/extended) JPEG unsupported")
+        elif marker == 0xDD:
+            raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            nscomp = body[0]
+            if nscomp != 1:
+                raise ValueError("multi-component JPEG scan unsupported")
+            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_start is None or h is None:
+        raise ValueError("JPEG missing SOS or SOF0")
+    end = data.rfind(b"\xff\xd9")
+    if end < 0:
+        raise ValueError("JPEG missing EOI")
+    br = _BitReader(data[scan_start:end])
+    dct, act = huff.get((0, dc_sel)), huff.get((1, ac_sel))
+    if dct is None or act is None or qsel not in qt:
+        raise ValueError("JPEG scan references undefined Huffman/quant table")
+    q = qt[qsel]
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    out = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    inv_zz = np.empty(64, dtype=np.int64)
+    inv_zz[_JPEG_ZIGZAG] = np.arange(64)
+    prev_dc = 0
+    for by in range(hb):
+        for bx in range(wb):
+            zz = np.zeros(64, dtype=np.int64)
+            s = _huff_read(br, dct)
+            diff = _extend(br.read(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = _huff_read(br, act)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        i += 16
+                        continue
+                    break  # EOB
+                i += run
+                if i > 63:
+                    raise ValueError("JPEG AC run overflows the block")
+                zz[i] = _extend(br.read(size), size)
+                i += 1
+            coef = (zz * q)[inv_zz].reshape(8, 8).astype(np.float64)
+            blk = _JPEG_A.T @ coef @ _JPEG_A
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(blk) + 128, 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w]
+
+
+class JpegPixelStats:
+    """Actor-pool stage over REAL baseline JPEG payloads: full container +
+    entropy decode (markers, file-defined Huffman tables, DPCM, dequant,
+    IDCT) and integer pixel stats per image — any parse/Huffman/DCT bug
+    breaks the oracle hash on the flat-tile fixtures."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, sums, mins, maxs = [], [], [], []
+        for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
+            px = jpeg_decode_gray(bytes(p)).astype(np.int64)
+            ids.append(mid)
+            sums.append(int(px.sum()))
+            mins.append(int(px.min()))
+            maxs.append(int(px.max()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "pixel_min": pa.array(mins, pa.int64()),
+                "pixel_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+
+def jpeg_pixel_stats(
+    ds: ray.data.Dataset, *, batch_size: int = 64, concurrency=(1, 8)
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        JpegPixelStats, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )

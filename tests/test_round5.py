@@ -315,6 +315,59 @@ def test_link_predict_paths_agree(ray_session):
     assert got[("n2", "n4")] == (2 * ((1 << 20) // 3), 2)
 
 
+# ------------------------------------------------------- baseline JPEG codec
+def test_jpeg_roundtrip_flat_tiles_exact():
+    """DC-only blocks (flat 8x8 tiles) survive encode -> decode bit-exactly —
+    the sweep fixture contract — including non-multiple-of-8 dims."""
+    import numpy as np
+
+    from r2s2_ray.functions.multimodal import jpeg_decode_gray, jpeg_encode_gray
+
+    tiles = np.array([[10, 200], [255, 0]], dtype=np.uint8)
+    px = np.kron(tiles, np.ones((8, 8), dtype=np.uint8))
+    assert np.array_equal(jpeg_decode_gray(jpeg_encode_gray(px)), px)
+    flat = np.full((13, 21), 77, dtype=np.uint8)
+    out = jpeg_decode_gray(jpeg_encode_gray(flat))
+    assert out.shape == (13, 21) and np.array_equal(out, flat)
+
+
+def test_jpeg_roundtrip_gradient_lossy_bounded():
+    """General content is baseline-lossy: reconstruction error bounded by
+    the quantization step, deterministic across runs (pinned hash)."""
+    import hashlib
+
+    import numpy as np
+
+    from r2s2_ray.functions.multimodal import jpeg_decode_gray, jpeg_encode_gray
+
+    y, x = np.mgrid[0:24, 0:40]
+    g = ((3 * x + 5 * y) % 256).astype(np.uint8)
+    d1 = jpeg_decode_gray(jpeg_encode_gray(g, quant=1))
+    assert int(np.abs(d1.astype(int) - g.astype(int)).max()) <= 1
+    d8 = jpeg_decode_gray(jpeg_encode_gray(g, quant=8))
+    assert int(np.abs(d8.astype(int) - g.astype(int)).max()) <= 8
+    # decode determinism pin: same input -> same bytes, run to run
+    h1 = hashlib.sha256(jpeg_decode_gray(jpeg_encode_gray(g, quant=4)).tobytes())
+    h2 = hashlib.sha256(jpeg_decode_gray(jpeg_encode_gray(g, quant=4)).tobytes())
+    assert h1.hexdigest() == h2.hexdigest()
+
+
+def test_jpeg_decode_rejects_loudly():
+    import numpy as np
+
+    from r2s2_ray.functions.multimodal import jpeg_decode_gray, jpeg_encode_gray
+
+    data = jpeg_encode_gray(np.full((8, 8), 50, dtype=np.uint8))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_gray(b"\x00\x01" + data)
+    # flip SOF0 -> SOF2 (progressive) — must be named, not mis-decoded
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="progressive|non-baseline"):
+        jpeg_decode_gray(prog)
+    with pytest.raises(ValueError, match="EOI|exhausted|marker"):
+        jpeg_decode_gray(data[:-4])
+
+
 # ----------------------------------------------------- partition-scoped SCC
 def _scc_rows(ds):
     return sorted((r["node"], r["scc"]) for r in ds.take_all())
