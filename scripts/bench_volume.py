@@ -1,0 +1,123 @@
+"""Replicated-volume timings for the graph/dedup additions — the measured
+backing BASELINE.md's scale claims reference for kg_scc / kg_sssp /
+dd_setsim_prefix (the KG headline already has its own ×128 scaling
+campaign).
+
+Builds a ×R corpus under /tmp once (R disjoint doc_id replicas of
+$GRAFT_SF_DIR's documents table; each replica's texts are salted with a
+replica-unique token so cross-replica token sets are distinct and the
+set-similarity output stays within-replica), then times the SAME
+constructions the sweep uses and prints ONE JSON line. Raw JSONs for the
+record live in bench_runs/r5_volume/.
+
+Usage: python scripts/bench_volume.py   (env: GRAFT_SF_DIR,
+RAY_GRAFT_CPUS, GRAFT_VOLUME_REPLICATE default 64)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def main() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    rep = int(os.environ.get("GRAFT_VOLUME_REPLICATE", "64"))
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    vol_dir = f"/tmp/r2s2_vol_x{rep}"
+    marker = f"{vol_dir}/.built"
+    if not os.path.exists(marker):
+        shutil.rmtree(vol_dir, ignore_errors=True)
+        os.makedirs(vol_dir)
+        src = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        parts = []
+        import pyarrow.compute as pc
+
+        for r in range(rep):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pc.add(src["doc_id"], 10_000_000 * r),
+                        "text": pc.binary_join_element_wise(
+                            pc.cast(src["text"], pa.string()),
+                            f"rsalt{r}",
+                            " ",
+                        ),
+                    }
+                )
+            )
+        pq.write_table(pa.concat_tables(parts), f"{vol_dir}/documents.parquet")
+        open(marker, "w").write("ok")
+
+    import __ray_entry__ as entry
+    from r2s2_ray.functions.dedup import setsim_prefix_pairs
+
+    out: dict = {
+        "metric": "volume_ops",
+        "unit": "sec",
+        "replicate": rep,
+        "num_cpus": num_cpus,
+        "sf": sf_dir,
+        "queries": {},
+        "rows": {},
+        "loadavg": {},
+    }
+
+    def timed(name: str, fn) -> None:
+        pre = load1()
+        t0 = time.perf_counter()
+        n = fn()
+        out["queries"][name] = round(time.perf_counter() - t0, 3)
+        out["rows"][name] = int(n)
+        out["loadavg"][name] = [pre, load1()]
+
+    timed("kg_scc", lambda: entry._kg_scc(vol_dir).count())
+    timed("kg_sssp", lambda: entry._kg_sssp(vol_dir).count())
+    timed(
+        "dd_setsim_prefix",
+        lambda: setsim_prefix_pairs(
+            ray.data.read_parquet(
+                f"{vol_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            "doc_id",
+            "text",
+            threshold=(99, 100),
+        ).count(),
+    )
+    out["value"] = round(sum(out["queries"].values()), 3)
+    ray.shutdown()
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(main()))
