@@ -46,6 +46,12 @@ Supported grammar (anything else raises loudly, never misparses):
                                               against the state, the template
                                               instantiates per solution;
                                               see quad_state_insert_where)
+      ( WITH iri )?                           (Modify forms only: the WITH
+                                              graph becomes the graph of
+                                              every template quad and WHERE
+                                              pattern outside an explicit
+                                              GRAPH block — spec semantics,
+                                              overriding the union default)
       DELETE '{' quad-block '}' [ INSERT '{' quad-block '}' ]
              WHERE '{' quad-block '}'         (the full Modify form: both
                                               templates instantiate from the
@@ -291,13 +297,30 @@ def parse_update(src: str):
     'insert_where'|'modify'|'manage', payload) ops in request order."""
     prefixes = dict(_PREFIX_RE.findall(src))
     body = _PREFIX_RE.sub(" ", src)
+    def _with_graph(quads, g: str):
+        gt = Term("iri", g)
+        return [(s, p, o, gq if gq is not None else gt) for s, p, o, gq in quads]
+
     ops, pos = [], 0
     while True:
         pos = re.compile(r"[\s;]*").match(body, pos).end()
         if pos >= len(body):
             break
+        # WITH <g> (SPARQL 1.1 Modify): g becomes the graph of every
+        # template quad AND every WHERE pattern outside an explicit GRAPH
+        # block (spec semantics — WITH pins the operation's graph, unlike
+        # the engine's union-default for bare patterns without WITH)
+        with_iri = None
+        wm = re.compile(r"WITH\b", re.I).match(body, pos)
+        if wm:
+            with_iri, pos = _iri_at(body, wm.end(), prefixes)
+            if with_iri is None:
+                raise ValueError("WITH requires an IRI graph name")
+            pos = _WS_RE.match(body, pos).end()
         m = _OP_RE.match(body, pos)
         if not m:
+            if with_iri is not None:
+                raise ValueError("WITH must be followed by DELETE/INSERT ... WHERE")
             mm = _MANAGE_HEAD_RE.match(body, pos)
             if mm:
                 spec, pos = _parse_manage(body, mm, prefixes)
@@ -318,6 +341,9 @@ def parse_update(src: str):
                 )
             wend = _match_brace(body, w.end() - 1)
             where = _split_quad_block(body[w.end() : wend - 1], prefixes)
+            if with_iri is not None:
+                quads = _with_graph(quads, with_iri)
+                where = _with_graph(where, with_iri)
             ops.append(("insert_where", (quads, where)))
             pos = wend
             continue
@@ -337,9 +363,18 @@ def parse_update(src: str):
                 )
             wend = _match_brace(body, w.end() - 1)
             where = _split_quad_block(body[w.end() : wend - 1], prefixes)
+            if with_iri is not None:
+                quads = _with_graph(quads, with_iri)
+                ins = _with_graph(ins, with_iri)
+                where = _with_graph(where, with_iri)
             ops.append(("modify", (quads, ins, where)))
             pos = wend
             continue
+        if with_iri is not None:
+            raise ValueError(
+                "WITH applies only to the Modify forms "
+                "(DELETE/INSERT ... WHERE), not to DATA / DELETE WHERE ops"
+            )
         ops.append((kind, quads))
         pos = end
     if not ops:

@@ -73,6 +73,46 @@ def test_delete_where_repeated_var(ray_session, tmp_path):
     assert left == ["a:s2"]
 
 
+def test_with_clause_scopes_modify_to_graph(ray_session, tmp_path):
+    """WITH <g> pins the Modify's bare templates AND bare WHERE patterns to
+    g (spec semantics, overriding the union default): only g1's rows rename,
+    g2's identical rows stay, and the insert lands in g1."""
+    from r2s2_ray.pipelines.update import apply_update, parse_update, state_quads
+    from r2s2_ray.stages.fold import route
+    from r2s2_ray.stages.incremental import quad_state_build
+
+    tbl = pa.table(
+        {
+            "subj": pa.array(["a:s1", "a:s1"], pa.string()),
+            "s_kind": pa.array([1, 1], pa.int8()),
+            "pred": pa.array(["a:p", "a:p"], pa.string()),
+            "obj": pa.array(["a:o", "a:o"], pa.string()),
+            "o_kind": pa.array([1, 1], pa.int8()),
+            "o_lang": pa.array([None, None], pa.string()),
+            "o_dt": pa.array([None, None], pa.string()),
+            "graph": pa.array(["g1", "g2"], pa.string()),
+        }
+    )
+    state = str(tmp_path / "state")
+    quad_state_build(route(ray.data.from_arrow(tbl)), state, num_buckets=4)
+    apply_update(
+        state,
+        "WITH <g1> DELETE { ?s <a:p> ?o } INSERT { ?s <a:q> ?o } "
+        "WHERE { ?s <a:p> ?o }",
+        num_buckets=4,
+    )
+    got = sorted(
+        (r["pred"], r["graph"])
+        for r in state_quads(state).take_all()
+    )
+    assert got == [("a:p", "g2"), ("a:q", "g1")]
+    # WITH on non-Modify forms rejects loudly
+    with pytest.raises(ValueError, match="WITH applies only"):
+        parse_update("WITH <g1> INSERT DATA { <a:s> <a:p> <a:o> }")
+    with pytest.raises(ValueError, match="WITH must be followed"):
+        parse_update("WITH <g1> CLEAR GRAPH <g1>")
+
+
 # ---------------------------------------------------- rowgroup_prune hardening
 def test_rowgroup_prune_all_pruned_typed_schema(ray_session, tmp_path):
     """A range that prunes every row group must yield an EMPTY dataset whose
