@@ -135,7 +135,7 @@ CAPABILITIES = {
     "query_forms": ["SELECT", "ASK", "CONSTRUCT", "DESCRIBE"],
     "update_forms": [
         "INSERT DATA", "DELETE DATA", "DELETE WHERE", "INSERT WHERE",
-        "DELETE/INSERT/WHERE (Modify)",
+        "DELETE/INSERT/WHERE (Modify)", "WITH <g> (Modify graph scoping)",
         "CLEAR", "DROP", "CREATE", "ADD", "MOVE", "COPY", "LOAD",
     ],
     "features": [
@@ -150,6 +150,8 @@ CAPABILITIES = {
     "unsupported": {
         "SERVICE": "federated query needs network calls at evaluation time; "
                    "this store is local-only (loud rejection by name)",
+        "USING": "Modify dataset re-targeting; use WITH <g> or GRAPH blocks "
+                 "(loud rejection by name)",
         "RDF-star": "quoted triples are rejected at load (reference parity)",
     },
     "graph_semantics": "union default graph (bare patterns match all graphs; "

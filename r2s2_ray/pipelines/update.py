@@ -354,6 +354,11 @@ def parse_update(src: str):
                 iend = _match_brace(body, im.end() - 1)
                 ins = _split_quad_block(body[im.end() : iend - 1], prefixes)
                 end = iend
+            if re.compile(r"\s*USING\b", re.I).match(body, end):
+                raise ValueError(
+                    "USING / USING NAMED dataset clauses are not supported: "
+                    "scope the WHERE with WITH <g> or explicit GRAPH blocks"
+                )
             w = _WHERE_RE.match(body, end)
             if not w:
                 raise ValueError(

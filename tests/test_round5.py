@@ -111,6 +111,11 @@ def test_with_clause_scopes_modify_to_graph(ray_session, tmp_path):
         parse_update("WITH <g1> INSERT DATA { <a:s> <a:p> <a:o> }")
     with pytest.raises(ValueError, match="WITH must be followed"):
         parse_update("WITH <g1> CLEAR GRAPH <g1>")
+    # USING is rejected by name, pointing at the supported alternatives
+    with pytest.raises(ValueError, match="USING.*WITH"):
+        parse_update(
+            "DELETE { ?s <a:p> ?o } USING <g1> WHERE { ?s <a:p> ?o }"
+        )
 
 
 # ---------------------------------------------------- rowgroup_prune hardening
