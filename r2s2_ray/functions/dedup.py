@@ -1084,6 +1084,7 @@ def setsim_prefix_pairs(
     *,
     threshold: tuple[int, int] = (3, 5),
     num_buckets: int = 32,
+    chunk: int = 1024,
 ) -> ray.data.Dataset:
     """EXACT token-set Jaccard join via PREFIX FILTERING (the PPJoin family,
     cf. "A Two-Level Signature Scheme for Stable Set Similarity Joins",
@@ -1101,10 +1102,15 @@ def setsim_prefix_pairs(
     Stage shape (every exchange key-partitioned, no driver materialization):
     distinct (token, doc) explode -> token-df groupby -> df attach
     (hash_join) -> per-doc prefix rank (bucket sort + block fold) ->
-    token-keyed candidate generation with the ``den*min >= num*max`` length
-    filter -> pair dedup -> two hash_joins count the exact intersection for
-    the surviving candidates only. Output: (a, b, inter, uni) ints with
-    a < b."""
+    CHUNKED token-keyed candidate generation (postings split into
+    CHUNK-doc chunks; chunk-pairs co-locate via one bucket sort so a hot
+    token's O(p^2) pairs fan out across tasks with a CHUNK^2-bounded
+    workspace each, instead of serializing on one worker) with the
+    ``den*min >= num*max`` length filter -> pair dedup -> two doc-keyed
+    hash_joins attach each side's token list once and a vectorized exact
+    set-intersection scores the surviving candidates (exchange rows =
+    |candidates|, never |candidates| x |tokens|).
+    Output: (a, b, inter, uni) ints with a < b."""
     num, den = threshold
     from ray.data.aggregate import Count as _Count
 
@@ -1152,7 +1158,56 @@ def setsim_prefix_pairs(
         .map_batches(prefix_block, batch_format="pyarrow", batch_size=None)
     )
 
-    def cand_block(t: pa.Table) -> pa.Table:
+    # Candidate generation is CHUNKED per posting list: a hot prefix token
+    # (the classic skew point — one token can carry half the corpus) must
+    # not generate its O(p^2) pairs inside one task. Each posting splits
+    # into chunks of CHUNK docs (rank within the tok-sorted run); every row
+    # is emitted once per chunk-pair it participates in (expansion factor =
+    # ceil(p/CHUNK), tiny), chunk-pairs co-locate via one bucket-sort
+    # exchange, and each task's pair workspace is bounded by CHUNK^2
+    # regardless of posting size — hot tokens fan out across the cluster
+    # instead of serializing on one worker.
+    CHUNK = chunk
+
+    def chunk_emit(t: pa.Table) -> pa.Table:
+        # the block is posting-complete (equal toks never straddle blocks
+        # after sort("tok"))
+        df = pl.from_arrow(t).sort(["tok", "doc"])
+        df = df.with_columns(
+            ((pl.col("doc").cum_count().over("tok") - 1) // CHUNK)
+            .cast(pl.Int64)
+            .alias("ci"),
+            ((pl.len().over("tok") + CHUNK - 1) // CHUNK)
+            .cast(pl.Int64)
+            .alias("m"),
+        )
+        cols = ["tok", "doc", "n_doc", "ci", "gi", "gj"]
+        a_side = (
+            df.with_columns(pl.int_ranges(pl.col("ci"), pl.col("m")).alias("gj"))
+            .explode("gj")
+            .with_columns(pl.col("ci").alias("gi"))
+            .select(cols)
+        )
+        b_side = (
+            df.filter(pl.col("ci") > 0)
+            .with_columns(pl.int_ranges(0, pl.col("ci")).alias("gi"))
+            .explode("gi")
+            .with_columns(pl.col("ci").alias("gj"))
+            .select(cols)
+        )
+        return (
+            pl.concat([a_side, b_side])
+            .with_columns(
+                pl.concat_str(
+                    [pl.col("tok"), pl.col("gi").cast(pl.Utf8), pl.col("gj").cast(pl.Utf8)],
+                    separator="\x1f",
+                ).alias("gk")
+            )
+            .select(["gk", "doc", "n_doc", "ci", "gi", "gj"])
+            .to_arrow()
+        )
+
+    def chunk_pairs(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "a": pa.array([], pa.int64()),
@@ -1161,32 +1216,51 @@ def setsim_prefix_pairs(
                 "nb": pa.array([], pa.int64()),
             }
         )
-        n = t.num_rows
-        if n < 2:
+        if t.num_rows < 2:
             return empty
-        t = t.sort_by([("tok", "ascending"), ("doc", "ascending")])
-        tk = t["tok"].combine_chunks() if isinstance(t["tok"], pa.ChunkedArray) else t["tok"]
-        neq = pc.not_equal(tk.slice(1), tk.slice(0, n - 1)).to_numpy(zero_copy_only=False)
-        bounds = np.concatenate([[0], np.flatnonzero(neq) + 1, [n]]).astype(np.int64)
-        docs = np.asarray(t["doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        cnts = np.asarray(t["n_doc"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        ia, jb = _group_pair_indices(bounds)
-        if not len(ia):
-            return empty
-        na, nb = cnts[ia], cnts[jb]
-        # length filter, lossless: J >= num/den implies den*min >= num*max
-        keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
-        return pa.table(
-            {
-                "a": pa.array(docs[ia][keep], pa.int64()),
-                "b": pa.array(docs[jb][keep], pa.int64()),
-                "na": pa.array(na[keep], pa.int64()),
-                "nb": pa.array(nb[keep], pa.int64()),
-            }
-        )
+        outs = [empty]
+        for g in pl.from_arrow(t).partition_by("gk"):
+            gi, gj = int(g["gi"][0]), int(g["gj"][0])
+            g = g.sort("doc")
+            if gi == gj:
+                docs = g["doc"].to_numpy()
+                cnts = g["n_doc"].to_numpy()
+                if len(docs) < 2:
+                    continue
+                ia, jb = np.triu_indices(len(docs), 1)
+                da, db = docs[ia], docs[jb]
+                na, nb = cnts[ia], cnts[jb]
+            else:
+                ga = g.filter(pl.col("ci") == gi)
+                gb = g.filter(pl.col("ci") == gj)
+                if not ga.height or not gb.height:
+                    continue
+                da = np.repeat(ga["doc"].to_numpy(), gb.height)
+                na = np.repeat(ga["n_doc"].to_numpy(), gb.height)
+                db = np.tile(gb["doc"].to_numpy(), ga.height)
+                nb = np.tile(gb["n_doc"].to_numpy(), ga.height)
+            # length filter, lossless: J >= num/den implies den*min >= num*max
+            keep = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+            if not keep.any():
+                continue
+            outs.append(
+                pa.table(
+                    {
+                        "a": pa.array(da[keep], pa.int64()),
+                        "b": pa.array(db[keep], pa.int64()),
+                        "na": pa.array(na[keep], pa.int64()),
+                        "nb": pa.array(nb[keep], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
 
     cands = _fold_pairs(
-        pre.sort("tok").map_batches(cand_block, batch_format="pyarrow", batch_size=None),
+        pre.sort("tok")
+        .map_batches(chunk_emit, batch_format="pyarrow", batch_size=None)
+        .map_batches(_bucket_by("gk", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(chunk_pairs, batch_format="pyarrow", batch_size=None),
         {"na": pl.col("na").min(), "nb": pl.col("nb").min()},
     ).materialize()
     if cands.count() == 0:
@@ -1203,58 +1277,56 @@ def setsim_prefix_pairs(
             )
         )
 
-    # verification: exact |A ∩ B| for candidates only — join candidates to A's
-    # tokens (doc-keyed), then probe B's tokens on a composite (tok, doc) key
-    p_a = toks.map_batches(
-        lambda b: pa.table({"a": b["doc"], "tok": b["tok"]}), batch_format="pyarrow"
+    # verification: exact |A ∩ B| for candidates only — each side's token
+    # LIST attaches once via a doc-keyed hash_join (exchange rows = |cands|,
+    # each carrying one ~n_doc-element list), then ONE vectorized exact
+    # set-intersection per pair. The previous exploded-probe verify
+    # (candidates x every A-token, then a composite-key join) shipped
+    # |cands| x n_doc rows — measured 8x super-linear wall at x16 replicated
+    # volume once the exploded exchange outgrew the object store.
+    lists = (
+        toks.map_batches(_bucket_by("doc", num_buckets), batch_format="pyarrow")
+        .sort("bucket")
+        .map_batches(
+            lambda b: pl.from_arrow(b)
+            .group_by("doc")
+            .agg(pl.col("tok").alias("tl"))
+            .to_arrow(),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .materialize()
     )
-    j1 = hash_join(cands, p_a, on="a", right_cols=["tok"])
-
-    def key_left(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b)
-        return df.with_columns(
-            pl.concat_str(
-                [pl.col("tok"), pl.col("b").cast(pl.Utf8)], separator="\x1f"
-            ).alias("k")
-        ).select(["a", "b", "na", "nb", "k"]).to_arrow()
-
-    def key_right(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b)
-        return df.with_columns(
-            pl.concat_str(
-                [pl.col("tok"), pl.col("doc").cast(pl.Utf8)], separator="\x1f"
-            ).alias("k"),
-            pl.lit(1, dtype=pl.Int64).alias("hit"),
-        ).select(["k", "hit"]).to_arrow()
-
-    j2 = hash_join(
-        j1.map_batches(key_left, batch_format="pyarrow"),
-        toks.map_batches(key_right, batch_format="pyarrow"),
-        on="k",
-        right_cols=["hit"],
+    la = lists.map_batches(
+        lambda b: pa.table({"a": b["doc"], "tla": b["tl"]}), batch_format="pyarrow"
     )
-
-    folded = _fold_pairs(
-        j2.map_batches(
-            lambda b: b.select(["a", "b", "na", "nb"]), batch_format="pyarrow"
-        ),
-        {
-            "inter": pl.len().cast(pl.Int64),
-            "na": pl.col("na").min(),
-            "nb": pl.col("nb").min(),
-        },
+    lb = lists.map_batches(
+        lambda b: pa.table({"b": b["doc"], "tlb": b["tl"]}), batch_format="pyarrow"
+    )
+    j = hash_join(
+        hash_join(cands, la, on="a", right_cols=["tla"]),
+        lb,
+        on="b",
+        right_cols=["tlb"],
     )
 
     def finish(b: pa.Table) -> pa.Table:
         df = pl.from_arrow(b)
         return (
-            df.with_columns((pl.col("na") + pl.col("nb") - pl.col("inter")).alias("uni"))
+            df.with_columns(
+                pl.col("tla")
+                .list.set_intersection(pl.col("tlb"))
+                .list.len()
+                .cast(pl.Int64)
+                .alias("inter")
+            )
+            .with_columns((pl.col("na") + pl.col("nb") - pl.col("inter")).alias("uni"))
             .filter(den * pl.col("inter") >= num * pl.col("uni"))
             .select(["a", "b", "inter", "uni"])
             .to_arrow()
         )
 
-    return folded.map_batches(finish, batch_format="pyarrow")
+    return j.map_batches(finish, batch_format="pyarrow")
 
 
 def chunk_dedup(

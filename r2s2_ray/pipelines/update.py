@@ -604,7 +604,7 @@ def quad_state_graphs(state_dir: str) -> set[str]:
         gs: set[str] = set()
         for d in b["dir"].to_pylist():
             for f in fs_list_parquet(d):
-                col = fs_read_table(f).column("graph")
+                col = fs_read_table(f, columns=["graph"]).column("graph")
                 gs.update(pc.unique(pc.cast(col, pa.large_string())).to_pylist())
         return pa.table({"graph": pa.array(sorted(gs), pa.large_string())})
 

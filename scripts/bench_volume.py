@@ -3,10 +3,16 @@ backing BASELINE.md's scale claims reference for kg_scc / kg_sssp /
 dd_setsim_prefix (the KG headline already has its own ×128 scaling
 campaign).
 
-Builds a ×R corpus under /tmp once (R disjoint doc_id replicas of
-$GRAFT_SF_DIR's documents table; each replica's texts are salted with a
-replica-unique token so cross-replica token sets are distinct and the
-set-similarity output stays within-replica), then times the SAME
+Builds a ×R corpus under /tmp once: R disjoint doc_id replicas of
+$GRAFT_SF_DIR's documents table, with every TOKEN suffixed by the replica
+number. Suffixing every token (rather than appending one salt token) keeps
+each replica's token-frequency distribution identical to the ×1 corpus —
+an appended low-frequency salt would become every document's rarest token
+and hence its entire PPJoin prefix, collapsing candidate generation into
+R pathological 5000-doc groups, which measures the fixture, not the
+operator. With per-token suffixes the vocabularies are replica-disjoint,
+so the similarity workload is exactly R independent copies of the ×1
+workload — volume scales linearly without changing shape. Times the SAME
 constructions the sweep uses and prints ONE JSON line. Raw JSONs for the
 record live in bench_runs/r5_volume/.
 
@@ -60,23 +66,25 @@ def main() -> dict:
         src = pq.read_table(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-        parts = []
-        import pyarrow.compute as pc
+        import polars as pl
 
+        parts = []
+        base = pl.from_arrow(src)
         for r in range(rep):
             parts.append(
-                pa.table(
-                    {
-                        "doc_id": pc.add(src["doc_id"], 10_000_000 * r),
-                        "text": pc.binary_join_element_wise(
-                            pc.cast(src["text"], pa.string()),
-                            f"rsalt{r}",
-                            " ",
-                        ),
-                    }
+                base.select(
+                    (pl.col("doc_id") + 10_000_000 * r).alias("doc_id"),
+                    # suffix EVERY token with the replica id (see module
+                    # docstring): " " -> "r<r> " plus a trailing suffix
+                    (
+                        pl.col("text").str.replace_all(" ", f"r{r} ", literal=True)
+                        + f"r{r}"
+                    ).alias("text"),
                 )
             )
-        pq.write_table(pa.concat_tables(parts), f"{vol_dir}/documents.parquet")
+        pq.write_table(
+            pl.concat(parts).to_arrow(), f"{vol_dir}/documents.parquet"
+        )
         open(marker, "w").write("ok")
 
     import __ray_entry__ as entry
@@ -94,12 +102,15 @@ def main() -> dict:
     }
 
     def timed(name: str, fn) -> None:
+        print(f"[bench_volume] start {name}", file=sys.stderr, flush=True)
         pre = load1()
         t0 = time.perf_counter()
         n = fn()
-        out["queries"][name] = round(time.perf_counter() - t0, 3)
+        sec = round(time.perf_counter() - t0, 3)
+        out["queries"][name] = sec
         out["rows"][name] = int(n)
         out["loadavg"][name] = [pre, load1()]
+        print(f"[bench_volume] {name} {sec}s rows={n}", file=sys.stderr, flush=True)
 
     timed("kg_scc", lambda: entry._kg_scc(vol_dir).count())
     timed("kg_sssp", lambda: entry._kg_sssp(vol_dir).count())

@@ -413,6 +413,42 @@ def test_jpeg_decode_rejects_loudly():
         jpeg_decode_gray(data[:-4])
 
 
+# --------------------------------------------- chunked setsim pair generation
+def test_setsim_chunked_candidates_match_unchunked(ray_session):
+    """A posting list spanning MANY chunks (chunk=3, 14 docs sharing the
+    rarest token) must produce exactly the pairs the single-chunk path
+    produces — within-chunk triangles plus every cross-chunk block, no pair
+    lost or duplicated at chunk boundaries."""
+    from r2s2_ray.functions.dedup import setsim_prefix_pairs
+
+    # doc i: shared base tokens + 'rare' (the 1-token prefix for all) with a
+    # couple of per-doc extras so intersections vary
+    texts = [
+        f"rare alpha beta gamma delta epsilon zeta eta x{i % 3} y{i % 5}"
+        for i in range(14)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(14)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+    def rows(chunk):
+        return sorted(
+            (r["a"], r["b"], r["inter"], r["uni"])
+            for r in setsim_prefix_pairs(
+                ds, "doc_id", "text", threshold=(4, 5), chunk=chunk
+            ).take_all()
+        )
+
+    chunked = rows(3)
+    assert chunked == rows(1024)
+    assert len(chunked) > 0
+
+
 # ----------------------------------------------------- partition-scoped SCC
 def _scc_rows(ds):
     return sorted((r["node"], r["scc"]) for r in ds.take_all())
