@@ -1107,9 +1107,10 @@ def setsim_prefix_pairs(
     token's O(p^2) pairs fan out across tasks with a CHUNK^2-bounded
     workspace each, instead of serializing on one worker) with the
     ``den*min >= num*max`` length filter -> pair dedup -> two doc-keyed
-    hash_joins attach each side's token list once and a vectorized exact
-    set-intersection scores the surviving candidates (exchange rows =
-    |candidates|, never |candidates| x |tokens|).
+    hash_joins attach each side's flat binary token-set signature once and
+    a vectorized numpy sort-merge scores the surviving candidates
+    (exchange rows = |candidates|, never |candidates| x |tokens|; see the
+    verification block for the 64-bit-hash exactness contract).
     Output: (a, b, inter, uni) ints with a < b."""
     num, den = threshold
     from ray.data.aggregate import Count as _Count
@@ -1277,53 +1278,109 @@ def setsim_prefix_pairs(
             )
         )
 
-    # verification: exact |A ∩ B| for candidates only — each side's token
-    # LIST attaches once via a doc-keyed hash_join (exchange rows = |cands|,
-    # each carrying one ~n_doc-element list), then ONE vectorized exact
-    # set-intersection per pair. The previous exploded-probe verify
-    # (candidates x every A-token, then a composite-key join) shipped
-    # |cands| x n_doc rows — measured 8x super-linear wall at x16 replicated
-    # volume once the exploded exchange outgrew the object store.
-    lists = (
+    # verification: |A ∩ B| for candidates only — each doc's token set is
+    # packed ONCE into a flat binary SIGNATURE (sorted 64-bit token hashes
+    # as one bytes value) that attaches to the pair stream via two
+    # doc-keyed hash_joins; exchange rows = |cands|, each carrying two
+    # ~8*n_doc-byte blobs, and the per-block intersection is one numpy
+    # sort-merge. Two rejected designs, both measured at replicated
+    # volume: the exploded-probe verify (candidates x every A-token on a
+    # composite key) went 8x super-linear at x16 when the exploded
+    # exchange outgrew the object store, and nested list<string> payload
+    # columns stalled the widen+sort exchange outright at x64 — flat
+    # binary columns keep the shuffle linear. Exactness contract: token
+    # hashes are 64-bit, so a within-pair collision (probability
+    # ~n_doc^2 / 2^64 per pair, ~1e-9 corpus-wide per run) could
+    # overcount one intersection; the exact alternative (dense global
+    # token ids via the q_global_rank prefix-sum machinery) is the named
+    # swap if that bound ever matters.
+    def doc_sigs(b: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(b)
+            .with_columns(
+                pl.col("tok").hash(seed=11).reinterpret(signed=True).alias("h")
+            )
+            .group_by("doc")
+            .agg(pl.col("h").sort().alias("hs"))
+        )
+        blobs = [
+            np.asarray(v, dtype=np.int64).tobytes() for v in out["hs"].to_list()
+        ]
+        return pa.table(
+            {
+                "doc": pa.array(out["doc"].to_list(), pa.int64()),
+                "sig": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    sigs = (
         toks.map_batches(_bucket_by("doc", num_buckets), batch_format="pyarrow")
         .sort("bucket")
-        .map_batches(
-            lambda b: pl.from_arrow(b)
-            .group_by("doc")
-            .agg(pl.col("tok").alias("tl"))
-            .to_arrow(),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
+        .map_batches(doc_sigs, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
-    la = lists.map_batches(
-        lambda b: pa.table({"a": b["doc"], "tla": b["tl"]}), batch_format="pyarrow"
+    # bucket count for the attach joins scales with the candidate count so
+    # one co-located block stays worker-heap-sized at any volume
+    vb = max(num_buckets, min(512, cands.count() // 500_000 + 1))
+    sa = sigs.map_batches(
+        lambda b: pa.table({"a": b["doc"], "siga": b["sig"]}), batch_format="pyarrow"
     )
-    lb = lists.map_batches(
-        lambda b: pa.table({"b": b["doc"], "tlb": b["tl"]}), batch_format="pyarrow"
+    sb = sigs.map_batches(
+        lambda b: pa.table({"b": b["doc"], "sigb": b["sig"]}), batch_format="pyarrow"
     )
     j = hash_join(
-        hash_join(cands, la, on="a", right_cols=["tla"]),
-        lb,
+        hash_join(cands, sa, on="a", right_cols=["siga"], num_buckets=vb),
+        sb,
         on="b",
-        right_cols=["tlb"],
+        right_cols=["sigb"],
+        num_buckets=vb,
     )
 
     def finish(b: pa.Table) -> pa.Table:
-        df = pl.from_arrow(b)
-        return (
-            df.with_columns(
-                pl.col("tla")
-                .list.set_intersection(pl.col("tlb"))
-                .list.len()
-                .cast(pl.Int64)
-                .alias("inter")
+        pairs = b.num_rows
+        if not pairs:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "inter": pa.array([], pa.int64()),
+                    "uni": pa.array([], pa.int64()),
+                }
             )
-            .with_columns((pl.col("na") + pl.col("nb") - pl.col("inter")).alias("uni"))
-            .filter(den * pl.col("inter") >= num * pl.col("uni"))
-            .select(["a", "b", "inter", "uni"])
-            .to_arrow()
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb_ = b["nb"].to_numpy(zero_copy_only=False)
+        av = np.frombuffer(b"".join(b["siga"].to_pylist()), dtype=np.int64)
+        bv = np.frombuffer(b"".join(b["sigb"].to_pylist()), dtype=np.int64)
+        ra = np.repeat(np.arange(pairs, dtype=np.int64), na)
+        rb = np.repeat(np.arange(pairs, dtype=np.int64), nb_)
+        # sort-merge count of (pair, value) matches: tokens are distinct
+        # within a doc, so an A-row immediately followed by a B-row with
+        # the same (pair, value) is exactly one intersection element
+        allv = np.concatenate([av, bv])
+        allr = np.concatenate([ra, rb])
+        tag = np.concatenate(
+            [np.zeros(len(av), np.int8), np.ones(len(bv), np.int8)]
+        )
+        order = np.lexsort((tag, allv, allr))
+        sv, sr, st = allv[order], allr[order], tag[order]
+        m = (
+            (sr[1:] == sr[:-1])
+            & (sv[1:] == sv[:-1])
+            & (st[:-1] == 0)
+            & (st[1:] == 1)
+        )
+        inter = np.bincount(sr[1:][m], minlength=pairs).astype(np.int64)
+        uni = na + nb_ - inter
+        keep = den * inter >= num * uni
+        da = b["a"].to_numpy(zero_copy_only=False)
+        db = b["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(da[keep], pa.int64()),
+                "b": pa.array(db[keep], pa.int64()),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "uni": pa.array(uni[keep], pa.int64()),
+            }
         )
 
     return j.map_batches(finish, batch_format="pyarrow")
