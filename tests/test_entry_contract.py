@@ -46,7 +46,7 @@ def test_every_query_has_result_contract():
     # rows-only entries are the genuinely non-SQL-expressible ops; additions
     # here need a reason in the entry's docstring
     assert all(q in _QUERIES for q in _SQLS), sorted(set(_SQLS) - set(_QUERIES))
-    assert len(_QUERIES) >= 215, len(_QUERIES)
+    assert len(_QUERIES) >= 217, len(_QUERIES)
     # every rows-only op must at least be runnable (covered by the param run)
     assert len(rows_only) < len(_QUERIES) / 4, sorted(rows_only)
 
